@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Local dev harness that mimics the driver's correctness gate.
+
+NOT part of the shipped Scala library (dev tooling only). For each query
+dumped by `graft.Verify`, runs the oracle SQL in DuckDB against the same
+parquet tables and compares row counts, column names, and a canonical hash
+of values (columns sorted by name, rows sorted).
+
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+"""
+import sys, json, hashlib, glob, os
+import duckdb
+
+TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, list):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+def table_hash(rows, names):
+    order = sorted(range(len(names)), key=lambda i: names[i])
+    canon_rows = sorted("|".join(canon(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for r in canon_rows:
+        h.update(r.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS FROM '{sf_dir}/{t}.parquet'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracles):
+        sql = oracles[name]
+        pdir = f"{out_dir}/{name}"
+        files = glob.glob(f"{pdir}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        try:
+            got = con.sql(f"SELECT * FROM read_parquet({files!r})")
+            got_names, got_rows = [d[0] for d in got.description], got.fetchall()
+            exp = con.sql(sql)
+            exp_names, exp_rows = [d[0] for d in exp.description], exp.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: {e}"); n_fail += 1; continue
+        if sorted(got_names) != sorted(exp_names):
+            print(f"FAIL {name}: cols {sorted(got_names)} != {sorted(exp_names)}"); n_fail += 1; continue
+        if len(got_rows) != len(exp_rows):
+            print(f"FAIL {name}: rows {len(got_rows)} != {len(exp_rows)}"); n_fail += 1; continue
+        gh, eh = table_hash(got_rows, got_names), table_hash(exp_rows, exp_names)
+        if gh != eh:
+            print(f"FAIL {name}: hash mismatch ({len(got_rows)} rows)")
+            # show first differing row for debugging
+            order_g = sorted(range(len(got_names)), key=lambda i: got_names[i])
+            order_e = sorted(range(len(exp_names)), key=lambda i: exp_names[i])
+            sg = sorted("|".join(canon(r[i]) for i in order_g) for r in got_rows)
+            se = sorted("|".join(canon(r[i]) for i in order_e) for r in exp_rows)
+            for a, b in zip(sg, se):
+                if a != b:
+                    print(f"  got: {a[:200]}\n  exp: {b[:200]}"); break
+            n_fail += 1; continue
+        print(f"PASS {name} ({len(got_rows)} rows)"); n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
