@@ -3,6 +3,13 @@ package graft
 /** Benchmark entry: runs every registered query on SPARK_GRAFT_SF_DIR and
   * prints one JSON line with per-query wall seconds.
   *
+  * Each query runs twice and the SECOND (warm) time is reported: the first
+  * pass pays one-off session/JIT/codegen warmup that is fixed overhead, not
+  * plan cost (VERDICT r1 measured 3.9 s of warmup inside a 0.2 s query).
+  * Failures are recorded as -1 with the error message in `errors`, and the
+  * process exits nonzero — a crashing query must not masquerade as a fast
+  * one.
+  *
   * Each query is forced with `.count()`; the deterministic ORDER BY each
   * query carries for oracle hashing is eliminated by Catalyst under the
   * aggregate, so the measured plan is scan→filter→join→agg, not the sort. */
@@ -11,15 +18,35 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.get(s"local[$cpus]", cpus.toInt)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+
+    def time(body: => Unit): Either[String, Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { body; Right((System.nanoTime() - t0) / 1e9) }
+      catch { case e: Throwable => Left(Option(e.getMessage).getOrElse(e.getClass.getName)) }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val cold = time(fn(spark, sfDir).count())
+      val warm = cold match {
+        case Right(_) => time(fn(spark, sfDir).count())
+        case left     => left
+      }
+      (name, warm)
+    }
+
+    def esc(s: String): String =
+      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+                  case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
+
+    val qs = results.map {
+      case (k, Right(v)) => s""""$k":$v"""
+      case (k, Left(_))  => s""""$k":-1"""
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, Left(m)) => s""""$k":"${esc(m.take(300))}"""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, Right(v)) => v }.sum
+    println(s"""{"metric":"total_warm","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
+    if (results.exists(_._2.isLeft)) sys.exit(1)
   }
 }

@@ -60,29 +60,31 @@ object SparkEntry {
 
   /** Q8 `GetTransactionsByBlockHash` (query.go:153-163): FK equality filter. */
   private def q06(spark: SparkSession, dir: String): DataFrame =
-    Relational.pointLookup(Tables.lineitem(spark, dir), col("l_orderkey") === 4242)
+    Relational.filterScan(Tables.lineitem(spark, dir), col("l_orderkey") === 4242)
       .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"), col("l_quantity"))
 
   /** Q7 `GetTransactionFromAccountWithNonce` (query.go:401-409): conjunctive eq. */
   private def q07(spark: SparkSession, dir: String): DataFrame =
-    Relational.pointLookup(Tables.lineitem(spark, dir),
+    Relational.filterScan(Tables.lineitem(spark, dir),
         col("l_suppkey") === 7 && col("l_linenumber") === 5)
       .orderBy(col("l_orderkey"), col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
 
   /** Q9/Q10 events by origin (query.go:444-467). */
   private def q08(spark: SparkSession, dir: String): DataFrame =
-    Relational.pointLookup(Tables.events(spark, dir), col("user_id") === 42)
+    Relational.filterScan(Tables.events(spark, dir), col("user_id") === 42)
       .orderBy(col("event_id"))
 
   private def q09(spark: SparkSession, dir: String): DataFrame =
-    Relational.pointLookup(Tables.events(spark, dir),
+    Relational.filterScan(Tables.events(spark, dir),
         col("user_id") === 42 && col("event_type") === "purchase")
       .orderBy(col("event_id"))
 
-  /** Q11 `GetEventByBlockHashAndLogIndex` (query.go:590-600): composite key. */
+  /** Q11 `GetEventByBlockHashAndLogIndex` (query.go:590-600): composite key.
+    * (12, 5) exists at every sf — the round-1 key matched zero rows, which
+    * made the gate vacuous. */
   private def q10(spark: SparkSession, dir: String): DataFrame =
-    Relational.pointLookup(Tables.lineitem(spark, dir),
-        col("l_orderkey") === 4242 && col("l_linenumber") === 1)
+    Relational.filterScan(Tables.lineitem(spark, dir),
+        col("l_orderkey") === 12 && col("l_linenumber") === 5)
       .orderBy(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
 
   /** Q12 `GetEventByBlockNumberAndLogIndex` (query.go:604-622): two-step
@@ -154,13 +156,35 @@ object SparkEntry {
         col("o_orderkey").between(0, 9999))
       .select(liCols: _*).orderBy(liSort: _*)
 
+  /** J4 `…ToAccountByBlockTimeRange` (query.go:290-314): to-account
+    * predicate + dim time range. */
+  private def j4(spark: SparkSession, dir: String): DataFrame =
+    Relational.factJoinDim(
+        Tables.lineitem(spark, dir), Tables.orders(spark, dir),
+        "l_orderkey", "o_orderkey",
+        col("l_partkey") === 77,
+        col("o_orderdate").between(ntz("1995-01-01 00:00:00"), ntz("1996-12-31 23:59:59")))
+      .select(liCols: _*).orderBy(liSort: _*)
+
+  /** J6 `…BetweenAccountsByBlockTimeRange` (query.go:346-370). */
+  private def j6(spark: SparkSession, dir: String): DataFrame =
+    Relational.factJoinDim(
+        Tables.lineitem(spark, dir), Tables.orders(spark, dir),
+        "l_orderkey", "o_orderkey",
+        col("l_suppkey") === 5 && col("l_partkey").between(0, 1999),
+        col("o_orderdate").between(ntz("1995-01-01 00:00:00"), ntz("1996-12-31 23:59:59")))
+      .select(liCols: _*).orderBy(liSort: _*)
+
   /** J8 `GetEventsFromContractByBlockNumberRange` (query.go:413-441):
     * event stream enriched against a dimension with a range predicate. */
   private def j8(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
     val c = Tables.customer(spark, dir)
+    // No broadcast hint: the mktsegment filter keeps ~1/5 of the dimension —
+    // proportional to table size, so a forced broadcast OOMs at 100×. AQE
+    // converts to broadcast at runtime when the build side is actually small.
     e.filter(col("ts").between(ntz("2024-01-01 00:00:00"), ntz("2024-01-07 23:59:59")))
-      .join(broadcast(c.filter(col("c_mktsegment") === "BUILDING")),
+      .join(c.filter(col("c_mktsegment") === "BUILDING"),
         e("user_id") === c("c_custkey"))
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"), col("c_name"))
@@ -207,6 +231,14 @@ object SparkEntry {
     Tables.lineitem(spark, dir).filter(col("l_orderkey") === 4242)
       .agg(count(lit(1)).as("n_rows"))
 
+  /** A5 `GetTransactionCountByBlockNumber` (query.go:167-177): count over
+    * the J9 scalar-subquery semi-join. */
+  private def a5(spark: SparkSession, dir: String): DataFrame =
+    Relational.semiJoin(
+        Tables.lineitem(spark, dir), Tables.orders(spark, dir),
+        "l_orderkey", "o_orderkey", col("o_custkey") === 421)
+      .agg(count(lit(1)).as("n_rows"))
+
   /** A6 ranged-join count (query.go:206-216 and twins). */
   private def a6(spark: SparkSession, dir: String): DataFrame =
     Relational.factJoinDim(
@@ -232,10 +264,15 @@ object SparkEntry {
       .filter(col("l_shipdate") <= ntz("1998-09-02 00:00:00"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec(col("l_quantity"))).cast(DecimalType(38, 2)).as("sum_qty"),
-        sum(dec(col("l_extendedprice"))).cast(DecimalType(38, 2)).as("sum_base_price"),
+        // Sums run in exact decimal (order-independent across partitions);
+        // the single final cast to DOUBLE is deterministic and hashes
+        // identically under every canonicalizer — decimal *output* types
+        // canonicalized differently between the driver gate and DuckDB in
+        // round 1 (VERDICT "What's wrong" #1).
+        sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_base_price"),
         sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
-          .cast(DecimalType(38, 6)).as("sum_disc_price"),
+          .cast(DoubleType).as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
@@ -248,7 +285,7 @@ object SparkEntry {
     li.join(o, li("l_orderkey") === o("o_orderkey"))
       .groupBy(col("o_custkey"))
       .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
-        .cast(DecimalType(38, 6)).as("revenue"))
+        .cast(DoubleType).as("revenue"))
       .orderBy(col("revenue").desc, col("o_custkey"))
       .limit(25)
   }
@@ -271,7 +308,9 @@ object SparkEntry {
     "j1_fact_dim_key_range" -> (j1 _),
     "j2_fact_dim_time_range" -> (j2 _),
     "j3_fact_dim_to_account" -> (j3 _),
+    "j4_fact_dim_to_account_time" -> (j4 _),
     "j5_fact_dim_between_accounts" -> (j5 _),
+    "j6_fact_dim_between_accounts_time" -> (j6 _),
     "j7_fact_dim_flagged" -> (j7 _),
     "j8_events_dim_enrich" -> (j8 _),
     "j9_semi_join" -> (j9 _),
@@ -279,6 +318,7 @@ object SparkEntry {
     "j10b_table_anti_join" -> (j10b _),
     "a1_global_min_max_count" -> (a1 _),
     "a4_filtered_count" -> (a4 _),
+    "a5_semi_join_count" -> (a5 _),
     "a6_join_count" -> (a6 _),
     "t2_topk_recent" -> (t2 _),
     "g1_groupby_agg" -> (g1GroupbyAgg _),
@@ -308,7 +348,7 @@ object SparkEntry {
     "q09_events_by_origin_type" ->
       "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events WHERE user_id = 42 AND event_type = 'purchase' ORDER BY event_id",
     "q10_composite_key_lookup" ->
-      ("SELECT * FROM lineitem WHERE l_orderkey = 4242 AND l_linenumber = 1 " +
+      ("SELECT * FROM lineitem WHERE l_orderkey = 12 AND l_linenumber = 5 " +
         "ORDER BY l_partkey, l_suppkey, l_quantity"),
     "q12_two_step_lookup" ->
       ("SELECT * FROM lineitem WHERE l_orderkey IN " +
@@ -331,6 +371,17 @@ object SparkEntry {
       ("SELECT l_orderkey, l_linenumber, l_suppkey, l_partkey, l_quantity, l_extendedprice, o_orderdate " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "WHERE l_partkey = 77 AND o_orderkey BETWEEN 0 AND 9999 " +
+        "ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice"),
+    "j4_fact_dim_to_account_time" ->
+      ("SELECT l_orderkey, l_linenumber, l_suppkey, l_partkey, l_quantity, l_extendedprice, o_orderdate " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE l_partkey = 77 AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00' AND TIMESTAMP '1996-12-31 23:59:59' " +
+        "ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice"),
+    "j6_fact_dim_between_accounts_time" ->
+      ("SELECT l_orderkey, l_linenumber, l_suppkey, l_partkey, l_quantity, l_extendedprice, o_orderdate " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE l_suppkey = 5 AND l_partkey BETWEEN 0 AND 1999 " +
+        "AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00' AND TIMESTAMP '1996-12-31 23:59:59' " +
         "ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice"),
     "j5_fact_dim_between_accounts" ->
       ("SELECT l_orderkey, l_linenumber, l_suppkey, l_partkey, l_quantity, l_extendedprice, o_orderdate " +
@@ -363,6 +414,9 @@ object SparkEntry {
         "CAST(count(*) AS BIGINT) AS n_rows FROM orders"),
     "a4_filtered_count" ->
       "SELECT CAST(count(*) AS BIGINT) AS n_rows FROM lineitem WHERE l_orderkey = 4242",
+    "a5_semi_join_count" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_rows FROM lineitem WHERE l_orderkey IN " +
+        "(SELECT o_orderkey FROM orders WHERE o_custkey = 421)"),
     "a6_join_count" ->
       ("SELECT CAST(count(*) AS BIGINT) AS n_rows FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "WHERE l_suppkey = 5 AND o_orderkey BETWEEN 1000 AND 4999"),
@@ -370,15 +424,15 @@ object SparkEntry {
       "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events WHERE user_id = 42 ORDER BY ts DESC, event_id DESC LIMIT 50",
     "g1_groupby_agg" ->
       ("SELECT l_returnflag, l_linestatus, " +
-        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty, " +
-        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price, " +
-        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,6)) AS sum_disc_price, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price, " +
         "CAST(count(*) AS BIGINT) AS count_order " +
         "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' " +
         "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
     "g2_grouped_topn" ->
       ("SELECT o_custkey, " +
-        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,6)) AS revenue " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-12-31 23:59:59' " +
         "GROUP BY o_custkey ORDER BY revenue DESC, o_custkey LIMIT 25"),

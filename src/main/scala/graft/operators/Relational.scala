@@ -30,9 +30,17 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
-  /** Q1/Q2/Q6/Q7/Q11: point lookup by (composite) equality predicate.
-    * Reference: `app/db/query.go:79-87,92-100,194-202,401-409,590-600`. */
+  /** Q1/Q2/Q6/Q11: point lookup by (composite) equality predicate with the
+    * reference's `First`/LIMIT-1 semantics (at most one row returned).
+    * Reference: `app/db/query.go:82,95,197,404,594` — every point lookup
+    * uses GORM `.First`. */
   def pointLookup(df: DataFrame, pred: Column): DataFrame =
+    df.filter(pred).limit(1)
+
+  /** Q8/Q9/Q10-shape: equality-filtered row-set scan (no LIMIT — the
+    * reference returns the full set, e.g. `GetTransactionsByBlockHash`
+    * `app/db/query.go:153-163`). */
+  def filterScan(df: DataFrame, pred: Column): DataFrame =
     df.filter(pred)
 
   /** Q3/Q5: closed key-range scan, sorted ascending.
@@ -63,15 +71,19 @@ object Relational {
     * filtered dim set. Reference: `app/db/query.go:167-191`. */
   def semiJoin(fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
       dimPred: Column): DataFrame =
+    // left_semi already dedups the build side — an explicit .distinct()
+    // would add a full extra shuffle+aggregate at scale for nothing.
     fact.join(
-      broadcast(dim.filter(dimPred).select(col(dimKey).as(factKey)).distinct()),
+      broadcast(dim.filter(dimPred).select(col(dimKey).as(factKey))),
       Seq(factKey), "left_semi")
 
   /** J10: anti-join ("which candidates are missing"), the reference's gap
     * detector. Reference: `app/block/syncer.go:21-37` does a per-candidate
     * binary search; here it is one distributed anti-join.  */
   def antiJoin(candidates: DataFrame, present: DataFrame, key: String): DataFrame =
-    candidates.join(present.select(key).distinct(), Seq(key), "left_anti")
+    // No .distinct() on the present side: anti-join semantics don't need it
+    // and at scale it would be an extra full shuffle of the big side.
+    candidates.join(present.select(key), Seq(key), "left_anti")
 
   /** T2: top-K most recent, with a deterministic tie-break. Spark plans
     * this as TakeOrderedAndProject — per-partition top-K then a K-row
