@@ -292,7 +292,10 @@ object SparkEntry {
 
   // ===== registry ========================================================
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = tpchQueries ++
+    graft.queries.EvmQueries.queries
+
+  private def tpchQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_point_lookup_pk" -> (q01 _),
     "q02_point_lookup_dim" -> (q02 _),
     "q03_key_range_scan" -> (q03 _),
@@ -325,7 +328,10 @@ object SparkEntry {
     "g2_grouped_topn" -> (g2 _),
   )
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = tpchOracleSql ++
+    graft.queries.EvmQueries.oracleSql
+
+  private def tpchOracleSql: Map[String, String] = Map(
     "q01_point_lookup_pk" ->
       "SELECT * FROM orders WHERE o_orderkey = 4242",
     "q02_point_lookup_dim" ->

@@ -1,0 +1,429 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.fixtures.EvmFixtures
+import graft.functions.{EvmFunctions => F, TopicMatch}
+import graft.operators.Relational
+
+/** The reference's 24-query historical surface (SURVEY §2.2–2.6) bound to
+  * the EVM domain fixtures — real hex hashes, topics arrays, uint256
+  * strings, to/contract creation encoding — not TPC-H analogs.
+  *
+  * Query constants (hashes, addresses) are *recomputed* from
+  * [[EvmFixtures]]'s deterministic identity functions, and interpolated
+  * into the DuckDB oracle SQL, which reads the exact same committed
+  * parquet via absolute `read_parquet` paths. The `dir` argument of each
+  * query is ignored — the domain corpus is scale-independent.
+  */
+object EvmQueries {
+
+  private val P = EvmFixtures.dir
+  private def blocksT = s"read_parquet('$P/blocks.parquet')"
+  private def txsT = s"read_parquet('$P/transactions.parquet')"
+  private def eventsT = s"read_parquet('$P/events.parquet')"
+
+  def blocks(spark: SparkSession): DataFrame = spark.read.parquet(s"$P/blocks.parquet")
+  def txs(spark: SparkSession): DataFrame = spark.read.parquet(s"$P/transactions.parquet")
+  def events(spark: SparkSession): DataFrame = spark.read.parquet(s"$P/events.parquet")
+
+  /** Pruned dim side for fact⋈blocks joins — renamed key avoids collisions
+    * with the fact table's own `hash`/`nonce` columns, and the projection
+    * is the column-pruning the reference does with explicit Select()s
+    * (query.go:223,251,…). */
+  private def blocksDim(s: SparkSession): DataFrame =
+    blocks(s).select(col("hash").as("b_hash"), col("number"), col("time"))
+
+  // Shared constants (deterministic — see EvmFixtures scaladoc).
+  private val H1500 = EvmFixtures.blockHash(1500)
+  private val H2003 = EvmFixtures.blockHash(2003)
+  private val TX1201 = EvmFixtures.txHash(1201, 0)
+  private val TX2003 = EvmFixtures.txHash(2003, 2)
+  private val Acct2 = EvmFixtures.account(2)
+  private val Acct3 = EvmFixtures.account(3)
+  private val Acct5 = EvmFixtures.account(5)
+  private val Acct11 = EvmFixtures.account(11)
+  private val C0 = EvmFixtures.contractAddr(0)
+  private val C3 = EvmFixtures.contractAddr(3)
+  private val C7 = EvmFixtures.contractAddr(7)
+  private val T0 = EvmFixtures.BaseTime
+
+  private def evSort: Seq[Column] = Seq(col("blockhash"), col("index"))
+
+  // ===== §2.2 point lookups / filters / ranges ===========================
+
+  /** Q1 `GetBlockByHash` (query.go:79-87). */
+  private def q1(s: SparkSession, d: String): DataFrame =
+    Relational.pointLookup(blocks(s), col("hash") === H1500)
+
+  /** Q2 `GetBlockByNumber` (query.go:92-100). */
+  private def q2(s: SparkSession, d: String): DataFrame =
+    Relational.pointLookup(blocks(s), col("number") === 1500L)
+
+  /** Q3 `GetBlocksByNumberRange` (query.go:109-119) — RangeChecker caps
+    * interactive width at ~100 (common.go:66-84). */
+  private def q3(s: SparkSession, d: String): DataFrame =
+    Relational.keyRangeScan(blocks(s), col("number"), 1000L, 1099L)
+
+  /** Q4 `GetBlocksByTimeRange` (query.go:125-135) — TimeRange cap 3600 s. */
+  private def q4(s: SparkSession, d: String): DataFrame =
+    Relational.timeRangeScan(blocks(s), col("time"),
+      T0 + 1000 * 12, T0 + 1299 * 12, col("number"))
+
+  /** Q5 `GetAllBlockNumbersInRange` (query.go:15-29). */
+  private def q5(s: SparkSession, d: String): DataFrame =
+    Relational.keyRangeScan(blocks(s), col("number"), 500L, 799L).select("number")
+
+  /** Q6 `GetTransactionByHash` (query.go:194-202). */
+  private def q6(s: SparkSession, d: String): DataFrame =
+    Relational.pointLookup(txs(s), col("hash") === TX1201)
+
+  /** Q7 `GetTransactionFromAccountWithNonce` (query.go:401-409) — (from,
+    * nonce) is unique by construction, LIMIT-1 parity-safe. */
+  private def q7(s: SparkSession, d: String): DataFrame =
+    Relational.pointLookup(txs(s), col("from") === Acct3 && col("nonce") === 5L)
+
+  /** Q8 `GetTransactionsByBlockHash` (query.go:153-163). */
+  private def q8(s: SparkSession, d: String): DataFrame =
+    Relational.filterScan(txs(s), col("blockhash") === H2003).orderBy(col("hash"))
+
+  /** Q9 `GetEventsByBlockHash` (query.go:444-454). */
+  private def q9(s: SparkSession, d: String): DataFrame =
+    Relational.filterScan(events(s), col("blockhash") === H2003).orderBy(col("index"))
+
+  /** Q10 `GetEventsByTransactionHash` (query.go:457-467). */
+  private def q10(s: SparkSession, d: String): DataFrame =
+    Relational.filterScan(events(s), col("txhash") === TX2003).orderBy(col("index"))
+
+  /** Q11 `GetEventByBlockHashAndLogIndex` (query.go:590-600). */
+  private def q11(s: SparkSession, d: String): DataFrame =
+    Relational.pointLookup(events(s), col("blockhash") === H2003 && col("index") === 1)
+
+  /** Q12 `GetEventByBlockNumberAndLogIndex` (query.go:604-622): two-step
+    * number→hash→(hash,index) as one broadcast-join plan. */
+  private def q12(s: SparkSession, d: String): DataFrame = {
+    val b = blocks(s).filter(col("number") === 2003L).select(col("hash").as("blockhash"))
+    events(s).join(broadcast(b), Seq("blockhash")).filter(col("index") === 1).limit(1)
+  }
+
+  /** Q13 contract-creation predicate (query.go:377,391). */
+  private def q13(s: SparkSession, d: String): DataFrame =
+    txs(s).filter(col("contract") =!= "" && col("from") === Acct2).orderBy(col("hash"))
+
+  // ===== §2.3 joins ======================================================
+
+  private def txCols: Seq[Column] = Seq(
+    col("hash"), col("from"), col("to"), col("contract"), col("value"),
+    col("gas"), col("gasprice"), col("cost"), col("nonce"), col("state"),
+    col("blockhash"), col("number"))
+
+  /** J1 `GetTransactionsFromAccountByBlockNumberRange` (query.go:206-230). */
+  private def j1(s: SparkSession, d: String): DataFrame =
+    Relational.factJoinDim(txs(s), blocksDim(s), "blockhash", "b_hash",
+        col("from") === Acct2, col("number").between(1000L, 1999L))
+      .select(txCols: _*).orderBy(col("hash"))
+
+  /** J2 …`ByBlockTimeRange` (query.go:234-258), 3600 s window. */
+  private def j2(s: SparkSession, d: String): DataFrame =
+    Relational.factJoinDim(txs(s), blocksDim(s), "blockhash", "b_hash",
+        col("from") === Acct2, col("time").between(T0 + 1000 * 12, T0 + 1299 * 12))
+      .select(txCols: _*).orderBy(col("hash"))
+
+  /** J3 `…ToAccountByBlockNumberRange` (query.go:262-286). */
+  private def j3(s: SparkSession, d: String): DataFrame =
+    Relational.factJoinDim(txs(s), blocksDim(s), "blockhash", "b_hash",
+        col("to") === Acct5, col("number").between(0L, 999L))
+      .select(txCols: _*).orderBy(col("hash"))
+
+  /** J5 `…BetweenAccountsByBlockNumberRange` (query.go:318-342). */
+  private def j5(s: SparkSession, d: String): DataFrame =
+    Relational.factJoinDim(txs(s), blocksDim(s), "blockhash", "b_hash",
+        col("from") === Acct2 && col("to") === Acct11, col("number").between(0L, 2999L))
+      .select(txCols: _*).orderBy(col("hash"))
+
+  /** J7 contract creations from account in range (query.go:374-398). */
+  private def j7(s: SparkSession, d: String): DataFrame =
+    Relational.factJoinDim(txs(s), blocksDim(s), "blockhash", "b_hash",
+        col("from") === Acct2 && col("contract") =!= "", col("number").between(0L, 2999L))
+      .select(txCols: _*).orderBy(col("hash"))
+
+  /** J8 `GetEventsFromContractByBlockNumberRange` (query.go:413-441). */
+  private def j8(s: SparkSession, d: String): DataFrame =
+    Relational.factJoinDim(events(s), blocksDim(s), "blockhash", "b_hash",
+        col("origin") === C3, col("number").between(1000L, 1999L))
+      .select(col("blockhash"), col("index"), col("origin"), col("topics"),
+        col("data"), col("txhash"), col("number"))
+      .orderBy(evSort: _*)
+
+  /** J9 scalar-subquery semi-join (query.go:167-191). */
+  private def j9(s: SparkSession, d: String): DataFrame =
+    Relational.semiJoin(txs(s), blocks(s), "blockhash", "hash", col("number") === 2003L)
+      .orderBy(col("hash"))
+
+  /** J10 gap detection — the distributed form of the reference's
+    * per-candidate binary search (`app/block/syncer.go:21-37`). Finds the
+    * deliberately missing block numbers. */
+  private def j10(s: SparkSession, d: String): DataFrame =
+    Relational.antiJoin(
+        s.range(0L, EvmFixtures.MaxNumber + 1).toDF("number"),
+        blocks(s), "number")
+      .orderBy(col("number"))
+
+  // ===== §2.4 topics matcher (the signature operator) ====================
+
+  /** Exact positional pins at 0 and 2 — `DoesItMatch` semantics incl.
+    * arrays shorter than the pinned position never matching. */
+  private def topicsExact(s: SparkSession, d: String): DataFrame =
+    events(s)
+      .filter(TopicMatch.topicsMatch(Map(0 -> EvmFixtures.sig(2), 2 -> EvmFixtures.arg(4))))
+      .orderBy(evSort: _*)
+
+  /** The SURVEY §7.2 flagship: contract + number range + positional topics,
+    * two-phase (coarse containment then exact) like
+    * `GetEventsFromContractWithTopicsByBlockNumberRange` (query.go:526-543)
+    * + `ExtractOutOnlyMatchingEvents` (query.go:489-505). */
+  private def topicsRange(s: SparkSession, d: String): DataFrame = {
+    val pins = Map(0 -> EvmFixtures.sig(2), 1 -> EvmFixtures.arg(6))
+    Relational.factJoinDim(
+        events(s).filter(TopicMatch.topicsMatchTwoPhase(pins)),
+        blocksDim(s), "blockhash", "b_hash",
+        col("origin") === C7, col("number").between(0L, 1999L))
+      .select(col("blockhash"), col("index"), col("origin"), col("topics"),
+        col("data"), col("txhash"), col("number"))
+      .orderBy(evSort: _*)
+  }
+
+  /** Pub/sub wildcard matcher (subscription.go:74-124): only position 1
+    * pinned, case-insensitively; `*`/empty positions match anything. */
+  private def topicsWildcard(s: SparkSession, d: String): DataFrame =
+    events(s)
+      .filter(TopicMatch.topicsMatchWildcard(
+        Seq("*", EvmFixtures.arg(7).toUpperCase, "", "*")))
+      .orderBy(evSort: _*)
+
+  // ===== §2.5 aggregates / §2.6 top-K ====================================
+
+  /** A1/A2/A3 min/max/count over blocks (query.go:33-74). */
+  private def a1(s: SparkSession, d: String): DataFrame =
+    blocks(s).agg(min(col("number")).as("min_number"),
+      max(col("number")).as("max_number"), count(lit(1)).as("n_rows"))
+
+  /** A4 `GetTransactionCountByBlockHash` (query.go:139-149). */
+  private def a4(s: SparkSession, d: String): DataFrame =
+    txs(s).filter(col("blockhash") === H2003).agg(count(lit(1)).as("n_rows"))
+
+  /** A5 `GetTransactionCountByBlockNumber` (query.go:167-177). */
+  private def a5(s: SparkSession, d: String): DataFrame =
+    Relational.semiJoin(txs(s), blocks(s), "blockhash", "hash", col("number") === 2003L)
+      .agg(count(lit(1)).as("n_rows"))
+
+  /** A6 count twin of J1 (query.go:206-216). */
+  private def a6(s: SparkSession, d: String): DataFrame =
+    Relational.factJoinDim(txs(s), blocksDim(s), "blockhash", "b_hash",
+        col("from") === Acct2, col("number").between(1000L, 1999L))
+      .agg(count(lit(1)).as("n_rows"))
+
+  /** T2 `GetLastXEventsFromContract` (query.go:567-586), cap 50. */
+  private def t2(s: SparkSession, d: String): DataFrame =
+    Relational.topK(
+        Relational.factJoinDim(events(s), blocksDim(s), "blockhash", "b_hash",
+            col("origin") === C0, col("number") >= 0L)
+          .select(col("blockhash"), col("index"), col("origin"), col("topics"),
+            col("data"), col("txhash"), col("number")),
+        50, col("number").desc, col("index").desc)
+
+  // ===== §2.8 scalar layer over domain data ==============================
+
+  /** F1/F7/F8/F10/F14/F15 in one projection — the JSON-shaping scalars that
+    * make API output byte-identical (tx.go:36-52, util.go:30-57,102-105). */
+  private def fScalarShapes(s: SparkSession, d: String): DataFrame =
+    Relational.factJoinDim(txs(s), blocksDim(s), "blockhash", "b_hash",
+        lit(true), col("number").between(2000L, 2099L))
+      .select(
+        col("hash"),
+        F.hexEncode(col("data")).as("data_hex"),
+        F.targetAddress(col("to"), col("contract")).as("target"),
+        F.calcGasCost(col("gas"), col("gasprice")).as("gascost"),
+        col("state").cast(StringType).as("state_str"),
+        F.isValidAddress(col("from")).as("from_valid"),
+        F.isZeroAddress(col("from")).as("from_zero"))
+      .orderBy(col("hash"))
+
+  /** F2 zero-data suppression + F1 empty-guard over event data
+    * (event.go:32-35). */
+  private def fEventDataShape(s: SparkSession, d: String): DataFrame =
+    Relational.factJoinDim(events(s), blocksDim(s), "blockhash", "b_hash",
+        lit(true), col("number").between(2000L, 2099L))
+      .select(col("blockhash"), col("index"), F.eventDataJson(col("data")).as("data_json"))
+      .orderBy(evSort: _*)
+
+  /** F9 ToDecimal: wei string → ether double (util.go:60-74). DOUBLE parse
+    * of a decimal string is correctly rounded in both engines, so this is
+    * hash-stable even for the >2^127 values in the corpus. */
+  private def fWeiToEth(s: SparkSession, d: String): DataFrame =
+    txs(s)
+      .select(col("hash"), F.toDecimal(col("value"), 18).as("value_eth"))
+      .orderBy(col("hash"))
+
+  // ===== registry ========================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_q1_block_by_hash" -> (q1 _),
+    "ev_q2_block_by_number" -> (q2 _),
+    "ev_q3_blocks_by_number_range" -> (q3 _),
+    "ev_q4_blocks_by_time_range" -> (q4 _),
+    "ev_q5_block_numbers_in_range" -> (q5 _),
+    "ev_q6_tx_by_hash" -> (q6 _),
+    "ev_q7_tx_from_nonce" -> (q7 _),
+    "ev_q8_txs_by_blockhash" -> (q8 _),
+    "ev_q9_events_by_blockhash" -> (q9 _),
+    "ev_q10_events_by_txhash" -> (q10 _),
+    "ev_q11_event_by_blockhash_index" -> (q11 _),
+    "ev_q12_event_by_number_index" -> (q12 _),
+    "ev_q13_creation_txs" -> (q13 _),
+    "ev_j1_txs_from_by_number_range" -> (j1 _),
+    "ev_j2_txs_from_by_time_range" -> (j2 _),
+    "ev_j3_txs_to_by_number_range" -> (j3 _),
+    "ev_j5_txs_between_by_number_range" -> (j5 _),
+    "ev_j7_creations_from_by_number_range" -> (j7 _),
+    "ev_j8_events_from_contract_by_number_range" -> (j8 _),
+    "ev_j9_txs_by_block_number_semi" -> (j9 _),
+    "ev_j10_missing_blocks" -> (j10 _),
+    "ev_topics_exact" -> (topicsExact _),
+    "ev_topics_range" -> (topicsRange _),
+    "ev_topics_wildcard" -> (topicsWildcard _),
+    "ev_a1_block_min_max_count" -> (a1 _),
+    "ev_a4_tx_count_by_blockhash" -> (a4 _),
+    "ev_a5_tx_count_by_number" -> (a5 _),
+    "ev_a6_txs_from_range_count" -> (a6 _),
+    "ev_t2_last50_events_from_contract" -> (t2 _),
+    "ev_f_scalar_shapes" -> (fScalarShapes _),
+    "ev_f_event_data_shape" -> (fEventDataShape _),
+    "ev_f_wei_to_eth" -> (fWeiToEth _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "ev_q1_block_by_hash" ->
+      s"SELECT * FROM $blocksT WHERE hash = '$H1500'",
+    "ev_q2_block_by_number" ->
+      s"SELECT * FROM $blocksT WHERE number = 1500",
+    "ev_q3_blocks_by_number_range" ->
+      s"SELECT * FROM $blocksT WHERE number BETWEEN 1000 AND 1099 ORDER BY number",
+    "ev_q4_blocks_by_time_range" ->
+      s"SELECT * FROM $blocksT WHERE time BETWEEN ${T0 + 1000 * 12} AND ${T0 + 1299 * 12} ORDER BY number",
+    "ev_q5_block_numbers_in_range" ->
+      s"SELECT number FROM $blocksT WHERE number BETWEEN 500 AND 799 ORDER BY number",
+    "ev_q6_tx_by_hash" ->
+      s"SELECT * FROM $txsT WHERE hash = '$TX1201'",
+    "ev_q7_tx_from_nonce" ->
+      s"""SELECT * FROM $txsT WHERE "from" = '$Acct3' AND nonce = 5""",
+    "ev_q8_txs_by_blockhash" ->
+      s"SELECT * FROM $txsT WHERE blockhash = '$H2003' ORDER BY hash",
+    "ev_q9_events_by_blockhash" ->
+      s"""SELECT * FROM $eventsT WHERE blockhash = '$H2003' ORDER BY "index"""",
+    "ev_q10_events_by_txhash" ->
+      s"""SELECT * FROM $eventsT WHERE txhash = '$TX2003' ORDER BY "index"""",
+    "ev_q11_event_by_blockhash_index" ->
+      s"""SELECT * FROM $eventsT WHERE blockhash = '$H2003' AND "index" = 1""",
+    "ev_q12_event_by_number_index" ->
+      s"""SELECT e.* FROM $eventsT e JOIN $blocksT b ON e.blockhash = b.hash
+          WHERE b.number = 2003 AND e."index" = 1""",
+    "ev_q13_creation_txs" ->
+      s"""SELECT * FROM $txsT WHERE contract <> '' AND "from" = '$Acct2' ORDER BY hash""",
+    "ev_j1_txs_from_by_number_range" ->
+      s"""SELECT t.hash, t."from", t."to", t.contract, t.value, t.gas, t.gasprice,
+          t.cost, t.nonce, t.state, t.blockhash, b.number
+          FROM $txsT t JOIN $blocksT b ON t.blockhash = b.hash
+          WHERE t."from" = '$Acct2' AND b.number BETWEEN 1000 AND 1999 ORDER BY t.hash""",
+    "ev_j2_txs_from_by_time_range" ->
+      s"""SELECT t.hash, t."from", t."to", t.contract, t.value, t.gas, t.gasprice,
+          t.cost, t.nonce, t.state, t.blockhash, b.number
+          FROM $txsT t JOIN $blocksT b ON t.blockhash = b.hash
+          WHERE t."from" = '$Acct2' AND b.time BETWEEN ${T0 + 1000 * 12} AND ${T0 + 1299 * 12}
+          ORDER BY t.hash""",
+    "ev_j3_txs_to_by_number_range" ->
+      s"""SELECT t.hash, t."from", t."to", t.contract, t.value, t.gas, t.gasprice,
+          t.cost, t.nonce, t.state, t.blockhash, b.number
+          FROM $txsT t JOIN $blocksT b ON t.blockhash = b.hash
+          WHERE t."to" = '$Acct5' AND b.number BETWEEN 0 AND 999 ORDER BY t.hash""",
+    "ev_j5_txs_between_by_number_range" ->
+      s"""SELECT t.hash, t."from", t."to", t.contract, t.value, t.gas, t.gasprice,
+          t.cost, t.nonce, t.state, t.blockhash, b.number
+          FROM $txsT t JOIN $blocksT b ON t.blockhash = b.hash
+          WHERE t."from" = '$Acct2' AND t."to" = '$Acct11' AND b.number BETWEEN 0 AND 2999
+          ORDER BY t.hash""",
+    "ev_j7_creations_from_by_number_range" ->
+      s"""SELECT t.hash, t."from", t."to", t.contract, t.value, t.gas, t.gasprice,
+          t.cost, t.nonce, t.state, t.blockhash, b.number
+          FROM $txsT t JOIN $blocksT b ON t.blockhash = b.hash
+          WHERE t."from" = '$Acct2' AND t.contract <> '' AND b.number BETWEEN 0 AND 2999
+          ORDER BY t.hash""",
+    "ev_j8_events_from_contract_by_number_range" ->
+      s"""SELECT e.blockhash, e."index", e.origin, e.topics, e.data, e.txhash, b.number
+          FROM $eventsT e JOIN $blocksT b ON e.blockhash = b.hash
+          WHERE e.origin = '$C3' AND b.number BETWEEN 1000 AND 1999
+          ORDER BY e.blockhash, e."index"""",
+    "ev_j9_txs_by_block_number_semi" ->
+      s"""SELECT * FROM $txsT WHERE blockhash IN
+          (SELECT hash FROM $blocksT WHERE number = 2003) ORDER BY hash""",
+    "ev_j10_missing_blocks" ->
+      s"""SELECT id AS number FROM generate_series(0, ${EvmFixtures.MaxNumber}) t(id)
+          WHERE NOT EXISTS (SELECT 1 FROM $blocksT b WHERE b.number = t.id)
+          ORDER BY number""",
+    "ev_topics_exact" ->
+      s"""SELECT * FROM $eventsT
+          WHERE len(topics) > 0 AND topics[1] = '${EvmFixtures.sig(2)}'
+            AND len(topics) > 2 AND topics[3] = '${EvmFixtures.arg(4)}'
+          ORDER BY blockhash, "index"""",
+    "ev_topics_range" ->
+      s"""SELECT e.blockhash, e."index", e.origin, e.topics, e.data, e.txhash, b.number
+          FROM $eventsT e JOIN $blocksT b ON e.blockhash = b.hash
+          WHERE e.origin = '$C7' AND b.number BETWEEN 0 AND 1999
+            AND len(e.topics) > 0 AND e.topics[1] = '${EvmFixtures.sig(2)}'
+            AND len(e.topics) > 1 AND e.topics[2] = '${EvmFixtures.arg(6)}'
+          ORDER BY e.blockhash, e."index"""",
+    "ev_topics_wildcard" ->
+      s"""SELECT * FROM $eventsT
+          WHERE len(topics) > 1 AND lower(topics[2]) = lower('${EvmFixtures.arg(7)}')
+          ORDER BY blockhash, "index"""",
+    "ev_a1_block_min_max_count" ->
+      s"""SELECT CAST(min(number) AS BIGINT) AS min_number,
+          CAST(max(number) AS BIGINT) AS max_number,
+          CAST(count(*) AS BIGINT) AS n_rows FROM $blocksT""",
+    "ev_a4_tx_count_by_blockhash" ->
+      s"SELECT CAST(count(*) AS BIGINT) AS n_rows FROM $txsT WHERE blockhash = '$H2003'",
+    "ev_a5_tx_count_by_number" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_rows FROM $txsT WHERE blockhash IN
+          (SELECT hash FROM $blocksT WHERE number = 2003)""",
+    "ev_a6_txs_from_range_count" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_rows
+          FROM $txsT t JOIN $blocksT b ON t.blockhash = b.hash
+          WHERE t."from" = '$Acct2' AND b.number BETWEEN 1000 AND 1999""",
+    "ev_t2_last50_events_from_contract" ->
+      s"""SELECT e.blockhash, e."index", e.origin, e.topics, e.data, e.txhash, b.number
+          FROM $eventsT e JOIN $blocksT b ON e.blockhash = b.hash
+          WHERE e.origin = '$C0' AND b.number >= 0
+          ORDER BY b.number DESC, e."index" DESC LIMIT 50""",
+    "ev_f_scalar_shapes" ->
+      s"""SELECT t.hash,
+          CASE WHEN octet_length(t.data) > 0 THEN '0x' || lower(hex(t.data)) ELSE '' END AS data_hex,
+          CASE WHEN t.contract <> '' THEN t.contract ELSE t."to" END AS target,
+          CAST(CAST(t.gasprice AS DECIMAL(18,0)) * CAST(t.gas AS DECIMAL(18,0)) AS VARCHAR) AS gascost,
+          CAST(t.state AS VARCHAR) AS state_str,
+          regexp_full_match(t."from", '0x[0-9a-fA-F]{40}') AS from_valid,
+          lower(t."from") = '${F.ZeroAddress}' AS from_zero
+          FROM $txsT t JOIN $blocksT b ON t.blockhash = b.hash
+          WHERE b.number BETWEEN 2000 AND 2099 ORDER BY t.hash""",
+    "ev_f_event_data_shape" ->
+      s"""SELECT e.blockhash, e."index",
+          CASE WHEN lower(hex(e.data)) = repeat('00', 32) THEN ''
+               WHEN octet_length(e.data) > 0 THEN '0x' || lower(hex(e.data))
+               ELSE '' END AS data_json
+          FROM $eventsT e JOIN $blocksT b ON e.blockhash = b.hash
+          WHERE b.number BETWEEN 2000 AND 2099 ORDER BY e.blockhash, e."index"""",
+    "ev_f_wei_to_eth" ->
+      s"SELECT hash, CAST(value AS DOUBLE) / 1e18 AS value_eth FROM $txsT ORDER BY hash",
+  )
+}
