@@ -293,7 +293,7 @@ object SparkEntry {
   // ===== registry ========================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = tpchQueries ++
-    graft.queries.EvmQueries.queries
+    graft.queries.EvmQueries.queries ++ graft.queries.PipelineQueries.queries
 
   private def tpchQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_point_lookup_pk" -> (q01 _),
@@ -329,7 +329,7 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = tpchOracleSql ++
-    graft.queries.EvmQueries.oracleSql
+    graft.queries.EvmQueries.oracleSql ++ graft.queries.PipelineQueries.oracleSql
 
   private def tpchOracleSql: Map[String, String] = Map(
     "q01_point_lookup_pk" ->

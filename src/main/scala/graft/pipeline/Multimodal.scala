@@ -1,0 +1,88 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, plus decode / feature-extract /
+  * frame-sample operators.
+  *
+  * The decode step is STUBBED (this container has no image/audio codecs):
+  * `decodeMetaStub` derives deterministic fake metadata from the raw bytes.
+  * Everything around the stub — schema, batch shape, partition-preserving
+  * execution, explode semantics — is real and tested, so swapping in a
+  * true codec is a drop-in replacement of one function.
+  *
+  * Scale notes: media bytes are the dominant payload; every operator here
+  * projects metadata *without* shuffling the bytes (per-row expressions or
+  * partition-local iterators). Frame sampling explodes only the tiny
+  * metadata struct, never the payload.
+  */
+object Multimodal {
+
+  /** Deterministic fake media table derived from any text corpus — used
+    * by tests and the registry demo in place of real media files. */
+  def mediaFromDocuments(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol).as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col(idCol), lit(3)) + 1).cast("int")).as("kind"),
+      encode(col(textCol), "UTF-8").as("bytes"))
+
+  /** STUB decode: deterministic fake metadata from byte length. A real
+    * deployment replaces this with a codec call (e.g. a JNI/FFI decode in
+    * `mapPartitions`); the schema and downstream operators are unchanged. */
+  def decodeMetaStub(kind: Column, bytes: Column): Column = {
+    val n = length(bytes)
+    struct(
+      n.as("size_bytes"),
+      when(kind === "image", pmod(n, lit(1920)) + 16).otherwise(lit(null)).as("width"),
+      when(kind === "image", pmod(n * 7, lit(1080)) + 16).otherwise(lit(null)).as("height"),
+      when(kind === "audio", pmod(n, lit(3)) * 16000 + 16000).otherwise(lit(null)).as("sample_rate"),
+      when(kind === "audio" || kind === "video", pmod(n, lit(600)) + 1).otherwise(lit(null)).as("duration_s"),
+      when(kind === "video", pmod(n, lit(2)) * 6 + 24).otherwise(lit(null)).as("fps"))
+  }
+
+  /** Resize stub: new dimensions metadata, bytes untouched (a real resize
+    * also rides per-partition batches). */
+  def resizeStub(meta: Column, maxSide: Int): Column = {
+    val w = meta.getField("width")
+    val h = meta.getField("height")
+    val scale = when(greatest(w, h) > maxSide,
+      lit(maxSide).cast("double") / greatest(w, h).cast("double")).otherwise(lit(1.0))
+    struct((w * scale).cast("int").as("width"), (h * scale).cast("int").as("height"))
+  }
+
+  /** Frame sampling for videos: one row per sampled frame index. Only the
+    * metadata explodes — the payload column should be dropped (or carried
+    * by reference) before this at scale. */
+  def sampleFrames(video: DataFrame, meta: Column, everyNth: Int): DataFrame = {
+    val frames = meta.getField("duration_s") * meta.getField("fps")
+    video.withColumn("frame_idx",
+      explode(sequence(lit(0), greatest(frames - 1, lit(0)), lit(everyNth))))
+  }
+
+  /** Batched feature-extraction boundary — the Scala analog of a
+    * `mapInPandas` batch UDF: partition-local iterator, fixed-size
+    * batches, one output row per input row. The extractor itself is a
+    * deterministic stub; batch plumbing (the part Spark cares about) is
+    * real. */
+  final case class MediaFeature(media_id: Long, dim: Int, checksum: Long)
+
+  def extractFeaturesStub(media: DataFrame, batchSize: Int = 64)(
+      implicit spark: SparkSession): Dataset[MediaFeature] = {
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // a real extractor would run one vectorized codec/model call per
+          // batch here; the stub folds bytes into a checksum feature
+          batch.map { case (id, bytes) =>
+            MediaFeature(id, 64, bytes.foldLeft(1125899906842597L)((a, x) => a * 31 + x))
+          }
+        }
+      }
+  }
+}

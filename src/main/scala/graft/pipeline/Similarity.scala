@@ -1,0 +1,109 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * The brute-force cosine top-k is the correctness baseline; the
+  * random-hyperplane LSH variant is the scale path: bucket on sign-bit
+  * signatures, score exactly only within buckets. All vector math is
+  * `zip_with`/`aggregate` higher-order expressions — sequential left-fold
+  * in DOUBLE, so scores are bit-deterministic (and reproducible by any
+  * engine that folds the same way), codegen-friendly, and UDF-free.
+  */
+object Similarity {
+
+  /** Sequential-fold double dot product of two float-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Literal vector column from a driver-side query vector. */
+  def vec(values: Seq[Float]): Column = array(values.map(lit(_)): _*)
+
+  /** Brute-force top-k by cosine against one query vector: per-partition
+    * top-k then a k-row driver merge (TakeOrderedAndProject) — no global
+    * sort ever materializes. */
+  def bruteForceTopK(emb: DataFrame, embCol: String, idCol: String,
+      query: Column, k: Int): DataFrame =
+    emb.select(col(idCol), cosine(col(embCol), query).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+
+  /** Exact nearest neighbor for each probe row, computed block-wise:
+    * probes × corpus with a window top-1. Probes must be a bounded slice
+    * (the all-pairs product is per-probe, not corpus²). */
+  def nearestNeighbors(probes: DataFrame, corpus: DataFrame, embCol: String,
+      idCol: String, k: Int = 1): DataFrame = {
+    val p = probes.select(col(idCol).as("probe_id"), col(embCol).as("p_emb"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"))
+    val scored = p.crossJoin(c)
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        cosine(col("p_emb"), col("c_emb")).as("score"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k).drop("__rn")
+  }
+
+  /** Deterministic random hyperplanes (seeded driver-side) as literal
+    * arrays — `numPlanes` planes of dimension `dim`. */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Float]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(numPlanes)(Seq.fill(dim)((rng.nextDouble() * 2 - 1).toFloat))
+  }
+
+  /** Sign-bit LSH bucket id: bit p = (v · r_p) >= 0, packed into a long.
+    * Vectors with equal buckets are near-collinear candidates. */
+  def lshBucket(emb: Column, planes: Seq[Seq[Float]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(emb, vec(p)) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** ANN top-k via hyperplane LSH with multi-probe by bucket OR-ing over
+    * `tables` independent plane sets: exact cosine only within matching
+    * buckets. Recall grows with `tables`; cost stays |bucket| per probe. */
+  def lshTopK(emb: DataFrame, embCol: String, idCol: String,
+      query: Seq[Float], k: Int, planesPerTable: Int = 8,
+      tables: Int = 4, seed: Long = 42L): DataFrame = {
+    val dim = query.length
+    val tablePlanes = (0 until tables).map(t => hyperplanes(planesPerTable, dim, seed + t))
+    val qCol = vec(query)
+    // Candidate = matches the query's bucket in ANY table.
+    val qBuckets = tablePlanes.map(p => lshBucket(qCol, p))
+    val vBuckets = tablePlanes.map(p => lshBucket(col(embCol), p))
+    val candidate = vBuckets.zip(qBuckets).map { case (vb, qb) => vb === qb }.reduce(_ || _)
+    emb.filter(candidate)
+      .select(col(idCol), cosine(col(embCol), qCol).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Embedding near-duplicate pairs at `minCosine`, LSH-bucketed so the
+    * exact scoring never sees the all-pairs product. */
+  def embeddingNearDupPairs(emb: DataFrame, embCol: String, idCol: String,
+      minCosine: Double, planesPerTable: Int = 6, tables: Int = 3,
+      dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val tablePlanes = (0 until tables).map(t => hyperplanes(planesPerTable, dim, seed + t))
+    val withBuckets = emb.select(col(idCol).as("__id"), col(embCol).as("__emb"),
+      array(tablePlanes.zipWithIndex.map { case (p, t) =>
+        struct(lit(t).as("t"), lshBucket(col(embCol), p).as("bkt"))
+      }: _*).as("__bkts"))
+    val exploded = withBuckets.select(col("__id"), col("__emb"),
+      explode(col("__bkts")).as("__b"))
+    val a = exploded.select(col("__id").as("a_id"), col("__emb").as("a_emb"), col("__b"))
+    val b = exploded.select(col("__id").as("b_id"), col("__emb").as("b_emb"), col("__b"))
+    a.join(b, Seq("__b")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), cosine(col("a_emb"), col("b_emb")).as("score"))
+      .distinct()
+      .filter(col("score") >= minCosine)
+  }
+}

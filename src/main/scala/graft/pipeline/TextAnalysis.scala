@@ -1,0 +1,94 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, fingerprinting. All per-row
+  * expressions — linear scans with zero shuffles at any scale. */
+object TextAnalysis {
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0)).otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword estimate: words plus punctuation splits plus a
+    * length penalty for long words (≈ GPT-style ~4 chars/token). */
+  def bpeishTokenCount(text: Column): Column =
+    size(split(text, "\\s+|(?=[.,!?;:])")) +
+      (length(text) / lit(16)).cast("int")
+
+  /** Compact stopword lists per language — the n-gram-heuristic shape of
+    * fasttext-style lang-ID, reduced to codegen-able set overlap. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "un", "une"),
+    "es" -> Seq("el", "la", "los", "las", "es", "un", "una", "que"),
+  )
+
+  /** Per-language stopword hit count over the distinct token set. */
+  def langScore(text: Column, lang: String): Column =
+    size(array_intersect(
+      array_distinct(tokens(lower(text))),
+      array(stopwords(lang).map(lit(_)): _*)))
+
+  /** Argmax language with deterministic tie-break (alphabetical order of
+    * the language code, "und" when nothing matches). */
+  def langId(text: Column): Column = {
+    val ordered = stopwords.keys.toSeq.sorted
+    val best = ordered.map(l => langScore(text, l).as(l))
+    val maxScore = greatest(best: _*)
+    ordered.foldRight(lit("und"): Column) { (l, acc) =>
+      when(maxScore > 0 && langScore(text, l) === maxScore, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Quality metrics: char/token counts, type-token ratio, mean word
+    * length, uppercase+punct ratio — the usual cheap pretraining filters. */
+  def nChars(text: Column): Column = length(text)
+
+  def typeTokenRatio(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) === 0, lit(0.0))
+      .otherwise(size(array_distinct(t)).cast(DoubleType) / size(t).cast(DoubleType))
+  }
+
+  def meanWordLength(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) === 0, lit(0.0))
+      .otherwise((length(text) - (size(t) - 1)).cast(DoubleType) / size(t).cast(DoubleType))
+  }
+
+  /** Fraction of characters that are not lowercase letters or spaces. */
+  def nonAlphaRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(
+        (length(text) - length(regexp_replace(text, "[^a-z ]", ""))).cast(DoubleType)
+          / length(text).cast(DoubleType))
+
+  /** Composite keep/drop flag with pretraining-ish defaults. */
+  def qualityKeep(text: Column, minTokens: Int = 8, maxMeanWordLen: Double = 12.0,
+      minTtr: Double = 0.05): Column =
+    tokenCount(text) >= minTokens &&
+      meanWordLength(text) <= maxMeanWordLen &&
+      typeTokenRatio(text) >= minTtr
+
+  /** Content fingerprints: md5 (cross-engine canonical) and xxhash64
+    * (cheap 8-byte variant for shuffle keys at scale). */
+  def fingerprintMd5(text: Column): Column = md5(text)
+  def fingerprint64(text: Column): Column = xxhash64(text)
+
+  /** Rolling-window fingerprints: xxhash64 of each w-token window —
+    * the winnowing building block for robust partial-overlap detection. */
+  def rollingFingerprints(text: Column, window: Int = 8): Column = {
+    val w = tokens(text)
+    when(size(w) >= window,
+      transform(sequence(lit(0), size(w) - window),
+        i => xxhash64(array_join(slice(w, i + lit(1), lit(window)), " "))))
+    .otherwise(array().cast("array<bigint>"))
+  }
+}

@@ -1,0 +1,292 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.Tables
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
+
+/** Training-data-pipeline operators (dedup / similarity / text analysis /
+  * multimodal) registered against the driver's `documents` / `embeddings`
+  * fixtures, with DuckDB oracles wherever the computation is
+  * SQL-expressible on both engines.
+  *
+  * The corpus has no natural near-duplicates (max trigram Jaccard ≈ 0.02),
+  * so the dedup demos construct them deterministically *inside the query*:
+  * exact copies (`doc_id % 10`) and head-truncated copies (`doc_id % 7`,
+  * first two words dropped) unioned with shifted ids — both engines build
+  * the same corpus from the same parquet, so the oracle stays exact.
+  */
+object PipelineQueries {
+
+  /** Head-truncated near-duplicate variants: drop the first two words. */
+  private def mutatedDocs(docs: DataFrame): DataFrame = {
+    val w = split(col("text"), " ")
+    docs.select(
+      (col("doc_id") + 10000).as("doc_id"),
+      array_join(slice(w, lit(3), size(w)), " ").as("text"))
+  }
+
+  private val mutatedSql =
+    "SELECT doc_id + 10000 AS doc_id, array_to_string((string_split(text, ' '))[3:], ' ') AS text " +
+      "FROM documents WHERE doc_id % 7 = 0"
+
+  private val shinglesSql = // DuckDB twin of Dedup.shingles(text, 3)
+    "list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])"
+
+  // ===== dedup ===========================================================
+
+  /** D1: exact dedup groups over docs ∪ exact copies — one hash-shuffle on
+    * the sha256 digest, map-side combined; text never shuffles. */
+  private def d1(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val corpus = docs.union(
+      docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    Dedup.exactDupGroups(corpus, "text", "doc_id").orderBy(col("keep_id"))
+  }
+
+  /** D2: brute-force trigram-Jaccard near-dup pairs on a bounded slice —
+    * the oracle-checkable baseline for the LSH path. */
+  private def d2(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .filter(col("doc_id") < 150)
+    val corpus = docs.union(mutatedDocs(docs.filter(pmod(col("doc_id"), lit(7)) === 0)))
+    Dedup.bruteForceNearDupPairs(corpus, corpus, "doc_id", "text", 0.5)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** D3: the scale path — MinHash(32) banded LSH (16 bands × 2), exact
+    * Jaccard only on bucket-collision candidates. The oracle is the
+    * brute-force computation of the same pairs: at 16×2 bands the miss
+    * probability at j ≥ 0.8 is (1−j²)^16 < 1e-9, so LSH output equals the
+    * brute-force set and hash-matches it. */
+  private def d3(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val corpus = docs.union(mutatedDocs(docs.filter(pmod(col("doc_id"), lit(7)) === 0)))
+    Dedup.minHashNearDupPairs(corpus, "doc_id", "text",
+        threshold = 0.8, shingleN = 3, numHashes = 32, bands = 16)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** D4: SimHash(64-bit) near-dup pairs, prefix-blocked — rows-only entry
+    * (the fingerprint function is engine-specific); semantics are pinned
+    * by the ScalaTest recall spec against brute force. */
+  private def d4(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val corpus = docs.union(mutatedDocs(docs.filter(pmod(col("doc_id"), lit(7)) === 0)))
+    Dedup.simHashNearDupPairs(corpus, "doc_id", "text", maxHamming = 16, prefixBits = 4)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  // ===== similarity ======================================================
+
+  private def embWithQuery(s: SparkSession, dir: String, queryId: Long): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") === queryId).select(col("embedding").as("q_emb"))
+    emb.filter(col("vec_id") =!= queryId).crossJoin(broadcast(q))
+  }
+
+  /** S1: brute-force cosine top-20 against one query vector. Scores are
+    * sequential double folds — bit-identical across engines. */
+  private def s1(s: SparkSession, dir: String): DataFrame =
+    embWithQuery(s, dir, 0)
+      .select(col("vec_id"), Similarity.cosine(col("embedding"), col("q_emb")).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(20)
+
+  /** S2: exact top-1 neighbor for each probe in a bounded slice. */
+  private def s2(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.nearestNeighbors(
+      emb.filter(col("vec_id") < 20), emb, "embedding", "vec_id", k = 1)
+      .orderBy(col("probe_id"))
+  }
+
+  /** S3: ANN top-20 via sign-bit hyperplane LSH (8 tables × 6 planes),
+    * exact scoring only inside matching buckets — rows-only entry; recall
+    * vs S1 is pinned by the ScalaTest spec. */
+  private def s3(s: SparkSession, dir: String): DataFrame = {
+    val planes = (0 until 8).map(t => Similarity.hyperplanes(6, 64, 42L + t))
+    val base = embWithQuery(s, dir, 0)
+    val candidate = planes.map { p =>
+      Similarity.lshBucket(col("embedding"), p) === Similarity.lshBucket(col("q_emb"), p)
+    }.reduce(_ || _)
+    base.filter(candidate)
+      .select(col("vec_id"), Similarity.cosine(col("embedding"), col("q_emb")).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(20)
+  }
+
+  /** E1: embedding near-dup pairs, LSH-bucketed — rows-only entry. */
+  private def e1(s: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingNearDupPairs(
+        Tables.embeddings(s, dir), "embedding", "vec_id",
+        minCosine = 0.5, planesPerTable = 6, tables = 3)
+      .orderBy(col("a_id"), col("b_id"))
+
+  // ===== text analysis ===================================================
+
+  /** T1: the full per-document stat row — language ID, token counts,
+    * type-token ratio, mean word length, non-alpha ratio, quality flag,
+    * md5 fingerprint. Pure per-row expressions: zero shuffles. */
+  private def t1(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      TA.langId(col("text")).as("lang_id"),
+      TA.tokenCount(col("text")).as("n_tokens"),
+      TA.typeTokenRatio(col("text")).as("ttr"),
+      TA.meanWordLength(col("text")).as("mean_word_len"),
+      TA.nonAlphaRatio(col("text")).as("non_alpha_ratio"),
+      TA.qualityKeep(col("text")).as("keep"),
+      TA.fingerprintMd5(col("text")).as("fp_md5"))
+      .orderBy(col("doc_id"))
+
+  // ===== multimodal ======================================================
+
+  /** MM1: binary media columns + stub decode metadata — the Spark-side
+    * plumbing (schema, null typing per kind, no byte shuffling) is real;
+    * only the decoder math is fake. */
+  private def mm1(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.mediaFromDocuments(Tables.documents(s, dir))
+    val meta = Multimodal.decodeMetaStub(col("kind"), col("bytes"))
+    media.select(col("media_id"), col("kind"),
+        meta.getField("size_bytes").as("size_bytes"),
+        meta.getField("width").as("width"),
+        meta.getField("height").as("height"),
+        meta.getField("sample_rate").as("sample_rate"),
+        meta.getField("duration_s").as("duration_s"),
+        meta.getField("fps").as("fps"))
+      .orderBy(col("media_id"))
+  }
+
+  // ===== registry ========================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p_d1_exact_dedup" -> (d1 _),
+    "p_d2_neardup_bruteforce" -> (d2 _),
+    "p_d3_minhash_lsh_neardup" -> (d3 _),
+    "p_d4_simhash_neardup" -> (d4 _),
+    "p_s1_topk_cosine" -> (s1 _),
+    "p_s2_nearest_neighbor" -> (s2 _),
+    "p_s3_lsh_ann_topk" -> (s3 _),
+    "p_e1_embedding_neardup" -> (e1 _),
+    "p_t1_text_stats" -> (t1 _),
+    "p_mm1_media_meta" -> (mm1 _),
+  )
+
+  private val langCase: String = {
+    val ordered = TA.stopwords.keys.toSeq.sorted
+    def score(l: String) =
+      s"len(list_intersect(list_distinct(string_split(lower(text), ' ')), " +
+        TA.stopwords(l).map(w => s"'$w'").mkString("[", ",", "]") + "))"
+    val m = ordered.map(score).mkString("greatest(", ", ", ")")
+    val whens = ordered.map(l => s"WHEN ${score(l)} = $m THEN '$l'").mkString(" ")
+    s"(CASE WHEN $m = 0 THEN 'und' $whens END)"
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "p_d1_exact_dedup" ->
+      ("""SELECT sha256(text) AS text_sha, CAST(min(doc_id) AS BIGINT) AS keep_id,
+          CAST(count(*) AS BIGINT) AS n_copies
+          FROM (SELECT doc_id, text FROM documents
+                UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id % 10 = 0)
+          GROUP BY sha256(text) HAVING count(*) >= 2 ORDER BY keep_id"""),
+    "p_d2_neardup_bruteforce" ->
+      (s"""WITH corpus AS (
+            SELECT doc_id, text FROM documents WHERE doc_id < 150
+            UNION ALL
+            SELECT doc_id + 10000 AS doc_id,
+                   array_to_string((string_split(text, ' '))[3:], ' ') AS text
+            FROM documents WHERE doc_id % 7 = 0 AND doc_id < 150),
+          sh AS (SELECT doc_id, $shinglesSql AS sh
+                 FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus))
+          SELECT * FROM (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+              CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
+                   ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                        / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) END AS j
+            FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+          WHERE j >= 0.5 ORDER BY a_id, b_id"""),
+    "p_d3_minhash_lsh_neardup" ->
+      (s"""WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL $mutatedSql),
+          sh AS (SELECT doc_id, $shinglesSql AS sh
+                 FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)),
+          nonempty AS (SELECT * FROM sh WHERE len(sh) > 0)
+          SELECT * FROM (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+              CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
+                   ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                        / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) END AS j
+            FROM nonempty a, nonempty b WHERE a.doc_id < b.doc_id)
+          WHERE j >= 0.8 ORDER BY a_id, b_id"""),
+    "p_s1_topk_cosine" ->
+      ("""WITH q AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
+          SELECT vec_id,
+            list_sum(list_transform(range(1, len(embedding) + 1),
+              i -> CAST(embedding[i] AS DOUBLE) * CAST(q[i] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                 i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+               * sqrt(list_sum(list_transform(range(1, len(q) + 1),
+                 i -> CAST(q[i] AS DOUBLE) * CAST(q[i] AS DOUBLE))))) AS score
+          FROM embeddings, q WHERE vec_id <> 0
+          ORDER BY score DESC, vec_id LIMIT 20"""),
+    "p_s2_nearest_neighbor" ->
+      ("""SELECT probe_id, neighbor_id, score FROM (
+            SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+              list_sum(list_transform(range(1, len(p.embedding) + 1),
+                i -> CAST(p.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(range(1, len(p.embedding) + 1),
+                   i -> CAST(p.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE))))
+                 * sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1),
+                   i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))) AS score,
+              row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                list_sum(list_transform(range(1, len(p.embedding) + 1),
+                  i -> CAST(p.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+                / (sqrt(list_sum(list_transform(range(1, len(p.embedding) + 1),
+                     i -> CAST(p.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE))))
+                   * sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1),
+                     i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))) DESC,
+                c.vec_id) AS rn
+            FROM embeddings p, embeddings c
+            WHERE p.vec_id < 20 AND p.vec_id <> c.vec_id)
+          WHERE rn = 1 ORDER BY probe_id"""),
+    "p_t1_text_stats" ->
+      (s"""SELECT doc_id,
+            $langCase AS lang_id,
+            CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+            CASE WHEN len(string_split(text, ' ')) = 0 THEN 0.0
+                 ELSE CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                      / CAST(len(string_split(text, ' ')) AS DOUBLE) END AS ttr,
+            CASE WHEN len(string_split(text, ' ')) = 0 THEN 0.0
+                 ELSE CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                      / CAST(len(string_split(text, ' ')) AS DOUBLE) END AS mean_word_len,
+            CASE WHEN length(text) = 0 THEN 0.0
+                 ELSE CAST(length(text) - length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE)
+                      / CAST(length(text) AS DOUBLE) END AS non_alpha_ratio,
+            (CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END) >= 8
+              AND (CASE WHEN len(string_split(text, ' ')) = 0 THEN 0.0
+                   ELSE CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                        / CAST(len(string_split(text, ' ')) AS DOUBLE) END) <= 12.0
+              AND (CASE WHEN len(string_split(text, ' ')) = 0 THEN 0.0
+                   ELSE CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                        / CAST(len(string_split(text, ' ')) AS DOUBLE) END) >= 0.05 AS keep,
+            md5(text) AS fp_md5
+          FROM documents ORDER BY doc_id"""),
+    "p_mm1_media_meta" ->
+      ("""SELECT doc_id AS media_id,
+            (['image', 'audio', 'video'])[doc_id % 3 + 1] AS kind,
+            octet_length(encode(text)) AS size_bytes,
+            CASE WHEN doc_id % 3 = 0 THEN octet_length(encode(text)) % 1920 + 16 END AS width,
+            CASE WHEN doc_id % 3 = 0 THEN (octet_length(encode(text)) * 7) % 1080 + 16 END AS height,
+            CASE WHEN doc_id % 3 = 1 THEN (octet_length(encode(text)) % 3) * 16000 + 16000 END AS sample_rate,
+            CASE WHEN doc_id % 3 IN (1, 2) THEN octet_length(encode(text)) % 600 + 1 END AS duration_s,
+            CASE WHEN doc_id % 3 = 2 THEN (octet_length(encode(text)) % 2) * 6 + 24 END AS fps
+          FROM documents ORDER BY media_id"""),
+  )
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Similarity
+
+/** Vector similarity: cosine correctness, exact kNN, and the LSH recall
+  * contract on the sf0.001 embeddings. */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine: identity = 1, orthogonal = 0, opposite = -1") {
+    val df = Seq(
+      (Seq(1f, 0f), Seq(1f, 0f), 1.0),
+      (Seq(1f, 0f), Seq(0f, 1f), 0.0),
+      (Seq(1f, 0f), Seq(-1f, 0f), -1.0),
+    ).toDF("a", "b", "expect")
+    df.select(Similarity.cosine(col("a"), col("b")).as("c"), col("expect"))
+      .collect().foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
+  test("bruteForceTopK returns the true top-k") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+      .collect().head.getSeq[Float](0)
+    val topk = Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") =!= 0), "embedding", "vec_id", Similarity.vec(q), 5)
+      .collect()
+    assert(topk.length === 5)
+    val scores = topk.map(_.getAs[Double]("score"))
+    assert(scores.sameElements(scores.sorted.reverse), "descending scores")
+  }
+
+  test("nearestNeighbors: every probe gets exactly k rows, self excluded") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val nn = Similarity.nearestNeighbors(
+      emb.filter(col("vec_id") < 5), emb, "embedding", "vec_id", k = 3).collect()
+    assert(nn.length === 15)
+    assert(nn.forall(r => r.getAs[Long]("probe_id") != r.getAs[Long]("neighbor_id")))
+  }
+
+  test("lshTopK: candidates are a subset scored exactly; recall vs brute force") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+      .collect().head.getSeq[Float](0)
+    val brute = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") =!= 0), "embedding", "vec_id", Similarity.vec(q), 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val ann = Similarity.lshTopK(
+        emb.filter(col("vec_id") =!= 0), "embedding", "vec_id", q, 10,
+        planesPerTable = 4, tables = 8)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    // sign-LSH on random 64-dim data: expect partial but nonzero overlap
+    assert(ann.nonEmpty)
+    assert((ann intersect brute).nonEmpty, s"ANN recalled none of the true top-10")
+  }
+
+  test("embeddingNearDupPairs only reports pairs above the threshold") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val pairs = Similarity.embeddingNearDupPairs(emb, "embedding", "vec_id", 0.3)
+      .collect()
+    assert(pairs.forall(_.getAs[Double]("score") >= 0.3))
+    assert(pairs.forall(r => r.getAs[Long]("a_id") < r.getAs[Long]("b_id")))
+  }
+}
