@@ -1,0 +1,140 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.fixtures.EvmFixtures
+import graft.ingest.{Backfill, BlockStore, PackedBlocks}
+import graft.schema.Model._
+import graft.streaming.IngestJob
+
+/** The write path end-to-end (FIXTURES.md streaming scenarios): normalize,
+  * two-tier store, confirmation watermark, reorg retraction, duplicate
+  * replay, gap backfill, publish-once. */
+class IngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir = Files.createTempDirectory("graft-ingest").toString
+
+  /** A tiny deterministic packed chain n ∈ [0, 9]. */
+  private def packed(n: Long, salt: String = ""): PackedBlock = {
+    val nTx = (n % 3).toInt
+    val block = EvmFixtures.buildBlock(n, nTx)
+      .copy(hash = EvmFixtures.hash32(s"block-$n$salt"))
+    val txs = (0 until nTx).map { j =>
+      val tx = EvmFixtures.buildTx(n, j, j).copy(
+        hash = EvmFixtures.hash32(s"tx-$n-$j$salt"), blockhash = block.hash)
+      val evs = (0 until (n % 2).toInt).map(e =>
+        EvmFixtures.buildEvent(n, j, e, e).copy(
+          blockhash = block.hash, txhash = tx.hash))
+      PackedTransaction(tx, evs)
+    }
+    PackedBlock(block, txs)
+  }
+
+  test("normalize: explode packed → 3 tables with consistent FKs") {
+    val df = Seq(packed(1), packed(2), packed(5)).toDF()
+    assert(PackedBlocks.blocksOf(df).count() === 3)
+    val txs = PackedBlocks.transactionsOf(df)
+    val evs = PackedBlocks.eventsOf(df)
+    assert(txs.count() === (1 % 3) + (2 % 3) + (5 % 3))
+    val blockHashes = PackedBlocks.blocksOf(df).select("hash")
+      .collect().map(_.getString(0)).toSet
+    assert(txs.select("blockhash").collect().map(_.getString(0)).forall(blockHashes))
+    assert(evs.select("blockhash").collect().map(_.getString(0)).forall(blockHashes))
+  }
+
+  test("two-tier store: nothing promotes before depth N (queue.go:320-328)") {
+    val store = new BlockStore(spark, tmpDir)
+    val job = new IngestJob(spark, store, confirmations = 3)
+    job.processBatch((0L to 5L).map(packed(_)).toDF(), batchId = 0)
+    // latest=5, depth 3 → watermark 2: blocks 0..2 confirmed, 3..5 hot
+    assert(store.confirmed("blocks").select("number").collect()
+      .map(_.getLong(0)).toSet === Set(0L, 1L, 2L))
+    assert(store.hot.select("block.number").collect()
+      .map(_.getLong(0)).toSet === Set(3L, 4L, 5L))
+    // the queryable view sees everything exactly once
+    assert(store.view("blocks").select("number").collect()
+      .map(_.getLong(0)).sorted.toSeq === (0L to 5L))
+  }
+
+  test("reorg replay replaces exactly one block's rows, children cascade (block.go:44-58)") {
+    val store = new BlockStore(spark, tmpDir)
+    val job = new IngestJob(spark, store, confirmations = 5)
+    job.processBatch((0L to 6L).map(packed(_)).toDF(), batchId = 0)
+    val before = store.view("transactions").collect().map(_.getAs[String]("hash")).toSet
+
+    // block 4 re-arrives with a different hash (SimilarTo fails → replace)
+    job.processBatch(Seq(packed(4, salt = "-reorg")).toDF(), batchId = 1)
+    val blocks4 = store.view("blocks").filter(col("number") === 4)
+      .collect().map(_.getAs[String]("hash"))
+    assert(blocks4.length === 1)
+    assert(blocks4.head === EvmFixtures.hash32("block-4-reorg"))
+    // children of the old block-4 are gone; other blocks untouched
+    val after = store.view("transactions").collect().map(_.getAs[String]("hash")).toSet
+    val oldTx = EvmFixtures.hash32("tx-4-0")
+    val newTx = EvmFixtures.hash32("tx-4-0-reorg")
+    assert(before.contains(oldTx) && !after.contains(oldTx) && after.contains(newTx))
+    assert((before - oldTx) === (after - newTx))
+  }
+
+  test("duplicate replay is a no-op (block.go:59-63)") {
+    val store = new BlockStore(spark, tmpDir)
+    val job = new IngestJob(spark, store, confirmations = 5)
+    job.processBatch((0L to 4L).map(packed(_)).toDF(), batchId = 0)
+    val before = store.view("blocks").collect().map(_.getAs[String]("hash")).sorted
+    job.processBatch(Seq(packed(3)).toDF(), batchId = 1)
+    val after = store.view("blocks").collect().map(_.getAs[String]("hash")).sorted
+    assert(before.sameElements(after))
+  }
+
+  test("gap backfill finds exactly the holes (syncer.go:21-37, ST2)") {
+    val store = new BlockStore(spark, tmpDir)
+    val job = new IngestJob(spark, store, confirmations = 0)
+    job.processBatch(Seq(0L, 1L, 2L, 5L, 6L, 9L).map(packed(_)).toDF(), batchId = 0)
+    val blocks = store.view("blocks")
+    assert(Backfill.hasHoles(blocks))
+    val holes = Backfill.missingNumbers(spark, blocks, 0, 9)
+      .collect().map(_.getLong(0)).toSet
+    assert(holes === Set(3L, 4L, 7L, 8L))
+    // backfill runs through the same code path; afterwards no holes remain
+    job.processBatch(Seq(3L, 4L, 7L, 8L).map(packed(_)).toDF(), batchId = 1)
+    assert(!Backfill.hasHoles(store.view("blocks")))
+  }
+
+  test("publish-once gate: re-delivery does not republish (queue.go:358-381)") {
+    val store = new BlockStore(spark, tmpDir)
+    var published = Vector.empty[Long]
+    val job = new IngestJob(spark, store, confirmations = 0,
+      onPublish = df => published ++= PackedBlocks.blocksOf(df)
+        .select("number").collect().map(_.getLong(0)).sorted)
+    job.processBatch((0L to 3L).map(packed(_)).toDF(), batchId = 0)
+    job.processBatch(Seq(packed(2), packed(4)).toDF(), batchId = 1)
+    assert(published === Vector(0L, 1L, 2L, 3L, 4L)) // 2 published exactly once
+  }
+
+  test("retry ledger: fibonacci backoff capped, reset on success (queue.go:33-40)") {
+    import Backfill._
+    assert(backoffSeconds(1) === 1L)
+    assert(backoffSeconds(5) === 11L)
+    assert((1 to 30).map(backoffSeconds(_)).max === 3600L)
+    assert(backoffSeconds(8) > backoffSeconds(5))
+
+    var ledger = RetryLedger()
+    ledger = ledger.failed(7, now = 100)
+    ledger = ledger.failed(7, now = 100)
+    ledger = ledger.failed(9, now = 100)
+    assert(ledger.entries(7).attempts === 2)
+    assert(ledger.due(now = 100 + 3600).map(_.number) === Seq(7L, 9L))
+    assert(ledger.due(now = 100).isEmpty)
+    ledger = ledger.succeeded(7)
+    assert(!ledger.entries.contains(7L))
+  }
+
+  test("ST1 monotonicity probe flags numbers ahead of the expected head") {
+    val df = Seq(packed(5), packed(9)).toDF()
+    assert(PackedBlocks.aheadOf(df, expectedNext = 6).collect()
+      .map(_.getLong(0)).toSet === Set(9L))
+  }
+}
