@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.Uint256
+
+/** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`):
+  * registers the custom Catalyst expressions in the session's
+  * FunctionRegistry so they are first-class SQL functions —
+  * `SELECT uint256_add(value, cost) FROM transactions` — and reachable
+  * from the Column API via `call_function`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[Uint256.Uint256Add].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("uint256_add"),
+      info("uint256_add", "uint256_add(a, b) - exact sum of two decimal-string uint256s"),
+      (args: Seq[Expression]) => Uint256.Uint256Add(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("uint256_mul"),
+      info("uint256_mul", "uint256_mul(a, b) - exact product of two decimal-string uint256s"),
+      (args: Seq[Expression]) => Uint256.Uint256Mul(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("uint256_cmp"),
+      info("uint256_cmp", "uint256_cmp(a, b) - numeric three-way compare of decimal strings"),
+      (args: Seq[Expression]) => Uint256.Uint256Cmp(args(0), args(1))))
+  }
+}

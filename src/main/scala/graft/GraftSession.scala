@@ -23,6 +23,9 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // custom Catalyst expressions (uint256 arithmetic) land in the
+      // FunctionRegistry via the standard extensions mechanism
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       // Parquet timestamps in the test fixtures are written without
       // timezone (isAdjustedToUTC=false); read them as TIMESTAMP_NTZ so
       // round-tripping through our result parquet preserves the exact

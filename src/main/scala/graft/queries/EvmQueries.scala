@@ -267,6 +267,13 @@ object EvmQueries {
       .select(col("hash"), F.toDecimal(col("value"), 18).as("value_eth"))
       .orderBy(col("hash"))
 
+  /** Exact uint256 total of all transferred value — the custom
+    * Aggregator + expressions path (SURVEY §2.10); the result exceeds
+    * DecimalType(38) range, so no SQL oracle exists (rows-only gate) —
+    * exactness is pinned by Uint256Spec property tests vs BigInt. */
+  private def fUint256Sum(s: SparkSession, d: String): DataFrame =
+    txs(s).agg(graft.functions.Uint256.sum(col("value")).as("total_value"))
+
   // ===== registry ========================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -302,6 +309,7 @@ object EvmQueries {
     "ev_f_scalar_shapes" -> (fScalarShapes _),
     "ev_f_event_data_shape" -> (fEventDataShape _),
     "ev_f_wei_to_eth" -> (fWeiToEth _),
+    "ev_f_uint256_sum" -> (fUint256Sum _),
   )
 
   def oracleSql: Map[String, String] = Map(
