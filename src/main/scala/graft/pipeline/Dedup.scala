@@ -23,15 +23,29 @@ object Dedup {
 
   // ---- shingling --------------------------------------------------------
 
-  /** Distinct word n-gram shingles of a whitespace-tokenized text. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val w = split(text, " ")
-    when(size(w) >= n,
+  /** Shingles from an ALREADY-SPLIT word array column. The word array must
+    * be a materialized attribute: this expression references it once per
+    * shingle index, and interpreted higher-order functions would otherwise
+    * re-split the text per index. */
+  def shinglesOfWords(words: Column, n: Int = 3): Column =
+    when(size(words) >= n,
       array_distinct(transform(
-        sequence(lit(0), size(w) - n),
-        i => array_join(slice(w, i + lit(1), lit(n)), " "))))
+        sequence(lit(0), size(words) - n),
+        i => array_join(slice(words, i + lit(1), lit(n)), " "))))
     .otherwise(array().cast("array<string>"))
-  }
+
+  /** Distinct word n-gram shingles of a whitespace-tokenized text.
+    * Convenience single-expression form for tests/small frames — inside
+    * operator pipelines use [[withShingles]], which stages the split. */
+  def shingles(text: Column, n: Int = 3): Column =
+    shinglesOfWords(split(text, " "), n)
+
+  /** Staged projection: id + distinct shingles, with the word split
+    * materialized once per row. */
+  def withShingles(df: DataFrame, idCol: String, textCol: String,
+      n: Int, out: String): DataFrame =
+    df.select(col(idCol), split(col(textCol), " ").as("__words"))
+      .select(col(idCol), shinglesOfWords(col("__words"), n).as(out))
 
   /** Exact set Jaccard of two (distinct-element) arrays. */
   def jaccard(a: Column, b: Column): Column = {
@@ -62,15 +76,19 @@ object Dedup {
 
   // ---- MinHash + banded LSH --------------------------------------------
 
-  /** MinHash signature (length `numHashes`) over a shingle array. One base
-    * xxhash64 per element, then one cheap long-rehash per (element, seed) —
-    * all inside codegen, no shuffle. */
-  def minHashSignature(shingleArr: Column, numHashes: Int = 32): Column = {
-    val base = transform(shingleArr, s => xxhash64(s))
+  /** MinHash signature (length `numHashes`) over an ALREADY-HASHED element
+    * array (`array<bigint>`): one cheap long-rehash per (element, seed).
+    *
+    * The element hashing happens in a SEPARATE projection (see
+    * [[lshCandidatePairs]]): higher-order functions evaluate interpreted
+    * with no common-subexpression elimination, so inlining the base-hash
+    * tree here would duplicate it `numHashes` times per row — referencing a
+    * materialized attribute instead keeps it computed once (CollapseProject
+    * refuses to inline non-cheap producers referenced many times). */
+  def minHashSignature(hashedElems: Column, numHashes: Int = 32): Column =
     array((0 until numHashes).map { seed =>
-      array_min(transform(base, h => xxhash64(h, lit(seed))))
+      array_min(transform(hashedElems, h => xxhash64(h, lit(seed))))
     }: _*)
-  }
 
   /** Band hashes of a MinHash signature: `bands` hashes each covering
     * `rows` consecutive signature slots. */
@@ -85,13 +103,25 @@ object Dedup {
   def lshCandidatePairs(df: DataFrame, idCol: String, shingleCol: String,
       numHashes: Int = 32, bands: Int = 8): DataFrame = {
     val rows = numHashes / bands
-    val sig = df
-      .filter(size(col(shingleCol)) > 0)
-      .select(col(idCol),
-        lshBandHashes(minHashSignature(col(shingleCol), numHashes), bands, rows).as("bh"))
-      .select(col(idCol), posexplode(col("bh")).as(Seq("band", "bucket")))
-    val a = sig.select(col(idCol).as("a_id"), col("band"), col("bucket"))
-    val b = sig.select(col(idCol).as("b_id"), col("band"), col("bucket"))
+    // MinHash via explode + plain projections + partial aggregation, NOT
+    // array higher-order functions: HOF lambdas evaluate interpreted (no
+    // whole-stage codegen, no subexpression elimination) — measured 100×
+    // slower at sf0.1. Exploding keeps every per-element hash inside
+    // codegen, and min() partial-aggregates map-side, so the only shuffle
+    // is one signature row per document.
+    val exploded = df.filter(size(col(shingleCol)) > 0)
+      .select(col(idCol), explode(col(shingleCol)).as("__s"))
+    val hashed = exploded.select(
+      col(idCol) +: (0 until numHashes).map(i => xxhash64(lit(i), col("__s")).as(s"__h$i")): _*)
+    val sig = hashed.groupBy(col(idCol)).agg(
+      min(col("__h0")).as("__m0"),
+      (1 until numHashes).map(i => min(col(s"__h$i")).as(s"__m$i")): _*)
+    val withBands = sig.select(col(idCol),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64(lit(b) +: (0 until rows).map(r => col(s"__m${b * rows + r}")): _*)
+      }: _*)).as(Seq("band", "bucket")))
+    val a = withBands.select(col(idCol).as("a_id"), col("band"), col("bucket"))
+    val b = withBands.select(col(idCol).as("b_id"), col("band"), col("bucket"))
     a.join(b, Seq("band", "bucket")).filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
   }
@@ -101,7 +131,8 @@ object Dedup {
   def minHashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3, numHashes: Int = 32,
       bands: Int = 8): DataFrame = {
-    val sh = df.select(col(idCol).as("__id"), shingles(col(textCol), shingleN).as("__sh"))
+    val sh = withShingles(df, idCol, textCol, shingleN, "__sh")
+      .withColumnRenamed(idCol, "__id")
     val cands = lshCandidatePairs(sh, "__id", "__sh", numHashes, bands)
     cands
       .join(sh.select(col("__id").as("a_id"), col("__sh").as("a_sh")), Seq("a_id"))
@@ -114,8 +145,10 @@ object Dedup {
     * LSH path is validated against. All-pairs: only for bounded slices. */
   def bruteForceNearDupPairs(left: DataFrame, right: DataFrame, idCol: String,
       textCol: String, threshold: Double, shingleN: Int = 3): DataFrame = {
-    val a = left.select(col(idCol).as("a_id"), shingles(col(textCol), shingleN).as("a_sh"))
-    val b = right.select(col(idCol).as("b_id"), shingles(col(textCol), shingleN).as("b_sh"))
+    val a = withShingles(left, idCol, textCol, shingleN, "a_sh")
+      .withColumnRenamed(idCol, "a_id")
+    val b = withShingles(right, idCol, textCol, shingleN, "b_sh")
+      .withColumnRenamed(idCol, "b_id")
     a.crossJoin(b).filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"), jaccard(col("a_sh"), col("b_sh")).as("j"))
       .filter(col("j") >= threshold)
@@ -123,17 +156,21 @@ object Dedup {
 
   // ---- SimHash ----------------------------------------------------------
 
-  /** 64-bit SimHash of a token array: per-bit signed vote over element
-    * hashes, folded per-row with `aggregate` — no shuffle, no UDF. */
-  def simHash64(tokens: Column): Column = {
-    val hashes = transform(array_distinct(tokens), t => xxhash64(t))
+  /** 64-bit SimHash over an ALREADY-HASHED element array (`array<bigint>`):
+    * per-bit signed vote folded per-row with `aggregate` — no shuffle, no
+    * UDF. Like [[minHashSignature]], the element hashing must live in its
+    * own projection: this expression references the array 64 times. */
+  def simHash64(hashedElems: Column): Column = {
     val bits = (0 until 64).map { k =>
-      val vote = aggregate(hashes, lit(0L),
+      val vote = aggregate(hashedElems, lit(0L),
         (acc, h) => acc + when(shiftright(h, k).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
       when(vote > 0, shiftleft(lit(1L), k).cast(LongType)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
+
+  private def bitVote(k: Int): Column =
+    sum(when(shiftright(col("__h"), k).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column =
@@ -146,8 +183,19 @@ object Dedup {
     * collides. */
   def simHashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, prefixBits: Int = 12, shingleN: Int = 3): DataFrame = {
-    val f = df.select(col(idCol).as("__id"),
-      simHash64(shingles(col(textCol), shingleN)).as("__sim"))
+    // Same explode + codegen + partial-agg shape as lshCandidatePairs: the
+    // 64 per-bit votes are plain conditional sums, combined map-side.
+    val exploded = withShingles(df, idCol, textCol, shingleN, "__sh")
+      .withColumnRenamed(idCol, "__id")
+      .filter(size(col("__sh")) > 0)
+      .select(col("__id"), explode(col("__sh")).as("__s"))
+      .select(col("__id"), xxhash64(col("__s")).as("__h"))
+    val votes = exploded.groupBy(col("__id")).agg(
+      bitVote(0).as("__v0"), (1 until 64).map(k => bitVote(k).as(s"__v$k")): _*)
+    val f = votes.select(col("__id"),
+      (0 until 64).map { k =>
+        when(col(s"__v$k") > 0, shiftleft(lit(1L), k).cast(LongType)).otherwise(lit(0L))
+      }.reduce(_ + _).as("__sim"))
     val keyed = f.withColumn("__blk", shiftright(col("__sim"), 64 - prefixBits))
     val a = keyed.select(col("__id").as("a_id"), col("__sim").as("a_sim"), col("__blk"))
     val b = keyed.select(col("__id").as("b_id"), col("__sim").as("b_sim"), col("__blk"))
