@@ -62,7 +62,11 @@ object Similarity {
   }
 
   /** Sign-bit LSH bucket id: bit p = (v · r_p) >= 0, packed into a long.
-    * Vectors with equal buckets are near-collinear candidates. */
+    * Vectors with equal buckets are near-collinear candidates.
+    * (The fold-based dot is deliberate: unrolling 64-dim × N-plane literal
+    * dot products into flat arithmetic was measured 5–30× SLOWER — the
+    * generated code blows past JIT/codegen method limits and the whole
+    * projection falls back to interpretation.) */
   def lshBucket(emb: Column, planes: Seq[Seq[Float]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
       when(dot(emb, vec(p)) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
