@@ -1,0 +1,131 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{EvmFunctions => F, TopicMatch}
+import graft.operators.Relational
+
+/** The API-layer facade over the query surface — the Spark analog of the
+  * reference's REST/GraphQL dispatch (`app/rest/rest.go:93-758`,
+  * `app/rest/graph/schema.resolvers.go`): parameter validation (hex
+  * shapes, range guardrails) happens HERE, before planning, so every
+  * interactive query that reaches the engine is a 1–2 partition scan.
+  *
+  * All methods return Either[error, DataFrame]: the Left messages mirror
+  * the reference's 400-response reasons. `blocks`/`txs`/`events` are the
+  * canonical tables (e.g. [[graft.ingest.BlockStore.view]] or the domain
+  * parquet).
+  */
+class QueryService(
+    blocks: DataFrame, txs: DataFrame, events: DataFrame,
+    maxBlockRange: Long = 100L,   // config.go:62-77 BlockRange default
+    maxTimeRange: Long = 3600L,   // config.go:81-96 TimeRange default
+    maxTopK: Int = 50) {          // rest.go:612-617
+
+  private val HashRe = "^0x[0-9a-fA-F]{64}$".r
+  private val AddrRe = "^0x[0-9a-fA-F]{40}$".r
+
+  private def requireHash(h: String): Either[String, String] =
+    if (HashRe.findFirstIn(h).isDefined) Right(h.toLowerCase)
+    else Left(s"invalid block/tx hash: $h")
+
+  private def requireAddr(a: String): Either[String, String] =
+    if (AddrRe.findFirstIn(a).isDefined) Right(a.toLowerCase)
+    else Left(s"invalid address: $a")
+
+  private def requireRange(from: Long, to: Long, max: Long): Either[String, (Long, Long)] =
+    if (F.checkRange(from, to, max)) Right((from, to))
+    else Left(s"bad range [$from, $to]: width cap $max (RangeChecker)")
+
+  // ---- /v1/block --------------------------------------------------------
+
+  def blockByHash(hash: String): Either[String, DataFrame] =
+    requireHash(hash).map(h => Relational.pointLookup(blocks, col("hash") === h))
+
+  def blockByNumber(number: Long): Either[String, DataFrame] =
+    Right(Relational.pointLookup(blocks, col("number") === number))
+
+  def blocksByNumberRange(from: Long, to: Long): Either[String, DataFrame] =
+    requireRange(from, to, maxBlockRange).map { case (f, t) =>
+      Relational.keyRangeScan(blocks, col("number"), f, t)
+    }
+
+  def blocksByTimeRange(from: Long, to: Long): Either[String, DataFrame] =
+    requireRange(from, to, maxTimeRange).map { case (f, t) =>
+      Relational.timeRangeScan(blocks, col("time"), f, t, col("number"))
+    }
+
+  // ---- /v1/transaction --------------------------------------------------
+
+  def transactionByHash(hash: String): Either[String, DataFrame] =
+    requireHash(hash).map(h => Relational.pointLookup(txs, col("hash") === h))
+
+  def transactionsByBlockHash(hash: String): Either[String, DataFrame] =
+    requireHash(hash).map(h => Relational.filterScan(txs, col("blockhash") === h))
+
+  def transactionFromAccountWithNonce(from: String, nonce: Long): Either[String, DataFrame] =
+    requireAddr(from).map(a =>
+      Relational.pointLookup(txs, col("from") === a && col("nonce") === nonce))
+
+  def transactionsFromAccountByNumberRange(from: String, lo: Long, hi: Long): Either[String, DataFrame] =
+    for {
+      a <- requireAddr(from)
+      r <- requireRange(lo, hi, maxBlockRange)
+    } yield joinRange(txs, col("from") === a, r._1, r._2)
+
+  def transactionsToAccountByNumberRange(to: String, lo: Long, hi: Long): Either[String, DataFrame] =
+    for {
+      a <- requireAddr(to)
+      r <- requireRange(lo, hi, maxBlockRange)
+    } yield joinRange(txs, col("to") === a, r._1, r._2)
+
+  def contractCreationsFromAccount(from: String, lo: Long, hi: Long): Either[String, DataFrame] =
+    for {
+      a <- requireAddr(from)
+      r <- requireRange(lo, hi, maxBlockRange)
+    } yield joinRange(txs, col("from") === a && col("contract") =!= "", r._1, r._2)
+
+  // ---- /v1/event --------------------------------------------------------
+
+  def eventsByBlockHash(hash: String): Either[String, DataFrame] =
+    requireHash(hash).map(h => Relational.filterScan(events, col("blockhash") === h))
+
+  def eventsByTransactionHash(hash: String): Either[String, DataFrame] =
+    requireHash(hash).map(h => Relational.filterScan(events, col("txhash") === h))
+
+  /** The deepest endpoint (rest.go:633-667): contract + range + topics. */
+  def eventsFromContractWithTopics(contract: String, lo: Long, hi: Long,
+      topics: Map[Int, String]): Either[String, DataFrame] =
+    for {
+      c <- requireAddr(contract)
+      r <- requireRange(lo, hi, maxBlockRange)
+      _ <- topics.toSeq.collectFirst {
+        case (k, _) if k < 0 || k > 3 => Left(s"topic position $k out of 0..3")
+        case (_, v) if HashRe.findFirstIn(v).isEmpty => Left(s"invalid topic: $v")
+      }.getOrElse(Right(()))
+    } yield joinRange(
+      events.filter(TopicMatch.topicsMatchTwoPhase(topics.map { case (k, v) => k -> v.toLowerCase })),
+      col("origin") === c, r._1, r._2)
+
+  def lastEventsFromContract(contract: String, k: Int): Either[String, DataFrame] =
+    for {
+      c <- requireAddr(contract)
+      _ <- if (k >= 1 && k <= maxTopK) Right(()) else Left(s"count must be in 1..$maxTopK")
+    } yield Relational.topK(
+      events.filter(col("origin") === c)
+        .join(blocks.select(col("hash").as("blockhash"), col("number")), Seq("blockhash")),
+      k, col("number").desc, col("index").desc)
+
+  /** F14/F15 output shaping: the reference's tx JSON documents. */
+  def transactionsAsJson(df: DataFrame): DataFrame =
+    df.select(F.txJson(col("hash"), col("from"), col("to"), col("contract"),
+      col("value"), col("data"), col("gas"), col("gasprice"), col("cost"),
+      col("nonce"), col("state"), col("blockhash")).as("json"))
+
+  private def joinRange(fact: DataFrame, pred: org.apache.spark.sql.Column,
+      lo: Long, hi: Long): DataFrame =
+    Relational.factJoinDim(fact,
+      blocks.select(col("hash").as("b_hash"), col("number")),
+      "blockhash", "b_hash", pred, col("number").between(lo, hi))
+}

@@ -68,6 +68,15 @@ class BlockStore(spark: SparkSession, root: String, bucketSize: Long = 1000L) {
     confirmed(table).drop("bucket").unionByName(hotRows)
   }
 
+  /** Bucket-pruned range access to the confirmed tier — the replacement
+    * for the reference's B-tree index on `number` (SURVEY §4): the bucket
+    * partition column prunes whole directories before any file is read
+    * (`PartitionFilters` in the plan), then min/max row-group stats prune
+    * within the bucket. */
+  def confirmedByNumberRange(table: String, lo: Long, hi: Long): DataFrame =
+    confirmed(table).filter(
+      col("bucket").between(lo / bucketSize, hi / bucketSize))
+
   /** S5 + ST7 + ST8: store a micro-batch of packed blocks into the hot
     * tier. Last writer wins per `number` (ST8 in-batch dedup + reorg
     * replace across batches — replacing the packed row cascades to its

@@ -267,6 +267,17 @@ object EvmQueries {
       .select(col("hash"), F.toDecimal(col("value"), 18).as("value_eth"))
       .orderBy(col("hash"))
 
+  /** F14/F15 full JSON document shaping — byte-identical to the
+    * reference's tx JSON (`app/data/tx.go:42-52`): contract XOR to,
+    * numerics stringified, hex-encoded data with empty-guard. */
+  private def fTxJson(s: SparkSession, d: String): DataFrame =
+    Relational.factJoinDim(txs(s), blocksDim(s), "blockhash", "b_hash",
+        lit(true), col("number").between(2000L, 2099L))
+      .select(col("hash"), F.txJson(col("hash"), col("from"), col("to"),
+        col("contract"), col("value"), col("data"), col("gas"), col("gasprice"),
+        col("cost"), col("nonce"), col("state"), col("blockhash")).as("json"))
+      .orderBy(col("hash"))
+
   /** Exact uint256 total of all transferred value — the custom
     * Aggregator + expressions path (SURVEY §2.10); the result exceeds
     * DecimalType(38) range, so no SQL oracle exists (rows-only gate) —
@@ -310,6 +321,7 @@ object EvmQueries {
     "ev_f_event_data_shape" -> (fEventDataShape _),
     "ev_f_wei_to_eth" -> (fWeiToEth _),
     "ev_f_uint256_sum" -> (fUint256Sum _),
+    "ev_f_tx_json" -> (fTxJson _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -433,5 +445,18 @@ object EvmQueries {
           WHERE b.number BETWEEN 2000 AND 2099 ORDER BY e.blockhash, e."index"""",
     "ev_f_wei_to_eth" ->
       s"SELECT hash, CAST(value AS DOUBLE) / 1e18 AS value_eth FROM $txsT ORDER BY hash",
+    "ev_f_tx_json" ->
+      s"""SELECT t.hash,
+          '{"hash":"' || t.hash || '","from":"' || t."from" || '",'
+          || CASE WHEN t.contract <> '' THEN '"contract":"' || t.contract || '"'
+                  ELSE '"to":"' || t."to" || '"' END
+          || ',"value":"' || t.value || '","data":"'
+          || CASE WHEN octet_length(t.data) > 0 THEN '0x' || lower(hex(t.data)) ELSE '' END
+          || '","gas":"' || CAST(t.gas AS VARCHAR) || '","gasPrice":"' || t.gasprice
+          || '","cost":"' || t.cost || '","nonce":"' || CAST(t.nonce AS VARCHAR)
+          || '","state":"' || CAST(t.state AS VARCHAR) || '","blockHash":"' || t.blockhash
+          || '"}' AS json
+          FROM $txsT t JOIN $blocksT b ON t.blockhash = b.hash
+          WHERE b.number BETWEEN 2000 AND 2099 ORDER BY t.hash""",
   )
 }

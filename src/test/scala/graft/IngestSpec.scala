@@ -132,6 +132,17 @@ class IngestSpec extends SparkSpec {
     assert(!ledger.entries.contains(7L))
   }
 
+  test("confirmed tier prunes by bucket partition before reading files") {
+    val store = new BlockStore(spark, tmpDir, bucketSize = 2)
+    val job = new IngestJob(spark, store, confirmations = 0)
+    job.processBatch((0L to 9L).map(packed(_)).toDF(), batchId = 0)
+    val pruned = store.confirmedByNumberRange("blocks", 4, 5)
+    assert(pruned.collect().map(_.getAs[Long]("number")).toSet === Set(4L, 5L))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"expected partition pruning in plan:\n$plan")
+  }
+
   test("ST1 monotonicity probe flags numbers ahead of the expected head") {
     val df = Seq(packed(5), packed(9)).toDF()
     assert(PackedBlocks.aheadOf(df, expectedNext = 6).collect()

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.api.QueryService
+import graft.fixtures.EvmFixtures
+import graft.queries.EvmQueries
+
+/** API-layer dispatch: validation guardrails reject before planning;
+  * valid requests produce the same rows as the registry queries. */
+class QueryServiceSpec extends SparkSpec {
+
+  private lazy val svc = new QueryService(
+    EvmQueries.blocks(spark), EvmQueries.txs(spark), EvmQueries.events(spark))
+
+  test("hex-shape validation rejects before planning (rest.go:100,233)") {
+    assert(svc.blockByHash("0x123").isLeft)
+    assert(svc.blockByHash("not-a-hash").isLeft)
+    assert(svc.transactionsFromAccountByNumberRange("0xzz", 0, 10).isLeft)
+    assert(svc.blockByHash(EvmFixtures.blockHash(1500)).isRight)
+  }
+
+  test("RangeChecker guardrails enforce width caps (common.go:66-84)") {
+    assert(svc.blocksByNumberRange(0, 100).isLeft)  // width 101 > 100
+    assert(svc.blocksByNumberRange(0, 99).isRight)
+    assert(svc.blocksByTimeRange(0, 3600).isLeft)   // width 3601 > 3600
+    assert(svc.lastEventsFromContract(EvmFixtures.contractAddr(0), 51).isLeft)
+    assert(svc.lastEventsFromContract(EvmFixtures.contractAddr(0), 50).isRight)
+  }
+
+  test("valid requests return the expected rows") {
+    val b = svc.blockByHash(EvmFixtures.blockHash(1500)).toOption.get.collect()
+    assert(b.length === 1 && b.head.getAs[Long]("number") === 1500L)
+
+    val topics = svc.eventsFromContractWithTopics(
+      EvmFixtures.contractAddr(7), 1000, 1099,
+      Map(0 -> EvmFixtures.sig(2))).toOption.get
+    val got = topics.collect()
+    assert(got.forall(_.getAs[Seq[String]]("topics").head === EvmFixtures.sig(2)))
+
+    val last = svc.lastEventsFromContract(EvmFixtures.contractAddr(0), 10).toOption.get
+    val nums = last.collect().map(_.getAs[Long]("number"))
+    assert(nums.length === 10 && nums.sorted.reverse.sameElements(nums))
+  }
+
+  test("tx JSON shaping emits contract XOR to per row (tx.go:42-52)") {
+    val creations = svc.transactionsAsJson(
+      EvmQueries.txs(spark).filter(col("contract") =!= "").limit(5)).collect()
+    val normals = svc.transactionsAsJson(
+      EvmQueries.txs(spark).filter(col("contract") === "").limit(5)).collect()
+    assert(creations.forall(r => r.getString(0).contains("\"contract\":\"0x")))
+    assert(creations.forall(r => !r.getString(0).contains("\"to\":")))
+    assert(normals.forall(r => r.getString(0).contains("\"to\":\"0x")))
+    assert(normals.forall(r => !r.getString(0).contains("\"contract\":")))
+  }
+}
