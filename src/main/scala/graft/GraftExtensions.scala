@@ -30,5 +30,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("uint256_cmp"),
       info("uint256_cmp", "uint256_cmp(a, b) - numeric three-way compare of decimal strings"),
       (args: Seq[Expression]) => Uint256.Uint256Cmp(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("keccak256"),
+      info("keccak256", "keccak256(bytes) - Ethereum's Keccak-256 digest (pre-NIST padding)"),
+      (args: Seq[Expression]) => graft.functions.Keccak.Keccak256(args(0))))
   }
 }

@@ -79,6 +79,28 @@ object EvmFunctions {
       to_json(struct(common ++ (to.as("to") +: tail): _*)))
   }
 
+  /** F11: keccak256 digest of a binary column (custom expression —
+    * [[Keccak.Keccak256]], registered as SQL `keccak256`). */
+  def keccak256(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("keccak256", c)
+
+  /** F11: `PublicKeyBytesToAddress` (`app/util/util.go:18-27`): drop the
+    * 0x04 prefix of an uncompressed pubkey, keccak, keep the last 20
+    * bytes, hex with 0x. */
+  def publicKeyToAddress(pubkey: Column): Column = {
+    val body = when(length(pubkey) === 65, substring(pubkey, 2, 64)).otherwise(pubkey)
+    concat(lit("0x"), lower(hex(substring(keccak256(body), 13, 20))))
+  }
+
+  /** F12: `SigRSV` (`app/util/util.go:108-129`): split a 65-byte signature
+    * into (r, s, v) — v normalized from the 27/28 convention. */
+  def sigR(sig: Column): Column = substring(sig, 1, 32)
+  def sigS(sig: Column): Column = substring(sig, 33, 32)
+  def sigV(sig: Column): Column = {
+    val raw = conv(hex(substring(sig, 65, 1)), 16, 10).cast(IntegerType)
+    when(raw >= 27, raw - 27).otherwise(raw)
+  }
+
   /** F16: case-insensitive exact match (`app/pubsub/subscription.go:141-151`
     * CheckSimilarity — regex `(?i)^(x)$` ≡ lowercase equality). */
   def checkSimilarity(a: Column, b: Column): Column = lower(a) === lower(b)

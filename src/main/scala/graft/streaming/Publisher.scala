@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{EvmFunctions => F}
+import graft.ingest.PackedBlocks
+
+/** S8: the notification sink (SURVEY §2.1) — the reference publishes each
+  * stored block to Redis as JSON, strictly block → its txs → its events,
+  * short-circuiting on failure (`app/block/publish_block.go:12-47`,
+  * `publish_tx.go:13-96`, `publish_event.go:13-61`).
+  *
+  * Spark-first: one DataFrame of ordered notification messages per
+  * micro-batch — `(number, tier, topic, payload)` sorted by (number, tier,
+  * seq) reproduces the reference's ordering; the API tier drains it to
+  * whatever bus it fronts (websocket fanout via [[SubscriptionFilter]]). */
+object Publisher {
+
+  /** The three ordered message tiers of one packed-block batch. */
+  def messages(packed: DataFrame): DataFrame = {
+    val blockMsgs = PackedBlocks.blocksOf(packed).select(
+      col("number"), lit(0).as("tier"), lit("block").as("topic"),
+      to_json(struct(
+        col("hash"), col("number"), col("time"), col("parenthash"),
+        col("difficulty"), col("gasused"), col("gaslimit"), col("nonce"),
+        col("miner"), col("size"),
+        F.hexEncode(col("extradata")).as("extradata"))).as("payload"))
+
+    val txFrames = packed.select(col("block.number").as("number"),
+      posexplode(col("transactions")).as(Seq("seq", "pt")))
+    val txMsgs = txFrames.select(
+      col("number"), lit(1).as("tier"), lit("transaction").as("topic"),
+      F.txJson(col("pt.tx.hash"), col("pt.tx.from"), col("pt.tx.to"),
+        col("pt.tx.contract"), col("pt.tx.value"), col("pt.tx.data"),
+        col("pt.tx.gas"), col("pt.tx.gasprice"), col("pt.tx.cost"),
+        col("pt.tx.nonce"), col("pt.tx.state"), col("pt.tx.blockhash")).as("payload"))
+
+    val evMsgs = txFrames
+      .select(col("number"), explode(col("pt.events")).as("ev"))
+      .select(col("number"), lit(2).as("tier"), lit("event").as("topic"),
+        to_json(struct(
+          col("ev.origin"), col("ev.index"), col("ev.topics"),
+          F.eventDataJson(col("ev.data")).as("data"),
+          col("ev.txhash"), col("ev.blockhash"))).as("payload"))
+
+    blockMsgs.unionByName(txMsgs).unionByName(evMsgs)
+      .orderBy(col("number"), col("tier"), col("payload"))
+  }
+
+  /** ST11 delivery: tag every message with the subscription ids it
+    * matches, in the same single pass the matchers compile to. Transaction
+    * and event subscriptions filter on entity columns, so tagging happens
+    * on the entity frames before JSON shaping in a real deployment — this
+    * variant re-derives the columns for a self-contained demo. */
+  def deliveries(packed: DataFrame,
+      subs: Seq[(String, SubscriptionFilter.Subscription)]): DataFrame = {
+    import SubscriptionFilter._
+    val blockSubs = subs.collect { case (id, BlockSub) => id }
+    val txSubs = subs.collect { case s @ (_, _: TransactionSub) => s }
+    val evSubs = subs.collect { case s @ (_, _: EventSub) => s }
+
+    val blockD = PackedBlocks.blocksOf(packed).select(col("number"),
+      lit("block").as("topic"), col("hash").as("key"),
+      array(blockSubs.map(lit(_)): _*).as("subscribers"))
+    val txD = PackedBlocks.transactionsOf(packed).select(
+      lit(null).cast("long").as("number"), lit("transaction").as("topic"),
+      col("hash").as("key"), SubscriptionFilter.tagMatches(txSubs).as("subscribers"))
+    val evD = PackedBlocks.eventsOf(packed).select(
+      lit(null).cast("long").as("number"), lit("event").as("topic"),
+      concat(col("blockhash"), lit("#"), col("index")).as("key"),
+      SubscriptionFilter.tagMatches(evSubs).as("subscribers"))
+
+    blockD.unionByName(txD).unionByName(evD).filter(size(col("subscribers")) > 0)
+  }
+}
