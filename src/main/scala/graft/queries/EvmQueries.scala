@@ -195,6 +195,19 @@ object EvmQueries {
       .orderBy(evSort: _*)
   }
 
+  /** Time-range twin of the flagship
+    * (`GetEventsFromContractWithTopicsByBlockTimeRange`, query.go:547-564). */
+  private def topicsTimeRange(s: SparkSession, d: String): DataFrame = {
+    val pins = Map(0 -> EvmFixtures.sig(2), 1 -> EvmFixtures.arg(6))
+    Relational.factJoinDim(
+        events(s).filter(TopicMatch.topicsMatchTwoPhase(pins)),
+        blocksDim(s), "blockhash", "b_hash",
+        col("origin") === C7, col("time").between(T0, T0 + 1999 * 12))
+      .select(col("blockhash"), col("index"), col("origin"), col("topics"),
+        col("data"), col("txhash"), col("number"))
+      .orderBy(evSort: _*)
+  }
+
   /** Pub/sub wildcard matcher (subscription.go:74-124): only position 1
     * pinned, case-insensitively; `*`/empty positions match anything. */
   private def topicsWildcard(s: SparkSession, d: String): DataFrame =
@@ -311,6 +324,7 @@ object EvmQueries {
     "ev_j10_missing_blocks" -> (j10 _),
     "ev_topics_exact" -> (topicsExact _),
     "ev_topics_range" -> (topicsRange _),
+    "ev_topics_time_range" -> (topicsTimeRange _),
     "ev_topics_wildcard" -> (topicsWildcard _),
     "ev_a1_block_min_max_count" -> (a1 _),
     "ev_a4_tx_count_by_blockhash" -> (a4 _),
@@ -401,6 +415,13 @@ object EvmQueries {
       s"""SELECT e.blockhash, e."index", e.origin, e.topics, e.data, e.txhash, b.number
           FROM $eventsT e JOIN $blocksT b ON e.blockhash = b.hash
           WHERE e.origin = '$C7' AND b.number BETWEEN 0 AND 1999
+            AND len(e.topics) > 0 AND e.topics[1] = '${EvmFixtures.sig(2)}'
+            AND len(e.topics) > 1 AND e.topics[2] = '${EvmFixtures.arg(6)}'
+          ORDER BY e.blockhash, e."index"""",
+    "ev_topics_time_range" ->
+      s"""SELECT e.blockhash, e."index", e.origin, e.topics, e.data, e.txhash, b.number
+          FROM $eventsT e JOIN $blocksT b ON e.blockhash = b.hash
+          WHERE e.origin = '$C7' AND b.time BETWEEN $T0 AND ${T0 + 1999 * 12}
             AND len(e.topics) > 0 AND e.topics[1] = '${EvmFixtures.sig(2)}'
             AND len(e.topics) > 1 AND e.topics[2] = '${EvmFixtures.arg(6)}'
           ORDER BY e.blockhash, e."index"""",

@@ -63,7 +63,11 @@ object PipelineQueries {
     * probability at j ≥ 0.8 is (1−j²)^16 < 1e-9, so LSH output equals the
     * brute-force set and hash-matches it. */
   private def d3(s: SparkSession, dir: String): DataFrame = {
+    // corpus bounded at doc_id < 2000 so the brute-force ORACLE stays
+    // tractable in DuckDB at sf0.1 (all-pairs is quadratic for the oracle,
+    // not for the LSH path being tested — sf0.01 is unaffected)
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .filter(col("doc_id") < 2000)
     val corpus = docs.union(mutatedDocs(docs.filter(pmod(col("doc_id"), lit(7)) === 0)))
     Dedup.minHashNearDupPairs(corpus, "doc_id", "text",
         threshold = 0.8, shingleN = 3, numHashes = 32, bands = 16)
@@ -211,8 +215,11 @@ object PipelineQueries {
           WHERE j >= 0.5 ORDER BY a_id, b_id"""),
     "p_d3_minhash_lsh_neardup" ->
       (s"""WITH corpus AS (
-            SELECT doc_id, text FROM documents
-            UNION ALL $mutatedSql),
+            SELECT doc_id, text FROM documents WHERE doc_id < 2000
+            UNION ALL
+            SELECT doc_id + 10000 AS doc_id,
+                   array_to_string((string_split(text, ' '))[3:], ' ') AS text
+            FROM documents WHERE doc_id % 7 = 0 AND doc_id < 2000),
           sh AS (SELECT doc_id, $shinglesSql AS sh
                  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)),
           nonempty AS (SELECT * FROM sh WHERE len(sh) > 0)
