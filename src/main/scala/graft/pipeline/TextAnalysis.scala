@@ -91,4 +91,31 @@ object TextAnalysis {
         i => xxhash64(array_join(slice(w, i + lit(1), lit(window)), " "))))
     .otherwise(array().cast("array<bigint>"))
   }
+
+  /** The raw w-token windows (strings) of a text — explode these and hash
+    * with a plain projection for the scale path (HOF lambdas interpret;
+    * see Dedup.lshCandidatePairs). */
+  def rollingWindows(words: Column, window: Int = 8): Column =
+    when(size(words) >= window,
+      transform(sequence(lit(0), size(words) - window),
+        i => array_join(slice(words, i + lit(1), lit(window)), " ")))
+    .otherwise(array().cast("array<string>"))
+
+  /** Partial-overlap pairs: documents sharing ≥ `minShared` distinct
+    * w-token windows, found by exploding window fingerprints and joining
+    * on them — shuffle on fingerprint keys only, never all-pairs. The
+    * fingerprint is md5 so an external engine can reproduce it. */
+  def rollingOverlapPairs(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, window: Int = 8, minShared: Long = 1L): org.apache.spark.sql.DataFrame = {
+    val fps = df
+      .select(col(idCol), split(col(textCol), " ").as("__words"))
+      .select(col(idCol), explode(array_distinct(rollingWindows(col("__words"), window))).as("__w"))
+      .select(col(idCol), md5(col("__w")).as("__fp"))
+    val a = fps.select(col(idCol).as("a_id"), col("__fp"))
+    val b = fps.select(col(idCol).as("b_id"), col("__fp"))
+    a.join(b, Seq("__fp")).filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -84,6 +84,17 @@ object PipelineQueries {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** D5: winnowing-style partial-overlap pairs — docs sharing >= 5
+    * distinct 8-token windows, found via fingerprint-key joins (never
+    * all-pairs). md5 fingerprints keep the oracle reproducible. */
+  private def d5(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .filter(col("doc_id") < 1000)
+    val corpus = docs.union(mutatedDocs(docs.filter(pmod(col("doc_id"), lit(7)) === 0)))
+    TA.rollingOverlapPairs(corpus, "doc_id", "text", window = 8, minShared = 5L)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   // ===== similarity ======================================================
 
   private def embWithQuery(s: SparkSession, dir: String, queryId: Long): DataFrame = {
@@ -172,6 +183,7 @@ object PipelineQueries {
     "p_d2_neardup_bruteforce" -> (d2 _),
     "p_d3_minhash_lsh_neardup" -> (d3 _),
     "p_d4_simhash_neardup" -> (d4 _),
+    "p_d5_rolling_overlap" -> (d5 _),
     "p_s1_topk_cosine" -> (s1 _),
     "p_s2_nearest_neighbor" -> (s2 _),
     "p_s3_lsh_ann_topk" -> (s3 _),
@@ -230,6 +242,22 @@ object PipelineQueries {
                         / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) END AS j
             FROM nonempty a, nonempty b WHERE a.doc_id < b.doc_id)
           WHERE j >= 0.8 ORDER BY a_id, b_id"""),
+    "p_d5_rolling_overlap" ->
+      ("""WITH corpus AS (
+            SELECT doc_id, text FROM documents WHERE doc_id < 1000
+            UNION ALL
+            SELECT doc_id + 10000 AS doc_id,
+                   array_to_string((string_split(text, ' '))[3:], ' ') AS text
+            FROM documents WHERE doc_id % 7 = 0 AND doc_id < 1000),
+          win AS (SELECT doc_id, md5(w) AS fp FROM (
+            SELECT doc_id, unnest(list_distinct(
+              [array_to_string(wds[i:i+7], ' ') for i in range(1, len(wds) - 6)])) AS w
+            FROM (SELECT doc_id, string_split(text, ' ') AS wds FROM corpus)
+            WHERE len(wds) >= 8))
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                 CAST(count(*) AS BIGINT) AS n_shared
+          FROM win a JOIN win b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING count(*) >= 5 ORDER BY a_id, b_id"""),
     "p_s1_topk_cosine" ->
       ("""WITH q AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
           SELECT vec_id,
