@@ -91,6 +91,39 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF coarse assignment: each vector → its nearest centroid id. In
+    * production this runs once at ingest and persists (bucketed by
+    * `c_id`); queries then touch only probed buckets. Centroids are any
+    * small (c_id, c_emb) frame — a deterministic sample works as the
+    * k-means-lite quantizer. */
+  def ivfAssign(emb: DataFrame, embCol: String, idCol: String,
+      centroids: DataFrame): DataFrame = {
+    val scored = emb.select(col(idCol), col(embCol))
+      .crossJoin(broadcast(centroids))
+      .select(col(idCol), col(embCol), col("c_id"),
+        cosine(col(embCol), col("c_emb")).as("__cs"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__cs").desc, col("c_id"))
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col(idCol), col(embCol), col("c_id"))
+  }
+
+  /** IVF search: rank centroids against the query, exact-score only the
+    * vectors assigned to the top `nprobe` buckets. The probed fraction
+    * (nprobe / #centroids) bounds the scan regardless of corpus size. */
+  def ivfTopK(assigned: DataFrame, embCol: String, idCol: String,
+      centroids: DataFrame, query: Seq[Float], k: Int, nprobe: Int): DataFrame = {
+    val q = vec(query)
+    val probed = centroids
+      .select(col("c_id"), cosine(col("c_emb"), q).as("__qs"))
+      .orderBy(col("__qs").desc, col("c_id"))
+      .limit(nprobe)
+      .select("c_id")
+    assigned.join(broadcast(probed), Seq("c_id"), "left_semi")
+      .select(col(idCol), cosine(col(embCol), q).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Embedding near-duplicate pairs at `minCosine`, LSH-bucketed so the
     * exact scoring never sees the all-pairs product. */
   def embeddingNearDupPairs(emb: DataFrame, embCol: String, idCol: String,

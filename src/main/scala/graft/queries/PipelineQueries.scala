@@ -134,6 +134,21 @@ object PipelineQueries {
       .limit(20)
   }
 
+  /** S4: IVF-bucketed ANN top-20 — deterministic centroid sample as the
+    * coarse quantizer, exact scoring only inside the nprobe nearest
+    * buckets. Rows-only entry; self-consistency vs brute force within the
+    * probed buckets is pinned by the ScalaTest spec. */
+  private def s4(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val centroids = emb.filter(pmod(col("vec_id"), lit(25)) === 0)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+      .collect().head.getSeq[Float](0) // 1-row API-parameter fetch
+    val assigned = Similarity.ivfAssign(
+      emb.filter(col("vec_id") =!= 0), "embedding", "vec_id", centroids)
+    Similarity.ivfTopK(assigned, "embedding", "vec_id", centroids, q, k = 20, nprobe = 4)
+  }
+
   /** E1: embedding near-dup pairs, LSH-bucketed — rows-only entry. */
   private def e1(s: SparkSession, dir: String): DataFrame =
     Similarity.embeddingNearDupPairs(
@@ -187,6 +202,7 @@ object PipelineQueries {
     "p_s1_topk_cosine" -> (s1 _),
     "p_s2_nearest_neighbor" -> (s2 _),
     "p_s3_lsh_ann_topk" -> (s3 _),
+    "p_s4_ivf_ann_topk" -> (s4 _),
     "p_e1_embedding_neardup" -> (e1 _),
     "p_t1_text_stats" -> (t1 _),
     "p_mm1_media_meta" -> (mm1 _),

@@ -55,6 +55,30 @@ class SimilaritySpec extends SparkSpec {
     assert((ann intersect brute).nonEmpty, s"ANN recalled none of the true top-10")
   }
 
+  test("IVF: assignment is total and unique; search equals brute force over probed buckets") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val centroids = emb.filter(pmod(col("vec_id"), lit(25)) === 0)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val assigned = Similarity.ivfAssign(corpus, "embedding", "vec_id", centroids).cache()
+    assert(assigned.count() === corpus.count())          // every vector assigned
+    assert(assigned.select("vec_id").distinct().count() === corpus.count()) // exactly once
+
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+      .collect().head.getSeq[Float](0)
+    val ivf = Similarity.ivfTopK(assigned, "embedding", "vec_id", centroids, q, 10, 2)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    // self-consistency: IVF result == brute force restricted to the probed buckets
+    val probedIds = assigned.join(
+        centroids.select(col("c_id"), Similarity.cosine(col("c_emb"), Similarity.vec(q)).as("qs"))
+          .orderBy(col("qs").desc, col("c_id")).limit(2).select("c_id"),
+        Seq("c_id"), "left_semi")
+    val brute = Similarity.bruteForceTopK(probedIds, "embedding", "vec_id",
+        Similarity.vec(q), 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(ivf === brute)
+  }
+
   test("embeddingNearDupPairs only reports pairs above the threshold") {
     val emb = Tables.embeddings(spark, sf0001)
     val pairs = Similarity.embeddingNearDupPairs(emb, "embedding", "vec_id", 0.3)
