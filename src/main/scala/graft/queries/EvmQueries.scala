@@ -247,6 +247,45 @@ object EvmQueries {
             col("data"), col("txhash"), col("number")),
         50, col("number").desc, col("index").desc)
 
+  // ===== beyond-reference: grouped/window analytics on domain data =======
+  // The reference has no GROUP BY at all (SURVEY §2.5); these are the
+  // analytics-engine surface a Spark user gets on the same tables.
+
+  /** Gas consumption per miner — scan → partial agg → final agg. */
+  private def g1GasByMiner(s: SparkSession, d: String): DataFrame =
+    blocks(s).groupBy(col("miner")).agg(
+      sum(col("gasused")).as("total_gas"),
+      count(lit(1)).as("n_blocks"))
+      .orderBy(col("miner"))
+
+  /** Event volume + mean topic arity per contract. */
+  private def g2EventsPerContract(s: SparkSession, d: String): DataFrame =
+    events(s).groupBy(col("origin")).agg(
+      count(lit(1)).as("n_events"),
+      (sum(size(col("topics"))).cast(DoubleType) / count(lit(1)).cast(DoubleType))
+        .as("avg_topics"))
+      .orderBy(col("origin"))
+
+  /** Per-1000-block bucket chain stats incl. distinct miners — the shape
+    * of a partition-pruned dashboard query over the confirmed tier. */
+  private def g3BucketStats(s: SparkSession, d: String): DataFrame =
+    blocks(s).groupBy((col("number") / 1000).cast(LongType).as("bucket")).agg(
+      min(col("number")).as("lo"), max(col("number")).as("hi"),
+      count(lit(1)).as("n_blocks"),
+      countDistinct(col("miner")).as("n_miners"),
+      sum(col("gasused")).as("total_gas"))
+      .orderBy(col("bucket"))
+
+  /** Block inter-arrival times via lag() — window function coverage
+    * (bounded range; at scale the window partitions by bucket). */
+  private def w1BlockIntervals(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("number"))
+    blocks(s).filter(col("number").between(1000L, 1099L))
+      .select(col("number"), col("time"))
+      .withColumn("dt", col("time") - lag(col("time"), 1).over(w))
+      .orderBy(col("number"))
+  }
+
   // ===== §2.8 scalar layer over domain data ==============================
 
   /** F1/F7/F8/F10/F14/F15 in one projection — the JSON-shaping scalars that
@@ -331,6 +370,10 @@ object EvmQueries {
     "ev_a5_tx_count_by_number" -> (a5 _),
     "ev_a6_txs_from_range_count" -> (a6 _),
     "ev_t2_last50_events_from_contract" -> (t2 _),
+    "ev_g1_gas_by_miner" -> (g1GasByMiner _),
+    "ev_g2_events_per_contract" -> (g2EventsPerContract _),
+    "ev_g3_bucket_stats" -> (g3BucketStats _),
+    "ev_w1_block_intervals" -> (w1BlockIntervals _),
     "ev_f_scalar_shapes" -> (fScalarShapes _),
     "ev_f_event_data_shape" -> (fEventDataShape _),
     "ev_f_wei_to_eth" -> (fWeiToEth _),
@@ -447,6 +490,24 @@ object EvmQueries {
           FROM $eventsT e JOIN $blocksT b ON e.blockhash = b.hash
           WHERE e.origin = '$C0' AND b.number >= 0
           ORDER BY b.number DESC, e."index" DESC LIMIT 50""",
+    "ev_g1_gas_by_miner" ->
+      s"""SELECT miner, CAST(sum(gasused) AS BIGINT) AS total_gas,
+          CAST(count(*) AS BIGINT) AS n_blocks FROM $blocksT
+          GROUP BY miner ORDER BY miner""",
+    "ev_g2_events_per_contract" ->
+      s"""SELECT origin, CAST(count(*) AS BIGINT) AS n_events,
+          CAST(sum(len(topics)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_topics
+          FROM $eventsT GROUP BY origin ORDER BY origin""",
+    "ev_g3_bucket_stats" ->
+      s"""SELECT CAST(number // 1000 AS BIGINT) AS bucket,
+          CAST(min(number) AS BIGINT) AS lo, CAST(max(number) AS BIGINT) AS hi,
+          CAST(count(*) AS BIGINT) AS n_blocks,
+          CAST(count(DISTINCT miner) AS BIGINT) AS n_miners,
+          CAST(sum(gasused) AS BIGINT) AS total_gas
+          FROM $blocksT GROUP BY 1 ORDER BY bucket""",
+    "ev_w1_block_intervals" ->
+      s"""SELECT number, time, time - lag(time) OVER (ORDER BY number) AS dt
+          FROM $blocksT WHERE number BETWEEN 1000 AND 1099 ORDER BY number""",
     "ev_f_scalar_shapes" ->
       s"""SELECT t.hash,
           CASE WHEN octet_length(t.data) > 0 THEN '0x' || lower(hex(t.data)) ELSE '' END AS data_hex,
