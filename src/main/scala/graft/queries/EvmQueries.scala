@@ -52,25 +52,83 @@ object EvmQueries {
 
   private def evSort: Seq[Column] = Seq(col("blockhash"), col("index"))
 
+  // ---- API-shape output projections -------------------------------------
+  // The reference never emits raw bytes: its serialization layer
+  // hex-encodes data/extradata (`app/data/tx.go:36-39`, `app/data/
+  // block.go:38-41`, `app/data/event.go:32-35`) and JSON-encodes the
+  // topics array. Registry entries emit the same canonical shape — it is
+  // the faithful output contract AND it keeps every value hashable by the
+  // driver's comparator (raw BinaryType/array columns are not).
+
+  /** All block columns, `extradata` hex-encoded (null/empty → ""). */
+  private def blockApi: Seq[Column] = Seq(
+    col("hash"), col("number"), col("time"), col("parenthash"),
+    col("difficulty"), col("gasused"), col("gaslimit"), col("nonce"),
+    col("miner"), col("size"), col("stateroothash"), col("unclehash"),
+    col("txroothash"), col("receiptroothash"),
+    F.hexEncode(col("extradata")).as("extradata"))
+
+  /** All transaction columns, `data` hex-encoded. */
+  private def txApi: Seq[Column] = Seq(
+    col("hash"), col("from"), col("to"), col("contract"), col("value"),
+    F.hexEncode(col("data")).as("data"), col("gas"), col("gasprice"),
+    col("cost"), col("nonce"), col("state"), col("blockhash"))
+
+  /** All event columns, `topics` serialized, `data` hex-encoded. */
+  private def eventApi: Seq[Column] = Seq(
+    col("blockhash"), col("index"), col("origin"),
+    array_join(col("topics"), ",").as("topics"),
+    F.hexEncode(col("data")).as("data"), col("txhash"))
+
+  /** Event-join output shape (J8 / topics matcher / T2): event columns +
+    * the dim side's `number`. */
+  private def eventJoinApi: Seq[Column] = eventApi :+ col("number")
+
+  // DuckDB twins of the projections above. `p` is the table alias prefix
+  // (e.g. "e.") so joined queries can qualify columns.
+  private def hexSql(c: String): String =
+    s"CASE WHEN octet_length($c) > 0 THEN '0x' || lower(hex($c)) ELSE '' END"
+
+  private def blockApiSql(p: String = ""): String =
+    s"${p}hash, ${p}number, ${p}time, ${p}parenthash, ${p}difficulty, " +
+      s"${p}gasused, ${p}gaslimit, ${p}nonce, ${p}miner, ${p}size, " +
+      s"${p}stateroothash, ${p}unclehash, ${p}txroothash, ${p}receiptroothash, " +
+      s"${hexSql(p + "extradata")} AS extradata"
+
+  private def txApiSql(p: String = ""): String =
+    s"""${p}hash, $p"from", $p"to", ${p}contract, ${p}value, """ +
+      s"""${hexSql(p + "data")} AS data, ${p}gas, ${p}gasprice, ${p}cost, """ +
+      s"""${p}nonce, ${p}state, ${p}blockhash"""
+
+  private def eventApiSql(p: String = ""): String =
+    s"""${p}blockhash, $p"index", ${p}origin, """ +
+      // COALESCE: DuckDB's array_to_string yields NULL on an empty list,
+      // Spark's array_join yields '' — events with 0 topics must agree
+      s"""COALESCE(array_to_string(${p}topics, ','), '') AS topics, """ +
+      s"""${hexSql(p + "data")} AS data, ${p}txhash"""
+
+  private def eventJoinApiSql(p: String, numP: String): String =
+    s"${eventApiSql(p)}, ${numP}number"
+
   // ===== §2.2 point lookups / filters / ranges ===========================
 
   /** Q1 `GetBlockByHash` (query.go:79-87). */
   private def q1(s: SparkSession, d: String): DataFrame =
-    Relational.pointLookup(blocks(s), col("hash") === H1500)
+    Relational.pointLookup(blocks(s), col("hash") === H1500).select(blockApi: _*)
 
   /** Q2 `GetBlockByNumber` (query.go:92-100). */
   private def q2(s: SparkSession, d: String): DataFrame =
-    Relational.pointLookup(blocks(s), col("number") === 1500L)
+    Relational.pointLookup(blocks(s), col("number") === 1500L).select(blockApi: _*)
 
   /** Q3 `GetBlocksByNumberRange` (query.go:109-119) — RangeChecker caps
     * interactive width at ~100 (common.go:66-84). */
   private def q3(s: SparkSession, d: String): DataFrame =
-    Relational.keyRangeScan(blocks(s), col("number"), 1000L, 1099L)
+    Relational.keyRangeScan(blocks(s), col("number"), 1000L, 1099L).select(blockApi: _*)
 
   /** Q4 `GetBlocksByTimeRange` (query.go:125-135) — TimeRange cap 3600 s. */
   private def q4(s: SparkSession, d: String): DataFrame =
     Relational.timeRangeScan(blocks(s), col("time"),
-      T0 + 1000 * 12, T0 + 1299 * 12, col("number"))
+      T0 + 1000 * 12, T0 + 1299 * 12, col("number")).select(blockApi: _*)
 
   /** Q5 `GetAllBlockNumbersInRange` (query.go:15-29). */
   private def q5(s: SparkSession, d: String): DataFrame =
@@ -78,39 +136,46 @@ object EvmQueries {
 
   /** Q6 `GetTransactionByHash` (query.go:194-202). */
   private def q6(s: SparkSession, d: String): DataFrame =
-    Relational.pointLookup(txs(s), col("hash") === TX1201)
+    Relational.pointLookup(txs(s), col("hash") === TX1201).select(txApi: _*)
 
   /** Q7 `GetTransactionFromAccountWithNonce` (query.go:401-409) — (from,
     * nonce) is unique by construction, LIMIT-1 parity-safe. */
   private def q7(s: SparkSession, d: String): DataFrame =
     Relational.pointLookup(txs(s), col("from") === Acct3 && col("nonce") === 5L)
+      .select(txApi: _*)
 
   /** Q8 `GetTransactionsByBlockHash` (query.go:153-163). */
   private def q8(s: SparkSession, d: String): DataFrame =
-    Relational.filterScan(txs(s), col("blockhash") === H2003).orderBy(col("hash"))
+    Relational.filterScan(txs(s), col("blockhash") === H2003)
+      .select(txApi: _*).orderBy(col("hash"))
 
   /** Q9 `GetEventsByBlockHash` (query.go:444-454). */
   private def q9(s: SparkSession, d: String): DataFrame =
-    Relational.filterScan(events(s), col("blockhash") === H2003).orderBy(col("index"))
+    Relational.filterScan(events(s), col("blockhash") === H2003)
+      .select(eventApi: _*).orderBy(col("index"))
 
   /** Q10 `GetEventsByTransactionHash` (query.go:457-467). */
   private def q10(s: SparkSession, d: String): DataFrame =
-    Relational.filterScan(events(s), col("txhash") === TX2003).orderBy(col("index"))
+    Relational.filterScan(events(s), col("txhash") === TX2003)
+      .select(eventApi: _*).orderBy(col("index"))
 
   /** Q11 `GetEventByBlockHashAndLogIndex` (query.go:590-600). */
   private def q11(s: SparkSession, d: String): DataFrame =
     Relational.pointLookup(events(s), col("blockhash") === H2003 && col("index") === 1)
+      .select(eventApi: _*)
 
   /** Q12 `GetEventByBlockNumberAndLogIndex` (query.go:604-622): two-step
     * number→hash→(hash,index) as one broadcast-join plan. */
   private def q12(s: SparkSession, d: String): DataFrame = {
     val b = blocks(s).filter(col("number") === 2003L).select(col("hash").as("blockhash"))
-    events(s).join(broadcast(b), Seq("blockhash")).filter(col("index") === 1).limit(1)
+    events(s).join(broadcast(b), Seq("blockhash")).filter(col("index") === 1)
+      .select(eventApi: _*).limit(1)
   }
 
   /** Q13 contract-creation predicate (query.go:377,391). */
   private def q13(s: SparkSession, d: String): DataFrame =
-    txs(s).filter(col("contract") =!= "" && col("from") === Acct2).orderBy(col("hash"))
+    txs(s).filter(col("contract") =!= "" && col("from") === Acct2)
+      .select(txApi: _*).orderBy(col("hash"))
 
   // ===== §2.3 joins ======================================================
 
@@ -153,14 +218,13 @@ object EvmQueries {
   private def j8(s: SparkSession, d: String): DataFrame =
     Relational.factJoinDim(events(s), blocksDim(s), "blockhash", "b_hash",
         col("origin") === C3, col("number").between(1000L, 1999L))
-      .select(col("blockhash"), col("index"), col("origin"), col("topics"),
-        col("data"), col("txhash"), col("number"))
+      .select(eventJoinApi: _*)
       .orderBy(evSort: _*)
 
   /** J9 scalar-subquery semi-join (query.go:167-191). */
   private def j9(s: SparkSession, d: String): DataFrame =
     Relational.semiJoin(txs(s), blocks(s), "blockhash", "hash", col("number") === 2003L)
-      .orderBy(col("hash"))
+      .select(txApi: _*).orderBy(col("hash"))
 
   /** J10 gap detection — the distributed form of the reference's
     * per-candidate binary search (`app/block/syncer.go:21-37`). Finds the
@@ -178,6 +242,7 @@ object EvmQueries {
   private def topicsExact(s: SparkSession, d: String): DataFrame =
     events(s)
       .filter(TopicMatch.topicsMatch(Map(0 -> EvmFixtures.sig(2), 2 -> EvmFixtures.arg(4))))
+      .select(eventApi: _*)
       .orderBy(evSort: _*)
 
   /** The SURVEY §7.2 flagship: contract + number range + positional topics,
@@ -190,8 +255,7 @@ object EvmQueries {
         events(s).filter(TopicMatch.topicsMatchTwoPhase(pins)),
         blocksDim(s), "blockhash", "b_hash",
         col("origin") === C7, col("number").between(0L, 1999L))
-      .select(col("blockhash"), col("index"), col("origin"), col("topics"),
-        col("data"), col("txhash"), col("number"))
+      .select(eventJoinApi: _*)
       .orderBy(evSort: _*)
   }
 
@@ -203,8 +267,7 @@ object EvmQueries {
         events(s).filter(TopicMatch.topicsMatchTwoPhase(pins)),
         blocksDim(s), "blockhash", "b_hash",
         col("origin") === C7, col("time").between(T0, T0 + 1999 * 12))
-      .select(col("blockhash"), col("index"), col("origin"), col("topics"),
-        col("data"), col("txhash"), col("number"))
+      .select(eventJoinApi: _*)
       .orderBy(evSort: _*)
   }
 
@@ -214,6 +277,7 @@ object EvmQueries {
     events(s)
       .filter(TopicMatch.topicsMatchWildcard(
         Seq("*", EvmFixtures.arg(7).toUpperCase, "", "*")))
+      .select(eventApi: _*)
       .orderBy(evSort: _*)
 
   // ===== §2.5 aggregates / §2.6 top-K ====================================
@@ -243,8 +307,7 @@ object EvmQueries {
     Relational.topK(
         Relational.factJoinDim(events(s), blocksDim(s), "blockhash", "b_hash",
             col("origin") === C0, col("number") >= 0L)
-          .select(col("blockhash"), col("index"), col("origin"), col("topics"),
-            col("data"), col("txhash"), col("number")),
+          .select(eventJoinApi: _*),
         50, col("number").desc, col("index").desc)
 
   // ===== beyond-reference: grouped/window analytics on domain data =======
@@ -383,32 +446,32 @@ object EvmQueries {
 
   def oracleSql: Map[String, String] = Map(
     "ev_q1_block_by_hash" ->
-      s"SELECT * FROM $blocksT WHERE hash = '$H1500'",
+      s"SELECT ${blockApiSql()} FROM $blocksT WHERE hash = '$H1500'",
     "ev_q2_block_by_number" ->
-      s"SELECT * FROM $blocksT WHERE number = 1500",
+      s"SELECT ${blockApiSql()} FROM $blocksT WHERE number = 1500",
     "ev_q3_blocks_by_number_range" ->
-      s"SELECT * FROM $blocksT WHERE number BETWEEN 1000 AND 1099 ORDER BY number",
+      s"SELECT ${blockApiSql()} FROM $blocksT WHERE number BETWEEN 1000 AND 1099 ORDER BY number",
     "ev_q4_blocks_by_time_range" ->
-      s"SELECT * FROM $blocksT WHERE time BETWEEN ${T0 + 1000 * 12} AND ${T0 + 1299 * 12} ORDER BY number",
+      s"SELECT ${blockApiSql()} FROM $blocksT WHERE time BETWEEN ${T0 + 1000 * 12} AND ${T0 + 1299 * 12} ORDER BY number",
     "ev_q5_block_numbers_in_range" ->
       s"SELECT number FROM $blocksT WHERE number BETWEEN 500 AND 799 ORDER BY number",
     "ev_q6_tx_by_hash" ->
-      s"SELECT * FROM $txsT WHERE hash = '$TX1201'",
+      s"SELECT ${txApiSql()} FROM $txsT WHERE hash = '$TX1201'",
     "ev_q7_tx_from_nonce" ->
-      s"""SELECT * FROM $txsT WHERE "from" = '$Acct3' AND nonce = 5""",
+      s"""SELECT ${txApiSql()} FROM $txsT WHERE "from" = '$Acct3' AND nonce = 5""",
     "ev_q8_txs_by_blockhash" ->
-      s"SELECT * FROM $txsT WHERE blockhash = '$H2003' ORDER BY hash",
+      s"SELECT ${txApiSql()} FROM $txsT WHERE blockhash = '$H2003' ORDER BY hash",
     "ev_q9_events_by_blockhash" ->
-      s"""SELECT * FROM $eventsT WHERE blockhash = '$H2003' ORDER BY "index"""",
+      s"""SELECT ${eventApiSql()} FROM $eventsT WHERE blockhash = '$H2003' ORDER BY "index"""",
     "ev_q10_events_by_txhash" ->
-      s"""SELECT * FROM $eventsT WHERE txhash = '$TX2003' ORDER BY "index"""",
+      s"""SELECT ${eventApiSql()} FROM $eventsT WHERE txhash = '$TX2003' ORDER BY "index"""",
     "ev_q11_event_by_blockhash_index" ->
-      s"""SELECT * FROM $eventsT WHERE blockhash = '$H2003' AND "index" = 1""",
+      s"""SELECT ${eventApiSql()} FROM $eventsT WHERE blockhash = '$H2003' AND "index" = 1""",
     "ev_q12_event_by_number_index" ->
-      s"""SELECT e.* FROM $eventsT e JOIN $blocksT b ON e.blockhash = b.hash
+      s"""SELECT ${eventApiSql("e.")} FROM $eventsT e JOIN $blocksT b ON e.blockhash = b.hash
           WHERE b.number = 2003 AND e."index" = 1""",
     "ev_q13_creation_txs" ->
-      s"""SELECT * FROM $txsT WHERE contract <> '' AND "from" = '$Acct2' ORDER BY hash""",
+      s"""SELECT ${txApiSql()} FROM $txsT WHERE contract <> '' AND "from" = '$Acct2' ORDER BY hash""",
     "ev_j1_txs_from_by_number_range" ->
       s"""SELECT t.hash, t."from", t."to", t.contract, t.value, t.gas, t.gasprice,
           t.cost, t.nonce, t.state, t.blockhash, b.number
@@ -438,38 +501,38 @@ object EvmQueries {
           WHERE t."from" = '$Acct2' AND t.contract <> '' AND b.number BETWEEN 0 AND 2999
           ORDER BY t.hash""",
     "ev_j8_events_from_contract_by_number_range" ->
-      s"""SELECT e.blockhash, e."index", e.origin, e.topics, e.data, e.txhash, b.number
+      s"""SELECT ${eventJoinApiSql("e.", "b.")}
           FROM $eventsT e JOIN $blocksT b ON e.blockhash = b.hash
           WHERE e.origin = '$C3' AND b.number BETWEEN 1000 AND 1999
           ORDER BY e.blockhash, e."index"""",
     "ev_j9_txs_by_block_number_semi" ->
-      s"""SELECT * FROM $txsT WHERE blockhash IN
+      s"""SELECT ${txApiSql()} FROM $txsT WHERE blockhash IN
           (SELECT hash FROM $blocksT WHERE number = 2003) ORDER BY hash""",
     "ev_j10_missing_blocks" ->
       s"""SELECT id AS number FROM generate_series(0, ${EvmFixtures.MaxNumber}) t(id)
           WHERE NOT EXISTS (SELECT 1 FROM $blocksT b WHERE b.number = t.id)
           ORDER BY number""",
     "ev_topics_exact" ->
-      s"""SELECT * FROM $eventsT
+      s"""SELECT ${eventApiSql()} FROM $eventsT
           WHERE len(topics) > 0 AND topics[1] = '${EvmFixtures.sig(2)}'
             AND len(topics) > 2 AND topics[3] = '${EvmFixtures.arg(4)}'
           ORDER BY blockhash, "index"""",
     "ev_topics_range" ->
-      s"""SELECT e.blockhash, e."index", e.origin, e.topics, e.data, e.txhash, b.number
+      s"""SELECT ${eventJoinApiSql("e.", "b.")}
           FROM $eventsT e JOIN $blocksT b ON e.blockhash = b.hash
           WHERE e.origin = '$C7' AND b.number BETWEEN 0 AND 1999
             AND len(e.topics) > 0 AND e.topics[1] = '${EvmFixtures.sig(2)}'
             AND len(e.topics) > 1 AND e.topics[2] = '${EvmFixtures.arg(6)}'
           ORDER BY e.blockhash, e."index"""",
     "ev_topics_time_range" ->
-      s"""SELECT e.blockhash, e."index", e.origin, e.topics, e.data, e.txhash, b.number
+      s"""SELECT ${eventJoinApiSql("e.", "b.")}
           FROM $eventsT e JOIN $blocksT b ON e.blockhash = b.hash
           WHERE e.origin = '$C7' AND b.time BETWEEN $T0 AND ${T0 + 1999 * 12}
             AND len(e.topics) > 0 AND e.topics[1] = '${EvmFixtures.sig(2)}'
             AND len(e.topics) > 1 AND e.topics[2] = '${EvmFixtures.arg(6)}'
           ORDER BY e.blockhash, e."index"""",
     "ev_topics_wildcard" ->
-      s"""SELECT * FROM $eventsT
+      s"""SELECT ${eventApiSql()} FROM $eventsT
           WHERE len(topics) > 1 AND lower(topics[2]) = lower('${EvmFixtures.arg(7)}')
           ORDER BY blockhash, "index"""",
     "ev_a1_block_min_max_count" ->
@@ -486,7 +549,7 @@ object EvmQueries {
           FROM $txsT t JOIN $blocksT b ON t.blockhash = b.hash
           WHERE t."from" = '$Acct2' AND b.number BETWEEN 1000 AND 1999""",
     "ev_t2_last50_events_from_contract" ->
-      s"""SELECT e.blockhash, e."index", e.origin, e.topics, e.data, e.txhash, b.number
+      s"""SELECT ${eventJoinApiSql("e.", "b.")}
           FROM $eventsT e JOIN $blocksT b ON e.blockhash = b.hash
           WHERE e.origin = '$C0' AND b.number >= 0
           ORDER BY b.number DESC, e."index" DESC LIMIT 50""",
