@@ -176,30 +176,74 @@ object Dedup {
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup buckets: group by the top `prefixBits` of the
-    * fingerprint (cheap blocking), compare within blocks only. The
-    * fingerprint is computed over shingles, not raw tokens — on
-    * small-vocabulary corpora token sets saturate and every fingerprint
-    * collides. */
-  def simHashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, prefixBits: Int = 12, shingleN: Int = 3): DataFrame = {
-    // Same explode + codegen + partial-agg shape as lshCandidatePairs: the
-    // 64 per-bit votes are plain conditional sums, combined map-side.
+  /** The production per-shingle hash: xxhash64 (codegen'd, fastest). */
+  def xxHash(c: Column): Column = xxhash64(c)
+
+  /** Cross-engine-reproducible 60-bit hash: the first 15 hex digits of
+    * sha256, as a long. Any engine with sha256 can replay it exactly
+    * (DuckDB: fold the hex digits with BIGINT shifts), which is what lets
+    * the driver gate hash-verify the whole SimHash pipeline. 60 bits so
+    * the unsigned `conv` result always fits a signed long. */
+  def sha60(c: Column): Column =
+    conv(substring(sha2(c, 256), 1, 15), 16, 10).cast(LongType)
+
+  /** SQL twin of [[sha60]] for DuckDB oracles: digit-wise BIGINT fold of
+    * the sha256 hex prefix. */
+  def sha60Sql(c: String): String =
+    s"CAST(list_sum(list_transform(range(1, 16), i -> " +
+      s"CAST(strpos('0123456789abcdef', substring(sha256($c), CAST(i AS INT), 1)) - 1 AS BIGINT) " +
+      s"* (CAST(1 AS BIGINT) << CAST(4 * (15 - i) AS INT)))) AS BIGINT)"
+
+  /** Per-document SimHash fingerprint over shingles: explode + codegen
+    * hash projections + partial-agg bit votes (the same shape as
+    * [[lshCandidatePairs]] — HOF lambdas would interpret ~100× slower).
+    * `bits` ≤ 63; a tie vote (0) counts as bit 0. Docs with no shingles
+    * (< shingleN words) carry no fingerprint and never pair. */
+  def simHashFingerprints(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, hashFn: Column => Column = xxHash,
+      bits: Int = 64): DataFrame = {
     val exploded = withShingles(df, idCol, textCol, shingleN, "__sh")
       .withColumnRenamed(idCol, "__id")
       .filter(size(col("__sh")) > 0)
       .select(col("__id"), explode(col("__sh")).as("__s"))
-      .select(col("__id"), xxhash64(col("__s")).as("__h"))
+      .select(col("__id"), hashFn(col("__s")).as("__h"))
     val votes = exploded.groupBy(col("__id")).agg(
-      bitVote(0).as("__v0"), (1 until 64).map(k => bitVote(k).as(s"__v$k")): _*)
-    val f = votes.select(col("__id"),
-      (0 until 64).map { k =>
+      bitVote(0).as("__v0"), (1 until bits).map(k => bitVote(k).as(s"__v$k")): _*)
+    votes.select(col("__id"),
+      (0 until bits).map { k =>
         when(col(s"__v$k") > 0, shiftleft(lit(1L), k).cast(LongType)).otherwise(lit(0L))
       }.reduce(_ + _).as("__sim"))
-    val keyed = f.withColumn("__blk", shiftright(col("__sim"), 64 - prefixBits))
-    val a = keyed.select(col("__id").as("a_id"), col("__sim").as("a_sim"), col("__blk"))
-    val b = keyed.select(col("__id").as("b_id"), col("__sim").as("b_sim"), col("__blk"))
-    a.join(b, Seq("__blk")).filter(col("a_id") < col("b_id"))
+  }
+
+  /** SimHash near-dup pairs with banded blocking: the fingerprint splits
+    * into `bands` disjoint slices and pairs agreeing on ANY slice are
+    * candidates — one shuffle on (band, slice), never all-pairs, and
+    * slices of ≥ 15 bits keep buckets tiny at corpus scale. By
+    * pigeonhole the blocking is EXACT whenever `maxHamming < bands`
+    * (< bands flipped bits cannot touch every band), so with the default
+    * (3, 4) the output is precisely every pair at hamming ≤ 3 — the
+    * standard web-dedup operating point (Manku et al., WWW'07; PAPERS.md).
+    * Candidate pairs are deduped BEFORE the hamming distance is computed
+    * — one comparison per pair, not per shared band. */
+  def simHashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, bands: Int = 4, shingleN: Int = 3,
+      hashFn: Column => Column = xxHash, bits: Int = 64): DataFrame = {
+    require(maxHamming < bands,
+      s"banded blocking is exact only for maxHamming < bands (got $maxHamming, $bands)")
+    val sliceBits = bits / bands
+    val mask = (1L << sliceBits) - 1
+    val f = simHashFingerprints(df, idCol, textCol, shingleN, hashFn, bits)
+    val banded = f.select(col("__id"), col("__sim"),
+      posexplode(array((0 until bands).map { b =>
+        shiftright(col("__sim"), b * sliceBits).bitwiseAND(lit(mask))
+      }: _*)).as(Seq("__band", "__key")))
+    val a = banded.select(col("__id").as("a_id"), col("__sim").as("a_sim"),
+      col("__band"), col("__key"))
+    val b = banded.select(col("__id").as("b_id"), col("__sim").as("b_sim"),
+      col("__band"), col("__key"))
+    a.join(b, Seq("__band", "__key")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_sim"), col("b_sim"))
+      .distinct()
       .select(col("a_id"), col("b_id"), hamming64(col("a_sim"), col("b_sim")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }

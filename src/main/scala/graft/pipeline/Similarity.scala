@@ -91,17 +91,25 @@ object Similarity {
       .limit(k)
   }
 
-  /** IVF coarse assignment: each vector → its nearest centroid id. In
-    * production this runs once at ingest and persists (bucketed by
-    * `c_id`); queries then touch only probed buckets. Centroids are any
-    * small (c_id, c_emb) frame — a deterministic sample works as the
-    * k-means-lite quantizer. */
+  /** IVF coarse assignment: each vector → its nearest centroid id. This
+    * is the ingest-time artifact of the IVF index — persist it once
+    * (bucketed by `c_id`, see [[IvfIndex]]); queries then touch only
+    * probed buckets. Centroids are any small (c_id, c_emb) frame — a
+    * deterministic sample works as the k-means-lite quantizer.
+    *
+    * Norms are staged as attributes so the per-(vector, centroid) work is
+    * ONE interpreted fold (the dot), not three — `cosine` inline would
+    * recompute both norms per pair ([[Dedup]] scaladoc on HOF costs). The
+    * quotient is bit-identical to inline `cosine`: same folds, same
+    * inputs, just cached. */
   def ivfAssign(emb: DataFrame, embCol: String, idCol: String,
       centroids: DataFrame): DataFrame = {
-    val scored = emb.select(col(idCol), col(embCol))
-      .crossJoin(broadcast(centroids))
+    val e = emb.select(col(idCol), col(embCol))
+      .withColumn("__en", norm(col(embCol)))
+    val c = centroids.withColumn("__cn", norm(col("c_emb")))
+    val scored = e.crossJoin(broadcast(c))
       .select(col(idCol), col(embCol), col("c_id"),
-        cosine(col(embCol), col("c_emb")).as("__cs"))
+        (dot(col(embCol), col("c_emb")) / (col("__en") * col("__cn"))).as("__cs"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("__cs").desc, col("c_id"))
     scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
       .select(col(idCol), col(embCol), col("c_id"))
@@ -109,38 +117,51 @@ object Similarity {
 
   /** IVF search: rank centroids against the query, exact-score only the
     * vectors assigned to the top `nprobe` buckets. The probed fraction
-    * (nprobe / #centroids) bounds the scan regardless of corpus size. */
+    * (nprobe / #centroids) bounds the scan regardless of corpus size.
+    * The query arrives as a 1-row (embCol) DataFrame and is broadcast —
+    * no driver-side `.collect()` anywhere in the plan. */
   def ivfTopK(assigned: DataFrame, embCol: String, idCol: String,
-      centroids: DataFrame, query: Seq[Float], k: Int, nprobe: Int): DataFrame = {
-    val q = vec(query)
-    val probed = centroids
-      .select(col("c_id"), cosine(col("c_emb"), q).as("__qs"))
+      centroids: DataFrame, query: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val q = broadcast(query.select(col(embCol).as("__q")))
+    val probed = centroids.crossJoin(q)
+      .select(col("c_id"), cosine(col("c_emb"), col("__q")).as("__qs"))
       .orderBy(col("__qs").desc, col("c_id"))
       .limit(nprobe)
       .select("c_id")
     assigned.join(broadcast(probed), Seq("c_id"), "left_semi")
-      .select(col(idCol), cosine(col(embCol), q).as("score"))
+      .crossJoin(q)
+      .select(col(idCol), cosine(col(embCol), col("__q")).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
 
   /** Embedding near-duplicate pairs at `minCosine`, LSH-bucketed so the
-    * exact scoring never sees the all-pairs product. */
+    * exact scoring never sees the all-pairs product. Candidate (a, b)
+    * pairs are deduped BEFORE scoring — a pair colliding in several
+    * tables costs one cosine, not one per collision — and vector norms
+    * are staged once per side so the per-pair work is a single dot. */
   def embeddingNearDupPairs(emb: DataFrame, embCol: String, idCol: String,
       minCosine: Double, planesPerTable: Int = 6, tables: Int = 3,
       dim: Int = 64, seed: Long = 42L): DataFrame = {
     val tablePlanes = (0 until tables).map(t => hyperplanes(planesPerTable, dim, seed + t))
-    val withBuckets = emb.select(col(idCol).as("__id"), col(embCol).as("__emb"),
+    val withBuckets = emb.select(col(idCol).as("__id"),
       array(tablePlanes.zipWithIndex.map { case (p, t) =>
         struct(lit(t).as("t"), lshBucket(col(embCol), p).as("bkt"))
       }: _*).as("__bkts"))
-    val exploded = withBuckets.select(col("__id"), col("__emb"),
-      explode(col("__bkts")).as("__b"))
-    val a = exploded.select(col("__id").as("a_id"), col("__emb").as("a_emb"), col("__b"))
-    val b = exploded.select(col("__id").as("b_id"), col("__emb").as("b_emb"), col("__b"))
-    a.join(b, Seq("__b")).filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), cosine(col("a_emb"), col("b_emb")).as("score"))
-      .distinct()
+    val exploded = withBuckets.select(col("__id"), explode(col("__bkts")).as("__b"))
+    val cands = exploded.select(col("__id").as("a_id"), col("__b"))
+      .join(exploded.select(col("__id").as("b_id"), col("__b")), Seq("__b"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val normed = emb.select(col(idCol).as("__nid"), col(embCol).as("__nemb"),
+      norm(col(embCol)).as("__n"))
+    cands
+      .join(normed.select(col("__nid").as("a_id"), col("__nemb").as("a_emb"),
+        col("__n").as("a_n")), Seq("a_id"))
+      .join(normed.select(col("__nid").as("b_id"), col("__nemb").as("b_emb"),
+        col("__n").as("b_n")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (dot(col("a_emb"), col("b_emb")) / (col("a_n") * col("b_n"))).as("score"))
       .filter(col("score") >= minCosine)
   }
 }

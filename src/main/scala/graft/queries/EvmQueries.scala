@@ -393,11 +393,18 @@ object EvmQueries {
         col("cost"), col("nonce"), col("state"), col("blockhash")).as("json"))
       .orderBy(col("hash"))
 
-  /** Exact uint256 total of all transferred value — the custom
-    * Aggregator + expressions path (SURVEY §2.10); the result exceeds
-    * DecimalType(38) range, so no SQL oracle exists (rows-only gate) —
-    * exactness is pinned by Uint256Spec property tests vs BigInt. */
+  /** Exact uint256 total of transferred value over the ≤30-digit slice —
+    * the custom Aggregator + expressions path (SURVEY §2.10), bounded so
+    * the exact sum fits DuckDB's HUGEINT and the oracle hash-checks it. */
   private def fUint256Sum(s: SparkSession, d: String): DataFrame =
+    txs(s).filter(length(col("value")) <= 30)
+      .agg(graft.functions.Uint256.sum(col("value")).as("total_value"))
+
+  /** The same exact sum over the FULL corpus, whose >2^128 values exceed
+    * every fixed-width SQL numeric — no cross-engine oracle can exist, so
+    * this stays the one rows-only entry; exactness beyond 128 bits is
+    * pinned by Uint256Spec property tests vs BigInt. */
+  private def fUint256SumFull(s: SparkSession, d: String): DataFrame =
     txs(s).agg(graft.functions.Uint256.sum(col("value")).as("total_value"))
 
   // ===== registry ========================================================
@@ -441,6 +448,7 @@ object EvmQueries {
     "ev_f_event_data_shape" -> (fEventDataShape _),
     "ev_f_wei_to_eth" -> (fWeiToEth _),
     "ev_f_uint256_sum" -> (fUint256Sum _),
+    "ev_f_uint256_sum_full" -> (fUint256SumFull _),
     "ev_f_tx_json" -> (fTxJson _),
   )
 
@@ -588,6 +596,9 @@ object EvmQueries {
                ELSE '' END AS data_json
           FROM $eventsT e JOIN $blocksT b ON e.blockhash = b.hash
           WHERE b.number BETWEEN 2000 AND 2099 ORDER BY e.blockhash, e."index"""",
+    "ev_f_uint256_sum" ->
+      s"""SELECT CAST(sum(CAST(value AS HUGEINT)) AS VARCHAR) AS total_value
+          FROM $txsT WHERE length(value) <= 30""",
     "ev_f_wei_to_eth" ->
       s"SELECT hash, CAST(value AS DOUBLE) / 1e18 AS value_eth FROM $txsT ORDER BY hash",
     "ev_f_tx_json" ->

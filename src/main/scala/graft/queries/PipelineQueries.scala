@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
 import graft.Tables
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
+import graft.pipeline.{Dedup, IvfIndex, Multimodal, Similarity, TextAnalysis => TA}
 
 /** Training-data-pipeline operators (dedup / similarity / text analysis /
   * multimodal) registered against the driver's `documents` / `embeddings`
@@ -74,13 +74,21 @@ object PipelineQueries {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  /** D4: SimHash(64-bit) near-dup pairs, prefix-blocked — rows-only entry
-    * (the fingerprint function is engine-specific); semantics are pinned
-    * by the ScalaTest recall spec against brute force. */
+  /** D4: SimHash near-dup pairs at hamming ≤ 3 with 4-band blocking —
+    * the blocking is provably exact for hamming < bands (pigeonhole), so
+    * the output is precisely every pair at hamming ≤ 3. The gate entry
+    * uses the cross-engine 60-bit sha-derived hash ([[Dedup.sha60]]) so
+    * the DuckDB oracle replays the ENTIRE pipeline — shingles →
+    * per-shingle hash → bit votes → fingerprint → hamming — and
+    * hash-matches it. (Production default stays xxhash64; the hash is a
+    * pluggable column function.) Corpus bounded like D3 so the oracle
+    * stays tractable. */
   private def d4(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .filter(col("doc_id") < 2000)
     val corpus = docs.union(mutatedDocs(docs.filter(pmod(col("doc_id"), lit(7)) === 0)))
-    Dedup.simHashNearDupPairs(corpus, "doc_id", "text", maxHamming = 16, prefixBits = 4)
+    Dedup.simHashNearDupPairs(corpus, "doc_id", "text", maxHamming = 3, bands = 4,
+        shingleN = 3, hashFn = Dedup.sha60, bits = 60)
       .orderBy(col("a_id"), col("b_id"))
   }
 
@@ -120,8 +128,10 @@ object PipelineQueries {
   }
 
   /** S3: ANN top-20 via sign-bit hyperplane LSH (8 tables × 6 planes),
-    * exact scoring only inside matching buckets — rows-only entry; recall
-    * vs S1 is pinned by the ScalaTest spec. */
+    * exact scoring only inside matching buckets. The planes are seeded
+    * literals, so the DuckDB oracle re-derives the same buckets and
+    * candidate set and hash-matches the exact top-20; recall vs S1 is
+    * additionally pinned by the ScalaTest spec. */
   private def s3(s: SparkSession, dir: String): DataFrame = {
     val planes = (0 until 8).map(t => Similarity.hyperplanes(6, 64, 42L + t))
     val base = embWithQuery(s, dir, 0)
@@ -134,22 +144,25 @@ object PipelineQueries {
       .limit(20)
   }
 
-  /** S4: IVF-bucketed ANN top-20 — deterministic centroid sample as the
-    * coarse quantizer, exact scoring only inside the nprobe nearest
-    * buckets. Rows-only entry; self-consistency vs brute force within the
-    * probed buckets is pinned by the ScalaTest spec. */
+  /** S4: IVF-bucketed ANN top-20 over the PERSISTED coarse index
+    * ([[IvfIndex.ensure]] builds it once per corpus, partitioned by
+    * centroid id) — the query itself only ranks centroids and scores the
+    * nprobe probed buckets; the O(N × centroids) assignment never runs at
+    * query time, and the query vector stays a broadcast 1-row frame (no
+    * driver collect). The whole pipeline is deterministic (centroid
+    * stride, bit-stable double folds), so the DuckDB oracle re-derives
+    * assignment + probing and hash-matches the exact top-20. */
   private def s4(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val centroids = emb.filter(pmod(col("vec_id"), lit(25)) === 0)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val assigned = IvfIndex.ensure(s, dir, emb, "embedding", "vec_id")
     val q = emb.filter(col("vec_id") === 0).select("embedding")
-      .collect().head.getSeq[Float](0) // 1-row API-parameter fetch
-    val assigned = Similarity.ivfAssign(
-      emb.filter(col("vec_id") =!= 0), "embedding", "vec_id", centroids)
-    Similarity.ivfTopK(assigned, "embedding", "vec_id", centroids, q, k = 20, nprobe = 4)
+    Similarity.ivfTopK(assigned.filter(col("vec_id") =!= 0), "embedding", "vec_id",
+      IvfIndex.centroids(emb, "vec_id", "embedding"), q, k = 20, nprobe = 4)
   }
 
-  /** E1: embedding near-dup pairs, LSH-bucketed — rows-only entry. */
+  /** E1: embedding near-dup pairs, LSH-bucketed, pairs deduped before the
+    * one cosine per pair. Seeded plane literals again make the candidate
+    * set + scores oracle-replayable in DuckDB. */
   private def e1(s: SparkSession, dir: String): DataFrame =
     Similarity.embeddingNearDupPairs(
         Tables.embeddings(s, dir), "embedding", "vec_id",
@@ -208,6 +221,34 @@ object PipelineQueries {
     "p_mm1_media_meta" -> (mm1 _),
   )
 
+  // ---- DuckDB twins of the vector/fingerprint math ----------------------
+
+  /** Sequential-fold double dot — the twin of [[Similarity.dot]]. */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a) + 1), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  private def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
+
+  /** The seeded hyperplanes of [[Similarity.hyperplanes]] as a VALUES
+    * list `(t, p, vec)` — float literals printed as their exact double
+    * values, so both engines fold the same numbers. */
+  private def planesSql(tables: Int, planesPerTable: Int, dim: Int, seed: Long): String =
+    (0 until tables).flatMap { t =>
+      Similarity.hyperplanes(planesPerTable, dim, seed + t).zipWithIndex.map {
+        case (p, i) =>
+          s"($t, $i, [${p.map(_.toDouble.toString).mkString(",")}])"
+      }
+    }.mkString(", ")
+
+  /** Per-(vector, table) sign-bit bucket CTE body — the twin of
+    * [[Similarity.lshBucket]]: bit p set iff dot(emb, plane_p) >= 0. */
+  private def sigSql: String =
+    s"""SELECT e.vec_id, pl.t,
+          CAST(sum(CASE WHEN ${dotSql("e.embedding", "pl.vec")} >= 0
+            THEN (CAST(1 AS BIGINT) << CAST(pl.p AS INT)) ELSE 0 END) AS BIGINT) AS bkt
+        FROM embeddings e, planes pl GROUP BY e.vec_id, pl.t"""
+
   private val langCase: String = {
     val ordered = TA.stopwords.keys.toSeq.sorted
     def score(l: String) =
@@ -258,6 +299,27 @@ object PipelineQueries {
                         / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) END AS j
             FROM nonempty a, nonempty b WHERE a.doc_id < b.doc_id)
           WHERE j >= 0.8 ORDER BY a_id, b_id"""),
+    "p_d4_simhash_neardup" ->
+      (s"""WITH corpus AS (
+            SELECT doc_id, text FROM documents WHERE doc_id < 2000
+            UNION ALL
+            SELECT doc_id + 10000 AS doc_id,
+                   array_to_string((string_split(text, ' '))[3:], ' ') AS text
+            FROM documents WHERE doc_id % 7 = 0 AND doc_id < 2000),
+          sh AS (SELECT doc_id, unnest(sh) AS s FROM
+                 (SELECT doc_id, $shinglesSql AS sh
+                  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus))),
+          h AS (SELECT doc_id, ${Dedup.sha60Sql("s")} AS h FROM sh),
+          v AS (SELECT doc_id, k, sum(CASE WHEN (h >> k) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+                FROM h, range(0, 60) t(k) GROUP BY doc_id, k),
+          f AS (SELECT doc_id, CAST(sum(CASE WHEN vote > 0
+                  THEN (CAST(1 AS BIGINT) << CAST(k AS INT)) ELSE 0 END) AS BIGINT) AS sim
+                FROM v GROUP BY doc_id)
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                 bit_count(xor(a.sim, b.sim)) AS hamming
+          FROM f a, f b WHERE a.doc_id < b.doc_id
+            AND bit_count(xor(a.sim, b.sim)) <= 3
+          ORDER BY a_id, b_id"""),
     "p_d5_rolling_overlap" ->
       ("""WITH corpus AS (
             SELECT doc_id, text FROM documents WHERE doc_id < 1000
@@ -305,6 +367,51 @@ object PipelineQueries {
             FROM embeddings p, embeddings c
             WHERE p.vec_id < 20 AND p.vec_id <> c.vec_id)
           WHERE rn = 1 ORDER BY probe_id"""),
+    "p_s3_lsh_ann_topk" ->
+      (s"""WITH planes(t, p, vec) AS (VALUES ${planesSql(8, 6, 64, 42L)}),
+          sig AS ($sigSql),
+          qs AS (SELECT t, bkt FROM sig WHERE vec_id = 0),
+          cand AS (SELECT DISTINCT s.vec_id FROM sig s
+                   JOIN qs ON s.t = qs.t AND s.bkt = qs.bkt
+                   WHERE s.vec_id <> 0),
+          q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+          SELECT e.vec_id,
+            ${dotSql("e.embedding", "qe")}
+              / (${normSql("e.embedding")} * ${normSql("qe")}) AS score
+          FROM embeddings e JOIN cand USING (vec_id), q
+          ORDER BY score DESC, vec_id LIMIT 20"""),
+    "p_s4_ivf_ann_topk" ->
+      (s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS c_emb,
+                  ${normSql("embedding")} AS c_n
+                FROM embeddings WHERE vec_id % 25 = 0),
+          e AS (SELECT vec_id, embedding, ${normSql("embedding")} AS e_n FROM embeddings),
+          assigned AS (SELECT vec_id, embedding, e_n, c_id FROM (
+            SELECT e.vec_id, e.embedding, e.e_n, c.c_id,
+              row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                ${dotSql("e.embedding", "c.c_emb")} / (e.e_n * c.c_n) DESC, c.c_id) AS rn
+            FROM e, cent c) WHERE rn = 1),
+          q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+          probed AS (SELECT c_id FROM cent, q
+                     ORDER BY ${dotSql("c_emb", "qe")} / (c_n * ${normSql("qe")}) DESC, c_id
+                     LIMIT 4)
+          SELECT a.vec_id,
+            ${dotSql("a.embedding", "qe")}
+              / (${normSql("a.embedding")} * ${normSql("qe")}) AS score
+          FROM assigned a JOIN probed USING (c_id), q
+          WHERE a.vec_id <> 0
+          ORDER BY score DESC, vec_id LIMIT 20"""),
+    "p_e1_embedding_neardup" ->
+      (s"""WITH planes(t, p, vec) AS (VALUES ${planesSql(3, 6, 64, 42L)}),
+          sig AS ($sigSql),
+          cands AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+                    FROM sig a JOIN sig b ON a.t = b.t AND a.bkt = b.bkt
+                    WHERE a.vec_id < b.vec_id),
+          n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nn FROM embeddings)
+          SELECT * FROM (
+            SELECT c.a_id, c.b_id,
+              ${dotSql("ea.embedding", "eb.embedding")} / (ea.nn * eb.nn) AS score
+            FROM cands c JOIN n ea ON ea.vec_id = c.a_id JOIN n eb ON eb.vec_id = c.b_id)
+          WHERE score >= 0.5 ORDER BY a_id, b_id"""),
     "p_t1_text_stats" ->
       (s"""SELECT doc_id,
             $langCase AS lang_id,
