@@ -66,7 +66,8 @@ class SimilaritySpec extends SparkSpec {
 
     val q = emb.filter(col("vec_id") === 0).select("embedding")
       .collect().head.getSeq[Float](0)
-    val ivf = Similarity.ivfTopK(assigned, "embedding", "vec_id", centroids, q, 10, 2)
+    val qDf = emb.filter(col("vec_id") === 0).select("embedding")
+    val ivf = Similarity.ivfTopK(assigned, "embedding", "vec_id", centroids, qDf, 10, 2)
       .collect().map(_.getAs[Long]("vec_id")).toSeq
     // self-consistency: IVF result == brute force restricted to the probed buckets
     val probedIds = assigned.join(
