@@ -61,17 +61,83 @@ object Backfill {
       entries.values.filter(_.nextAttemptAt <= now).toSeq.sortBy(_.number)
   }
 
-  /** S9: publish-once gate (`app/queue/queue.go:160-189,358-381`) — pure
-    * set semantics so stream restarts can rebuild it from a checkpoint. */
-  final case class PublishGate(published: Set[Long] = Set.empty) {
-    def canPublish(number: Long): Boolean = !published(number)
-    def markPublished(numbers: Seq[Long]): PublishGate = copy(published ++ numbers)
-    /** Filter a batch down to publishable blocks, oldest first
-      * (publish ordering block→tx→event is per entity within a batch). */
-    def publishable(packed: DataFrame): DataFrame = {
-      val gate = published
-      if (gate.isEmpty) packed
-      else packed.filter(!col("block.number").isin(gate.toSeq: _*))
+  /** S9: publish-once gate (`app/queue/queue.go:160-189,358-381`).
+    *
+    * **Bounded**: everything at or below `floor` (the confirmation
+    * watermark of the last [[prune]]) is accounted for by the confirmed
+    * tier itself, so the in-memory `published` set only holds numbers
+    * above the floor — O(confirmation depth), not O(history). The
+    * reference gets the same bound by evicting queue entries past the
+    * confirmation pass (`queue.go:320-328`).
+    *
+    * **Restart-safe**: [[save]]/[[load]] round-trip the state through a
+    * tiny control-plane file next to the stream checkpoint (atomic
+    * tmp+rename). Publish→persist is at-least-once across a crash — the
+    * same contract as the reference's Redis publish vs Postgres commit,
+    * which are not transactional with each other either. */
+  final case class PublishGate(floor: Long = -1L, published: Set[Long] = Set.empty) {
+    def canPublish(number: Long): Boolean = number > floor && !published(number)
+    def markPublished(numbers: Seq[Long]): PublishGate =
+      copy(published = published ++ numbers.filter(_ > floor))
+    /** Collapse everything the confirmation watermark made immutable into
+      * the floor — the set stays O(depth). Call AFTER the batch's publish,
+      * BEFORE its promotion (see `IngestJob.processBatch`). */
+    def prune(watermark: Long): PublishGate =
+      if (watermark <= floor) this
+      else PublishGate(watermark, published.filter(_ > watermark))
+
+    /** Filter a batch down to publishable blocks. Above the floor the
+      * in-memory set decides; at or below it (gap backfill of history) the
+      * confirmed tier decides via a bucket-pruned broadcast anti-join — a
+      * backfilled hole IS publishable (the reference pushes backfilled
+      * blocks through the same queue+publish path, `syncer.go:44-101`), a
+      * redelivered already-confirmed block is not. */
+    def publishable(packed: DataFrame, store: BlockStore): DataFrame = {
+      val num = col("block.number")
+      val fresh = packed.filter(num > floor)
+      val recent =
+        if (published.isEmpty) fresh
+        else fresh.filter(!num.isin(published.toSeq: _*))
+      if (floor < 0L) recent
+      else {
+        val old = packed.filter(num <= floor)
+        val b = old.agg(min(num), max(num)).collect()(0)
+        if (b.isNullAt(0)) recent
+        else {
+          val done = store.confirmedByNumberRange("blocks", b.getLong(0), b.getLong(1))
+            .select(col("number").as("__done")).distinct()
+          recent.unionByName(
+            old.join(broadcast(done), num === col("__done"), "left_anti"))
+        }
+      }
+    }
+
+    /** Persist atomically (tmp + ATOMIC_MOVE): `floor` then one published
+      * number per line. Driver-side control-plane state, like the retry
+      * ledger (SURVEY §7.3) — no Spark job for a few dozen longs. */
+    def save(path: String): Unit = {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val p = Paths.get(path)
+      Option(p.getParent).foreach(Files.createDirectories(_))
+      val tmp = Paths.get(path + ".tmp")
+      val body = (floor +: published.toSeq.sorted).mkString("\n")
+      Files.write(tmp, body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  object PublishGate {
+    /** Rebuild the gate from its persisted state (fresh gate if absent). */
+    def load(path: String): PublishGate = {
+      import java.nio.file.{Files, Paths}
+      val p = Paths.get(path)
+      if (!Files.exists(p)) PublishGate()
+      else {
+        val lines = new String(Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty)
+        PublishGate(lines.head.toLong, lines.tail.map(_.toLong).toSet)
+      }
     }
   }
 }

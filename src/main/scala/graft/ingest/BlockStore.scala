@@ -20,31 +20,46 @@ import graft.schema.Schemas
   * Spark-first translation — a two-tier table:
   *
   *   - **Unconfirmed (hot) tier**: packed rows, one per block, keyed by
-  *     `number` with an `ingest_seq`. Bounded by the confirmation depth ×
-  *     reorg window, so rewriting it wholesale per micro-batch is O(depth),
-  *     not O(history). Replace-by-number IS the cascade delete: txs/events
-  *     live inside the packed row.
+  *     `number` with an `(ingest_seq, batch_seq)` version stamp. Bounded by
+  *     the confirmation depth × reorg window, so rewriting it wholesale per
+  *     micro-batch is O(depth), not O(history). Replace-by-number IS the
+  *     cascade delete: txs/events live inside the packed row.
   *   - **Confirmed tier**: exploded blocks/transactions/events, partitioned
   *     by `bucket = number / bucketSize`, append-only. Promotion moves
   *     `number ≤ latest − confirmations` out of the hot tier
   *     (`listener.go:124-148` re-verify pass ≙ promotion batch).
   *
+  * Crash-safety contract (what the reference gets from one Postgres
+  * transaction per block, re-expressed on rename-atomic storage):
+  *
+  *   - The hot tier swaps via write-tmp → move-aside → move-in → drop-aside;
+  *     [[recoverDir]] repairs every intermediate crash state on next open,
+  *     so a live hot tier always survives (old or new — never neither).
+  *   - Promotion is **idempotent at block granularity per table**: each
+  *     append anti-joins against what the confirmed tier already holds in
+  *     the affected bucket range, so a foreachBatch replay after a crash
+  *     between the three appends (or before the hot-tier shrink) re-appends
+  *     only the rows that are actually missing.
+  *
   * At 100 TB the confirmed tier is the big one and it only ever appends
   * whole partitions; the mutable working set stays O(confirmation depth).
   */
-class BlockStore(spark: SparkSession, root: String, bucketSize: Long = 1000L) {
+class BlockStore(spark: SparkSession, val root: String, bucketSize: Long = 1000L) {
 
   val hotDir = s"$root/unconfirmed"
   val confirmedDir = s"$root/confirmed"
 
-  private def hotExists: Boolean = Files.exists(Paths.get(hotDir))
+  private def hotExists: Boolean = {
+    recoverDir(hotDir)
+    Files.exists(Paths.get(hotDir))
+  }
   private def confirmedExists(table: String): Boolean =
     Files.exists(Paths.get(s"$confirmedDir/$table"))
 
   def hot: DataFrame =
     if (hotExists) spark.read.parquet(hotDir)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      Schemas.packedBlock.add("ingest_seq", "long"))
+      Schemas.packedBlock.add("ingest_seq", "long").add("batch_seq", "long"))
 
   def confirmed(table: String): DataFrame = {
     val schema = table match {
@@ -59,7 +74,7 @@ class BlockStore(spark: SparkSession, root: String, bucketSize: Long = 1000L) {
 
   /** The queryable union view per table: confirmed ∪ normalized hot. */
   def view(table: String): DataFrame = {
-    val hotPacked = hot.drop("ingest_seq")
+    val hotPacked = hot.drop("ingest_seq", "batch_seq")
     val hotRows = table match {
       case "blocks" => PackedBlocks.blocksOf(hotPacked)
       case "transactions" => PackedBlocks.transactionsOf(hotPacked)
@@ -80,14 +95,21 @@ class BlockStore(spark: SparkSession, root: String, bucketSize: Long = 1000L) {
   /** S5 + ST7 + ST8: store a micro-batch of packed blocks into the hot
     * tier. Last writer wins per `number` (ST8 in-batch dedup + reorg
     * replace across batches — replacing the packed row cascades to its
-    * txs/events by construction). Blocks already promoted to the confirmed
-    * tier are immutable, as in the reference after the confirmed pass. */
+    * txs/events by construction). `batch_seq` breaks ties WITHIN one
+    * micro-batch in arrival (partition-major) order — two versions of the
+    * same block in one batch resolve to the later one, matching the
+    * reference's sequential per-block upsert (`app/db/block.go:44-63`),
+    * instead of an arbitrary row_number pick. Blocks already promoted to
+    * the confirmed tier are immutable, as in the reference after the
+    * confirmed pass. */
   def storeBatch(packed: DataFrame, batchId: Long): Unit = {
-    val stamped = packed.withColumn("ingest_seq", lit(batchId))
+    val stamped = packed
+      .withColumn("ingest_seq", lit(batchId))
+      .withColumn("batch_seq", monotonically_increasing_id())
     val merged = hot.unionByName(stamped)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("block.number"))
-      .orderBy(col("ingest_seq").desc)
+      .orderBy(col("ingest_seq").desc, col("batch_seq").desc)
     val deduped = merged
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
@@ -96,45 +118,134 @@ class BlockStore(spark: SparkSession, root: String, bucketSize: Long = 1000L) {
   }
 
   /** ST6: promote everything at `number ≤ latest − confirmations` to the
-    * confirmed tier (append, bucket-partitioned) and shrink the hot tier. */
+    * confirmed tier (append, bucket-partitioned) and shrink the hot tier.
+    * Idempotent: a replay of the same promotion (crash before the hot-tier
+    * shrink, foreachBatch redelivery) appends nothing the confirmed tier
+    * already holds — see [[appendConfirmed]]. */
   def promote(latest: Long, confirmations: Long): Long = {
     val watermark = latest - confirmations
     val h = hot.cache()
-    val eligible = h.filter(col("block.number") <= watermark).drop("ingest_seq").cache()
-    val n = eligible.count()
-    if (n > 0) {
-      // child tables carry no number; bucket them via their parent block
-      // hash with a broadcast join (the promotion batch is O(confirmation
-      // depth), always broadcastable)
-      val numbers = broadcast(PackedBlocks.blocksOf(eligible)
-        .select(col("hash").as("blockhash"), col("number").as("__bnum")))
-      appendConfirmed(PackedBlocks.blocksOf(eligible)
-        .withColumn("__bnum", col("number")), "blocks")
-      appendConfirmed(PackedBlocks.transactionsOf(eligible)
-        .join(numbers, Seq("blockhash")), "transactions")
-      appendConfirmed(PackedBlocks.eventsOf(eligible)
-        .join(numbers, Seq("blockhash")), "events")
+    val below = h.filter(col("block.number") <= watermark)
+      .drop("ingest_seq", "batch_seq")
+    val bounds = below.agg(
+      min(col("block.number")), max(col("block.number"))).collect()(0)
+    var promoted = 0L
+    if (!bounds.isNullAt(0)) {
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      // A number already in the confirmed tier never promotes again: a
+      // replay of a fully-promoted block is a no-op, and a reorg DEEPER
+      // than the confirmation depth is ignored rather than appended as a
+      // duplicate number — the reference's exact semantics once the
+      // confirmed pass ran (`app/db/block.go:59-63`, `queue.go:320-328`).
+      val doneNums = confirmedByNumberRange("blocks", lo, hi)
+        .select(col("number").as("__done")).distinct()
+      val eligible = below
+        .join(broadcast(doneNums), col("block.number") === col("__done"), "left_anti")
+        .cache()
+      promoted = eligible.count()
+      if (promoted > 0) {
+        // child tables carry no number; bucket them via their parent block
+        // hash with a broadcast join (the promotion batch is O(confirmation
+        // depth), always broadcastable). Children append FIRST and the
+        // parent blocks table LAST: the blocks row is the commit marker the
+        // pre-filter above keys on, so a crash between the three appends
+        // replays into "children skip via their own anti-join, the rest
+        // appends" instead of orphaning child rows.
+        val numbers = broadcast(PackedBlocks.blocksOf(eligible)
+          .select(col("hash").as("blockhash"), col("number").as("__bnum")))
+        appendConfirmed(PackedBlocks.eventsOf(eligible)
+          .join(numbers, Seq("blockhash")), "events", col("blockhash"), lo, hi)
+        appendConfirmed(PackedBlocks.transactionsOf(eligible)
+          .join(numbers, Seq("blockhash")), "transactions", col("blockhash"), lo, hi)
+        appendConfirmed(PackedBlocks.blocksOf(eligible)
+          .withColumn("__bnum", col("number")), "blocks", col("number"), lo, hi)
+      }
+      eligible.unpersist()
       replaceDir(h.filter(col("block.number") > watermark), hotDir)
     }
-    eligible.unpersist()
     h.unpersist()
-    n
+    promoted
   }
 
-  private def appendConfirmed(rows: DataFrame, table: String): Unit =
-    rows.withColumn("bucket", (col("__bnum") / bucketSize).cast("long"))
+  /** Append rows to a confirmed table, skipping whole blocks the table
+    * already holds (anti-join on `key` against the bucket-pruned confirmed
+    * slice). Each table is independently idempotent at block granularity,
+    * so a crash between the three appends replays cleanly: the tables that
+    * committed skip everything, the ones that didn't append their rows.
+    * The confirmed side of the anti-join is O(bucket), broadcastable. */
+  private def appendConfirmed(rows: DataFrame, table: String,
+      key: org.apache.spark.sql.Column, lo: Long, hi: Long): Unit = {
+    val done = confirmedByNumberRange(table, lo, hi)
+      .select(key.as("__seen")).distinct()
+    val fresh = rows.join(broadcast(done), key === col("__seen"), "left_anti")
+    fresh.withColumn("bucket", (col("__bnum") / bucketSize).cast("long"))
       .drop("__bnum")
       .write.mode(SaveMode.Append)
       .partitionBy("bucket")
       .parquet(s"$confirmedDir/$table")
+  }
 
-  // Parquet has no in-place replace: write to a temp dir, swap atomically.
+  // ---- crash-safe directory replacement --------------------------------
+
+  private def tmpOf(dir: String) = dir + "__tmp"
+  private def oldOf(dir: String) = dir + "__old"
+
+  /** Parquet has no in-place replace: write the new contents to a temp
+    * dir, then swap with two renames. The live dir is moved ASIDE, never
+    * deleted before the new one is in place — every crash point leaves a
+    * state [[recoverDir]] can repair without data loss (the round-2 advice
+    * finding: delete-then-move loses the hot tier on a crash between the
+    * two). Renames on one filesystem are atomic; the `_SUCCESS` marker
+    * distinguishes a complete tmp write from a torn one. */
   private def replaceDir(df: DataFrame, dir: String): Unit = {
-    val tmp = dir + "__tmp"
+    recoverDir(dir)
+    val tmp = tmpOf(dir); val old = oldOf(dir)
+    // step 1: materialize the new contents (reads the live dir, which
+    // stays untouched until the write has fully committed)
     df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
-    val target = Paths.get(dir)
-    if (Files.exists(target))
-      org.apache.commons.io.FileUtils.deleteDirectory(target.toFile)
-    Files.move(Paths.get(tmp), target)
+    // step 2: live → aside (skipped on first-ever write)
+    if (Files.exists(Paths.get(dir)))
+      Files.move(Paths.get(dir), Paths.get(old))
+    // step 3: tmp → live
+    Files.move(Paths.get(tmp), Paths.get(dir))
+    // step 4: drop the aside copy
+    deleteIfExists(old)
+  }
+
+  /** Repair any crash state of [[replaceDir]] — called before every open
+    * and every replace. Invariant restored: exactly the live dir exists
+    * (holding either the pre-crash or the post-crash contents, whichever
+    * the swap reached durably), no `__tmp`/`__old` leftovers remain. */
+  private def recoverDir(dir: String): Unit = {
+    val tmp = tmpOf(dir); val old = oldOf(dir)
+    val tmpComplete = Files.exists(Paths.get(s"$tmp/_SUCCESS"))
+    if (Files.exists(Paths.get(old))) {
+      if (Files.exists(Paths.get(dir))) {
+        // crashed after step 3: swap finished, aside not yet dropped
+        deleteIfExists(old); deleteIfExists(tmp)
+      } else if (tmpComplete) {
+        // crashed between steps 2 and 3 with a complete tmp: roll forward
+        Files.move(Paths.get(tmp), Paths.get(dir))
+        deleteIfExists(old)
+      } else {
+        // aside exists, no complete tmp: roll back to the pre-crash live
+        deleteIfExists(tmp)
+        Files.move(Paths.get(old), Paths.get(dir))
+      }
+    } else if (Files.exists(Paths.get(tmp))) {
+      if (!Files.exists(Paths.get(dir)) && tmpComplete) {
+        // first-ever write crashed between steps 1 and 3: roll forward
+        Files.move(Paths.get(tmp), Paths.get(dir))
+      } else {
+        // torn or superseded tmp write: the live dir (if any) is intact
+        deleteIfExists(tmp)
+      }
+    }
+  }
+
+  private def deleteIfExists(dir: String): Unit = {
+    val p = Paths.get(dir)
+    if (Files.exists(p))
+      org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
   }
 }

@@ -23,12 +23,20 @@ class IngestJob(spark: SparkSession, store: BlockStore, confirmations: Long,
 
   /** Monotonic high-water mark of seen block numbers (ST1 `latest`). */
   val latest = new AtomicReference[Long](-1L)
-  /** S9 publish-once gate, survives across batches. */
-  val gate = new AtomicReference(Backfill.PublishGate())
 
-  /** Process one micro-batch: store → promote → publish. Usable both as a
-    * `foreachBatch` body and directly for batch backfill jobs (ST2/ST3 use
-    * the same code path, as in the reference). */
+  /** S9 gate state file — control-plane state persisted next to the data
+    * it gates, so a restarted job resumes publish-once where it left off. */
+  val gatePath: String = s"${store.root}/publish_gate"
+  /** S9 publish-once gate: survives across batches in memory and across
+    * restarts via [[gatePath]]. */
+  val gate = new AtomicReference(Backfill.PublishGate.load(gatePath))
+
+  /** Process one micro-batch: store → publish → promote — publish precedes
+    * promotion, as in the reference (the queue publishes on store,
+    * `queue.go:160-189`; the confirmation pass runs later), which is what
+    * lets the gate treat "in the confirmed tier" as "published long ago".
+    * Usable both as a `foreachBatch` body and directly for batch backfill
+    * jobs (ST2/ST3 use the same code path, as in the reference). */
   def processBatch(packed: DataFrame, batchId: Long): Unit = {
     store.storeBatch(packed, batchId)
 
@@ -36,17 +44,20 @@ class IngestJob(spark: SparkSession, store: BlockStore, confirmations: Long,
     if (!batchMax.isNullAt(0))
       latest.getAndUpdate(l => math.max(l, batchMax.getLong(0)))
 
-    store.promote(latest.get(), confirmations)
-
     val g = gate.get()
-    val toPublish = g.publishable(packed).cache()
+    val toPublish = g.publishable(packed, store).cache()
     val nums = PackedBlocks.blocksOf(toPublish).select("number")
       .collect().map(_.getLong(0)).toSeq
-    if (nums.nonEmpty) {
-      onPublish(toPublish)
-      gate.set(g.markPublished(nums))
-    }
+    if (nums.nonEmpty) onPublish(toPublish)
     toPublish.unpersist()
+
+    // prune keeps the gate O(confirmation depth); persist before promotion
+    // so a crash replays as at-least-once publish, never publish-loss
+    val pruned = g.markPublished(nums).prune(latest.get() - confirmations)
+    gate.set(pruned)
+    pruned.save(gatePath)
+
+    store.promote(latest.get(), confirmations)
   }
 
   /** Wire the job to a packed-block stream with observed counters. */

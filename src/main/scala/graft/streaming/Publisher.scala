@@ -12,15 +12,22 @@ import graft.ingest.PackedBlocks
   * `publish_tx.go:13-96`, `publish_event.go:13-61`).
   *
   * Spark-first: one DataFrame of ordered notification messages per
-  * micro-batch — `(number, tier, topic, payload)` sorted by (number, tier,
-  * seq) reproduces the reference's ordering; the API tier drains it to
-  * whatever bus it fronts (websocket fanout via [[SubscriptionFilter]]). */
+  * micro-batch — `(number, tier, seq, subseq, topic, payload)` sorted by
+  * (number, tier, seq, subseq) reproduces the reference's ordering exactly:
+  * block first, then its transactions in packed position, then each tx's
+  * events in packed position. The API tier drains it to whatever bus it
+  * fronts (websocket fanout via [[SubscriptionFilter]]). */
 object Publisher {
 
-  /** The three ordered message tiers of one packed-block batch. */
+  /** The three ordered message tiers of one packed-block batch. `seq` is
+    * the transaction's position in the packed block, `subseq` the event's
+    * position within its transaction — the same ordering the reference
+    * walks in `publish_tx.go:13-96` / `publish_event.go:13-61` (NOT
+    * payload-string order, which interleaves hashes lexicographically). */
   def messages(packed: DataFrame): DataFrame = {
     val blockMsgs = PackedBlocks.blocksOf(packed).select(
-      col("number"), lit(0).as("tier"), lit("block").as("topic"),
+      col("number"), lit(0).as("tier"),
+      lit(0).as("seq"), lit(0).as("subseq"), lit("block").as("topic"),
       to_json(struct(
         col("hash"), col("number"), col("time"), col("parenthash"),
         col("difficulty"), col("gasused"), col("gaslimit"), col("nonce"),
@@ -30,22 +37,25 @@ object Publisher {
     val txFrames = packed.select(col("block.number").as("number"),
       posexplode(col("transactions")).as(Seq("seq", "pt")))
     val txMsgs = txFrames.select(
-      col("number"), lit(1).as("tier"), lit("transaction").as("topic"),
+      col("number"), lit(1).as("tier"), col("seq"), lit(0).as("subseq"),
+      lit("transaction").as("topic"),
       F.txJson(col("pt.tx.hash"), col("pt.tx.from"), col("pt.tx.to"),
         col("pt.tx.contract"), col("pt.tx.value"), col("pt.tx.data"),
         col("pt.tx.gas"), col("pt.tx.gasprice"), col("pt.tx.cost"),
         col("pt.tx.nonce"), col("pt.tx.state"), col("pt.tx.blockhash")).as("payload"))
 
     val evMsgs = txFrames
-      .select(col("number"), explode(col("pt.events")).as("ev"))
-      .select(col("number"), lit(2).as("tier"), lit("event").as("topic"),
+      .select(col("number"), col("seq"),
+        posexplode(col("pt.events")).as(Seq("subseq", "ev")))
+      .select(col("number"), lit(2).as("tier"), col("seq"), col("subseq"),
+        lit("event").as("topic"),
         to_json(struct(
           col("ev.origin"), col("ev.index"), col("ev.topics"),
           F.eventDataJson(col("ev.data")).as("data"),
           col("ev.txhash"), col("ev.blockhash"))).as("payload"))
 
     blockMsgs.unionByName(txMsgs).unionByName(evMsgs)
-      .orderBy(col("number"), col("tier"), col("payload"))
+      .orderBy(col("number"), col("tier"), col("seq"), col("subseq"))
   }
 
   /** ST11 delivery: tag every message with the subscription ids it

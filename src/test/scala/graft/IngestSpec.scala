@@ -114,6 +114,111 @@ class IngestSpec extends SparkSpec {
     assert(published === Vector(0L, 1L, 2L, 3L, 4L)) // 2 published exactly once
   }
 
+  test("hot-tier swap: every crash state recovers without losing the tier") {
+    import java.nio.file.{Files => F, Paths => P}
+    val store = new BlockStore(spark, tmpDir)
+    val job = new IngestJob(spark, store, confirmations = 10)
+    job.processBatch((0L to 3L).map(packed(_)).toDF(), batchId = 0)
+    val want = store.view("blocks").select("number").collect()
+      .map(_.getLong(0)).toSet
+    assert(want === (0L to 3L).toSet)
+
+    // crash between live→aside and tmp→live, tmp torn (no _SUCCESS): the
+    // aside copy must be restored
+    F.move(P.get(store.hotDir), P.get(store.hotDir + "__old"))
+    F.createDirectories(P.get(store.hotDir + "__tmp"))
+    assert(store.hot.select("block.number").collect()
+      .map(_.getLong(0)).toSet === want)
+    assert(!F.exists(P.get(store.hotDir + "__old")))
+    assert(!F.exists(P.get(store.hotDir + "__tmp")))
+
+    // crash after tmp→live but before dropping the aside copy: the live
+    // (newer) dir must win and the aside copy must be dropped
+    F.createDirectories(P.get(store.hotDir + "__old"))
+    assert(store.hot.select("block.number").collect()
+      .map(_.getLong(0)).toSet === want)
+    assert(!F.exists(P.get(store.hotDir + "__old")))
+
+    // crash between a COMPLETE tmp write and the swap: roll forward
+    val tmp = store.hotDir + "__tmp"
+    org.apache.commons.io.FileUtils.copyDirectory(
+      P.get(store.hotDir).toFile, P.get(tmp).toFile)
+    F.move(P.get(store.hotDir), P.get(store.hotDir + "__old"))
+    assert(F.exists(P.get(s"$tmp/_SUCCESS")), "fixture assumes _SUCCESS marker")
+    assert(store.hot.select("block.number").collect()
+      .map(_.getLong(0)).toSet === want)
+    assert(!F.exists(P.get(store.hotDir + "__old")))
+    assert(!F.exists(P.get(tmp)))
+  }
+
+  test("promote is idempotent: replay and per-table crash replay append nothing twice") {
+    val store = new BlockStore(spark, tmpDir)
+    val job = new IngestJob(spark, store, confirmations = 3)
+    job.processBatch((0L to 5L).map(packed(_)).toDF(), batchId = 0)
+    val counts = Seq("blocks", "transactions", "events")
+      .map(t => t -> store.confirmed(t).count()).toMap
+    assert(counts("blocks") === 3L) // 0..2 promoted
+
+    // plain replay of the same promotion: a no-op
+    assert(store.promote(latest = 5, confirmations = 3) === 0L)
+    counts.foreach { case (t, n) => assert(store.confirmed(t).count() === n) }
+
+    // simulate a crash where children committed but the parent blocks
+    // append did not (blocks is written LAST = it is the commit marker):
+    // redelivery must re-append exactly the blocks rows and no child rows
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      java.nio.file.Paths.get(s"${store.confirmedDir}/blocks").toFile)
+    job.processBatch((0L to 2L).map(packed(_)).toDF(), batchId = 1)
+    counts.foreach { case (t, n) => assert(store.confirmed(t).count() === n,
+      s"$t row count changed across crash replay") }
+    assert(store.view("transactions").count() ===
+      store.view("transactions").select("hash").distinct().count())
+  }
+
+  test("reorg deeper than the confirmation depth is ignored (block.go:59-63)") {
+    val store = new BlockStore(spark, tmpDir)
+    val job = new IngestJob(spark, store, confirmations = 1)
+    job.processBatch((0L to 4L).map(packed(_)).toDF(), batchId = 0)
+    // block 1 is long confirmed; a conflicting version arrives late
+    job.processBatch(Seq(packed(1, salt = "-deep")).toDF(), batchId = 1)
+    val b1 = store.view("blocks").filter(col("number") === 1)
+      .collect().map(_.getAs[String]("hash"))
+    assert(b1.toSeq === Seq(EvmFixtures.hash32("block-1")),
+      "confirmed tier must keep the original block, once")
+  }
+
+  test("in-batch duplicate of one number resolves to the LATER arrival (ST8)") {
+    val store = new BlockStore(spark, tmpDir)
+    val job = new IngestJob(spark, store, confirmations = 10)
+    job.processBatch(Seq(packed(4), packed(4, salt = "-b")).toDF(), batchId = 0)
+    val b4 = store.view("blocks").filter(col("number") === 4)
+      .collect().map(_.getAs[String]("hash"))
+    assert(b4.toSeq === Seq(EvmFixtures.hash32("block-4-b")))
+  }
+
+  test("publish gate survives a restart and stays bounded (S9)") {
+    val dir = tmpDir
+    val store = new BlockStore(spark, dir)
+    var published = Vector.empty[Long]
+    val job = new IngestJob(spark, store, confirmations = 2,
+      onPublish = df => published ++= PackedBlocks.blocksOf(df)
+        .select("number").collect().map(_.getLong(0)).sorted)
+    job.processBatch((0L to 5L).map(packed(_)).toDF(), batchId = 0)
+    assert(published === Vector(0L, 1L, 2L, 3L, 4L, 5L))
+    // bounded: watermark = 3 → only numbers above it stay in the set
+    assert(job.gate.get().floor === 3L)
+    assert(job.gate.get().published.forall(_ > 3L))
+
+    // a NEW job on the same store (restart) must not republish anything —
+    // neither above the floor (persisted set) nor below it (confirmed tier)
+    val job2 = new IngestJob(spark, store, confirmations = 2,
+      onPublish = df => published ++= PackedBlocks.blocksOf(df)
+        .select("number").collect().map(_.getLong(0)).sorted)
+    assert(job2.gate.get() === job.gate.get())
+    job2.processBatch(Seq(packed(2), packed(5), packed(6)).toDF(), batchId = 1)
+    assert(published === Vector(0L, 1L, 2L, 3L, 4L, 5L, 6L))
+  }
+
   test("retry ledger: fibonacci backoff capped, reset on success (queue.go:33-40)") {
     import Backfill._
     assert(backoffSeconds(1) === 1L)

@@ -23,9 +23,20 @@ class PublisherSpec extends SparkSpec {
   test("messages: strict block → txs → events order per block (publish_block.go:12-47)") {
     val msgs = Publisher.messages(Seq(packed(10), packed(11)).toDF()).collect()
     val perBlock = msgs.groupBy(_.getAs[Long]("number"))
-    perBlock.foreach { case (_, rows) =>
+    perBlock.foreach { case (n, rows) =>
       val topics = rows.map(_.getAs[String]("topic")).toSeq
       assert(topics === Seq("block", "transaction", "transaction", "event", "event"))
+      // within a tier, messages come in PACKED position order, not payload
+      // (= hash-lexicographic) order: tx 0 before tx 1, and each event
+      // carries its parent tx's position (publish_tx.go:13-96)
+      val txHashes = rows.filter(_.getAs[String]("topic") == "transaction")
+        .map(_.getAs[String]("payload"))
+      (0 until 2).foreach { j =>
+        assert(txHashes(j).contains(EvmFixtures.buildTx(n, j, j).hash),
+          s"tx at position $j of block $n out of packed order")
+      }
+      assert(rows.map(r => (r.getAs[Int]("seq"), r.getAs[Int]("subseq"))).toSeq ===
+        Seq((0, 0), (0, 0), (1, 0), (0, 0), (1, 0)))
     }
     // all blocks' messages are contiguous and ordered by number
     assert(msgs.map(_.getAs[Long]("number")).toSeq ===
