@@ -48,19 +48,25 @@ object Bench {
       val cold = time(fn(spark, sfDir).count())
       val warm = cold match {
         case Right(_) =>
-          val runs = (1 to 2).flatMap { _ =>
+          // ANY failing warm pass fails the query — an intermittent crash
+          // (e.g. OOM) must surface in `errors`, not be silently replaced
+          // by the surviving pass's time.
+          val runs = (1 to 2).map { _ =>
             isolate()
-            time(fn(spark, sfDir).count()).toOption
+            time(fn(spark, sfDir).count())
           }
-          if (runs.isEmpty) time(fn(spark, sfDir).count()) else Right(runs.min)
+          runs.collectFirst { case l @ Left(_) => l }
+            .getOrElse(Right(runs.collect { case Right(v) => v }.min))
         case left => left
       }
       (name, warm)
     }
 
     // Local-mode scheduling floor: the cost of launching a trivial job.
+    // A failing trivial job is a broken harness, not a floor of -1.
     isolate()
-    val floor = (1 to 3).map(_ => time(spark.range(1).count()).getOrElse(-1.0)).min
+    val floorRuns = (1 to 3).map(_ => time(spark.range(1).count())).collect { case Right(v) => v }
+    val floor = if (floorRuns.nonEmpty) floorRuns.min.toString else "null"
 
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"

@@ -67,6 +67,20 @@ object Relational {
     fact.filter(factPred)
       .join(broadcast(dim.filter(dimPred)), fact(factKey) === dim(dimKey))
 
+  /** [[factJoinDim]] without the broadcast hint, for callers whose dim
+    * predicate does NOT bound the dim side to a few hundred rows (e.g.
+    * T2's `number >= 0` = the whole blocks table). A forced broadcast of
+    * an unbounded dim is a driver/executor OOM at the reference's 10M-row
+    * steady state — here AQE picks broadcast only when the runtime size
+    * actually clears `spark.sql.autoBroadcastJoinThreshold`, and the
+    * equality-filtered FACT side is just as often the broadcastable one. */
+  def factJoinDimUnbounded(
+      fact: DataFrame, dim: DataFrame,
+      factKey: String, dimKey: String,
+      factPred: Column, dimPred: Column): DataFrame =
+    fact.filter(factPred)
+      .join(dim.filter(dimPred), fact(factKey) === dim(dimKey))
+
   /** J9: scalar-subquery semi-join — fact rows whose key appears in a
     * filtered dim set. Reference: `app/db/query.go:167-191`. */
   def semiJoin(fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String,

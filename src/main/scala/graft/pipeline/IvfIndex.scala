@@ -11,11 +11,27 @@ import org.apache.spark.sql.functions._
   * the O(N × centroids) assignment per query would defeat the point of
   * IVF at scale; queries must touch only the `nprobe` probed partitions.
   *
-  * The artifact is keyed by the corpus directory name so every scale
-  * factor gets its own index. Build is write-to-temp + atomic rename, so
-  * concurrent/restarted builders never expose a partial index.
+  * The artifact is keyed by (corpus directory, builder format version,
+  * every build parameter) so a different `stride` — or a future change to
+  * the assignment algorithm — can never silently reuse an index built
+  * under different settings. Build is write-to-unique-temp + atomic
+  * rename, so concurrent/restarted builders never expose a partial index
+  * and never trample each other's in-progress writes.
   */
 object IvfIndex {
+
+  /** Bump when the assignment algorithm or artifact layout changes —
+    * part of the cache key, so stale-format indexes rebuild. */
+  val FormatVersion = 2
+
+  /** Session conf key for the artifact root; falls back to a directory
+    * under the JVM working dir rather than any absolute literal. */
+  val RootConfKey = "graft.ivf.artifactRoot"
+
+  def artifactRoot(spark: SparkSession): String =
+    spark.conf.getOption(RootConfKey)
+      .orElse(sys.env.get("GRAFT_IVF_ROOT"))
+      .getOrElse(Paths.get("artifacts", "ivf").toAbsolutePath.toString)
 
   /** Deterministic centroid set: every `stride`-th vector — the
     * k-means-lite coarse quantizer (a trained codebook plugs in the same
@@ -30,9 +46,11 @@ object IvfIndex {
     * partitioned on disk by c_id. */
   def ensure(spark: SparkSession, corpusDir: String, emb: DataFrame,
       embCol: String, idCol: String, stride: Int = 25,
-      artifactRoot: String = "/root/repo/artifacts/ivf"): DataFrame = {
-    val key = Paths.get(corpusDir).getFileName.toString
-    val target = Paths.get(s"$artifactRoot/$key")
+      artifactRootOverride: Option[String] = None): DataFrame = {
+    val root = artifactRootOverride.getOrElse(artifactRoot(spark))
+    val corpus = Paths.get(corpusDir).getFileName.toString
+    val key = s"${corpus}_v${FormatVersion}_s$stride"
+    val target = Paths.get(s"$root/$key")
     // stale-index guard: a corpus regenerated after the index was built
     // invalidates the artifact (compare against the source parquet mtime)
     val source = Paths.get(s"$corpusDir/embeddings.parquet")
@@ -40,7 +58,9 @@ object IvfIndex {
         Files.getLastModifiedTime(source).compareTo(Files.getLastModifiedTime(target)) > 0)
       org.apache.commons.io.FileUtils.deleteDirectory(target.toFile)
     if (!Files.exists(target)) {
-      val tmp = Paths.get(s"$artifactRoot/__build_$key")
+      // unique per-attempt temp dir: concurrent builders each write their
+      // own staging area; exactly one wins the atomic rename
+      val tmp = Paths.get(s"$root/__build_${key}_${java.util.UUID.randomUUID()}")
       Similarity.ivfAssign(emb, embCol, idCol, centroids(emb, idCol, embCol, stride))
         .write.mode("overwrite").partitionBy("c_id").parquet(tmp.toString)
       try Files.move(tmp, target)

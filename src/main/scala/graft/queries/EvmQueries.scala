@@ -74,11 +74,14 @@ object EvmQueries {
     F.hexEncode(col("data")).as("data"), col("gas"), col("gasprice"),
     col("cost"), col("nonce"), col("state"), col("blockhash"))
 
-  /** All event columns, `topics` serialized, `data` hex-encoded. */
+  /** All event columns, `topics` serialized, `data` hex-encoded with the
+    * reference's all-zero suppression (`app/data/event.go:32-35`): exactly
+    * 32 zero bytes serialize as `""`, like F2. The coalesce matches the
+    * oracle's COALESCE — a NULL topics array must agree across engines. */
   private def eventApi: Seq[Column] = Seq(
     col("blockhash"), col("index"), col("origin"),
-    array_join(col("topics"), ",").as("topics"),
-    F.hexEncode(col("data")).as("data"), col("txhash"))
+    coalesce(array_join(col("topics"), ","), lit("")).as("topics"),
+    F.eventDataJson(col("data")).as("data"), col("txhash"))
 
   /** Event-join output shape (J8 / topics matcher / T2): event columns +
     * the dim side's `number`. */
@@ -88,6 +91,11 @@ object EvmQueries {
   // (e.g. "e.") so joined queries can qualify columns.
   private def hexSql(c: String): String =
     s"CASE WHEN octet_length($c) > 0 THEN '0x' || lower(hex($c)) ELSE '' END"
+
+  // F2 twin: hexSql + the reference's exactly-32-zero-bytes suppression
+  private def eventDataSql(c: String): String =
+    s"CASE WHEN lower(hex($c)) = repeat('00', 32) THEN '' " +
+      s"WHEN octet_length($c) > 0 THEN '0x' || lower(hex($c)) ELSE '' END"
 
   private def blockApiSql(p: String = ""): String =
     s"${p}hash, ${p}number, ${p}time, ${p}parenthash, ${p}difficulty, " +
@@ -105,7 +113,7 @@ object EvmQueries {
       // COALESCE: DuckDB's array_to_string yields NULL on an empty list,
       // Spark's array_join yields '' — events with 0 topics must agree
       s"""COALESCE(array_to_string(${p}topics, ','), '') AS topics, """ +
-      s"""${hexSql(p + "data")} AS data, ${p}txhash"""
+      s"""${eventDataSql(p + "data")} AS data, ${p}txhash"""
 
   private def eventJoinApiSql(p: String, numP: String): String =
     s"${eventApiSql(p)}, ${numP}number"
@@ -302,10 +310,13 @@ object EvmQueries {
         col("from") === Acct2, col("number").between(1000L, 1999L))
       .agg(count(lit(1)).as("n_rows"))
 
-  /** T2 `GetLastXEventsFromContract` (query.go:567-586), cap 50. */
+  /** T2 `GetLastXEventsFromContract` (query.go:567-586), cap 50. The dim
+    * predicate is unbounded (all history), so NO broadcast hint — AQE
+    * decides from runtime sizes; the origin-filtered event side is the
+    * small one at the reference's steady state. */
   private def t2(s: SparkSession, d: String): DataFrame =
     Relational.topK(
-        Relational.factJoinDim(events(s), blocksDim(s), "blockhash", "b_hash",
+        Relational.factJoinDimUnbounded(events(s), blocksDim(s), "blockhash", "b_hash",
             col("origin") === C0, col("number") >= 0L)
           .select(eventJoinApi: _*),
         50, col("number").desc, col("index").desc)
@@ -447,7 +458,7 @@ object EvmQueries {
     "ev_f_scalar_shapes" -> (fScalarShapes _),
     "ev_f_event_data_shape" -> (fEventDataShape _),
     "ev_f_wei_to_eth" -> (fWeiToEth _),
-    "ev_f_uint256_sum" -> (fUint256Sum _),
+    "ev_f_uint256_sum_bounded" -> (fUint256Sum _),
     "ev_f_uint256_sum_full" -> (fUint256SumFull _),
     "ev_f_tx_json" -> (fTxJson _),
   )
@@ -596,7 +607,7 @@ object EvmQueries {
                ELSE '' END AS data_json
           FROM $eventsT e JOIN $blocksT b ON e.blockhash = b.hash
           WHERE b.number BETWEEN 2000 AND 2099 ORDER BY e.blockhash, e."index"""",
-    "ev_f_uint256_sum" ->
+    "ev_f_uint256_sum_bounded" ->
       s"""SELECT CAST(sum(CAST(value AS HUGEINT)) AS VARCHAR) AS total_value
           FROM $txsT WHERE length(value) <= 30""",
     "ev_f_wei_to_eth" ->
