@@ -74,17 +74,102 @@ class QueryService(
       r <- requireRange(lo, hi, maxBlockRange)
     } yield joinRange(txs, col("from") === a, r._1, r._2)
 
+  /** `GetTransactionsFromAccountByBlockTimeRange` (query.go:248-272). */
+  def transactionsFromAccountByTimeRange(from: String, lo: Long, hi: Long): Either[String, DataFrame] =
+    for {
+      a <- requireAddr(from)
+      r <- requireRange(lo, hi, maxTimeRange)
+    } yield joinTimeRange(txs, col("from") === a, r._1, r._2)
+
   def transactionsToAccountByNumberRange(to: String, lo: Long, hi: Long): Either[String, DataFrame] =
     for {
       a <- requireAddr(to)
       r <- requireRange(lo, hi, maxBlockRange)
     } yield joinRange(txs, col("to") === a, r._1, r._2)
 
+  /** `GetTransactionsToAccountByBlockTimeRange` (query.go:304-328). */
+  def transactionsToAccountByTimeRange(to: String, lo: Long, hi: Long): Either[String, DataFrame] =
+    for {
+      a <- requireAddr(to)
+      r <- requireRange(lo, hi, maxTimeRange)
+    } yield joinTimeRange(txs, col("to") === a, r._1, r._2)
+
+  /** `GetTransactionsBetweenAccountsByBlockNumberRange` (query.go:332-356). */
+  def transactionsBetweenAccountsByNumberRange(from: String, to: String,
+      lo: Long, hi: Long): Either[String, DataFrame] =
+    for {
+      f <- requireAddr(from)
+      t <- requireAddr(to)
+      r <- requireRange(lo, hi, maxBlockRange)
+    } yield joinRange(txs, col("from") === f && col("to") === t, r._1, r._2)
+
+  /** `GetTransactionsBetweenAccountsByBlockTimeRange` (query.go:360-370). */
+  def transactionsBetweenAccountsByTimeRange(from: String, to: String,
+      lo: Long, hi: Long): Either[String, DataFrame] =
+    for {
+      f <- requireAddr(from)
+      t <- requireAddr(to)
+      r <- requireRange(lo, hi, maxTimeRange)
+    } yield joinTimeRange(txs, col("from") === f && col("to") === t, r._1, r._2)
+
   def contractCreationsFromAccount(from: String, lo: Long, hi: Long): Either[String, DataFrame] =
     for {
       a <- requireAddr(from)
       r <- requireRange(lo, hi, maxBlockRange)
     } yield joinRange(txs, col("from") === a && col("contract") =!= "", r._1, r._2)
+
+  /** `GetContractCreationTransactionsFromAccountByBlockTimeRange`
+    * (query.go:388-398). */
+  def contractCreationsFromAccountByTimeRange(from: String, lo: Long, hi: Long): Either[String, DataFrame] =
+    for {
+      a <- requireAddr(from)
+      r <- requireRange(lo, hi, maxTimeRange)
+    } yield joinTimeRange(txs, col("from") === a && col("contract") =!= "", r._1, r._2)
+
+  // ---- count twins (`GetTransactionCount*`, `GetBlockCount`) ------------
+  // The reference pairs every range endpoint with a COUNT variant that
+  // runs the same join/filter under `Count(&count)` — here the same plan
+  // under a count aggregate (partial counts map-side, one exchange of one
+  // long per partition).
+
+  /** `GetBlockCount` (query.go:66-74). */
+  def blockCount(): DataFrame = countOf(blocks)
+
+  /** `GetTransactionCountByBlockHash` (query.go:139-149). */
+  def transactionCountByBlockHash(hash: String): Either[String, DataFrame] =
+    transactionsByBlockHash(hash).map(countOf)
+
+  /** `GetTransactionCountByBlockNumber` (query.go:167-177) — the two-step
+    * number→hash subquery, as a semi-join. */
+  def transactionCountByBlockNumber(number: Long): Either[String, DataFrame] =
+    Right(countOf(Relational.semiJoin(
+      txs, blocks, "blockhash", "hash", col("number") === number)))
+
+  /** `GetTransactionCountFromAccountByBlockNumberRange` (query.go:206). */
+  def transactionCountFromAccountByNumberRange(from: String, lo: Long, hi: Long): Either[String, DataFrame] =
+    transactionsFromAccountByNumberRange(from, lo, hi).map(countOf)
+
+  /** `GetTransactionCountFromAccountByBlockTimeRange` (query.go:234). */
+  def transactionCountFromAccountByTimeRange(from: String, lo: Long, hi: Long): Either[String, DataFrame] =
+    transactionsFromAccountByTimeRange(from, lo, hi).map(countOf)
+
+  /** `GetTransactionCountToAccountByBlockNumberRange` (query.go:262). */
+  def transactionCountToAccountByNumberRange(to: String, lo: Long, hi: Long): Either[String, DataFrame] =
+    transactionsToAccountByNumberRange(to, lo, hi).map(countOf)
+
+  /** `GetTransactionCountToAccountByBlockTimeRange` (query.go:290). */
+  def transactionCountToAccountByTimeRange(to: String, lo: Long, hi: Long): Either[String, DataFrame] =
+    transactionsToAccountByTimeRange(to, lo, hi).map(countOf)
+
+  /** `GetTransactionCountBetweenAccountsByBlockNumberRange` (query.go:318). */
+  def transactionCountBetweenAccountsByNumberRange(from: String, to: String,
+      lo: Long, hi: Long): Either[String, DataFrame] =
+    transactionsBetweenAccountsByNumberRange(from, to, lo, hi).map(countOf)
+
+  /** `GetTransactionCountBetweenAccountsByBlockTimeRange` (query.go:346). */
+  def transactionCountBetweenAccountsByTimeRange(from: String, to: String,
+      lo: Long, hi: Long): Either[String, DataFrame] =
+    transactionsBetweenAccountsByTimeRange(from, to, lo, hi).map(countOf)
 
   // ---- /v1/event --------------------------------------------------------
 
@@ -94,17 +179,38 @@ class QueryService(
   def eventsByTransactionHash(hash: String): Either[String, DataFrame] =
     requireHash(hash).map(h => Relational.filterScan(events, col("txhash") === h))
 
+  /** `GetEventsFromContractByBlockTimeRange` (query.go:429-440). */
+  def eventsFromContractByTimeRange(contract: String, lo: Long, hi: Long): Either[String, DataFrame] =
+    for {
+      c <- requireAddr(contract)
+      r <- requireRange(lo, hi, maxTimeRange)
+    } yield joinTimeRange(events, col("origin") === c, r._1, r._2)
+
+  private def requireTopics(topics: Map[Int, String]): Either[String, Unit] =
+    topics.toSeq.collectFirst {
+      case (k, _) if k < 0 || k > 3 => Left(s"topic position $k out of 0..3")
+      case (_, v) if HashRe.findFirstIn(v).isEmpty => Left(s"invalid topic: $v")
+    }.getOrElse(Right(()))
+
   /** The deepest endpoint (rest.go:633-667): contract + range + topics. */
   def eventsFromContractWithTopics(contract: String, lo: Long, hi: Long,
       topics: Map[Int, String]): Either[String, DataFrame] =
     for {
       c <- requireAddr(contract)
       r <- requireRange(lo, hi, maxBlockRange)
-      _ <- topics.toSeq.collectFirst {
-        case (k, _) if k < 0 || k > 3 => Left(s"topic position $k out of 0..3")
-        case (_, v) if HashRe.findFirstIn(v).isEmpty => Left(s"invalid topic: $v")
-      }.getOrElse(Right(()))
+      _ <- requireTopics(topics)
     } yield joinRange(
+      events.filter(TopicMatch.topicsMatchTwoPhase(topics.map { case (k, v) => k -> v.toLowerCase })),
+      col("origin") === c, r._1, r._2)
+
+  /** `GetEventsFromContractWithTopicsByBlockTimeRange` (query.go:547-567). */
+  def eventsFromContractWithTopicsByTimeRange(contract: String, lo: Long, hi: Long,
+      topics: Map[Int, String]): Either[String, DataFrame] =
+    for {
+      c <- requireAddr(contract)
+      r <- requireRange(lo, hi, maxTimeRange)
+      _ <- requireTopics(topics)
+    } yield joinTimeRange(
       events.filter(TopicMatch.topicsMatchTwoPhase(topics.map { case (k, v) => k -> v.toLowerCase })),
       col("origin") === c, r._1, r._2)
 
@@ -128,4 +234,17 @@ class QueryService(
     Relational.factJoinDim(fact,
       blocks.select(col("hash").as("b_hash"), col("number")),
       "blockhash", "b_hash", pred, col("number").between(lo, hi))
+
+  // time predicates are width-capped by RangeChecker like number ranges
+  // (3600 s / 12 s-per-block ≈ 300 blocks), so the dim side stays a
+  // broadcastable sliver here too
+  private def joinTimeRange(fact: DataFrame, pred: org.apache.spark.sql.Column,
+      lo: Long, hi: Long): DataFrame =
+    Relational.factJoinDim(fact,
+      blocks.select(col("hash").as("b_hash"), col("number"), col("time")),
+      "blockhash", "b_hash", pred, col("time").between(lo, hi))
+
+  /** COUNT twin plan: same scan/join, one long per partition exchanged. */
+  private def countOf(df: DataFrame): DataFrame =
+    df.agg(count(lit(1)).as("count"))
 }

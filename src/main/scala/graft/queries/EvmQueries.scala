@@ -210,10 +210,25 @@ object EvmQueries {
         col("to") === Acct5, col("number").between(0L, 999L))
       .select(txCols: _*).orderBy(col("hash"))
 
+  /** J4 `…ToAccountByBlockTimeRange` (query.go:290-314), the time-range
+    * twin of J3 — same join shape, dim predicate on `time`. */
+  private def j4(s: SparkSession, d: String): DataFrame =
+    Relational.factJoinDim(txs(s), blocksDim(s), "blockhash", "b_hash",
+        col("to") === Acct5, col("time").between(T0, T0 + 999 * 12))
+      .select(txCols: _*).orderBy(col("hash"))
+
   /** J5 `…BetweenAccountsByBlockNumberRange` (query.go:318-342). */
   private def j5(s: SparkSession, d: String): DataFrame =
     Relational.factJoinDim(txs(s), blocksDim(s), "blockhash", "b_hash",
         col("from") === Acct2 && col("to") === Acct11, col("number").between(0L, 2999L))
+      .select(txCols: _*).orderBy(col("hash"))
+
+  /** J6 `…BetweenAccountsByBlockTimeRange` (query.go:346-370), the
+    * time-range twin of J5. */
+  private def j6(s: SparkSession, d: String): DataFrame =
+    Relational.factJoinDim(txs(s), blocksDim(s), "blockhash", "b_hash",
+        col("from") === Acct2 && col("to") === Acct11,
+        col("time").between(T0, T0 + 2999 * 12))
       .select(txCols: _*).orderBy(col("hash"))
 
   /** J7 contract creations from account in range (query.go:374-398). */
@@ -437,7 +452,9 @@ object EvmQueries {
     "ev_j1_txs_from_by_number_range" -> (j1 _),
     "ev_j2_txs_from_by_time_range" -> (j2 _),
     "ev_j3_txs_to_by_number_range" -> (j3 _),
+    "ev_j4_txs_to_by_time_range" -> (j4 _),
     "ev_j5_txs_between_by_number_range" -> (j5 _),
+    "ev_j6_txs_between_by_time_range" -> (j6 _),
     "ev_j7_creations_from_by_number_range" -> (j7 _),
     "ev_j8_events_from_contract_by_number_range" -> (j8 _),
     "ev_j9_txs_by_block_number_semi" -> (j9 _),
@@ -507,11 +524,24 @@ object EvmQueries {
           t.cost, t.nonce, t.state, t.blockhash, b.number
           FROM $txsT t JOIN $blocksT b ON t.blockhash = b.hash
           WHERE t."to" = '$Acct5' AND b.number BETWEEN 0 AND 999 ORDER BY t.hash""",
+    "ev_j4_txs_to_by_time_range" ->
+      s"""SELECT t.hash, t."from", t."to", t.contract, t.value, t.gas, t.gasprice,
+          t.cost, t.nonce, t.state, t.blockhash, b.number
+          FROM $txsT t JOIN $blocksT b ON t.blockhash = b.hash
+          WHERE t."to" = '$Acct5' AND b.time BETWEEN $T0 AND ${T0 + 999 * 12}
+          ORDER BY t.hash""",
     "ev_j5_txs_between_by_number_range" ->
       s"""SELECT t.hash, t."from", t."to", t.contract, t.value, t.gas, t.gasprice,
           t.cost, t.nonce, t.state, t.blockhash, b.number
           FROM $txsT t JOIN $blocksT b ON t.blockhash = b.hash
           WHERE t."from" = '$Acct2' AND t."to" = '$Acct11' AND b.number BETWEEN 0 AND 2999
+          ORDER BY t.hash""",
+    "ev_j6_txs_between_by_time_range" ->
+      s"""SELECT t.hash, t."from", t."to", t.contract, t.value, t.gas, t.gasprice,
+          t.cost, t.nonce, t.state, t.blockhash, b.number
+          FROM $txsT t JOIN $blocksT b ON t.blockhash = b.hash
+          WHERE t."from" = '$Acct2' AND t."to" = '$Acct11'
+            AND b.time BETWEEN $T0 AND ${T0 + 2999 * 12}
           ORDER BY t.hash""",
     "ev_j7_creations_from_by_number_range" ->
       s"""SELECT t.hash, t."from", t."to", t.contract, t.value, t.gas, t.gasprice,

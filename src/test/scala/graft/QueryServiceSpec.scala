@@ -43,6 +43,51 @@ class QueryServiceSpec extends SparkSpec {
     assert(nums.length === 10 && nums.sorted.reverse.sameElements(nums))
   }
 
+  test("time-range dispatch variants mirror their number-range twins (query.go:248-398)") {
+    val T0 = EvmFixtures.BaseTime
+    val a2 = EvmFixtures.account(2); val a5 = EvmFixtures.account(5)
+    val a11 = EvmFixtures.account(11)
+
+    // from-account: block range [1000,1099] ≡ time range of those blocks
+    val byNum = svc.transactionsFromAccountByNumberRange(a2, 1000, 1099)
+      .toOption.get.select("hash").collect().map(_.getString(0)).toSet
+    val byTime = svc.transactionsFromAccountByTimeRange(
+        a2, T0 + 1000 * 12, T0 + 1099 * 12)
+      .toOption.get.select("hash").collect().map(_.getString(0)).toSet
+    assert(byNum === byTime && byNum.nonEmpty)
+
+    // to-account + between-accounts time variants return rows and respect caps
+    assert(svc.transactionsToAccountByTimeRange(a5, T0, T0 + 3599).isRight)
+    assert(svc.transactionsToAccountByTimeRange(a5, T0, T0 + 3600).isLeft)
+    assert(svc.transactionsBetweenAccountsByNumberRange(a2, a11, 0, 99).isRight)
+    assert(svc.transactionsBetweenAccountsByTimeRange(a2, a11, T0, T0 + 3599).isRight)
+    assert(svc.contractCreationsFromAccountByTimeRange(a2, T0, T0 + 3599).isRight)
+    assert(svc.eventsFromContractByTimeRange(
+      EvmFixtures.contractAddr(0), T0, T0 + 3599).isRight)
+    assert(svc.eventsFromContractWithTopicsByTimeRange(
+      EvmFixtures.contractAddr(7), T0 + 1000 * 12, T0 + 1099 * 12,
+      Map(0 -> EvmFixtures.sig(2))).isRight)
+  }
+
+  test("count twins equal the row counts of their range endpoints (query.go:139-356)") {
+    val a2 = EvmFixtures.account(2)
+    val rows = svc.transactionsFromAccountByNumberRange(a2, 1000, 1099)
+      .toOption.get.count()
+    val cnt = svc.transactionCountFromAccountByNumberRange(a2, 1000, 1099)
+      .toOption.get.collect().head.getLong(0)
+    assert(cnt === rows && cnt > 0)
+
+    val h = EvmFixtures.blockHash(2003)
+    val byHash = svc.transactionCountByBlockHash(h).toOption.get.collect().head.getLong(0)
+    assert(byHash === svc.transactionsByBlockHash(h).toOption.get.count())
+    // two-step number→hash count twin agrees with the hash path
+    val byNum = svc.transactionCountByBlockNumber(2003).toOption.get.collect().head.getLong(0)
+    assert(byNum === byHash)
+
+    assert(svc.blockCount().collect().head.getLong(0) ===
+      EvmQueries.blocks(spark).count())
+  }
+
   test("tx JSON shaping emits contract XOR to per row (tx.go:42-52)") {
     val creations = svc.transactionsAsJson(
       EvmQueries.txs(spark).filter(col("contract") =!= "").limit(5)).collect()
