@@ -91,6 +91,59 @@ object Similarity {
       .limit(k)
   }
 
+  /** Candidate predicate over PERSISTED signatures: a vector is a
+    * candidate iff its bucket equals the query's in ANY table (positional
+    * — a table-`i` bucket never matches a table-`j` one). Codegen'd long
+    * comparisons over `tables`-element arrays; no corpus-side dots. */
+  def sigMatches(sig: Column, qsig: Column): Column =
+    exists(zip_with(sig, qsig, (a, b) => a === b), b => b)
+
+  /** [[lshTopK]] over a [[LshIndex]] frame `(idCol, embCol, nrm, sig)`:
+    * the corpus-side signature and norm computation (tables × planes
+    * interpreted fold dots PER ROW) moves to ingest; the query keeps one
+    * tiny 1-row signature derivation and one exact dot per candidate.
+    * Bit-identical to the on-the-fly path: same planes, same folds. */
+  def lshTopKIndexed(indexed: DataFrame, embCol: String, idCol: String,
+      query: DataFrame, k: Int, planesPerTable: Int, tables: Int,
+      dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val tablePlanes = (0 until tables).map(t => hyperplanes(planesPerTable, dim, seed + t))
+    val q = broadcast(query.select(col(embCol).as("__q"))
+      .withColumn("__qsig",
+        array(tablePlanes.map(p => lshBucket(col("__q"), p)): _*))
+      .withColumn("__qn", norm(col("__q"))))
+    indexed.crossJoin(q)
+      .filter(sigMatches(col("sig"), col("__qsig")))
+      .select(col(idCol),
+        (dot(col(embCol), col("__q")) / (col("nrm") * col("__qn"))).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** [[embeddingNearDupPairs]] over a [[LshIndex]] frame: candidates come
+    * from exploding the persisted signatures (one shuffle on (table,
+    * bucket), identical candidate set), and scoring reuses the persisted
+    * norms — the per-query work is ONE dot per deduped candidate pair. */
+  def embeddingNearDupPairsIndexed(indexed: DataFrame, embCol: String,
+      idCol: String, minCosine: Double): DataFrame = {
+    val exploded = indexed
+      .select(col(idCol).as("__id"), posexplode(col("sig")).as(Seq("__t", "__bkt")))
+      .select(col("__id"), struct(col("__t"), col("__bkt")).as("__b"))
+    val cands = exploded.select(col("__id").as("a_id"), col("__b"))
+      .join(exploded.select(col("__id").as("b_id"), col("__b")), Seq("__b"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val normed = indexed.select(col(idCol).as("__nid"),
+      col(embCol).as("__nemb"), col("nrm").as("__n"))
+    cands
+      .join(normed.select(col("__nid").as("a_id"), col("__nemb").as("a_emb"),
+        col("__n").as("a_n")), Seq("a_id"))
+      .join(normed.select(col("__nid").as("b_id"), col("__nemb").as("b_emb"),
+        col("__n").as("b_n")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (dot(col("a_emb"), col("b_emb")) / (col("a_n") * col("b_n"))).as("score"))
+      .filter(col("score") >= minCosine)
+  }
+
   /** IVF coarse assignment: each vector → its nearest centroid id. This
     * is the ingest-time artifact of the IVF index — persist it once
     * (bucketed by `c_id`, see [[IvfIndex]]); queries then touch only

@@ -80,6 +80,35 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf === brute)
   }
 
+  test("indexed LSH paths are bit-identical to the on-the-fly ones") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val root = java.nio.file.Files.createTempDirectory("graft-lsh").toString
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+    val qSeq = q.collect().head.getSeq[Float](0)
+
+    val indexed8 = graft.pipeline.LshIndex.ensure(spark, sf0001, emb,
+      "embedding", "vec_id", planesPerTable = 4, tables = 8,
+      artifactRootOverride = Some(root))
+    val fly = Similarity.lshTopK(emb.filter(col("vec_id") =!= 0),
+        "embedding", "vec_id", qSeq, 10, planesPerTable = 4, tables = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val idx = Similarity.lshTopKIndexed(indexed8.filter(col("vec_id") =!= 0),
+        "embedding", "vec_id", q, 10, planesPerTable = 4, tables = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(idx.toSeq === fly.toSeq) // ids AND double scores, bit-for-bit
+
+    val indexed3 = graft.pipeline.LshIndex.ensure(spark, sf0001, emb,
+      "embedding", "vec_id", planesPerTable = 6, tables = 3,
+      artifactRootOverride = Some(root))
+    val flyP = Similarity.embeddingNearDupPairs(emb, "embedding", "vec_id",
+        minCosine = 0.3, planesPerTable = 6, tables = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val idxP = Similarity.embeddingNearDupPairsIndexed(indexed3,
+        "embedding", "vec_id", minCosine = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(idxP === flyP)
+  }
+
   test("embeddingNearDupPairs only reports pairs above the threshold") {
     val emb = Tables.embeddings(spark, sf0001)
     val pairs = Similarity.embeddingNearDupPairs(emb, "embedding", "vec_id", 0.3)
