@@ -39,8 +39,15 @@ object Similarity {
       .limit(k)
 
   /** Exact nearest neighbor for each probe row, computed block-wise:
-    * probes × corpus with a window top-1. Probes must be a bounded slice
-    * (the all-pairs product is per-probe, not corpus²). */
+    * probes × corpus. Probes must be a bounded slice (the all-pairs
+    * product is per-probe, not corpus²).
+    *
+    * k = 1 aggregates with `max(struct(score, -id))` instead of a window:
+    * the aggregate partial-applies MAP-SIDE, so one candidate per (probe,
+    * partition) reaches the shuffle — the window variant shuffles every
+    * scored (probe × corpus) row to sort it. Same tie-break as the window
+    * ordering (score desc, then lowest neighbor id, via the negated id in
+    * the sort key); identical output, ~|corpus| less shuffle volume. */
   def nearestNeighbors(probes: DataFrame, corpus: DataFrame, embCol: String,
       idCol: String, k: Int = 1): DataFrame = {
     val p = probes.select(col(idCol).as("probe_id"), col(embCol).as("p_emb"))
@@ -49,9 +56,16 @@ object Similarity {
       .filter(col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"),
         cosine(col("p_emb"), col("c_emb")).as("score"))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
-    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k).drop("__rn")
+    if (k == 1)
+      scored.groupBy(col("probe_id"))
+        .agg(max(struct(col("score"), (-col("neighbor_id")).as("__negid"))).as("__top"))
+        .select(col("probe_id"), (-col("__top.__negid")).as("neighbor_id"),
+          col("__top.score").as("score"))
+    else {
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("score").desc, col("neighbor_id"))
+      scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k).drop("__rn")
+    }
   }
 
   /** Deterministic random hyperplanes (seeded driver-side) as literal

@@ -37,6 +37,17 @@ class SimilaritySpec extends SparkSpec {
       emb.filter(col("vec_id") < 5), emb, "embedding", "vec_id", k = 3).collect()
     assert(nn.length === 15)
     assert(nn.forall(r => r.getAs[Long]("probe_id") != r.getAs[Long]("neighbor_id")))
+
+    // the k=1 partial-agg path returns exactly the window path's rank-1 row
+    val expected = nn
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"), r.getAs[Double]("score")))
+      .groupBy(_._1).view.mapValues(_.minBy(t => (-t._3, t._2))).values.toSet
+    val top1 = Similarity.nearestNeighbors(
+        emb.filter(col("vec_id") < 5), emb, "embedding", "vec_id", k = 1)
+      .collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"), r.getAs[Double]("score")))
+      .toSet
+    assert(top1 === expected)
   }
 
   test("lshTopK: candidates are a subset scored exactly; recall vs brute force") {
