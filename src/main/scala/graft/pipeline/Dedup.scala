@@ -97,33 +97,67 @@ object Dedup {
       xxhash64(lit(b), slice(sig, lit(b * rows + 1), lit(rows)))
     }: _*)
 
-  /** Candidate near-duplicate pairs via banded LSH: explode band hashes,
-    * self-join on (band, bandHash) — the only shuffle is on bucket keys,
-    * never all-pairs. Returns distinct (a_id, b_id) with a_id < b_id. */
-  def lshCandidatePairs(df: DataFrame, idCol: String, shingleCol: String,
-      numHashes: Int = 32, bands: Int = 8): DataFrame = {
-    val rows = numHashes / bands
-    // MinHash via explode + plain projections + partial aggregation, NOT
-    // array higher-order functions: HOF lambdas evaluate interpreted (no
-    // whole-stage codegen, no subexpression elimination) — measured 100×
-    // slower at sf0.1. Exploding keeps every per-element hash inside
-    // codegen, and min() partial-aggregates map-side, so the only shuffle
-    // is one signature row per document.
+  /** MinHash signature rows `(__id, __m0 … __m{numHashes-1})` from a
+    * SHINGLED frame — the ingest-time sketch [[DedupIndex]] persists.
+    * MinHash via explode + plain projections + partial aggregation, NOT
+    * array higher-order functions: HOF lambdas evaluate interpreted (no
+    * whole-stage codegen, no subexpression elimination) — measured 100×
+    * slower at sf0.1. Exploding keeps every per-element hash inside
+    * codegen, and min() partial-aggregates map-side, so the only shuffle
+    * is one signature row per document. */
+  def minHashSignaturesOfShingles(df: DataFrame, idCol: String,
+      shingleCol: String, numHashes: Int = 32): DataFrame = {
     val exploded = df.filter(size(col(shingleCol)) > 0)
-      .select(col(idCol), explode(col(shingleCol)).as("__s"))
+      .select(col(idCol).as("__id"), explode(col(shingleCol)).as("__s"))
     val hashed = exploded.select(
-      col(idCol) +: (0 until numHashes).map(i => xxhash64(lit(i), col("__s")).as(s"__h$i")): _*)
-    val sig = hashed.groupBy(col(idCol)).agg(
+      col("__id") +: (0 until numHashes).map(i => xxhash64(lit(i), col("__s")).as(s"__h$i")): _*)
+    hashed.groupBy(col("__id")).agg(
       min(col("__h0")).as("__m0"),
       (1 until numHashes).map(i => min(col(s"__h$i")).as(s"__m$i")): _*)
-    val withBands = sig.select(col(idCol),
+  }
+
+  /** Signature rows straight from a raw (id, text) frame. */
+  def minHashSignatureRows(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 32): DataFrame =
+    minHashSignaturesOfShingles(
+      withShingles(df, idCol, textCol, shingleN, "__sh"), idCol, "__sh", numHashes)
+
+  /** Candidate pairs from a signature frame `(__id, __m*)`: explode band
+    * hashes, self-join on (band, bandHash) — the only shuffle is on bucket
+    * keys, never all-pairs. Returns distinct (a_id, b_id), a_id < b_id. */
+  def lshCandidatePairsFromSignatures(sig: DataFrame,
+      numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val rows = numHashes / bands
+    val withBands = sig.select(col("__id"),
       posexplode(array((0 until bands).map { b =>
         xxhash64(lit(b) +: (0 until rows).map(r => col(s"__m${b * rows + r}")): _*)
       }: _*)).as(Seq("band", "bucket")))
-    val a = withBands.select(col(idCol).as("a_id"), col("band"), col("bucket"))
-    val b = withBands.select(col(idCol).as("b_id"), col("band"), col("bucket"))
+    val a = withBands.select(col("__id").as("a_id"), col("band"), col("bucket"))
+    val b = withBands.select(col("__id").as("b_id"), col("band"), col("bucket"))
     a.join(b, Seq("band", "bucket")).filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
+  }
+
+  /** Candidate near-duplicate pairs via banded LSH from a shingled frame
+    * (signatures computed inline — see the indexed variant for the
+    * persisted-sketch lifecycle). */
+  def lshCandidatePairs(df: DataFrame, idCol: String, shingleCol: String,
+      numHashes: Int = 32, bands: Int = 8): DataFrame =
+    lshCandidatePairsFromSignatures(
+      minHashSignaturesOfShingles(df, idCol, shingleCol, numHashes), numHashes, bands)
+
+  /** Exact-Jaccard verification of candidate (a_id, b_id) pairs against
+    * the corpus text, thresholded. Shingles are one codegen'd projection
+    * per side; only candidate rows survive the joins. */
+  private def verifyJaccard(cands: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String, threshold: Double, shingleN: Int): DataFrame = {
+    val sh = withShingles(corpus, idCol, textCol, shingleN, "__sh")
+      .withColumnRenamed(idCol, "__id")
+    cands
+      .join(sh.select(col("__id").as("a_id"), col("__sh").as("a_sh")), Seq("a_id"))
+      .join(sh.select(col("__id").as("b_id"), col("__sh").as("b_sh")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"), jaccard(col("a_sh"), col("b_sh")).as("j"))
+      .filter(col("j") >= threshold)
   }
 
   /** Full MinHash-LSH near-dup pipeline: LSH candidates, then exact
@@ -133,13 +167,20 @@ object Dedup {
       bands: Int = 8): DataFrame = {
     val sh = withShingles(df, idCol, textCol, shingleN, "__sh")
       .withColumnRenamed(idCol, "__id")
-    val cands = lshCandidatePairs(sh, "__id", "__sh", numHashes, bands)
-    cands
-      .join(sh.select(col("__id").as("a_id"), col("__sh").as("a_sh")), Seq("a_id"))
-      .join(sh.select(col("__id").as("b_id"), col("__sh").as("b_sh")), Seq("b_id"))
-      .select(col("a_id"), col("b_id"), jaccard(col("a_sh"), col("b_sh")).as("j"))
-      .filter(col("j") >= threshold)
+    val cands = lshCandidatePairsFromSignatures(
+      minHashSignaturesOfShingles(sh, "__id", "__sh", numHashes), numHashes, bands)
+    verifyJaccard(cands, df, idCol, textCol, threshold, shingleN)
   }
+
+  /** [[minHashNearDupPairs]] over a PERSISTED signature frame (see
+    * [[DedupIndex.ensureMinHash]]): the explode → numHashes-column
+    * aggregation never runs at query time; candidates come from banding
+    * the stored sketch, verification re-shingles only to score them. */
+  def minHashNearDupPairsIndexed(corpus: DataFrame, sig: DataFrame,
+      idCol: String, textCol: String, threshold: Double, shingleN: Int = 3,
+      numHashes: Int = 32, bands: Int = 8): DataFrame =
+    verifyJaccard(lshCandidatePairsFromSignatures(sig, numHashes, bands),
+      corpus, idCol, textCol, threshold, shingleN)
 
   /** Brute-force n-gram Jaccard pairs — the oracle-checkable baseline the
     * LSH path is validated against. All-pairs: only for bounded slices. */
@@ -227,12 +268,22 @@ object Dedup {
     * — one comparison per pair, not per shared band. */
   def simHashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, bands: Int = 4, shingleN: Int = 3,
-      hashFn: Column => Column = xxHash, bits: Int = 64): DataFrame = {
+      hashFn: Column => Column = xxHash, bits: Int = 64): DataFrame =
+    simHashNearDupPairsFromFingerprints(
+      simHashFingerprints(df, idCol, textCol, shingleN, hashFn, bits),
+      maxHamming, bands, bits)
+
+  /** [[simHashNearDupPairs]] over a PERSISTED fingerprint frame
+    * `(__id, __sim)` (see [[DedupIndex.ensureSimHash]]): the explode →
+    * bit-vote aggregation never runs at query time — banding, in-bucket
+    * pairing, and the hamming check are all codegen'd long arithmetic on
+    * the stored sketch. */
+  def simHashNearDupPairsFromFingerprints(f: DataFrame, maxHamming: Int = 3,
+      bands: Int = 4, bits: Int = 64): DataFrame = {
     require(maxHamming < bands,
       s"banded blocking is exact only for maxHamming < bands (got $maxHamming, $bands)")
     val sliceBits = bits / bands
     val mask = (1L << sliceBits) - 1
-    val f = simHashFingerprints(df, idCol, textCol, shingleN, hashFn, bits)
     val banded = f.select(col("__id"), col("__sim"),
       posexplode(array((0 until bands).map { b =>
         shiftright(col("__sim"), b * sliceBits).bitwiseAND(lit(mask))

