@@ -34,5 +34,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("keccak256"),
       info("keccak256", "keccak256(bytes) - Ethereum's Keccak-256 digest (pre-NIST padding)"),
       (args: Seq[Expression]) => graft.functions.Keccak.Keccak256(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("image_meta"),
+      info("image_meta", "image_meta(bytes) - struct(format, width, height) of a PNG/JPEG/GIF header, else NULL"),
+      (args: Seq[Expression]) => graft.pipeline.ImageHeader.ImageMetaExpr(args(0))))
   }
 }

@@ -7,11 +7,15 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, plus decode / feature-extract /
   * frame-sample operators.
   *
-  * The decode step is STUBBED (this container has no image/audio codecs):
-  * `decodeMetaStub` derives deterministic fake metadata from the raw bytes.
-  * Everything around the stub — schema, batch shape, partition-preserving
-  * execution, explode semantics — is real and tested, so swapping in a
-  * true codec is a drop-in replacement of one function.
+  * Image-container decode is REAL: [[decodeMeta]] parses PNG/JPEG/GIF
+  * headers in-engine via the [[ImageHeader.ImageMetaExpr]] Catalyst
+  * expression. Audio/video decode (and pixel decode beyond the header)
+  * remains STUBBED — this container has no media codecs —
+  * `decodeMetaStub` derives deterministic fake metadata from the raw
+  * bytes. Everything around the stub — schema, batch shape,
+  * partition-preserving execution, explode semantics — is real and
+  * tested, so swapping in a true codec is a drop-in replacement of one
+  * function.
   *
   * Scale notes: media bytes are the dominant payload; every operator here
   * projects metadata *without* shuffling the bytes (per-row expressions or
@@ -29,6 +33,31 @@ object Multimodal {
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (pmod(col(idCol), lit(3)) + 1).cast("int")).as("kind"),
       encode(col(textCol), "UTF-8").as("bytes"))
+
+  /** REAL image-container decode: `struct(format, width, height)` parsed
+    * from PNG/JPEG/GIF headers by the [[ImageHeader.ImageMetaExpr]]
+    * Catalyst expression (codegen'd; null for unrecognized bytes).
+    * Requires the `graft.GraftExtensions` session extension. */
+  def imageMeta(bytes: Column): Column =
+    org.apache.spark.sql.functions.call_function("image_meta", bytes)
+
+  /** Decode with a real-first policy: image bytes that parse as an actual
+    * PNG/JPEG/GIF container get their true dimensions; everything else
+    * falls back to [[decodeMetaStub]] (the fixture corpus carries fake
+    * payloads, and audio/video codecs are not available in-container). */
+  def decodeMeta(kind: Column, bytes: Column): Column = {
+    val real = imageMeta(bytes)
+    val stub = decodeMetaStub(kind, bytes)
+    when(kind === "image" && real.isNotNull,
+      struct(
+        length(bytes).as("size_bytes"),
+        real.getField("width").as("width"),
+        real.getField("height").as("height"),
+        lit(null).cast("int").as("sample_rate"),
+        lit(null).cast("int").as("duration_s"),
+        lit(null).cast("int").as("fps")))
+      .otherwise(stub)
+  }
 
   /** STUB decode: deterministic fake metadata from byte length. A real
     * deployment replaces this with a codec call (e.g. a JNI/FFI decode in

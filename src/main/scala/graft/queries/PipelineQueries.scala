@@ -215,6 +215,44 @@ object PipelineQueries {
       .orderBy(col("media_id"))
   }
 
+  /** MM2: REAL image-header decode through the `image_meta` Catalyst
+    * expression ([[graft.pipeline.ImageHeader]]): per-doc PNG/JPEG/GIF
+    * byte streams are constructed in-engine from doc_id-derived
+    * dimensions, then parsed back. The oracle recomputes the expected
+    * (format, width, height) arithmetically — a cross-engine check that
+    * construct→parse is the identity across the corpus, exercising the
+    * codegen'd parser on every container format. */
+  private def mm2(s: SparkSession, dir: String): DataFrame = {
+    val w = (pmod(col("doc_id"), lit(1919)) + 1).cast("int")
+    val h = (pmod(col("doc_id") * 7, lit(1079)) + 1).cast("int")
+    def be32(c: Column) = unhex(lpad(hex(c.cast("long")), 8, "0"))
+    def be16(c: Column) = unhex(lpad(hex(c.cast("long")), 4, "0"))
+    def le16(c: Column) = unhex(concat(
+      lpad(hex(c.bitwiseAND(lit(255))), 2, "0"),
+      lpad(hex(shiftright(c, 8).bitwiseAND(lit(255))), 2, "0")))
+    def b(xs: Int*) = lit(xs.map(_.toByte).toArray)
+    val png = concat(
+      b(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a), be32(lit(13)),
+      lit("IHDR".getBytes("US-ASCII")), be32(w), be32(h),
+      b(8, 6, 0, 0, 0), be32(lit(0)))
+    val jpeg = concat(
+      b(0xff, 0xd8),                                       // SOI
+      b(0xff, 0xe0, 0x00, 0x10), lit("JFIF".getBytes("US-ASCII")), b(0, 0, 0, 0, 0, 0, 0, 0, 0, 0),
+      b(0xff, 0xc0, 0x00, 0x11, 0x08), be16(h), be16(w),   // SOF0: precision, h, w
+      b(1, 0x11, 0, 0))
+    val gif = concat(lit("GIF89a".getBytes("US-ASCII")), le16(w), le16(h), b(0, 0, 0))
+    val bytes = when(pmod(col("doc_id"), lit(3)) === 0, png)
+      .when(pmod(col("doc_id"), lit(3)) === 1, jpeg)
+      .otherwise(gif)
+    val m = Multimodal.imageMeta(bytes)
+    Tables.documents(s, dir).select(col("doc_id"), m.as("__m"))
+      .select(col("doc_id"),
+        col("__m").getField("format").as("format"),
+        col("__m").getField("width").cast("long").as("width"),
+        col("__m").getField("height").cast("long").as("height"))
+      .orderBy(col("doc_id"))
+  }
+
   // ===== registry ========================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -230,6 +268,7 @@ object PipelineQueries {
     "p_e1_embedding_neardup" -> (e1 _),
     "p_t1_text_stats" -> (t1 _),
     "p_mm1_media_meta" -> (mm1 _),
+    "p_mm2_image_header" -> (mm2 _),
   )
 
   // ---- DuckDB twins of the vector/fingerprint math ----------------------
@@ -457,5 +496,11 @@ object PipelineQueries {
             CASE WHEN doc_id % 3 IN (1, 2) THEN octet_length(encode(text)) % 600 + 1 END AS duration_s,
             CASE WHEN doc_id % 3 = 2 THEN (octet_length(encode(text)) % 2) * 6 + 24 END AS fps
           FROM documents ORDER BY media_id"""),
+    "p_mm2_image_header" ->
+      ("""SELECT doc_id,
+            (['png', 'jpeg', 'gif'])[doc_id % 3 + 1] AS format,
+            doc_id % 1919 + 1 AS width,
+            (doc_id * 7) % 1079 + 1 AS height
+          FROM documents ORDER BY doc_id"""),
   )
 }

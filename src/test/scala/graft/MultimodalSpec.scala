@@ -42,6 +42,74 @@ class MultimodalSpec extends SparkSpec {
     counts.foreach(r => assert(r.getLong(1) === expected(r.getLong(0))))
   }
 
+  // ---- real image-header decode ---------------------------------------
+
+  /** Minimal valid PNG: signature + IHDR(w, h) + bit depth/color/etc. */
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val sig = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a)
+    val be32 = (v: Int) => Array(v >>> 24, (v >>> 16) & 0xff, (v >>> 8) & 0xff, v & 0xff)
+    (sig ++ be32(13) ++ "IHDR".map(_.toInt) ++ be32(w) ++ be32(h) ++
+      Array(8, 6, 0, 0, 0) ++ be32(0)).map(_.toByte)
+  }
+
+  /** Minimal JPEG: SOI, APP0 (JFIF), DQT filler, SOF0 carrying (h, w). */
+  private def jpegBytes(w: Int, h: Int): Array[Byte] = {
+    val be16 = (v: Int) => Array(v >>> 8, v & 0xff)
+    (Array(0xff, 0xd8) ++
+      (Array(0xff, 0xe0) ++ be16(16) ++ "JFIF".map(_.toInt) ++ Array.fill(10)(0)) ++
+      (Array(0xff, 0xdb) ++ be16(4) ++ Array(0, 0)) ++
+      (Array(0xff, 0xc0) ++ be16(11) ++ Array(8) ++ be16(h) ++ be16(w) ++ Array(1, 0x11, 0, 0))
+    ).map(_.toByte)
+  }
+
+  private def gifBytes(w: Int, h: Int): Array[Byte] =
+    ("GIF89a".map(_.toInt).toArray ++
+      Array(w & 0xff, w >>> 8, h & 0xff, h >>> 8) ++ Array(0, 0, 0)).map(_.toByte)
+
+  test("image_meta parses real PNG/JPEG/GIF headers; null for non-images") {
+    import spark.implicits._
+    val df = Seq(
+      ("png", pngBytes(640, 480)),
+      ("jpeg", jpegBytes(1920, 1080)),
+      ("gif", gifBytes(320, 200)),
+      ("trunc", pngBytes(640, 480).take(20)),
+      ("text", "just some document text".getBytes("UTF-8"))
+    ).toDF("tag", "bytes")
+    // via the Column API (codegen'd expression)
+    val got = df.select(col("tag"), Multimodal.imageMeta(col("bytes")).as("m"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) null
+         else { val m = r.getStruct(1); (m.getString(0), m.getInt(1), m.getInt(2)) })).toMap
+    assert(got("png") === ("png", 640, 480))
+    assert(got("jpeg") === ("jpeg", 1920, 1080))
+    assert(got("gif") === ("gif", 320, 200))
+    assert(got("trunc") === null)
+    assert(got("text") === null)
+    // via SQL (FunctionRegistry path)
+    val sql = df.selectExpr("tag", "image_meta(bytes) AS m")
+      .where("m IS NOT NULL").count()
+    assert(sql === 3)
+  }
+
+  test("decodeMeta: real dims for real images, stub fallback otherwise") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "image", jpegBytes(800, 600)),
+      (2L, "image", "fake payload".getBytes("UTF-8")),
+      (3L, "audio", "fake payload".getBytes("UTF-8"))
+    ).toDF("media_id", "kind", "bytes")
+    val rows = df.select(col("media_id"),
+        Multimodal.decodeMeta(col("kind"), col("bytes")).as("m"),
+        Multimodal.decodeMetaStub(col("kind"), col("bytes")).as("stub"))
+      .collect().map(r => r.getLong(0) -> (r.getStruct(1), r.getStruct(2))).toMap
+    val (real, _) = rows(1L)
+    assert(real.getAs[Int]("width") === 800 && real.getAs[Int]("height") === 600)
+    val (fake, fakeStub) = rows(2L)
+    assert(fake === fakeStub) // unparseable image falls back to the stub
+    val (audio, audioStub) = rows(3L)
+    assert(audio === audioStub) // non-image kinds always take the stub
+  }
+
   test("extractFeaturesStub: one feature row per media row, deterministic") {
     implicit val s = spark
     val feats = Multimodal.extractFeaturesStub(media, batchSize = 16).collect()
