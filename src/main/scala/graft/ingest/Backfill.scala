@@ -61,6 +61,23 @@ object Backfill {
       entries.values.filter(_.nextAttemptAt <= now).toSeq.sortBy(_.number)
   }
 
+  object RetryLedger {
+    /** Restart semantics: the ledger is deliberately NOT persisted. The
+      * reference re-enqueues every unprocessed block from the store on
+      * startup with fresh retry state (`app/block/syncer.go:44-101` runs
+      * the same gap scan at boot; queue delays reset) — so after a crash
+      * the ledger is REBUILT from the data plane: one entry per hole the
+      * [[missingNumbers]] anti-join reports, due immediately, attempts
+      * reset so backoff restarts from 1 s. Driver-side `.collect()` is
+      * deliberate: holes are control-plane state, bounded by the gap
+      * count, not by history (SURVEY §7.3). */
+    def rebuild(spark: SparkSession, blocks: DataFrame, from: Long, to: Long,
+        now: Long): RetryLedger =
+      RetryLedger(missingNumbers(spark, blocks, from, to)
+        .collect().map(_.getLong(0))
+        .map(n => n -> RetryEntry(n, 0, now)).toMap)
+  }
+
   /** S9: publish-once gate (`app/queue/queue.go:160-189,358-381`).
     *
     * **Bounded**: everything at or below `floor` (the confirmation

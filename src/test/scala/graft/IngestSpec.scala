@@ -237,6 +237,29 @@ class IngestSpec extends SparkSpec {
     assert(!ledger.entries.contains(7L))
   }
 
+  test("retry ledger restart: rebuilt from store holes, attempts reset (ST9)") {
+    import Backfill._
+    import spark.implicits._
+    // pre-crash: 3 and 7 failing with climbing backoff, 5 succeeded
+    var ledger = RetryLedger()
+    (1 to 4).foreach(_ => ledger = ledger.failed(3, now = 100))
+    ledger = ledger.failed(7, now = 100)
+    ledger = ledger.succeeded(5)
+    assert(ledger.entries(3L).attempts === 4)
+
+    // crash: ledger is gone; the store has everything in [0, 9] except 3, 7, 8
+    val blocks = (0L to 9L).filterNot(Set(3L, 7L, 8L)).toDF("number")
+    val rebuilt = RetryLedger.rebuild(spark, blocks, from = 0, to = 9, now = 500)
+
+    // exactly the holes, all due immediately, attempts reset
+    assert(rebuilt.entries.keySet === Set(3L, 7L, 8L))
+    assert(rebuilt.due(now = 500).map(_.number) === Seq(3L, 7L, 8L))
+    assert(rebuilt.entries.values.forall(_.attempts === 0))
+    // backoff restarts from the bottom of the curve, as on a reference boot
+    val after = rebuilt.failed(3, now = 500)
+    assert(after.entries(3L).nextAttemptAt === 500 + backoffSeconds(1))
+  }
+
   test("confirmed tier prunes by bucket partition before reading files") {
     val store = new BlockStore(spark, tmpDir, bucketSize = 2)
     val job = new IngestJob(spark, store, confirmations = 0)
