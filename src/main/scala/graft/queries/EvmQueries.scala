@@ -433,6 +433,46 @@ object EvmQueries {
   private def fUint256SumFull(s: SparkSession, d: String): DataFrame =
     txs(s).agg(graft.functions.Uint256.sum(col("value")).as("total_value"))
 
+  /** F3/F4/F12 codec shapes, cross-checked construct→parse style: the
+    * F1∘F3 hex round-trip must reproduce F1's encoding; F4 must invert
+    * stringification of `gas`; a 65-byte signature is assembled in-engine
+    * from known parts (r = tx hash bytes, s = blockhash bytes,
+    * v = 27 + nonce%2) and F12 must recover exactly those parts with v
+    * normalized. The oracle computes every expected value by independent
+    * arithmetic. */
+  private def fCodecShapes(s: SparkSession, d: String): DataFrame = {
+    val dataHex = F.hexEncode(col("data"))
+    val vByte = unhex(lpad(hex(lit(27) + pmod(col("nonce"), lit(2))), 2, "0"))
+    val sig = concat(F.hexDecode(col("hash")), F.hexDecode(col("blockhash")), vByte)
+    txs(s).select(
+      col("hash"),
+      F.hexEncode(F.hexDecode(dataHex)).as("data_rt"),
+      F.parseNumber(col("gas").cast(StringType)).as("gas_parsed"),
+      F.hexEncode(F.sigR(sig)).as("sig_r"),
+      F.hexEncode(F.sigS(sig)).as("sig_s"),
+      F.sigV(sig).cast(LongType).as("sig_v"))
+      .orderBy(col("hash"))
+  }
+
+  // ===== §2.1 ingest normalization (S4/ST5) ==============================
+
+  /** S4/ST5: packed-block explode-normalize, transactions leg
+    * (`app/db/model.go:96-103`; one `explode` + struct star-projection).
+    * Cross-engine: DuckDB independently unnests the SAME nested parquet,
+    * so the gate hash-checks the explode semantics themselves — ordering,
+    * struct field mapping, byte columns — not just row counts. */
+  private def s4PackedTxs(s: SparkSession, d: String): DataFrame =
+    graft.ingest.PackedBlocks.transactionsOf(
+      graft.ingest.PackedBlocks.readBatch(s, s"$P/packed_blocks.parquet"))
+      .select(txApi: _*).orderBy(col("hash"))
+
+  /** S4/ST5: packed-block explode-normalize, events leg — two nested
+    * explodes (`model.go:105-109`). */
+  private def s4PackedEvents(s: SparkSession, d: String): DataFrame =
+    graft.ingest.PackedBlocks.eventsOf(
+      graft.ingest.PackedBlocks.readBatch(s, s"$P/packed_blocks.parquet"))
+      .select(eventApi: _*).orderBy(evSort: _*)
+
   // ===== registry ========================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -478,6 +518,9 @@ object EvmQueries {
     "ev_f_uint256_sum_bounded" -> (fUint256Sum _),
     "ev_f_uint256_sum_full" -> (fUint256SumFull _),
     "ev_f_tx_json" -> (fTxJson _),
+    "ev_f_codec_shapes" -> (fCodecShapes _),
+    "ev_s4_packed_tx_explode" -> (s4PackedTxs _),
+    "ev_s4_packed_event_explode" -> (s4PackedEvents _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -655,5 +698,28 @@ object EvmQueries {
           || '"}' AS json
           FROM $txsT t JOIN $blocksT b ON t.blockhash = b.hash
           WHERE b.number BETWEEN 2000 AND 2099 ORDER BY t.hash""",
+    // F3/F4/F12: expected values computed by independent arithmetic
+    "ev_f_codec_shapes" ->
+      s"""SELECT hash,
+          ${hexSql("data")} AS data_rt,
+          CAST(CAST(gas AS VARCHAR) AS BIGINT) AS gas_parsed,
+          hash AS sig_r,
+          blockhash AS sig_s,
+          nonce % 2 AS sig_v
+          FROM $txsT ORDER BY hash""",
+    // S4/ST5 cross-engine explode: DuckDB unnests the nested parquet itself
+    "ev_s4_packed_tx_explode" ->
+      s"""SELECT ${txApiSql()} FROM (
+            SELECT unnest(pt.tx) FROM (
+              SELECT unnest(transactions) AS pt
+              FROM read_parquet('$P/packed_blocks.parquet')))
+          ORDER BY hash""",
+    "ev_s4_packed_event_explode" ->
+      s"""SELECT ${eventApiSql()} FROM (
+            SELECT unnest(ev) FROM (
+              SELECT unnest(pt.events) AS ev FROM (
+                SELECT unnest(transactions) AS pt
+                FROM read_parquet('$P/packed_blocks.parquet'))))
+          ORDER BY blockhash, "index"""",
   )
 }
