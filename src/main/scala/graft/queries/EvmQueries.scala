@@ -6,7 +6,8 @@ import org.apache.spark.sql.types._
 
 import graft.fixtures.EvmFixtures
 import graft.functions.{EvmFunctions => F, TopicMatch}
-import graft.operators.Relational
+import graft.operators.{Compaction, Relational}
+import graft.streaming.{Publisher, SubscriptionFilter}
 
 /** The reference's 24-query historical surface (SURVEY §2.2–2.6) bound to
   * the EVM domain fixtures — real hex hashes, topics arrays, uint256
@@ -473,6 +474,66 @@ object EvmQueries {
       graft.ingest.PackedBlocks.readBatch(s, s"$P/packed_blocks.parquet"))
       .select(eventApi: _*).orderBy(evSort: _*)
 
+  /** S7 upsert-as-compaction: a deterministic update wave (every
+    * nonce%5==0 tx re-arrives with bumped state at version 2) is unioned
+    * with the base at version 1, and [[Compaction.latestByKey]] must
+    * surface exactly the updated rows for touched keys and the originals
+    * elsewhere. The oracle replays last-writer-wins with a window — the
+    * same MERGE contract the reference gets from ON CONFLICT UPDATE
+    * (`app/db/transaction.go:17-25`). */
+  private def s7UpsertCompaction(s: SparkSession, d: String): DataFrame = {
+    val base = txs(s).withColumn("__v", lit(1L))
+    val updates = txs(s).filter(pmod(col("nonce"), lit(5)) === 0)
+      .withColumn("state", col("state") + 10)
+      .withColumn("__v", lit(2L))
+    Compaction.latestByKey(base.unionByName(updates), Seq("hash"), "__v")
+      .select(col("hash"), col("nonce"), col("state").cast(LongType).as("state"),
+        col("__v").as("version"))
+      .orderBy(col("hash"))
+  }
+
+  /** S8 publish ordering: the notification stream of a 100-block slice
+    * must walk block → txs in packed position → each tx's events in
+    * packed position ([[Publisher.messages]]); the oracle re-derives
+    * (number, tier, seq, subseq) from the same nested parquet with
+    * positional unnest. Row ORDER is part of the gate hash, so this pins
+    * the exact delivery sequence the reference produces
+    * (`app/block/publish_block.go:12-47`). */
+  private def s8PublishOrder(s: SparkSession, d: String): DataFrame = {
+    val packed = graft.ingest.PackedBlocks
+      .readBatch(s, s"$P/packed_blocks.parquet")
+      .filter(col("block.number").between(2000L, 2099L))
+    Publisher.messages(packed)
+      .select(col("number"), col("tier").cast(LongType).as("tier"),
+        col("seq").cast(LongType).as("seq"),
+        col("subseq").cast(LongType).as("subseq"), col("topic"))
+  }
+
+  /** ST11 fanout: five client subscriptions — block firehose, a
+    * mixed-case from-address (case-insensitivity, subscription.go:141-151),
+    * a to-pattern that must also match created contracts
+    * (subscription.go:177-189), a pinned contract+topic0, and a
+    * positional topic1 wildcard sub — compiled to one tagging pass
+    * ([[Publisher.deliveries]]); the oracle replays each predicate in
+    * SQL over the flat tables. */
+  private def st11Fanout(s: SparkSession, d: String): DataFrame = {
+    val packed = graft.ingest.PackedBlocks
+      .readBatch(s, s"$P/packed_blocks.parquet")
+      .filter(col("block.number").between(2000L, 2199L))
+    val subs = Seq(
+      "s_block" -> "block",
+      "s_from" -> s"transaction/0x${Acct2.drop(2).toUpperCase}/*",
+      "s_to_c3" -> s"transaction/*/$C3",
+      "s_ev_c7" -> s"event/$C7/${EvmFixtures.sig(2)}/*/*/*",
+      "s_ev_arg" -> s"event/*/*/${EvmFixtures.arg(4)}/*/*"
+    ).map { case (id, str) => id -> SubscriptionFilter.parse(str).getOrElse(
+      sys.error(s"invalid subscription in registry: $str")) }
+    Publisher.deliveries(packed, subs)
+      .select(col("topic"), col("key"),
+        array_join(col("subscribers"), ",").as("subscribers"))
+      .orderBy(col("topic"), col("key"))
+  }
+
   // ===== registry ========================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -521,6 +582,9 @@ object EvmQueries {
     "ev_f_codec_shapes" -> (fCodecShapes _),
     "ev_s4_packed_tx_explode" -> (s4PackedTxs _),
     "ev_s4_packed_event_explode" -> (s4PackedEvents _),
+    "ev_s7_upsert_compaction" -> (s7UpsertCompaction _),
+    "ev_s8_publish_order" -> (s8PublishOrder _),
+    "ev_st11_subscription_fanout" -> (st11Fanout _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -721,5 +785,63 @@ object EvmQueries {
                 SELECT unnest(transactions) AS pt
                 FROM read_parquet('$P/packed_blocks.parquet'))))
           ORDER BY blockhash, "index"""",
+    // S7: last-writer-wins replayed with a window over the same update wave
+    "ev_s7_upsert_compaction" ->
+      s"""SELECT hash, nonce, state, version FROM (
+            SELECT hash, nonce, state, version,
+                   row_number() OVER (PARTITION BY hash ORDER BY version DESC) AS rn
+            FROM (
+              SELECT hash, nonce, CAST(state AS BIGINT) AS state,
+                     CAST(1 AS BIGINT) AS version FROM $txsT
+              UNION ALL
+              SELECT hash, nonce, CAST(state + 10 AS BIGINT) AS state,
+                     CAST(2 AS BIGINT) AS version FROM $txsT WHERE nonce % 5 = 0))
+          WHERE rn = 1 ORDER BY hash""",
+    // S8: (number, tier, seq, subseq) re-derived with positional unnest;
+    // row order is hashed, so the delivery sequence itself is pinned
+    "ev_s8_publish_order" ->
+      s"""SELECT number, tier, seq, subseq, topic FROM (
+            SELECT block.number AS number, CAST(0 AS BIGINT) AS tier,
+                   CAST(0 AS BIGINT) AS seq, CAST(0 AS BIGINT) AS subseq,
+                   'block' AS topic
+            FROM read_parquet('$P/packed_blocks.parquet')
+            WHERE block.number BETWEEN 2000 AND 2099
+            UNION ALL
+            SELECT block.number, CAST(1 AS BIGINT),
+                   generate_subscripts(transactions, 1) - 1,
+                   CAST(0 AS BIGINT), 'transaction'
+            FROM read_parquet('$P/packed_blocks.parquet')
+            WHERE block.number BETWEEN 2000 AND 2099
+            UNION ALL
+            SELECT number, CAST(2 AS BIGINT), seq,
+                   generate_subscripts(pt.events, 1) - 1, 'event'
+            FROM (SELECT block.number AS number,
+                         generate_subscripts(transactions, 1) - 1 AS seq,
+                         unnest(transactions) AS pt
+                  FROM read_parquet('$P/packed_blocks.parquet')
+                  WHERE block.number BETWEEN 2000 AND 2099))
+          ORDER BY number, tier, seq, subseq""",
+    // ST11: each subscription predicate replayed in SQL over the flat tables
+    "ev_st11_subscription_fanout" ->
+      s"""WITH b AS (SELECT hash, number FROM $blocksT WHERE number BETWEEN 2000 AND 2199)
+          SELECT topic, key, subscribers FROM (
+            SELECT 'block' AS topic, hash AS key, 's_block' AS subscribers FROM b
+            UNION ALL
+            SELECT 'transaction', t.hash,
+              array_to_string(list_filter([
+                CASE WHEN lower(t."from") = lower('0x${Acct2.drop(2).toUpperCase}') THEN 's_from' END,
+                CASE WHEN lower(CASE WHEN t.contract <> '' THEN t.contract ELSE t."to" END) = lower('$C3') THEN 's_to_c3' END
+              ], x -> x IS NOT NULL), ',')
+            FROM $txsT t JOIN b ON t.blockhash = b.hash
+            UNION ALL
+            SELECT 'event', e.blockhash || '#' || CAST(e."index" AS VARCHAR),
+              array_to_string(list_filter([
+                CASE WHEN lower(e.origin) = lower('$C7') AND len(e.topics) > 0
+                          AND lower(e.topics[1]) = lower('${EvmFixtures.sig(2)}') THEN 's_ev_c7' END,
+                CASE WHEN len(e.topics) > 1
+                          AND lower(e.topics[2]) = lower('${EvmFixtures.arg(4)}') THEN 's_ev_arg' END
+              ], x -> x IS NOT NULL), ',')
+            FROM $eventsT e JOIN b ON e.blockhash = b.hash)
+          WHERE subscribers <> '' ORDER BY topic, key""",
   )
 }
