@@ -24,13 +24,20 @@ object Backfill {
     spark.range(from, to + 1).toDF("number")
       .join(blocks.select("number"), Seq("number"), "left_anti")
 
-  /** ST4 daemon predicate (`syncer.go:158-170`): holes exist iff
-    * count < max − min + 1. Computed in one aggregate pass. */
-  def hasHoles(blocks: DataFrame): Boolean = {
-    val r = blocks.agg(
+  /** ST4 daemon summary (`syncer.go:158-170`): one aggregate pass over
+    * the store — (lo, hi, n, has_holes) where holes exist iff
+    * count < max − min + 1. */
+  def holeSummary(blocks: DataFrame): DataFrame =
+    blocks.agg(
       min(col("number")).as("lo"), max(col("number")).as("hi"),
-      count(lit(1)).as("n")).collect()(0)
-    if (r.isNullAt(0)) false else r.getLong(2) < r.getLong(1) - r.getLong(0) + 1
+      count(lit(1)).as("n"))
+      .select(col("lo"), col("hi"), col("n"),
+        (col("n") < col("hi") - col("lo") + 1).as("has_holes"))
+
+  /** ST4 daemon predicate: the boolean the rescan loop polls. */
+  def hasHoles(blocks: DataFrame): Boolean = {
+    val r = holeSummary(blocks).collect()(0)
+    !r.isNullAt(0) && r.getBoolean(3)
   }
 
   /** ST9: fibonacci-ratio backoff, capped — `app/queue/queue.go:33-40`:

@@ -534,6 +534,19 @@ object EvmQueries {
       .orderBy(col("topic"), col("key"))
   }
 
+  /** ST1 header-listener probe: numbers jumping ahead of the expected
+    * next head (`app/block/listener.go:49-73`) over the packed corpus. */
+  private def st1AheadProbe(s: SparkSession, d: String): DataFrame =
+    graft.ingest.PackedBlocks.aheadOf(
+      graft.ingest.PackedBlocks.readBatch(s, s"$P/packed_blocks.parquet"),
+      expectedNext = 2500L)
+      .orderBy(col("number"))
+
+  /** ST4 rescan-daemon summary: (lo, hi, n, has_holes) in one aggregate
+    * pass — the corpus has holes by construction, so the flag is live. */
+  private def st4HoleSummary(s: SparkSession, d: String): DataFrame =
+    graft.ingest.Backfill.holeSummary(blocks(s))
+
   // ===== registry ========================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -585,6 +598,8 @@ object EvmQueries {
     "ev_s7_upsert_compaction" -> (s7UpsertCompaction _),
     "ev_s8_publish_order" -> (s8PublishOrder _),
     "ev_st11_subscription_fanout" -> (st11Fanout _),
+    "ev_st1_ahead_probe" -> (st1AheadProbe _),
+    "ev_st4_hole_summary" -> (st4HoleSummary _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -843,5 +858,12 @@ object EvmQueries {
               ], x -> x IS NOT NULL), ',')
             FROM $eventsT e JOIN b ON e.blockhash = b.hash)
           WHERE subscribers <> '' ORDER BY topic, key""",
+    "ev_st1_ahead_probe" ->
+      s"""SELECT block.number AS number FROM read_parquet('$P/packed_blocks.parquet')
+          WHERE block.number > 2500 ORDER BY number""",
+    "ev_st4_hole_summary" ->
+      s"""SELECT min(number) AS lo, max(number) AS hi, count(*) AS n,
+                 count(*) < max(number) - min(number) + 1 AS has_holes
+          FROM $blocksT""",
   )
 }
