@@ -427,10 +427,13 @@ object EvmQueries {
     txs(s).filter(length(col("value")) <= 30)
       .agg(graft.functions.Uint256.sum(col("value")).as("total_value"))
 
-  /** The same exact sum over the FULL corpus, whose >2^128 values exceed
-    * every fixed-width SQL numeric — no cross-engine oracle can exist, so
-    * this stays the one rows-only entry; exactness beyond 128 bits is
-    * pinned by Uint256Spec property tests vs BigInt. */
+  /** The same exact sum over the FULL corpus, whose >2^128 total exceeds
+    * every fixed-width SQL numeric. The oracle decomposes each value into
+    * five decimal limbs (4×18 digits + a 6-digit top), sums each limb in
+    * HUGEINT (per-limb totals stay ≪ 2^127), propagates carries with
+    * HUGEINT div/mod, and reassembles the exact decimal string — so even
+    * the 231-bit sum is cross-engine hash-checked. Exactness is
+    * additionally pinned by Uint256Spec property tests vs BigInt. */
   private def fUint256SumFull(s: SparkSession, d: String): DataFrame =
     txs(s).agg(graft.functions.Uint256.sum(col("value")).as("total_value"))
 
@@ -762,6 +765,28 @@ object EvmQueries {
     "ev_f_uint256_sum_bounded" ->
       s"""SELECT CAST(sum(CAST(value AS HUGEINT)) AS VARCHAR) AS total_value
           FROM $txsT WHERE length(value) <= 30""",
+    // Exact bignum sum via limb decomposition: per-limb HUGEINT sums,
+    // carry propagation with div/mod, string reassembly (see scaladoc)
+    "ev_f_uint256_sum_full" ->
+      s"""WITH limbs AS (
+            SELECT
+              sum(CAST(substring(lpad(value, 78, '0'), 61, 18) AS HUGEINT)) AS l0,
+              sum(CAST(substring(lpad(value, 78, '0'), 43, 18) AS HUGEINT)) AS l1,
+              sum(CAST(substring(lpad(value, 78, '0'), 25, 18) AS HUGEINT)) AS l2,
+              sum(CAST(substring(lpad(value, 78, '0'), 7, 18) AS HUGEINT)) AS l3,
+              sum(CAST(substring(lpad(value, 78, '0'), 1, 6) AS HUGEINT)) AS l4
+            FROM $txsT),
+          pw AS (SELECT CAST('1000000000000000000' AS HUGEINT) AS p),
+          c1 AS (SELECT l0 % p AS d0, l0 // p AS k1, l1, l2, l3, l4 FROM limbs, pw),
+          c2 AS (SELECT d0, (l1 + k1) % p AS d1, (l1 + k1) // p AS k2, l2, l3, l4 FROM c1, pw),
+          c3 AS (SELECT d0, d1, (l2 + k2) % p AS d2, (l2 + k2) // p AS k3, l3, l4 FROM c2, pw),
+          c4 AS (SELECT d0, d1, d2, (l3 + k3) % p AS d3, (l3 + k3) // p AS k4, l4 FROM c3, pw)
+          SELECT COALESCE(NULLIF(regexp_replace(
+            lpad(CAST(l4 + k4 AS VARCHAR), 12, '0') ||
+            lpad(CAST(d3 AS VARCHAR), 18, '0') || lpad(CAST(d2 AS VARCHAR), 18, '0') ||
+            lpad(CAST(d1 AS VARCHAR), 18, '0') || lpad(CAST(d0 AS VARCHAR), 18, '0'),
+            '^0+', ''), ''), '0') AS total_value
+          FROM c4""",
     "ev_f_wei_to_eth" ->
       s"SELECT hash, CAST(value AS DOUBLE) / 1e18 AS value_eth FROM $txsT ORDER BY hash",
     "ev_f_tx_json" ->
