@@ -537,6 +537,20 @@ object EvmQueries {
       .orderBy(col("topic"), col("key"))
   }
 
+  /** W2 (beyond-reference): gap-based sessionization of per-account tx
+    * activity over block time — [[Sessionize.sessions]]: one shuffle on
+    * the account key, two window passes, no self-joins. The oracle
+    * replays the lag-boundary + running-sum construction; session row
+    * sets are order-independent under timestamp ties (zero gap never
+    * opens a session), so per-session aggregates hash-match. */
+  private def w2AccountSessions(s: SparkSession, d: String): DataFrame = {
+    val t = txs(s).select(col("from").as("acct"), col("blockhash"))
+      .join(blocksDim(s), col("blockhash") === col("b_hash"))
+      .select(col("acct"), col("time").as("ts"))
+    graft.operators.Sessionize.sessions(t, Seq("acct"), "ts", gap = 60L)
+      .orderBy(col("acct"), col("session_id"))
+  }
+
   /** ST1 header-listener probe: numbers jumping ahead of the expected
     * next head (`app/block/listener.go:49-73`) over the packed corpus. */
   private def st1AheadProbe(s: SparkSession, d: String): DataFrame =
@@ -603,6 +617,7 @@ object EvmQueries {
     "ev_st11_subscription_fanout" -> (st11Fanout _),
     "ev_st1_ahead_probe" -> (st1AheadProbe _),
     "ev_st4_hole_summary" -> (st4HoleSummary _),
+    "ev_w2_account_sessions" -> (w2AccountSessions _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -890,5 +905,23 @@ object EvmQueries {
       s"""SELECT min(number) AS lo, max(number) AS hi, count(*) AS n,
                  count(*) < max(number) - min(number) + 1 AS has_holes
           FROM $blocksT""",
+    // W2: lag-boundary + running-sum sessionization replayed with windows
+    "ev_w2_account_sessions" ->
+      s"""WITH t AS (
+            SELECT tx."from" AS acct, b.time AS ts
+            FROM $txsT tx JOIN $blocksT b ON tx.blockhash = b.hash),
+          m AS (
+            SELECT acct, ts,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY acct ORDER BY ts) > 60
+                        THEN 1 ELSE 0 END AS brk
+            FROM t),
+          s AS (
+            SELECT acct, ts,
+                   CAST(sum(brk) OVER (PARTITION BY acct ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+            FROM m)
+          SELECT acct, session_id, min(ts) AS start_t, max(ts) AS end_t,
+                 count(*) AS n
+          FROM s GROUP BY acct, session_id ORDER BY acct, session_id""",
   )
 }
