@@ -50,4 +50,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("LeftAnti"))
     assert(!p.contains("HashAggregate")) // the r1 .distinct() regression
   }
+
+  test("packed explode-normalize is narrow: no exchange before the explode") {
+    val p = plan("ev_s4_packed_tx_explode")
+    // scan → generate (explode) → project; the only exchange is the
+    // final oracle-determinism sort
+    assert(p.contains("Generate explode"))
+    assert(p.indexOf("Exchange") === p.lastIndexOf("Exchange"),
+      s"expected exactly one exchange (the output sort):\n$p")
+  }
+
+  test("sessionization plans one key exchange shared by both window passes") {
+    val p = plan("ev_w2_account_sessions")
+    // lag + running sum + per-session agg must reuse ONE hash exchange on
+    // the session key (plus broadcast for the dim join and the final
+    // sort) — a second hashpartitioning(acct) would mean the window
+    // passes re-shuffle
+    val keyExchanges = "hashpartitioning\\(acct".r.findAllIn(p).length
+    assert(keyExchanges === 1, s"expected one acct exchange, got $keyExchanges:\n$p")
+  }
+
+  test("image_meta stays inside whole-stage codegen") {
+    // Assert on a sort-free projection: AQE defers codegen collapse for
+    // exchange-bearing plans until execution, so the registry entry's own
+    // pre-execution explain can't show the stage. The guard's point is
+    // that the custom expression itself never forces a fallback — its
+    // projection must carry the WholeStageCodegen `*(n)` marker.
+    import org.apache.spark.sql.functions._
+    val p = Tables.documents(spark, sf0001)
+      .select(graft.pipeline.Multimodal.imageMeta(encode(col("text"), "UTF-8")).as("m"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("*(1) Project"), s"expected codegen'd projection:\n$p")
+  }
 }
