@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{BinaryType, DataType}
 
 /** Keccak-256 (the pre-NIST padding variant Ethereum uses — pad 0x01,
@@ -10,8 +10,10 @@ import org.apache.spark.sql.types.{BinaryType, DataType}
   * `/root/reference/app/util/util.go:18-27`).
   *
   * Implemented from the public Keccak-f[1600] specification: rate 1088
-  * bits (136-byte blocks), capacity 512, 24 rounds. CodegenFallback — a
-  * per-row JVM hash call, same execution class as Spark's own sha2. */
+  * bits (136-byte blocks), capacity 512, 24 rounds. `doGenCode` emits a
+  * static hash call — the same shape as Spark's own sha2 — so a keccak
+  * projection stays inside whole-stage codegen instead of forcing the
+  * stage to fall back. */
 object Keccak {
 
   private val RoundConstants: Array[Long] = Array(
@@ -108,10 +110,11 @@ object Keccak {
     out
   }
 
-  case class Keccak256(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  case class Keccak256(child: Expression) extends UnaryExpression {
     override def dataType: DataType = BinaryType
     override def nullSafeEval(input: Any): Any = hash256(input.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.Keccak.hash256($c)")
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
     override def prettyName: String = "keccak256"

@@ -34,6 +34,18 @@ class KeccakSpec extends SparkSpec {
       "4e03657aea45a94fc7d47ba826c8d667c0d1e6e33a64a036ec44f58fa12d6c45")
   }
 
+  test("keccak256 projection stays inside whole-stage codegen") {
+    val p = spark.range(4)
+      .select(F.keccak256(encode(col("id").cast("string"), "UTF-8")).as("h"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("*(1) Project"), s"expected codegen'd projection:\n$p")
+    // and the codegen'd digest matches the interpreted known vector
+    val h = spark.range(1).select(
+      F.keccak256(encode(lit("abc"), "UTF-8")).as("h")).collect().head
+    assert(hex(h.getAs[Array[Byte]]("h")) ===
+      "4e03657aea45a94fc7d47ba826c8d667c0d1e6e33a64a036ec44f58fa12d6c45")
+  }
+
   test("publicKeyToAddress: known secp256k1 test vector (util.go:18-27)") {
     // The well-known private key 0x01's uncompressed public key:
     val pub = ("04" +
