@@ -29,8 +29,11 @@ object EvmFunctions {
     unhex(regexp_replace(c, "^0x", ""))
 
   /** F4: decimal string → uint64 (`app/common/common.go:51-62`). Invalid
-    * input → null (the API layer rejects before planning). */
-  def parseNumber(c: Column): Column = c.cast(LongType)
+    * input → null (the API layer rejects before planning, mirroring the
+    * reference's error return). `try_cast`, not `cast`: under Spark 4's
+    * default ANSI mode a plain cast THROWS on malformed input — a single
+    * bad row would fail a whole query instead of being rejectable. */
+  def parseNumber(c: Column): Column = c.try_cast(LongType)
 
   /** F7: address shape validation (`app/util/util.go:30-40`). */
   def isValidAddress(c: Column): Column = c.rlike("^0x[0-9a-fA-F]{40}$")

@@ -34,6 +34,15 @@ class EvmFunctionsSpec extends SparkSpec {
     back.foreach(r => assert(r.getAs[Array[Byte]]("r").toSeq === r.getAs[Array[Byte]]("b").toSeq))
   }
 
+  test("F4 parseNumber: decimal strings parse; malformed input → null, not ANSI throw") {
+    val got = Seq("12345", "0", "nope", "", "18446744073709551616")
+      .toDF("s").select(F.parseNumber(col("s")).as("n"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    // the reference returns an error for the last three (common.go:51-62);
+    // here that is a rejectable null — a bad row must never fail the query
+    assert(got.toSeq === Seq(Some(12345L), Some(0L), None, None, None))
+  }
+
   test("F7/F8 address validation and zero-address") {
     assert(one(F.isValidAddress(lit("0x" + "aB3f" * 10))) === "true")
     assert(one(F.isValidAddress(lit("0x1234"))) === "false")
