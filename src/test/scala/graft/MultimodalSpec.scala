@@ -91,6 +91,36 @@ class MultimodalSpec extends SparkSpec {
     assert(sql === 3)
   }
 
+  test("image_meta property: construct→parse is the identity on 150 random dims; garbage nulls") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val cases = Seq.fill(150) {
+      val w = rng.nextInt(65535) + 1
+      val h = rng.nextInt(65535) + 1
+      rng.nextInt(3) match {
+        case 0 => ("png", w, h, pngBytes(w, h))
+        case 1 => ("jpeg", w, h, jpegBytes(w, h))
+        case _ => ("gif", w, h, gifBytes(w, h))
+      }
+    } ++ Seq.fill(30) { // random garbage never parses
+      val b = new Array[Byte](rng.nextInt(64) + 1); rng.nextBytes(b)
+      ("none", 0, 0, b)
+    }
+    val got = cases.zipWithIndex.map { case ((f, w, h, b), i) => (i.toLong, f, w, h, b) }
+      .toDF("i", "f", "w", "h", "bytes")
+      .select(col("i"), col("f"), col("w"), col("h"),
+        Multimodal.imageMeta(col("bytes")).as("m"))
+      .collect()
+    got.foreach { r =>
+      if (r.getString(1) == "none") assert(r.isNullAt(4), s"garbage parsed: $r")
+      else {
+        val m = r.getStruct(4)
+        assert((m.getString(0), m.getInt(1), m.getInt(2)) ===
+          ((r.getString(1), r.getInt(2), r.getInt(3))), s"case ${r.getLong(0)}")
+      }
+    }
+  }
+
   test("decodeMeta: real dims for real images, stub fallback otherwise") {
     import spark.implicits._
     val df = Seq(

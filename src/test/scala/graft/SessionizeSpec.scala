@@ -41,6 +41,24 @@ class SessionizeSpec extends SparkSpec {
     assert(got.toSeq === Seq((0L, 100L, 100L, 1L), (1L, 161L, 161L, 2L), (2L, 400L, 400L, 1L)))
   }
 
+  test("sessions property: matches a naive driver-side fold on 400 random events") {
+    val rng = new scala.util.Random(23)
+    val gap = 37L
+    val events = Seq.fill(400)((s"k${rng.nextInt(6)}", rng.nextInt(2000).toLong))
+    val got = Sessionize.sessions(events.toDF("k", "ts"), Seq("k"), "ts", gap)
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).toSeq).toMap
+    val expected = events.groupBy(_._1).view.mapValues { es =>
+      val ts = es.map(_._2).sorted
+      ts.tail.foldLeft(Vector(Vector(ts.head))) { (acc, t) =>
+        if (t - acc.last.last > gap) acc :+ Vector(t)
+        else acc.init :+ (acc.last :+ t)
+      }.map(s => (s.head, s.last, s.size.toLong)).sortBy(_._1)
+    }.toMap
+    assert(got === expected)
+  }
+
   test("streamingSessions: gap merges within, splits across; append on watermark") {
     implicit val sqlCtx = spark.sqlContext
     def ts(minute: Int, second: Int = 0): Timestamp =
