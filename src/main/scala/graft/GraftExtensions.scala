@@ -38,5 +38,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("image_meta"),
       info("image_meta", "image_meta(bytes) - struct(format, width, height) of a PNG/JPEG/GIF header, else NULL"),
       (args: Seq[Expression]) => graft.pipeline.ImageHeader.ImageMetaExpr(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("ecrecover"),
+      info("ecrecover", "ecrecover(sigHash, r, s, recId) - uncompressed secp256k1 pubkey, NULL if invalid"),
+      (args: Seq[Expression]) => graft.functions.TxSender.EcRecover(args(0), args(1), args(2), args(3))))
   }
 }
