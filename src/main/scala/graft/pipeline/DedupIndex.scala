@@ -6,8 +6,9 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Lifecycle of the dedup sketch tables — the text counterpart of
-  * [[IvfIndex]]/[[LshIndex]]: MinHash signature rows and SimHash
-  * fingerprints are INGEST-TIME artifacts. A production pipeline
+  * [[IvfIndex]]/[[LshIndex]]: MinHash signature rows, SimHash
+  * fingerprints, and winnowing window fingerprints are INGEST-TIME
+  * artifacts. A production pipeline
   * fingerprints documents once as they land; near-dup queries then only
   * band/bucket-join the stored sketches and verify candidates — the
   * explode → 32-to-60-column aggregation never runs at query time.
@@ -60,6 +61,16 @@ object DedupIndex {
       s"minhash_${Paths.get(corpusDir).getFileName}_${variant}_v${FormatVersion}_n${shingleN}_h$numHashes",
       artifactRootOverride.getOrElse(artifactRoot(spark)),
       Dedup.minHashSignatureRows(corpus, idCol, textCol, shingleN, numHashes))
+
+  /** Persisted winnowing window-fingerprint rows `(__id, __fp)` (see
+    * [[TextAnalysis.rollingFingerprintRows]]). */
+  def ensureWinnowing(spark: SparkSession, corpusDir: String, corpus: DataFrame,
+      idCol: String, textCol: String, variant: String, window: Int = 8,
+      artifactRootOverride: Option[String] = None): DataFrame =
+    ensure(spark, corpusDir,
+      s"winnow_${Paths.get(corpusDir).getFileName}_${variant}_v${FormatVersion}_w$window",
+      artifactRootOverride.getOrElse(artifactRoot(spark)),
+      TextAnalysis.rollingFingerprintRows(corpus, idCol, textCol, window))
 
   /** Persisted SimHash fingerprints `(__id, __sim)`. `hashTag` names the
     * per-shingle hash function in the cache key (the Column function

@@ -101,21 +101,33 @@ object TextAnalysis {
         i => array_join(slice(words, i + lit(1), lit(window)), " ")))
     .otherwise(array().cast("array<string>"))
 
-  /** Partial-overlap pairs: documents sharing ≥ `minShared` distinct
-    * w-token windows, found by exploding window fingerprints and joining
-    * on them — shuffle on fingerprint keys only, never all-pairs. The
-    * fingerprint is md5 so an external engine can reproduce it. */
-  def rollingOverlapPairs(df: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String, window: Int = 8, minShared: Long = 1L): org.apache.spark.sql.DataFrame = {
-    val fps = df
-      .select(col(idCol), split(col(textCol), " ").as("__words"))
-      .select(col(idCol), explode(array_distinct(rollingWindows(col("__words"), window))).as("__w"))
-      .select(col(idCol), md5(col("__w")).as("__fp"))
-    val a = fps.select(col(idCol).as("a_id"), col("__fp"))
-    val b = fps.select(col(idCol).as("b_id"), col("__fp"))
+  /** Distinct window-fingerprint rows `(__id, __fp)` of a corpus — the
+    * winnowing sketch [[DedupIndex.ensureWinnowing]] persists at ingest.
+    * md5 so an external engine can reproduce the keys. */
+  def rollingFingerprintRows(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, window: Int = 8): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol).as("__id"), split(col(textCol), " ").as("__words"))
+      .select(col("__id"),
+        explode(array_distinct(rollingWindows(col("__words"), window))).as("__w"))
+      .select(col("__id"), md5(col("__w")).as("__fp"))
+
+  /** Partial-overlap pairs from a fingerprint frame `(__id, __fp)`:
+    * self-join on fingerprint keys only — never all-pairs. */
+  def rollingOverlapPairsFromFingerprints(fps: org.apache.spark.sql.DataFrame,
+      minShared: Long = 1L): org.apache.spark.sql.DataFrame = {
+    val a = fps.select(col("__id").as("a_id"), col("__fp"))
+    val b = fps.select(col("__id").as("b_id"), col("__fp"))
     a.join(b, Seq("__fp")).filter(col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Partial-overlap pairs: documents sharing ≥ `minShared` distinct
+    * w-token windows, fingerprints computed inline (see the indexed
+    * variant in [[DedupIndex]] for the persisted-sketch lifecycle). */
+  def rollingOverlapPairs(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, window: Int = 8, minShared: Long = 1L): org.apache.spark.sql.DataFrame =
+    rollingOverlapPairsFromFingerprints(
+      rollingFingerprintRows(df, idCol, textCol, window), minShared)
 }

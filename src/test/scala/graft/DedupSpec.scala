@@ -137,6 +137,15 @@ class DedupSpec extends SparkSpec {
     assert(shIndexed === shInline)
     assert(shIndexed.nonEmpty)
 
+    val wfp = DedupIndex.ensureWinnowing(spark, sf0001, corpus, "doc_id", "text",
+      variant = "spec", artifactRootOverride = Some(root))
+    val wIndexed = pairs(graft.pipeline.TextAnalysis
+      .rollingOverlapPairsFromFingerprints(wfp, minShared = 5L))
+    val wInline = pairs(graft.pipeline.TextAnalysis
+      .rollingOverlapPairs(corpus, "doc_id", "text", window = 8, minShared = 5L))
+    assert(wIndexed === wInline)
+    assert(wIndexed.nonEmpty)
+
     // second ensure() reuses the committed artifact (no rebuild): same dir listing
     val before = new java.io.File(root).list().sorted.toSeq
     DedupIndex.ensureMinHash(spark, sf0001, corpus, "doc_id", "text",
