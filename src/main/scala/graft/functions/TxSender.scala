@@ -125,6 +125,19 @@ object TxSender {
   def ecrecover(sigHash: Column, r: Column, s: Column, recId: Column): Column =
     org.apache.spark.sql.functions.call_function("ecrecover", sigHash, r, s, recId)
 
+  /** Column twin of [[recIdOf]]: normalize a raw signature `v` column
+    * (legacy 27/28, EIP-155 ≥35, typed 0–3) to the recovery id; −1 for
+    * inconsistent values (ecrecover then yields null, the engine's
+    * invalid-signature signal). */
+  def recIdCol(v: Column, chainId: Column): Column = {
+    import org.apache.spark.sql.functions._
+    when(v >= 35, v - 35 - chainId * 2)
+      .when(v === 27 || v === 28, v - 27)
+      .when(v >= 0 && v <= 3, v)
+      .otherwise(lit(-1L))
+      .cast("int")
+  }
+
   /** F13 end-to-end as columns: sender address from signature columns. */
   def senderAddress(sigHash: Column, r: Column, s: Column, recId: Column): Column =
     EvmFunctions.publicKeyToAddress(ecrecover(sigHash, r, s, recId))

@@ -93,6 +93,33 @@ class TxSenderSpec extends SparkSpec {
     assert(TxSender.recIdOf(38, chainId = 5) === -1) // wrong chain
   }
 
+  test("vectorized recovery: 100 random keys round-trip through the column path") {
+    val rng = new scala.util.Random(31)
+    def pad32(v: BigInteger) = {
+      val raw = v.toByteArray.dropWhile(_ == 0); Array.fill[Byte](32 - raw.length)(0) ++ raw
+    }
+    val rows = (1 to 100).map { i =>
+      val d = new BigInteger(250, rng.self).add(BigInteger.ONE)
+      val k = new BigInteger(250, rng.self).add(BigInteger.TWO)
+      val h = new Array[Byte](32); rng.nextBytes(h)
+      val (r, s, recId) = Secp256k1.signWithK(h, d, k)
+      val Some((px, py)) = Secp256k1.mul(d, Secp256k1.G): @unchecked
+      val expected = "0x" + hexStr(
+        Keccak.hash256(pad32(px) ++ pad32(py)).drop(12))
+      // raw v in mixed conventions: legacy for even i, EIP-155 chain 1 odd
+      val rawV = if (i % 2 == 0) 27L + recId else 35L + 2L + recId
+      val chain = if (i % 2 == 0) 0L else 1L
+      (h, pad32(r), pad32(s), rawV, chain, expected)
+    }
+    val df = rows.toDF("h", "r", "s", "v", "chain", "expected")
+    val bad = df.select(
+      TxSender.senderAddress(col("h"), col("r"), col("s"),
+        TxSender.recIdCol(col("v"), col("chain"))).as("sender"),
+      col("expected"))
+      .filter(col("sender") =!= col("expected")).count()
+    assert(bad === 0L)
+  }
+
   test("ecrecover expression: codegen'd column path recovers the sender address") {
     val d = new BigInteger("46".repeat(32), 16)
     val sigHash = TxSender.sigHashEip155(1, 9, "20000000000", 21000,
