@@ -42,5 +42,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("ecrecover"),
       info("ecrecover", "ecrecover(sigHash, r, s, recId) - uncompressed secp256k1 pubkey, NULL if invalid"),
       (args: Seq[Expression]) => graft.functions.TxSender.EcRecover(args(0), args(1), args(2), args(3))))
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - sequential-fold double dot product of two float arrays"),
+      (args: Seq[Expression]) => graft.pipeline.Similarity.VecDot(args(0), args(1))))
   }
 }
