@@ -101,6 +101,18 @@ object TextAnalysis {
         i => array_join(slice(words, i + lit(1), lit(window)), " ")))
     .otherwise(array().cast("array<string>"))
 
+  /** Corpus vocabulary statistics: per-term document frequency and
+    * collection frequency over whitespace tokens — the aggregation shape
+    * behind vocabulary building, stopword mining, and idf tables. One
+    * explode + one aggregate; the shuffle carries (term, partial counts)
+    * pairs, map-side combined — document bodies never shuffle. */
+  def vocabStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol).as("__id"), explode(split(col(textCol), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term"))
+      .agg(countDistinct(col("__id")).as("df"), count(lit(1)).as("cf"))
+
   /** Distinct window-fingerprint rows `(__id, __fp)` of a corpus — the
     * winnowing sketch [[DedupIndex.ensureWinnowing]] persists at ingest.
     * md5 so an external engine can reproduce the keys. */

@@ -201,6 +201,14 @@ object PipelineQueries {
       TA.fingerprintMd5(col("text")).as("fp_md5"))
       .orderBy(col("doc_id"))
 
+  /** T2: corpus vocabulary head — the 50 highest-document-frequency terms
+    * with collection frequencies, deterministic (df desc, term) order.
+    * Plans explode → partial-agg'd two-level aggregate → TakeOrdered. */
+  private def t2vocab(s: SparkSession, dir: String): DataFrame =
+    TA.vocabStats(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("df").desc, col("term"))
+      .limit(50)
+
   // ===== multimodal ======================================================
 
   /** MM1: binary media columns + stub decode metadata — the Spark-side
@@ -271,6 +279,7 @@ object PipelineQueries {
     "p_s4_ivf_ann_topk" -> (s4 _),
     "p_e1_embedding_neardup" -> (e1 _),
     "p_t1_text_stats" -> (t1 _),
+    "p_t2_vocab_head" -> (t2vocab _),
     "p_mm1_media_meta" -> (mm1 _),
     "p_mm2_image_header" -> (mm2 _),
   )
@@ -500,6 +509,10 @@ object PipelineQueries {
             CASE WHEN doc_id % 3 IN (1, 2) THEN octet_length(encode(text)) % 600 + 1 END AS duration_s,
             CASE WHEN doc_id % 3 = 2 THEN (octet_length(encode(text)) % 2) * 6 + 24 END AS fps
           FROM documents ORDER BY media_id"""),
+    "p_t2_vocab_head" ->
+      ("""SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+          WHERE term <> '' GROUP BY term ORDER BY df DESC, term LIMIT 50"""),
     "p_mm2_image_header" ->
       ("""SELECT doc_id,
             (['png', 'jpeg', 'gif'])[doc_id % 3 + 1] AS format,
