@@ -105,4 +105,29 @@ object Relational {
     * Reference: `app/db/query.go:567-586` (LIMIT ≤ 50 enforced at API). */
   def topK(df: DataFrame, k: Int, ordering: Column*): DataFrame =
     df.orderBy(ordering: _*).limit(k)
+
+  /** Skew-safe equi-join for when one fact key dominates (a hot contract
+    * address, a viral block): the fact side's hot key rows spread over
+    * `salts` shuffle partitions via a deterministic per-row salt, and the
+    * dim side replicates each row `salts` times to meet them. Result is
+    * row-identical to the plain join; shuffle skew drops by ~`salts`.
+    *
+    * AQE's skew-join handles most cases at runtime (enabled in
+    * [[graft.GraftSession]]) but only splits SORT-MERGE join partitions;
+    * salting also covers hash joins and gives a deterministic plan when
+    * a key's dominance is known ahead of time. The salt is
+    * `xxhash64(monotonic row id) % salts` — uniform, and needing no
+    * extra column from the caller. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, salts: Int): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val salted = fact.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)))
+    val replicated = dim.withColumn("__salt",
+      explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
+    salted
+      .join(replicated, salted(factKey) === replicated(dimKey) &&
+        salted("__salt") === replicated("__salt"))
+      .drop("__salt")
+  }
 }

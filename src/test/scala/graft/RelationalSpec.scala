@@ -47,6 +47,24 @@ class RelationalSpec extends SparkSpec {
     assert(got.sameElements(Array(99L, 40L)))
   }
 
+  test("saltedJoin: row-identical to the plain join, hot key spread over salts") {
+    // skewed fact: one hot key carrying most rows
+    val fact = ((1 to 900).map(i => (7L, s"hot$i")) ++ (1 to 100).map(i => (i.toLong % 5, s"cold$i")))
+      .toDF("fk", "payload")
+    val dim = Seq((7L, "seven"), (0L, "zero"), (1L, "one"), (2L, "two"),
+      (3L, "three"), (4L, "four")).toDF("dk", "name")
+    val plain = fact.join(dim, fact("fk") === dim("dk"))
+      .select("fk", "payload", "name").collect().map(_.toString).sorted
+    val salted = Relational.saltedJoin(fact, dim, "fk", "dk", salts = 8)
+      .select("fk", "payload", "name").collect().map(_.toString).sorted
+    assert(salted === plain)
+    assert(salted.length === 1000)
+    // the dim side really replicates: 6 keys × 8 salts rows on the build side
+    val replicated = dim.withColumn("__salt",
+      explode(array((0 until 8).map(s => lit(s.toLong)): _*)))
+    assert(replicated.count() === 48)
+  }
+
   test("factJoinDim prunes both sides before the join") {
     val dim = Seq((1L, 100L), (2L, 200L), (3L, 300L)).toDF("dk", "dv")
     val got = Relational.factJoinDim(df, dim, "k", "dk",
