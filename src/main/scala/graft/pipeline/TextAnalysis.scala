@@ -16,9 +16,13 @@ object TextAnalysis {
     when(length(trim(text)) === 0, lit(0)).otherwise(size(split(trim(text), "\\s+")))
 
   /** BPE-ish subword estimate: words plus punctuation splits plus a
-    * length penalty for long words (≈ GPT-style ~4 chars/token). */
+    * length penalty for long words (≈ GPT-style ~4 chars/token).
+    * Formulated as insert-space-before-punct + `\s+` split rather than a
+    * lookahead split: identical counts, but RE2-compatible so the DuckDB
+    * oracle replays it verbatim (RE2 has no lookahead). */
   def bpeishTokenCount(text: Column): Column =
-    size(split(text, "\\s+|(?=[.,!?;:])")) +
+    when(length(trim(text)) === 0, lit(0)).otherwise(
+      size(split(trim(regexp_replace(text, "([.,!?;:])", " $1")), "\\s+"))) +
       (length(text) / lit(16)).cast("int")
 
   /** Compact stopword lists per language — the n-gram-heuristic shape of

@@ -194,6 +194,7 @@ object PipelineQueries {
       col("doc_id"),
       TA.langId(col("text")).as("lang_id"),
       TA.tokenCount(col("text")).as("n_tokens"),
+      TA.bpeishTokenCount(col("text")).as("n_bpeish"),
       TA.typeTokenRatio(col("text")).as("ttr"),
       TA.meanWordLength(col("text")).as("mean_word_len"),
       TA.nonAlphaRatio(col("text")).as("non_alpha_ratio"),
@@ -480,6 +481,9 @@ object PipelineQueries {
             $langCase AS lang_id,
             CASE WHEN length(trim(text)) = 0 THEN 0
                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+            (CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(regexp_replace(text, '([.,!?;:])', ' \\1', 'g')), '\\s+')) END)
+              + CAST(length(text) // 16 AS INT) AS n_bpeish,
             CASE WHEN len(string_split(text, ' ')) = 0 THEN 0.0
                  ELSE CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
                       / CAST(len(string_split(text, ' ')) AS DOUBLE) END AS ttr,
