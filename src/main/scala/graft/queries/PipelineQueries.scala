@@ -212,12 +212,15 @@ object PipelineQueries {
 
   // ===== multimodal ======================================================
 
-  /** MM1: binary media columns + stub decode metadata — the Spark-side
-    * plumbing (schema, null typing per kind, no byte shuffling) is real;
-    * only the decoder math is fake. */
+  /** MM1: binary media columns through the real-first decode
+    * ([[Multimodal.decodeMeta]]): the fixture's payloads are not actual
+    * image containers, so every row exercises the parse-fails →
+    * stub-fallback branch, and the oracle (which replays the stub
+    * arithmetic) pins that the fallback is taken exactly when it
+    * should be. The real-parse branch is gate-checked by MM2. */
   private def mm1(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.mediaFromDocuments(Tables.documents(s, dir))
-    val meta = Multimodal.decodeMetaStub(col("kind"), col("bytes"))
+    val meta = Multimodal.decodeMeta(col("kind"), col("bytes"))
     media.select(col("media_id"), col("kind"),
         meta.getField("size_bytes").as("size_bytes"),
         meta.getField("width").as("width"),
