@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
 import graft.Tables
-import graft.pipeline.{Dedup, DedupIndex, IvfIndex, LshIndex, Multimodal, Similarity, TextAnalysis => TA}
+import graft.pipeline.{Curation, Dedup, DedupIndex, IvfIndex, LshIndex, Multimodal, Similarity, TextAnalysis => TA}
 
 /** Training-data-pipeline operators (dedup / similarity / text analysis /
   * multimodal) registered against the driver's `documents` / `embeddings`
@@ -210,6 +210,29 @@ object PipelineQueries {
       .orderBy(col("df").desc, col("term"))
       .limit(50)
 
+  /** C1: reproducible train/val/test split — per-split row counts and an
+    * id-sum checksum over the md5-bucket variant, so the oracle verifies
+    * the exact membership of every split, not just sizes. */
+  private def c1Split(s: SparkSession, dir: String): DataFrame =
+    Curation.withSplit(Tables.documents(s, dir).select(col("doc_id")), "doc_id",
+        cuts = Seq(("train", 90), ("val", 95), ("test", 100)),
+        bucket = Curation.md5Bucket)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("split"))
+
+  /** C2: per-language quota — cap each language at its 25 longest docs
+    * (deterministic (n_tokens desc, doc_id) order): the class-balancing
+    * step of corpus assembly as one windowed rank. */
+  private def c2Quota(s: SparkSession, dir: String): DataFrame =
+    Curation.quotaPerGroup(
+        Tables.documents(s, dir).select(col("doc_id"),
+          TA.langId(col("text")).as("lang_id"),
+          TA.tokenCount(col("text")).as("n_tokens")),
+        groupCols = Seq("lang_id"), n = 25,
+        col("n_tokens").desc, col("doc_id"))
+      .orderBy(col("lang_id"), col("doc_id"))
+
   // ===== multimodal ======================================================
 
   /** MM1: binary media columns through the real-first decode
@@ -284,6 +307,8 @@ object PipelineQueries {
     "p_e1_embedding_neardup" -> (e1 _),
     "p_t1_text_stats" -> (t1 _),
     "p_t2_vocab_head" -> (t2vocab _),
+    "p_c1_split_counts" -> (c1Split _),
+    "p_c2_lang_quota" -> (c2Quota _),
     "p_mm1_media_meta" -> (mm1 _),
     "p_mm2_image_header" -> (mm2 _),
   )
@@ -516,6 +541,29 @@ object PipelineQueries {
             CASE WHEN doc_id % 3 IN (1, 2) THEN octet_length(encode(text)) % 600 + 1 END AS duration_s,
             CASE WHEN doc_id % 3 = 2 THEN (octet_length(encode(text)) % 2) * 6 + 24 END AS fps
           FROM documents ORDER BY media_id"""),
+    "p_c1_split_counts" ->
+      ("""SELECT split, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum FROM (
+            SELECT doc_id,
+              CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+            FROM (
+              SELECT doc_id,
+                CAST(list_sum(list_transform(range(1, 9), i ->
+                  CAST(strpos('0123456789abcdef',
+                    substring(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT)
+                  * (CAST(1 AS BIGINT) << CAST(4 * (8 - i) AS INT)))) AS BIGINT) % 100 AS b
+              FROM documents))
+          GROUP BY split ORDER BY split"""),
+    "p_c2_lang_quota" ->
+      (s"""SELECT doc_id, lang_id, n_tokens FROM (
+            SELECT doc_id, lang_id, n_tokens,
+                   row_number() OVER (PARTITION BY lang_id
+                     ORDER BY n_tokens DESC, doc_id) AS rn
+            FROM (
+              SELECT doc_id, $langCase AS lang_id,
+                CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+              FROM documents))
+          WHERE rn <= 25 ORDER BY lang_id, doc_id"""),
     "p_t2_vocab_head" ->
       ("""SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf FROM (
             SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)

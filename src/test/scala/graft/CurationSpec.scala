@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Curation
+
+/** Curation primitives: split determinism/partitioning and quota
+  * semantics. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("withSplit: total partition, deterministic, seed changes membership") {
+    val df = (1L to 1000L).toDF("id")
+    val cuts = Seq(("train", 90), ("val", 95), ("test", 100))
+    val split = Curation.withSplit(df, "id", cuts)
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum === 1000L)               // total partition, no nulls
+    assert(counts("train") > counts("val"))           // roughly proportional
+    // determinism: identical across runs
+    val again = Curation.withSplit(df, "id", cuts).collect().map(_.toString).sorted
+    assert(split.collect().map(_.toString).sorted === again)
+    // a different seed moves some ids
+    val seeded = Curation.withSplit(df, "id", cuts, Curation.splitBucket(_, seed = 7L))
+    val moved = split.as("a").join(seeded.as("b"), "id")
+      .filter(col("a.split") =!= col("b.split")).count()
+    assert(moved > 0)
+  }
+
+  test("md5Bucket matches a driver-side reference") {
+    val got = Seq(1L, 42L, 999L).toDF("id")
+      .select(Curation.md5Bucket(col("id")).as("b")).collect().map(_.getLong(0))
+    val exp = Seq(1L, 42L, 999L).map { id =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16) % 100
+    }
+    assert(got.toSeq === exp)
+  }
+
+  test("quotaPerGroup: at most n per group, top by ordering, deterministic ties") {
+    val df = Seq(
+      ("en", 1L, 50), ("en", 2L, 70), ("en", 3L, 70), ("en", 4L, 10),
+      ("de", 5L, 30), ("de", 6L, 20)
+    ).toDF("lang", "id", "len")
+    val kept = Curation.quotaPerGroup(df, Seq("lang"), n = 2,
+        col("len").desc, col("id"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // en: the two len-70 docs win (id tiebreak keeps both, drops 50/10)
+    assert(kept === Set(("en", 2L), ("en", 3L), ("de", 5L), ("de", 6L)))
+  }
+}
