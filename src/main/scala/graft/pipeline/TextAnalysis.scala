@@ -146,4 +146,31 @@ object TextAnalysis {
       textCol: String, window: Int = 8, minShared: Long = 1L): org.apache.spark.sql.DataFrame =
     rollingOverlapPairsFromFingerprints(
       rollingFingerprintRows(df, idCol, textCol, window), minShared)
+
+  /** Benchmark decontamination: training documents sharing ≥ `minShared`
+    * distinct w-token windows with ANY document of an evaluation set —
+    * the standard n-gram contamination check run before training. Same
+    * fingerprint-key join as [[rollingOverlapPairs]], across two frames:
+    * the shuffle carries fingerprints, never text, and the (usually
+    * tiny) eval side's fingerprints broadcast when AQE sees their size.
+    * At 100 TB the corpus side reads its persisted [[DedupIndex]]
+    * winnowing sketch; the eval set is fingerprinted on the fly.
+    * Returns (corpus_id, eval_id, n_shared). */
+  def contaminationPairs(corpus: org.apache.spark.sql.DataFrame,
+      eval: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      window: Int = 8, minShared: Long = 1L): org.apache.spark.sql.DataFrame =
+    contaminationPairsFromFingerprints(
+      rollingFingerprintRows(corpus, idCol, textCol, window),
+      rollingFingerprintRows(eval, idCol, textCol, window), minShared)
+
+  /** [[contaminationPairs]] over pre-fingerprinted frames (corpus side
+    * from the persisted index at scale). */
+  def contaminationPairsFromFingerprints(corpusFps: org.apache.spark.sql.DataFrame,
+      evalFps: org.apache.spark.sql.DataFrame,
+      minShared: Long): org.apache.spark.sql.DataFrame =
+    corpusFps.select(col("__id").as("corpus_id"), col("__fp"))
+      .join(evalFps.select(col("__id").as("eval_id"), col("__fp")), Seq("__fp"))
+      .groupBy(col("corpus_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
 }

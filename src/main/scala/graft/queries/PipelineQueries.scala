@@ -210,6 +210,20 @@ object PipelineQueries {
       .orderBy(col("df").desc, col("term"))
       .limit(50)
 
+  /** T3: benchmark decontamination — training docs (doc_id < 1000)
+    * sharing ≥ 5 distinct 8-token windows with any doc of a constructed
+    * "evaluation set" (the head-truncated mutants, id-shifted): every
+    * mutant must flag its source document. Cross-frame fingerprint-key
+    * join — text never shuffles, no all-pairs. */
+  private def t3Contamination(s: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .filter(col("doc_id") < 1000)
+    val eval = mutatedDocs(corpus.filter(pmod(col("doc_id"), lit(7)) === 0))
+    TA.contaminationPairs(corpus, eval, "doc_id", "text",
+        window = 8, minShared = 5L)
+      .orderBy(col("corpus_id"), col("eval_id"))
+  }
+
   /** C1: reproducible train/val/test split — per-split row counts and an
     * id-sum checksum over the md5-bucket variant, so the oracle verifies
     * the exact membership of every split, not just sizes. */
@@ -307,6 +321,7 @@ object PipelineQueries {
     "p_e1_embedding_neardup" -> (e1 _),
     "p_t1_text_stats" -> (t1 _),
     "p_t2_vocab_head" -> (t2vocab _),
+    "p_t3_contamination" -> (t3Contamination _),
     "p_c1_split_counts" -> (c1Split _),
     "p_c2_lang_quota" -> (c2Quota _),
     "p_mm1_media_meta" -> (mm1 _),
@@ -541,6 +556,27 @@ object PipelineQueries {
             CASE WHEN doc_id % 3 IN (1, 2) THEN octet_length(encode(text)) % 600 + 1 END AS duration_s,
             CASE WHEN doc_id % 3 = 2 THEN (octet_length(encode(text)) % 2) * 6 + 24 END AS fps
           FROM documents ORDER BY media_id"""),
+    "p_t3_contamination" ->
+      ("""WITH corpus AS (
+            SELECT doc_id, text FROM documents WHERE doc_id < 1000),
+          eval AS (
+            SELECT doc_id + 10000 AS doc_id,
+                   array_to_string((string_split(text, ' '))[3:], ' ') AS text
+            FROM documents WHERE doc_id % 7 = 0 AND doc_id < 1000),
+          cwin AS (SELECT doc_id, md5(w) AS fp FROM (
+            SELECT doc_id, unnest(list_distinct(
+              [array_to_string(wds[i:i+7], ' ') for i in range(1, len(wds) - 6)])) AS w
+            FROM (SELECT doc_id, string_split(text, ' ') AS wds FROM corpus)
+            WHERE len(wds) >= 8)),
+          ewin AS (SELECT doc_id, md5(w) AS fp FROM (
+            SELECT doc_id, unnest(list_distinct(
+              [array_to_string(wds[i:i+7], ' ') for i in range(1, len(wds) - 6)])) AS w
+            FROM (SELECT doc_id, string_split(text, ' ') AS wds FROM eval)
+            WHERE len(wds) >= 8))
+          SELECT c.doc_id AS corpus_id, e.doc_id AS eval_id,
+                 CAST(count(*) AS BIGINT) AS n_shared
+          FROM cwin c JOIN ewin e ON c.fp = e.fp
+          GROUP BY 1, 2 HAVING count(*) >= 5 ORDER BY corpus_id, eval_id"""),
     "p_c1_split_counts" ->
       ("""SELECT split, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum FROM (
             SELECT doc_id,

@@ -50,6 +50,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(pairs.toSeq === Seq((1L, 2L, 1L))) // only the shared 8-window prefix
   }
 
+  test("contaminationPairs: every long-enough eval doc flags its source, cross-frame only") {
+    val corpus = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 200)
+    // "eval set" = head-truncated copies: must still share >= 5 windows
+    // with their source whenever they carry >= 12 words
+    val w = split(col("text"), " ")
+    val eval = corpus.select((col("doc_id") + 10000).as("doc_id"),
+      array_join(slice(w, lit(3), size(w)), " ").as("text"))
+    val flagged = TA.contaminationPairs(corpus, eval, "doc_id", "text",
+        window = 8, minShared = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = corpus
+      .filter(size(split(col("text"), " ")) >= 14) // 2 dropped + 8-window + 4 extra = >=5 windows
+      .select(col("doc_id")).collect().map(r => (r.getLong(0), r.getLong(0) + 10000)).toSet
+    assert(expected.nonEmpty)
+    assert(expected.subsetOf(flagged), s"missed ${(expected -- flagged).take(5)}")
+    // no within-frame pairs leak: every pair is corpus x eval
+    assert(flagged.forall { case (c, e) => c < 10000 && e >= 10000 })
+  }
+
   test("quality metrics degenerate cases") {
     assert(one[Double](TA.typeTokenRatio(col("text")), "a a a a") === 0.25)
     assert(one[Double](TA.nonAlphaRatio(col("text")), "abc def") === 0.0)
