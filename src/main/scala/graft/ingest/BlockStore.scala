@@ -35,6 +35,14 @@ import graft.schema.Schemas
   *   - The hot tier swaps via write-tmp → move-aside → move-in → drop-aside;
   *     [[recoverDir]] repairs every intermediate crash state on next open,
   *     so a live hot tier always survives (old or new — never neither).
+  *   - Confirmed-tier appends are **all-or-nothing**: each append writes a
+  *     whole new segment directory and commits it with one atomic rename of
+  *     the `_segments` manifest (the same commit-log idea Delta/Iceberg use,
+  *     scaled down to one text file). A plain parquet append is NOT atomic —
+  *     the committer moves task files into place one by one, so a crash
+  *     mid-append would leave a block partially visible and the replay
+  *     anti-join would then skip its missing rows forever. With segments, an
+  *     uncommitted append is fully invisible and swept on the next write.
   *   - Promotion is **idempotent at block granularity per table**: each
   *     append anti-joins against what the confirmed tier already holds in
   *     the affected bucket range, so a foreachBatch replay after a crash
@@ -53,8 +61,44 @@ class BlockStore(spark: SparkSession, val root: String, bucketSize: Long = 1000L
     recoverDir(hotDir)
     Files.exists(Paths.get(hotDir))
   }
-  private def confirmedExists(table: String): Boolean =
-    Files.exists(Paths.get(s"$confirmedDir/$table"))
+  private def tableDir(table: String) = s"$confirmedDir/$table"
+  private def manifestOf(table: String) = s"${tableDir(table)}/_segments"
+
+  /** Committed segment dir names, in commit order. The manifest file IS the
+    * table: a segment directory not listed here does not exist as far as
+    * any reader is concerned. */
+  private def listSegments(table: String): Seq[String] = {
+    val m = Paths.get(manifestOf(table))
+    if (Files.exists(m)) {
+      import scala.jdk.CollectionConverters._
+      Files.readAllLines(m).asScala.toSeq.filter(_.nonEmpty)
+    } else Seq.empty
+  }
+
+  private def writeManifest(table: String, segs: Seq[String]): Unit = {
+    val tmp = Paths.get(manifestOf(table) + "__tmp")
+    Files.write(tmp, segs.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(manifestOf(table)),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Sweep segment dirs a crashed append left uncommitted. Only the single
+    * writer calls this (before its own writes), so a dir not in the
+    * manifest is always garbage, never a commit in flight. */
+  private def recoverConfirmed(table: String): Unit = {
+    val dir = Paths.get(tableDir(table))
+    if (Files.exists(dir)) {
+      val committed = listSegments(table).toSet
+      val stream = Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        stream.iterator().asScala
+          .filter(p => p.getFileName.toString.startsWith("seg="))
+          .filterNot(p => committed(p.getFileName.toString))
+          .foreach(p => deleteIfExists(p.toString))
+      } finally stream.close()
+    }
+  }
 
   def hot: DataFrame =
     if (hotExists) spark.read.parquet(hotDir)
@@ -67,7 +111,16 @@ class BlockStore(spark: SparkSession, val root: String, bucketSize: Long = 1000L
       case "transactions" => Schemas.transactions
       case "events" => Schemas.events
     }
-    if (confirmedExists(table)) spark.read.schema(schema.add("bucket", "long")).parquet(s"$confirmedDir/$table")
+    val segs = listSegments(table)
+    if (segs.nonEmpty)
+      // segment dirs are named `seg=<uuid>` so discovery sees them as one
+      // more partition level (Spark rejects non-k=v dirs between basePath
+      // and the partition dirs): one FileIndex spans all committed
+      // segments and PartitionFilters pruning on `bucket` keeps working
+      spark.read.schema(schema.add("bucket", "long").add("seg", "string"))
+        .option("basePath", tableDir(table))
+        .parquet(segs.map(s => s"${tableDir(table)}/$s"): _*)
+        .drop("seg")
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       schema.add("bucket", "long"))
   }
@@ -123,6 +176,9 @@ class BlockStore(spark: SparkSession, val root: String, bucketSize: Long = 1000L
     * shrink, foreachBatch redelivery) appends nothing the confirmed tier
     * already holds — see [[appendConfirmed]]. */
   def promote(latest: Long, confirmations: Long): Long = {
+    // sweep any segment a crashed append left uncommitted — here rather
+    // than in appendConfirmed so a replay that appends nothing still cleans
+    Seq("blocks", "transactions", "events").foreach(recoverConfirmed)
     val watermark = latest - confirmations
     val h = hot.cache()
     val below = h.filter(col("block.number") <= watermark)
@@ -172,17 +228,53 @@ class BlockStore(spark: SparkSession, val root: String, bucketSize: Long = 1000L
     * slice). Each table is independently idempotent at block granularity,
     * so a crash between the three appends replays cleanly: the tables that
     * committed skip everything, the ones that didn't append their rows.
+    * The append itself is all-or-nothing: the rows land in a fresh segment
+    * dir that becomes visible only when the manifest rename commits it, so
+    * a crash mid-write can never leave a block half-appended (which would
+    * defeat the block-granularity anti-join on replay).
     * The confirmed side of the anti-join is O(bucket), broadcastable. */
   private def appendConfirmed(rows: DataFrame, table: String,
       key: org.apache.spark.sql.Column, lo: Long, hi: Long): Unit = {
     val done = confirmedByNumberRange(table, lo, hi)
       .select(key.as("__seen")).distinct()
     val fresh = rows.join(broadcast(done), key === col("__seen"), "left_anti")
+    val seg = "seg=" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val segPath = s"${tableDir(table)}/$seg"
     fresh.withColumn("bucket", (col("__bnum") / bucketSize).cast("long"))
       .drop("__bnum")
-      .write.mode(SaveMode.Append)
+      .write.mode(SaveMode.Overwrite)
       .partitionBy("bucket")
-      .parquet(s"$confirmedDir/$table")
+      .parquet(segPath)
+    // an all-duplicates replay writes a dataless segment (just _SUCCESS);
+    // committing it would give partition discovery a partitionless root
+    if (hasBucketDirs(segPath)) writeManifest(table, listSegments(table) :+ seg)
+    else deleteIfExists(segPath)
+  }
+
+  private def hasBucketDirs(dir: String): Boolean = {
+    val stream = Files.list(Paths.get(dir))
+    try {
+      import scala.jdk.CollectionConverters._
+      stream.iterator().asScala.exists(_.getFileName.toString.startsWith("bucket="))
+    } finally stream.close()
+  }
+
+  /** Rewrite all committed segments of a table into one and drop the rest —
+    * the small-files countermeasure for a long-running stream (every
+    * promotion adds a segment; at 100 TB you run this per bucket range on a
+    * schedule). Crash-safe by the same manifest rule: the new segment
+    * becomes the sole committed one in a single atomic manifest swap, and
+    * the superseded dirs are swept as uncommitted garbage afterwards. */
+  def compactConfirmed(table: String): Unit = {
+    if (listSegments(table).length > 1) {
+      val seg = "seg=" + java.util.UUID.randomUUID().toString.replace("-", "")
+      confirmed(table)
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("bucket")
+        .parquet(s"${tableDir(table)}/$seg")
+      writeManifest(table, Seq(seg))
+      recoverConfirmed(table)
+    }
   }
 
   // ---- crash-safe directory replacement --------------------------------

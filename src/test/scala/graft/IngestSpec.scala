@@ -175,6 +175,45 @@ class IngestSpec extends SparkSpec {
       store.view("transactions").select("hash").distinct().count())
   }
 
+  test("torn confirmed append is invisible and swept; replay restores the rows") {
+    val store = new BlockStore(spark, tmpDir)
+    val job = new IngestJob(spark, store, confirmations = 3)
+    job.processBatch((0L to 5L).map(packed(_)).toDF(), batchId = 0)
+    val want = store.confirmed("events").count()
+
+    // simulate a crash mid-append: a segment dir holding SOME of a block's
+    // rows exists on disk but the manifest rename never ran. A plain
+    // parquet append would have made these rows visible (and the replay
+    // anti-join would then skip the block's missing rows forever); the
+    // manifest rule keeps the whole segment invisible instead.
+    val torn = s"${store.confirmedDir}/events/seg=torn0000"
+    store.confirmed("events").limit(1)
+      .write.partitionBy("bucket").parquet(torn)
+    assert(store.confirmed("events").count() === want, "uncommitted segment leaked")
+
+    // replay of the same promotion: still a no-op row-wise, and the torn
+    // segment is swept by the writer before it appends
+    job.processBatch((0L to 2L).map(packed(_)).toDF(), batchId = 1)
+    assert(store.confirmed("events").count() === want)
+    assert(!Files.exists(java.nio.file.Paths.get(torn)), "torn segment not swept")
+  }
+
+  test("compactConfirmed folds segments into one without changing contents") {
+    val store = new BlockStore(spark, tmpDir)
+    val job = new IngestJob(spark, store, confirmations = 0)
+    job.processBatch((0L to 4L).map(packed(_)).toDF(), batchId = 0)
+    job.processBatch((5L to 9L).map(packed(_)).toDF(), batchId = 1)
+    val before = store.confirmed("transactions").collect()
+      .map(_.getAs[String]("hash")).sorted.toSeq
+    store.compactConfirmed("transactions")
+    val segs = java.nio.file.Paths.get(s"${store.confirmedDir}/transactions")
+      .toFile.listFiles().count(_.getName.startsWith("seg="))
+    assert(segs === 1, "expected exactly one segment after compaction")
+    val after = store.confirmed("transactions").collect()
+      .map(_.getAs[String]("hash")).sorted.toSeq
+    assert(after === before)
+  }
+
   test("reorg deeper than the confirmation depth is ignored (block.go:59-63)") {
     val store = new BlockStore(spark, tmpDir)
     val job = new IngestJob(spark, store, confirmations = 1)
