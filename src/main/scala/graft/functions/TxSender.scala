@@ -131,11 +131,13 @@ object TxSender {
     * invalid-signature signal). */
   def recIdCol(v: Column, chainId: Column): Column = {
     import org.apache.spark.sql.functions._
-    when(v >= 35, v - 35 - chainId * 2)
+    val rid = when(v >= 35, v - 35 - chainId * 2)
       .when(v === 27 || v === 28, v - 27)
       .when(v >= 0 && v <= 3, v)
       .otherwise(lit(-1L))
-      .cast("int")
+    // clamp BEFORE the int cast like recIdOf does: an out-of-int-range v
+    // must yield -1, not an ANSI CAST_OVERFLOW that fails the whole query
+    when(rid.between(0, 3), rid).otherwise(lit(-1L)).cast("int")
   }
 
   /** F13 end-to-end as columns: sender address from signature columns. */

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.Paths
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -32,23 +32,10 @@ object DedupIndex {
       .getOrElse(Paths.get("artifacts", "dedup").toAbsolutePath.toString)
 
   private def ensure(spark: SparkSession, corpusDir: String, key: String,
-      root: String, build: => DataFrame): DataFrame = {
-    val target = Paths.get(s"$root/$key")
-    val source = Paths.get(s"$corpusDir/documents.parquet")
-    if (Files.exists(target) && Files.exists(source) &&
-        Files.getLastModifiedTime(source).compareTo(Files.getLastModifiedTime(target)) > 0)
-      org.apache.commons.io.FileUtils.deleteDirectory(target.toFile)
-    if (!Files.exists(target)) {
-      val tmp = Paths.get(s"$root/__build_${key}_${java.util.UUID.randomUUID()}")
-      build.write.mode("overwrite").parquet(tmp.toString)
-      try Files.move(tmp, target)
-      catch { // lost a concurrent build race: the winner's artifact is equivalent
-        case _: java.nio.file.FileAlreadyExistsException =>
-          org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
-      }
+      root: String, build: => DataFrame): DataFrame =
+    ArtifactStore.ensure(spark, s"$corpusDir/documents.parquet", root, key) {
+      tmp => build.write.mode("overwrite").parquet(tmp)
     }
-    spark.read.parquet(target.toString)
-  }
 
   /** Persisted MinHash signature rows `(__id, __m0 … __m{numHashes-1})`
     * of `corpus` (which must be a deterministic function of `corpusDir`,

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.Paths
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -50,26 +50,10 @@ object IvfIndex {
     val root = artifactRootOverride.getOrElse(artifactRoot(spark))
     val corpus = Paths.get(corpusDir).getFileName.toString
     val key = s"${corpus}_v${FormatVersion}_s$stride"
-    val target = Paths.get(s"$root/$key")
-    // stale-index guard: a corpus regenerated after the index was built
-    // invalidates the artifact (compare against the source parquet mtime)
-    val source = Paths.get(s"$corpusDir/embeddings.parquet")
-    if (Files.exists(target) && Files.exists(source) &&
-        Files.getLastModifiedTime(source).compareTo(Files.getLastModifiedTime(target)) > 0)
-      org.apache.commons.io.FileUtils.deleteDirectory(target.toFile)
-    if (!Files.exists(target)) {
-      // unique per-attempt temp dir: concurrent builders each write their
-      // own staging area; exactly one wins the atomic rename
-      val tmp = Paths.get(s"$root/__build_${key}_${java.util.UUID.randomUUID()}")
+    ArtifactStore.ensure(spark, s"$corpusDir/embeddings.parquet", root, key) { tmp =>
       Similarity.ivfAssign(emb, embCol, idCol, centroids(emb, idCol, embCol, stride))
-        .write.mode("overwrite").partitionBy("c_id").parquet(tmp.toString)
-      try Files.move(tmp, target)
-      catch { // lost a concurrent build race: the winner's index is equivalent
-        case _: java.nio.file.FileAlreadyExistsException =>
-          org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
-      }
-    }
+        .write.mode("overwrite").partitionBy("c_id").parquet(tmp)
     // partition-column type inference may narrow c_id to int; restore long
-    spark.read.parquet(target.toString).withColumn("c_id", col("c_id").cast("long"))
+    }.withColumn("c_id", col("c_id").cast("long"))
   }
 }

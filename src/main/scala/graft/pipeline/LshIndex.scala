@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.Paths
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -57,22 +57,9 @@ object LshIndex {
     val corpus = Paths.get(corpusDir).getFileName.toString
     val key =
       s"${corpus}_v${FormatVersion}_p${planesPerTable}x${tables}_d${dim}_s$seed"
-    val target = Paths.get(s"$root/$key")
-    // stale-index guard: corpus regenerated after the index was built
-    val source = Paths.get(s"$corpusDir/embeddings.parquet")
-    if (Files.exists(target) && Files.exists(source) &&
-        Files.getLastModifiedTime(source).compareTo(Files.getLastModifiedTime(target)) > 0)
-      org.apache.commons.io.FileUtils.deleteDirectory(target.toFile)
-    if (!Files.exists(target)) {
-      val tmp = Paths.get(s"$root/__build_${key}_${java.util.UUID.randomUUID()}")
+    ArtifactStore.ensure(spark, s"$corpusDir/embeddings.parquet", root, key) { tmp =>
       signatures(emb, embCol, idCol, planesPerTable, tables, dim, seed)
-        .write.mode("overwrite").parquet(tmp.toString)
-      try Files.move(tmp, target)
-      catch { // lost a concurrent build race: the winner's index is equivalent
-        case _: java.nio.file.FileAlreadyExistsException =>
-          org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
-      }
+        .write.mode("overwrite").parquet(tmp)
     }
-    spark.read.parquet(target.toString)
   }
 }

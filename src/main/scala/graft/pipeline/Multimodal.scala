@@ -25,14 +25,19 @@ import org.apache.spark.sql.functions._
 object Multimodal {
 
   /** Deterministic fake media table derived from any text corpus — used
-    * by tests and the registry demo in place of real media files. */
+    * by tests and the registry demo in place of real media files. The
+    * payload starts with one NUL byte so it can never collide with a real
+    * container signature (PNG 0x89, JPEG 0xFF, GIF "G"): [[decodeMeta]]'s
+    * real-first dispatch provably takes the stub branch on every row, for
+    * ANY corpus text — a document whose text happens to begin "GIF89a"
+    * must not flip the branch out from under the stub-replaying oracle. */
   def mediaFromDocuments(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
     docs.select(
       col(idCol).as("media_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (pmod(col(idCol), lit(3)) + 1).cast("int")).as("kind"),
-      encode(col(textCol), "UTF-8").as("bytes"))
+      concat(lit(Array[Byte](0)), encode(col(textCol), "UTF-8")).as("bytes"))
 
   /** REAL image-container decode: `struct(format, width, height)` parsed
     * from PNG/JPEG/GIF headers by the [[ImageHeader.ImageMetaExpr]]

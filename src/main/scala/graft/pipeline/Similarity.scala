@@ -33,14 +33,17 @@ object Similarity {
     org.apache.spark.sql.functions.call_function("vec_dot", a, b)
 
   /** JVM kernel shared by VecDot's interpreted and generated paths.
-    * Null on length mismatch — the same outcome the HOF form produced
-    * (zip_with pads with null, nulling the whole fold). */
+    * Null on length mismatch or any null element — the same outcomes the
+    * HOF form produced (zip_with pads with null, and a null element nulls
+    * the whole fold; ArrayData.getFloat on a null slot would instead read
+    * garbage bits as a plausible 0.0f). */
   def dotArrays(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements()
     if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
       i += 1
     }
@@ -153,10 +156,13 @@ object Similarity {
 
   /** Candidate predicate over PERSISTED signatures: a vector is a
     * candidate iff its bucket equals the query's in ANY table (positional
-    * — a table-`i` bucket never matches a table-`j` one). Codegen'd long
-    * comparisons over `tables`-element arrays; no corpus-side dots. */
-  def sigMatches(sig: Column, qsig: Column): Column =
-    exists(zip_with(sig, qsig, (a, b) => a === b), b => b)
+    * — a table-`i` bucket never matches a table-`j` one). Unrolled over
+    * the compile-time-constant table count into plain `getItem`/`===`/`OR`
+    * nodes so the per-corpus-row filter stays inside whole-stage codegen —
+    * the `exists(zip_with(...))` HOF form evaluates interpreted, per-row,
+    * exactly the cost the persisted index exists to avoid. */
+  def sigMatches(sig: Column, qsig: Column, tables: Int): Column =
+    (0 until tables).map(t => sig.getItem(t) === qsig.getItem(t)).reduce(_ || _)
 
   /** [[lshTopK]] over a [[LshIndex]] frame `(idCol, embCol, nrm, sig)`:
     * the corpus-side signature and norm computation (tables × planes
@@ -172,7 +178,7 @@ object Similarity {
         array(tablePlanes.map(p => lshBucket(col("__q"), p)): _*))
       .withColumn("__qn", norm(col("__q"))))
     indexed.crossJoin(q)
-      .filter(sigMatches(col("sig"), col("__qsig")))
+      .filter(sigMatches(col("sig"), col("__qsig"), tables))
       .select(col(idCol),
         (dot(col(embCol), col("__q")) / (col("nrm") * col("__qn"))).as("score"))
       .orderBy(col("score").desc, col(idCol))

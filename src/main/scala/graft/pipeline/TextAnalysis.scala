@@ -17,9 +17,13 @@ object TextAnalysis {
 
   /** BPE-ish subword estimate: words plus punctuation splits plus a
     * length penalty for long words (≈ GPT-style ~4 chars/token).
-    * Formulated as insert-space-before-punct + `\s+` split rather than a
-    * lookahead split: identical counts, but RE2-compatible so the DuckDB
-    * oracle replays it verbatim (RE2 has no lookahead). */
+    * Formulated as insert-space-before-punct + trim + `\s+` split rather
+    * than a lookahead split, so the RE2-based DuckDB oracle replays it
+    * verbatim (RE2 has no lookahead). One deliberate divergence from the
+    * old lookahead form: punctuation-INITIAL text no longer counts a
+    * leading empty token ("!a" → 1, was 2 with Java's split keeping the
+    * empty string before the boundary) — the trimmed count is the more
+    * honest one. */
   def bpeishTokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0)).otherwise(
       size(split(trim(regexp_replace(text, "([.,!?;:])", " $1")), "\\s+"))) +

@@ -250,11 +250,13 @@ object PipelineQueries {
   // ===== multimodal ======================================================
 
   /** MM1: binary media columns through the real-first decode
-    * ([[Multimodal.decodeMeta]]): the fixture's payloads are not actual
-    * image containers, so every row exercises the parse-fails →
-    * stub-fallback branch, and the oracle (which replays the stub
-    * arithmetic) pins that the fallback is taken exactly when it
-    * should be. The real-parse branch is gate-checked by MM2. */
+    * ([[Multimodal.decodeMeta]]): the fixture's NUL-prefixed payloads can
+    * never parse as an image container, so every row provably exercises
+    * the parse-fails → stub-fallback branch, and the oracle (which
+    * replays the stub arithmetic over the same +1-byte payload) pins that
+    * the fallback is taken exactly when it should be — independent of
+    * what the corpus text looks like. The real-parse branch is
+    * gate-checked by MM2. */
   private def mm1(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.mediaFromDocuments(Tables.documents(s, dir))
     val meta = Multimodal.decodeMeta(col("kind"), col("bytes"))
@@ -549,12 +551,12 @@ object PipelineQueries {
     "p_mm1_media_meta" ->
       ("""SELECT doc_id AS media_id,
             (['image', 'audio', 'video'])[doc_id % 3 + 1] AS kind,
-            octet_length(encode(text)) AS size_bytes,
-            CASE WHEN doc_id % 3 = 0 THEN octet_length(encode(text)) % 1920 + 16 END AS width,
-            CASE WHEN doc_id % 3 = 0 THEN (octet_length(encode(text)) * 7) % 1080 + 16 END AS height,
-            CASE WHEN doc_id % 3 = 1 THEN (octet_length(encode(text)) % 3) * 16000 + 16000 END AS sample_rate,
-            CASE WHEN doc_id % 3 IN (1, 2) THEN octet_length(encode(text)) % 600 + 1 END AS duration_s,
-            CASE WHEN doc_id % 3 = 2 THEN (octet_length(encode(text)) % 2) * 6 + 24 END AS fps
+            octet_length(encode(text)) + 1 AS size_bytes,
+            CASE WHEN doc_id % 3 = 0 THEN (octet_length(encode(text)) + 1) % 1920 + 16 END AS width,
+            CASE WHEN doc_id % 3 = 0 THEN ((octet_length(encode(text)) + 1) * 7) % 1080 + 16 END AS height,
+            CASE WHEN doc_id % 3 = 1 THEN ((octet_length(encode(text)) + 1) % 3) * 16000 + 16000 END AS sample_rate,
+            CASE WHEN doc_id % 3 IN (1, 2) THEN (octet_length(encode(text)) + 1) % 600 + 1 END AS duration_s,
+            CASE WHEN doc_id % 3 = 2 THEN ((octet_length(encode(text)) + 1) % 2) * 6 + 24 END AS fps
           FROM documents ORDER BY media_id"""),
     "p_t3_contamination" ->
       ("""WITH corpus AS (

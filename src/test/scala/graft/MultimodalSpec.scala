@@ -140,6 +140,23 @@ class MultimodalSpec extends SparkSpec {
     assert(audio === audioStub) // non-image kinds always take the stub
   }
 
+  test("mediaFromDocuments payloads never parse as containers, even GIF-prefixed text") {
+    import spark.implicits._
+    // a document whose TEXT begins with a valid GIF header must still take
+    // the stub branch: the fixture's NUL prefix keeps fake payloads
+    // unambiguous, so the stub-replaying mm1 oracle is corpus-independent
+    val docs = Seq((0L, "GIF89a" + new String(Array[Byte](16, 0, 16, 0)) + "rest"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.mediaFromDocuments(docs)
+    val r = media.select(
+        Multimodal.imageMeta(col("bytes")).as("real"),
+        Multimodal.decodeMeta(col("kind"), col("bytes")).as("m"),
+        Multimodal.decodeMetaStub(col("kind"), col("bytes")).as("stub"))
+      .collect().head
+    assert(r.isNullAt(0), "NUL-prefixed payload must not parse as a container")
+    assert(r.getStruct(1) === r.getStruct(2))
+  }
+
   test("extractFeaturesStub: one feature row per media row, deterministic") {
     implicit val s = spark
     val feats = Multimodal.extractFeaturesStub(media, batchSize = 16).collect()

@@ -19,6 +19,17 @@ class SimilaritySpec extends SparkSpec {
       .collect().foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
   }
 
+  test("vec_dot: null element or length mismatch nulls the score (HOF-fold parity)") {
+    val df = Seq(
+      (Seq[Option[Float]](Some(1f), Some(2f)), Seq[Option[Float]](Some(3f), Some(4f))),
+      (Seq[Option[Float]](Some(1f), None), Seq[Option[Float]](Some(3f), Some(4f))),
+      (Seq[Option[Float]](Some(1f)), Seq[Option[Float]](Some(3f), Some(4f))),
+    ).toDF("a", "b")
+    val got = df.select(Similarity.dot(col("a"), col("b")).as("d")).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(got.toSeq === Seq(Some(11.0), None, None))
+  }
+
   test("bruteForceTopK returns the true top-k") {
     val emb = Tables.embeddings(spark, sf0001)
     val q = emb.filter(col("vec_id") === 0).select("embedding")

@@ -93,6 +93,16 @@ class TxSenderSpec extends SparkSpec {
     assert(TxSender.recIdOf(38, chainId = 5) === -1) // wrong chain
   }
 
+  test("recIdCol matches recIdOf on malformed v, including beyond Int range (ANSI-safe)") {
+    import spark.implicits._
+    val vs = Seq(27L, 28L, 37L, 38L, 0L, 3L, 29L, 34L, -5L,
+      5_000_000_000L, Long.MaxValue)
+    val got = vs.toDF("v")
+      .select(TxSender.recIdCol(col("v"), lit(1L)).as("rid"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(got === vs.map(TxSender.recIdOf(_, chainId = 1L)))
+  }
+
   test("vectorized recovery: 100 random keys round-trip through the column path") {
     val rng = new scala.util.Random(31)
     def pad32(v: BigInteger) = {
