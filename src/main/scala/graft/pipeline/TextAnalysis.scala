@@ -1,6 +1,7 @@
 package graft.pipeline
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
@@ -177,4 +178,73 @@ object TextAnalysis {
       .groupBy(col("corpus_id"), col("eval_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+
+  // ---- repetition filters (Gopher-style) --------------------------------
+
+  /** Fraction of whitespace tokens that repeat an earlier token — the
+    * word-level duplicate-content signal of the Gopher/MassiveText
+    * quality rules (Rae et al. 2021, appendix A1.1; same family as C4's
+    * repetition filters). Per-row, codegen'd; 0 for empty text. */
+  def duplicateWordFraction(text: Column): Column = {
+    val ws = split(trim(text), "\\s+")
+    when(length(trim(text)) === 0, lit(0.0))
+      .otherwise(lit(1.0) -
+        size(array_distinct(ws)).cast(DoubleType) / size(ws).cast(DoubleType))
+  }
+
+  /** Per-document most-frequent word bigram and the fraction of the
+    * document's characters its occurrences cover — Gopher's top-n-gram
+    * repetition filter at n = 2. Plan shape: posexplode → per-doc `lead`
+    * window → one (id, bigram) count aggregate (map-side combined) →
+    * per-doc argmax. Only (id, bigram, count) triples shuffle, never
+    * document bodies. Ties break to the lexicographically smallest
+    * bigram so the argmax is deterministic cross-engine; documents with
+    * fewer than two tokens drop out.
+    * Returns (idCol, top_bigram, top_bigram_n, top_bigram_char_frac). */
+  def topBigramStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = df.select(col(idCol), length(col(textCol)).as("__chars"),
+      posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("__pos", "__w")))
+    val inDoc = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val bigrams = words
+      .withColumn("__next", lead(col("__w"), 1).over(inDoc))
+      .filter(col("__next").isNotNull)
+      .select(col(idCol), col("__chars"),
+        concat_ws(" ", col("__w"), col("__next")).as("__bg"))
+    val counts = bigrams.groupBy(col(idCol), col("__chars"), col("__bg"))
+      .agg(count(lit(1)).as("__n"))
+    val argmax = Window.partitionBy(col(idCol))
+      .orderBy(col("__n").desc, col("__bg"))
+    counts.withColumn("__rn", row_number().over(argmax)).filter(col("__rn") === 1)
+      .select(col(idCol), col("__bg").as("top_bigram"),
+        col("__n").as("top_bigram_n"),
+        ((col("__n") * length(col("__bg"))).cast(DoubleType) /
+          col("__chars").cast(DoubleType)).as("top_bigram_char_frac"))
+  }
+
+  // ---- PII redaction ----------------------------------------------------
+
+  /** RE2-compatible patterns (plain classes and quantifiers, no
+    * lookaround), so an external engine replays the redaction verbatim. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhonePattern = "\\+[0-9]{7,15}"
+
+  /** Scrub emails, IPv4 addresses, and international-format phone
+    * numbers, in that order (emails first so their dotted domains are
+    * never half-eaten by the IP rule). Deliberately recall-leaning, as
+    * curation scrubbers are: an over-redacted token costs little next to
+    * leaked PII. Pure per-row regexp_replace chain — codegen'd, zero
+    * shuffles at any scale. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      PhonePattern, "<PHONE>")
+
+  /** Per-kind PII occurrence counts (pre-redaction). */
+  def piiCounts(text: Column): Column = struct(
+    regexp_count(text, lit(EmailPattern)).cast("long").as("n_email"),
+    regexp_count(text, lit(Ipv4Pattern)).cast("long").as("n_ip"),
+    regexp_count(text, lit(PhonePattern)).cast("long").as("n_phone"))
 }

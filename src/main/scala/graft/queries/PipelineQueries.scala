@@ -247,6 +247,40 @@ object PipelineQueries {
         col("n_tokens").desc, col("doc_id"))
       .orderBy(col("lang_id"), col("doc_id"))
 
+  /** T4 (quality): Gopher-style repetition metrics per document —
+    * duplicate-word fraction plus the top-bigram character coverage
+    * ([[TA.topBigramStats]]). The corpus's synthetic word-soup text is
+    * repetition-heavy, so every row carries a nontrivial value. */
+  private def t4Repetition(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    docs.select(col("doc_id"),
+        TA.duplicateWordFraction(col("text")).as("dup_word_frac"))
+      .join(TA.topBigramStats(docs, "doc_id", "text"), Seq("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** T5 (curation): PII scrubbing — emails/IPv4s/phones are CONSTRUCTED
+    * deterministically into each document (the corpus has none), then
+    * counted and redacted; the oracle rebuilds the same text, replays
+    * the same RE2-compatible patterns, and matches the md5 of the
+    * redacted output — a construct→operate identity across engines. */
+  private def t5Pii(s: SparkSession, dir: String): DataFrame = {
+    val withPii = Tables.documents(s, dir).select(col("doc_id"),
+      concat(
+        lit("contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com or +1555"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit(" at 10."), pmod(col("doc_id"), lit(256)).cast("string"),
+        lit(".0.99 "), col("text")).as("text"))
+    val c = TA.piiCounts(col("text"))
+    withPii.select(col("doc_id"),
+        c.getField("n_email").as("n_email"),
+        c.getField("n_ip").as("n_ip"),
+        c.getField("n_phone").as("n_phone"),
+        md5(TA.redactPii(col("text"))).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   // ===== multimodal ======================================================
 
   /** MM1: binary media columns through the real-first decode
@@ -324,6 +358,8 @@ object PipelineQueries {
     "p_t1_text_stats" -> (t1 _),
     "p_t2_vocab_head" -> (t2vocab _),
     "p_t3_contamination" -> (t3Contamination _),
+    "p_t4_repetition" -> (t4Repetition _),
+    "p_t5_pii_redaction" -> (t5Pii _),
     "p_c1_split_counts" -> (c1Split _),
     "p_c2_lang_quota" -> (c2Quota _),
     "p_mm1_media_meta" -> (mm1 _),
@@ -579,6 +615,47 @@ object PipelineQueries {
                  CAST(count(*) AS BIGINT) AS n_shared
           FROM cwin c JOIN ewin e ON c.fp = e.fp
           GROUP BY 1, 2 HAVING count(*) >= 5 ORDER BY corpus_id, eval_id"""),
+    "p_t4_repetition" ->
+      (s"""WITH wds AS (
+            SELECT doc_id, length(text) AS chars,
+                   string_split_regex(trim(text), '\\s+') AS ws
+            FROM documents),
+          bg AS (
+            SELECT doc_id, chars,
+                   unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS bg
+            FROM wds),
+          cnt AS (SELECT doc_id, chars, bg, count(*) AS n FROM bg GROUP BY 1, 2, 3),
+          top AS (SELECT doc_id, chars, bg, n,
+                  row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, bg) AS rn
+                  FROM cnt)
+          SELECT w.doc_id,
+            1.0 - CAST(len(list_distinct(w.ws)) AS DOUBLE)
+                  / CAST(len(w.ws) AS DOUBLE) AS dup_word_frac,
+            t.bg AS top_bigram,
+            CAST(t.n AS BIGINT) AS top_bigram_n,
+            CAST(t.n * length(t.bg) AS DOUBLE)
+              / CAST(w.chars AS DOUBLE) AS top_bigram_char_frac
+          FROM wds w JOIN top t ON w.doc_id = t.doc_id AND t.rn = 1
+          ORDER BY w.doc_id"""),
+    "p_t5_pii_redaction" ->
+      (s"""WITH pii AS (
+            SELECT doc_id,
+              'contact user' || CAST(doc_id AS VARCHAR) ||
+              '@mail.example.com or +1555' ||
+              lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+              ' at 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.99 ' || text AS text
+            FROM documents)
+          SELECT doc_id,
+            CAST(len(regexp_extract_all(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+            CAST(len(regexp_extract_all(text,
+              '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS BIGINT) AS n_ip,
+            CAST(len(regexp_extract_all(text, '\\+[0-9]{7,15}')) AS BIGINT) AS n_phone,
+            md5(regexp_replace(regexp_replace(regexp_replace(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+              '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'),
+              '\\+[0-9]{7,15}', '<PHONE>', 'g')) AS redacted_md5
+          FROM pii ORDER BY doc_id"""),
     "p_c1_split_counts" ->
       ("""SELECT split, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum FROM (
             SELECT doc_id,

@@ -75,4 +75,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one[Double](TA.nonAlphaRatio(col("text")), "abc def") === 0.0)
     assert(one[Boolean](TA.qualityKeep(col("text")), "too few") === false)
   }
+
+  test("repetition filters: duplicate-word fraction and top-bigram argmax with tie-break") {
+    import spark.implicits._
+    assert(one[Double](TA.duplicateWordFraction(col("text")), "a b a b c") === 1.0 - 3.0 / 5.0)
+    assert(one[Double](TA.duplicateWordFraction(col("text")), "x x x x") === 0.75)
+    assert(one[Double](TA.duplicateWordFraction(col("text")), "") === 0.0)
+
+    val docs = Seq(
+      (1L, "a b a b c"),  // "a b" x2 beats "b a"/"b c" x1
+      (2L, "x x x x"),    // "x x" x3
+      (3L, "z y z"),      // tie "z y"/"y z" x1 -> lexicographically smallest "y z"
+      (4L, "solo"),       // <2 tokens: drops out
+    ).toDF("doc_id", "text")
+    val got = TA.topBigramStats(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      (1L, "a b", 2L, 2.0 * 3 / 9),
+      (2L, "x x", 3L, 3.0 * 3 / 7),
+      (3L, "y z", 1L, 1.0 * 3 / 5)))
+  }
+
+  test("PII redaction: emails, IPs, phones scrubbed; counts match") {
+    val text = "mail bob@x.co or b.o-b+1@sub.domain.org, call +12345678, host 192.168.0.1 ok"
+    assert(one[String](TA.redactPii(col("text")), text) ===
+      "mail <EMAIL> or <EMAIL>, call <PHONE>, host <IP> ok")
+    val c = one[org.apache.spark.sql.Row](TA.piiCounts(col("text")), text)
+    assert((c.getLong(0), c.getLong(1), c.getLong(2)) === ((2L, 1L, 1L)))
+    // plain prose unharmed
+    assert(one[String](TA.redactPii(col("text")), "no pii here 1.2 ok") === "no pii here 1.2 ok")
+  }
 }
