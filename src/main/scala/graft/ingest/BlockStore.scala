@@ -68,6 +68,7 @@ class BlockStore(spark: SparkSession, val root: String, bucketSize: Long = 1000L
     * table: a segment directory not listed here does not exist as far as
     * any reader is concerned. */
   private def listSegments(table: String): Seq[String] = {
+    migrateLegacyLayout(table)
     val m = Paths.get(manifestOf(table))
     if (Files.exists(m)) {
       import scala.jdk.CollectionConverters._
@@ -76,25 +77,89 @@ class BlockStore(spark: SparkSession, val root: String, bucketSize: Long = 1000L
   }
 
   private def writeManifest(table: String, segs: Seq[String]): Unit = {
+    import java.nio.file.StandardOpenOption._
     val tmp = Paths.get(manifestOf(table) + "__tmp")
-    Files.write(tmp, segs.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // SYNC + directory fsync: the rename alone is atomic only against
+    // process crashes — on power loss some filesystems persist the rename
+    // before the file data, surfacing an empty manifest that would read
+    // as "no segments committed"
+    Files.write(tmp, segs.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      WRITE, CREATE, TRUNCATE_EXISTING, SYNC)
     Files.move(tmp, Paths.get(manifestOf(table)),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    try {
+      val dirCh = java.nio.channels.FileChannel.open(Paths.get(tableDir(table)), READ)
+      try dirCh.force(true) finally dirCh.close()
+    } catch { case _: Exception => () } // best-effort on filesystems that refuse
   }
 
-  /** Sweep segment dirs a crashed append left uncommitted. Only the single
-    * writer calls this (before its own writes), so a dir not in the
-    * manifest is always garbage, never a commit in flight. */
+  /** Sweep staging dirs a crashed append left behind. Only `__seg_*`
+    * STAGING dirs are swept — they were never visible to any reader, so
+    * deleting them can never race an in-flight scan. A committed-then-
+    * retired `seg=` dir (after [[compactConfirmed]]) may still back a
+    * running query's plan and is only removed by [[vacuumConfirmed]]. */
   private def recoverConfirmed(table: String): Unit = {
     val dir = Paths.get(tableDir(table))
     if (Files.exists(dir)) {
+      val stream = Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        stream.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("__seg_"))
+          .foreach(p => deleteIfExists(p.toString))
+      } finally stream.close()
+    }
+  }
+
+  /** Fold a pre-manifest-layout table (bucket= dirs directly under the
+    * table dir, written before segment commits existed) into a
+    * `seg=legacy0` segment so the data stays visible after the upgrade
+    * instead of silently vanishing behind an absent manifest. Idempotent
+    * and resumable: a crash mid-move leaves some bucket= dirs unmoved and
+    * no manifest; the next call moves the rest and then commits. */
+  private def migrateLegacyLayout(table: String): Unit = {
+    val dir = Paths.get(tableDir(table))
+    if (Files.exists(dir) && !Files.exists(Paths.get(manifestOf(table)))) {
+      val legacy = Paths.get(s"${tableDir(table)}/seg=legacy0")
+      val stream = Files.list(dir)
+      val buckets =
+        try {
+          import scala.jdk.CollectionConverters._
+          stream.iterator().asScala
+            .filter(_.getFileName.toString.startsWith("bucket=")).toList
+        } finally stream.close()
+      if (buckets.nonEmpty || Files.exists(legacy)) this.synchronized {
+        Files.createDirectories(legacy)
+        buckets.foreach { b =>
+          try Files.move(b, legacy.resolve(b.getFileName))
+          catch { case _: java.nio.file.NoSuchFileException => () } // raced sibling
+        }
+        val success = Paths.get(s"${tableDir(table)}/_SUCCESS")
+        if (Files.exists(success)) Files.move(success, legacy.resolve("_SUCCESS"))
+        if (!Files.exists(Paths.get(manifestOf(table))))
+          writeManifest(table, Seq("seg=legacy0"))
+      }
+    }
+  }
+
+  /** Physically delete retired segments — committed once, superseded by
+    * [[compactConfirmed]], and older than `graceMs`. Split from the
+    * manifest swap for the same reason Delta/Iceberg separate commit from
+    * vacuum: a reader that resolved its file list before the swap may
+    * still be scanning the old segments. Run it with a grace period
+    * comfortably above the longest query. */
+  def vacuumConfirmed(table: String, graceMs: Long): Unit = {
+    val dir = Paths.get(tableDir(table))
+    if (Files.exists(dir)) {
       val committed = listSegments(table).toSet
+      val cutoff = System.currentTimeMillis() - graceMs
       val stream = Files.list(dir)
       try {
         import scala.jdk.CollectionConverters._
         stream.iterator().asScala
           .filter(p => p.getFileName.toString.startsWith("seg="))
           .filterNot(p => committed(p.getFileName.toString))
+          .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
           .foreach(p => deleteIfExists(p.toString))
       } finally stream.close()
     }
@@ -238,17 +303,23 @@ class BlockStore(spark: SparkSession, val root: String, bucketSize: Long = 1000L
     val done = confirmedByNumberRange(table, lo, hi)
       .select(key.as("__seen")).distinct()
     val fresh = rows.join(broadcast(done), key === col("__seen"), "left_anti")
-    val seg = "seg=" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val segPath = s"${tableDir(table)}/$seg"
+    // stage under a __seg_ name (writer-sweepable, never reader-visible),
+    // take the committed seg= name only at the last moment: a dir that
+    // ever carried a seg= name may back an in-flight reader's plan
+    val uuid = java.util.UUID.randomUUID().toString.replace("-", "")
+    val stage = s"${tableDir(table)}/__seg_$uuid"
+    val seg = s"seg=$uuid"
     fresh.withColumn("bucket", (col("__bnum") / bucketSize).cast("long"))
       .drop("__bnum")
       .write.mode(SaveMode.Overwrite)
       .partitionBy("bucket")
-      .parquet(segPath)
+      .parquet(stage)
     // an all-duplicates replay writes a dataless segment (just _SUCCESS);
     // committing it would give partition discovery a partitionless root
-    if (hasBucketDirs(segPath)) writeManifest(table, listSegments(table) :+ seg)
-    else deleteIfExists(segPath)
+    if (hasBucketDirs(stage)) {
+      Files.move(Paths.get(stage), Paths.get(s"${tableDir(table)}/$seg"))
+      writeManifest(table, listSegments(table) :+ seg)
+    } else deleteIfExists(stage)
   }
 
   private def hasBucketDirs(dir: String): Boolean = {
@@ -259,21 +330,24 @@ class BlockStore(spark: SparkSession, val root: String, bucketSize: Long = 1000L
     } finally stream.close()
   }
 
-  /** Rewrite all committed segments of a table into one and drop the rest —
-    * the small-files countermeasure for a long-running stream (every
-    * promotion adds a segment; at 100 TB you run this per bucket range on a
-    * schedule). Crash-safe by the same manifest rule: the new segment
-    * becomes the sole committed one in a single atomic manifest swap, and
-    * the superseded dirs are swept as uncommitted garbage afterwards. */
+  /** Rewrite all committed segments of a table into one — the small-files
+    * countermeasure for a long-running stream (every promotion adds a
+    * segment; at 100 TB you run this per bucket range on a schedule).
+    * Crash-safe by the same staging + manifest rule as appends. The
+    * superseded segment dirs are NOT deleted here: a concurrent reader
+    * that resolved its file list before the swap may still be scanning
+    * them — [[vacuumConfirmed]] removes them after a grace period. */
   def compactConfirmed(table: String): Unit = {
     if (listSegments(table).length > 1) {
-      val seg = "seg=" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val uuid = java.util.UUID.randomUUID().toString.replace("-", "")
+      val stage = s"${tableDir(table)}/__seg_$uuid"
       confirmed(table)
         .write.mode(SaveMode.Overwrite)
         .partitionBy("bucket")
-        .parquet(s"${tableDir(table)}/$seg")
+        .parquet(stage)
+      val seg = s"seg=$uuid"
+      Files.move(Paths.get(stage), Paths.get(s"${tableDir(table)}/$seg"))
       writeManifest(table, Seq(seg))
-      recoverConfirmed(table)
     }
   }
 

@@ -194,31 +194,44 @@ object TextAnalysis {
 
   /** Per-document most-frequent word bigram and the fraction of the
     * document's characters its occurrences cover — Gopher's top-n-gram
-    * repetition filter at n = 2. Plan shape: posexplode → per-doc `lead`
-    * window → one (id, bigram) count aggregate (map-side combined) →
-    * per-doc argmax. Only (id, bigram, count) triples shuffle, never
-    * document bodies. Ties break to the lexicographically smallest
+    * repetition filter at n = 2. Adjacent pairs are formed ROW-LOCALLY by
+    * zipping the token array with its own tail (plain collection
+    * expressions, codegen'd — no per-word `lead` window, which would
+    * shuffle and sort every exploded word row by document first), so the
+    * first exchange in the plan is the map-side-combined (id, bigram)
+    * count aggregate: only (id, bigram, count) triples ever shuffle,
+    * never document bodies. Ties break to the lexicographically smallest
     * bigram so the argmax is deterministic cross-engine; documents with
-    * fewer than two tokens drop out.
-    * Returns (idCol, top_bigram, top_bigram_n, top_bigram_char_frac). */
-  def topBigramStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val words = df.select(col(idCol), length(col(textCol)).as("__chars"),
-      posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("__pos", "__w")))
-    val inDoc = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
-    val bigrams = words
-      .withColumn("__next", lead(col("__w"), 1).over(inDoc))
-      .filter(col("__next").isNotNull)
-      .select(col(idCol), col("__chars"),
-        concat_ws(" ", col("__w"), col("__next")).as("__bg"))
-    val counts = bigrams.groupBy(col(idCol), col("__chars"), col("__bg"))
+    * fewer than two tokens drop out. `carry` names per-document columns
+    * of `df` to pass through (avoids a re-scan + self-join for callers
+    * that also need per-row stats).
+    * Returns (idCol, carry..., top_bigram, top_bigram_n,
+    * top_bigram_char_frac). */
+  def topBigramStats(df: DataFrame, idCol: String, textCol: String,
+      carry: Seq[String] = Nil): DataFrame = {
+    val keys = col(idCol) +: carry.map(col)
+    val ws = split(trim(col(textCol)), "\\s+")
+    // zip tokens with their tail: pair i = (w(i), w(i+1)); the final
+    // (w(n-1), null) pad drops via a codegen'd ROW filter after the
+    // explode (an array-level filter(...) lambda would be an interpreted
+    // HOF — the pitfall vec_dot exists to avoid)
+    val pairs =
+      arrays_zip(ws.as("a"), slice(ws, lit(2), greatest(size(ws) - 1, lit(0))).as("b"))
+    val bigrams = df.select(
+      (keys :+ length(col(textCol)).as("__chars")) :+
+        explode(pairs).as("__p"): _*)
+      .filter(col("__p.b").isNotNull)
+      .select((keys :+ col("__chars")) :+
+        concat_ws(" ", col("__p.a"), col("__p.b")).as("__bg"): _*)
+    val counts = bigrams.groupBy((keys :+ col("__chars")) :+ col("__bg"): _*)
       .agg(count(lit(1)).as("__n"))
     val argmax = Window.partitionBy(col(idCol))
       .orderBy(col("__n").desc, col("__bg"))
     counts.withColumn("__rn", row_number().over(argmax)).filter(col("__rn") === 1)
-      .select(col(idCol), col("__bg").as("top_bigram"),
+      .select(keys ++ Seq(col("__bg").as("top_bigram"),
         col("__n").as("top_bigram_n"),
         ((col("__n") * length(col("__bg"))).cast(DoubleType) /
-          col("__chars").cast(DoubleType)).as("top_bigram_char_frac"))
+          col("__chars").cast(DoubleType)).as("top_bigram_char_frac")): _*)
   }
 
   // ---- PII redaction ----------------------------------------------------

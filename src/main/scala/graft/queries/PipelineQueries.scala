@@ -251,13 +251,12 @@ object PipelineQueries {
     * duplicate-word fraction plus the top-bigram character coverage
     * ([[TA.topBigramStats]]). The corpus's synthetic word-soup text is
     * repetition-heavy, so every row carries a nontrivial value. */
-  private def t4Repetition(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    docs.select(col("doc_id"),
-        TA.duplicateWordFraction(col("text")).as("dup_word_frac"))
-      .join(TA.topBigramStats(docs, "doc_id", "text"), Seq("doc_id"))
+  private def t4Repetition(s: SparkSession, dir: String): DataFrame =
+    TA.topBigramStats(
+        Tables.documents(s, dir).select(col("doc_id"), col("text"),
+          TA.duplicateWordFraction(col("text")).as("dup_word_frac")),
+        "doc_id", "text", carry = Seq("dup_word_frac"))
       .orderBy(col("doc_id"))
-  }
 
   /** T5 (curation): PII scrubbing — emails/IPv4s/phones are CONSTRUCTED
     * deterministically into each document (the corpus has none), then

@@ -186,7 +186,7 @@ class IngestSpec extends SparkSpec {
     // parquet append would have made these rows visible (and the replay
     // anti-join would then skip the block's missing rows forever); the
     // manifest rule keeps the whole segment invisible instead.
-    val torn = s"${store.confirmedDir}/events/seg=torn0000"
+    val torn = s"${store.confirmedDir}/events/__seg_torn0000"
     store.confirmed("events").limit(1)
       .write.partitionBy("bucket").parquet(torn)
     assert(store.confirmed("events").count() === want, "uncommitted segment leaked")
@@ -198,7 +198,7 @@ class IngestSpec extends SparkSpec {
     assert(!Files.exists(java.nio.file.Paths.get(torn)), "torn segment not swept")
   }
 
-  test("compactConfirmed folds segments into one without changing contents") {
+  test("compactConfirmed folds segments into one; vacuum removes retired dirs") {
     val store = new BlockStore(spark, tmpDir)
     val job = new IngestJob(spark, store, confirmations = 0)
     job.processBatch((0L to 4L).map(packed(_)).toDF(), batchId = 0)
@@ -206,12 +206,39 @@ class IngestSpec extends SparkSpec {
     val before = store.confirmed("transactions").collect()
       .map(_.getAs[String]("hash")).sorted.toSeq
     store.compactConfirmed("transactions")
-    val segs = java.nio.file.Paths.get(s"${store.confirmedDir}/transactions")
+    def segDirs = java.nio.file.Paths.get(s"${store.confirmedDir}/transactions")
       .toFile.listFiles().count(_.getName.startsWith("seg="))
-    assert(segs === 1, "expected exactly one segment after compaction")
+    // the swap retires the old segments but does NOT delete them — an
+    // in-flight reader may still be scanning; physical removal is vacuum's
+    assert(segDirs === 3, "retired segments must survive the manifest swap")
     val after = store.confirmed("transactions").collect()
       .map(_.getAs[String]("hash")).sorted.toSeq
     assert(after === before)
+    store.vacuumConfirmed("transactions", graceMs = 0)
+    assert(segDirs === 1, "vacuum past the grace period drops retired segments")
+    assert(store.confirmed("transactions").count() === before.length)
+  }
+
+  test("pre-manifest layout migrates to seg=legacy0 instead of vanishing") {
+    import java.nio.file.{Files => F, Paths => P}
+    val store = new BlockStore(spark, tmpDir)
+    val job = new IngestJob(spark, store, confirmations = 0)
+    job.processBatch((0L to 5L).map(packed(_)).toDF(), batchId = 0)
+    val want = store.confirmed("blocks").count()
+
+    // rewrite the table dir into the OLD layout: bucket= dirs at top
+    // level, no _segments manifest (what pre-segment code wrote)
+    val dir = P.get(s"${store.confirmedDir}/blocks")
+    val seg = dir.toFile.listFiles().filter(_.getName.startsWith("seg=")).head
+    F.delete(dir.resolve("_segments"))
+    seg.listFiles().foreach(f => F.move(f.toPath, dir.resolve(f.getName)))
+    F.delete(seg.toPath)
+
+    assert(store.confirmed("blocks").count() === want, "legacy rows lost")
+    assert(F.exists(dir.resolve("seg=legacy0")) && F.exists(dir.resolve("_segments")))
+    // and the migrated table keeps working as a normal segmented one
+    job.processBatch(Seq(packed(6)).toDF(), batchId = 1)
+    assert(store.confirmed("blocks").count() === want + 1)
   }
 
   test("reorg deeper than the confirmation depth is ignored (block.go:59-63)") {

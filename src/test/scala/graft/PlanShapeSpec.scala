@@ -45,6 +45,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("repetition bigrams form row-locally: no exchange below the count aggregate") {
+    val p = plan("p_t4_repetition")
+    // the first shuffle must be the partial-agg'd bigram count, not a
+    // per-word window sort: below the HashAggregate there is only
+    // scan -> project/explode/filter (word rows never shuffle)
+    // SimpleMode prints top-down (deepest last): the DEEPEST aggregate
+    // (the map-side partial) must sit below every exchange
+    assert(p.contains("HashAggregate") && p.contains("Exchange"))
+    assert(p.lastIndexOf("HashAggregate") > p.lastIndexOf("Exchange"),
+      s"expected no exchange below the partial bigram count:\n$p")
+    assert(!p.contains("lead("), "bigram formation must not use a window")
+  }
+
   test("anti-join gap detection has no distinct aggregation on the present side") {
     val p = plan("ev_j10_missing_blocks")
     assert(p.contains("LeftAnti"))
