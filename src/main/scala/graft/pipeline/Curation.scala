@@ -50,4 +50,24 @@ object Curation {
       .filter(col("__rank") <= n)
       .drop("__rank")
   }
+
+  /** Stratified sampling: keep each row with its stratum's rate (percent
+    * in [0, 100]), decided by the row's deterministic id bucket — the
+    * down-weighting step of corpus mixing (e.g. keep 10% of crawl, 100%
+    * of books). Pure per-row filter: no shuffle, no rand(), stable
+    * across runs/executors/engines, and a row keeps or drops
+    * CONSISTENTLY as rates move (rate 20 keeps a superset of rate 10 —
+    * bucket thresholds, not resampling). `rates` maps stratum value →
+    * percent; strata absent from the map keep `defaultRate`. */
+  def sampleByStratum(df: DataFrame, stratumCol: String, idCol: String,
+      rates: Map[String, Int], defaultRate: Int = 100,
+      bucket: Column => Column = splitBucket(_)): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 100),
+      "rates are percents in [0, 100]")
+    val rate = rates.foldLeft(lit(defaultRate): Column) {
+      case (rest, (stratum, r)) =>
+        when(col(stratumCol) === stratum, lit(r)).otherwise(rest)
+    }
+    df.filter(bucket(col(idCol)) < rate)
+  }
 }

@@ -280,6 +280,21 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** C3: stratified sampling — each language stratum down-weighted to its
+    * configured rate by the deterministic md5 id bucket (the corpus-mixing
+    * step: keep 20% of 'en', 50% of 'de', 80% elsewhere). Verified by
+    * per-stratum count + id-sum, so the oracle pins exact membership. */
+  private def c3Sample(s: SparkSession, dir: String): DataFrame =
+    Curation.sampleByStratum(
+        Tables.documents(s, dir).select(col("doc_id"),
+          TA.langId(col("text")).as("lang_id")),
+        "lang_id", "doc_id",
+        rates = Map("en" -> 20, "de" -> 50), defaultRate = 80,
+        bucket = Curation.md5Bucket)
+      .groupBy(col("lang_id"))
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("lang_id"))
+
   // ===== multimodal ======================================================
 
   /** MM1: binary media columns through the real-first decode
@@ -361,6 +376,7 @@ object PipelineQueries {
     "p_t5_pii_redaction" -> (t5Pii _),
     "p_c1_split_counts" -> (c1Split _),
     "p_c2_lang_quota" -> (c2Quota _),
+    "p_c3_stratified_sample" -> (c3Sample _),
     "p_mm1_media_meta" -> (mm1 _),
     "p_mm2_image_header" -> (mm2 _),
   )
@@ -402,6 +418,14 @@ object PipelineQueries {
     val whens = ordered.map(l => s"WHEN ${score(l)} = $m THEN '$l'").mkString(" ")
     s"(CASE WHEN $m = 0 THEN 'und' $whens END)"
   }
+
+  /** DuckDB twin of [[Curation.md5Bucket]] over `doc_id` (first 8 md5 hex
+    * digits of the decimal id string, mod 100). */
+  private val md5BucketSql: String =
+    """CAST(list_sum(list_transform(range(1, 9), i ->
+         CAST(strpos('0123456789abcdef',
+           substring(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT)
+         * (CAST(1 AS BIGINT) << CAST(4 * (8 - i) AS INT)))) AS BIGINT) % 100"""
 
   def oracleSql: Map[String, String] = Map(
     "p_d1_exact_dedup" ->
@@ -678,6 +702,13 @@ object PipelineQueries {
                      ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
               FROM documents))
           WHERE rn <= 25 ORDER BY lang_id, doc_id"""),
+    "p_c3_stratified_sample" ->
+      (s"""SELECT lang_id, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
+          FROM (
+            SELECT doc_id, $langCase AS lang_id, $md5BucketSql AS b
+            FROM documents)
+          WHERE b < (CASE lang_id WHEN 'en' THEN 20 WHEN 'de' THEN 50 ELSE 80 END)
+          GROUP BY lang_id ORDER BY lang_id"""),
     "p_t2_vocab_head" ->
       ("""SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf FROM (
             SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)

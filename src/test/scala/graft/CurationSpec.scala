@@ -49,4 +49,21 @@ class CurationSpec extends SparkSpec {
     // en: the two len-70 docs win (id tiebreak keeps both, drops 50/10)
     assert(kept === Set(("en", 2L), ("en", 3L), ("de", 5L), ("de", 6L)))
   }
+
+  test("sampleByStratum: per-stratum rates, nested as rates grow, edge rates") {
+    val df = (1L to 2000L).map(i => (if (i % 2 == 0) "web" else "books", i))
+      .toDF("source", "id")
+    def keptAt(webRate: Int) = Curation.sampleByStratum(
+        df, "source", "id", rates = Map("web" -> webRate), defaultRate = 100)
+      .filter(col("source") === "web").collect().map(_.getLong(1)).toSet
+
+    val at10 = keptAt(10); val at30 = keptAt(30)
+    assert(at10.nonEmpty && at10.size < 1000)
+    assert(at10.subsetOf(at30), "raising a rate must only ADD rows, never resample")
+    assert(keptAt(0).isEmpty && keptAt(100).size === 1000)
+    // untouched stratum keeps everything under defaultRate = 100
+    val books = Curation.sampleByStratum(df, "source", "id", Map("web" -> 10))
+      .filter(col("source") === "books").count()
+    assert(books === 1000L)
+  }
 }
