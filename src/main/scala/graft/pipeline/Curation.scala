@@ -64,10 +64,14 @@ object Curation {
       bucket: Column => Column = splitBucket(_)): DataFrame = {
     require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 100),
       "rates are percents in [0, 100]")
-    val rate = rates.foldLeft(lit(defaultRate): Column) {
-      case (rest, (stratum, r)) =>
-        when(col(stratumCol) === stratum, lit(r)).otherwise(rest)
-    }
+    // map lookup, not a when-chain: the stratum column appears ONCE in
+    // the predicate, so a computed stratum (e.g. langId) isn't duplicated
+    // per configured rate when the filter collapses into the scan
+    val rate =
+      if (rates.isEmpty) lit(defaultRate)
+      else coalesce(element_at(
+        map(rates.toSeq.flatMap { case (s, r) => Seq(lit(s), lit(r)) }: _*),
+        col(stratumCol)), lit(defaultRate))
     df.filter(bucket(col(idCol)) < rate)
   }
 }

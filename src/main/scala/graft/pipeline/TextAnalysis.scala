@@ -46,14 +46,23 @@ object TextAnalysis {
       array(stopwords(lang).map(lit(_)): _*)))
 
   /** Argmax language with deterministic tie-break (alphabetical order of
-    * the language code, "und" when nothing matches). */
+    * the language code, "und" when nothing matches).
+    *
+    * Shaped as ONE `greatest` over (score, rank, lang) structs — struct
+    * comparison is lexicographic, so the max score wins and the rank
+    * breaks ties toward the alphabetically first language — rather than
+    * a when-chain re-embedding `greatest(scores)` per language: that form
+    * repeated every langScore ~5×, and each *use* of langId (a filter
+    * plus a grouping key, say) multiplied it again, bloating plans to
+    * dozens of array_intersect nodes whose optimizer/codegen time, not
+    * execution, dominated small queries. */
   def langId(text: Column): Column = {
     val ordered = stopwords.keys.toSeq.sorted
-    val best = ordered.map(l => langScore(text, l).as(l))
-    val maxScore = greatest(best: _*)
-    ordered.foldRight(lit("und"): Column) { (l, acc) =>
-      when(maxScore > 0 && langScore(text, l) === maxScore, lit(l)).otherwise(acc)
+    val entries = ordered.zipWithIndex.map { case (l, i) =>
+      struct(langScore(text, l).as("s"), lit(ordered.size - i).as("r"), lit(l).as("l"))
     }
+    val top = greatest(entries: _*)
+    when(top.getField("s") > 0, top.getField("l")).otherwise(lit("und"))
   }
 
   /** Quality metrics: char/token counts, type-token ratio, mean word
@@ -210,16 +219,22 @@ object TextAnalysis {
   def topBigramStats(df: DataFrame, idCol: String, textCol: String,
       carry: Seq[String] = Nil): DataFrame = {
     val keys = col(idCol) +: carry.map(col)
-    val ws = split(trim(col(textCol)), "\\s+")
+    // stage the token array as an attribute first: `__ws` is referenced
+    // three times below, and repeating the split() tree at each site
+    // inflates plan size (optimizer/codegen time, not execution, is what
+    // dominates these small-row queries)
+    val tokenized = df.select(
+      (keys :+ length(col(textCol)).as("__chars")) :+
+        split(trim(col(textCol)), "\\s+").as("__ws"): _*)
+    val ws = col("__ws")
     // zip tokens with their tail: pair i = (w(i), w(i+1)); the final
     // (w(n-1), null) pad drops via a codegen'd ROW filter after the
     // explode (an array-level filter(...) lambda would be an interpreted
     // HOF — the pitfall vec_dot exists to avoid)
     val pairs =
       arrays_zip(ws.as("a"), slice(ws, lit(2), greatest(size(ws) - 1, lit(0))).as("b"))
-    val bigrams = df.select(
-      (keys :+ length(col(textCol)).as("__chars")) :+
-        explode(pairs).as("__p"): _*)
+    val bigrams = tokenized
+      .select((keys :+ col("__chars")) :+ explode(pairs).as("__p"): _*)
       .filter(col("__p.b").isNotNull)
       .select((keys :+ col("__chars")) :+
         concat_ws(" ", col("__p.a"), col("__p.b")).as("__bg"): _*)
