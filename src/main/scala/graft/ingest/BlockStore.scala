@@ -52,7 +52,8 @@ import graft.schema.Schemas
   * At 100 TB the confirmed tier is the big one and it only ever appends
   * whole partitions; the mutable working set stays O(confirmation depth).
   */
-class BlockStore(spark: SparkSession, val root: String, bucketSize: Long = 1000L) {
+class BlockStore(spark: SparkSession, val root: String, bucketSize: Long = 1000L,
+    vacuumGraceMs: Long = 60L * 60 * 1000) {
 
   val hotDir = s"$root/unconfirmed"
   val confirmedDir = s"$root/confirmed"
@@ -66,13 +67,27 @@ class BlockStore(spark: SparkSession, val root: String, bucketSize: Long = 1000L
 
   /** Committed segment dir names, in commit order. The manifest file IS the
     * table: a segment directory not listed here does not exist as far as
-    * any reader is concerned. */
+    * any reader is concerned. Pure read — never mutates the directory
+    * (readers may sit on read-only storage; migration is writer work). */
   private def listSegments(table: String): Seq[String] = {
-    migrateLegacyLayout(table)
     val m = Paths.get(manifestOf(table))
     if (Files.exists(m)) {
       import scala.jdk.CollectionConverters._
       Files.readAllLines(m).asScala.toSeq.filter(_.nonEmpty)
+    } else Seq.empty
+  }
+
+  /** Pre-manifest layout detector: bucket= dirs directly under the table
+    * dir with no `_segments` (what the pre-segment code wrote). */
+  private def legacyBuckets(table: String): Seq[java.nio.file.Path] = {
+    val dir = Paths.get(tableDir(table))
+    if (Files.exists(dir) && !Files.exists(Paths.get(manifestOf(table)))) {
+      val stream = Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        stream.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("bucket=")).toList
+      } finally stream.close()
     } else Seq.empty
   }
 
@@ -111,43 +126,41 @@ class BlockStore(spark: SparkSession, val root: String, bucketSize: Long = 1000L
     }
   }
 
-  /** Fold a pre-manifest-layout table (bucket= dirs directly under the
-    * table dir, written before segment commits existed) into a
-    * `seg=legacy0` segment so the data stays visible after the upgrade
-    * instead of silently vanishing behind an absent manifest. Idempotent
-    * and resumable: a crash mid-move leaves some bucket= dirs unmoved and
-    * no manifest; the next call moves the rest and then commits. */
+  /** WRITER-ONLY: fold a pre-manifest-layout table (see [[legacyBuckets]])
+    * into a `seg=legacy0` segment so the data keeps its history across the
+    * upgrade. Readers never call this — [[confirmed]] can read the legacy
+    * layout in place — so reads stay mutation-free (read-only storage,
+    * no cross-process migration races). Idempotent and resumable: a crash
+    * mid-move leaves some bucket= dirs unmoved and no manifest; the next
+    * promote moves the rest and then commits. */
   private def migrateLegacyLayout(table: String): Unit = {
-    val dir = Paths.get(tableDir(table))
-    if (Files.exists(dir) && !Files.exists(Paths.get(manifestOf(table)))) {
-      val legacy = Paths.get(s"${tableDir(table)}/seg=legacy0")
-      val stream = Files.list(dir)
-      val buckets =
-        try {
-          import scala.jdk.CollectionConverters._
-          stream.iterator().asScala
-            .filter(_.getFileName.toString.startsWith("bucket=")).toList
-        } finally stream.close()
-      if (buckets.nonEmpty || Files.exists(legacy)) this.synchronized {
-        Files.createDirectories(legacy)
-        buckets.foreach { b =>
-          try Files.move(b, legacy.resolve(b.getFileName))
-          catch { case _: java.nio.file.NoSuchFileException => () } // raced sibling
-        }
-        val success = Paths.get(s"${tableDir(table)}/_SUCCESS")
-        if (Files.exists(success)) Files.move(success, legacy.resolve("_SUCCESS"))
-        if (!Files.exists(Paths.get(manifestOf(table))))
-          writeManifest(table, Seq("seg=legacy0"))
+    val buckets = legacyBuckets(table)
+    val legacy = Paths.get(s"${tableDir(table)}/seg=legacy0")
+    if ((buckets.nonEmpty || Files.exists(legacy)) &&
+        !Files.exists(Paths.get(manifestOf(table)))) {
+      Files.createDirectories(legacy)
+      buckets.foreach { b =>
+        try Files.move(b, legacy.resolve(b.getFileName))
+        catch { case _: java.nio.file.NoSuchFileException => () } // already moved
       }
+      val success = Paths.get(s"${tableDir(table)}/_SUCCESS")
+      try {
+        if (Files.exists(success)) Files.move(success, legacy.resolve("_SUCCESS"))
+      } catch { case _: java.nio.file.NoSuchFileException => () }
+      writeManifest(table, Seq("seg=legacy0"))
     }
   }
 
   /** Physically delete retired segments — committed once, superseded by
-    * [[compactConfirmed]], and older than `graceMs`. Split from the
-    * manifest swap for the same reason Delta/Iceberg separate commit from
-    * vacuum: a reader that resolved its file list before the swap may
-    * still be scanning the old segments. Run it with a grace period
-    * comfortably above the longest query. */
+    * [[compactConfirmed]], and retired for longer than `graceMs`. Split
+    * from the manifest swap for the same reason Delta/Iceberg separate
+    * commit from vacuum: a reader that resolved its file list before the
+    * swap may still be scanning the old segments. The grace clock starts
+    * at RETIREMENT (the swap touches the superseded dirs' mtimes), not at
+    * segment write time — a segment written hours ago must still get its
+    * full grace after the swap. Pick a grace comfortably above the
+    * longest query; [[promote]] runs this automatically so crash-orphaned
+    * segments (renamed but never committed) self-heal too. */
   def vacuumConfirmed(table: String, graceMs: Long): Unit = {
     val dir = Paths.get(tableDir(table))
     if (Files.exists(dir)) {
@@ -186,6 +199,10 @@ class BlockStore(spark: SparkSession, val root: String, bucketSize: Long = 1000L
         .option("basePath", tableDir(table))
         .parquet(segs.map(s => s"${tableDir(table)}/$s"): _*)
         .drop("seg")
+    else if (legacyBuckets(table).nonEmpty)
+      // pre-manifest layout, not yet migrated by a writer: read it in
+      // place (readers must not mutate — the store may be read-only)
+      spark.read.schema(schema.add("bucket", "long")).parquet(tableDir(table))
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       schema.add("bucket", "long"))
   }
@@ -241,9 +258,15 @@ class BlockStore(spark: SparkSession, val root: String, bucketSize: Long = 1000L
     * shrink, foreachBatch redelivery) appends nothing the confirmed tier
     * already holds — see [[appendConfirmed]]. */
   def promote(latest: Long, confirmations: Long): Long = {
-    // sweep any segment a crashed append left uncommitted — here rather
-    // than in appendConfirmed so a replay that appends nothing still cleans
-    Seq("blocks", "transactions", "events").foreach(recoverConfirmed)
+    // writer-entry housekeeping, here rather than in appendConfirmed so a
+    // replay that appends nothing still runs it: fold any pre-manifest
+    // layout into its legacy segment, sweep staging dirs a crashed append
+    // left behind, and grace-gated-vacuum retired/orphaned segments
+    Seq("blocks", "transactions", "events").foreach { t =>
+      migrateLegacyLayout(t)
+      recoverConfirmed(t)
+      vacuumConfirmed(t, vacuumGraceMs)
+    }
     val watermark = latest - confirmations
     val h = hot.cache()
     val below = h.filter(col("block.number") <= watermark)
@@ -338,7 +361,8 @@ class BlockStore(spark: SparkSession, val root: String, bucketSize: Long = 1000L
     * that resolved its file list before the swap may still be scanning
     * them — [[vacuumConfirmed]] removes them after a grace period. */
   def compactConfirmed(table: String): Unit = {
-    if (listSegments(table).length > 1) {
+    val retired = listSegments(table)
+    if (retired.length > 1) {
       val uuid = java.util.UUID.randomUUID().toString.replace("-", "")
       val stage = s"${tableDir(table)}/__seg_$uuid"
       confirmed(table)
@@ -348,6 +372,15 @@ class BlockStore(spark: SparkSession, val root: String, bucketSize: Long = 1000L
       val seg = s"seg=$uuid"
       Files.move(Paths.get(stage), Paths.get(s"${tableDir(table)}/$seg"))
       writeManifest(table, Seq(seg))
+      // start the vacuum grace clock NOW: a rename keeps the original
+      // write mtime, and grace must measure time since RETIREMENT or a
+      // segment written hours ago would be deletable the instant the
+      // swap lands, while a reader may still be scanning it
+      val now = java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis())
+      retired.foreach { s =>
+        val p = Paths.get(s"${tableDir(table)}/$s")
+        if (Files.exists(p)) Files.setLastModifiedTime(p, now)
+      }
     }
   }
 

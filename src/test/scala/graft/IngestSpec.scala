@@ -214,7 +214,12 @@ class IngestSpec extends SparkSpec {
     val after = store.confirmed("transactions").collect()
       .map(_.getAs[String]("hash")).sorted.toSeq
     assert(after === before)
-    store.vacuumConfirmed("transactions", graceMs = 0)
+    // inside the grace period nothing is deleted (the swap touched the
+    // retired dirs' mtimes, so the clock starts at retirement)
+    store.vacuumConfirmed("transactions", graceMs = 60000)
+    assert(segDirs === 3, "vacuum within the grace period must keep retired segments")
+    Thread.sleep(50)
+    store.vacuumConfirmed("transactions", graceMs = 10)
     assert(segDirs === 1, "vacuum past the grace period drops retired segments")
     assert(store.confirmed("transactions").count() === before.length)
   }
@@ -234,10 +239,15 @@ class IngestSpec extends SparkSpec {
     seg.listFiles().foreach(f => F.move(f.toPath, dir.resolve(f.getName)))
     F.delete(seg.toPath)
 
+    // readers see the legacy layout IN PLACE without mutating anything
+    // (the store may be mounted read-only on the query side)
     assert(store.confirmed("blocks").count() === want, "legacy rows lost")
-    assert(F.exists(dir.resolve("seg=legacy0")) && F.exists(dir.resolve("_segments")))
-    // and the migrated table keeps working as a normal segmented one
+    assert(!F.exists(dir.resolve("_segments")), "a read must not migrate")
+
+    // the writer migrates on its next batch; the table then works as a
+    // normal segmented one
     job.processBatch(Seq(packed(6)).toDF(), batchId = 1)
+    assert(F.exists(dir.resolve("seg=legacy0")) && F.exists(dir.resolve("_segments")))
     assert(store.confirmed("blocks").count() === want + 1)
   }
 
