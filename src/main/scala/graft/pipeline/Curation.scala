@@ -51,6 +51,45 @@ object Curation {
       .drop("__rank")
   }
 
+  /** Sequence packing by token budget: assign each document a chunk id
+    * such that consecutive documents (by `orderCol`, within a shard)
+    * accumulate into ~`budget`-token chunks — the context-window packing
+    * step of training-data assembly. A document's chunk is its cumulative
+    * token START offset divided by the budget, so chunk boundaries are a
+    * pure function of the ordered token counts: deterministic,
+    * replayable, and resumable from any shard.
+    *
+    * Sharding is what makes this scale: the running sum is a window per
+    * `shardCol` (one shuffle, shards pack in parallel). A global pack
+    * would serialize 100 TB through one partition — shard first (any
+    * stable grouping: source file, id range), pack within.
+    * Returns the input plus (start_offset, chunk). */
+  def packByTokenBudget(df: DataFrame, shardCol: String, orderCol: String,
+      nTokensCol: String, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("start_offset",
+        coalesce(sum(col(nTokensCol)).over(w), lit(0L)))
+      .withColumn("chunk", (col("start_offset") / budget).cast("long"))
+  }
+
+  /** Domain blocklist filter: drop rows whose URL's host appears in the
+    * blocklist — the URL-level hygiene pass of web-corpus curation. The
+    * blocklist rides as a broadcast anti-join (it is tiny next to the
+    * corpus; no shuffle of the fact side), and the host comes from one
+    * codegen'd regexp_extract. */
+  val HostPattern = "^[a-z][a-z0-9+.-]*://([^/?#]+)"
+
+  def urlHost(url: Column): Column = regexp_extract(url, HostPattern, 1)
+
+  def filterBlockedDomains(df: DataFrame, urlCol: String,
+      blocklist: DataFrame, domainCol: String = "domain"): DataFrame =
+    df.withColumn("__host", urlHost(col(urlCol)))
+      .join(broadcast(blocklist.select(col(domainCol).as("__host"))),
+        Seq("__host"), "left_anti")
+      .drop("__host")
+
   /** Stratified sampling: keep each row with its stratum's rate (percent
     * in [0, 100]), decided by the row's deterministic id bucket — the
     * down-weighting step of corpus mixing (e.g. keep 10% of crawl, 100%

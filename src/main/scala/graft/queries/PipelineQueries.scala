@@ -295,6 +295,39 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
       .orderBy(col("lang_id"))
 
+  /** C4: context-window sequence packing — per-shard cumulative token
+    * offsets assign every document its ~512-token chunk; boundaries are a
+    * pure function of the ordered counts, so the oracle replays the same
+    * window sum and hash-matches every offset. */
+  private def c4Pack(s: SparkSession, dir: String): DataFrame =
+    Curation.packByTokenBudget(
+        Tables.documents(s, dir).select(col("doc_id"),
+          (col("doc_id") / 100).cast("long").as("shard"),
+          TA.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "shard", "doc_id", "n_tokens", budget = 512)
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        col("start_offset"), col("chunk"))
+      .orderBy(col("doc_id"))
+
+  /** C5: URL hygiene — domains are CONSTRUCTED per doc_id (the corpus has
+    * no URLs), the engine extracts each host with one codegen'd
+    * regexp_extract and drops blocklisted domains via a broadcast
+    * anti-join; the oracle rebuilds the same URLs, extracts with the same
+    * RE2 pattern, and set-filters. */
+  private def c5Domains(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val domains = array(lit("news.example.com"), lit("spam.test"),
+      lit("blog.ok.org"), lit("tracker.bad.example"))
+    val docs = Tables.documents(s, dir).select(col("doc_id"),
+      concat(lit("https://"),
+        element_at(domains, (pmod(col("doc_id"), lit(4)) + 1).cast("int")),
+        lit("/p/"), col("doc_id").cast("string")).as("url"))
+    Curation.filterBlockedDomains(docs, "url",
+        Seq("spam.test", "tracker.bad.example").toDF("domain"))
+      .select(col("doc_id"), col("url"))
+      .orderBy(col("doc_id"))
+  }
+
   // ===== multimodal ======================================================
 
   /** MM1: binary media columns through the real-first decode
@@ -377,6 +410,8 @@ object PipelineQueries {
     "p_c1_split_counts" -> (c1Split _),
     "p_c2_lang_quota" -> (c2Quota _),
     "p_c3_stratified_sample" -> (c3Sample _),
+    "p_c4_token_packing" -> (c4Pack _),
+    "p_c5_domain_filter" -> (c5Domains _),
     "p_mm1_media_meta" -> (mm1 _),
     "p_mm2_image_header" -> (mm2 _),
   )
@@ -709,6 +744,33 @@ object PipelineQueries {
             FROM documents)
           WHERE b < (CASE lang_id WHEN 'en' THEN 20 WHEN 'de' THEN 50 ELSE 80 END)
           GROUP BY lang_id ORDER BY lang_id"""),
+    "p_c4_token_packing" ->
+      (s"""SELECT doc_id, shard, n_tokens, start_offset,
+            start_offset // 512 AS chunk
+          FROM (
+            SELECT doc_id, shard, n_tokens,
+              CAST(COALESCE(sum(n_tokens) OVER (
+                PARTITION BY shard ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                AS start_offset
+            FROM (
+              SELECT doc_id, doc_id // 100 AS shard,
+                CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
+                  AS n_tokens
+              FROM documents))
+          ORDER BY doc_id"""),
+    "p_c5_domain_filter" ->
+      (s"""SELECT doc_id, url FROM (
+            SELECT doc_id,
+              'https://' ||
+              (['news.example.com', 'spam.test', 'blog.ok.org',
+                'tracker.bad.example'])[doc_id % 4 + 1] ||
+              '/p/' || CAST(doc_id AS VARCHAR) AS url
+            FROM documents)
+          WHERE regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)
+            NOT IN ('spam.test', 'tracker.bad.example')
+          ORDER BY doc_id"""),
     "p_t2_vocab_head" ->
       ("""SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf FROM (
             SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)

@@ -66,4 +66,32 @@ class CurationSpec extends SparkSpec {
       .filter(col("source") === "books").count()
     assert(books === 1000L)
   }
+
+  test("packByTokenBudget: shard-local offsets, chunk = start / budget") {
+    val df = Seq(
+      (0L, 0L, 300L), (1L, 0L, 300L), (2L, 0L, 300L), (3L, 0L, 100L),
+      (10L, 1L, 600L), (11L, 1L, 50L),
+    ).toDF("id", "shard", "n")
+    val got = Curation.packByTokenBudget(df, "shard", "id", "n", budget = 512)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("start_offset"), r.getAs[Long]("chunk")))
+    assert(got.toSeq === Seq(
+      (0L, 0L, 0L), (1L, 300L, 0L), (2L, 600L, 1L), (3L, 900L, 1L),
+      (10L, 0L, 0L), (11L, 600L, 1L))) // shard 1 restarts at offset 0
+  }
+
+  test("domain blocklist: host extraction handles ports/queries, anti-join drops blocked") {
+    val docs = Seq(
+      (1L, "https://ok.org/a"),
+      (2L, "https://spam.test/x?q=1"),
+      (3L, "http://spam.test:8080/y"),   // port => host differs, stays
+      (4L, "https://ok.org/b#frag"),
+    ).toDF("id", "url")
+    val block = Seq("spam.test").toDF("domain")
+    val kept = Curation.filterBlockedDomains(docs, "url", block)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L, 4L))
+    assert(Curation.filterBlockedDomains(docs, "url", block).columns.toSeq
+      === Seq("id", "url")) // helper column dropped
+  }
 }
