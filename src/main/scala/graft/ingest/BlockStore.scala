@@ -199,12 +199,30 @@ class BlockStore(spark: SparkSession, val root: String, bucketSize: Long = 1000L
         .option("basePath", tableDir(table))
         .parquet(segs.map(s => s"${tableDir(table)}/$s"): _*)
         .drop("seg")
-    else if (legacyBuckets(table).nonEmpty)
-      // pre-manifest layout, not yet migrated by a writer: read it in
-      // place (readers must not mutate — the store may be read-only)
-      spark.read.schema(schema.add("bucket", "long")).parquet(tableDir(table))
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      schema.add("bucket", "long"))
+    else {
+      // no manifest: a pre-manifest layout, possibly with a writer's
+      // migration crash mid-move — some bucket= dirs already under
+      // seg=legacy0, some still at top level. Read BOTH groups by
+      // explicit paths without mutating anything (the store may be
+      // read-only on the query side); a single in-place read would see
+      // mixed partition depths and fail, and ignoring either group
+      // would silently hide rows until the writer's next promote heals.
+      val legacy = Paths.get(s"${tableDir(table)}/seg=legacy0")
+      val buckets = legacyBuckets(table)
+      val parts = Seq(
+        if (Files.exists(legacy))
+          Some(spark.read.schema(schema.add("bucket", "long"))
+            .parquet(legacy.toString))
+        else None,
+        if (buckets.nonEmpty)
+          Some(spark.read.schema(schema.add("bucket", "long"))
+            .option("basePath", tableDir(table))
+            .parquet(buckets.map(_.toString): _*))
+        else None).flatten
+      if (parts.nonEmpty) parts.reduce(_ unionByName _)
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schema.add("bucket", "long"))
+    }
   }
 
   /** The queryable union view per table: confirmed ∪ normalized hot. */
@@ -371,16 +389,19 @@ class BlockStore(spark: SparkSession, val root: String, bucketSize: Long = 1000L
         .parquet(stage)
       val seg = s"seg=$uuid"
       Files.move(Paths.get(stage), Paths.get(s"${tableDir(table)}/$seg"))
-      writeManifest(table, Seq(seg))
-      // start the vacuum grace clock NOW: a rename keeps the original
-      // write mtime, and grace must measure time since RETIREMENT or a
-      // segment written hours ago would be deletable the instant the
-      // swap lands, while a reader may still be scanning it
+      // start the vacuum grace clock BEFORE the swap: a rename keeps the
+      // original write mtime, and grace must measure time since
+      // RETIREMENT or a segment written hours ago would be deletable the
+      // instant the swap lands, while a reader may still be scanning it.
+      // Touch-then-crash-pre-swap is harmless (the segments stay
+      // committed); swap-then-crash-pre-touch would hand promote's
+      // auto-vacuum stale mtimes and zero effective grace.
       val now = java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis())
       retired.foreach { s =>
         val p = Paths.get(s"${tableDir(table)}/$s")
         if (Files.exists(p)) Files.setLastModifiedTime(p, now)
       }
+      writeManifest(table, Seq(seg))
     }
   }
 

@@ -78,15 +78,19 @@ object Curation {
     * blocklist — the URL-level hygiene pass of web-corpus curation. The
     * blocklist rides as a broadcast anti-join (it is tiny next to the
     * corpus; no shuffle of the fact side), and the host comes from one
-    * codegen'd regexp_extract. */
-  val HostPattern = "^[a-z][a-z0-9+.-]*://([^/?#]+)"
+    * codegen'd regexp_extract. Scheme and host are case-insensitive per
+    * RFC 3986 and a `:port` never changes the domain, so the URL is
+    * lowercased before extraction, the pattern stops the host at `:`,
+    * and both join sides compare lowercased — otherwise
+    * 'HTTPS://SPAM.TEST:443/x' would waltz past a 'spam.test' block. */
+  val HostPattern = "^[a-z][a-z0-9+.-]*://([^/?#:]+)"
 
-  def urlHost(url: Column): Column = regexp_extract(url, HostPattern, 1)
+  def urlHost(url: Column): Column = regexp_extract(lower(url), HostPattern, 1)
 
   def filterBlockedDomains(df: DataFrame, urlCol: String,
       blocklist: DataFrame, domainCol: String = "domain"): DataFrame =
     df.withColumn("__host", urlHost(col(urlCol)))
-      .join(broadcast(blocklist.select(col(domainCol).as("__host"))),
+      .join(broadcast(blocklist.select(lower(col(domainCol)).as("__host"))),
         Seq("__host"), "left_anti")
       .drop("__host")
 

@@ -768,7 +768,7 @@ object PipelineQueries {
                 'tracker.bad.example'])[doc_id % 4 + 1] ||
               '/p/' || CAST(doc_id AS VARCHAR) AS url
             FROM documents)
-          WHERE regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)
+          WHERE regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1)
             NOT IN ('spam.test', 'tracker.bad.example')
           ORDER BY doc_id"""),
     "p_t2_vocab_head" ->

@@ -80,17 +80,18 @@ class CurationSpec extends SparkSpec {
       (10L, 0L, 0L), (11L, 600L, 1L))) // shard 1 restarts at offset 0
   }
 
-  test("domain blocklist: host extraction handles ports/queries, anti-join drops blocked") {
+  test("domain blocklist: case- and port-insensitive host match, anti-join drops blocked") {
     val docs = Seq(
       (1L, "https://ok.org/a"),
       (2L, "https://spam.test/x?q=1"),
-      (3L, "http://spam.test:8080/y"),   // port => host differs, stays
-      (4L, "https://ok.org/b#frag"),
+      (3L, "http://spam.test:8080/y"),   // explicit port must not evade
+      (4L, "HTTPS://SPAM.TEST/z"),       // RFC 3986: scheme+host case-insensitive
+      (5L, "https://ok.org/b#frag"),
     ).toDF("id", "url")
-    val block = Seq("spam.test").toDF("domain")
+    val block = Seq("Spam.Test").toDF("domain") // blocklist casing ignored too
     val kept = Curation.filterBlockedDomains(docs, "url", block)
       .collect().map(_.getLong(0)).toSet
-    assert(kept === Set(1L, 3L, 4L))
+    assert(kept === Set(1L, 5L))
     assert(Curation.filterBlockedDomains(docs, "url", block).columns.toSeq
       === Seq("id", "url")) // helper column dropped
   }

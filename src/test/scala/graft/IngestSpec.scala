@@ -244,8 +244,22 @@ class IngestSpec extends SparkSpec {
     assert(store.confirmed("blocks").count() === want, "legacy rows lost")
     assert(!F.exists(dir.resolve("_segments")), "a read must not migrate")
 
-    // the writer migrates on its next batch; the table then works as a
-    // normal segmented one
+    // writer crashed MID-migration: one bucket already under seg=legacy0,
+    // the rest still at top level, no manifest — the reader must union
+    // both groups, not error on mixed depths or drop either side
+    val firstBucket = dir.toFile.listFiles()
+      .filter(_.getName.startsWith("bucket=")).minBy(_.getName)
+    F.createDirectories(dir.resolve("seg=legacy0"))
+    F.move(firstBucket.toPath, dir.resolve("seg=legacy0").resolve(firstBucket.getName))
+    assert(store.confirmed("blocks").count() === want, "mid-migration rows lost")
+
+    // crash JUST before the manifest write: everything moved, no manifest
+    dir.toFile.listFiles().filter(_.getName.startsWith("bucket=")).foreach(b =>
+      F.move(b.toPath, dir.resolve("seg=legacy0").resolve(b.getName)))
+    assert(store.confirmed("blocks").count() === want, "pre-manifest rows lost")
+
+    // the writer resumes and completes on its next batch; the table then
+    // works as a normal segmented one
     job.processBatch(Seq(packed(6)).toDF(), batchId = 1)
     assert(F.exists(dir.resolve("seg=legacy0")) && F.exists(dir.resolve("_segments")))
     assert(store.confirmed("blocks").count() === want + 1)
