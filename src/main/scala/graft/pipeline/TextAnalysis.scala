@@ -275,4 +275,86 @@ object TextAnalysis {
     regexp_count(text, lit(EmailPattern)).cast("long").as("n_email"),
     regexp_count(text, lit(Ipv4Pattern)).cast("long").as("n_ip"),
     regexp_count(text, lit(PhonePattern)).cast("long").as("n_phone"))
+
+  // ---- unigram LM scoring (CCNet-style quality filtering) ---------------
+
+  /** Corpus unigram model `(term, c)`: collection frequency over
+    * whitespace tokens. One explode + one map-side-combined count — only
+    * (term, partial count) pairs shuffle, never document bodies. At
+    * 100 TB the model is orders of magnitude smaller than the corpus
+    * (vocabulary, not volume); it is the "train the LM on a reference
+    * corpus" half of CCNet-style perplexity filtering (Wenzek et al.
+    * 2019 use KenLM; a unigram model is the same lifecycle with an
+    * exactly-replayable score). */
+  def unigramModel(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(col(textCol), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("c"))
+
+  /** Integer-exact per-document frequency statistics against a unigram
+    * model — the gate-checkable core of LM-style quality filtering:
+    * `n_tokens`, `n_oov` (tokens absent from the model), `n_rare`
+    * (model count ≤ `rareMax`), `freq_sum` (sum of model counts, OOV
+    * contributing 0). All integers, so the cross-engine oracle matches
+    * bit-for-bit — the float log-prob path lives in [[unigramNll]] and
+    * is pinned by in-JVM spec instead (ln is the one primitive whose
+    * last ulp libms disagree on). The model join is left unhinted: AQE
+    * broadcasts a small vocabulary at runtime, and an unboundedly large
+    * one degrades to a shuffle join instead of an OOM (the T2 lesson).
+    * Empty-token documents have no token rows and drop out. */
+  def unigramFreqStats(docs: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, rareMax: Long = 2L): DataFrame = {
+    val toks = docs.select(col(idCol).as("__id"),
+        explode(split(col(textCol), " ")).as("term"))
+      .filter(col("term") =!= "")
+    toks.join(model, Seq("term"), "left")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("c").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(when(col("c").isNotNull && col("c") <= rareMax, 1L)
+          .otherwise(0L)).as("n_rare"),
+        sum(coalesce(col("c"), lit(0L))).as("freq_sum"))
+      .select(col("__id").as(idCol), col("n_tokens"), col("n_oov"),
+        col("n_rare"), col("freq_sum"))
+  }
+
+  /** Per-document average negative log-likelihood under an add-α-smoothed
+    * unigram model: p(w) = (c(w)+α) / (C + α(V+1)), unseen terms get
+    * c = 0 — the float half of CCNet-style filtering (low avg-NLL ≈ low
+    * perplexity ≈ fluent text; high ≈ gibberish/rare-token soup).
+    *
+    * Determinism: float addition is order-sensitive, so the per-document
+    * sum is NOT a groupBy sum (partition order would make reruns
+    * hash-unstable). Tokens keep their position through `posexplode`,
+    * the scored list is `array_sort`ed back into document order, and the
+    * sum is a sequential left fold (`aggregate` HOF) — bit-identical on
+    * every run and every partitioning. Output: (idCol, n_tokens,
+    * avg_nll). */
+  def unigramNll(docs: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, alpha: Double = 0.5): DataFrame = {
+    val totals = model.agg(
+      sum(col("c")).cast(DoubleType).as("__C"),
+      count(lit(1)).cast(DoubleType).as("__V"))
+    val lpModel = model.crossJoin(broadcast(totals))
+      .select(col("term"),
+        log((col("c").cast(DoubleType) + lit(alpha)) /
+          (col("__C") + lit(alpha) * (col("__V") + lit(1.0)))).as("__lp"))
+    val unseen = broadcast(totals.select(
+      log(lit(alpha) /
+        (col("__C") + lit(alpha) * (col("__V") + lit(1.0)))).as("__unseen")))
+    val toks = docs.select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), " ")).as(Seq("__pos", "term")))
+      .filter(col("term") =!= "")
+    toks.join(lpModel, Seq("term"), "left")
+      .crossJoin(unseen)
+      .select(col("__id"), col("__pos"),
+        coalesce(col("__lp"), col("__unseen")).as("__lp"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        collect_list(struct(col("__pos"), col("__lp"))).as("__scored"))
+      .select(col("__id").as(idCol), col("n_tokens"),
+        (-aggregate(array_sort(col("__scored")), lit(0.0),
+          (acc, x) => acc + x.getField("__lp")) /
+          col("n_tokens").cast(DoubleType)).as("avg_nll"))
+  }
 }

@@ -366,10 +366,16 @@ object EvmQueries {
       sum(col("gasused")).as("total_gas"))
       .orderBy(col("bucket"))
 
-  /** Block inter-arrival times via lag() — window function coverage
-    * (bounded range; at scale the window partitions by bucket). */
+  /** Block inter-arrival times via lag() — window function coverage.
+    * The window partitions by the same 1000-block bucket g3 uses, so no
+    * single task ever holds more than one bucket (a global orderBy window
+    * funnels everything through one partition — the WindowExec warning at
+    * 100 TB would be an OOM). lag() is null at bucket boundaries; the
+    * queried range sits inside one bucket, so the oracle is unaffected. */
   private def w1BlockIntervals(s: SparkSession, d: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("number"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy((col("number") / 1000).cast(LongType))
+      .orderBy(col("number"))
     blocks(s).filter(col("number").between(1000L, 1099L))
       .select(col("number"), col("time"))
       .withColumn("dt", col("time") - lag(col("time"), 1).over(w))

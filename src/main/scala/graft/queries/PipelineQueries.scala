@@ -115,6 +115,42 @@ object PipelineQueries {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** D6: cluster resolution — the step after D3. Near-dup pairs are only
+    * half of dedup ("A≈B, B≈C" must become ONE cluster with one keeper);
+    * this runs [[Components.nearDupClusters]] (alternating min-label
+    * propagation + pointer doubling, O(log diameter) rounds of bounded
+    * shuffles) over the same indexed-LSH pair set as D3. The oracle
+    * replays reachability as a recursive CTE over the brute-force pair
+    * set — identical to the LSH set at j ≥ 0.8 (see D3's miss-probability
+    * argument), so representatives hash-match exactly. */
+  private def d6(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .filter(col("doc_id") < 2000)
+    val corpus = docs.union(mutatedDocs(docs.filter(pmod(col("doc_id"), lit(7)) === 0)))
+    val sig = DedupIndex.ensureMinHash(s, dir, corpus, "doc_id", "text",
+      variant = "lt2000mut7", shingleN = 3, numHashes = 32)
+    val pairs = Dedup.minHashNearDupPairsIndexed(corpus, sig, "doc_id", "text",
+      threshold = 0.8, shingleN = 3, numHashes = 32, bands = 16)
+    graft.pipeline.Components.nearDupClusters(pairs).orderBy(col("doc_id"))
+  }
+
+  /** T6: unigram-LM quality scoring — the CCNet lifecycle (train a cheap
+    * LM on a reference slice, score candidate docs against it; Wenzek et
+    * al. 2019) with the model trained on the even-id half of the corpus
+    * and the odd-id half scored, so OOV/rare-token counts are
+    * non-trivial. The gate pins the integer-exact statistics
+    * ([[TA.unigramFreqStats]]); the float avg-NLL twin
+    * ([[TA.unigramNll]]) is pinned in-JVM by TextAnalysisSpec instead —
+    * ln is the one primitive whose last ulp libms disagree on. */
+  private def t6Lm(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val model = TA.unigramModel(docs.filter(pmod(col("doc_id"), lit(2)) === 0), "text")
+    TA.unigramFreqStats(
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1 && col("doc_id") < 400),
+      "doc_id", "text", model, rareMax = 2L)
+      .orderBy(col("doc_id"))
+  }
+
   // ===== similarity ======================================================
 
   private def embWithQuery(s: SparkSession, dir: String, queryId: Long): DataFrame = {
@@ -397,6 +433,8 @@ object PipelineQueries {
     "p_d3_minhash_lsh_neardup" -> (d3 _),
     "p_d4_simhash_neardup" -> (d4 _),
     "p_d5_rolling_overlap" -> (d5 _),
+    "p_d6_dedup_resolve" -> (d6 _),
+    "p_t6_unigram_lm" -> (t6Lm _),
     "p_s1_topk_cosine" -> (s1 _),
     "p_s2_nearest_neighbor" -> (s2 _),
     "p_s3_lsh_ann_topk" -> (s3 _),
@@ -539,6 +577,50 @@ object PipelineQueries {
                  CAST(count(*) AS BIGINT) AS n_shared
           FROM win a JOIN win b ON a.fp = b.fp AND a.doc_id < b.doc_id
           GROUP BY 1, 2 HAVING count(*) >= 5 ORDER BY a_id, b_id"""),
+    "p_d6_dedup_resolve" ->
+      (s"""WITH RECURSIVE corpus AS (
+            SELECT doc_id, text FROM documents WHERE doc_id < 2000
+            UNION ALL
+            SELECT doc_id + 10000 AS doc_id,
+                   array_to_string((string_split(text, ' '))[3:], ' ') AS text
+            FROM documents WHERE doc_id % 7 = 0 AND doc_id < 2000),
+          sh AS (SELECT doc_id, $shinglesSql AS sh
+                 FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)),
+          nonempty AS (SELECT * FROM sh WHERE len(sh) > 0),
+          pairs AS (SELECT a_id, b_id FROM (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+              CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
+                   ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                        / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) END AS j
+            FROM nonempty a, nonempty b WHERE a.doc_id < b.doc_id)
+            WHERE j >= 0.8),
+          edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+                    UNION ALL SELECT b_id, a_id FROM pairs),
+          reach(id, r) AS (
+            SELECT u, u FROM edges
+            UNION
+            SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id)
+          SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS rep_id
+          FROM reach GROUP BY id ORDER BY doc_id"""),
+    "p_t6_unigram_lm" ->
+      ("""WITH model AS (
+            SELECT term, count(*) AS c FROM (
+              SELECT unnest(string_split(text, ' ')) AS term
+              FROM documents WHERE doc_id % 2 = 0)
+            WHERE term <> '' GROUP BY term),
+          tok AS (
+            SELECT doc_id, term FROM (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents WHERE doc_id % 2 = 1 AND doc_id < 400)
+            WHERE term <> '')
+          SELECT doc_id,
+            CAST(count(*) AS BIGINT) AS n_tokens,
+            CAST(sum(CASE WHEN c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+            CAST(sum(CASE WHEN c IS NOT NULL AND c <= 2 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_rare,
+            CAST(sum(coalesce(c, 0)) AS BIGINT) AS freq_sum
+          FROM tok LEFT JOIN model USING (term)
+          GROUP BY doc_id ORDER BY doc_id"""),
     "p_s1_topk_cosine" ->
       ("""WITH q AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
           SELECT vec_id,

@@ -106,4 +106,50 @@ class TextAnalysisSpec extends SparkSpec {
     // plain prose unharmed
     assert(one[String](TA.redactPii(col("text")), "no pii here 1.2 ok") === "no pii here 1.2 ok")
   }
+
+  test("unigram model + freq stats: exact integer counts, OOV and rare") {
+    val ref = Seq("a a b c", "a b d").toDF("text") // c(a)=3 c(b)=2 c(c)=1 c(d)=1
+    val model = TA.unigramModel(ref, "text")
+    assert(model.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("a" -> 3L, "b" -> 2L, "c" -> 1L, "d" -> 1L))
+    val docs = Seq((1L, "a b z"), (2L, "c c d"), (3L, "")).toDF("doc_id", "text")
+    val got = TA.unigramFreqStats(docs, "doc_id", "text", model, rareMax = 2L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // doc 1: tokens a,b,z → 1 OOV (z), 1 rare (b, c=2), freq 3+2+0=5
+    // doc 2: tokens c,c,d → 0 OOV, 3 rare, freq 1+1+1=3
+    // doc 3: empty text → no token rows, absent
+    assert(got === Array((1L, 3L, 1L, 1L, 5L), (2L, 3L, 0L, 3L, 3L)))
+  }
+
+  test("unigramNll matches a hand-computed smoothed fold exactly") {
+    val ref = Seq("a a b c", "a b d").toDF("text")
+    val model = TA.unigramModel(ref, "text")
+    val docs = Seq((1L, "a b z"), (2L, "d")).toDF("doc_id", "text")
+    val alpha = 0.5
+    val C = 7.0; val V = 4.0 // total tokens, vocab size
+    val denom = C + alpha * (V + 1.0)
+    // Spark's Log expression evaluates via StrictMath (fdlibm), which can
+    // differ from Math.log's intrinsic in the last ulp
+    def lp(c: Double) = StrictMath.log((c + alpha) / denom)
+    val unseen = StrictMath.log(alpha / denom)
+    // document-order left fold from 0.0, then negate and average —
+    // the exact arithmetic unigramNll promises
+    val exp1 = -(0.0 + lp(3.0) + lp(2.0) + unseen) / 3.0
+    val exp2 = -(0.0 + lp(1.0)) / 1.0
+    val got = TA.unigramNll(docs, "doc_id", "text", model, alpha)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got === Array((1L, 3L, exp1), (2L, 1L, exp2)))
+  }
+
+  test("unigramNll is bit-stable under repartitioning") {
+    val ref = Seq("a a b c d e f g h a b", "x y z a b").toDF("text")
+    val model = TA.unigramModel(ref, "text")
+    val docs = (1L to 40L).map(i => (i, s"a b x q$i h z a")).toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TA.unigramNll(d, "doc_id", "text", model).orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(run(docs) === run(docs.repartition(7)))
+  }
 }
