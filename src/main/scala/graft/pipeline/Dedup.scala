@@ -74,6 +74,22 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Streaming twin of [[exactDedup]]: in-flight exact dedup on a
+    * stream, keyed by content digest, with state bounded by the
+    * event-time watermark (`dropDuplicatesWithinWatermark` — a digest's
+    * state is dropped once the watermark passes it, so state is
+    * O(arrival rate × delay), never O(corpus)). The first arrival of a
+    * text inside the window survives; replays and duplicates inside the
+    * window are dropped exactly. Cross-window duplicates are the batch
+    * layer's job ([[exactDedup]] over the stored tier) — the split the
+    * ingest path already uses for blocks (hot vs confirmed). */
+  def streamingExactDedup(stream: DataFrame, textCol: String, tsCol: String,
+      delay: String): DataFrame =
+    stream.withColumn("__digest", sha2(col(textCol), 256))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("__digest")
+      .drop("__digest")
+
   // ---- MinHash + banded LSH --------------------------------------------
 
   /** MinHash signature (length `numHashes`) over an ALREADY-HASHED element

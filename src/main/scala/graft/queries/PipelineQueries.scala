@@ -134,6 +134,24 @@ object PipelineQueries {
     graft.pipeline.Components.nearDupClusters(pairs).orderBy(col("doc_id"))
   }
 
+  /** T7: BM25 retrieval statistics — the integer-exact core of keyword
+    * ranking ([[graft.pipeline.Retrieval.bm25TopK]]): per-(term, doc)
+    * term frequency, per-term document frequency over the FULL corpus,
+    * and postings-derived document length, for a fixed 3-term query.
+    * The float BM25 score itself is pinned in-JVM by RetrievalSpec
+    * (same ln-ulp rationale as T6). */
+  private def t7Bm25(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val post = graft.pipeline.Retrieval.postings(docs, "doc_id", "text")
+    val dl = graft.pipeline.Retrieval.docLengths(post)
+    val matched = post.filter(col("term").isin("vector", "merge", "customer"))
+    val dfs = matched.groupBy("term").agg(countDistinct("id").as("df"))
+    matched.join(dfs, Seq("term")).join(dl, Seq("id"))
+      .filter(col("id") < 60)
+      .select(col("term"), col("id").as("doc_id"), col("tf"), col("df"), col("dl"))
+      .orderBy(col("term"), col("doc_id"))
+  }
+
   /** T6: unigram-LM quality scoring — the CCNet lifecycle (train a cheap
     * LM on a reference slice, score candidate docs against it; Wenzek et
     * al. 2019) with the model trained on the even-id half of the corpus
@@ -435,6 +453,7 @@ object PipelineQueries {
     "p_d5_rolling_overlap" -> (d5 _),
     "p_d6_dedup_resolve" -> (d6 _),
     "p_t6_unigram_lm" -> (t6Lm _),
+    "p_t7_bm25_stats" -> (t7Bm25 _),
     "p_s1_topk_cosine" -> (s1 _),
     "p_s2_nearest_neighbor" -> (s2 _),
     "p_s3_lsh_ann_topk" -> (s3 _),
@@ -621,6 +640,21 @@ object PipelineQueries {
             CAST(sum(coalesce(c, 0)) AS BIGINT) AS freq_sum
           FROM tok LEFT JOIN model USING (term)
           GROUP BY doc_id ORDER BY doc_id"""),
+    "p_t7_bm25_stats" ->
+      ("""WITH post AS (
+            SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents)
+            WHERE term <> '' GROUP BY term, doc_id),
+          dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+                 FROM post GROUP BY doc_id),
+          m AS (SELECT * FROM post
+                WHERE term IN ('vector', 'merge', 'customer')),
+          dfs AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                  FROM m GROUP BY term)
+          SELECT m.term, m.doc_id, m.tf, dfs.df, dl.dl
+          FROM m JOIN dfs USING (term) JOIN dl USING (doc_id)
+          WHERE m.doc_id < 60 ORDER BY term, doc_id"""),
     "p_s1_topk_cosine" ->
       ("""WITH q AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
           SELECT vec_id,
