@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 /** Training-data curation primitives: reproducible splits and per-group
   * quotas. Everything is a deterministic function of stable ids — no
@@ -116,5 +117,53 @@ object Curation {
         map(rates.toSeq.flatMap { case (s, r) => Seq(lit(s), lit(r)) }: _*),
         col(stratumCol)), lit(defaultRate))
     df.filter(bucket(col(idCol)) < rate)
+  }
+
+  /** Down-sample strata to a TARGET MIXTURE — the data-mixing step of
+    * training-corpus assembly (Pile/LLaMA-style "30% web, 20% code"
+    * recipes). `parts` are integer mixture weights (5:3:2, not floats —
+    * integer parts keep the rate arithmetic exact: the binding stratum's
+    * rate is exactly 100, not 99 via a float wobble). The largest
+    * feasible plan is chosen: the stratum with the smallest n/w keeps
+    * 100% and every other stratum is down-sampled to match the weight
+    * ratios (at the 1%-granularity of the deterministic id bucket).
+    * Strata absent from `parts` are dropped.
+    *
+    * Everything stays in-frame — no driver collect, no rand(): one
+    * per-stratum count aggregate, a one-row struct-min (the binding
+    * stratum), and a ≤|parts|-row rate frame broadcast back onto the
+    * corpus (bounded by the literal mixture spec, so the hint is safe).
+    * Rows keep/drop by the same consistent id-bucket rule as
+    * [[sampleByStratum]], so a recipe change re-uses, not re-samples,
+    * the kept set. */
+  def sampleToMixture(df: DataFrame, stratumCol: String, idCol: String,
+      parts: Map[String, Long],
+      bucket: Column => Column = splitBucket(_)): DataFrame = {
+    require(parts.nonEmpty && parts.values.forall(_ > 0L),
+      "mixture parts must be positive integers")
+    val lits = parts.toSeq.sortBy(_._1).map { case (s, p) =>
+      struct(lit(s).as("__stratum"), lit(p).as("__w"))
+    }
+    val wdf = df.sparkSession.range(1)
+      .select(explode(array(lits: _*)).as("__sw"))
+      .select(col("__sw.__stratum").as("__stratum"), col("__sw.__w").as("__w"))
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+      .select(col(stratumCol).as("__stratum"), col("__n"))
+    val joined = counts.join(wdf, Seq("__stratum"))
+    // binding stratum: smallest n/w (double ONLY for comparison — both
+    // engines see identical IEEE bits; ties break on (n, w))
+    val binding = joined.agg(min(struct(
+        (col("__n").cast(DoubleType) / col("__w").cast(DoubleType)).as("__q"),
+        col("__n").as("__ns"), col("__w").as("__ws"))).as("__m"))
+      .select(col("__m.__ns").as("__nstar"), col("__m.__ws").as("__wstar"))
+    // rate = floor(100 * (nstar/wstar) * w / n); products are exact in
+    // double below 2^53, and the binding stratum reduces to exactly 100
+    val rates = joined.crossJoin(broadcast(binding))
+      .select(col("__stratum"),
+        floor(lit(100.0) * col("__nstar") * col("__w") /
+          (col("__wstar") * col("__n"))).as("__rate"))
+    df.join(broadcast(rates), df(stratumCol) === rates("__stratum"))
+      .filter(bucket(col(idCol)) < col("__rate"))
+      .drop("__stratum", "__rate")
   }
 }

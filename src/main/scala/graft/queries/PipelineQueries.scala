@@ -134,6 +134,22 @@ object PipelineQueries {
     graft.pipeline.Components.nearDupClusters(pairs).orderBy(col("doc_id"))
   }
 
+  /** C6: corpus mixture — down-sample sources to a 5:3:2 target recipe
+    * ([[Curation.sampleToMixture]]); the binding source keeps 100%,
+    * the others down-sample to the weight ratios via the deterministic
+    * md5 id bucket. Checked as per-source kept-count + id-sum
+    * checksums; the oracle recomputes the binding stratum and the
+    * floor-rate arithmetic with mirrored IEEE op order. */
+  private def c6Mixture(s: SparkSession, dir: String): DataFrame =
+    Curation.sampleToMixture(
+        Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        "source", "doc_id",
+        parts = Map("src0" -> 5L, "src1" -> 3L, "src2" -> 2L),
+        bucket = Curation.md5Bucket)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("source"))
+
   /** T7: BM25 retrieval statistics — the integer-exact core of keyword
     * ranking ([[graft.pipeline.Retrieval.bm25TopK]]): per-(term, doc)
     * term frequency, per-term document frequency over the FULL corpus,
@@ -454,6 +470,7 @@ object PipelineQueries {
     "p_d6_dedup_resolve" -> (d6 _),
     "p_t6_unigram_lm" -> (t6Lm _),
     "p_t7_bm25_stats" -> (t7Bm25 _),
+    "p_c6_mixture" -> (c6Mixture _),
     "p_s1_topk_cosine" -> (s1 _),
     "p_s2_nearest_neighbor" -> (s2 _),
     "p_s3_lsh_ann_topk" -> (s3 _),
@@ -655,6 +672,23 @@ object PipelineQueries {
           SELECT m.term, m.doc_id, m.tf, dfs.df, dl.dl
           FROM m JOIN dfs USING (term) JOIN dl USING (doc_id)
           WHERE m.doc_id < 60 ORDER BY term, doc_id"""),
+    "p_c6_mixture" ->
+      (s"""WITH counts AS (
+            SELECT source, count(*) AS n FROM documents GROUP BY source),
+          w AS (SELECT * FROM (VALUES ('src0', CAST(5 AS BIGINT)),
+                ('src1', CAST(3 AS BIGINT)), ('src2', CAST(2 AS BIGINT)))
+                t(source, w)),
+          j AS (SELECT counts.source, n, w FROM counts JOIN w USING (source)),
+          m AS (SELECT n AS nstar, w AS wstar FROM j
+                ORDER BY CAST(n AS DOUBLE) / CAST(w AS DOUBLE), n, w LIMIT 1),
+          rates AS (SELECT source,
+                floor(100.0 * nstar * w / (wstar * n)) AS rate FROM j, m),
+          kept AS (SELECT d.doc_id, d.source
+                   FROM documents d JOIN rates USING (source)
+                   WHERE $md5BucketSql < rate)
+          SELECT source, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(doc_id) AS BIGINT) AS id_sum
+          FROM kept GROUP BY source ORDER BY source"""),
     "p_s1_topk_cosine" ->
       ("""WITH q AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
           SELECT vec_id,

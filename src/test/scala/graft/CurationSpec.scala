@@ -95,4 +95,32 @@ class CurationSpec extends SparkSpec {
     assert(Curation.filterBlockedDomains(docs, "url", block).columns.toSeq
       === Seq("id", "url")) // helper column dropped
   }
+
+  test("sampleToMixture: binding stratum keeps all, others hit exact ratios") {
+    // ids 0..99 per source with an identity bucket → rates ARE counts
+    val docs = for (s <- Seq("web", "code", "books"); i <- 0L until 100L)
+      yield (s, i)
+    val df = docs.toDF("source", "id")
+    val out = Curation.sampleToMixture(df, "source", "id",
+        parts = Map("web" -> 5L, "code" -> 3L, "books" -> 2L),
+        bucket = id => pmod(id, lit(100L)))
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // equal counts → "web" binds (smallest n/w): rates 100/60/40 exactly
+    assert(out === Map("web" -> 100L, "code" -> 60L, "books" -> 40L))
+  }
+
+  test("sampleToMixture: uneven counts bind on smallest n/w; unlisted dropped") {
+    val docs = (0L until 10L).map(i => ("small", i)) ++
+      (0L until 100L).map(i => ("big", i)) ++
+      (0L until 50L).map(i => ("unlisted", i))
+    val df = docs.toDF("source", "id")
+    val out = Curation.sampleToMixture(df, "source", "id",
+        parts = Map("small" -> 1L, "big" -> 1L),
+        bucket = id => pmod(id, lit(100L)))
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 1:1 target, "small" binds with 10 docs → "big" down-samples to 10
+    assert(out === Map("small" -> 10L, "big" -> 10L))
+  }
 }
