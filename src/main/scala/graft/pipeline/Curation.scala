@@ -151,17 +151,25 @@ object Curation {
       .select(col(stratumCol).as("__stratum"), col("__n"))
     val joined = counts.join(wdf, Seq("__stratum"))
     // binding stratum: smallest n/w (double ONLY for comparison — both
-    // engines see identical IEEE bits; ties break on (n, w))
-    val binding = joined.agg(min(struct(
-        (col("__n").cast(DoubleType) / col("__w").cast(DoubleType)).as("__q"),
-        col("__n").as("__ns"), col("__w").as("__ws"))).as("__m"))
-      .select(col("__m.__ns").as("__nstar"), col("__m.__ws").as("__wstar"))
+    // engines see identical IEEE bits; ties break on (n, w)). A window
+    // min, not agg + self-join: the frame is ≤|parts| rows, so the
+    // single-partition window is bounded by the recipe — and the counts
+    // aggregate is planned ONCE instead of once per branch (at corpus
+    // scale that second branch was a second full-column scan). The
+    // constant partition key exists only to declare the bound (a
+    // non-foldable one — a literal is folded away and WindowExec then
+    // warns about an undeclared global window; `__stratum` is a join
+    // key, so isNull is constant-false across the frame).
+    val winAll = Window.partitionBy(col("__stratum").isNull)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val withBinding = joined.withColumn("__m", min(struct(
+      (col("__n").cast(DoubleType) / col("__w").cast(DoubleType)).as("__q"),
+      col("__n").as("__ns"), col("__w").as("__ws"))).over(winAll))
     // rate = floor(100 * (nstar/wstar) * w / n); products are exact in
     // double below 2^53, and the binding stratum reduces to exactly 100
-    val rates = joined.crossJoin(broadcast(binding))
-      .select(col("__stratum"),
-        floor(lit(100.0) * col("__nstar") * col("__w") /
-          (col("__wstar") * col("__n"))).as("__rate"))
+    val rates = withBinding.select(col("__stratum"),
+      floor(lit(100.0) * col("__m.__ns") * col("__w") /
+        (col("__m.__ws") * col("__n"))).as("__rate"))
     df.join(broadcast(rates), df(stratumCol) === rates("__stratum"))
       .filter(bucket(col(idCol)) < col("__rate"))
       .drop("__stratum", "__rate")

@@ -45,6 +45,38 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("bm25 stats: postings partial-agg map-side, bound pushed into scans") {
+    val p = plan("p_t7_bm25_stats")
+    // the (term, id) count combines map-side, so only (term, id, tf)
+    // triples shuffle — document text never reaches an exchange
+    assert(p.contains("partial_count"))
+    // the post-join id bound is pushed through the joins into the
+    // matched and doc-length scans (df stays corpus-wide by design)
+    assert(p.contains("LessThan(doc_id,60)"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("unigram-LM model join is unhinted and streams the token side") {
+    val p = plan("p_t6_unigram_lm")
+    // model (right) side builds, token stream probes; model counts are
+    // map-side partial; no forced broadcast hint in the query code —
+    // the small model broadcasts via stats/AQE, a huge one degrades to
+    // a shuffle join instead of an OOM
+    assert(p.contains("AdaptiveSparkPlan"))
+    assert(p.contains("partial_count"))
+    assert(p.contains("LeftOuter, BuildRight"))
+  }
+
+  test("mixture: rate frame broadcasts, bucket filter rides the join, narrow scan") {
+    val p = plan("p_c6_mixture")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("pmod")) // keep/drop decided inside the join filter
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string>"))
+    // the per-stratum counts subtree is planned once: a single binding
+    // window over the recipe-sized frame, not an agg + self-join
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("repetition bigrams form row-locally: no exchange below the count aggregate") {
     val p = plan("p_t4_repetition")
     // the first shuffle must be the partial-agg'd bigram count, not a
