@@ -53,10 +53,13 @@ object Components {
       .localCheckpoint(true)
     val both = sym.union(sym.select(col("v").as("u"), col("u").as("v")))
 
-    var labels = sym.select(col("u")).union(sym.select(col("v")))
-      .distinct()
-      .select(col("u").as("id"), col("u").as("rep"))
-      .localCheckpoint(true)
+    // initial label = min(id, min neighbour): the first propagation
+    // round folded into initialization (every node appears as `u` in the
+    // symmetrized list, so this is also the node enumeration)
+    var labels = both.groupBy(col("u"))
+      .agg(min(col("v")).as("__mn"))
+      .select(col("u").as("id"), least(col("u"), col("__mn")).as("rep"))
+      .localCheckpoint(false)
 
     // Exact label mass: strictly decreases every non-fixpoint round.
     def mass(l: DataFrame): java.math.BigDecimal = {
@@ -76,11 +79,13 @@ object Components {
       // 2. …then pointer doubling halves every chain: rep ← rep(rep).
       //    rep values are always node ids (inductively: min of ids), so
       //    the lookup side always matches; coalesce is belt-and-braces.
+      // lazy checkpoint: the convergence aggregate right below is the
+      // single job that materializes the round (eager + mass was two)
       val next = m
         .join(m.select(col("id").as("__rid"), col("rep").as("__rrep")),
           col("rep") === col("__rid"), "left")
         .select(col("id"), coalesce(col("__rrep"), col("rep")).as("rep"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val cur = mass(next)
       done = cur.compareTo(prev) == 0
       prev = cur
