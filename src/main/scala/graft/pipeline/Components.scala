@@ -2,7 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType}
 
 /** Connected-component resolution over near-duplicate pair output — the
   * step that turns "A≈B, B≈C" edges into dedup clusters with one
@@ -47,6 +47,13 @@ object Components {
     */
   def connectedComponents(edges: DataFrame, aCol: String = "a_id",
       bCol: String = "b_id", maxIter: Int = 50): DataFrame = {
+    // fail loudly on non-integral id columns: a silent cast of e.g.
+    // string digests would null every edge and "resolve" zero clusters
+    for (c <- Seq(aCol, bCol)) {
+      val dt = edges.schema(c).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"edge column '$c' must be an integral id type, got ${dt.catalogString}")
+    }
     val sym = edges
       .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
       .filter(col("u").isNotNull && col("v").isNotNull)

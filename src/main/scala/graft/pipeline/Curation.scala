@@ -165,11 +165,16 @@ object Curation {
     val withBinding = joined.withColumn("__m", min(struct(
       (col("__n").cast(DoubleType) / col("__w").cast(DoubleType)).as("__q"),
       col("__n").as("__ns"), col("__w").as("__ws"))).over(winAll))
-    // rate = floor(100 * (nstar/wstar) * w / n); products are exact in
-    // double below 2^53, and the binding stratum reduces to exactly 100
-    val rates = withBinding.select(col("__stratum"),
-      floor(lit(100.0) * col("__m.__ns") * col("__w") /
-        (col("__m.__ws") * col("__n"))).as("__rate"))
+    // rate = (100 * nstar * w) div (wstar * n) — INTEGER division, which
+    // is floor for non-negative operands and exact at any count (a
+    // float floor would shave the binding stratum to 99 once 100·n·w
+    // passes 2^53; longs hold to ~9.2e16 corpus rows per stratum at
+    // w ≤ 1000)
+    val rates = withBinding
+      .select(col("__stratum"), col("__m.__ns").as("__ns"),
+        col("__m.__ws").as("__ws"), col("__w"), col("__n"))
+      .select(col("__stratum"),
+        expr("(100 * __ns * __w) div (__ws * __n)").as("__rate"))
     df.join(broadcast(rates), df(stratumCol) === rates("__stratum"))
       .filter(bucket(col(idCol)) < col("__rate"))
       .drop("__stratum", "__rate")

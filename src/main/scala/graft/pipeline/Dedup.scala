@@ -78,11 +78,14 @@ object Dedup {
     * stream, keyed by content digest, with state bounded by the
     * event-time watermark (`dropDuplicatesWithinWatermark` — a digest's
     * state is dropped once the watermark passes it, so state is
-    * O(arrival rate × delay), never O(corpus)). The first arrival of a
-    * text inside the window survives; replays and duplicates inside the
-    * window are dropped exactly. Cross-window duplicates are the batch
-    * layer's job ([[exactDedup]] over the stored tier) — the split the
-    * ingest path already uses for blocks (hot vs confirmed). */
+    * O(arrival rate × delay), never O(corpus)). Exactly one row per
+    * digest survives the window; duplicates arriving in LATER
+    * micro-batches are always dropped in favour of the earlier arrival,
+    * but WITHIN one micro-batch the surviving row is engine-chosen (the
+    * built-in keeps whichever row reaches the state store first) — a
+    * deterministic winner (min id) is the batch layer's job
+    * ([[exactDedup]] over the stored tier), the same split the block
+    * ingest path uses (hot vs confirmed). */
   def streamingExactDedup(stream: DataFrame, textCol: String, tsCol: String,
       delay: String): DataFrame =
     stream.withColumn("__digest", sha2(col(textCol), 256))

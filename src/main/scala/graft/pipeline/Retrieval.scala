@@ -23,10 +23,11 @@ import org.apache.spark.sql.types.DoubleType
   */
 object Retrieval {
 
-  /** Inverted-index postings `(term, id, tf)` over whitespace tokens. */
+  /** Inverted-index postings `(term, id, tf)` over whitespace tokens
+    * (the shared [[TextAnalysis.explodedTokens]] tokenization). */
   def postings(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("term"))
-      .filter(col("term") =!= "")
+    TextAnalysis.explodedTokens(df, idCol, textCol)
+      .select(col("__id").as("id"), col("term"))
       .groupBy("term", "id").agg(count(lit(1)).as("tf"))
 
   /** Per-document token length `(id, dl)`, derived from postings so tf
@@ -45,6 +46,11 @@ object Retrieval {
   def bm25TopK(corpus: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k: Int = 10,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // `post` fans into the matched/df/dl branches of one plan; Spark's
+    // exchange reuse executes the identical postings aggregate once per
+    // run, and the 100 TB lifecycle reads a persisted postings artifact
+    // here instead (see the object scaladoc) — so the fan-out is a
+    // local-convenience shape, not a scale cost
     val post = postings(corpus, idCol, textCol)
     val dl = docLengths(post)
     val stats = dl.agg(count(lit(1)).cast(DoubleType).as("__N"),

@@ -278,6 +278,15 @@ object TextAnalysis {
 
   // ---- unigram LM scoring (CCNet-style quality filtering) ---------------
 
+  /** One row per non-empty whitespace token: `(__id, term)` — THE
+    * tokenization every term-level aggregate in this module and
+    * [[Retrieval]] builds on, kept in one place so tf/df/dl/model
+    * counts can never drift apart (the oracle SQL twins all mirror the
+    * same `string_split` + non-empty filter). */
+  def explodedTokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("__id"), explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+
   /** Corpus unigram model `(term, c)`: collection frequency over
     * whitespace tokens. One explode + one map-side-combined count — only
     * (term, partial count) pairs shuffle, never document bodies. At
@@ -287,7 +296,7 @@ object TextAnalysis {
     * 2019 use KenLM; a unigram model is the same lifecycle with an
     * exactly-replayable score). */
   def unigramModel(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(split(col(textCol), " ")).as("term"))
+    df.select(explode(tokens(col(textCol))).as("term"))
       .filter(col("term") =!= "")
       .groupBy("term").agg(count(lit(1)).as("c"))
 
@@ -304,9 +313,7 @@ object TextAnalysis {
     * Empty-token documents have no token rows and drop out. */
   def unigramFreqStats(docs: DataFrame, idCol: String, textCol: String,
       model: DataFrame, rareMax: Long = 2L): DataFrame = {
-    val toks = docs.select(col(idCol).as("__id"),
-        explode(split(col(textCol), " ")).as("term"))
-      .filter(col("term") =!= "")
+    val toks = explodedTokens(docs, idCol, textCol)
     toks.join(model, Seq("term"), "left")
       .groupBy(col("__id"))
       .agg(count(lit(1)).as("n_tokens"),
@@ -328,7 +335,11 @@ object TextAnalysis {
     * hash-unstable). Tokens keep their position through `posexplode`,
     * the scored list is `array_sort`ed back into document order, and the
     * sum is a sequential left fold (`aggregate` HOF) — bit-identical on
-    * every run and every partitioning. Output: (idCol, n_tokens,
+    * every run and every partitioning. The model plan fans into the
+    * per-term/totals/unseen branches; exchange reuse executes the
+    * vocabulary aggregate once, and a production pipeline passes a
+    * PERSISTED model frame (the [[DedupIndex]] lifecycle) rather than
+    * recomputing it per scoring query. Output: (idCol, n_tokens,
     * avg_nll). */
   def unigramNll(docs: DataFrame, idCol: String, textCol: String,
       model: DataFrame, alpha: Double = 0.5): DataFrame = {

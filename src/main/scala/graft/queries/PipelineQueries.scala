@@ -138,8 +138,8 @@ object PipelineQueries {
     * ([[Curation.sampleToMixture]]); the binding source keeps 100%,
     * the others down-sample to the weight ratios via the deterministic
     * md5 id bucket. Checked as per-source kept-count + id-sum
-    * checksums; the oracle recomputes the binding stratum and the
-    * floor-rate arithmetic with mirrored IEEE op order. */
+    * checksums; the oracle recomputes the binding stratum (mirrored
+    * IEEE comparison) and the rates in exact integer division. */
   private def c6Mixture(s: SparkSession, dir: String): DataFrame =
     Curation.sampleToMixture(
         Tables.documents(s, dir).select(col("doc_id"), col("source")),
@@ -682,7 +682,7 @@ object PipelineQueries {
           m AS (SELECT n AS nstar, w AS wstar FROM j
                 ORDER BY CAST(n AS DOUBLE) / CAST(w AS DOUBLE), n, w LIMIT 1),
           rates AS (SELECT source,
-                floor(100.0 * nstar * w / (wstar * n)) AS rate FROM j, m),
+                (100 * nstar * w) // (wstar * n) AS rate FROM j, m),
           kept AS (SELECT d.doc_id, d.source
                    FROM documents d JOIN rates USING (source)
                    WHERE $md5BucketSql < rate)

@@ -59,6 +59,14 @@ class ComponentsSpec extends SparkSpec {
     assert(cc(Seq.empty).isEmpty)
   }
 
+  test("non-integral edge ids are rejected, not silently nulled") {
+    val strEdges = Seq(("a", "b")).toDF("a_id", "b_id")
+    val e = intercept[IllegalArgumentException] {
+      Components.connectedComponents(strEdges)
+    }
+    assert(e.getMessage.contains("integral id type"))
+  }
+
   test("dedupByPairs keeps one representative per cluster, singletons pass") {
     val corpus = (1L to 10L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a_id", "b_id")

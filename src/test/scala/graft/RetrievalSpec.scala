@@ -67,12 +67,19 @@ class RetrievalSpec extends SparkSpec {
     try {
       input.addData((ts(0), 1L, "aaa"), (ts(0, 30), 2L, "aaa"), (ts(1), 3L, "bbb"))
       query.processAllAvailable()
-      // same text again in a later micro-batch, still inside the window
+      // same text again in a later micro-batch, still inside the window:
+      // the earlier batch's arrival always wins cross-batch
       input.addData((ts(2), 4L, "aaa"), (ts(2, 30), 5L, "ccc"))
       query.processAllAvailable()
       val kept = spark.sql("SELECT doc_id, text FROM sdedup ORDER BY doc_id")
         .collect().map(r => (r.getLong(0), r.getString(1)))
-      assert(kept.toSeq === Seq((1L, "aaa"), (3L, "bbb"), (5L, "ccc")))
+      // within the first batch the "aaa" winner (1 or 2) is
+      // engine-chosen — the contract is ONE survivor per digest, and
+      // never the later-batch replay (4)
+      assert(kept.map(_._2).sorted.toSeq === Seq("aaa", "bbb", "ccc"))
+      val aaa = kept.filter(_._2 == "aaa").map(_._1)
+      assert(aaa.length === 1 && (aaa.head == 1L || aaa.head == 2L))
+      assert(kept.map(_._1).contains(3L) && kept.map(_._1).contains(5L))
     } finally query.stop()
   }
 }
