@@ -119,6 +119,37 @@ object Curation {
     df.filter(bucket(col(idCol)) < rate)
   }
 
+  /** Scheme-and-host pattern shared by the canonicalizer's extract and
+    * strip steps (absolute http(s)-style URLs). */
+  private val SchemeHostPattern = "^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)"
+
+  /** URL canonicalization — the normalize-before-dedup step of web
+    * curation: lowercase scheme and host (paths stay case-sensitive),
+    * strip a leading `www.`, drop the fragment, drop tracking query
+    * params (`utm_*`, `fbclid`, `gclid`, `ref`), repair the query
+    * separator the removal may orphan, drop an empty query, and strip a
+    * trailing path slash. `canonicalUrl(a) == canonicalUrl(b)` then
+    * keys exact URL-dup groups. Every step is a plain RE2-compatible
+    * regexp (no lookaround), so an external engine replays the chain
+    * verbatim (the same contract as the PII patterns); expects absolute
+    * URLs. Pure per-row expressions — zero shuffles at any scale, and
+    * idempotent (spec-pinned). */
+  def canonicalUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, SchemeHostPattern, 1))
+    val host = regexp_replace(
+      lower(regexp_extract(url, SchemeHostPattern, 2)), "^www\\.", "")
+    val rest = regexp_replace(url, SchemeHostPattern, "")
+    val noFrag = regexp_replace(rest, "#.*$", "")
+    val noTrack = regexp_replace(noFrag,
+      "[?&](utm_[a-z]+|fbclid|gclid|ref)=[^&#]*", "")
+    // removing a leading '?utm_…' leaves the next param with '&' as its
+    // separator — promote the first '&' back to '?' when no '?' remains
+    val fixed = regexp_replace(noTrack, "^([^?&]*)&", "$1?")
+    val noEmptyQ = regexp_replace(fixed, "\\?$", "")
+    val noSlash = regexp_replace(noEmptyQ, "/$", "")
+    concat(scheme, lit("://"), host, noSlash)
+  }
+
   /** Down-sample strata to a TARGET MIXTURE — the data-mixing step of
     * training-corpus assembly (Pile/LLaMA-style "30% web, 20% code"
     * recipes). `parts` are integer mixture weights (5:3:2, not floats —

@@ -398,6 +398,30 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** C7: URL canonicalization → exact URL-dup groups. Five deterministic
+    * messy variants per base URL (case, www, tracking params, trailing
+    * slash + fragment) are synthesized from doc_id in BOTH engines;
+    * [[Curation.canonicalUrl]]'s RE2 chain collapses each base's
+    * variants to one canonical key, and the groups are checked as
+    * (canonical, min-id, count). */
+  private def c7UrlCanon(s: SparkSession, dir: String): DataFrame = {
+    val n = pmod(col("doc_id"), lit(100L)).cast("string")
+    val vi = (pmod(expr("doc_id div 100"), lit(5L)) + 1).cast("int")
+    val prefix = element_at(array(
+      lit("https://example.org/p/"), lit("HTTPS://EXAMPLE.ORG/p/"),
+      lit("https://www.example.org/p/"), lit("https://example.org/p/"),
+      lit("https://example.org/p/")), vi)
+    val suffix = element_at(array(
+      lit(""), lit(""), lit(""),
+      lit("?utm_source=x&utm_campaign=y"), lit("/#frag")), vi)
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        Curation.canonicalUrl(concat(prefix, n, suffix)).as("canonical_url"))
+      .groupBy(col("canonical_url"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_variants"))
+      .orderBy(col("keep_id"))
+  }
+
   // ===== multimodal ======================================================
 
   /** MM1: binary media columns through the real-first decode
@@ -471,6 +495,7 @@ object PipelineQueries {
     "p_t6_unigram_lm" -> (t6Lm _),
     "p_t7_bm25_stats" -> (t7Bm25 _),
     "p_c6_mixture" -> (c6Mixture _),
+    "p_c7_url_canonical" -> (c7UrlCanon _),
     "p_s1_topk_cosine" -> (s1 _),
     "p_s2_nearest_neighbor" -> (s2 _),
     "p_s3_lsh_ann_topk" -> (s3 _),
@@ -689,6 +714,39 @@ object PipelineQueries {
           SELECT source, CAST(count(*) AS BIGINT) AS n,
                  CAST(sum(doc_id) AS BIGINT) AS id_sum
           FROM kept GROUP BY source ORDER BY source"""),
+    "p_c7_url_canonical" ->
+      ("""WITH urls AS (
+            SELECT doc_id,
+              (['https://example.org/p/', 'HTTPS://EXAMPLE.ORG/p/',
+                'https://www.example.org/p/', 'https://example.org/p/',
+                'https://example.org/p/'])[CAST((doc_id // 100) % 5 + 1 AS INT)]
+              || CAST(doc_id % 100 AS VARCHAR)
+              || (['', '', '', '?utm_source=x&utm_campaign=y',
+                   '/#frag'])[CAST((doc_id // 100) % 5 + 1 AS INT)] AS url
+            FROM documents),
+          parts AS (
+            SELECT doc_id,
+              lower(regexp_extract(url,
+                '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)', 1)) AS scheme,
+              regexp_replace(lower(regexp_extract(url,
+                '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)', 2)),
+                '^www\.', '', 'g') AS host,
+              regexp_replace(url,
+                '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)', '', 'g') AS rest
+            FROM urls),
+          canon AS (
+            SELECT doc_id, scheme || '://' || host ||
+              regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                regexp_replace(rest,
+                  '#.*$', '', 'g'),
+                  '[?&](utm_[a-z]+|fbclid|gclid|ref)=[^&#]*', '', 'g'),
+                  '^([^?&]*)&', '\1?', 'g'),
+                  '\?$', '', 'g'),
+                  '/$', '', 'g') AS canonical_url
+            FROM parts)
+          SELECT canonical_url, CAST(min(doc_id) AS BIGINT) AS keep_id,
+                 CAST(count(*) AS BIGINT) AS n_variants
+          FROM canon GROUP BY canonical_url ORDER BY keep_id"""),
     "p_s1_topk_cosine" ->
       ("""WITH q AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
           SELECT vec_id,

@@ -123,4 +123,26 @@ class CurationSpec extends SparkSpec {
     // 1:1 target, "small" binds with 10 docs → "big" down-samples to 10
     assert(out === Map("small" -> 10L, "big" -> 10L))
   }
+
+  test("canonicalUrl: case/www/tracking/fragment/slash variants collapse; idempotent") {
+    val cases = Seq(
+      "https://example.org/p/1" -> "https://example.org/p/1",
+      "HTTPS://EXAMPLE.ORG/p/1" -> "https://example.org/p/1",
+      "https://www.example.org/p/1" -> "https://example.org/p/1",
+      "https://example.org/p/1?utm_source=x&utm_campaign=y" -> "https://example.org/p/1",
+      "https://example.org/p/1/#frag" -> "https://example.org/p/1",
+      // tracking param FIRST: the orphaned '&' is promoted back to '?'
+      "https://example.org/p?utm_source=x&real=1" -> "https://example.org/p?real=1",
+      // path case preserved; non-tracking query preserved
+      "http://a.org/CaseSensitive?q=1&ref=spam" -> "http://a.org/CaseSensitive?q=1",
+      "https://example.org/" -> "https://example.org")
+    val df = cases.map(_._1).toDF("url")
+      .select(col("url"), Curation.canonicalUrl(col("url")).as("c"))
+    val got = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    for ((in, want) <- cases) assert(got(in) === want, s"for $in")
+    // idempotence: canonical of canonical is itself
+    val twice = df.select(col("c"), Curation.canonicalUrl(col("c")).as("cc"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    twice.foreach { case (c, cc) => assert(c === cc) }
+  }
 }
