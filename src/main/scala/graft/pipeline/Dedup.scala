@@ -93,6 +93,55 @@ object Dedup {
       .dropDuplicatesWithinWatermark("__digest")
       .drop("__digest")
 
+  // ---- line-level dedup (C4-style) -------------------------------------
+
+  /** Explode text into "lines": non-overlapping `width`-token slices,
+    * `(__id, __ln, __line)` — the line analog for corpora without
+    * natural newlines (real corpora pass their own exploded line frame
+    * straight to [[dedupLines]]). Narrow per-row expressions; the
+    * partial last slice is kept. */
+  def tokenLines(df: DataFrame, idCol: String, textCol: String,
+      width: Int = 10): DataFrame = {
+    val staged = df
+      .filter(length(col(textCol)) > 0) // split("") is [""], not [] — an
+      .select(col(idCol).as("__id"), split(col(textCol), " ").as("__w")) // empty doc has no lines
+    staged.select(col("__id"),
+      posexplode(transform(
+        sequence(lit(0L), floor((size(col("__w")) - 1) / lit(width))),
+        i => array_join(
+          slice(col("__w"), (i * width + 1).cast("int"), lit(width)), " ")))
+        .as(Seq("__ln", "__line")))
+  }
+
+  /** Corpus-wide line dedup (the C4 recipe, Raffel et al. 2020 §2.2:
+    * any span occurring more than once in the corpus keeps ONE
+    * occurrence): every distinct line survives only at its first
+    * occurrence — minimum (id, line_no) — and every later occurrence in
+    * ANY document is dropped. The window partitions on the line's
+    * 32-byte digest, so line text never shuffles (the [[exactDedup]]
+    * digest trick at line granularity). */
+  def dedupLines(lines: DataFrame, idCol: String = "__id",
+      lineNoCol: String = "__ln", lineCol: String = "__line"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(sha2(col(lineCol), 256))
+      .orderBy(col(idCol), col(lineNoCol))
+    lines.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Reassemble per-document text from surviving lines, in line order:
+    * `(idCol, n_lines, text)`. Documents that lost every line are
+    * absent. One shuffle on the doc id; the sort is per-document
+    * row-local (array_sort over the collected lines). */
+  def reassembleLines(kept: DataFrame, idCol: String = "__id",
+      lineNoCol: String = "__ln", lineCol: String = "__line",
+      sep: String = " "): DataFrame =
+    kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        array_join(transform(
+          array_sort(collect_list(struct(col(lineNoCol), col(lineCol)))),
+          x => x.getField(lineCol)), sep).as("text"))
+
   // ---- MinHash + banded LSH --------------------------------------------
 
   /** MinHash signature (length `numHashes`) over an ALREADY-HASHED element

@@ -134,6 +134,24 @@ object PipelineQueries {
     graft.pipeline.Components.nearDupClusters(pairs).orderBy(col("doc_id"))
   }
 
+  /** D7: C4-style line-level dedup — every distinct 10-token line keeps
+    * its first corpus occurrence; full-copy docs (ids shifted +10000)
+    * lose every line and vanish from the reassembled output. Checked as
+    * per-doc surviving-line count + md5 of the reassembled text; the
+    * oracle replays slicing, first-occurrence QUALIFY, and ordered
+    * string_agg reassembly. */
+  private def d7(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .filter(col("doc_id") < 300)
+    val corpus = docs.union(docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    val kept = Dedup.dedupLines(Dedup.tokenLines(corpus, "doc_id", "text", width = 10))
+    Dedup.reassembleLines(kept)
+      .select(col("__id").as("doc_id"), col("n_lines"),
+        md5(col("text")).as("text_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** C6: corpus mixture — down-sample sources to a 5:3:2 target recipe
     * ([[Curation.sampleToMixture]]); the binding source keeps 100%,
     * the others down-sample to the weight ratios via the deterministic
@@ -492,6 +510,7 @@ object PipelineQueries {
     "p_d4_simhash_neardup" -> (d4 _),
     "p_d5_rolling_overlap" -> (d5 _),
     "p_d6_dedup_resolve" -> (d6 _),
+    "p_d7_line_dedup" -> (d7 _),
     "p_t6_unigram_lm" -> (t6Lm _),
     "p_t7_bm25_stats" -> (t7Bm25 _),
     "p_c6_mixture" -> (c6Mixture _),
@@ -663,6 +682,26 @@ object PipelineQueries {
             SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id)
           SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS rep_id
           FROM reach GROUP BY id ORDER BY doc_id"""),
+    "p_d7_line_dedup" ->
+      ("""WITH corpus AS (
+            SELECT doc_id, text FROM documents WHERE doc_id < 300
+            UNION ALL
+            SELECT doc_id + 10000 AS doc_id, text
+            FROM documents WHERE doc_id % 5 = 0 AND doc_id < 300),
+          toks AS (SELECT doc_id, string_split(text, ' ') AS wds
+                   FROM corpus WHERE len(text) > 0),
+          lines AS (
+            SELECT doc_id, CAST((i - 1) // 10 AS BIGINT) AS ln,
+                   array_to_string(wds[i:i+9], ' ') AS line
+            FROM (SELECT doc_id, wds, unnest(range(1, len(wds) + 1, 10)) AS i
+                  FROM toks)),
+          kept AS (
+            SELECT doc_id, ln, line FROM lines
+            QUALIFY row_number() OVER (PARTITION BY line
+              ORDER BY doc_id, ln) = 1)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+                 md5(string_agg(line, ' ' ORDER BY ln)) AS text_md5
+          FROM kept GROUP BY doc_id ORDER BY doc_id"""),
     "p_t6_unigram_lm" ->
       ("""WITH model AS (
             SELECT term, count(*) AS c FROM (

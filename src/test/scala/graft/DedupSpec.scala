@@ -153,4 +153,31 @@ class DedupSpec extends SparkSpec {
     assert(new java.io.File(root).list().sorted.toSeq === before)
     assert(before.count(_.startsWith("__build_")) === 0, "tmp dirs must not leak")
   }
+
+  test("tokenLines: fixed-width slices with partial tail, empty text dropped") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d e"), (2L, "")).toDF("doc_id", "text")
+    val got = graft.pipeline.Dedup.tokenLines(df, "doc_id", "text", width = 2)
+      .orderBy("__id", "__ln").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(got.toSeq === Seq((1L, 0, "a b"), (1L, 1, "c d"), (1L, 2, "e")))
+  }
+
+  test("line dedup: first corpus occurrence wins; copies vanish on reassembly") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "x x x x y y y y"),  // lines (w=4): "x x x x", "y y y y"
+      (2L, "x x x x z z z z"),  // first line duplicates doc 1's
+      (3L, "x x x x y y y y")   // full copy of doc 1 — every line dropped
+    ).toDF("doc_id", "text")
+    val kept = graft.pipeline.Dedup.dedupLines(
+      graft.pipeline.Dedup.tokenLines(df, "doc_id", "text", width = 4))
+    val out = graft.pipeline.Dedup.reassembleLines(kept)
+      .orderBy("__id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.toSeq === Seq(
+      (1L, 2L, "x x x x y y y y"),  // keeps both lines (first occurrence)
+      (2L, 1L, "z z z z")))         // lost the shared line, kept its own
+    // doc 3 lost every line → absent entirely
+  }
 }
