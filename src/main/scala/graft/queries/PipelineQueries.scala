@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
 import graft.Tables
-import graft.pipeline.{Curation, Dedup, DedupIndex, IvfIndex, LshIndex, Multimodal, Similarity, TextAnalysis => TA}
+import graft.pipeline.{Curation, Dedup, DedupIndex, IvfIndex, LshIndex, Multimodal, Quantize, Similarity, TextAnalysis => TA}
 
 /** Training-data-pipeline operators (dedup / similarity / text analysis /
   * multimodal) registered against the driver's `documents` / `embeddings`
@@ -259,6 +259,31 @@ object PipelineQueries {
     val q = emb.filter(col("vec_id") === 0).select("embedding")
     Similarity.ivfTopK(assigned.filter(col("vec_id") =!= 0), "embedding", "vec_id",
       IvfIndex.centroids(emb, "vec_id", "embedding"), q, k = 20, nprobe = 4)
+  }
+
+  /** S5: int8-quantized ANN ([[graft.pipeline.Quantize]]) — per-vector
+    * symmetric codes + scales (at scale: an ingest artifact like the
+    * LSH/IVF structures), EXACT integer dot against the quantized
+    * query, score = scale_q·scale_v·⟨codes⟩. The integer dot needs no
+    * ordered-fold machinery, and the score is pure IEEE products — the
+    * oracle replays codes, dots, and scores bit-for-bit. */
+  private def s5Quantized(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(Quantize.int8Codes(col("embedding")).as("q_codes"),
+        Quantize.int8Scale(col("embedding")).as("q_scale"))
+    emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        Quantize.int8Codes(col("embedding")).as("codes"),
+        Quantize.int8Scale(col("embedding")).as("scale"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("scale"), col("q_scale"),
+        Quantize.intDot(col("codes"), col("q_codes")).as("int_dot"))
+      .select(col("vec_id"), col("int_dot"),
+        Quantize.quantizedScore(col("q_scale"), col("scale"),
+          col("int_dot")).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(20)
   }
 
   /** E1: embedding near-dup pairs over the persisted 3-table signature
@@ -519,6 +544,7 @@ object PipelineQueries {
     "p_s2_nearest_neighbor" -> (s2 _),
     "p_s3_lsh_ann_topk" -> (s3 _),
     "p_s4_ivf_ann_topk" -> (s4 _),
+    "p_s5_quantized_topk" -> (s5Quantized _),
     "p_e1_embedding_neardup" -> (e1 _),
     "p_t1_text_stats" -> (t1 _),
     "p_t2_vocab_head" -> (t2vocab _),
@@ -797,6 +823,30 @@ object PipelineQueries {
                  i -> CAST(q[i] AS DOUBLE) * CAST(q[i] AS DOUBLE))))) AS score
           FROM embeddings, q WHERE vec_id <> 0
           ORDER BY score DESC, vec_id LIMIT 20"""),
+    "p_s5_quantized_topk" ->
+      ("""WITH base AS (
+            SELECT vec_id, embedding,
+              list_max(list_transform(embedding,
+                x -> abs(CAST(x AS DOUBLE)))) AS m
+            FROM embeddings),
+          qz AS (
+            SELECT vec_id, m / 127.0 AS scale,
+              CASE WHEN m = 0
+                THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                ELSE list_transform(embedding, x -> CAST(floor(
+                  CAST(x AS DOUBLE) * 127.0 / m + 0.5) AS BIGINT)) END AS codes
+            FROM base),
+          q AS (SELECT codes AS q_codes, scale AS q_scale
+                FROM qz WHERE vec_id = 0),
+          scored AS (
+            SELECT v.vec_id,
+              CAST(list_sum(list_transform(range(1, len(v.codes) + 1),
+                i -> v.codes[i] * q.q_codes[i])) AS BIGINT) AS int_dot,
+              v.scale, q.q_scale
+            FROM qz v, q WHERE v.vec_id <> 0)
+          SELECT vec_id, int_dot,
+                 q_scale * scale * CAST(int_dot AS DOUBLE) AS score
+          FROM scored ORDER BY score DESC, vec_id LIMIT 20"""),
     "p_s2_nearest_neighbor" ->
       ("""SELECT probe_id, neighbor_id, score FROM (
             SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
