@@ -49,6 +49,39 @@ object DedupIndex {
       artifactRootOverride.getOrElse(artifactRoot(spark)),
       Dedup.minHashSignatureRows(corpus, idCol, textCol, shingleN, numHashes))
 
+  // ---- incremental maintenance ------------------------------------------
+
+  /** Segmented MinHash signatures: like [[ensureMinHash]] but the
+    * artifact grows by APPEND instead of full rebuild — the streaming-era
+    * lifecycle (each ingest batch sketches only ITS documents; the
+    * sketch work already done for the corpus is never repeated). Commits
+    * ride [[ArtifactStore]]'s fsynced manifest swap, so a crashed append
+    * is invisible to every reader. Single writer, like the block store.
+    * The per-document signature is a pure function of the text, so
+    * base ∪ deltas is bit-identical to a full rebuild (spec-pinned). */
+  def ensureMinHashSegmented(spark: SparkSession, baseDocs: DataFrame,
+      idCol: String, textCol: String, variant: String,
+      shingleN: Int = 3, numHashes: Int = 32,
+      artifactRootOverride: Option[String] = None): DataFrame =
+    ArtifactStore.ensureSegmented(spark,
+      artifactRootOverride.getOrElse(artifactRoot(spark)),
+      s"minhashseg_${variant}_v${FormatVersion}_n${shingleN}_h$numHashes") {
+      tmp => Dedup.minHashSignatureRows(baseDocs, idCol, textCol, shingleN, numHashes)
+        .write.mode("overwrite").parquet(tmp)
+    }
+
+  /** Append signatures for NEW documents to the segmented artifact. */
+  def appendMinHash(spark: SparkSession, newDocs: DataFrame,
+      idCol: String, textCol: String, variant: String,
+      shingleN: Int = 3, numHashes: Int = 32,
+      artifactRootOverride: Option[String] = None): Unit =
+    ArtifactStore.appendSegment(spark,
+      artifactRootOverride.getOrElse(artifactRoot(spark)),
+      s"minhashseg_${variant}_v${FormatVersion}_n${shingleN}_h$numHashes") {
+      tmp => Dedup.minHashSignatureRows(newDocs, idCol, textCol, shingleN, numHashes)
+        .write.mode("overwrite").parquet(tmp)
+    }
+
   /** Persisted winnowing window-fingerprint rows `(__id, __fp)` (see
     * [[TextAnalysis.rollingFingerprintRows]]). */
   def ensureWinnowing(spark: SparkSession, corpusDir: String, corpus: DataFrame,

@@ -154,6 +154,44 @@ class DedupSpec extends SparkSpec {
     assert(before.count(_.startsWith("__build_")) === 0, "tmp dirs must not leak")
   }
 
+  test("segmented index: base + appends ≡ full rebuild; crashed append invisible") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_seg").toString
+    val docs = (1L to 60L).map(i => (i, s"w$i x$i y$i z$i a b c d e f"))
+      .toDF("doc_id", "text")
+    val base = docs.filter(col("doc_id") <= 20)
+    val d1 = docs.filter(col("doc_id") > 20 && col("doc_id") <= 40)
+    val d2 = docs.filter(col("doc_id") > 40)
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+
+    graft.pipeline.DedupIndex.ensureMinHashSegmented(spark, base,
+      "doc_id", "text", variant = "segspec", artifactRootOverride = Some(root))
+    graft.pipeline.DedupIndex.appendMinHash(spark, d1,
+      "doc_id", "text", variant = "segspec", artifactRootOverride = Some(root))
+
+    // a crashed append: staging dir exists but was never committed —
+    // readers must not see it, the next writer sweeps it
+    val key = new java.io.File(root).list().filter(_.startsWith("minhashseg_")).head
+    val junk = java.nio.file.Paths.get(s"$root/$key/__seg_crashed")
+    java.nio.file.Files.createDirectories(junk)
+    val afterCrash = rows(graft.pipeline.ArtifactStore.readSegmented(spark, root, key))
+
+    graft.pipeline.DedupIndex.appendMinHash(spark, d2,
+      "doc_id", "text", variant = "segspec", artifactRootOverride = Some(root))
+    assert(!java.nio.file.Files.exists(junk), "staging dir swept by next writer")
+
+    val segmented = rows(graft.pipeline.ArtifactStore.readSegmented(spark, root, key))
+    val full = rows(graft.pipeline.Dedup.minHashSignatureRows(docs, "doc_id", "text"))
+    assert(segmented === full, "base + appends must equal a full rebuild")
+    assert(afterCrash.size === 40) // base + first delta only, junk invisible
+    // ensureSegmented on an existing artifact is a pure read (no rebuild)
+    val again = rows(graft.pipeline.DedupIndex.ensureMinHashSegmented(spark, base,
+      "doc_id", "text", variant = "segspec", artifactRootOverride = Some(root)))
+    assert(again === full)
+  }
+
   test("tokenLines: fixed-width slices with partial tail, empty text dropped") {
     import spark.implicits._
     val df = Seq((1L, "a b c d e"), (2L, "")).toDF("doc_id", "text")

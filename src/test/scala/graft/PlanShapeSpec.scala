@@ -77,6 +77,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("line dedup: rank-limit pushes map-side, doc bound reaches the scans") {
+    val p = plan("p_d7_line_dedup")
+    // WindowGroupLimit Partial prunes duplicate lines BEFORE the digest
+    // shuffle — only one candidate row per (digest, partition) shuffles
+    assert(p.contains("WindowGroupLimit"))
+    assert(p.contains("LessThan(doc_id,300)"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("quantized ANN: one scan, 1-row broadcast, TakeOrdered — no shuffle join") {
+    val p = plan("p_s5_quantized_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("IdentityBroadcastMode")) // the quantized query row
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("repetition bigrams form row-locally: no exchange below the count aggregate") {
     val p = plan("p_t4_repetition")
     // the first shuffle must be the partial-agg'd bigram count, not a
