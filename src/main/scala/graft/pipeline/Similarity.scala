@@ -254,6 +254,40 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-SQ8 — the faiss IVF+ScalarQuantizer composition: probe the top
+    * `nprobe` centroid buckets exactly like [[ivfTopK]], but rank the
+    * bucket members by the QUANTIZED integer dot against the quantized
+    * query ([[Quantize]]): the probed scan reads int8 codes (4× less
+    * bandwidth than float32 — at scale the codes are an ingest artifact
+    * next to the IVF assignment), and the float vectors are only needed
+    * if the caller re-ranks the final k. With `nprobe` ≥ the centroid
+    * count this degrades exactly to brute-force quantized search
+    * (spec-pinned). Scores are scale_q·scale_v·⟨codes⟩ — exact integer
+    * dots under pure IEEE products, oracle-replayable. */
+  def ivfQuantizedTopK(assigned: DataFrame, embCol: String, idCol: String,
+      centroids: DataFrame, query: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val qf = broadcast(query.select(col(embCol).as("__q")))
+    val probed = centroids.crossJoin(qf)
+      .select(col("c_id"), cosine(col("c_emb"), col("__q")).as("__ps"))
+      .orderBy(col("__ps").desc, col("c_id"))
+      .limit(nprobe)
+      .select("c_id")
+    val qz = broadcast(query.select(
+      Quantize.int8Codes(col(embCol)).as("__qc"),
+      Quantize.int8Scale(col(embCol)).as("__qs")))
+    assigned.join(broadcast(probed), Seq("c_id"), "left_semi")
+      .select(col(idCol),
+        Quantize.int8Codes(col(embCol)).as("__c"),
+        Quantize.int8Scale(col(embCol)).as("__sc"))
+      .crossJoin(qz)
+      .select(col(idCol), col("__sc"), col("__qs"),
+        Quantize.intDot(col("__c"), col("__qc")).as("int_dot"))
+      .select(col(idCol), col("int_dot"),
+        Quantize.quantizedScore(col("__qs"), col("__sc"), col("int_dot")).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Embedding near-duplicate pairs at `minCosine`, LSH-bucketed so the
     * exact scoring never sees the all-pairs product. Candidate (a, b)
     * pairs are deduped BEFORE scoring — a pair colliding in several

@@ -261,6 +261,19 @@ object PipelineQueries {
       IvfIndex.centroids(emb, "vec_id", "embedding"), q, k = 20, nprobe = 4)
   }
 
+  /** S6: IVF-SQ8 composition ([[Similarity.ivfQuantizedTopK]]) — probe
+    * the persisted IVF assignment's top-4 buckets, rank members by the
+    * exact integer dot of int8 codes. The oracle chains the S4
+    * assignment/probe replay with the S5 quantization replay. */
+  private def s6IvfSq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val assigned = IvfIndex.ensure(s, dir, emb, "embedding", "vec_id")
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+    Similarity.ivfQuantizedTopK(assigned.filter(col("vec_id") =!= 0),
+      "embedding", "vec_id",
+      IvfIndex.centroids(emb, "vec_id", "embedding"), q, k = 20, nprobe = 4)
+  }
+
   /** S5: int8-quantized ANN ([[graft.pipeline.Quantize]]) — per-vector
     * symmetric codes + scales (at scale: an ingest artifact like the
     * LSH/IVF structures), EXACT integer dot against the quantized
@@ -545,6 +558,7 @@ object PipelineQueries {
     "p_s3_lsh_ann_topk" -> (s3 _),
     "p_s4_ivf_ann_topk" -> (s4 _),
     "p_s5_quantized_topk" -> (s5Quantized _),
+    "p_s6_ivf_sq_topk" -> (s6IvfSq _),
     "p_e1_embedding_neardup" -> (e1 _),
     "p_t1_text_stats" -> (t1 _),
     "p_t2_vocab_head" -> (t2vocab _),
@@ -844,6 +858,48 @@ object PipelineQueries {
                 i -> v.codes[i] * q.q_codes[i])) AS BIGINT) AS int_dot,
               v.scale, q.q_scale
             FROM qz v, q WHERE v.vec_id <> 0)
+          SELECT vec_id, int_dot,
+                 q_scale * scale * CAST(int_dot AS DOUBLE) AS score
+          FROM scored ORDER BY score DESC, vec_id LIMIT 20"""),
+    "p_s6_ivf_sq_topk" ->
+      (s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS c_emb,
+                  ${normSql("embedding")} AS c_n
+                FROM embeddings WHERE vec_id % 25 = 0),
+          e AS (SELECT vec_id, embedding, ${normSql("embedding")} AS e_n FROM embeddings),
+          assigned AS (SELECT vec_id, embedding, c_id FROM (
+            SELECT e.vec_id, e.embedding, c.c_id,
+              row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                ${dotSql("e.embedding", "c.c_emb")} / (e.e_n * c.c_n) DESC, c.c_id) AS rn
+            FROM e, cent c) WHERE rn = 1),
+          q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+          probed AS (SELECT c_id FROM cent, q
+                     ORDER BY ${dotSql("c_emb", "qe")} / (c_n * ${normSql("qe")}) DESC, c_id
+                     LIMIT 4),
+          cand AS (SELECT a.vec_id, a.embedding
+                   FROM assigned a JOIN probed USING (c_id)
+                   WHERE a.vec_id <> 0),
+          cb AS (SELECT vec_id, embedding,
+                   list_max(list_transform(embedding,
+                     x -> abs(CAST(x AS DOUBLE)))) AS m FROM cand),
+          cqz AS (SELECT vec_id, m / 127.0 AS scale,
+                    CASE WHEN m = 0
+                      THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                      ELSE list_transform(embedding, x -> CAST(floor(
+                        CAST(x AS DOUBLE) * 127.0 / m + 0.5) AS BIGINT)) END AS codes
+                  FROM cb),
+          qb AS (SELECT qe, list_max(list_transform(qe,
+                   x -> abs(CAST(x AS DOUBLE)))) AS m FROM q),
+          qqz AS (SELECT m / 127.0 AS q_scale,
+                    CASE WHEN m = 0
+                      THEN list_transform(qe, x -> CAST(0 AS BIGINT))
+                      ELSE list_transform(qe, x -> CAST(floor(
+                        CAST(x AS DOUBLE) * 127.0 / m + 0.5) AS BIGINT)) END AS q_codes
+                  FROM qb),
+          scored AS (SELECT v.vec_id,
+                   CAST(list_sum(list_transform(range(1, len(v.codes) + 1),
+                     i -> v.codes[i] * q_codes[i])) AS BIGINT) AS int_dot,
+                   v.scale, q_scale
+                 FROM cqz v, qqz)
           SELECT vec_id, int_dot,
                  q_scale * scale * CAST(int_dot AS DOUBLE) AS score
           FROM scored ORDER BY score DESC, vec_id LIMIT 20"""),

@@ -138,4 +138,33 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.forall(_.getAs[Double]("score") >= 0.3))
     assert(pairs.forall(r => r.getAs[Long]("a_id") < r.getAs[Long]("b_id")))
   }
+
+  test("ivfQuantizedTopK with all buckets probed ≡ brute-force quantized top-k") {
+    import graft.pipeline.{IvfIndex, Quantize}
+    val emb = Tables.embeddings(spark, sf0001)
+    val centroids = IvfIndex.centroids(emb, "vec_id", "embedding")
+    val assigned = Similarity.ivfAssign(emb, "embedding", "vec_id", centroids)
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // nprobe ≥ centroid count → every bucket probed → exactly brute force
+    val ivf = rows(Similarity.ivfQuantizedTopK(
+      assigned.filter(col("vec_id") =!= 0), "embedding", "vec_id",
+      centroids, q, k = 20, nprobe = 1000000))
+    val qz = broadcast(q.select(
+      Quantize.int8Codes(col("embedding")).as("qc"),
+      Quantize.int8Scale(col("embedding")).as("qs")))
+    val brute = rows(emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        Quantize.int8Codes(col("embedding")).as("c"),
+        Quantize.int8Scale(col("embedding")).as("s"))
+      .crossJoin(qz)
+      .select(col("vec_id"), col("s"), col("qs"),
+        Quantize.intDot(col("c"), col("qc")).as("int_dot"))
+      .select(col("vec_id"), col("int_dot"),
+        Quantize.quantizedScore(col("qs"), col("s"), col("int_dot")).as("score"))
+      .orderBy(col("score").desc, col("vec_id")).limit(20))
+    assert(ivf === brute)
+    assert(ivf.size === 20)
+  }
 }
