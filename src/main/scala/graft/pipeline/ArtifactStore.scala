@@ -48,11 +48,12 @@ object ArtifactStore {
   // corpus where each micro-batch adds documents. Segmented artifacts
   // commit APPENDS the way the confirmed block tier does: a new segment
   // directory becomes visible only through one fsynced atomic manifest
-  // swap, so readers never see a torn append and a crashed append leaves
-  // only an invisible `__seg_*` staging dir (swept by the next writer).
-  // Appends are SINGLE-WRITER (the ingest job), same as the block store;
-  // concurrent `ensureSegmented` base builds tolerate races like
-  // `ensure` does — one manifest wins, the loser's segment is swept.
+  // swap, so readers never see a torn append; whatever a crash leaves
+  // (a `__seg_*` staging dir, or a renamed segment the manifest never
+  // recorded) is invisible to readers and swept by the next append.
+  // Appends are SINGLE-WRITER (the ingest job), same as the block
+  // store; concurrent base builds collide on the base segment's fixed
+  // name — one atomic rename wins, the manifest write is idempotent.
 
   private def manifestOf(dir: String) = s"$dir/_segments"
 
@@ -81,50 +82,76 @@ object ArtifactStore {
     } catch { case _: Exception => () } // best-effort where unsupported
   }
 
-  /** Sweep `__seg_*` staging dirs a crashed writer left — never visible
-    * to readers, so deletion cannot race an in-flight scan. */
+  /** WRITER-ONLY sweep (the single appender calls this; a reader must
+    * never delete — it could race the live writer's staging dir): drops
+    * `__seg_*` staging dirs AND committed-name `seg_*` dirs absent from
+    * the manifest (a crash between segment rename and manifest write
+    * orphans one; it was never visible to readers). */
   private def recoverSegments(dir: String): Unit = {
     val d = Paths.get(dir)
     if (Files.exists(d)) {
+      val committed = listSegments(dir).toSet
       val stream = Files.list(d)
       try {
         import scala.jdk.CollectionConverters._
-        stream.iterator().asScala
-          .filter(_.getFileName.toString.startsWith("__seg_"))
-          .toList
+        stream.iterator().asScala.toList
+          .filter { p =>
+            val n = p.getFileName.toString
+            n.startsWith("__seg_") || (n.startsWith("seg_") && !committed(n))
+          }
           .foreach(p => org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
       } finally stream.close()
     }
   }
 
-  private def commitSegment(dir: String, build: String => Unit): Unit = {
-    val name = s"seg_${java.util.UUID.randomUUID().toString.take(8)}"
-    val tmp = Paths.get(s"$dir/__seg_$name")
-    build(tmp.toString)
-    Files.move(tmp, Paths.get(s"$dir/$name"))
-    writeManifest(dir, listSegments(dir) :+ name)
-  }
-
   /** Read the segmented artifact `root/key`, building its base segment
-    * first if the manifest is missing. */
-  def ensureSegmented(spark: SparkSession, root: String, key: String)(
+    * first if the manifest is missing (or the whole artifact if
+    * `sourceFile` exists and is newer than the manifest — regenerated
+    * corpus, never silent reuse). Concurrent base builds are safe: the
+    * base segment has a FIXED name, so racers collide on the atomic
+    * rename (loser sweeps its staging dir) and the manifest write is
+    * idempotent — never two base segments. */
+  def ensureSegmented(spark: SparkSession, root: String, key: String,
+      sourceFile: Option[String] = None)(
       buildBase: String => Unit): DataFrame = {
     val dir = s"$root/$key"
+    val manifest = Paths.get(manifestOf(dir))
+    sourceFile.foreach { src =>
+      val s = Paths.get(src)
+      if (Files.exists(s) && Files.exists(manifest) &&
+          Files.getLastModifiedTime(s).compareTo(Files.getLastModifiedTime(manifest)) > 0)
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
     Files.createDirectories(Paths.get(dir))
-    recoverSegments(dir)
-    if (listSegments(dir).isEmpty) commitSegment(dir, buildBase)
+    if (listSegments(dir).isEmpty) {
+      val tmp = Paths.get(s"$dir/__seg_base_${java.util.UUID.randomUUID()}")
+      buildBase(tmp.toString)
+      try Files.move(tmp, Paths.get(s"$dir/seg_base"))
+      catch { // lost the race — the winner's base is equivalent
+        case _: java.nio.file.FileAlreadyExistsException =>
+          org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+      }
+      // idempotent under the race (same single-line content), and also
+      // heals a crash that renamed seg_base but never wrote the manifest
+      if (listSegments(dir).isEmpty) writeManifest(dir, Seq("seg_base"))
+    }
     readSegmented(spark, root, key)
   }
 
-  /** Append one delta segment (single writer). The delta becomes visible
-    * atomically; a crash mid-append changes nothing for readers. */
+  /** Append one delta segment (SINGLE writer, like the block store). The
+    * delta becomes visible atomically; a crash mid-append changes
+    * nothing for readers and is swept by the next append. */
   def appendSegment(spark: SparkSession, root: String, key: String)(
       buildDelta: String => Unit): Unit = {
     val dir = s"$root/$key"
     require(listSegments(dir).nonEmpty,
       s"segmented artifact $dir has no base — call ensureSegmented first")
     recoverSegments(dir)
-    commitSegment(dir, buildDelta)
+    val name = s"seg_${java.util.UUID.randomUUID().toString.take(8)}"
+    val tmp = Paths.get(s"$dir/__seg_$name")
+    buildDelta(tmp.toString)
+    Files.move(tmp, Paths.get(s"$dir/$name"))
+    writeManifest(dir, listSegments(dir) :+ name)
   }
 
   /** Union of all committed segments, in commit order. */

@@ -140,14 +140,19 @@ object Curation {
       lower(regexp_extract(url, SchemeHostPattern, 2)), "^www\\.", "")
     val rest = regexp_replace(url, SchemeHostPattern, "")
     val noFrag = regexp_replace(rest, "#.*$", "")
-    val noTrack = regexp_replace(noFrag,
-      "[?&](utm_[a-z]+|fbclid|gclid|ref)=[^&#]*", "")
-    // removing a leading '?utm_…' leaves the next param with '&' as its
-    // separator — promote the first '&' back to '?' when no '?' remains
-    val fixed = regexp_replace(noTrack, "^([^?&]*)&", "$1?")
-    val noEmptyQ = regexp_replace(fixed, "\\?$", "")
-    val noSlash = regexp_replace(noEmptyQ, "/$", "")
-    concat(scheme, lit("://"), host, noSlash)
+    // split path from query BEFORE touching either: '&' is a legal path
+    // character (RFC 3986), so tracking-param surgery must never see the
+    // path, and slash-trimming must never see a query value
+    val path = regexp_replace(regexp_extract(noFrag, "^[^?]*", 0), "/+$", "")
+    val query = regexp_extract(noFrag, "\\?(.*)$", 1)
+    // drop a tracking param together with WHICHEVER separator precedes
+    // it (start-of-query or '&'), then strip a leading '&' left when the
+    // first param was dropped
+    val cleaned = regexp_replace(
+      regexp_replace(query, "(?:^|&)(utm_[a-z]+|fbclid|gclid|ref)=[^&]*", ""),
+      "^&", "")
+    concat(scheme, lit("://"), host, path,
+      when(cleaned === "", lit("")).otherwise(concat(lit("?"), cleaned)))
   }
 
   /** Down-sample strata to a TARGET MIXTURE — the data-mixing step of

@@ -59,25 +59,30 @@ object DedupIndex {
     * is invisible to every reader. Single writer, like the block store.
     * The per-document signature is a pure function of the text, so
     * base ∪ deltas is bit-identical to a full rebuild (spec-pinned). */
-  def ensureMinHashSegmented(spark: SparkSession, baseDocs: DataFrame,
-      idCol: String, textCol: String, variant: String,
+  private def segKey(corpusDir: String, variant: String, shingleN: Int,
+      numHashes: Int): String =
+    s"minhashseg_${Paths.get(corpusDir).getFileName}_${variant}_v${FormatVersion}_n${shingleN}_h$numHashes"
+
+  def ensureMinHashSegmented(spark: SparkSession, corpusDir: String,
+      baseDocs: DataFrame, idCol: String, textCol: String, variant: String,
       shingleN: Int = 3, numHashes: Int = 32,
       artifactRootOverride: Option[String] = None): DataFrame =
     ArtifactStore.ensureSegmented(spark,
       artifactRootOverride.getOrElse(artifactRoot(spark)),
-      s"minhashseg_${variant}_v${FormatVersion}_n${shingleN}_h$numHashes") {
+      segKey(corpusDir, variant, shingleN, numHashes),
+      sourceFile = Some(s"$corpusDir/documents.parquet")) {
       tmp => Dedup.minHashSignatureRows(baseDocs, idCol, textCol, shingleN, numHashes)
         .write.mode("overwrite").parquet(tmp)
     }
 
   /** Append signatures for NEW documents to the segmented artifact. */
-  def appendMinHash(spark: SparkSession, newDocs: DataFrame,
+  def appendMinHash(spark: SparkSession, corpusDir: String, newDocs: DataFrame,
       idCol: String, textCol: String, variant: String,
       shingleN: Int = 3, numHashes: Int = 32,
       artifactRootOverride: Option[String] = None): Unit =
     ArtifactStore.appendSegment(spark,
       artifactRootOverride.getOrElse(artifactRoot(spark)),
-      s"minhashseg_${variant}_v${FormatVersion}_n${shingleN}_h$numHashes") {
+      segKey(corpusDir, variant, shingleN, numHashes)) {
       tmp => Dedup.minHashSignatureRows(newDocs, idCol, textCol, shingleN, numHashes)
         .write.mode("overwrite").parquet(tmp)
     }

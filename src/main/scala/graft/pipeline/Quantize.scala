@@ -30,16 +30,33 @@ object Quantize {
     array_max(transform(emb, x => abs(x.cast(DoubleType))))
 
   /** Int8 codes in [-127, 127] (as longs for exact downstream integer
-    * math); the zero vector quantizes to all-zero codes. */
-  def int8Codes(emb: Column): Column = {
-    val m = maxAbs(emb)
+    * math); the zero vector quantizes to all-zero codes.
+    *
+    * NOTE: this single-Column form re-evaluates `maxAbs` (an O(d) fold)
+    * inside the per-element lambda — O(d²) per vector in interpreted HOF
+    * evaluation. Fine for a one-row query vector; for a corpus-side
+    * projection use [[withQuantized]], which stages the max once per
+    * row. */
+  def int8Codes(emb: Column): Column = codesFrom(emb, maxAbs(emb))
+
+  private def codesFrom(emb: Column, m: Column): Column =
     when(m === 0.0, transform(emb, _ => lit(0L)))
       .otherwise(transform(emb,
         x => floor(x.cast(DoubleType) * lit(127.0) / m + lit(0.5)).cast(LongType)))
-  }
 
   /** Dequantization scale: code · scale ≈ x. Zero vector → scale 0. */
   def int8Scale(emb: Column): Column = maxAbs(emb) / lit(127.0)
+
+  /** Stage `(codesCol, scaleCol)` onto `df` with the per-vector max
+    * computed ONCE as an attribute (the staged-norm pattern of
+    * [[Similarity.ivfAssign]]): per-element work is O(1), per-vector
+    * O(d) — the form every corpus-side quantization should use. */
+  def withQuantized(df: org.apache.spark.sql.DataFrame, embCol: String,
+      codesCol: String = "codes", scaleCol: String = "scale"): org.apache.spark.sql.DataFrame =
+    df.withColumn("__qm", maxAbs(col(embCol)))
+      .withColumn(codesCol, codesFrom(col(embCol), col("__qm")))
+      .withColumn(scaleCol, col("__qm") / lit(127.0))
+      .drop("__qm")
 
   /** Exact integer dot product of two code arrays. */
   def intDot(a: Column, b: Column): Column =

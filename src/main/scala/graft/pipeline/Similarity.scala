@@ -272,13 +272,14 @@ object Similarity {
       .orderBy(col("__ps").desc, col("c_id"))
       .limit(nprobe)
       .select("c_id")
-    val qz = broadcast(query.select(
-      Quantize.int8Codes(col(embCol)).as("__qc"),
-      Quantize.int8Scale(col(embCol)).as("__qs")))
-    assigned.join(broadcast(probed), Seq("c_id"), "left_semi")
-      .select(col(idCol),
-        Quantize.int8Codes(col(embCol)).as("__c"),
-        Quantize.int8Scale(col(embCol)).as("__sc"))
+    val qz = broadcast(Quantize.withQuantized(query.select(col(embCol)), embCol)
+      .select(col("codes").as("__qc"), col("scale").as("__qs")))
+    val candidates = Quantize.withQuantized(
+      assigned.join(broadcast(probed), Seq("c_id"), "left_semi")
+        .select(col(idCol), col(embCol)),
+      embCol, codesCol = "__c", scaleCol = "__sc")
+    candidates
+      .select(col(idCol), col("__c"), col("__sc"))
       .crossJoin(qz)
       .select(col(idCol), col("__sc"), col("__qs"),
         Quantize.intDot(col("__c"), col("__qc")).as("int_dot"))

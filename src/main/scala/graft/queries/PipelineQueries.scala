@@ -282,13 +282,12 @@ object PipelineQueries {
     * oracle replays codes, dots, and scores bit-for-bit. */
   private def s5Quantized(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val q = emb.filter(col("vec_id") === 0)
-      .select(Quantize.int8Codes(col("embedding")).as("q_codes"),
-        Quantize.int8Scale(col("embedding")).as("q_scale"))
-    emb.filter(col("vec_id") =!= 0)
-      .select(col("vec_id"),
-        Quantize.int8Codes(col("embedding")).as("codes"),
-        Quantize.int8Scale(col("embedding")).as("scale"))
+    val q = Quantize.withQuantized(
+        emb.filter(col("vec_id") === 0).select("embedding"), "embedding")
+      .select(col("codes").as("q_codes"), col("scale").as("q_scale"))
+    Quantize.withQuantized(
+        emb.filter(col("vec_id") =!= 0).select("vec_id", "embedding"), "embedding")
+      .select(col("vec_id"), col("codes"), col("scale"))
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("scale"), col("q_scale"),
         Quantize.intDot(col("codes"), col("q_codes")).as("int_dot"))
@@ -814,15 +813,20 @@ object PipelineQueries {
                 '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)', '', 'g') AS rest
             FROM urls),
           canon AS (
-            SELECT doc_id, scheme || '://' || host ||
-              regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-                regexp_replace(rest,
-                  '#.*$', '', 'g'),
-                  '[?&](utm_[a-z]+|fbclid|gclid|ref)=[^&#]*', '', 'g'),
-                  '^([^?&]*)&', '\1?', 'g'),
-                  '\?$', '', 'g'),
-                  '/$', '', 'g') AS canonical_url
-            FROM parts)
+            SELECT doc_id, scheme || '://' || host || path ||
+              CASE WHEN cleaned = '' THEN ''
+                   ELSE '?' || cleaned END AS canonical_url
+            FROM (
+              SELECT doc_id, scheme, host,
+                regexp_replace(regexp_extract(nofrag, '^[^?]*', 0),
+                  '/+$', '', 'g') AS path,
+                regexp_replace(regexp_replace(
+                  regexp_extract(nofrag, '\?(.*)$', 1),
+                  '(?:^|&)(utm_[a-z]+|fbclid|gclid|ref)=[^&]*', '', 'g'),
+                  '^&', '', 'g') AS cleaned
+              FROM (SELECT doc_id, scheme, host,
+                      regexp_replace(rest, '#.*$', '', 'g') AS nofrag
+                    FROM parts)))
           SELECT canonical_url, CAST(min(doc_id) AS BIGINT) AS keep_id,
                  CAST(count(*) AS BIGINT) AS n_variants
           FROM canon GROUP BY canonical_url ORDER BY keep_id"""),

@@ -135,6 +135,12 @@ class CurationSpec extends SparkSpec {
       "https://example.org/p?utm_source=x&real=1" -> "https://example.org/p?real=1",
       // path case preserved; non-tracking query preserved
       "http://a.org/CaseSensitive?q=1&ref=spam" -> "http://a.org/CaseSensitive?q=1",
+      // '&' is a legal PATH character — never promoted into a query
+      "https://example.org/a&b" -> "https://example.org/a&b",
+      "https://e.org/a&b?x=1" -> "https://e.org/a&b?x=1",
+      // slash-trim touches the path only, never a query value
+      "https://e.org/p/?next=/home/" -> "https://e.org/p?next=/home/",
+      "https://example.org//" -> "https://example.org",
       "https://example.org/" -> "https://example.org")
     val df = cases.map(_._1).toDF("url")
       .select(col("url"), Curation.canonicalUrl(col("url")).as("c"))

@@ -166,28 +166,34 @@ class DedupSpec extends SparkSpec {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toString).sorted.toSeq
 
-    graft.pipeline.DedupIndex.ensureMinHashSegmented(spark, base,
+    val corpusDir = "/nonexistent/segspec" // no staleness source in-spec
+    graft.pipeline.DedupIndex.ensureMinHashSegmented(spark, corpusDir, base,
       "doc_id", "text", variant = "segspec", artifactRootOverride = Some(root))
-    graft.pipeline.DedupIndex.appendMinHash(spark, d1,
+    graft.pipeline.DedupIndex.appendMinHash(spark, corpusDir, d1,
       "doc_id", "text", variant = "segspec", artifactRootOverride = Some(root))
 
-    // a crashed append: staging dir exists but was never committed —
-    // readers must not see it, the next writer sweeps it
+    // crash debris: a staging dir that never committed, and a renamed
+    // segment the manifest never recorded — readers must see neither,
+    // the next APPEND (writer) sweeps both
     val key = new java.io.File(root).list().filter(_.startsWith("minhashseg_")).head
     val junk = java.nio.file.Paths.get(s"$root/$key/__seg_crashed")
+    val orphan = java.nio.file.Paths.get(s"$root/$key/seg_orphan")
     java.nio.file.Files.createDirectories(junk)
+    java.nio.file.Files.createDirectories(orphan)
     val afterCrash = rows(graft.pipeline.ArtifactStore.readSegmented(spark, root, key))
 
-    graft.pipeline.DedupIndex.appendMinHash(spark, d2,
+    graft.pipeline.DedupIndex.appendMinHash(spark, corpusDir, d2,
       "doc_id", "text", variant = "segspec", artifactRootOverride = Some(root))
     assert(!java.nio.file.Files.exists(junk), "staging dir swept by next writer")
+    assert(!java.nio.file.Files.exists(orphan), "unmanifested segment swept")
 
     val segmented = rows(graft.pipeline.ArtifactStore.readSegmented(spark, root, key))
     val full = rows(graft.pipeline.Dedup.minHashSignatureRows(docs, "doc_id", "text"))
     assert(segmented === full, "base + appends must equal a full rebuild")
     assert(afterCrash.size === 40) // base + first delta only, junk invisible
     // ensureSegmented on an existing artifact is a pure read (no rebuild)
-    val again = rows(graft.pipeline.DedupIndex.ensureMinHashSegmented(spark, base,
+    val again = rows(graft.pipeline.DedupIndex.ensureMinHashSegmented(spark,
+      corpusDir, base,
       "doc_id", "text", variant = "segspec", artifactRootOverride = Some(root)))
     assert(again === full)
   }
