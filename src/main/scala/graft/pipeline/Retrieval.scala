@@ -35,28 +35,52 @@ object Retrieval {
   def docLengths(post: DataFrame): DataFrame =
     post.groupBy("id").agg(sum("tf").as("dl"))
 
-  /** BM25 top-`k` documents for a bag-of-terms query.
+  /** BM25 top-`k` documents for a bag-of-terms query, computing postings
+    * on the fly — the bounded-fixture convenience form of
+    * [[bm25TopKIndexed]]. The `post` frame fans into the matched/df/dl
+    * branches of one plan; Spark's exchange reuse executes the identical
+    * postings aggregate once per run. The 100 TB lifecycle reads the
+    * persisted [[PostingsIndex]] artifacts instead. */
+  def bm25TopK(corpus: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val post = postings(corpus, idCol, textCol)
+    val dl = docLengths(post)
+    val matched = post.filter(col("term").isin(queryTerms.distinct: _*))
+    val dfs = matched.groupBy("term").agg(countDistinct("id").as("df"))
+    scoreBm25(matched, dfs, dl, idCol, k, k1, b)
+  }
+
+  /** BM25 top-`k` over the persisted [[PostingsIndex]] artifacts: the
+    * matched postings come from the bucket-pruned index scan, the
+    * document frequencies from the stored term stats, and the document
+    * lengths from the stored lengths frame — the full-corpus tokenize +
+    * aggregate never runs at query time. Bit-identical to [[bm25TopK]]:
+    * same tokenization (the artifacts derive from
+    * [[TextAnalysis.explodedTokens]]), same ordered score fold. */
+  def bm25TopKIndexed(post: DataFrame, dl: DataFrame, termStats: DataFrame,
+      idCol: String, queryTerms: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val matched = PostingsIndex.prunedPostings(post, queryTerms)
+    val dfs = termStats.filter(col("term").isin(queryTerms.distinct: _*))
+      .select(col("term"), col("df"))
+    scoreBm25(matched, dfs, dl.select("id", "dl"), idCol, k, k1, b)
+  }
+
+  /** The Okapi scoring core shared by the on-the-fly and indexed paths.
     *
     * Determinism: the per-document score is a sum of per-term floats, so
     * it is NOT a groupBy sum (partition order would make reruns
     * hash-unstable) — matched terms are collected, sorted, and folded
     * sequentially, the same ordered-fold contract as
     * [[TextAnalysis.unigramNll]]. Ties break on id. Top-k plans as
-    * TakeOrderedAndProject, never a global sort. */
-  def bm25TopK(corpus: DataFrame, idCol: String, textCol: String,
-      queryTerms: Seq[String], k: Int = 10,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    // `post` fans into the matched/df/dl branches of one plan; Spark's
-    // exchange reuse executes the identical postings aggregate once per
-    // run, and the 100 TB lifecycle reads a persisted postings artifact
-    // here instead (see the object scaladoc) — so the fan-out is a
-    // local-convenience shape, not a scale cost
-    val post = postings(corpus, idCol, textCol)
-    val dl = docLengths(post)
+    * TakeOrderedAndProject, never a global sort. The corpus stats
+    * (N, avgdl) are one 2-value aggregate over the dl frame — document-
+    * count-sized, not corpus-token-sized. */
+  private def scoreBm25(matched: DataFrame, dfs: DataFrame, dl: DataFrame,
+      idCol: String, k: Int, k1: Double, b: Double): DataFrame = {
     val stats = dl.agg(count(lit(1)).cast(DoubleType).as("__N"),
       avg(col("dl").cast(DoubleType)).as("__avgdl"))
-    val matched = post.filter(col("term").isin(queryTerms.distinct: _*))
-    val dfs = matched.groupBy("term").agg(countDistinct("id").as("df"))
     val scored = matched.join(dfs, Seq("term")).join(dl, Seq("id"))
       .crossJoin(broadcast(stats))
       .select(col("id"), col("term"),

@@ -6,10 +6,12 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
-import graft.pipeline.{Dedup, Retrieval}
+import graft.pipeline.{Dedup, PostingsIndex, Retrieval, TextAnalysis}
 
-/** BM25 keyword retrieval pinned against a hand-computed reference, and
-  * the streaming in-flight exact-dedup twin. */
+/** BM25 keyword retrieval pinned against a hand-computed reference, the
+  * persisted postings-index lifecycle (indexed ≡ on-the-fly, bucket
+  * pruning, incremental append), and the streaming in-flight exact-dedup
+  * twin. */
 class RetrievalSpec extends SparkSpec {
   import spark.implicits._
 
@@ -53,6 +55,84 @@ class RetrievalSpec extends SparkSpec {
     val once = run(corpus)
     assert(once.size === 2)
     assert(once === run(corpus.repartition(5)))
+  }
+
+  test("PostingsIndex: indexed BM25 ≡ on-the-fly bit-for-bit; artifacts cached") {
+    val root = java.nio.file.Files.createTempDirectory("graft-post-").toString
+    val dir = "/nonexistent/postspec" // no staleness source in-spec
+    val post = PostingsIndex.ensurePostings(spark, dir, corpus, "doc_id", "text",
+      variant = "spec", artifactRootOverride = Some(root))
+    val dl = PostingsIndex.ensureDocLengths(spark, dir, corpus, "doc_id", "text",
+      variant = "spec", artifactRootOverride = Some(root))
+    val stats = PostingsIndex.ensureTermStats(spark, dir, corpus, "doc_id", "text",
+      variant = "spec", artifactRootOverride = Some(root))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val indexed = rows(Retrieval.bm25TopKIndexed(post, dl, stats, "doc_id",
+      Seq("join", "spark"), k = 10))
+    val inline = rows(Retrieval.bm25TopK(corpus, "doc_id", "text",
+      Seq("join", "spark"), k = 10))
+    assert(indexed === inline) // same ids AND bit-identical float scores
+    assert(indexed.nonEmpty)
+    // derived artifacts agree with the inline aggregates
+    val vocabIdx = stats.orderBy("term").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val vocabInline = TextAnalysis.vocabStats(corpus, "doc_id", "text")
+      .orderBy("term").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(vocabIdx === vocabInline)
+    // second ensure() is a pure read: no new build dirs
+    val before = new java.io.File(root).list().sorted.toSeq
+    PostingsIndex.ensurePostings(spark, dir, corpus, "doc_id", "text",
+      variant = "spec", artifactRootOverride = Some(root))
+    assert(new java.io.File(root).list().sorted.toSeq === before)
+    assert(before.count(_.startsWith("__build_")) === 0, "tmp dirs must not leak")
+  }
+
+  test("PostingsIndex: bucket pruning reads only the query terms' partitions") {
+    val root = java.nio.file.Files.createTempDirectory("graft-post-").toString
+    val post = PostingsIndex.ensurePostings(spark, "/nonexistent/prunespec",
+      corpus, "doc_id", "text", variant = "spec", artifactRootOverride = Some(root))
+    val pruned = PostingsIndex.prunedPostings(post, Seq("join", "spark"))
+    // data: pruning never changes the matched set
+    val plain = post.filter(col("term").isin("join", "spark"))
+      .select("term", "id", "tf").collect().map(_.toString).sorted.toSeq
+    assert(pruned.select("term", "id", "tf").collect()
+      .map(_.toString).sorted.toSeq === plain)
+    // plan: the bucket predicate lands in the scan's PartitionFilters
+    val physical = pruned.queryExecution.executedPlan.toString
+    assert(physical.contains("PartitionFilters: [") &&
+      physical.contains("__tb"), s"expected __tb partition filter in:\n$physical")
+  }
+
+  test("PostingsIndex segmented: appended delta updates df/cf/dl correctly") {
+    val root = java.nio.file.Files.createTempDirectory("graft-postseg-").toString
+    val dir = "/nonexistent/postsegspec"
+    val base = corpus.filter(col("doc_id") <= 2)
+    val delta = corpus.filter(col("doc_id") > 2)
+    PostingsIndex.ensurePostingsSegmented(spark, dir, base, "doc_id", "text",
+      variant = "segspec", artifactRootOverride = Some(root))
+    PostingsIndex.appendPostings(spark, dir, delta, "doc_id", "text",
+      variant = "segspec", artifactRootOverride = Some(root))
+    val seg = PostingsIndex.ensurePostingsSegmented(spark, dir, base, "doc_id",
+      "text", variant = "segspec", artifactRootOverride = Some(root))
+    // union of segments ≡ full rebuild, row for row
+    val full = Retrieval.postings(corpus, "doc_id", "text")
+      .collect().map(_.toString).sorted.toSeq
+    assert(seg.collect().map(_.toString).sorted.toSeq === full)
+    // and the derived stats over the union match the full-corpus ones:
+    // df/cf aggregate correctly because each doc's tokens live in ONE segment
+    val segStats = seg.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+      .orderBy("term").collect().map(_.toString).toSeq
+    val fullStats = TextAnalysis.vocabStats(corpus, "doc_id", "text")
+      .orderBy("term").collect().map(_.toString).toSeq
+    assert(segStats === fullStats)
+    val segDl = Retrieval.docLengths(seg).orderBy("id")
+      .collect().map(_.toString).toSeq
+    val fullDl = Retrieval.docLengths(Retrieval.postings(corpus, "doc_id", "text"))
+      .orderBy("id").collect().map(_.toString).toSeq
+    assert(segDl === fullDl)
   }
 
   test("streamingExactDedup: first arrival survives, in-window dups drop") {
