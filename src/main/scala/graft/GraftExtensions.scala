@@ -46,5 +46,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - sequential-fold double dot product of two float arrays"),
       (args: Seq[Expression]) => graft.pipeline.Similarity.VecDot(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot_int"),
+      info("vec_dot_int", "vec_dot_int(a, b) - exact integer dot product of two bigint code arrays"),
+      (args: Seq[Expression]) => graft.pipeline.Quantize.VecDotInt(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("pack_int8"),
+      info("pack_int8", "pack_int8(codes) - pack bigint int8 codes into one signed byte each"),
+      (args: Seq[Expression]) => graft.pipeline.Quantize.PackInt8(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot_int8"),
+      info("vec_dot_int8", "vec_dot_int8(a, b) - exact integer dot product of two packed-byte code columns"),
+      (args: Seq[Expression]) => graft.pipeline.Quantize.VecDotInt8(args(0), args(1))))
   }
 }

@@ -257,34 +257,64 @@ object Similarity {
   /** IVF-SQ8 — the faiss IVF+ScalarQuantizer composition: probe the top
     * `nprobe` centroid buckets exactly like [[ivfTopK]], but rank the
     * bucket members by the QUANTIZED integer dot against the quantized
-    * query ([[Quantize]]): the probed scan reads int8 codes (4× less
-    * bandwidth than float32 — at scale the codes are an ingest artifact
-    * next to the IVF assignment), and the float vectors are only needed
-    * if the caller re-ranks the final k. With `nprobe` ≥ the centroid
-    * count this degrades exactly to brute-force quantized search
-    * (spec-pinned). Scores are scale_q·scale_v·⟨codes⟩ — exact integer
-    * dots under pure IEEE products, oracle-replayable. */
+    * query ([[Quantize]]). This form quantizes the probed candidates
+    * in-plan — the bounded-fixture convenience shape; the scale path is
+    * [[ivfQuantizedTopKIndexed]] over the persisted [[SqIndex.ensureIvf]]
+    * codes. With `nprobe` ≥ the centroid count this degrades exactly to
+    * brute-force quantized search (spec-pinned). Scores are
+    * scale_q·scale_v·⟨codes⟩ — exact integer dots under pure IEEE
+    * products, oracle-replayable. */
   def ivfQuantizedTopK(assigned: DataFrame, embCol: String, idCol: String,
       centroids: DataFrame, query: DataFrame, k: Int, nprobe: Int): DataFrame = {
-    val qf = broadcast(query.select(col(embCol).as("__q")))
-    val probed = centroids.crossJoin(qf)
+    val candidates = Quantize.withQuantizedPacked(
+      assigned.join(broadcast(probeBuckets(centroids, query, embCol, nprobe)),
+        Seq("c_id"), "left_semi")
+        .select(col(idCol), col(embCol)),
+      embCol, codesCol = "codes", scaleCol = "scale")
+    rankQuantized(candidates, embCol, idCol, query, k)
+  }
+
+  /** [[ivfQuantizedTopK]] over the persisted [[SqIndex.ensureIvf]] frame
+    * `(idCol, codes, scale, c_id)`: the probed scan reads ONLY int8
+    * codes — 4× less bandwidth than float32, the point of SQ8 — and the
+    * corpus-side quantization never runs at query time. Bit-identical to
+    * the in-plan form: same codes (pure function of the float vector),
+    * same integer dot, same IEEE score products. */
+  def ivfQuantizedTopKIndexed(quantized: DataFrame, embCol: String,
+      idCol: String, centroids: DataFrame, query: DataFrame, k: Int,
+      nprobe: Int): DataFrame =
+    rankQuantized(
+      quantized.join(broadcast(probeBuckets(centroids, query, embCol, nprobe)),
+        Seq("c_id"), "left_semi"),
+      embCol, idCol, query, k)
+
+  /** Centroid probe shared by the float and quantized IVF paths: rank
+    * centroids against the (broadcast, 1-row) query, keep the top
+    * `nprobe` bucket ids. */
+  private def probeBuckets(centroids: DataFrame, query: DataFrame,
+      embCol: String, nprobe: Int): DataFrame =
+    centroids.crossJoin(broadcast(query.select(col(embCol).as("__q"))))
       .select(col("c_id"), cosine(col("c_emb"), col("__q")).as("__ps"))
       .orderBy(col("__ps").desc, col("c_id"))
       .limit(nprobe)
       .select("c_id")
-    val qz = broadcast(Quantize.withQuantized(query.select(col(embCol)), embCol)
+
+  /** Quantized ranking core: quantize + pack the 1-row query,
+    * integer-dot it against each candidate's stored packed codes
+    * ([[Quantize.packedDot]] — the codegen'd vec_dot_int8 over binary
+    * byte codes), score, top-k. `candidates` must carry (idCol, codes:
+    * binary, scale). */
+  private def rankQuantized(candidates: DataFrame, embCol: String,
+      idCol: String, query: DataFrame, k: Int): DataFrame = {
+    val qz = broadcast(Quantize.withQuantizedPacked(query.select(col(embCol)), embCol)
       .select(col("codes").as("__qc"), col("scale").as("__qs")))
-    val candidates = Quantize.withQuantized(
-      assigned.join(broadcast(probed), Seq("c_id"), "left_semi")
-        .select(col(idCol), col(embCol)),
-      embCol, codesCol = "__c", scaleCol = "__sc")
     candidates
-      .select(col(idCol), col("__c"), col("__sc"))
+      .select(col(idCol), col("codes"), col("scale"))
       .crossJoin(qz)
-      .select(col(idCol), col("__sc"), col("__qs"),
-        Quantize.intDot(col("__c"), col("__qc")).as("int_dot"))
+      .select(col(idCol), col("scale"), col("__qs"),
+        Quantize.packedDot(col("codes"), col("__qc")).as("int_dot"))
       .select(col(idCol), col("int_dot"),
-        Quantize.quantizedScore(col("__qs"), col("__sc"), col("int_dot")).as("score"))
+        Quantize.quantizedScore(col("__qs"), col("scale"), col("int_dot")).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }

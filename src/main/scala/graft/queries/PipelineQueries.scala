@@ -271,36 +271,43 @@ object PipelineQueries {
       IvfIndex.centroids(emb, "vec_id", "embedding"), q, k = 20, nprobe = 4)
   }
 
-  /** S6: IVF-SQ8 composition ([[Similarity.ivfQuantizedTopK]]) — probe
-    * the persisted IVF assignment's top-4 buckets, rank members by the
-    * exact integer dot of int8 codes. The oracle chains the S4
+  /** S6: IVF-SQ8 composition ([[Similarity.ivfQuantizedTopKIndexed]]) —
+    * probe the top-4 buckets of the PERSISTED quantized assignment
+    * ([[graft.pipeline.SqIndex.ensureIvf]]: codes + scales partitioned
+    * by centroid id, derived from the IVF artifact at ingest), rank
+    * members by the codegen'd exact integer dot of the stored int8
+    * codes. The probed scan reads codes only — never float vectors, and
+    * never quantizes at query time. The oracle chains the S4
     * assignment/probe replay with the S5 quantization replay. */
   private def s6IvfSq(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val assigned = IvfIndex.ensure(s, dir, emb, "embedding", "vec_id")
+    val quantized = graft.pipeline.SqIndex.ensureIvf(s, dir, emb, "embedding", "vec_id")
     val q = emb.filter(col("vec_id") === 0).select("embedding")
-    Similarity.ivfQuantizedTopK(assigned.filter(col("vec_id") =!= 0),
+    Similarity.ivfQuantizedTopKIndexed(quantized.filter(col("vec_id") =!= 0),
       "embedding", "vec_id",
       IvfIndex.centroids(emb, "vec_id", "embedding"), q, k = 20, nprobe = 4)
   }
 
   /** S5: int8-quantized ANN ([[graft.pipeline.Quantize]]) — per-vector
-    * symmetric codes + scales (at scale: an ingest artifact like the
-    * LSH/IVF structures), EXACT integer dot against the quantized
-    * query, score = scale_q·scale_v·⟨codes⟩. The integer dot needs no
-    * ordered-fold machinery, and the score is pure IEEE products — the
-    * oracle replays codes, dots, and scores bit-for-bit. */
+    * symmetric codes + scales read from the PERSISTED flat SQ8 artifact
+    * ([[graft.pipeline.SqIndex.ensure]]: quantize once at ingest into
+    * packed one-byte binary codes — the faiss layout, 4× under float32
+    * on disk and in memory; the query scan never reads float vectors),
+    * EXACT integer dot (codegen'd vec_dot_int8 over the packed bytes)
+    * against the quantized query, score = scale_q·scale_v·⟨codes⟩. The
+    * integer dot needs no ordered-fold machinery, and the score is pure
+    * IEEE products — the oracle replays codes, dots, and scores
+    * bit-for-bit (on the equivalent BIGINT-list form of the codes). */
   private def s5Quantized(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val q = Quantize.withQuantized(
+    val codes = graft.pipeline.SqIndex.ensure(s, dir, emb, "embedding", "vec_id")
+    val q = Quantize.withQuantizedPacked(
         emb.filter(col("vec_id") === 0).select("embedding"), "embedding")
       .select(col("codes").as("q_codes"), col("scale").as("q_scale"))
-    Quantize.withQuantized(
-        emb.filter(col("vec_id") =!= 0).select("vec_id", "embedding"), "embedding")
-      .select(col("vec_id"), col("codes"), col("scale"))
+    codes.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("scale"), col("q_scale"),
-        Quantize.intDot(col("codes"), col("q_codes")).as("int_dot"))
+        Quantize.packedDot(col("codes"), col("q_codes")).as("int_dot"))
       .select(col("vec_id"), col("int_dot"),
         Quantize.quantizedScore(col("q_scale"), col("scale"),
           col("int_dot")).as("score"))

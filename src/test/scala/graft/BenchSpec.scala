@@ -29,9 +29,17 @@ class BenchSpec extends SparkSpec {
     val floor = (1 to 3).map(_ => timed(spark.range(1).count())).min
     val parityCap = math.max(3 * floor, 1.0)
     val pipelineCap = math.max(20 * floor, 8.0)
+    // the quantized-ANN entries read persisted packed codes and rank with
+    // a codegen'd byte dot — hold them to a tighter bar than the generic
+    // pipeline cap so a lifecycle regression (query-time quantization,
+    // interpreted HOF dot) trips the suite
+    val tightCaps = Map(
+      "p_s5_quantized_topk" -> math.max(10 * floor, 2.0),
+      "p_s6_ivf_sq_topk" -> math.max(12 * floor, 2.5))
 
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val cap = if (name.startsWith("p_")) pipelineCap else parityCap
+      val cap = tightCaps.getOrElse(name,
+        if (name.startsWith("p_")) pipelineCap else parityCap)
       fn(spark, sf001).count() // cold: warmup + one-time index builds
       val warm1 = timed(fn(spark, sf001).count())
       val best = if (warm1 <= cap) warm1 else math.min(warm1, timed(fn(spark, sf001).count()))

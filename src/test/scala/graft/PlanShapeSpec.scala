@@ -45,14 +45,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
-  test("bm25 stats: postings partial-agg map-side, bound pushed into scans") {
+  test("bm25 stats read the persisted postings: bucket-pruned, predicates pushed") {
     val p = plan("p_t7_bm25_stats")
-    // the (term, id) count combines map-side, so only (term, id, tf)
-    // triples shuffle — document text never reaches an exchange
-    assert(p.contains("partial_count"))
-    // the post-join id bound is pushed through the joins into the
-    // matched and doc-length scans (df stays corpus-wide by design)
-    assert(p.contains("LessThan(doc_id,60)"))
+    // the matched-postings scan reads the PERSISTED artifact with its
+    // term-hash bucket predicate as a PARTITION filter — only the query
+    // terms' buckets are listed/read — and the exact term + id bounds
+    // pushed to parquet; no query-time tokenize/explode anywhere
+    assert(p.contains("PartitionFilters: [__tb"), s"expected __tb bucket pruning:\n$p")
+    assert(p.contains("In(term, [customer,merge,vector])"))
+    assert(p.contains("LessThan(id,60)"))
+    assert(!p.contains("Generate explode"),
+      "postings must come from the artifact, not a query-time explode")
     assert(!p.contains("CartesianProduct"))
   }
 
@@ -91,6 +94,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"))
     assert(p.contains("IdentityBroadcastMode")) // the quantized query row
     assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("IVF-SQ8 probed scan reads codes only, with dynamic bucket pruning") {
+    val p = plan("p_s6_ivf_sq_topk")
+    // the probed scan reads the persisted codes artifact: packed-byte
+    // codes + scale, never the float embedding column — the 4× bandwidth
+    // win SQ8 exists for (at 100 TB the probed buckets are the ONLY
+    // bytes read)
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,codes:binary,scale:double>"),
+      s"expected a packed-codes-only scan of the SQ8 artifact:\n$p")
+    // the nprobe bucket selection prunes partitions DYNAMICALLY: only
+    // the probed c_id directories are listed and read
+    assert(p.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on c_id:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("SQ8 artifact is materially smaller than the float IVF assignment") {
+    // the structural half of the bandwidth claim: int8 codes + one scale
+    // per vector persist in well under half the bytes of the float32
+    // assignment rows they derive from (parquet-encoded; the raw-array
+    // ratio is 4×)
+    def dirBytes(d: java.io.File): Long =
+      if (d.isFile) d.length
+      else Option(d.listFiles).map(_.map(dirBytes).sum).getOrElse(0L)
+    val emb = Tables.embeddings(spark, sf0001)
+    val sqRoot = java.nio.file.Files.createTempDirectory("graft-sqsz-").toString
+    val ivfRoot = java.nio.file.Files.createTempDirectory("graft-ivfsz-").toString
+    graft.pipeline.SqIndex.ensureIvf(spark, sf0001, emb, "embedding", "vec_id",
+      artifactRootOverride = Some(sqRoot), ivfArtifactRootOverride = Some(ivfRoot))
+    val sq = dirBytes(new java.io.File(sqRoot))
+    val ivf = dirBytes(new java.io.File(ivfRoot))
+    assert(sq > 0 && ivf > 0)
+    assert(sq < ivf / 2, s"SQ8 artifact $sq B should be <1/2 of float IVF $ivf B")
   }
 
   test("repetition bigrams form row-locally: no exchange below the count aggregate") {

@@ -64,4 +64,71 @@ class QuantizeSpec extends SparkSpec {
         .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
     assert(run(emb).toSeq === run(emb.repartition(7)).toSeq)
   }
+
+  test("vec_dot_int equals the interpreted HOF fold; null semantics match") {
+    def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    // corpus-wide agreement between the codegen'd kernel and the HOF form
+    val emb = Tables.embeddings(spark, sf0001)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(Quantize.int8Codes(col("embedding")).as("q_codes"))
+    val both = emb.crossJoin(broadcast(q))
+      .select(Quantize.int8Codes(col("embedding")).as("c"), col("q_codes"))
+      .select(Quantize.intDot(col("c"), col("q_codes")).as("fast"),
+        hofDot(col("c"), col("q_codes")).as("slow"))
+    assert(both.filter(col("fast") =!= col("slow") ||
+      col("fast").isNull =!= col("slow").isNull).count() === 0)
+    // length mismatch and null elements → null, exactly like the HOF
+    val edge = Seq(
+      (Seq[java.lang.Long](1L, 2L), Seq[java.lang.Long](3L, 4L)),
+      (Seq[java.lang.Long](1L, 2L), Seq[java.lang.Long](3L)),
+      (Seq[java.lang.Long](1L, null), Seq[java.lang.Long](3L, 4L)))
+      .toDF("a", "b")
+      .select(Quantize.intDot(col("a"), col("b")).as("fast"),
+        hofDot(col("a"), col("b")).as("slow"))
+      .collect().map(r => (if (r.isNullAt(0)) null else r.getLong(0),
+        if (r.isNullAt(1)) null else r.getLong(1)))
+    assert(edge.toSeq === Seq((11L, 11L), (null, null), (null, null)))
+  }
+
+  test("SqIndex: persisted codes ≡ in-plan quantization; indexed IVF-SQ8 ≡ inline") {
+    val root = java.nio.file.Files.createTempDirectory("graft-sq-").toString
+    val emb = Tables.embeddings(spark, sf0001)
+    // flat artifact rows equal the in-plan projection, code for code
+    // (stored codes are the packed one-byte layout)
+    val stored = pipeline.SqIndex.ensure(spark, sf0001, emb, "embedding",
+        "vec_id", artifactRootOverride = Some(root))
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq, r.getDouble(2))).toSeq
+    val inline = Quantize.withQuantizedPacked(
+        emb.select(col("vec_id"), col("embedding")), "embedding")
+      .select(col("vec_id"), col("codes"), col("scale"))
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq, r.getDouble(2))).toSeq
+    assert(stored === inline)
+    // packing is lossless: unpacked bytes equal the long-array codes
+    val longCodes = Quantize.withQuantized(
+        emb.select(col("vec_id"), col("embedding")), "embedding")
+      .orderBy("vec_id").collect()
+      .map(r => r.getSeq[Long](r.fieldIndex("codes")).map(_.toByte).toSeq).toSeq
+    assert(stored.map(_._2) === longCodes)
+    // IVF-SQ8 over persisted codes ≡ the in-plan composition, bit for bit
+    val ivfRoot = java.nio.file.Files.createTempDirectory("graft-sqivf-").toString
+    val quantized = pipeline.SqIndex.ensureIvf(spark, sf0001, emb, "embedding",
+      "vec_id", artifactRootOverride = Some(root),
+      ivfArtifactRootOverride = Some(ivfRoot))
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+    val cents = pipeline.IvfIndex.centroids(emb, "vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val indexed = rows(pipeline.Similarity.ivfQuantizedTopKIndexed(
+      quantized.filter(col("vec_id") =!= 0), "embedding", "vec_id",
+      cents, q, k = 20, nprobe = 4))
+    val inPlan = rows(pipeline.Similarity.ivfQuantizedTopK(
+      pipeline.IvfIndex.ensure(spark, sf0001, emb, "embedding", "vec_id",
+        artifactRootOverride = Some(ivfRoot)).filter(col("vec_id") =!= 0),
+      "embedding", "vec_id", cents, q, k = 20, nprobe = 4))
+    assert(indexed === inPlan)
+    assert(indexed.size === 20)
+  }
 }
