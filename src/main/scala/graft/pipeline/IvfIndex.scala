@@ -5,15 +5,30 @@ import java.nio.file.Paths
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Lifecycle of the IVF coarse index: the [[Similarity.ivfAssign]] output
-  * is an INGEST-TIME artifact — computed once per corpus, persisted
-  * partitioned by centroid id, and only read at query time. Recomputing
-  * the O(N × centroids) assignment per query would defeat the point of
-  * IVF at scale; queries must touch only the `nprobe` probed partitions.
+/** Lifecycle of the IVF coarse index: BOTH halves — the centroid codebook
+  * and the [[Similarity.ivfAssign]] output — are INGEST-TIME artifacts,
+  * computed once per corpus, persisted, and only read at query time.
+  * Recomputing either per query defeats the point of IVF at scale: the
+  * O(N × centroids) assignment obviously, but also the codebook itself —
+  * deriving centroids from the corpus at probe time (stride-sampling it,
+  * let alone training on it) is a full-corpus scan per query, when the
+  * probe only ever needs the k-row `(c_id, c_emb)` frame. Queries touch
+  * exactly the persisted codebook plus the `nprobe` probed partitions.
   *
-  * The artifact is keyed by (corpus directory, builder format version,
-  * every build parameter) so a different `stride` — or a future change to
-  * the assignment algorithm — can never silently reuse an index built
+  * The coarse quantizer is a parameter ([[Quantizer]]):
+  *   - [[Stride]] — every stride-th vector, exactly reproducible across
+  *     engines, so oracle-checked entries can replay it in SQL.
+  *   - [[Trained]] — [[KMeans.fit]] Lloyd iterations. Better codebooks
+  *     mean better probe recall at the same nprobe, but float-sum
+  *     aggregation order makes training deterministic only up to ~1 ulp
+  *     across runs — which is WHY the codebook must be persisted: the
+  *     stored artifact is THE quantizer, and the assignment is always
+  *     built from the stored frame, never from a re-run of training, so
+  *     probe and assignment can never disagree.
+  *
+  * Artifacts are keyed by (corpus directory, builder format version,
+  * every quantizer parameter) so a different stride/k/seed — or a future
+  * change to the algorithm — can never silently reuse an index built
   * under different settings. Build is write-to-unique-temp + atomic
   * rename, so concurrent/restarted builders never expose a partial index
   * and never trample each other's in-progress writes.
@@ -21,8 +36,9 @@ import org.apache.spark.sql.functions._
 object IvfIndex {
 
   /** Bump when the assignment algorithm or artifact layout changes —
-    * part of the cache key, so stale-format indexes rebuild. */
-  val FormatVersion = 2
+    * part of the cache key, so stale-format indexes rebuild. (v3:
+    * assignment derives from the persisted codebook artifact.) */
+  val FormatVersion = 3
 
   /** Session conf key for the artifact root; falls back to a directory
     * under the JVM working dir rather than any absolute literal. */
@@ -33,6 +49,22 @@ object IvfIndex {
       .orElse(sys.env.get("GRAFT_IVF_ROOT"))
       .getOrElse(Paths.get("artifacts", "ivf").toAbsolutePath.toString)
 
+  /** Coarse-quantizer choice; `token` feeds the artifact cache key. */
+  sealed trait Quantizer { def token: String }
+
+  /** Every `stride`-th vector as a centroid — the k-means-lite codebook,
+    * exactly reproducible (and SQL-replayable) from the corpus. */
+  final case class Stride(stride: Int = 25) extends Quantizer {
+    def token = s"s$stride"
+  }
+
+  /** [[KMeans.fit]]-trained codebook: `k` centroids, `iters` Lloyd
+    * iterations from the seeded init. */
+  final case class Trained(k: Int, iters: Int = 3, seed: Long = 42L)
+      extends Quantizer {
+    def token = s"km${k}i${iters}x$seed"
+  }
+
   /** Deterministic centroid set: every `stride`-th vector — the
     * k-means-lite coarse quantizer (a trained codebook plugs in the same
     * way: any small (c_id, c_emb) frame works). */
@@ -41,17 +73,54 @@ object IvfIndex {
     emb.filter(pmod(col(idCol), lit(stride)) === 0)
       .select(col(idCol).as("c_id"), col(embCol).as("c_emb"))
 
-  /** Read the persisted assignment for the corpus at `corpusDir`,
-    * building it first if missing. Returns (idCol, embCol, c_id) rows
-    * partitioned on disk by c_id. */
-  def ensure(spark: SparkSession, corpusDir: String, emb: DataFrame,
-      embCol: String, idCol: String, stride: Int = 25,
+  /** Compute (not read) the codebook for `quantizer` — the build-time
+    * half; queries go through [[ensureCentroids]]. */
+  def codebook(emb: DataFrame, idCol: String, embCol: String,
+      quantizer: Quantizer): DataFrame = quantizer match {
+    case Stride(s) => centroids(emb, idCol, embCol, s)
+    case Trained(k, iters, seed) =>
+      KMeans.fit(emb, idCol, embCol, k, iters, seed)
+        // c_id values from KMeans are corpus ids of the init vectors;
+        // renumber densely so bucket ids are stable, small longs
+        .withColumn("c_id", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("c_id")))
+          .cast("long"))
+  }
+
+  /** Read the persisted `(c_id, c_emb)` codebook for the corpus at
+    * `corpusDir`, building (and for [[Trained]], training) it first if
+    * missing. One small file: the probe side of every IVF query reads
+    * this instead of re-deriving centroids from the corpus. */
+  def ensureCentroids(spark: SparkSession, corpusDir: String, emb: DataFrame,
+      embCol: String, idCol: String, quantizer: Quantizer = Stride(),
       artifactRootOverride: Option[String] = None): DataFrame = {
     val root = artifactRootOverride.getOrElse(artifactRoot(spark))
     val corpus = Paths.get(corpusDir).getFileName.toString
-    val key = s"${corpus}_v${FormatVersion}_s$stride"
+    val key = s"${corpus}_centroids_v${FormatVersion}_${quantizer.token}"
     ArtifactStore.ensure(spark, s"$corpusDir/embeddings.parquet", root, key) { tmp =>
-      Similarity.ivfAssign(emb, embCol, idCol, centroids(emb, idCol, embCol, stride))
+      codebook(emb, idCol, embCol, quantizer)
+        .coalesce(1) // k rows — one small file, one probe-side read
+        .write.mode("overwrite").parquet(tmp)
+    }
+  }
+
+  /** Read the persisted assignment for the corpus at `corpusDir`,
+    * building it first if missing. Returns (idCol, embCol, c_id) rows
+    * partitioned on disk by c_id. The assignment is always computed from
+    * the PERSISTED codebook ([[ensureCentroids]]), so assignment and
+    * probe can never see different centroids. */
+  def ensure(spark: SparkSession, corpusDir: String, emb: DataFrame,
+      embCol: String, idCol: String, quantizer: Quantizer = Stride(),
+      artifactRootOverride: Option[String] = None): DataFrame = {
+    val root = artifactRootOverride.getOrElse(artifactRoot(spark))
+    val corpus = Paths.get(corpusDir).getFileName.toString
+    val key = s"${corpus}_v${FormatVersion}_${quantizer.token}"
+    ArtifactStore.ensure(spark, s"$corpusDir/embeddings.parquet", root, key) { tmp =>
+      // codebook resolved INSIDE the build closure: a warm query must not
+      // pay the centroids artifact's read just to reach a built assignment
+      val cents = ensureCentroids(spark, corpusDir, emb, embCol, idCol,
+        quantizer, artifactRootOverride)
+      Similarity.ivfAssign(emb, embCol, idCol, cents)
         .write.mode("overwrite").partitionBy("c_id").parquet(tmp)
     // partition-column type inference may narrow c_id to int; restore long
     }.withColumn("c_id", col("c_id").cast("long"))

@@ -266,12 +266,13 @@ object Similarity {
     * products, oracle-replayable. */
   def ivfQuantizedTopK(assigned: DataFrame, embCol: String, idCol: String,
       centroids: DataFrame, query: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val qz = quantizedQuery(query, embCol)
     val candidates = Quantize.withQuantizedPacked(
-      assigned.join(broadcast(probeBuckets(centroids, query, embCol, nprobe)),
+      assigned.join(broadcast(probeBuckets(centroids, qz, nprobe)),
         Seq("c_id"), "left_semi")
         .select(col(idCol), col(embCol)),
       embCol, codesCol = "codes", scaleCol = "scale")
-    rankQuantized(candidates, embCol, idCol, query, k)
+    rankQuantized(candidates, idCol, qz, k)
   }
 
   /** [[ivfQuantizedTopK]] over the persisted [[SqIndex.ensureIvf]] frame
@@ -282,32 +283,42 @@ object Similarity {
     * same integer dot, same IEEE score products. */
   def ivfQuantizedTopKIndexed(quantized: DataFrame, embCol: String,
       idCol: String, centroids: DataFrame, query: DataFrame, k: Int,
-      nprobe: Int): DataFrame =
+      nprobe: Int): DataFrame = {
+    val qz = quantizedQuery(query, embCol)
     rankQuantized(
-      quantized.join(broadcast(probeBuckets(centroids, query, embCol, nprobe)),
+      quantized.join(broadcast(probeBuckets(centroids, qz, nprobe)),
         Seq("c_id"), "left_semi"),
-      embCol, idCol, query, k)
+      idCol, qz, k)
+  }
 
-  /** Centroid probe shared by the float and quantized IVF paths: rank
-    * centroids against the (broadcast, 1-row) query, keep the top
-    * `nprobe` bucket ids. */
-  private def probeBuckets(centroids: DataFrame, query: DataFrame,
-      embCol: String, nprobe: Int): DataFrame =
-    centroids.crossJoin(broadcast(query.select(col(embCol).as("__q"))))
+  /** The 1-row query, broadcast ONCE carrying the raw vector AND its
+    * packed codes + scale: the centroid probe reads `__q`, the scoring
+    * pass reads `__qc`/`__qs`, and both cross joins reference the same
+    * exchange — so the broadcast materializes once per query, exactly
+    * like the float path's reused query broadcast, instead of paying a
+    * second materialization job for the quantized form. */
+  private def quantizedQuery(query: DataFrame, embCol: String): DataFrame =
+    broadcast(
+      Quantize.withQuantizedPacked(query.select(col(embCol).as("__q")), "__q")
+        .select(col("__q"), col("codes").as("__qc"), col("scale").as("__qs")))
+
+  /** Centroid probe for the quantized IVF paths: rank centroids against
+    * the (broadcast, 1-row) [[quantizedQuery]] frame's raw vector, keep
+    * the top `nprobe` bucket ids. */
+  private def probeBuckets(centroids: DataFrame, qz: DataFrame,
+      nprobe: Int): DataFrame =
+    centroids.crossJoin(qz)
       .select(col("c_id"), cosine(col("c_emb"), col("__q")).as("__ps"))
       .orderBy(col("__ps").desc, col("c_id"))
       .limit(nprobe)
       .select("c_id")
 
-  /** Quantized ranking core: quantize + pack the 1-row query,
-    * integer-dot it against each candidate's stored packed codes
-    * ([[Quantize.packedDot]] — the codegen'd vec_dot_int8 over binary
-    * byte codes), score, top-k. `candidates` must carry (idCol, codes:
-    * binary, scale). */
-  private def rankQuantized(candidates: DataFrame, embCol: String,
-      idCol: String, query: DataFrame, k: Int): DataFrame = {
-    val qz = broadcast(Quantize.withQuantizedPacked(query.select(col(embCol)), embCol)
-      .select(col("codes").as("__qc"), col("scale").as("__qs")))
+  /** Quantized ranking core: integer-dot the [[quantizedQuery]] codes
+    * against each candidate's stored packed codes ([[Quantize.packedDot]]
+    * — the codegen'd vec_dot_int8 over binary byte codes), score, top-k.
+    * `candidates` must carry (idCol, codes: binary, scale). */
+  private def rankQuantized(candidates: DataFrame, idCol: String,
+      qz: DataFrame, k: Int): DataFrame =
     candidates
       .select(col(idCol), col("codes"), col("scale"))
       .crossJoin(qz)
@@ -317,7 +328,6 @@ object Similarity {
         Quantize.quantizedScore(col("__qs"), col("scale"), col("int_dot")).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
-  }
 
   /** Embedding near-duplicate pairs at `minCosine`, LSH-bucketed so the
     * exact scoring never sees the all-pairs product. Candidate (a, b)

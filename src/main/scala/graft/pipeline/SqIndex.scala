@@ -56,20 +56,22 @@ object SqIndex {
     * quantized from the persisted [[IvfIndex.ensure]] assignment (built
     * first if missing) and laid out by centroid id so a probed query
     * scans only its buckets' codes. The cache key carries the IVF
-    * stride (the assignment parameter) plus both format versions. */
+    * quantizer token (every assignment parameter) plus both format
+    * versions. */
   def ensureIvf(spark: SparkSession, corpusDir: String, emb: DataFrame,
-      embCol: String, idCol: String, stride: Int = 25,
+      embCol: String, idCol: String,
+      quantizer: IvfIndex.Quantizer = IvfIndex.Stride(),
       artifactRootOverride: Option[String] = None,
       ivfArtifactRootOverride: Option[String] = None): DataFrame = {
     val root = artifactRootOverride.getOrElse(artifactRoot(spark))
     val key = s"ivfsq8_${Paths.get(corpusDir).getFileName}" +
-      s"_v${FormatVersion}_ivfv${IvfIndex.FormatVersion}_s$stride"
+      s"_v${FormatVersion}_ivfv${IvfIndex.FormatVersion}_${quantizer.token}"
     ArtifactStore.ensure(spark, s"$corpusDir/embeddings.parquet", root, key) { tmp =>
       // the IVF assignment is resolved INSIDE the build closure: a warm
       // query must not pay the assignment artifact's read/listing cost
       // just to reach its already-built quantized twin
       val assigned = IvfIndex.ensure(spark, corpusDir, emb, embCol, idCol,
-        stride, ivfArtifactRootOverride)
+        quantizer, ivfArtifactRootOverride)
       Quantize.withQuantizedPacked(assigned, embCol)
         .select(col(idCol), col("codes"), col("scale"), col("c_id"))
         .write.mode("overwrite").partitionBy("c_id").parquet(tmp)

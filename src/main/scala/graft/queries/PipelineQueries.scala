@@ -260,15 +260,18 @@ object PipelineQueries {
     * centroid id) — the query itself only ranks centroids and scores the
     * nprobe probed buckets; the O(N × centroids) assignment never runs at
     * query time, and the query vector stays a broadcast 1-row frame (no
-    * driver collect). The whole pipeline is deterministic (centroid
-    * stride, bit-stable double folds), so the DuckDB oracle re-derives
+    * driver collect). The probe reads the PERSISTED k-row codebook
+    * ([[IvfIndex.ensureCentroids]]) — never re-derives centroids from
+    * the corpus. The whole pipeline is deterministic (centroid stride,
+    * bit-stable double folds), so the DuckDB oracle re-derives
     * assignment + probing and hash-matches the exact top-20. */
   private def s4(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val assigned = IvfIndex.ensure(s, dir, emb, "embedding", "vec_id")
     val q = emb.filter(col("vec_id") === 0).select("embedding")
     Similarity.ivfTopK(assigned.filter(col("vec_id") =!= 0), "embedding", "vec_id",
-      IvfIndex.centroids(emb, "vec_id", "embedding"), q, k = 20, nprobe = 4)
+      IvfIndex.ensureCentroids(s, dir, emb, "embedding", "vec_id"),
+      q, k = 20, nprobe = 4)
   }
 
   /** S6: IVF-SQ8 composition ([[Similarity.ivfQuantizedTopKIndexed]]) —
@@ -277,15 +280,17 @@ object PipelineQueries {
     * by centroid id, derived from the IVF artifact at ingest), rank
     * members by the codegen'd exact integer dot of the stored int8
     * codes. The probed scan reads codes only — never float vectors, and
-    * never quantizes at query time. The oracle chains the S4
-    * assignment/probe replay with the S5 quantization replay. */
+    * never quantizes at query time; the probe reads the persisted k-row
+    * codebook. The oracle chains the S4 assignment/probe replay with the
+    * S5 quantization replay. */
   private def s6IvfSq(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val quantized = graft.pipeline.SqIndex.ensureIvf(s, dir, emb, "embedding", "vec_id")
     val q = emb.filter(col("vec_id") === 0).select("embedding")
     Similarity.ivfQuantizedTopKIndexed(quantized.filter(col("vec_id") =!= 0),
       "embedding", "vec_id",
-      IvfIndex.centroids(emb, "vec_id", "embedding"), q, k = 20, nprobe = 4)
+      IvfIndex.ensureCentroids(s, dir, emb, "embedding", "vec_id"),
+      q, k = 20, nprobe = 4)
   }
 
   /** S5: int8-quantized ANN ([[graft.pipeline.Quantize]]) — per-vector
