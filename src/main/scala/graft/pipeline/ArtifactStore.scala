@@ -67,7 +67,11 @@ object ArtifactStore {
 
   private def writeManifest(dir: String, segs: Seq[String]): Unit = {
     import java.nio.file.StandardOpenOption._
-    val tmp = Paths.get(manifestOf(dir) + "__tmp")
+    // UNIQUE per-attempt tmp: racing writers each rename their own file
+    // (ATOMIC_MOVE over an existing manifest replaces it atomically, so
+    // a raced duplicate write just re-commits identical content) — a
+    // shared tmp name would make the losing rename throw NoSuchFile
+    val tmp = Paths.get(manifestOf(dir) + "__tmp_" + java.util.UUID.randomUUID())
     // SYNC + dir fsync: rename alone is atomic only against process
     // crashes; on power loss some filesystems persist the rename before
     // the data, surfacing an empty manifest
@@ -106,34 +110,53 @@ object ArtifactStore {
 
   /** Read the segmented artifact `root/key`, building its base segment
     * first if the manifest is missing (or the whole artifact if
-    * `sourceFile` exists and is newer than the manifest — regenerated
-    * corpus, never silent reuse). Concurrent base builds are safe: the
-    * base segment has a FIXED name, so racers collide on the atomic
-    * rename (loser sweeps its staging dir) and the manifest write is
-    * idempotent — never two base segments. */
+    * `sourceFile` exists and is newer than the BASE BUILD — regenerated
+    * corpus, never silent reuse). Staleness compares against the
+    * `seg_base` directory's mtime, which only the base build sets:
+    * every append rewrites the manifest, so the manifest's mtime would
+    * race past a later-regenerated corpus and silently mask staleness.
+    * Concurrent base builds of a FRESH artifact are safe: the base
+    * segment has a FIXED name, so racers collide on the atomic rename
+    * (loser sweeps its staging dir; a racer whose parent dir vanished
+    * retries), and the manifest write is idempotent — never two base
+    * segments. REGENERATION (the staleness delete) is single-builder,
+    * like appends: a regenerating builder racing other builders could
+    * delete a base a racer is about to reference, which the
+    * exists-guard before the manifest write narrows but cannot close. */
   def ensureSegmented(spark: SparkSession, root: String, key: String,
       sourceFile: Option[String] = None)(
       buildBase: String => Unit): DataFrame = {
     val dir = s"$root/$key"
     val manifest = Paths.get(manifestOf(dir))
+    val basePath = Paths.get(s"$dir/seg_base")
     sourceFile.foreach { src =>
       val s = Paths.get(src)
-      if (Files.exists(s) && Files.exists(manifest) &&
-          Files.getLastModifiedTime(s).compareTo(Files.getLastModifiedTime(manifest)) > 0)
+      val stale = Files.exists(s) && Files.exists(manifest) &&
+        (!Files.exists(basePath) || // manifest without base: torn state
+          Files.getLastModifiedTime(s).compareTo(Files.getLastModifiedTime(basePath)) > 0)
+      if (stale)
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
-    Files.createDirectories(Paths.get(dir))
-    if (listSegments(dir).isEmpty) {
+    // bounded retry: a racing regeneration can delete the dir between a
+    // builder's rename and manifest write — the loser rebuilds cleanly
+    var attempt = 0
+    while (listSegments(dir).isEmpty && attempt < 3) {
+      attempt += 1
+      Files.createDirectories(Paths.get(dir))
       val tmp = Paths.get(s"$dir/__seg_base_${java.util.UUID.randomUUID()}")
       buildBase(tmp.toString)
-      try Files.move(tmp, Paths.get(s"$dir/seg_base"))
+      try Files.move(tmp, basePath)
       catch { // lost the race — the winner's base is equivalent
         case _: java.nio.file.FileAlreadyExistsException =>
           org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        case _: java.nio.file.NoSuchFileException => // parent deleted under us
+          org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
       }
       // idempotent under the race (same single-line content), and also
-      // heals a crash that renamed seg_base but never wrote the manifest
-      if (listSegments(dir).isEmpty) writeManifest(dir, Seq("seg_base"))
+      // heals a crash that renamed seg_base but never wrote the manifest;
+      // never commit a manifest whose base a racing delete removed
+      if (listSegments(dir).isEmpty && Files.exists(basePath))
+        writeManifest(dir, Seq("seg_base"))
     }
     readSegmented(spark, root, key)
   }
@@ -147,7 +170,9 @@ object ArtifactStore {
     require(listSegments(dir).nonEmpty,
       s"segmented artifact $dir has no base — call ensureSegmented first")
     recoverSegments(dir)
-    val name = s"seg_${java.util.UUID.randomUUID().toString.take(8)}"
+    // full UUID: a truncated name's birthday collision with an existing
+    // committed segment would abort the append on the rename
+    val name = s"seg_${java.util.UUID.randomUUID()}"
     val tmp = Paths.get(s"$dir/__seg_$name")
     buildDelta(tmp.toString)
     Files.move(tmp, Paths.get(s"$dir/$name"))

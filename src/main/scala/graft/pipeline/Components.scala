@@ -31,12 +31,15 @@ import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType,
   *
   * Driver-side control flow is intentional and scale-safe: the loop runs
   * O(log diameter) times (dedup clusters are shallow — a handful of
-  * rounds), each iteration materializes via an eager `localCheckpoint`
-  * so the plan stays O(1) deep instead of growing a 2^rounds lineage,
-  * and convergence is decided by one scalar aggregate per round (the sum
+  * rounds), each iteration materializes via a checkpoint so the plan
+  * stays O(1) deep instead of growing a 2^rounds lineage, and
+  * convergence is decided by one scalar aggregate per round (the sum
   * of labels, exact decimal so 63-bit ids cannot wrap), which is strictly
-  * monotone decreasing until the fixpoint. On a real cluster the
-  * localCheckpoint becomes a reliable checkpoint dir — same shape.
+  * monotone decreasing until the fixpoint. `checkpointDir` picks the
+  * materialization: on a real cluster pass a reliable (HDFS/object-store)
+  * directory and each round commits through `df.checkpoint`; unset, the
+  * local[] default uses executor-memory `localCheckpoint` — same shape,
+  * it is a CONFIG choice, not a code edit.
   */
 object Components {
 
@@ -44,9 +47,15 @@ object Components {
     * one row per node, `(id, rep)`, where `rep` is the smallest node id
     * in the node's component. Edge direction and duplicate edges are
     * irrelevant (the edge list is symmetrized and the algebra is min).
-    */
+    *
+    * Throws if `maxIter` rounds pass without reaching the fixpoint:
+    * partially-merged labels would silently under-deduplicate downstream
+    * ([[dedupByPairs]] would keep documents of an unresolved cluster).
+    * Pointer doubling converges in O(log diameter), so the default bound
+    * covers any real graph; hitting it means the bound was mis-set. */
   def connectedComponents(edges: DataFrame, aCol: String = "a_id",
-      bCol: String = "b_id", maxIter: Int = 50): DataFrame = {
+      bCol: String = "b_id", maxIter: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame = {
     // fail loudly on non-integral id columns: a silent cast of e.g.
     // string digests would null every edge and "resolve" zero clusters
     for (c <- Seq(aCol, bCol)) {
@@ -54,19 +63,25 @@ object Components {
       require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
         s"edge column '$c' must be an integral id type, got ${dt.catalogString}")
     }
-    val sym = edges
+    // reliable checkpointing when a dir is given (cluster mode); RDD
+    // checkpoints go through the SparkContext-level dir
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def materialize(df: DataFrame, eager: Boolean): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager)
+      else df.localCheckpoint(eager)
+
+    val sym = materialize(edges
       .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
-      .filter(col("u").isNotNull && col("v").isNotNull)
-      .localCheckpoint(true)
+      .filter(col("u").isNotNull && col("v").isNotNull), eager = true)
     val both = sym.union(sym.select(col("v").as("u"), col("u").as("v")))
 
     // initial label = min(id, min neighbour): the first propagation
     // round folded into initialization (every node appears as `u` in the
     // symmetrized list, so this is also the node enumeration)
-    var labels = both.groupBy(col("u"))
+    var labels = materialize(both.groupBy(col("u"))
       .agg(min(col("v")).as("__mn"))
-      .select(col("u").as("id"), least(col("u"), col("__mn")).as("rep"))
-      .localCheckpoint(false)
+      .select(col("u").as("id"), least(col("u"), col("__mn")).as("rep")),
+      eager = false)
 
     // Exact label mass: strictly decreases every non-fixpoint round.
     def mass(l: DataFrame): java.math.BigDecimal = {
@@ -88,17 +103,21 @@ object Components {
       //    the lookup side always matches; coalesce is belt-and-braces.
       // lazy checkpoint: the convergence aggregate right below is the
       // single job that materializes the round (eager + mass was two)
-      val next = m
+      val next = materialize(m
         .join(m.select(col("id").as("__rid"), col("rep").as("__rrep")),
           col("rep") === col("__rid"), "left")
-        .select(col("id"), coalesce(col("__rrep"), col("rep")).as("rep"))
-        .localCheckpoint(false)
+        .select(col("id"), coalesce(col("__rrep"), col("rep")).as("rep")),
+        eager = false)
       val cur = mass(next)
       done = cur.compareTo(prev) == 0
       prev = cur
       labels = next
       iter += 1
     }
+    if (!done) throw new IllegalStateException(
+      s"connected components did not converge within $maxIter rounds " +
+        "(label mass still decreasing); raise maxIter — returning " +
+        "partially-merged labels would silently under-deduplicate")
     labels
   }
 
@@ -107,8 +126,9 @@ object Components {
     * Documents with no pair membership are absent — they are their own
     * trivial cluster and need no row. */
   def nearDupClusters(pairs: DataFrame, aCol: String = "a_id",
-      bCol: String = "b_id"): DataFrame =
-    connectedComponents(pairs, aCol, bCol)
+      bCol: String = "b_id",
+      checkpointDir: Option[String] = None): DataFrame =
+    connectedComponents(pairs, aCol, bCol, checkpointDir = checkpointDir)
       .select(col("id").as("doc_id"), col("rep").as("rep_id"))
 
   /** Keep one document per near-dup cluster: drops every clustered doc
@@ -117,8 +137,9 @@ object Components {
     * — no hint, AQE broadcasts it when (as is typical) it is small
     * relative to the corpus; the corpus text never shuffles. */
   def dedupByPairs(corpus: DataFrame, pairs: DataFrame, idCol: String,
-      aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
-    val victims = nearDupClusters(pairs, aCol, bCol)
+      aCol: String = "a_id", bCol: String = "b_id",
+      checkpointDir: Option[String] = None): DataFrame = {
+    val victims = nearDupClusters(pairs, aCol, bCol, checkpointDir)
       .filter(col("doc_id") =!= col("rep_id"))
       .select(col("doc_id").as("__victim"))
     corpus.join(victims, corpus(idCol) === col("__victim"), "left_anti")

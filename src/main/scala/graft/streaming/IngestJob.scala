@@ -45,10 +45,24 @@ class IngestJob(spark: SparkSession, store: BlockStore, confirmations: Long,
       latest.getAndUpdate(l => math.max(l, batchMax.getLong(0)))
 
     val g = gate.get()
-    val toPublish = g.publishable(packed, store).cache()
-    val nums = PackedBlocks.blocksOf(toPublish).select("number")
-      .collect().map(_.getLong(0)).toSeq
-    if (nums.nonEmpty) onPublish(toPublish)
+    // The gate needs the batch's published numbers; they ride an
+    // `observe()` metric on the frame handed to the publisher, so the
+    // publisher's own sink action computes them — no separate driver job
+    // per batch just to learn what was published. A publisher that runs
+    // no action (or only a short-circuiting probe) leaves the metric
+    // incomplete; one count() then settles it. Either way the numbers
+    // reach the gate BEFORE it persists, preserving at-least-once
+    // publish across a crash.
+    val obs = org.apache.spark.sql.Observation()
+    val toPublish = g.publishable(packed, store)
+      .observe(obs, collect_set(col("block.number")).as("nums"))
+      .cache()
+    onPublish(toPublish)
+    if (!obs.future.isCompleted) toPublish.count()
+    val nums: Seq[Long] = (obs.get("nums"): @unchecked) match {
+      case s: scala.collection.Seq[_] => s.iterator.map(_.asInstanceOf[Long]).toSeq
+      case a: Array[_] => a.iterator.map(_.asInstanceOf[Long]).toSeq
+    }
     toPublish.unpersist()
 
     // prune keeps the gate O(confirmation depth); persist before promotion

@@ -67,6 +67,32 @@ class ComponentsSpec extends SparkSpec {
     assert(e.getMessage.contains("integral id type"))
   }
 
+  test("reliable checkpoint dir: same labels, rounds commit to the dir") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt-")
+    val edges = Seq((1L, 2L), (2L, 3L), (30L, 40L)).toDF("a_id", "b_id")
+    val got = Components.connectedComponents(edges,
+        checkpointDir = Some(dir.toString))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 30L -> 30L, 40L -> 30L))
+    // the rounds actually went through the reliable dir, not local blocks
+    def files(p: java.nio.file.Path): Long = {
+      val s = java.nio.file.Files.walk(p)
+      try s.filter(java.nio.file.Files.isRegularFile(_)).count()
+      finally s.close()
+    }
+    assert(files(dir) > 0, "no checkpoint files were written to the dir")
+  }
+
+  test("exceeding maxIter throws instead of returning partial labels") {
+    // an 8-node shuffled path needs several doubling rounds; 1 is too few
+    val perm = Seq(3L, 6L, 1L, 4L, 7L, 2L, 5L, 0L)
+    val edges = perm.sliding(2).map(p => (p(0), p(1))).toSeq.toDF("a_id", "b_id")
+    val e = intercept[IllegalStateException] {
+      Components.connectedComponents(edges, maxIter = 1)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("dedupByPairs keeps one representative per cluster, singletons pass") {
     val corpus = (1L to 10L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a_id", "b_id")

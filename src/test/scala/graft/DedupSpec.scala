@@ -198,6 +198,32 @@ class DedupSpec extends SparkSpec {
     assert(again === full)
   }
 
+  test("segmented staleness keys off the base build — appends don't mask a regenerated corpus") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_seg_stale").toString
+    val src = java.nio.file.Files.createTempDirectory("graft_seg_src")
+      .resolve("corpus.txt")
+    java.nio.file.Files.writeString(src, "v1")
+    def build(marker: String)(tmp: String): Unit =
+      Seq((1L, marker)).toDF("id", "m").write.parquet(tmp)
+    val key = "stale_spec"
+    graft.pipeline.ArtifactStore.ensureSegmented(spark, root, key,
+      Some(src.toString))(build("base1"))
+    // age the base build, then REGENERATE the corpus, then append: the
+    // append rewrites the manifest, so a manifest-mtime staleness check
+    // would see "artifact newer than corpus" and silently reuse v1 state
+    val basePath = java.nio.file.Paths.get(s"$root/$key/seg_base")
+    java.nio.file.Files.setLastModifiedTime(basePath,
+      java.nio.file.attribute.FileTime.fromMillis(
+        java.nio.file.Files.getLastModifiedTime(basePath).toMillis - 60000))
+    java.nio.file.Files.writeString(src, "v2")
+    graft.pipeline.ArtifactStore.appendSegment(spark, root, key)(build("delta1"))
+    val after = graft.pipeline.ArtifactStore.ensureSegmented(spark, root, key,
+      Some(src.toString))(build("base2"))
+    assert(after.collect().map(_.getString(1)).toSeq === Seq("base2"),
+      "regenerated corpus must force a full rebuild (stale base AND stale deltas dropped)")
+  }
+
   test("tokenLines: fixed-width slices with partial tail, empty text dropped") {
     import spark.implicits._
     val df = Seq((1L, "a b c d e"), (2L, "")).toDF("doc_id", "text")
