@@ -48,4 +48,52 @@ class BenchSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"queries exceeding their perf cap (floor ${f"$floor%.3f"} s):\n" + offenders.mkString("\n"))
   }
+
+  // The registry sweep above runs at fixture scale, where the iterative
+  // and window operators are dominated by per-round scheduling floors —
+  // a data-PROPORTIONAL regression (lost partial agg, accidental
+  // all-pairs, per-round full-corpus re-scan) would hide inside the
+  // floor. These two rows run the operator CORES at 1× and 10× generated
+  // volume and bound the growth: ~linear ops stay well inside 12×; a
+  // quadratic slip shows up as ~100× and trips immediately. Relative
+  // caps adapt to machine speed; the absolute floor term absorbs tiny-t1
+  // jitter.
+  import org.apache.spark.sql.functions._
+
+  private def timedWarm(body: => Unit): Double = {
+    body // warm: codegen + JIT
+    timed(body)
+  }
+
+  test("sessionization scales ~linearly: 10x keys*rows within 12x time") {
+    def activity(keys: Int, perKey: Int) =
+      spark.range(keys.toLong * perKey)
+        .select((col("id") % keys).as("acct"),
+          ((col("id") / keys) * 37 % 997).as("ts"))
+    def run(keys: Int): Double = timedWarm {
+      graft.operators.Sessionize.sessions(
+        activity(keys, perKey = 20), Seq("acct"), "ts", gap = 60L).count()
+    }
+    val t1 = run(5000)    // 100k rows
+    val t10 = run(50000)  // 1M rows — 10× keys, same per-key depth
+    info(f"sessions: 1x $t1%.2f s, 10x $t10%.2f s")
+    assert(t10 <= math.max(12 * t1, 2.0),
+      f"10x sessionization took $t10%.2f s vs 1x $t1%.2f s — superlinear growth")
+  }
+
+  test("cluster resolution scales ~linearly: 10x edges within 12x time") {
+    // disjoint 64-node chains: diameter (and so the doubling round count)
+    // is IDENTICAL at both scales; only per-round volume grows 10×
+    def chains(nodes: Long) =
+      spark.range(nodes - 1).filter(col("id") % 64 =!= 63)
+        .select(col("id").as("a_id"), (col("id") + 1).as("b_id"))
+    def run(nodes: Long): Double = timedWarm {
+      graft.pipeline.Components.connectedComponents(chains(nodes)).count()
+    }
+    val t1 = run(64 * 500L)   // 32k nodes
+    val t10 = run(64 * 5000L) // 320k nodes
+    info(f"components: 1x $t1%.2f s, 10x $t10%.2f s")
+    assert(t10 <= math.max(12 * t1, 4.0),
+      f"10x cluster resolution took $t10%.2f s vs 1x $t1%.2f s — superlinear growth")
+  }
 }
