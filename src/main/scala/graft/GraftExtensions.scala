@@ -39,6 +39,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("image_meta", "image_meta(bytes) - struct(format, width, height) of a PNG/JPEG/GIF header, else NULL"),
       (args: Seq[Expression]) => graft.pipeline.ImageHeader.ImageMetaExpr(args(0))))
     ext.injectFunction((
+      FunctionIdentifier("av_meta"),
+      info("av_meta", "av_meta(bytes) - struct(container, sample_rate, channels, duration_s, width, height) of a WAV/MP4 header, else NULL"),
+      (args: Seq[Expression]) => graft.pipeline.AvHeader.AvMetaExpr(args(0))))
+    ext.injectFunction((
       FunctionIdentifier("ecrecover"),
       info("ecrecover", "ecrecover(sigHash, r, s, recId) - uncompressed secp256k1 pubkey, NULL if invalid"),
       (args: Seq[Expression]) => graft.functions.TxSender.EcRecover(args(0), args(1), args(2), args(3))))

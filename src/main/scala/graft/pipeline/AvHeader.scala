@@ -1,0 +1,191 @@
+package graft.pipeline
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Real audio/video CONTAINER header parsing — the second concrete codec
+  * family behind the [[Multimodal]] decode seam, shrinking the stub to
+  * codec (sample/pixel) decode only. Pure-JVM byte inspection of the two
+  * dominant containers:
+  *
+  *   - WAV/RIFF: "RIFF" + size + "WAVE", then a chunk walk (chunks are
+  *     `[4cc][le32 size][payload]`, word-aligned) to the `fmt ` chunk
+  *     for channels / sample rate / byte rate and the `data` chunk for
+  *     payload size; duration = data size ÷ byte rate (RIFF spec /
+  *     RFC 2361 layout).
+  *   - MP4 (ISO BMFF, ISO 14496-12): `[be32 size][4cc]` box walk — the
+  *     file must lead with `ftyp`; `moov`→`mvhd` carries timescale and
+  *     duration (v0 32-bit / v1 64-bit fields), `moov`→`trak`→`tkhd`
+  *     carries presentation width/height as 16.16 fixed point. Handles
+  *     largesize (size==1) and to-end (size==0) boxes.
+  *
+  * Exposed as the `av_meta(bytes)` Catalyst expression returning
+  * `struct<container, sample_rate, channels, duration_s, width, height>`
+  * (null for unrecognizable bytes), codegen'd like
+  * [[ImageHeader.ImageMetaExpr]] so media scans stay inside whole-stage
+  * codegen. Frame rate (needs `stts` sample tables) and actual sample
+  * decode remain outside header scope — fps stays a stub field.
+  */
+object AvHeader {
+
+  /** Parse result as a Catalyst row, or null if neither container. */
+  def parseRow(bytes: Array[Byte]): InternalRow = parse(bytes) match {
+    case Some(m) => InternalRow(
+      UTF8String.fromString(m.container),
+      boxInt(m.sampleRate), boxInt(m.channels), boxInt(m.durationS),
+      boxInt(m.width), boxInt(m.height))
+    case None => null
+  }
+
+  private def boxInt(v: Int): Any =
+    if (v < 0) null else Int.box(v)
+
+  /** Parsed header; -1 marks a field the container does not carry. */
+  final case class AvMeta(container: String, sampleRate: Int, channels: Int,
+      durationS: Int, width: Int, height: Int)
+
+  def parse(b: Array[Byte]): Option[AvMeta] =
+    if (b == null) None else wav(b).orElse(mp4(b))
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def le32(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong | (u8(b, i + 1).toLong << 8) |
+      (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)) & 0xffffffffL
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) |
+      (u8(b, i + 2) << 8) | u8(b, i + 3)) & 0xffffffffL
+  private def be64(b: Array[Byte], i: Int): Long =
+    (be32(b, i) << 32) | be32(b, i + 4)
+  private def tag(b: Array[Byte], i: Int): String = new String(b, i, 4, "US-ASCII")
+
+  // ---- WAV/RIFF ----------------------------------------------------------
+
+  private def wav(b: Array[Byte]): Option[AvMeta] = {
+    if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
+    var i = 12
+    var channels = -1
+    var sampleRate = -1L
+    var byteRate = -1L
+    var dataSize = -1L
+    while (i + 8 <= b.length && (sampleRate < 0 || dataSize < 0)) {
+      val id = tag(b, i)
+      val sz = le32(b, i + 4)
+      if (id == "fmt ") {
+        // PCM fmt payload: format u16, channels u16, sample rate le32,
+        // byte rate le32, block align u16, bits u16
+        if (sz < 16 || i + 8 + 16 > b.length) return None
+        channels = le16(b, i + 10)
+        sampleRate = le32(b, i + 12)
+        byteRate = le32(b, i + 16)
+      } else if (id == "data") {
+        // duration comes from the DECLARED size: a header-only scan must
+        // not require the (possibly truncated/streamed) payload bytes
+        dataSize = sz
+      }
+      val step = sz + (sz & 1L) // chunks are word-aligned
+      if (step > Int.MaxValue - 8 - i) {
+        // declared size walks past any plausible buffer — stop the scan;
+        // whatever was already found decides
+        i = b.length
+      } else i += 8 + step.toInt
+    }
+    if (channels < 1 || sampleRate < 1 || byteRate < 1 || dataSize < 0) None
+    else Some(AvMeta("wav", sampleRate.toInt, channels,
+      (dataSize / byteRate).toInt, -1, -1))
+  }
+
+  // ---- MP4 / ISO BMFF ----------------------------------------------------
+
+  /** Walk the boxes in `[lo, hi)`, calling `f(type, payloadLo, boxEnd)`.
+    * Returns false on a structurally-broken box. */
+  private def walkBoxes(b: Array[Byte], lo: Int, hi: Int)(
+      f: (String, Int, Int) => Unit): Boolean = {
+    var i = lo
+    while (i + 8 <= hi) {
+      var size = be32(b, i)
+      val typ = tag(b, i + 4)
+      var payload = i + 8
+      if (size == 1L) { // 64-bit largesize
+        if (i + 16 > hi) return false
+        size = be64(b, i + 8)
+        payload = i + 16
+      } else if (size == 0L) size = (hi - i).toLong // box runs to the end
+      if (size < (payload - i).toLong || size > (hi - i).toLong) return false
+      f(typ, payload, i + size.toInt)
+      i += size.toInt
+    }
+    true
+  }
+
+  private def mp4(b: Array[Byte]): Option[AvMeta] = {
+    if (b.length < 8 || be32(b, 0) < 8 || tag(b, 4) != "ftyp") return None
+    var durationS = -1L
+    var width = -1
+    var height = -1
+    val ok = walkBoxes(b, 0, b.length) { (typ, lo, hi) =>
+      if (typ == "moov") walkBoxes(b, lo, hi) { (t2, lo2, hi2) =>
+        if (t2 == "mvhd" && hi2 - lo2 >= 20) {
+          val v = u8(b, lo2)
+          // v0: ver/flags, creation u32, modification u32, timescale,
+          // duration u32; v1 widens the times to u64
+          val (ts, dur) =
+            if (v == 0) (be32(b, lo2 + 12), be32(b, lo2 + 16))
+            else if (hi2 - lo2 >= 32) (be32(b, lo2 + 20), be64(b, lo2 + 24))
+            else (0L, 0L)
+          if (ts > 0) durationS = dur / ts
+        } else if (t2 == "trak") walkBoxes(b, lo2, hi2) { (t3, lo3, hi3) =>
+          if (t3 == "tkhd" && width < 0) {
+            val v = u8(b, lo3)
+            // 16.16 fixed-point presentation dims at the end of tkhd
+            val (wOff, hOff) = if (v == 0) (76, 80) else (88, 92)
+            if (hi3 - lo3 >= hOff + 4) {
+              width = (be32(b, lo3 + wOff) >> 16).toInt
+              height = (be32(b, lo3 + hOff) >> 16).toInt
+            }
+          }
+        }
+      }
+    }
+    if (!ok || durationS < 0) None
+    else Some(AvMeta("mp4", -1, -1, durationS.toInt, width, height))
+  }
+
+  /** `av_meta(bytes)`: container metadata struct, null when the bytes are
+    * not a recognized WAV/MP4 stream. */
+  case class AvMetaExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = AvMetaExpr.schema
+    override def nullable: Boolean = true
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == BinaryType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"av_meta requires binary input, got ${child.dataType.catalogString}")
+    override def nullSafeEval(input: Any): Any =
+      AvHeader.parseRow(input.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        s"""
+           |${ev.value} = graft.pipeline.AvHeader.parseRow($c);
+           |${ev.isNull} = ${ev.value} == null;
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "av_meta"
+  }
+
+  object AvMetaExpr {
+    val schema: StructType = StructType(Seq(
+      StructField("container", StringType),
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("duration_s", IntegerType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType)))
+  }
+}

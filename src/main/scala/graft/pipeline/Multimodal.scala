@@ -7,12 +7,14 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, plus decode / feature-extract /
   * frame-sample operators.
   *
-  * Image-container decode is REAL: [[decodeMeta]] parses PNG/JPEG/GIF
-  * headers in-engine via the [[ImageHeader.ImageMetaExpr]] Catalyst
-  * expression. Audio/video decode (and pixel decode beyond the header)
-  * remains STUBBED — this container has no media codecs —
-  * `decodeMetaStub` derives deterministic fake metadata from the raw
-  * bytes. Everything around the stub — schema, batch shape,
+  * CONTAINER decode is REAL for all three kinds: [[decodeMeta]] parses
+  * PNG/JPEG/GIF headers via [[ImageHeader.ImageMetaExpr]] and WAV/MP4
+  * headers via [[AvHeader.AvMetaExpr]], both codegen'd Catalyst
+  * expressions. Only CODEC decode (pixels, samples, frame rate — which
+  * needs sample-table parsing and actual decoders this container does
+  * not ship) remains STUBBED: `decodeMetaStub` derives deterministic
+  * fake metadata from the raw bytes for payloads that are not a real
+  * container. Everything around the stub — schema, batch shape,
   * partition-preserving execution, explode semantics — is real and
   * tested, so swapping in a true codec is a drop-in replacement of one
   * function.
@@ -27,7 +29,9 @@ object Multimodal {
   /** Deterministic fake media table derived from any text corpus — used
     * by tests and the registry demo in place of real media files. The
     * payload starts with one NUL byte so it can never collide with a real
-    * container signature (PNG 0x89, JPEG 0xFF, GIF "G"): [[decodeMeta]]'s
+    * container signature (PNG 0x89, JPEG 0xFF, GIF "G", WAV "RIFF"; an
+    * MP4 read would see a box size in the megabytes — ASCII text bytes —
+    * exceeding the payload, so the box walk rejects it): [[decodeMeta]]'s
     * real-first dispatch provably takes the stub branch on every row, for
     * ANY corpus text — a document whose text happens to begin "GIF89a"
     * must not flip the branch out from under the stub-replaying oracle. */
@@ -46,12 +50,22 @@ object Multimodal {
   def imageMeta(bytes: Column): Column =
     org.apache.spark.sql.functions.call_function("image_meta", bytes)
 
+  /** REAL audio/video-container decode: WAV/RIFF and MP4 (ISO BMFF)
+    * headers parsed by [[AvHeader.AvMetaExpr]] (codegen'd; null for
+    * unrecognized bytes). */
+  def avMeta(bytes: Column): Column =
+    org.apache.spark.sql.functions.call_function("av_meta", bytes)
+
   /** Decode with a real-first policy: image bytes that parse as an actual
-    * PNG/JPEG/GIF container get their true dimensions; everything else
-    * falls back to [[decodeMetaStub]] (the fixture corpus carries fake
-    * payloads, and audio/video codecs are not available in-container). */
+    * PNG/JPEG/GIF container get their true dimensions, audio/video bytes
+    * that parse as WAV/MP4 get their true rate/channels/duration/dims;
+    * everything else falls back to [[decodeMetaStub]] (the fixture corpus
+    * carries fake payloads, and codec-level decode is not available
+    * in-container). fps stays stubbed — it lives in MP4 sample tables,
+    * codec territory. */
   def decodeMeta(kind: Column, bytes: Column): Column = {
     val real = imageMeta(bytes)
+    val av = avMeta(bytes)
     val stub = decodeMetaStub(kind, bytes)
     when(kind === "image" && real.isNotNull,
       struct(
@@ -61,6 +75,14 @@ object Multimodal {
         lit(null).cast("int").as("sample_rate"),
         lit(null).cast("int").as("duration_s"),
         lit(null).cast("int").as("fps")))
+      .when((kind === "audio" || kind === "video") && av.isNotNull,
+        struct(
+          length(bytes).as("size_bytes"),
+          av.getField("width").as("width"),
+          av.getField("height").as("height"),
+          av.getField("sample_rate").as("sample_rate"),
+          av.getField("duration_s").as("duration_s"),
+          lit(null).cast("int").as("fps")))
       .otherwise(stub)
   }
 

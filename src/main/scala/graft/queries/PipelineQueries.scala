@@ -512,8 +512,8 @@ object PipelineQueries {
     * the parse-fails → stub-fallback branch, and the oracle (which
     * replays the stub arithmetic over the same +1-byte payload) pins that
     * the fallback is taken exactly when it should be — independent of
-    * what the corpus text looks like. The real-parse branch is
-    * gate-checked by MM2. */
+    * what the corpus text looks like. The real-parse branches are
+    * gate-checked by MM2 (images) and MM3 (audio/video containers). */
   private def mm1(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.mediaFromDocuments(Tables.documents(s, dir))
     val meta = Multimodal.decodeMeta(col("kind"), col("bytes"))
@@ -565,6 +565,70 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** MM3: REAL audio/video container-header decode through the `av_meta`
+    * Catalyst expression ([[graft.pipeline.AvHeader]]): per-doc WAV
+    * (even ids — PCM fmt chunk + declared data size, header-only stream)
+    * and MP4 (odd ids — ftyp + moov/mvhd/trak/tkhd box tree) byte
+    * streams are constructed in-engine from doc_id-derived parameters,
+    * then parsed back. The oracle recomputes the expected fields
+    * arithmetically — construct→parse is the identity, pinning the
+    * chunk walk, the box walk, 16.16 fixed-point dims, and the
+    * data-size ÷ byte-rate duration across both containers. */
+  private def mm3(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    def b(xs: Int*) = lit(xs.map(_.toByte).toArray)
+    def zeros(n: Int) = lit(new Array[Byte](n))
+    def s4(t: String) = lit(t.getBytes("US-ASCII"))
+    def byteOf(c: Column) = lpad(hex(c.cast("long").bitwiseAND(lit(255L))), 2, "0")
+    def le16(c: Column) = unhex(concat(byteOf(c), byteOf(shiftright(c.cast("long"), 8))))
+    def le32(c: Column) = unhex(concat(byteOf(c), byteOf(shiftright(c.cast("long"), 8)),
+      byteOf(shiftright(c.cast("long"), 16)), byteOf(shiftright(c.cast("long"), 24))))
+    def be16(c: Column) = unhex(lpad(hex(c.cast("long")), 4, "0"))
+    def be32(c: Column) = unhex(lpad(hex(c.cast("long")), 8, "0"))
+
+    // WAV (even ids): 16-bit PCM; duration = data size ÷ byte rate
+    val ch = when(pmod(d, lit(4)) >= 2, lit(2L)).otherwise(lit(1L))
+    val sr = element_at(array(lit(8000L), lit(16000L), lit(22050L), lit(44100L)),
+      (pmod(d, lit(8)) / lit(2)).cast("int") + 1)
+    val byteRate = sr * ch * lit(2L)
+    val dataSize = (pmod(d, lit(997)) + 1) * lit(1000L)
+    val wavB = concat(
+      s4("RIFF"), le32(dataSize + 36), s4("WAVE"),
+      s4("fmt "), le32(lit(16)), le16(lit(1)), le16(ch), le32(sr),
+      le32(byteRate), le16(ch * 2), le16(lit(16)),
+      s4("data"), le32(dataSize))
+
+    // MP4 (odd ids): duration = mvhd duration units ÷ timescale,
+    // dims = tkhd 16.16 fixed point
+    val ts = element_at(array(lit(600L), lit(1000L), lit(90000L)),
+      (pmod(d, lit(6)) / lit(2)).cast("int") + 1)
+    val durUnits = (pmod(d, lit(600)) + 1) * ts + pmod(d * 3, ts)
+    val w = pmod(d, lit(1919)) + 1
+    val h = pmod(d * 7, lit(1079)) + 1
+    val mvhd = concat(be32(lit(108)), s4("mvhd"),
+      be32(lit(0)), be32(lit(0)), be32(lit(0)), be32(ts), be32(durUnits),
+      be32(lit(65536)), be16(lit(256)), zeros(10), zeros(36), zeros(24),
+      be32(lit(2)))
+    val tkhd = concat(be32(lit(92)), s4("tkhd"),
+      be32(lit(7)), be32(lit(0)), be32(lit(0)), be32(lit(1)), be32(lit(0)),
+      be32(durUnits), zeros(8), zeros(8), zeros(36),
+      be32(w * 65536), be32(h * 65536))
+    val moov = concat(be32(lit(216)), s4("moov"), mvhd,
+      concat(be32(lit(100)), s4("trak"), tkhd))
+    val mp4B = concat(be32(lit(16)), s4("ftyp"), s4("isom"), be32(lit(512)), moov)
+
+    val m = Multimodal.avMeta(when(pmod(d, lit(2)) === 0, wavB).otherwise(mp4B))
+    Tables.documents(s, dir).select(col("doc_id"), m.as("__m"))
+      .select(col("doc_id"),
+        col("__m").getField("container").as("container"),
+        col("__m").getField("sample_rate").cast("long").as("sample_rate"),
+        col("__m").getField("channels").cast("long").as("channels"),
+        col("__m").getField("duration_s").cast("long").as("duration_s"),
+        col("__m").getField("width").cast("long").as("width"),
+        col("__m").getField("height").cast("long").as("height"))
+      .orderBy(col("doc_id"))
+  }
+
   // ===== registry ========================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -598,6 +662,7 @@ object PipelineQueries {
     "p_c5_domain_filter" -> (c5Domains _),
     "p_mm1_media_meta" -> (mm1 _),
     "p_mm2_image_header" -> (mm2 _),
+    "p_mm3_av_header" -> (mm3 _),
   )
 
   // ---- DuckDB twins of the vector/fingerprint math ----------------------
@@ -1036,6 +1101,21 @@ object PipelineQueries {
             CASE WHEN doc_id % 3 IN (1, 2) THEN (octet_length(encode(text)) + 1) % 600 + 1 END AS duration_s,
             CASE WHEN doc_id % 3 = 2 THEN ((octet_length(encode(text)) + 1) % 2) * 6 + 24 END AS fps
           FROM documents ORDER BY media_id"""),
+    "p_mm3_av_header" ->
+      ("""SELECT doc_id,
+            CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'mp4' END AS container,
+            CASE WHEN doc_id % 2 = 0
+                 THEN ([8000, 16000, 22050, 44100])[(doc_id % 8) // 2 + 1]
+            END AS sample_rate,
+            CASE WHEN doc_id % 2 = 0 THEN (doc_id % 4) // 2 + 1 END AS channels,
+            CASE WHEN doc_id % 2 = 0
+                 THEN ((doc_id % 997 + 1) * 1000)
+                      // (([8000, 16000, 22050, 44100])[(doc_id % 8) // 2 + 1]
+                          * ((doc_id % 4) // 2 + 1) * 2)
+                 ELSE doc_id % 600 + 1 END AS duration_s,
+            CASE WHEN doc_id % 2 = 1 THEN doc_id % 1919 + 1 END AS width,
+            CASE WHEN doc_id % 2 = 1 THEN (doc_id * 7) % 1079 + 1 END AS height
+          FROM documents ORDER BY doc_id"""),
     "p_t3_contamination" ->
       ("""WITH corpus AS (
             SELECT doc_id, text FROM documents WHERE doc_id < 1000),

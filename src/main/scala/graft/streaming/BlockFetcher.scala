@@ -1,0 +1,52 @@
+package graft.streaming
+
+import graft.schema.Model.PackedBlock
+
+/** S2/S3 connector seam (SURVEY §2.1; reference `app/block/fetch.go:21-98`
+  * and `listener.go:20-171`): how the stream source learns the chain head
+  * and obtains packed blocks. This is the HALF of S1–S3 that talks to a
+  * node; everything downstream (offsets, ranges, checkpoints, the store)
+  * is connector-agnostic.
+  *
+  * Implementations are Serializable CONFIG, not live connections: the
+  * partition reader instantiates per-partition state on the executor (a
+  * JSON-RPC implementation holds its endpoint URL and opens its HTTP
+  * client lazily — sockets never serialize). The deterministic chain
+  * simulator is the default; a production deployment selects another
+  * implementation through the `fetcher` option — a config change, not a
+  * source-class swap.
+  */
+trait BlockFetcher extends Serializable {
+
+  /** Latest block number the chain can serve (inclusive head) — a
+    * JSON-RPC impl issues `eth_blockNumber` here. */
+  def head(): Long
+
+  /** One packed block (header + txs + receipts' events), or None for a
+    * hole (gap, pruned, or not yet present) — `eth_getBlockByNumber`
+    * plus per-tx receipts in a real connector. */
+  def fetchBlock(n: Long): Option[PackedBlock]
+}
+
+object BlockFetcher {
+
+  /** Resolve the DSv2 `fetcher` option: `"sim"` (default) is the
+    * deterministic fixture chain; any other value is the fully-qualified
+    * class name of a zero-arg [[BlockFetcher]] implementation on the
+    * classpath — how a deployment plugs in its node connector without
+    * touching this source. */
+  def forOption(name: String, maxNumber: Long): BlockFetcher = name match {
+    case "sim" => ChainSimFetcher(maxNumber)
+    case fqcn => Class.forName(fqcn).getDeclaredConstructor()
+      .newInstance().asInstanceOf[BlockFetcher]
+  }
+}
+
+/** The simulated node as a [[BlockFetcher]]: head is the configured
+  * chain tip, blocks come from the deterministic fixture builder
+  * (gaps → None, exercising the backfill path with zero network). */
+final case class ChainSimFetcher(maxNumber: Long) extends BlockFetcher {
+  override def head(): Long = maxNumber
+  override def fetchBlock(n: Long): Option[PackedBlock] =
+    ChainSimSource.fetchBlock(n)
+}

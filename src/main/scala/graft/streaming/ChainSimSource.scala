@@ -17,9 +17,11 @@ import graft.schema.Model._
 /** S1: a custom DataSource V2 `MicroBatchStream` — the push source of new
   * block headers (SURVEY §2.1; `app/block/listener.go:20-171`).
   *
-  * A production deployment points this at an Ethereum node: `latestOffset`
-  * asks the node for the chain head, and each partition reader fetches its
-  * block range over JSON-RPC (S2/S3). Here the "node" is the deterministic
+  * The node connector is the [[BlockFetcher]] seam, selected by the
+  * `fetcher` option: `latestOffset` asks it for the chain head, and each
+  * partition reader fetches its block range through it (S2/S3 — a
+  * production deployment registers a JSON-RPC implementation's class
+  * name; no source-class swap). The default is the deterministic
   * [[EvmFixtures]] chain simulator, so the whole ingest path — offsets,
   * ranges, restarts, checkpoints — is exercised for real with zero
   * network. Payload schema is one JSON string per packed block (the Kafka
@@ -99,11 +101,14 @@ class ChainSimTable extends Table with SupportsRead {
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val blocksPerBatch = options.getLong("blocksPerBatch", 10L)
     val maxNumber = options.getLong("maxNumber", 1000000L)
+    // S2/S3 seam: the node connector is an option-selected implementation
+    val fetcher = BlockFetcher.forOption(
+      options.getOrDefault("fetcher", "sim"), maxNumber)
     new ScanBuilder {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = ChainSimSource.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new ChainSimStream(blocksPerBatch, maxNumber)
+          new ChainSimStream(blocksPerBatch, maxNumber, fetcher)
       }
     }
   }
@@ -114,13 +119,14 @@ case class ChainOffset(next: Long) extends Offset {
   override def json(): String = next.toString
 }
 
-class ChainSimStream(blocksPerBatch: Long, maxNumber: Long) extends MicroBatchStream {
+class ChainSimStream(blocksPerBatch: Long, maxNumber: Long,
+    fetcher: BlockFetcher) extends MicroBatchStream {
   override def initialOffset(): Offset = ChainOffset(0L)
   override def deserializeOffset(json: String): Offset = ChainOffset(json.toLong)
   override def latestOffset(): Offset = ChainOffset(
-    // a real impl asks the node for the chain head here
-    math.min(currentHead + 1, maxNumber + 1))
-  private def currentHead: Long = maxNumber // simulator: whole chain available
+    // the connector reports the chain head ([[BlockFetcher.head]]);
+    // maxNumber bounds the stream for finite test runs
+    math.min(fetcher.head() + 1, maxNumber + 1))
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
@@ -133,7 +139,8 @@ class ChainSimStream(blocksPerBatch: Long, maxNumber: Long) extends MicroBatchSt
       ChainRangePartition(s, math.min(s + blocksPerBatch, hi)): InputPartition).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val f = fetcher // serializable config captured into the factory closure
     (partition: InputPartition) => {
       val p = partition.asInstanceOf[ChainRangePartition]
       new PartitionReader[InternalRow] {
@@ -141,11 +148,12 @@ class ChainSimStream(blocksPerBatch: Long, maxNumber: Long) extends MicroBatchSt
         private var row: InternalRow = _
         override def next(): Boolean = {
           n += 1
-          while (n < p.until && ChainSimSource.fetchBlock(n).isEmpty) n += 1
+          var fetched: Option[graft.schema.Model.PackedBlock] = None
+          while (n < p.until && { fetched = f.fetchBlock(n); fetched.isEmpty }) n += 1
           if (n >= p.until) false
           else {
             row = InternalRow(UTF8String.fromString(
-              ChainSimSource.toJson(ChainSimSource.fetchBlock(n).get)))
+              ChainSimSource.toJson(fetched.get)))
             true
           }
         }
@@ -153,6 +161,7 @@ class ChainSimStream(blocksPerBatch: Long, maxNumber: Long) extends MicroBatchSt
         override def close(): Unit = ()
       }
     }
+  }
 }
 
 case class ChainRangePartition(from: Long, until: Long) extends InputPartition

@@ -42,4 +42,35 @@ class ChainSimSourceSpec extends SparkSpec {
       assert(store.hot.count() > 0 && store.confirmed("blocks").count() > 0)
     } finally query.stop()
   }
+
+  test("fetcher option swaps the node connector without touching the source") {
+    val root = Files.createTempDirectory("graft-chainfetch").toString
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val packedStream = spark.readStream
+      .format(classOf[ChainSimSource].getName)
+      .option("blocksPerBatch", "10")
+      .option("maxNumber", "50")
+      .option("fetcher", classOf[TruncatedFetcher].getName)
+      .load()
+      .select(from_json(col("value"), Schemas.packedBlock).as("p"))
+      .select("p.block.number")
+    val query = packedStream.writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= df.collect().map(_.getLong(0)); ()
+      }.start()
+    try query.processAllAvailable() finally query.stop()
+    // the custom fetcher reports head 7 and serves only even blocks:
+    // the stream honored BOTH halves of the connector contract
+    assert(got.toSet === (0L to 7L).filter(_ % 2 == 0).toSet)
+  }
+}
+
+/** A deliberately-odd [[graft.streaming.BlockFetcher]]: short head, holes
+  * on odd numbers — proves the stream takes head AND block content from
+  * the option-selected connector, not from the built-in simulator. */
+class TruncatedFetcher extends graft.streaming.BlockFetcher {
+  override def head(): Long = 7L
+  override def fetchBlock(n: Long): Option[graft.schema.Model.PackedBlock] =
+    if (n % 2 == 0) ChainSimSource.fetchBlock(n) else None
 }

@@ -157,6 +157,80 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getStruct(1) === r.getStruct(2))
   }
 
+  test("AvHeader: WAV chunk walk — rate, channels, declared-size duration") {
+    import java.nio.ByteBuffer
+    import java.nio.ByteOrder.LITTLE_ENDIAN
+    def wav(sr: Int, ch: Int, dataSize: Int, junkChunk: Boolean): Array[Byte] = {
+      val bb = ByteBuffer.allocate(128).order(LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(36 + dataSize).put("WAVE".getBytes)
+      if (junkChunk) // a LIST chunk before fmt: the walk must skip it
+        bb.put("LIST".getBytes).putInt(4).put("INFO".getBytes)
+      bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(ch.toShort)
+        .putInt(sr).putInt(sr * ch * 2).putShort((ch * 2).toShort).putShort(16)
+      bb.put("data".getBytes).putInt(dataSize)
+      java.util.Arrays.copyOf(bb.array(), bb.position())
+    }
+    val m = pipeline.AvHeader.parse(wav(44100, 2, 44100 * 4 * 3 + 7, junkChunk = false)).get
+    assert((m.container, m.sampleRate, m.channels, m.durationS) === ("wav", 44100, 2, 3))
+    val j = pipeline.AvHeader.parse(wav(16000, 1, 16000 * 2 * 5, junkChunk = true)).get
+    assert((j.sampleRate, j.channels, j.durationS) === (16000, 1, 5))
+    // not a container: RIFF without WAVE, truncated RIFF, text bytes
+    assert(pipeline.AvHeader.parse("RIFFxxxxAVI LIST".getBytes).isEmpty)
+    assert(pipeline.AvHeader.parse("RIFF".getBytes).isEmpty)
+    assert(pipeline.AvHeader.parse((0.toByte +: "some document text".getBytes).toArray).isEmpty)
+  }
+
+  test("AvHeader: MP4 box walk — mvhd duration, tkhd 16.16 dims, v1 fields") {
+    import java.nio.ByteBuffer
+    def mp4(ts: Int, dur: Long, w: Int, h: Int, v1: Boolean): Array[Byte] = {
+      val bb = ByteBuffer.allocate(512) // big-endian by default
+      bb.put(Array[Byte](0, 0, 0, 16)).put("ftyp".getBytes)
+        .put("isom".getBytes).putInt(512)
+      val mvhdSz = if (v1) 120 else 108
+      val tkhdSz = if (v1) 104 else 92
+      bb.putInt(8 + mvhdSz + 8 + tkhdSz).put("moov".getBytes)
+      bb.putInt(mvhdSz).put("mvhd".getBytes)
+      if (v1) bb.putInt(0x01000000).putLong(0L).putLong(0L).putInt(ts).putLong(dur)
+      else bb.putInt(0).putInt(0).putInt(0).putInt(ts).putInt(dur.toInt)
+      bb.putInt(0x00010000).putShort(0x0100.toShort).put(new Array[Byte](10))
+        .put(new Array[Byte](36)).put(new Array[Byte](24)).putInt(2)
+      bb.putInt(8 + tkhdSz).put("trak".getBytes)
+      bb.putInt(tkhdSz).put("tkhd".getBytes)
+      if (v1) bb.putInt(0x01000007).putLong(0L).putLong(0L).putInt(1).putInt(0).putLong(dur)
+      else bb.putInt(7).putInt(0).putInt(0).putInt(1).putInt(0).putInt(dur.toInt)
+      bb.put(new Array[Byte](8)).put(new Array[Byte](8)).put(new Array[Byte](36))
+        .putInt(w << 16).putInt(h << 16)
+      java.util.Arrays.copyOf(bb.array(), bb.position())
+    }
+    val m0 = pipeline.AvHeader.parse(mp4(90000, 90000L * 42 + 123, 1920, 1080, v1 = false)).get
+    assert((m0.container, m0.durationS, m0.width, m0.height) === ("mp4", 42, 1920, 1080))
+    val m1 = pipeline.AvHeader.parse(mp4(600, 600L * 7, 640, 360, v1 = true)).get
+    assert((m1.durationS, m1.width, m1.height) === (7, 640, 360))
+    // a box declaring a size past the buffer is structurally broken
+    val broken = mp4(600, 600L, 64, 64, v1 = false)
+    broken(3) = 0x7f.toByte // ftyp size → huge
+    assert(pipeline.AvHeader.parse(broken).isEmpty)
+    assert(pipeline.AvHeader.parse("not an mp4 at all, truly".getBytes).isEmpty)
+  }
+
+  test("decodeMeta: real WAV/MP4 containers beat the stub; text stays stubbed") {
+    import java.nio.ByteBuffer
+    import java.nio.ByteOrder.LITTLE_ENDIAN
+    val bb = ByteBuffer.allocate(64).order(LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + 32000).put("WAVE".getBytes)
+      .put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(16000).putInt(32000).putShort(2).putShort(16)
+      .put("data".getBytes).putInt(32000)
+    val wavBytes = java.util.Arrays.copyOf(bb.array(), bb.position())
+    import spark.implicits._
+    val df = Seq(("audio", wavBytes), ("audio", Array[Byte](0, 65, 66)))
+      .toDF("kind", "bytes")
+      .select(Multimodal.decodeMeta(col("kind"), col("bytes")).as("m"))
+    val rows = df.select(col("m.sample_rate"), col("m.duration_s")).collect()
+    assert((rows(0).getInt(0), rows(0).getInt(1)) === (16000, 1)) // real parse
+    assert(rows(1).getInt(0) === 16000 || rows(1).getInt(0) === 32000 || rows(1).getInt(0) === 48000)
+  }
+
   test("extractFeaturesStub: one feature row per media row, deterministic") {
     implicit val s = spark
     val feats = Multimodal.extractFeaturesStub(media, batchSize = 16).collect()
