@@ -464,6 +464,51 @@ object EvmQueries {
       .orderBy(col("hash"))
   }
 
+  /** F11 keccak-256 against PUBLISHED known-answer vectors (Ethereum's
+    * pre-NIST padding): digests computed fully in-engine by the codegen'd
+    * [[graft.functions.Keccak.Keccak256]] expression, plus the
+    * pubkey→address composition over the secp256k1 generator point's
+    * uncompressed bytes (the private-key-1 address). The oracle is the
+    * published constants themselves — external truth, not a replay, which
+    * is what makes keccak gate-checkable at all (DuckDB has no keccak). */
+  private def fKeccakVectors(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // SEC 2 §2.4.1 generator coordinates — the private-key-1 public key
+    val gPub = "04" +
+      "79be667ef9dcbbac55a06295ce870b07029bfcdb2dce28d959f2815b16f81798" +
+      "483ada7726a3c4655da4fbfc0e1108a8fd17b448a68554199c47d08ffb10d4b8"
+    Seq("", "abc", "testing", "hello",
+        "The quick brown fox jumps over the lazy dog").toDF("input_utf8")
+      .select(col("input_utf8"),
+        lower(hex(F.keccak256(encode(col("input_utf8"), "UTF-8")))).as("keccak_hex"),
+        F.publicKeyToAddress(unhex(lit(gPub))).as("g_address"))
+      .orderBy(col("input_utf8"))
+  }
+
+  /** F13 sender recovery against the EIP-155 worked example: the spec's
+    * published signing hash, signed with the spec's private key
+    * (0x4646…46) under a fixed nonce — r/s/recId derived once by
+    * independent integer arithmetic outside this codebase — recovered
+    * fully in-engine by the codegen'd ecrecover expression and composed
+    * through pubkey→address. The oracle is the spec's published sender
+    * address; a zeroed r is the negative control (null recovery). */
+  private def fEcrecoverVector(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TxSender
+    val sigHash = unhex(lit(
+      "daf5a779ae972f972197303d7b574746c7ef83eadac0f2791ad23db92e4c8e53"))
+    val r = unhex(lit(
+      "b9cb4e655f1c6cc4f61209130f967ee4fe27aef2d8a5506f350c7c5b8dcdd4d2"))
+    val sv = unhex(lit(
+      "167ab77e1dad0b4a833158789fb7e131b6088b17371e7ab1ae224c61b6801854"))
+    Seq(1).toDF("one").select(
+      F.publicKeyToAddress(
+        TxSender.ecrecover(sigHash, r, sv, lit(0))).as("sender"),
+      F.publicKeyToAddress(
+        TxSender.ecrecover(sigHash, unhex(lit("00" * 32)), sv, lit(0)))
+        .as("invalid_r_sender"))
+  }
+
   // ===== §2.1 ingest normalization (S4/ST5) ==============================
 
   /** S4/ST5: packed-block explode-normalize, transactions leg
@@ -616,6 +661,8 @@ object EvmQueries {
     "ev_f_uint256_sum_full" -> (fUint256SumFull _),
     "ev_f_tx_json" -> (fTxJson _),
     "ev_f_codec_shapes" -> (fCodecShapes _),
+    "ev_f_keccak_vectors" -> (fKeccakVectors _),
+    "ev_f_ecrecover_vector" -> (fEcrecoverVector _),
     "ev_s4_packed_tx_explode" -> (s4PackedTxs _),
     "ev_s4_packed_event_explode" -> (s4PackedEvents _),
     "ev_s7_upsert_compaction" -> (s7UpsertCompaction _),
@@ -832,6 +879,27 @@ object EvmQueries {
           blockhash AS sig_s,
           nonce % 2 AS sig_v
           FROM $txsT ORDER BY hash""",
+    // F11/F13: published known-answer constants (Keccak-256 KATs, the
+    // private-key-1 address, the EIP-155 worked example's sender) — the
+    // oracle is external truth, since DuckDB has neither keccak nor
+    // secp256k1
+    "ev_f_keccak_vectors" ->
+      """SELECT * FROM (VALUES
+           ('', 'c5d2460186f7233c927e7db2dcc703c0e500b653ca82273b7bfad8045d85a470',
+            '0x7e5f4552091a69125d5dfcb7b8c2659029395bdf'),
+           ('The quick brown fox jumps over the lazy dog',
+            '4d741b6f1eb29cb2a9b9911c82f56fa8d73b04959d3d9d222895df6c0b28aa15',
+            '0x7e5f4552091a69125d5dfcb7b8c2659029395bdf'),
+           ('abc', '4e03657aea45a94fc7d47ba826c8d667c0d1e6e33a64a036ec44f58fa12d6c45',
+            '0x7e5f4552091a69125d5dfcb7b8c2659029395bdf'),
+           ('hello', '1c8aff950685c2ed4bc3174f3472287b56d9517b9c948127319a09a7a36deac8',
+            '0x7e5f4552091a69125d5dfcb7b8c2659029395bdf'),
+           ('testing', '5f16f4c7f149ac4f9510d9cf8cf384038ad348b3bcdc01915f95de12df9d1b02',
+            '0x7e5f4552091a69125d5dfcb7b8c2659029395bdf')
+         ) AS t(input_utf8, keccak_hex, g_address) ORDER BY input_utf8""",
+    "ev_f_ecrecover_vector" ->
+      """SELECT '0x9d8a62f656a8d1615c1294fd71e9cfb3e4855a4f' AS sender,
+                CAST(NULL AS VARCHAR) AS invalid_r_sender""",
     // S4/ST5 cross-engine explode: DuckDB unnests the nested parquet itself
     "ev_s4_packed_tx_explode" ->
       s"""SELECT ${txApiSql()} FROM (
