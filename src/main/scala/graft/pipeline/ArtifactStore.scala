@@ -131,9 +131,17 @@ object ArtifactStore {
     val basePath = Paths.get(s"$dir/seg_base")
     sourceFile.foreach { src =>
       val s = Paths.get(src)
+      // the staleness reference is the OLDEST committed segment (the
+      // base, or the compacted segment that replaced it): appends never
+      // touch it, so they cannot mask a regeneration the way the
+      // manifest's mtime would; compaction rewrites current state and
+      // legitimately refreshes it
       val stale = Files.exists(s) && Files.exists(manifest) &&
-        (!Files.exists(basePath) || // manifest without base: torn state
-          Files.getLastModifiedTime(s).compareTo(Files.getLastModifiedTime(basePath)) > 0)
+        listSegments(dir).headOption.forall { seg =>
+          val p = Paths.get(s"$dir/$seg")
+          !Files.exists(p) || // manifest without its segment: torn state
+            Files.getLastModifiedTime(s).compareTo(Files.getLastModifiedTime(p)) > 0
+        }
       if (stale)
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
@@ -185,5 +193,27 @@ object ArtifactStore {
     val segs = listSegments(dir)
     require(segs.nonEmpty, s"segmented artifact $dir has no committed segments")
     spark.read.parquet(segs.map(s => s"$dir/$s"): _*)
+  }
+
+  /** Fold all committed segments into one — the small-files
+    * countermeasure a long-appending artifact needs (the analog of the
+    * block store's confirmed-tier compaction). SINGLE-WRITER like
+    * appends. The compacted data lands as a new `seg_*` written to a
+    * staging dir first, then ONE manifest swap makes it the only
+    * committed segment; readers see either the old segment list or the
+    * compacted one, never a mix. The replaced segments become
+    * unmanifested orphans, swept by the next writer operation. Returns
+    * the number of segments folded (0 = already compact). */
+  def compactSegments(spark: SparkSession, root: String, key: String): Int = {
+    val dir = s"$root/$key"
+    val before = listSegments(dir)
+    if (before.size <= 1) return 0
+    val name = s"seg_${java.util.UUID.randomUUID()}"
+    val tmp = s"$dir/__seg_$name"
+    readSegmented(spark, root, key).write.mode("overwrite").parquet(tmp)
+    Files.move(Paths.get(tmp), Paths.get(s"$dir/$name"))
+    writeManifest(dir, Seq(name))
+    recoverSegments(dir) // sweep the replaced segments now
+    before.size
   }
 }

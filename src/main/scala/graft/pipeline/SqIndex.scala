@@ -52,6 +52,39 @@ object SqIndex {
     }
   }
 
+  private def segKey(corpusDir: String, variant: String) =
+    s"sq8seg_${Paths.get(corpusDir).getFileName}_${variant}_v$FormatVersion"
+
+  /** Segmented flat codes for INCREMENTAL maintenance: quantization is
+    * per-row pure (codes depend only on the vector), so each ingest
+    * batch quantizes only ITS vectors and commits one delta segment
+    * through the fsynced manifest swap — O(batch) work per micro-batch,
+    * with base ∪ deltas bit-identical to a full rebuild (spec-pinned).
+    * Compact periodically with [[ArtifactStore.compactSegments]]. */
+  def ensureSegmented(spark: SparkSession, corpusDir: String,
+      baseEmb: DataFrame, embCol: String, idCol: String, variant: String,
+      artifactRootOverride: Option[String] = None): DataFrame =
+    ArtifactStore.ensureSegmented(spark,
+      artifactRootOverride.getOrElse(artifactRoot(spark)),
+      segKey(corpusDir, variant),
+      sourceFile = Some(s"$corpusDir/embeddings.parquet")) { tmp =>
+      Quantize.withQuantizedPacked(baseEmb.select(col(idCol), col(embCol)), embCol)
+        .select(col(idCol), col("codes"), col("scale"))
+        .write.mode("overwrite").parquet(tmp)
+    }
+
+  /** Append codes for NEW vectors to the segmented artifact. */
+  def append(spark: SparkSession, corpusDir: String, newEmb: DataFrame,
+      embCol: String, idCol: String, variant: String,
+      artifactRootOverride: Option[String] = None): Unit =
+    ArtifactStore.appendSegment(spark,
+      artifactRootOverride.getOrElse(artifactRoot(spark)),
+      segKey(corpusDir, variant)) { tmp =>
+      Quantize.withQuantizedPacked(newEmb.select(col(idCol), col(embCol)), embCol)
+        .select(col(idCol), col("codes"), col("scale"))
+        .write.mode("overwrite").parquet(tmp)
+    }
+
   /** Persisted IVF-partitioned codes `(idCol, codes, scale, c_id)` —
     * quantized from the persisted [[IvfIndex.ensure]] assignment (built
     * first if missing) and laid out by centroid id so a probed query

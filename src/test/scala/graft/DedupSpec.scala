@@ -198,6 +198,33 @@ class DedupSpec extends SparkSpec {
     assert(again === full)
   }
 
+  test("compactSegments: base+deltas fold to one segment, readers unchanged, orphans swept") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_seg_cmp").toString
+    val key = "compact_spec"
+    def build(lo: Int, hi: Int)(tmp: String): Unit =
+      (lo to hi).map(i => (i.toLong, s"row$i")).toDF("id", "v").write.parquet(tmp)
+    graft.pipeline.ArtifactStore.ensureSegmented(spark, root, key)(build(1, 10))
+    graft.pipeline.ArtifactStore.appendSegment(spark, root, key)(build(11, 20))
+    graft.pipeline.ArtifactStore.appendSegment(spark, root, key)(build(21, 30))
+    def rows() = graft.pipeline.ArtifactStore.readSegmented(spark, root, key)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val before = rows()
+    assert(before === (1L to 30L))
+    assert(graft.pipeline.ArtifactStore.compactSegments(spark, root, key) === 3)
+    assert(rows() === before)
+    // exactly one committed segment left, replaced dirs swept
+    val segDirs = new java.io.File(s"$root/$key").list().filter(_.startsWith("seg_"))
+    assert(segDirs.length === 1)
+    assert(graft.pipeline.ArtifactStore.compactSegments(spark, root, key) === 0)
+    // appends continue normally on the compacted artifact
+    graft.pipeline.ArtifactStore.appendSegment(spark, root, key)(build(31, 35))
+    assert(rows() === (1L to 35L))
+    // ensureSegmented stays a pure read (a rebuild would inject the marker)
+    val again = graft.pipeline.ArtifactStore.ensureSegmented(spark, root, key)(build(90, 99))
+    assert(again.collect().map(_.getLong(0)).sorted.toSeq === (1L to 35L))
+  }
+
   test("segmented staleness keys off the base build — appends don't mask a regenerated corpus") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_seg_stale").toString

@@ -91,6 +91,26 @@ class QuantizeSpec extends SparkSpec {
     assert(edge.toSeq === Seq((11L, 11L), (null, null), (null, null)))
   }
 
+  test("SqIndex segmented: base ∪ appended delta ≡ full quantization, bit for bit") {
+    val root = java.nio.file.Files.createTempDirectory("graft-sqseg-").toString
+    val emb = Tables.embeddings(spark, sf0001)
+    val base = emb.filter(col("vec_id") < 300)
+    val delta = emb.filter(col("vec_id") >= 300)
+    pipeline.SqIndex.ensureSegmented(spark, sf0001, base, "embedding",
+      "vec_id", variant = "segspec", artifactRootOverride = Some(root))
+    pipeline.SqIndex.append(spark, sf0001, delta, "embedding",
+      "vec_id", variant = "segspec", artifactRootOverride = Some(root))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq, r.getDouble(2))).toSeq
+    val segmented = rows(pipeline.SqIndex.ensureSegmented(spark, sf0001, base,
+      "embedding", "vec_id", variant = "segspec", artifactRootOverride = Some(root)))
+    val full = rows(Quantize.withQuantizedPacked(
+        emb.select(col("vec_id"), col("embedding")), "embedding")
+      .select(col("vec_id"), col("codes"), col("scale")))
+    assert(segmented === full)
+  }
+
   test("SqIndex: persisted codes ≡ in-plan quantization; indexed IVF-SQ8 ≡ inline") {
     val root = java.nio.file.Files.createTempDirectory("graft-sq-").toString
     val emb = Tables.embeddings(spark, sf0001)
