@@ -62,5 +62,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot_int8"),
       info("vec_dot_int8", "vec_dot_int8(a, b) - exact integer dot product of two packed-byte code columns"),
       (args: Seq[Expression]) => graft.pipeline.Quantize.VecDotInt8(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("pq_adc"),
+      info("pq_adc", "pq_adc(codes, lut, kk) - ADC sum over packed PQ codes against a per-query lookup table"),
+      (args: Seq[Expression]) => graft.pipeline.Pq.PqAdc(args(0), args(1), args(2))))
   }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
 import graft.Tables
-import graft.pipeline.{Curation, Dedup, DedupIndex, IvfIndex, LshIndex, Multimodal, PostingsIndex, Quantize, Similarity, TextAnalysis => TA}
+import graft.pipeline.{Curation, Dedup, DedupIndex, IvfIndex, LshIndex, Multimodal, PostingsIndex, Pq, PqIndex, Quantize, Similarity, TextAnalysis => TA}
 
 /** Training-data-pipeline operators (dedup / similarity / text analysis /
   * multimodal) registered against the driver's `documents` / `embeddings`
@@ -318,6 +318,42 @@ object PipelineQueries {
           col("int_dot")).as("score"))
       .orderBy(col("score").desc, col("vec_id"))
       .limit(20)
+  }
+
+  /** S7: product-quantized ANN top-20 ([[Pq]]) — ADC over the PERSISTED
+    * PQ index ([[PqIndex.ensure]]: 8 subspaces × 16 stride-sampled
+    * codewords, one byte per subspace → 8-byte codes, 32× under
+    * float32). The query builds the 8×16 ADC table from the persisted
+    * codebook (one tiny broadcast, no driver collect) and scores each
+    * vector with 8 table lookups via the codegen'd `pq_adc` — the scan
+    * touches NO float vectors. Codebook sampling, Euclidean encoding
+    * (staged self-dots, ties to lowest codeword), and the subspace-
+    * ordered ADC fold are all deterministic, so the DuckDB oracle
+    * re-derives codebook → codes → LUT → scores and hash-matches. */
+  private def s7Pq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val codes = PqIndex.ensure(s, dir, emb, "embedding", "vec_id")
+    val cb = PqIndex.ensureCodebook(s, dir, emb, "embedding", "vec_id")
+    Pq.pqTopK(codes.filter(col("vec_id") =!= 0), "vec_id", cb,
+      emb.filter(col("vec_id") === 0).select("embedding"), "embedding",
+      k = 20, ds = 8)
+  }
+
+  /** S8: IVF-PQ — the faiss composition for billion-vector search:
+    * probe the top-4 coarse buckets (the S4 stride-25 centroids), then
+    * ADC-rank only the probed buckets' PERSISTED 8-byte codes
+    * ([[PqIndex.ensureIvf]], partitioned by centroid id). Non-residual
+    * flavor: codes quantize raw vectors, so flat-PQ and IVF-PQ agree
+    * exactly on shared candidates (spec-pinned at nprobe = #centroids).
+    * The oracle chains the S4 probe replay with the S7 code replay. */
+  private def s8IvfPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val codes = PqIndex.ensureIvf(s, dir, emb, "embedding", "vec_id")
+    val cb = PqIndex.ensureCodebook(s, dir, emb, "embedding", "vec_id")
+    Pq.ivfPqTopK(codes.filter(col("vec_id") =!= 0), "vec_id", cb,
+      IvfIndex.ensureCentroids(s, dir, emb, "embedding", "vec_id"),
+      emb.filter(col("vec_id") === 0).select("embedding"), "embedding",
+      k = 20, nprobe = 4, ds = 8)
   }
 
   /** E1: embedding near-dup pairs over the persisted 3-table signature
@@ -649,6 +685,8 @@ object PipelineQueries {
     "p_s4_ivf_ann_topk" -> (s4 _),
     "p_s5_quantized_topk" -> (s5Quantized _),
     "p_s6_ivf_sq_topk" -> (s6IvfSq _),
+    "p_s7_pq_adc_topk" -> (s7Pq _),
+    "p_s8_ivf_pq_topk" -> (s8IvfPq _),
     "p_e1_embedding_neardup" -> (e1 _),
     "p_t1_text_stats" -> (t1 _),
     "p_t2_vocab_head" -> (t2vocab _),
@@ -673,6 +711,40 @@ object PipelineQueries {
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
 
   private def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
+
+  /** DuckDB replay of the full PQ derivation chain ([[Pq]], default
+    * geometry: 8 subspaces × 8 dims, 16 codewords sampled at stride 7):
+    * codebook from the corpus, Euclidean codes (staged self-dots, the
+    * exact `vdot − 2·dot + cdot` expression order, ties to lowest j),
+    * query ADC table — every float op the same sequential-fold double
+    * arithmetic the Spark side generates. Yields CTEs `cbd`, `pqcodes`,
+    * `q`, `lut` for the final scoring SELECT. */
+  private def pqReplaySql: String =
+    s"""cb AS (
+         SELECT m, CAST(vec_id // 7 AS BIGINT) AS j,
+                embedding[m*8+1 : m*8+8] AS c_sub
+         FROM embeddings, range(0, 8) t(m)
+         WHERE vec_id % 7 = 0 AND vec_id < 112),
+       cbd AS (SELECT m, j, c_sub, ${dotSql("c_sub", "c_sub")} AS cdot FROM cb),
+       subs AS (
+         SELECT vec_id, m, embedding[m*8+1 : m*8+8] AS v_sub
+         FROM embeddings, range(0, 8) t(m)),
+       subd AS (SELECT vec_id, m, v_sub, ${dotSql("v_sub", "v_sub")} AS vdot
+                FROM subs),
+       dist AS (
+         SELECT s.vec_id, s.m, c.j,
+                s.vdot - 2.0 * ${dotSql("s.v_sub", "c.c_sub")} + c.cdot AS d2
+         FROM subd s JOIN cbd c USING (m)),
+       pqcodes AS (
+         SELECT vec_id, m, j FROM (
+           SELECT vec_id, m, j, row_number() OVER (
+             PARTITION BY vec_id, m ORDER BY d2, j) AS rn FROM dist)
+         WHERE rn = 1),
+       q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       lut AS (
+         SELECT c.m, c.j,
+                ${dotSql("(qe[c.m*8+1 : c.m*8+8])", "c.c_sub")} AS pdot
+         FROM cbd c, q)"""
 
   /** The seeded hyperplanes of [[Similarity.hyperplanes]] as a VALUES
     * list `(t, p, vec)` — float literals printed as their exact double
@@ -999,6 +1071,36 @@ object PipelineQueries {
           SELECT vec_id, int_dot,
                  q_scale * scale * CAST(int_dot AS DOUBLE) AS score
           FROM scored ORDER BY score DESC, vec_id LIMIT 20"""),
+    "p_s7_pq_adc_topk" ->
+      (s"""WITH $pqReplaySql
+          SELECT p.vec_id, list_sum(list(l.pdot ORDER BY p.m)) AS score
+          FROM pqcodes p JOIN lut l ON p.m = l.m AND p.j = l.j
+          WHERE p.vec_id <> 0
+          GROUP BY p.vec_id
+          ORDER BY score DESC, vec_id LIMIT 20"""),
+    "p_s8_ivf_pq_topk" ->
+      (s"""WITH $pqReplaySql,
+          cent AS (SELECT vec_id AS c_id, embedding AS c_emb,
+                ${normSql("embedding")} AS c_n
+              FROM embeddings WHERE vec_id % 25 = 0),
+          e AS (SELECT vec_id, embedding, ${normSql("embedding")} AS e_n
+                FROM embeddings),
+          assigned AS (SELECT vec_id, c_id FROM (
+            SELECT e.vec_id, c.c_id,
+              row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                ${dotSql("e.embedding", "c.c_emb")} / (e.e_n * c.c_n) DESC,
+                c.c_id) AS rn
+            FROM e, cent c) WHERE rn = 1),
+          probed AS (SELECT c_id FROM cent, q
+                     ORDER BY ${dotSql("c_emb", "qe")} / (c_n * ${normSql("qe")}) DESC, c_id
+                     LIMIT 4),
+          cand AS (SELECT a.vec_id FROM assigned a JOIN probed USING (c_id)
+                   WHERE a.vec_id <> 0)
+          SELECT p.vec_id, list_sum(list(l.pdot ORDER BY p.m)) AS score
+          FROM pqcodes p JOIN cand USING (vec_id)
+          JOIN lut l ON p.m = l.m AND p.j = l.j
+          GROUP BY p.vec_id
+          ORDER BY score DESC, vec_id LIMIT 20"""),
     "p_s2_nearest_neighbor" ->
       ("""SELECT probe_id, neighbor_id, score FROM (
             SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,

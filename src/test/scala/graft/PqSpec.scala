@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{IvfIndex, Pq, PqIndex, Similarity}
+
+/** Product quantization: code geometry and determinism, persisted ≡
+  * inline, IVF-PQ degradation to flat PQ, ADC ranking fidelity, and
+  * Lloyd training improving quantization error over the stride init. */
+class PqSpec extends SparkSpec {
+
+  private val M = 8
+  private val DS = 8
+
+  private def emb = Tables.embeddings(spark, sf0001)
+  private def cb = Pq.strideCodebook(emb, "embedding", "vec_id", M, DS, 16, 7)
+
+  test("codes: one byte per subspace, every code inside the codebook") {
+    val codes = Pq.codesOf(emb, "embedding", "vec_id", cb, M, DS)
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    assert(codes.length === emb.count())
+    for ((id, c) <- codes) {
+      assert(c.length === M, s"vec $id: ${c.length} bytes")
+      assert(c.forall(b => b >= 0 && b < 16), s"vec $id: code outside [0,16)")
+    }
+  }
+
+  test("codes are deterministic under repartitioning") {
+    def run(e: org.apache.spark.sql.DataFrame) =
+      Pq.codesOf(e, "embedding", "vec_id", cb, M, DS)
+        .orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).toSeq
+    assert(run(emb) === run(emb.repartition(7)))
+  }
+
+  test("persisted index ≡ inline derivation, bit for bit; warm read skips the build") {
+    val root = java.nio.file.Files.createTempDirectory("graft-pq-").toString
+    def persisted() = PqIndex.ensure(spark, sf0001, emb, "embedding", "vec_id",
+        artifactRootOverride = Some(root))
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).toSeq
+    val first = persisted()
+    val inline = Pq.codesOf(emb, "embedding", "vec_id", cb, M, DS)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).toSeq
+    assert(first === inline)
+    assert(persisted() === first) // warm read returns the same artifact
+  }
+
+  test("IVF-PQ with nprobe = #centroids degrades exactly to flat PQ") {
+    val root = java.nio.file.Files.createTempDirectory("graft-pq-ivf-").toString
+    val ivfRoot = java.nio.file.Files.createTempDirectory("graft-pq-ivf2-").toString
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+    val cents = IvfIndex.ensureCentroids(spark, sf0001, emb, "embedding", "vec_id",
+      artifactRootOverride = Some(ivfRoot))
+    val nCents = cents.count().toInt
+    val ivfCodes = PqIndex.ensureIvf(spark, sf0001, emb, "embedding", "vec_id",
+      artifactRootOverride = Some(root), ivfArtifactRootOverride = Some(ivfRoot))
+    val codebook = PqIndex.ensureCodebook(spark, sf0001, emb, "embedding", "vec_id",
+      artifactRootOverride = Some(root))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val flat = rows(Pq.pqTopK(
+      PqIndex.ensure(spark, sf0001, emb, "embedding", "vec_id",
+        artifactRootOverride = Some(root)).filter(col("vec_id") =!= 0),
+      "vec_id", codebook, q, "embedding", k = 20, ds = DS))
+    val ivf = rows(Pq.ivfPqTopK(ivfCodes.filter(col("vec_id") =!= 0),
+      "vec_id", codebook, cents, q, "embedding", k = 20, nprobe = nCents, ds = DS))
+    assert(ivf === flat)
+  }
+
+  test("ADC scores track the exact dot; planted near-neighbors retrieved") {
+    // The fixture embeddings are near-random (no cluster structure), so
+    // set-overlap@20 against densely-bunched exact scores is the wrong
+    // yardstick for a 16-codeword codebook. What PQ guarantees is (a)
+    // the ADC score approximates the exact dot, and (b) genuinely-near
+    // vectors still surface. Assert both.
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+    // (b)'s planted neighbors: damped copies of the query, ids 9001-9005
+    val planted = (1 to 5).map { i =>
+      emb.filter(col("vec_id") === 0)
+        .select(lit(9000L + i).as("vec_id"),
+          transform(col("embedding"),
+            x => (x * (lit(1.0f) - lit(i / 100.0f))).cast("float")).as("embedding"),
+          col("label"))
+    }.reduce(_ union _)
+    val corpus = emb.union(planted)
+    val scored = Pq.codesOf(corpus, "embedding", "vec_id", cb, M, DS)
+      .filter(col("vec_id") =!= 0)
+      .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .crossJoin(broadcast(
+        Pq.adcLut(cb, q, "embedding", DS).crossJoin(
+          q.select(col("embedding").as("__q")))))
+      .select(col("vec_id"),
+        Pq.adcScore(col("codes"), col("lut"), col("kk")).as("adc"),
+        Similarity.dot(col("embedding"), col("__q")).as("exact"))
+    // (a) score fidelity: strong linear association corpus-wide
+    val r = scored.agg(corr(col("adc"), col("exact"))).head.getDouble(0)
+    assert(r >= 0.5, s"ADC/exact correlation too low: $r")
+    // (b) all five planted neighbors inside the ADC top-20
+    val top = Pq.pqTopK(
+      Pq.codesOf(corpus, "embedding", "vec_id", cb, M, DS).filter(col("vec_id") =!= 0),
+      "vec_id", cb, q, "embedding", k = 20, ds = DS)
+      .collect().map(_.getLong(0)).toSet
+    assert((9001L to 9005L).forall(top.contains),
+      s"planted neighbors missing from ADC top-20: $top")
+  }
+
+  test("Lloyd-trained codebook lowers quantization MSE vs the stride init") {
+    val trained = Pq.trainCodebook(emb, "embedding", "vec_id", M, DS,
+      k = 16, stride = 7, iters = 2)
+    val mseStride = Pq.quantizationMse(emb, "embedding", "vec_id", cb, M, DS)
+    val mseTrained = Pq.quantizationMse(emb, "embedding", "vec_id", trained, M, DS)
+    assert(mseTrained <= mseStride,
+      s"training worsened quantization: $mseTrained > $mseStride")
+    assert(trained.count() === M * 16L) // k stable through empty clusters
+  }
+
+  test("pq_adc null semantics: out-of-table code or short LUT → null") {
+    import spark.implicits._
+    val rows = Seq(
+      (Array[Byte](0, 1), Seq(1.0, 2.0, 3.0, 4.0), 2L),  // ok: 1.0 + 4.0
+      (Array[Byte](0, 3), Seq(1.0, 2.0, 3.0, 4.0), 2L),  // code 3 ≥ kk=2 → idx past
+      (Array[Byte](5), Seq(1.0, 2.0), 2L))               // idx 5 ≥ len → null
+      .toDF("codes", "lut", "kk")
+      .select(Pq.adcScore(col("codes"), col("lut"), col("kk")).as("s"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getDouble(0))
+    assert(rows(0) === 5.0)
+    assert(rows(1) === null)
+    assert(rows(2) === null)
+  }
+}
