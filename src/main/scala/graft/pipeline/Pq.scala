@@ -210,6 +210,27 @@ object Pq {
       .limit(k)
   }
 
+  /** Two-stage PQ retrieval — the standard coarse→refine shape: take the
+    * top `r` candidates by ADC over the code scan (floats untouched),
+    * then re-rank ONLY those `r` by exact cosine against their float
+    * vectors and keep the top `k`. The refine read is a broadcast
+    * semi-join of the r-row candidate list against the vector table —
+    * at scale that table is bucketed/sorted by id, so the fetch prunes
+    * to the candidates' buckets instead of scanning the corpus; the
+    * expensive full-corpus stage only ever touches m-byte codes. */
+  def pqTopKRerank(codes: DataFrame, idCol: String, codebook: DataFrame,
+      vectors: DataFrame, query: DataFrame, embCol: String, k: Int,
+      r: Int, ds: Int): DataFrame = {
+    val cand = pqTopK(codes, idCol, codebook, query, embCol, r, ds)
+      .select(idCol)
+    val q = broadcast(query.select(col(embCol).as("__q")))
+    vectors.join(broadcast(cand), Seq(idCol), "left_semi")
+      .crossJoin(q)
+      .select(col(idCol), Similarity.cosine(col(embCol), col("__q")).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** IVF-PQ: probe the top `nprobe` coarse buckets ([[IvfIndex]]
     * centroids, cosine-ranked like [[Similarity.ivfTopK]]), then ADC-rank
     * ONLY the probed buckets' codes. The probed scan reads m bytes per

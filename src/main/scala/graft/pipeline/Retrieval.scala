@@ -67,6 +67,50 @@ object Retrieval {
     scoreBm25(matched, dfs, dl.select("id", "dl"), idCol, k, k1, b)
   }
 
+  /** Integer-exact lexical ranking: matched documents ordered by
+    * (distinct matched terms desc, total matched tf desc, id) — the
+    * boolean-AND-ish retrieval core whose ordering is exact integer
+    * arithmetic, so an external engine replays it verbatim (unlike the
+    * BM25 float score, whose `ln` is pinned in-JVM). Returns
+    * `(idCol, rank)` for the top `k`. The ranking window spans only the
+    * match set (postings pruned to the query's terms), never the
+    * corpus. */
+  def termOverlapTopK(matched: DataFrame, idCol: String, k: Int): DataFrame = {
+    val agg = matched.groupBy("id")
+      .agg(countDistinct("term").as("__nm"), sum("tf").as("__tf"))
+    agg.select(col("id").as(idCol),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("__nm").desc, col("__tf").desc, col("id")))
+          .cast("long").as("rank"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of
+    * several ranked lists — the standard hybrid-retrieval combiner
+    * (lexical ∪ vector): score(d) = Σ_lists 1/(kConst + rank_d), docs
+    * absent from a list contribute nothing. Each input is an
+    * `(idCol, rank)` frame. Per-id contributions are folded in LIST
+    * order (collect → sort by list index → sequential fold), the same
+    * ordered-fold discipline as [[scoreBm25]], so fused scores are
+    * bit-deterministic and externally replayable. All frames are
+    * top-k-bounded, so every join/agg here is list-sized, not
+    * corpus-sized. */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, kConst: Int = 60,
+      k: Int = 20): DataFrame = {
+    val tagged = rankings.zipWithIndex.map { case (df, i) =>
+      df.select(col(idCol), lit(i).as("__src"), col("rank").cast("long").as("__r"))
+    }.reduce(_ unionByName _)
+    tagged.groupBy(idCol)
+      .agg(collect_list(struct(col("__src"), col("__r"))).as("__parts"))
+      .select(col(idCol),
+        aggregate(array_sort(col("__parts")), lit(0.0),
+          (acc, x) => acc + lit(1.0) /
+            (lit(kConst).cast(DoubleType) + x.getField("__r").cast(DoubleType)))
+          .as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** The Okapi scoring core shared by the on-the-fly and indexed paths.
     *
     * Determinism: the per-document score is a sum of per-term floats, so

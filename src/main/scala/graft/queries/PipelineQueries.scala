@@ -356,6 +356,49 @@ object PipelineQueries {
       k = 20, nprobe = 4, ds = 8)
   }
 
+  /** S9: two-stage PQ retrieval ([[Pq.pqTopKRerank]]) — ADC top-50 over
+    * the persisted 8-byte codes (the full-corpus stage touches no float
+    * vectors), then exact-cosine refine of ONLY those 50 against their
+    * float vectors, keeping the top-20. The oracle replays ADC → top-50
+    * → cosine rerank. */
+  private def s9PqRerank(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val codes = PqIndex.ensure(s, dir, emb, "embedding", "vec_id")
+    val cbk = PqIndex.ensureCodebook(s, dir, emb, "embedding", "vec_id")
+    Pq.pqTopKRerank(codes.filter(col("vec_id") =!= 0), "vec_id", cbk,
+      emb.select(col("vec_id"), col("embedding")),
+      emb.filter(col("vec_id") === 0).select("embedding"), "embedding",
+      k = 20, r = 50, ds = 8)
+  }
+
+  /** H1: hybrid retrieval — reciprocal-rank fusion
+    * ([[Retrieval.rrfFuse]], k=60) of the lexical and vector rankings
+    * for one query: the integer-exact term-overlap ranking over the
+    * persisted [[PostingsIndex]] postings (distinct-terms desc, tf
+    * desc — exactly replayable, unlike the in-JVM-pinned BM25 float
+    * score) fused with the PQ-ADC ranking over the persisted
+    * [[PqIndex]] codes (the fixtures pair `doc_id` with `vec_id`
+    * 1:1). Every frame past the two index scans is top-50-bounded;
+    * the fused score's per-document fold is list-ordered, so DuckDB
+    * replays rank lists and fusion bit-for-bit. */
+  private def h1Hybrid(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val terms = Seq("vector", "merge", "customer")
+    val post = PostingsIndex.ensurePostings(s, dir, docs, "doc_id", "text", "full")
+    val lex = graft.pipeline.Retrieval.termOverlapTopK(
+      PostingsIndex.prunedPostings(post, terms), "doc_id", k = 50)
+    val emb = Tables.embeddings(s, dir)
+    val codes = PqIndex.ensure(s, dir, emb, "embedding", "vec_id")
+    val cbk = PqIndex.ensureCodebook(s, dir, emb, "embedding", "vec_id")
+    val ann = Pq.pqTopK(codes.filter(col("vec_id") =!= 0), "vec_id", cbk,
+        emb.filter(col("vec_id") === 0).select("embedding"), "embedding",
+        k = 50, ds = 8)
+      .select(col("vec_id").as("doc_id"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("vec_id"))).cast("long").as("rank"))
+    graft.pipeline.Retrieval.rrfFuse(Seq(lex, ann), "doc_id", kConst = 60, k = 20)
+  }
+
   /** E1: embedding near-dup pairs over the persisted 3-table signature
     * index — candidates from exploding stored signatures, scores from
     * stored norms + one dot per deduped pair. Seeded plane literals again
@@ -687,6 +730,8 @@ object PipelineQueries {
     "p_s6_ivf_sq_topk" -> (s6IvfSq _),
     "p_s7_pq_adc_topk" -> (s7Pq _),
     "p_s8_ivf_pq_topk" -> (s8IvfPq _),
+    "p_s9_pq_rerank" -> (s9PqRerank _),
+    "p_h1_hybrid_rrf" -> (h1Hybrid _),
     "p_e1_embedding_neardup" -> (e1 _),
     "p_t1_text_stats" -> (t1 _),
     "p_t2_vocab_head" -> (t2vocab _),
@@ -1101,6 +1146,49 @@ object PipelineQueries {
           JOIN lut l ON p.m = l.m AND p.j = l.j
           GROUP BY p.vec_id
           ORDER BY score DESC, vec_id LIMIT 20"""),
+    "p_s9_pq_rerank" ->
+      (s"""WITH $pqReplaySql,
+          adc AS (SELECT p.vec_id, list_sum(list(l.pdot ORDER BY p.m)) AS score
+                  FROM pqcodes p JOIN lut l ON p.m = l.m AND p.j = l.j
+                  WHERE p.vec_id <> 0 GROUP BY p.vec_id),
+          cand AS (SELECT vec_id FROM (
+            SELECT vec_id, row_number() OVER (ORDER BY score DESC, vec_id) AS r
+            FROM adc) WHERE r <= 50)
+          SELECT e.vec_id,
+            ${dotSql("e.embedding", "qe")}
+              / (${normSql("e.embedding")} * ${normSql("qe")}) AS score
+          FROM embeddings e JOIN cand USING (vec_id), q
+          ORDER BY score DESC, vec_id LIMIT 20"""),
+    "p_h1_hybrid_rrf" ->
+      (s"""WITH $pqReplaySql,
+          adc AS (SELECT p.vec_id, list_sum(list(l.pdot ORDER BY p.m)) AS score
+                  FROM pqcodes p JOIN lut l ON p.m = l.m AND p.j = l.j
+                  WHERE p.vec_id <> 0 GROUP BY p.vec_id),
+          annrank AS (SELECT doc_id, r FROM (
+            SELECT vec_id AS doc_id,
+              CAST(row_number() OVER (ORDER BY score DESC, vec_id) AS BIGINT) AS r
+            FROM adc) WHERE r <= 50),
+          post AS (
+            SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents)
+            WHERE term <> '' GROUP BY term, doc_id),
+          agg AS (
+            SELECT doc_id, count(DISTINCT term) AS nm, sum(tf) AS tfs
+            FROM post WHERE term IN ('vector', 'merge', 'customer')
+            GROUP BY doc_id),
+          lexrank AS (SELECT doc_id, r FROM (
+            SELECT doc_id,
+              CAST(row_number() OVER (ORDER BY nm DESC, tfs DESC, doc_id) AS BIGINT) AS r
+            FROM agg) WHERE r <= 50),
+          contrib AS (
+            SELECT doc_id, 0 AS src, r FROM lexrank
+            UNION ALL SELECT doc_id, 1 AS src, r FROM annrank)
+          SELECT doc_id,
+            list_sum(list_transform(list(r ORDER BY src),
+              x -> 1.0 / (60.0 + CAST(x AS DOUBLE)))) AS score
+          FROM contrib GROUP BY doc_id
+          ORDER BY score DESC, doc_id LIMIT 20"""),
     "p_s2_nearest_neighbor" ->
       ("""SELECT probe_id, neighbor_id, score FROM (
             SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,

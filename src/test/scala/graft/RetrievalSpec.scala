@@ -57,6 +57,47 @@ class RetrievalSpec extends SparkSpec {
     assert(once === run(corpus.repartition(5)))
   }
 
+  test("termOverlapTopK ranks by (matched terms, tf, id); window spans the match set only") {
+    val ranked = Retrieval.termOverlapTopK(
+      Retrieval.postings(corpus, "doc_id", "text")
+        .filter(col("term").isin("join", "spark", "scan")),
+      "doc_id", k = 3).orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // doc1: 2 terms tf 4; doc3: 2 terms tf 3; doc4: 1 term tf 6; doc2 cut at k=3
+    assert(ranked.toSeq === Seq((1L, 1L), (3L, 2L), (4L, 3L)))
+  }
+
+  test("rrfFuse: hand-computed fusion, ordered fold, one-sided docs included") {
+    val lex = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("doc_id", "rank")
+    val ann = Seq((20L, 1L), (40L, 2L)).toDF("doc_id", "rank")
+    val got = Retrieval.rrfFuse(Seq(lex, ann), "doc_id", kConst = 60, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    def c(r: Long) = 1.0 / (60.0 + r)
+    val expected = Seq(
+      20L -> ((0.0 + c(2)) + c(1)), // lex first (src order), then ann
+      10L -> (0.0 + c(1)),
+      40L -> (0.0 + c(2)),
+      30L -> (0.0 + c(3))).sortBy { case (id, s) => (-s, id) }
+    assert(got === expected)
+  }
+
+  test("pqTopKRerank with r = corpus degrades to exact brute-force cosine") {
+    import graft.pipeline.{Pq, Similarity}
+    val emb = Tables.embeddings(spark, sf0001)
+    val cb = Pq.strideCodebook(emb, "embedding", "vec_id", 8, 8, 16, 7)
+    val codes = Pq.codesOf(emb, "embedding", "vec_id", cb, 8, 8)
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val reranked = rows(Pq.pqTopKRerank(codes.filter(col("vec_id") =!= 0),
+      "vec_id", cb, emb.select(col("vec_id"), col("embedding")), q,
+      "embedding", k = 20, r = emb.count().toInt, ds = 8))
+    val exact = rows(Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") =!= 0), "embedding", "vec_id",
+      Similarity.vec(q.head.getSeq[Float](0)), k = 20))
+    assert(reranked === exact)
+  }
+
   test("PostingsIndex: indexed BM25 ≡ on-the-fly bit-for-bit; artifacts cached") {
     val root = java.nio.file.Files.createTempDirectory("graft-post-").toString
     val dir = "/nonexistent/postspec" // no staleness source in-spec
