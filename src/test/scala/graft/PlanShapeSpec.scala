@@ -111,6 +111,59 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("flat PQ ADC: scan reads only id + 8-byte codes, 1-row LUT broadcast, TakeOrdered") {
+    val p = plan("p_s7_pq_adc_topk")
+    // the corpus-side scan touches the PQ codes artifact only — never
+    // the float embedding column; the ADC table rides a 1-row broadcast
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,codes:binary>"),
+      s"expected a codes-only scan of the PQ artifact:\n$p")
+    assert(p.contains("IdentityBroadcastMode"))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("IVF-PQ probed scan reads codes only, with dynamic bucket pruning") {
+    val p = plan("p_s8_ivf_pq_topk")
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,codes:binary>"),
+      s"expected a codes-only scan of the IVF-PQ artifact:\n$p")
+    assert(p.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on c_id:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("PQ rerank: refine is a bounded broadcast semi-join, never a shuffle join") {
+    val p = plan("p_s9_pq_rerank")
+    // the r-row ADC candidate list broadcasts into a LeftSemi against
+    // the float vectors — the only stage that touches floats
+    assert(p.contains("LeftSemi"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("PQ codes artifact is materially smaller than the SQ8 codes artifact") {
+    // the structural 32×-vs-4× claim: 8 one-byte PQ codes per vector
+    // persist in well under half the bytes of the 64 one-byte SQ8 codes
+    // (both parquet-encoded, both carrying the same id column)
+    def dirBytes(d: java.io.File): Long =
+      if (d.isFile) d.length
+      else Option(d.listFiles).map(_.map(dirBytes).sum).getOrElse(0L)
+    val emb = Tables.embeddings(spark, sf0001)
+    val pqRoot = java.nio.file.Files.createTempDirectory("graft-pqsz-").toString
+    val sqRoot = java.nio.file.Files.createTempDirectory("graft-sqsz2-").toString
+    graft.pipeline.PqIndex.ensure(spark, sf0001, emb, "embedding", "vec_id",
+      artifactRootOverride = Some(pqRoot))
+    graft.pipeline.SqIndex.ensure(spark, sf0001, emb, "embedding", "vec_id",
+      artifactRootOverride = Some(sqRoot))
+    // compare the per-vector codes artifacts only (the codebook is a
+    // separate corpus-size-independent artifact under the same root)
+    val pq = new java.io.File(pqRoot).listFiles
+      .filter(_.getName.contains("_codes_")).map(dirBytes).sum
+    val sq = dirBytes(new java.io.File(sqRoot))
+    assert(pq > 0 && sq > 0)
+    assert(pq < sq / 2, s"PQ artifact $pq B should be <1/2 of SQ8 $sq B")
+  }
+
   test("SQ8 artifact is materially smaller than the float IVF assignment") {
     // the structural half of the bandwidth claim: int8 codes + one scale
     // per vector persist in well under half the bytes of the float32
