@@ -116,6 +116,32 @@ class PqSpec extends SparkSpec {
     assert(trained.count() === M * 16L) // k stable through empty clusters
   }
 
+  test("PqIndex Trained flavor: trained codebook persists, drives codes, keys separately") {
+    val root = java.nio.file.Files.createTempDirectory("graft-pqtr-").toString
+    val trainedQ = PqIndex.Trained(iters = 1)
+    val codesT = PqIndex.ensure(spark, sf0001, emb, "embedding", "vec_id",
+      trainedQ, Some(root))
+    PqIndex.ensure(spark, sf0001, emb, "embedding", "vec_id",
+      PqIndex.Stride(), Some(root))
+    // distinct cache keys: both flavors' codes artifacts coexist
+    assert(new java.io.File(root).list().count(_.contains("_codes_")) === 2)
+    // the persisted trained codebook is the ADC authority — query runs
+    // green against it and codes decode inside the trained table
+    val cbT = PqIndex.ensureCodebook(spark, sf0001, emb, "embedding", "vec_id",
+      trainedQ, Some(root))
+    assert(cbT.count() === 8 * 16L)
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+    val top = Pq.pqTopK(codesT.filter(col("vec_id") =!= 0), "vec_id", cbT, q,
+      "embedding", k = 20, ds = DS).collect()
+    assert(top.length === 20)
+    // training moved codewords: trained codes differ from stride codes
+    val codesS = PqIndex.ensure(spark, sf0001, emb, "embedding", "vec_id",
+        PqIndex.Stride(), Some(root))
+      .orderBy("vec_id").collect().map(_.getAs[Array[Byte]](1).toSeq)
+    val ct = codesT.orderBy("vec_id").collect().map(_.getAs[Array[Byte]](1).toSeq)
+    assert(ct.toSeq !== codesS.toSeq)
+  }
+
   test("pq_adc null semantics: out-of-table code or short LUT → null") {
     import spark.implicits._
     val rows = Seq(

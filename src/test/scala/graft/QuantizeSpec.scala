@@ -111,6 +111,48 @@ class QuantizeSpec extends SparkSpec {
     assert(segmented === full)
   }
 
+  test("streaming micro-batches maintain the segmented SQ8 index via foreachBatch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-sqstream-").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sqstream-ck-").toString
+    val emb = Tables.embeddings(spark, sf0001)
+    val all = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Seq[Float])]
+    val query = input.toDF().toDF("vec_id", "embedding")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        // first batch builds the base, later batches append one
+        // O(batch) delta segment each — the streaming-era lifecycle
+        val dir = s"$root/sq8seg_sf0.001_stream_v${pipeline.SqIndex.FormatVersion}"
+        if (!new java.io.File(dir).exists())
+          pipeline.SqIndex.ensureSegmented(spark, sf0001, df, "embedding",
+            "vec_id", variant = "stream", artifactRootOverride = Some(root))
+        else
+          pipeline.SqIndex.append(spark, sf0001, df, "embedding",
+            "vec_id", variant = "stream", artifactRootOverride = Some(root))
+        ()
+      }.start()
+    try {
+      input.addData(all.take(200).toSeq); query.processAllAvailable()
+      input.addData(all.slice(200, 350).toSeq); query.processAllAvailable()
+      input.addData(all.drop(350).toSeq); query.processAllAvailable()
+    } finally query.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq, r.getDouble(2))).toSeq
+    val streamed = rows(pipeline.SqIndex.ensureSegmented(spark, sf0001,
+      emb.limit(0), "embedding", "vec_id", variant = "stream",
+      artifactRootOverride = Some(root)))
+    val full = rows(Quantize.withQuantizedPacked(
+        emb.select(col("vec_id"), col("embedding")), "embedding")
+      .select(col("vec_id"), col("codes"), col("scale")))
+    assert(streamed === full) // three micro-batches ≡ one-shot quantization
+  }
+
   test("SqIndex: persisted codes ≡ in-plan quantization; indexed IVF-SQ8 ≡ inline") {
     val root = java.nio.file.Files.createTempDirectory("graft-sq-").toString
     val emb = Tables.embeddings(spark, sf0001)
