@@ -127,6 +127,54 @@ object Pq {
     encode(subVectors(emb, embCol, idCol, m, ds), codebook, idCol)
       .agg(avg(col("d2"))).collect()(0).getDouble(0)
 
+  // ---- residual encoding (the faiss IVF-PQ default) ----------------------
+
+  /** Residual frame `(idCol, c_id, r: array<double>)` — the EXACT double
+    * difference v − centroid(v) over the coarse assignment. Quantizing
+    * residuals instead of raw vectors is the standard IVF-PQ refinement:
+    * residual magnitudes are much smaller than vector magnitudes, so the
+    * same codebook budget spends on a tighter distribution. Doubles (not
+    * floats) so the subtraction is exact IEEE on both engines — an
+    * external replay computes bit-identical residuals. The zip_with
+    * difference is an interpreted HOF, but this runs at INGEST only
+    * (once per corpus); queries touch codes and the m×k codebook. */
+  def residuals(assigned: DataFrame, embCol: String, idCol: String,
+      centroids: DataFrame): DataFrame =
+    assigned.join(broadcast(centroids.select(col("c_id"), col("c_emb"))), Seq("c_id"))
+      .select(col(idCol), col("c_id"),
+        zip_with(col(embCol), col("c_emb"),
+          (x, y) => x.cast(DoubleType) - y.cast(DoubleType)).as("r"))
+
+  /** Residual IVF-PQ search — the inner-product decomposition
+    * ⟨q, v⟩ = ⟨q, c(v)⟩ + ⟨q, r(v)⟩ ≈ ⟨q, c(v)⟩ + ADC(residual codes):
+    * the per-bucket term ⟨q, c⟩ computes once per PROBED centroid (a
+    * bounded broadcast carrying nprobe rows), and the residual ADC table
+    * is centroid-independent under inner product — one m×k LUT per
+    * query, exactly like the non-residual path. The probed scan reads
+    * only the m-byte residual codes. `codes` must carry
+    * `(idCol, codes, c_id)` encoded against `codebook` (a RESIDUAL
+    * codebook, [[PqIndex.ensureResidualCodebook]]). */
+  def ivfPqResidualTopK(codes: DataFrame, idCol: String, codebook: DataFrame,
+      centroids: DataFrame, query: DataFrame, embCol: String, k: Int,
+      nprobe: Int, ds: Int): DataFrame = {
+    val q = broadcast(query.select(col(embCol).as("__q")))
+    val probed = centroids.crossJoin(q)
+      .select(col("c_id"),
+        Similarity.cosine(col("c_emb"), col("__q")).as("__ps"),
+        Similarity.dot(col("__q"), col("c_emb")).as("__qc"))
+      .orderBy(col("__ps").desc, col("c_id"))
+      .limit(nprobe)
+      .select(col("c_id"), col("__qc"))
+    val qd = query.select(transform(col(embCol), x => x.cast(DoubleType)).as("__qd"))
+    val lut = broadcast(adcLut(codebook, qd, "__qd", ds))
+    codes.join(broadcast(probed), Seq("c_id"))
+      .crossJoin(lut)
+      .select(col(idCol),
+        (col("__qc") + adcScore(col("codes"), col("lut"), col("kk"))).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   // ---- ADC scoring ------------------------------------------------------
 
   /** The per-query ADC lookup table as a 1-row frame

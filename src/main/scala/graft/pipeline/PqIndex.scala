@@ -100,6 +100,67 @@ object PqIndex {
     }
   }
 
+  /** Read the persisted RESIDUAL codebook `(m, j, c_sub, cdot)` — the
+    * faiss-default IVF-PQ flavor: codewords quantize v − centroid(v)
+    * (computed from the persisted coarse assignment + codebook, so
+    * residuals, codes, and ADC tables all agree on centroid values).
+    * Sub-vectors are exact doubles ([[Pq.residuals]]). */
+  def ensureResidualCodebook(spark: SparkSession, corpusDir: String,
+      emb: DataFrame, embCol: String, idCol: String,
+      quantizer: Quantizer = Stride(),
+      coarse: IvfIndex.Quantizer = IvfIndex.Stride(),
+      artifactRootOverride: Option[String] = None,
+      ivfArtifactRootOverride: Option[String] = None): DataFrame = {
+    val root = artifactRootOverride.getOrElse(artifactRoot(spark))
+    val corpus = Paths.get(corpusDir).getFileName.toString
+    val key = s"rpq_${corpus}_codebook_v${FormatVersion}_ivfv${IvfIndex.FormatVersion}" +
+      s"_${quantizer.token}_${coarse.token}"
+    ArtifactStore.ensure(spark, s"$corpusDir/embeddings.parquet", root, key) { tmp =>
+      val resid = residualsOf(spark, corpusDir, emb, embCol, idCol, coarse,
+        ivfArtifactRootOverride)
+      (quantizer match {
+        case Stride(m, k, stride, dim) =>
+          Pq.strideCodebook(resid, "r", idCol, m, dim / m, k, stride)
+        case Trained(m, k, stride, iters, dim) =>
+          Pq.trainCodebook(resid, "r", idCol, m, dim / m, k, stride, iters)
+      }).coalesce(1).write.mode("overwrite").parquet(tmp)
+    }
+  }
+
+  /** Read the persisted residual codes `(idCol, codes, c_id)`,
+    * partitioned by centroid id like [[ensureIvf]] — the
+    * [[Pq.ivfPqResidualTopK]] layout. */
+  def ensureResidual(spark: SparkSession, corpusDir: String, emb: DataFrame,
+      embCol: String, idCol: String, quantizer: Quantizer = Stride(),
+      coarse: IvfIndex.Quantizer = IvfIndex.Stride(),
+      artifactRootOverride: Option[String] = None,
+      ivfArtifactRootOverride: Option[String] = None): DataFrame = {
+    val root = artifactRootOverride.getOrElse(artifactRoot(spark))
+    val corpus = Paths.get(corpusDir).getFileName.toString
+    val key = s"rpq_${corpus}_codes_v${FormatVersion}_ivfv${IvfIndex.FormatVersion}" +
+      s"_${quantizer.token}_${coarse.token}"
+    ArtifactStore.ensure(spark, s"$corpusDir/embeddings.parquet", root, key) { tmp =>
+      val resid = residualsOf(spark, corpusDir, emb, embCol, idCol, coarse,
+        ivfArtifactRootOverride)
+      val cb = ensureResidualCodebook(spark, corpusDir, emb, embCol, idCol,
+        quantizer, coarse, artifactRootOverride, ivfArtifactRootOverride)
+      Pq.codesOf(resid, "r", idCol, cb, quantizer.m, quantizer.ds)
+        .join(resid.select(col(idCol), col("c_id")), Seq(idCol))
+        .write.mode("overwrite").partitionBy("c_id").parquet(tmp)
+    }.withColumn("c_id", col("c_id").cast("long"))
+  }
+
+  private def residualsOf(spark: SparkSession, corpusDir: String,
+      emb: DataFrame, embCol: String, idCol: String,
+      coarse: IvfIndex.Quantizer,
+      ivfArtifactRootOverride: Option[String]): DataFrame =
+    Pq.residuals(
+      IvfIndex.ensure(spark, corpusDir, emb, embCol, idCol, coarse,
+        ivfArtifactRootOverride),
+      embCol, idCol,
+      IvfIndex.ensureCentroids(spark, corpusDir, emb, embCol, idCol, coarse,
+        ivfArtifactRootOverride))
+
   /** Read the persisted IVF-partitioned codes `(idCol, codes, c_id)` —
     * the [[Pq.ivfPqTopK]] layout: codes joined onto the persisted
     * [[IvfIndex.ensure]] coarse assignment and written partitioned by

@@ -50,18 +50,44 @@ object Similarity {
     java.lang.Double.valueOf(acc)
   }
 
-  /** `vec_dot(a, b)`: sequential-fold dot of two `array<float>` columns,
-    * codegen'd (SQL-registered via `GraftExtensions`). */
+  /** [[dotArrays]] over `array<double>` inputs (the residual-PQ path,
+    * where residuals are exact double differences): same left-to-right
+    * fold, same null semantics. */
+  def dotArraysD(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  /** `vec_dot(a, b)`: sequential-fold dot of two `array<float>` (or two
+    * `array<double>`) columns, codegen'd (SQL-registered via
+    * `GraftExtensions`) — the element type is dispatched once from the
+    * input schema, not per row. */
   case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = true
+    private lazy val isDouble = left.dataType match {
+      case org.apache.spark.sql.types.ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    private def kernel = if (isDouble) "dotArraysD" else "dotArrays"
     override def nullSafeEval(a: Any, b: Any): Any =
-      Similarity.dotArrays(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      if (isDouble)
+        Similarity.dotArraysD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      else
+        Similarity.dotArrays(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (a, b) => {
         val boxed = ctx.freshName("boxed")
         s"""
-           |java.lang.Double $boxed = graft.pipeline.Similarity.dotArrays($a, $b);
+           |java.lang.Double $boxed = graft.pipeline.Similarity.$kernel($a, $b);
            |${ev.isNull} = $boxed == null;
            |${ev.value} = ${ev.isNull} ? 0.0 : $boxed.doubleValue();
          """.stripMargin

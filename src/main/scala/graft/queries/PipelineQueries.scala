@@ -356,6 +356,25 @@ object PipelineQueries {
       k = 20, nprobe = 4, ds = 8)
   }
 
+  /** S10: RESIDUAL IVF-PQ — the faiss-default composition: codes
+    * quantize v − centroid(v) (exact double residuals from the persisted
+    * assignment + codebook), and the query scores
+    * ⟨q,c⟩ + ADC(residual codes) over the probed buckets — the
+    * inner-product decomposition, where the residual ADC table is
+    * centroid-independent so ONE 8×16 LUT serves all buckets and the
+    * per-bucket term rides the nprobe-row probe broadcast. The oracle
+    * replays assignment → residuals → residual codebook → codes → LUT →
+    * scores end-to-end. */
+  private def s10IvfRpq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val codes = PqIndex.ensureResidual(s, dir, emb, "embedding", "vec_id")
+    val cb = PqIndex.ensureResidualCodebook(s, dir, emb, "embedding", "vec_id")
+    Pq.ivfPqResidualTopK(codes.filter(col("vec_id") =!= 0), "vec_id", cb,
+      IvfIndex.ensureCentroids(s, dir, emb, "embedding", "vec_id"),
+      emb.filter(col("vec_id") === 0).select("embedding"), "embedding",
+      k = 20, nprobe = 4, ds = 8)
+  }
+
   /** S9: two-stage PQ retrieval ([[Pq.pqTopKRerank]]) — ADC top-50 over
     * the persisted 8-byte codes (the full-corpus stage touches no float
     * vectors), then exact-cosine refine of ONLY those 50 against their
@@ -731,6 +750,7 @@ object PipelineQueries {
     "p_s7_pq_adc_topk" -> (s7Pq _),
     "p_s8_ivf_pq_topk" -> (s8IvfPq _),
     "p_s9_pq_rerank" -> (s9PqRerank _),
+    "p_s10_ivf_rpq_topk" -> (s10IvfRpq _),
     "p_h1_hybrid_rrf" -> (h1Hybrid _),
     "p_e1_embedding_neardup" -> (e1 _),
     "p_t1_text_stats" -> (t1 _),
@@ -1158,6 +1178,53 @@ object PipelineQueries {
             ${dotSql("e.embedding", "qe")}
               / (${normSql("e.embedding")} * ${normSql("qe")}) AS score
           FROM embeddings e JOIN cand USING (vec_id), q
+          ORDER BY score DESC, vec_id LIMIT 20"""),
+    "p_s10_ivf_rpq_topk" ->
+      (s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS c_emb,
+                ${normSql("embedding")} AS c_n
+              FROM embeddings WHERE vec_id % 25 = 0),
+          e AS (SELECT vec_id, embedding, ${normSql("embedding")} AS e_n
+                FROM embeddings),
+          assigned AS (SELECT vec_id, embedding, c_id FROM (
+            SELECT e.vec_id, e.embedding, c.c_id,
+              row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                ${dotSql("e.embedding", "c.c_emb")} / (e.e_n * c.c_n) DESC,
+                c.c_id) AS rn
+            FROM e, cent c) WHERE rn = 1),
+          resid AS (SELECT a.vec_id, a.c_id,
+              list_transform(range(1, len(a.embedding) + 1),
+                i -> CAST(a.embedding[i] AS DOUBLE) - CAST(c.c_emb[i] AS DOUBLE)) AS r
+            FROM assigned a JOIN cent c USING (c_id)),
+          rcb AS (SELECT m, CAST(vec_id // 7 AS BIGINT) AS j,
+                r[m*8+1 : m*8+8] AS c_sub
+              FROM resid, range(0, 8) t(m)
+              WHERE vec_id % 7 = 0 AND vec_id < 112),
+          rcbd AS (SELECT m, j, c_sub, ${dotSql("c_sub", "c_sub")} AS cdot
+                   FROM rcb),
+          rsubs AS (SELECT vec_id, m, r[m*8+1 : m*8+8] AS v_sub
+                    FROM resid, range(0, 8) t(m)),
+          rsubd AS (SELECT vec_id, m, v_sub, ${dotSql("v_sub", "v_sub")} AS vdot
+                    FROM rsubs),
+          rdist AS (SELECT s.vec_id, s.m, c.j,
+              s.vdot - 2.0 * ${dotSql("s.v_sub", "c.c_sub")} + c.cdot AS d2
+            FROM rsubd s JOIN rcbd c USING (m)),
+          rcodes AS (SELECT vec_id, m, j FROM (
+              SELECT vec_id, m, j, row_number() OVER (
+                PARTITION BY vec_id, m ORDER BY d2, j) AS rn FROM rdist)
+            WHERE rn = 1),
+          q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+          probed AS (SELECT c_id, ${dotSql("qe", "c_emb")} AS qc FROM cent, q
+                     ORDER BY ${dotSql("c_emb", "qe")} / (c_n * ${normSql("qe")}) DESC, c_id
+                     LIMIT 4),
+          lut AS (SELECT c.m, c.j,
+                ${dotSql("(qe[c.m*8+1 : c.m*8+8])", "c.c_sub")} AS pdot
+              FROM rcbd c, q),
+          cand AS (SELECT a.vec_id, p.qc FROM assigned a JOIN probed p USING (c_id)
+                   WHERE a.vec_id <> 0)
+          SELECT rc.vec_id, max(cand.qc) + list_sum(list(l.pdot ORDER BY rc.m)) AS score
+          FROM rcodes rc JOIN cand USING (vec_id)
+          JOIN lut l ON rc.m = l.m AND rc.j = l.j
+          GROUP BY rc.vec_id
           ORDER BY score DESC, vec_id LIMIT 20"""),
     "p_h1_hybrid_rrf" ->
       (s"""WITH $pqReplaySql,

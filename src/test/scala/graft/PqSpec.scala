@@ -116,6 +116,68 @@ class PqSpec extends SparkSpec {
     assert(trained.count() === M * 16L) // k stable through empty clusters
   }
 
+  test("residuals reconstruct exactly: centroid + residual ≡ vector (double identity)") {
+    val ivfRoot = java.nio.file.Files.createTempDirectory("graft-rpq-ivf-").toString
+    val cents = IvfIndex.ensureCentroids(spark, sf0001, emb, "embedding", "vec_id",
+      artifactRootOverride = Some(ivfRoot))
+    val assigned = IvfIndex.ensure(spark, sf0001, emb, "embedding", "vec_id",
+      artifactRootOverride = Some(ivfRoot))
+    val bad = Pq.residuals(assigned, "embedding", "vec_id", cents)
+      .join(cents, Seq("c_id"))
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(zip_with(col("r"), col("c_emb"),
+          (r, c) => r + c.cast("double")).as("back"),
+        transform(col("embedding"), x => x.cast("double")).as("orig"))
+      .filter(col("back") =!= col("orig"))
+    assert(bad.count() === 0) // float-in-double addition is exact: no drift
+  }
+
+  test("residual IVF-PQ: persisted ≡ inline; score decomposition exact on self-coded vectors") {
+    val root = java.nio.file.Files.createTempDirectory("graft-rpq-").toString
+    val ivfRoot = java.nio.file.Files.createTempDirectory("graft-rpq-ivf2-").toString
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+    val cents = IvfIndex.ensureCentroids(spark, sf0001, emb, "embedding", "vec_id",
+      artifactRootOverride = Some(ivfRoot))
+    val codes = PqIndex.ensureResidual(spark, sf0001, emb, "embedding", "vec_id",
+      artifactRootOverride = Some(root), ivfArtifactRootOverride = Some(ivfRoot))
+    val rcb = PqIndex.ensureResidualCodebook(spark, sf0001, emb, "embedding",
+      "vec_id", artifactRootOverride = Some(root),
+      ivfArtifactRootOverride = Some(ivfRoot))
+    // persisted codes ≡ inline derivation over the same persisted inputs
+    val assigned = IvfIndex.ensure(spark, sf0001, emb, "embedding", "vec_id",
+      artifactRootOverride = Some(ivfRoot))
+    val resid = Pq.residuals(assigned, "embedding", "vec_id", cents)
+    val inline = Pq.codesOf(resid, "r", "vec_id", rcb, M, DS)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).toSeq
+    val persisted = codes.select(col("vec_id"), col("codes"))
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).toSeq
+    assert(persisted === inline)
+    // the inner-product decomposition is exact where coding is exact:
+    // codeword-source vectors (id % 7 == 0, id < 112) self-match every
+    // subspace (d² = 0), so their ADC term IS ⟨q, r⟩ and the score must
+    // equal the true ⟨q, v⟩ = ⟨q, c⟩ + ⟨q, r⟩ up to fold-order rounding.
+    // (The fixture embeddings are uniform-random, so residual MSE does
+    // not beat raw MSE here the way it does on clustered data — the
+    // decomposition identity is the property that is data-independent.)
+    val nCents = cents.count().toInt
+    val scored = Pq.ivfPqResidualTopK(codes.filter(col("vec_id") =!= 0), "vec_id",
+      rcb, cents, q, "embedding", k = 500, nprobe = nCents, ds = DS)
+    val exact = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q.select(col("embedding").as("__q"))))
+      .select(col("vec_id"), Similarity.dot(col("embedding"), col("__q")).as("e"))
+    val sources = scored.join(exact, Seq("vec_id"))
+      .filter(pmod(col("vec_id"), lit(7)) === 0 && col("vec_id") < 112)
+      .select(abs(col("score") - col("e")).as("d")).collect().map(_.getDouble(0))
+    assert(sources.nonEmpty && sources.forall(_ < 1e-9),
+      s"decomposed score should equal exact dot on self-coded vectors: ${sources.max}")
+    // probed query returns k
+    val top = Pq.ivfPqResidualTopK(codes.filter(col("vec_id") =!= 0), "vec_id",
+      rcb, cents, q, "embedding", k = 20, nprobe = 4, ds = DS).collect()
+    assert(top.length === 20)
+  }
+
   test("PqIndex Trained flavor: trained codebook persists, drives codes, keys separately") {
     val root = java.nio.file.Files.createTempDirectory("graft-pqtr-").toString
     val trainedQ = PqIndex.Trained(iters = 1)
