@@ -119,6 +119,17 @@ object Multimodal {
       explode(sequence(lit(0), greatest(frames - 1, lit(0)), lit(everyNth))))
   }
 
+  /** Frame-sample timestamps from REAL container metadata: one
+    * `frame_ts` row per `everyS` seconds in [0, duration) — the
+    * companion to [[sampleFrames]] for containers whose duration parses
+    * ([[avMeta]]) but whose frame rate lives in codec territory. Only
+    * the (id, duration) projection explodes; payload bytes never leave
+    * their row. */
+  def sampleTimestamps(av: DataFrame, durationS: Column, everyS: Int): DataFrame =
+    av.withColumn("frame_ts",
+      explode(sequence(lit(0L),
+        greatest(durationS.cast("long") - 1, lit(0L)), lit(everyS.toLong))))
+
   /** Batched feature-extraction boundary — the Scala analog of a
     * `mapInPandas` batch UDF: partition-local iterator, fixed-size
     * batches, one output row per input row. The extractor itself is a

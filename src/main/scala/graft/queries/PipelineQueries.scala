@@ -696,8 +696,29 @@ object PipelineQueries {
       le32(byteRate), le16(ch * 2), le16(lit(16)),
       s4("data"), le32(dataSize))
 
-    // MP4 (odd ids): duration = mvhd duration units ÷ timescale,
-    // dims = tkhd 16.16 fixed point
+    val m = Multimodal.avMeta(when(pmod(d, lit(2)) === 0, wavB)
+      .otherwise(mm3Mp4Bytes(d)))
+    Tables.documents(s, dir).select(col("doc_id"), m.as("__m"))
+      .select(col("doc_id"),
+        col("__m").getField("container").as("container"),
+        col("__m").getField("sample_rate").cast("long").as("sample_rate"),
+        col("__m").getField("channels").cast("long").as("channels"),
+        col("__m").getField("duration_s").cast("long").as("duration_s"),
+        col("__m").getField("width").cast("long").as("width"),
+        col("__m").getField("height").cast("long").as("height"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The MM3/MM4 MP4 byte construction: ftyp + moov/mvhd/trak/tkhd box
+    * tree with doc_id-derived timescale, duration units, and 16.16
+    * fixed-point dims — duration = durUnits ÷ timescale =
+    * `doc_id % 600 + 1` seconds exactly (the added remainder term stays
+    * below one timescale unit). */
+  private def mm3Mp4Bytes(d: Column): Column = {
+    def zeros(n: Int) = lit(new Array[Byte](n))
+    def s4(t: String) = lit(t.getBytes("US-ASCII"))
+    def be16(c: Column) = unhex(lpad(hex(c.cast("long")), 4, "0"))
+    def be32(c: Column) = unhex(lpad(hex(c.cast("long")), 8, "0"))
     val ts = element_at(array(lit(600L), lit(1000L), lit(90000L)),
       (pmod(d, lit(6)) / lit(2)).cast("int") + 1)
     val durUnits = (pmod(d, lit(600)) + 1) * ts + pmod(d * 3, ts)
@@ -713,18 +734,22 @@ object PipelineQueries {
       be32(w * 65536), be32(h * 65536))
     val moov = concat(be32(lit(216)), s4("moov"), mvhd,
       concat(be32(lit(100)), s4("trak"), tkhd))
-    val mp4B = concat(be32(lit(16)), s4("ftyp"), s4("isom"), be32(lit(512)), moov)
+    concat(be32(lit(16)), s4("ftyp"), s4("isom"), be32(lit(512)), moov)
+  }
 
-    val m = Multimodal.avMeta(when(pmod(d, lit(2)) === 0, wavB).otherwise(mp4B))
-    Tables.documents(s, dir).select(col("doc_id"), m.as("__m"))
-      .select(col("doc_id"),
-        col("__m").getField("container").as("container"),
-        col("__m").getField("sample_rate").cast("long").as("sample_rate"),
-        col("__m").getField("channels").cast("long").as("channels"),
-        col("__m").getField("duration_s").cast("long").as("duration_s"),
-        col("__m").getField("width").cast("long").as("width"),
-        col("__m").getField("height").cast("long").as("height"))
-      .orderBy(col("doc_id"))
+  /** MM4: frame sampling over REAL container metadata — every document
+    * becomes an MP4 (the MM3 construction), `av_meta` parses the true
+    * duration back out of the box tree, and the sampler emits one row
+    * per 30-second timestamp in [0, duration). Only (doc_id, duration)
+    * explodes — payload bytes never leave their row. The oracle replays
+    * duration arithmetically and unnests the same range. */
+  private def mm4(s: SparkSession, dir: String): DataFrame = {
+    val m = Multimodal.avMeta(mm3Mp4Bytes(col("doc_id")))
+    val av = Tables.documents(s, dir).select(col("doc_id"),
+      m.getField("duration_s").cast("long").as("duration_s"))
+    Multimodal.sampleTimestamps(av, col("duration_s"), everyS = 30)
+      .select(col("doc_id"), col("frame_ts"))
+      .orderBy(col("doc_id"), col("frame_ts"))
   }
 
   // ===== registry ========================================================
@@ -766,6 +791,7 @@ object PipelineQueries {
     "p_mm1_media_meta" -> (mm1 _),
     "p_mm2_image_header" -> (mm2 _),
     "p_mm3_av_header" -> (mm3 _),
+    "p_mm4_frame_sample" -> (mm4 _),
   )
 
   // ---- DuckDB twins of the vector/fingerprint math ----------------------
@@ -1373,6 +1399,9 @@ object PipelineQueries {
             CASE WHEN doc_id % 2 = 1 THEN doc_id % 1919 + 1 END AS width,
             CASE WHEN doc_id % 2 = 1 THEN (doc_id * 7) % 1079 + 1 END AS height
           FROM documents ORDER BY doc_id"""),
+    "p_mm4_frame_sample" ->
+      ("""SELECT doc_id, unnest(range(0, doc_id % 600 + 1, 30)) AS frame_ts
+          FROM documents ORDER BY doc_id, frame_ts"""),
     "p_t3_contamination" ->
       ("""WITH corpus AS (
             SELECT doc_id, text FROM documents WHERE doc_id < 1000),
