@@ -134,8 +134,10 @@ object ArtifactStore {
       // the staleness reference is the OLDEST committed segment (the
       // base, or the compacted segment that replaced it): appends never
       // touch it, so they cannot mask a regeneration the way the
-      // manifest's mtime would; compaction rewrites current state and
-      // legitimately refreshes it
+      // manifest's mtime would — and compaction PRESERVES the oldest
+      // segment's mtime on its output for exactly the same reason (it
+      // rewrites old data without consulting the source, so a fresh
+      // timestamp would mask a regeneration that preceded it)
       val stale = Files.exists(s) && Files.exists(manifest) &&
         listSegments(dir).headOption.forall { seg =>
           val p = Paths.get(s"$dir/$seg")
@@ -201,19 +203,26 @@ object ArtifactStore {
     * appends. The compacted data lands as a new `seg_*` written to a
     * staging dir first, then ONE manifest swap makes it the only
     * committed segment; readers see either the old segment list or the
-    * compacted one, never a mix. The replaced segments become
-    * unmanifested orphans, swept by the next writer operation. Returns
-    * the number of segments folded (0 = already compact). */
+    * compacted one, never a mix. The replaced segments deliberately
+    * stay on disk as unmanifested orphans until the NEXT writer
+    * operation sweeps them — a reader that resolved the old manifest
+    * (parquet file listings are eager) can still finish its scan. The
+    * compacted segment inherits the OLDEST input segment's mtime, so
+    * the [[ensureSegmented]] staleness reference still dates from the
+    * base build and a source regeneration that preceded the compaction
+    * is not masked. Returns the number of segments folded (0 = already
+    * compact). */
   def compactSegments(spark: SparkSession, root: String, key: String): Int = {
     val dir = s"$root/$key"
     val before = listSegments(dir)
     if (before.size <= 1) return 0
+    val oldestMtime = Files.getLastModifiedTime(Paths.get(s"$dir/${before.head}"))
     val name = s"seg_${java.util.UUID.randomUUID()}"
     val tmp = s"$dir/__seg_$name"
     readSegmented(spark, root, key).write.mode("overwrite").parquet(tmp)
     Files.move(Paths.get(tmp), Paths.get(s"$dir/$name"))
+    Files.setLastModifiedTime(Paths.get(s"$dir/$name"), oldestMtime)
     writeManifest(dir, Seq(name))
-    recoverSegments(dir) // sweep the replaced segments now
     before.size
   }
 }

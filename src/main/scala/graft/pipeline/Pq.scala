@@ -100,6 +100,12 @@ object Pq {
   def trainCodebook(emb: DataFrame, embCol: String, idCol: String,
       m: Int, ds: Int, k: Int, stride: Int, iters: Int): DataFrame = {
     val subs = subVectors(emb, embCol, idCol, m, ds)
+    // trained means keep the INPUT element type: float embeddings train
+    // float codewords, but double residuals ([[residuals]]) must stay
+    // exact doubles — a float cast there would truncate codewords and
+    // break the documented double-exact external replay
+    val elem = emb.schema(embCol).dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
     (0 until iters).foldLeft(strideCodebook(emb, embCol, idCol, m, ds, k, stride)) {
       (cb, _) =>
         val assigned = encode(subs, cb, idCol)
@@ -111,11 +117,15 @@ object Pq {
         val means = contrib.groupBy(col("m"), col("j"))
           .agg(array_sort(collect_list(struct(col("__pos"), col("__mean")))).as("__pm"))
           .select(col("m"), col("j"),
-            transform(col("__pm"), x => x.getField("__mean").cast("float")).as("__new"))
+            transform(col("__pm"), x => x.getField("__mean").cast(elem)).as("__new"))
+        // materialize the m×k frame each round: every iteration references
+        // its predecessor several times (encode + the update join), so an
+        // uncached fold re-executes earlier assignments combinatorially
         cb.join(means, Seq("m", "j"), "left")
           .select(col("m"), col("j"),
             coalesce(col("__new"), col("c_sub")).as("c_sub"))
           .withColumn("cdot", Similarity.dot(col("c_sub"), col("c_sub")))
+          .localCheckpoint(true)
     }
   }
 
@@ -204,15 +214,21 @@ object Pq {
     call_function("pq_adc", codes, lut, kk)
 
   /** JVM kernel shared by PqAdc's interpreted and generated paths: null
-    * on any out-of-table code or null LUT slot. */
+    * on any out-of-table code (`j` outside [0, kk) in ANY subspace, not
+    * just where the flat index happens to run past the end), on a LUT
+    * whose size is not exactly m·kk (a missing (m, j) entry would shift
+    * every later slot — positional indexing must fail loudly, not read a
+    * neighboring subspace's entry), or on a null LUT slot. */
   def adcKernel(codes: Array[Byte], lut: ArrayData, kk: Long): java.lang.Double = {
     val n = lut.numElements()
+    if (kk <= 0 || codes.length * kk != n) return null
     var acc = 0.0
     var m = 0
     while (m < codes.length) {
       val j = codes(m).toLong
+      if (j < 0 || j >= kk) return null
       val idx = m * kk + j
-      if (j < 0 || idx >= n || lut.isNullAt(idx.toInt)) return null
+      if (lut.isNullAt(idx.toInt)) return null
       acc += lut.getDouble(idx.toInt)
       m += 1
     }

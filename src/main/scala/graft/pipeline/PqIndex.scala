@@ -44,18 +44,21 @@ object PqIndex {
   }
 
   /** Stride-sampled codewords ([[Pq.strideCodebook]]) — exactly
-    * reproducible (and SQL-replayable) from the corpus. */
+    * reproducible (and SQL-replayable) from the corpus. The token
+    * carries EVERY parameter (stride, m, k, dim) — two configurations
+    * may never share a cache key. */
   final case class Stride(m: Int = Pq.DefaultM, k: Int = Pq.DefaultK,
       stride: Int = Pq.DefaultStride, dim: Int = 64) extends Quantizer {
-    def token = s"s${stride}x${m}x$k"
+    def token = s"s${stride}x${m}x${k}d$dim"
   }
 
   /** Lloyd-trained per-subspace codewords ([[Pq.trainCodebook]]),
-    * initialized from the stride sample. */
+    * initialized from the stride sample — the token again carries every
+    * parameter, including the init stride. */
   final case class Trained(m: Int = Pq.DefaultM, k: Int = Pq.DefaultK,
       stride: Int = Pq.DefaultStride, iters: Int = 3, dim: Int = 64)
       extends Quantizer {
-    def token = s"km${m}x${k}i$iters"
+    def token = s"km${m}x${k}i${iters}s${stride}d$dim"
   }
 
   private def codebookOf(emb: DataFrame, embCol: String, idCol: String,

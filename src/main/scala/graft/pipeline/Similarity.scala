@@ -73,6 +73,22 @@ object Similarity {
   case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = true
+    // mixed float/double inputs must fail ANALYSIS: the kernel is picked
+    // from the schema once, and running the float kernel over
+    // double-backed array data would read garbage bits, not throw
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      import org.apache.spark.sql.types.{ArrayType, FloatType}
+      (left.dataType, right.dataType) match {
+        case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          "vec_dot requires two array<float> or two array<double> arguments, " +
+            s"got ${l.catalogString} and ${r.catalogString}")
+      }
+    }
     private lazy val isDouble = left.dataType match {
       case org.apache.spark.sql.types.ArrayType(DoubleType, _) => true
       case _ => false

@@ -635,8 +635,6 @@ object PipelineQueries {
   private def mm2(s: SparkSession, dir: String): DataFrame = {
     val w = (pmod(col("doc_id"), lit(1919)) + 1).cast("int")
     val h = (pmod(col("doc_id") * 7, lit(1079)) + 1).cast("int")
-    def be32(c: Column) = unhex(lpad(hex(c.cast("long")), 8, "0"))
-    def be16(c: Column) = unhex(lpad(hex(c.cast("long")), 4, "0"))
     def le16(c: Column) = unhex(concat(
       lpad(hex(c.bitwiseAND(lit(255))), 2, "0"),
       lpad(hex(shiftright(c, 8).bitwiseAND(lit(255))), 2, "0")))
@@ -674,15 +672,10 @@ object PipelineQueries {
     * data-size ÷ byte-rate duration across both containers. */
   private def mm3(s: SparkSession, dir: String): DataFrame = {
     val d = col("doc_id")
-    def b(xs: Int*) = lit(xs.map(_.toByte).toArray)
-    def zeros(n: Int) = lit(new Array[Byte](n))
-    def s4(t: String) = lit(t.getBytes("US-ASCII"))
     def byteOf(c: Column) = lpad(hex(c.cast("long").bitwiseAND(lit(255L))), 2, "0")
     def le16(c: Column) = unhex(concat(byteOf(c), byteOf(shiftright(c.cast("long"), 8))))
     def le32(c: Column) = unhex(concat(byteOf(c), byteOf(shiftright(c.cast("long"), 8)),
       byteOf(shiftright(c.cast("long"), 16)), byteOf(shiftright(c.cast("long"), 24))))
-    def be16(c: Column) = unhex(lpad(hex(c.cast("long")), 4, "0"))
-    def be32(c: Column) = unhex(lpad(hex(c.cast("long")), 8, "0"))
 
     // WAV (even ids): 16-bit PCM; duration = data size ÷ byte rate
     val ch = when(pmod(d, lit(4)) >= 2, lit(2L)).otherwise(lit(1L))
@@ -709,16 +702,19 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  // shared byte-string encoders for the constructed media containers
+  // (mm2/mm3/mm4): big-endian 16/32-bit fields, zero runs, 4CC tags
+  private def zeros(n: Int) = lit(new Array[Byte](n))
+  private def s4(t: String) = lit(t.getBytes("US-ASCII"))
+  private def be16(c: Column) = unhex(lpad(hex(c.cast("long")), 4, "0"))
+  private def be32(c: Column) = unhex(lpad(hex(c.cast("long")), 8, "0"))
+
   /** The MM3/MM4 MP4 byte construction: ftyp + moov/mvhd/trak/tkhd box
     * tree with doc_id-derived timescale, duration units, and 16.16
     * fixed-point dims — duration = durUnits ÷ timescale =
     * `doc_id % 600 + 1` seconds exactly (the added remainder term stays
     * below one timescale unit). */
   private def mm3Mp4Bytes(d: Column): Column = {
-    def zeros(n: Int) = lit(new Array[Byte](n))
-    def s4(t: String) = lit(t.getBytes("US-ASCII"))
-    def be16(c: Column) = unhex(lpad(hex(c.cast("long")), 4, "0"))
-    def be32(c: Column) = unhex(lpad(hex(c.cast("long")), 8, "0"))
     val ts = element_at(array(lit(600L), lit(1000L), lit(90000L)),
       (pmod(d, lit(6)) / lit(2)).cast("int") + 1)
     val durUnits = (pmod(d, lit(600)) + 1) * ts + pmod(d * 3, ts)

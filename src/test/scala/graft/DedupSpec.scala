@@ -209,17 +209,33 @@ class DedupSpec extends SparkSpec {
     graft.pipeline.ArtifactStore.appendSegment(spark, root, key)(build(21, 30))
     def rows() = graft.pipeline.ArtifactStore.readSegmented(spark, root, key)
       .collect().map(_.getLong(0)).sorted.toSeq
+    def segDirs() = new java.io.File(s"$root/$key").list()
+      .filter(_.startsWith("seg_")).toSeq
+    def manifest() = java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get(s"$root/$key/_segments"))
+      .toArray.map(_.toString).filter(_.nonEmpty).toSeq
     val before = rows()
     assert(before === (1L to 30L))
+    val baseMtime = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(s"$root/$key/seg_base"))
     assert(graft.pipeline.ArtifactStore.compactSegments(spark, root, key) === 3)
     assert(rows() === before)
-    // exactly one committed segment left, replaced dirs swept
-    val segDirs = new java.io.File(s"$root/$key").list().filter(_.startsWith("seg_"))
-    assert(segDirs.length === 1)
+    // ONE committed segment; the replaced dirs stay on disk as orphans
+    // (a reader holding the old listing can finish its scan) until the
+    // next writer operation sweeps them
+    assert(manifest().size === 1)
+    assert(segDirs().size === 4)
+    // the compacted segment inherits the base build's mtime, so the
+    // ensureSegmented staleness reference still predates any source
+    // regeneration that happened after the base build
+    assert(java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(s"$root/$key/${manifest().head}")) === baseMtime)
     assert(graft.pipeline.ArtifactStore.compactSegments(spark, root, key) === 0)
-    // appends continue normally on the compacted artifact
+    // appends continue normally on the compacted artifact, and the
+    // append (a writer op) sweeps the replaced orphans
     graft.pipeline.ArtifactStore.appendSegment(spark, root, key)(build(31, 35))
     assert(rows() === (1L to 35L))
+    assert(segDirs().size === 2) // compacted + fresh delta only
     // ensureSegmented stays a pure read (a rebuild would inject the marker)
     val again = graft.pipeline.ArtifactStore.ensureSegmented(spark, root, key)(build(90, 99))
     assert(again.collect().map(_.getLong(0)).sorted.toSeq === (1L to 35L))
