@@ -64,6 +64,15 @@ class QueryService(
   def transactionsByBlockHash(hash: String): Either[String, DataFrame] =
     requireHash(hash).map(h => Relational.filterScan(txs, col("blockhash") === h))
 
+  /** `GetTransactionsByBlockNumber` (query.go:181-190): the reference's
+    * scalar subquery number→hash, planned as a broadcast of the at-most-
+    * one matching block hash. */
+  def transactionsByBlockNumber(number: Long): Either[String, DataFrame] = Right(
+    txs.join(
+      broadcast(blocks.filter(col("number") === number)
+        .select(col("hash").as("blockhash"))),
+      Seq("blockhash")))
+
   def transactionFromAccountWithNonce(from: String, nonce: Long): Either[String, DataFrame] =
     requireAddr(from).map(a =>
       Relational.pointLookup(txs, col("from") === a && col("nonce") === nonce))
@@ -173,6 +182,27 @@ class QueryService(
 
   // ---- /v1/event --------------------------------------------------------
 
+  /** `GetEventByBlockHashAndLogIndex` (query.go:590-600, Q11). */
+  def eventByBlockHashAndLogIndex(blockHash: String, logIndex: Long): Either[String, DataFrame] =
+    requireHash(blockHash).map(h =>
+      Relational.pointLookup(events, col("blockhash") === h && col("index") === logIndex))
+
+  /** `GetEventByBlockNumberAndLogIndex` (query.go:604-622, Q12): two-step
+    * number→hash→(hash, index), one broadcast-join plan. */
+  def eventByBlockNumberAndLogIndex(number: Long, logIndex: Long): Either[String, DataFrame] = Right(
+    events.join(
+      broadcast(blocks.filter(col("number") === number)
+        .select(col("hash").as("blockhash"))),
+      Seq("blockhash"))
+      .filter(col("index") === logIndex).limit(1))
+
+  /** `GetEventsFromContractByBlockNumberRange` (query.go:470-494). */
+  def eventsFromContractByNumberRange(contract: String, lo: Long, hi: Long): Either[String, DataFrame] =
+    for {
+      c <- requireAddr(contract)
+      r <- requireRange(lo, hi, maxBlockRange)
+    } yield joinRange(events, col("origin") === c, r._1, r._2)
+
   def eventsByBlockHash(hash: String): Either[String, DataFrame] =
     requireHash(hash).map(h => Relational.filterScan(events, col("blockhash") === h))
 
@@ -228,6 +258,19 @@ class QueryService(
     df.select(F.txJson(col("hash"), col("from"), col("to"), col("contract"),
       col("value"), col("data"), col("gas"), col("gasprice"), col("cost"),
       col("nonce"), col("state"), col("blockhash")).as("json"))
+
+  /** Output shaping for /v1/block responses (`app/data/block.go:37-61`). */
+  def blocksAsJson(df: DataFrame): DataFrame =
+    df.select(F.blockJson(col("hash"), col("number"), col("time"),
+      col("parenthash"), col("difficulty"), col("gasused"), col("gaslimit"),
+      col("nonce"), col("miner"), col("size"), col("stateroothash"),
+      col("unclehash"), col("txroothash"), col("receiptroothash"),
+      col("extradata")).as("json"))
+
+  /** Output shaping for /v1/event responses (`app/data/event.go:30-45`). */
+  def eventsAsJson(df: DataFrame): DataFrame =
+    df.select(F.eventJson(col("origin"), col("index"), col("topics"),
+      col("data"), col("txhash"), col("blockhash")).as("json"))
 
   private def joinRange(fact: DataFrame, pred: org.apache.spark.sql.Column,
       lo: Long, hi: Long): DataFrame =

@@ -82,6 +82,38 @@ object EvmFunctions {
       to_json(struct(common ++ (to.as("to") +: tail): _*)))
   }
 
+  /** Block JSON document (`app/data/block.go:37-61`): the reference
+    * printf-builds this shape field-by-field — `size` renders through
+    * Go's `%f` (six fixed decimals; Java's Formatter agrees exactly when
+    * the value has ≤6 significant decimals, which block sizes do), and
+    * `extraData` gets the F1 empty-suppression. */
+  def blockJson(
+      hash: Column, number: Column, time: Column, parentHash: Column,
+      difficulty: Column, gasUsed: Column, gasLimit: Column, nonce: Column,
+      miner: Column, size: Column, stateRootHash: Column, uncleHash: Column,
+      txRootHash: Column, receiptRootHash: Column, extraData: Column): Column =
+    format_string(
+      "{\"hash\":\"%s\",\"number\":%d,\"time\":%d,\"parentHash\":\"%s\"," +
+        "\"difficulty\":\"%s\",\"gasUsed\":%d,\"gasLimit\":%d,\"nonce\":\"%s\"," +
+        "\"miner\":\"%s\",\"size\":%f,\"stateRootHash\":\"%s\",\"uncleHash\":\"%s\"," +
+        "\"txRootHash\":\"%s\",\"receiptRootHash\":\"%s\",\"extraData\":\"%s\"}",
+      hash, number, time, parentHash, difficulty, gasUsed, gasLimit, nonce,
+      miner, size, stateRootHash, uncleHash, txRootHash, receiptRootHash,
+      hexEncode(extraData))
+
+  /** Event JSON document (`app/data/event.go:30-45`): topics render as a
+    * JSON string array with no separator spaces, data gets the F2
+    * zero-word suppression composed with the F1 empty-guard. */
+  def eventJson(
+      origin: Column, index: Column, topics: Column, data: Column,
+      txHash: Column, blockHash: Column): Column =
+    format_string(
+      "{\"origin\":\"%s\",\"index\":%d,\"topics\":[%s],\"data\":\"%s\"," +
+        "\"txHash\":\"%s\",\"blockHash\":\"%s\"}",
+      origin, index,
+      array_join(transform(topics, t => concat(lit("\""), t, lit("\""))), ","),
+      eventDataJson(data), txHash, blockHash)
+
   /** F11: keccak256 digest of a binary column (custom expression —
     * [[Keccak.Keccak256]], registered as SQL `keccak256`). */
   def keccak256(c: Column): Column =

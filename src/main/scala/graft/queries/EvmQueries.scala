@@ -426,6 +426,29 @@ object EvmQueries {
         col("cost"), col("nonce"), col("state"), col("blockhash")).as("json"))
       .orderBy(col("hash"))
 
+  /** Block JSON document shaping (`app/data/block.go:37-61`): Go-`%f`
+    * size, F1 empty/null extradata suppression — the /v1/block response
+    * bytes ([[graft.api.RestServer]]). */
+  private def fBlockJson(s: SparkSession, d: String): DataFrame =
+    blocks(s).filter(col("number").between(2000L, 2099L))
+      .select(col("number"), F.blockJson(col("hash"), col("number"), col("time"),
+        col("parenthash"), col("difficulty"), col("gasused"), col("gaslimit"),
+        col("nonce"), col("miner"), col("size"), col("stateroothash"),
+        col("unclehash"), col("txroothash"), col("receiptroothash"),
+        col("extradata")).as("json"))
+      .orderBy(col("number"))
+
+  /** Event JSON document shaping (`app/data/event.go:30-45`): quoted topic
+    * array with no separator spaces, F2 zero-word data suppression — the
+    * /v1/event response bytes. */
+  private def fEventJson(s: SparkSession, d: String): DataFrame =
+    Relational.factJoinDim(events(s), blocksDim(s), "blockhash", "b_hash",
+        lit(true), col("number").between(2000L, 2099L))
+      .select(col("txhash"), col("index"),
+        F.eventJson(col("origin"), col("index"), col("topics"), col("data"),
+          col("txhash"), col("blockhash")).as("json"))
+      .orderBy(col("txhash"), col("index"))
+
   /** Exact uint256 total of transferred value over the ≤30-digit slice —
     * the custom Aggregator + expressions path (SURVEY §2.10), bounded so
     * the exact sum fits DuckDB's HUGEINT and the oracle hash-checks it. */
@@ -660,6 +683,8 @@ object EvmQueries {
     "ev_f_uint256_sum_bounded" -> (fUint256Sum _),
     "ev_f_uint256_sum_full" -> (fUint256SumFull _),
     "ev_f_tx_json" -> (fTxJson _),
+    "ev_f_block_json" -> (fBlockJson _),
+    "ev_f_event_json" -> (fEventJson _),
     "ev_f_codec_shapes" -> (fCodecShapes _),
     "ev_f_keccak_vectors" -> (fKeccakVectors _),
     "ev_f_ecrecover_vector" -> (fEcrecoverVector _),
@@ -870,6 +895,37 @@ object EvmQueries {
           || '"}' AS json
           FROM $txsT t JOIN $blocksT b ON t.blockhash = b.hash
           WHERE b.number BETWEEN 2000 AND 2099 ORDER BY t.hash""",
+    "ev_f_block_json" ->
+      s"""SELECT number,
+          '{"hash":"' || hash || '","number":' || CAST(number AS VARCHAR)
+          || ',"time":' || CAST(time AS VARCHAR)
+          || ',"parentHash":"' || parenthash || '","difficulty":"' || difficulty
+          || '","gasUsed":' || CAST(gasused AS VARCHAR)
+          || ',"gasLimit":' || CAST(gaslimit AS VARCHAR)
+          || ',"nonce":"' || nonce || '","miner":"' || miner
+          || '","size":' || printf('%f', size)
+          || ',"stateRootHash":"' || stateroothash || '","uncleHash":"' || unclehash
+          || '","txRootHash":"' || txroothash
+          || '","receiptRootHash":"' || receiptroothash
+          || '","extraData":"'
+          || CASE WHEN extradata IS NULL OR octet_length(extradata) = 0 THEN ''
+                  ELSE '0x' || lower(hex(extradata)) END
+          || '"}' AS json
+          FROM $blocksT WHERE number BETWEEN 2000 AND 2099 ORDER BY number""",
+    "ev_f_event_json" ->
+      s"""SELECT e.txhash, e."index",
+          '{"origin":"' || e.origin || '","index":' || CAST(e."index" AS VARCHAR)
+          || ',"topics":['
+          || coalesce( -- empty list: string_agg semantics yield NULL, not ''
+               array_to_string(list_transform(e.topics, x -> '"' || x || '"'), ','), '')
+          || '],"data":"'
+          || CASE WHEN e.data IS NULL OR octet_length(e.data) = 0 THEN ''
+                  WHEN lower(hex(e.data)) = repeat('0', 64) THEN ''
+                  ELSE '0x' || lower(hex(e.data)) END
+          || '","txHash":"' || e.txhash || '","blockHash":"' || e.blockhash
+          || '"}' AS json
+          FROM $eventsT e JOIN $blocksT b ON e.blockhash = b.hash
+          WHERE b.number BETWEEN 2000 AND 2099 ORDER BY e.txhash, e."index"""",
     // F3/F4/F12: expected values computed by independent arithmetic
     "ev_f_codec_shapes" ->
       s"""SELECT hash,
