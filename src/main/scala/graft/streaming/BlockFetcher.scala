@@ -31,12 +31,15 @@ trait BlockFetcher extends Serializable {
 object BlockFetcher {
 
   /** Resolve the DSv2 `fetcher` option: `"sim"` (default) is the
-    * deterministic fixture chain; any other value is the fully-qualified
-    * class name of a zero-arg [[BlockFetcher]] implementation on the
-    * classpath — how a deployment plugs in its node connector without
-    * touching this source. */
+    * deterministic fixture chain; `"rpc:<endpoint>"` is the real
+    * JSON-RPC connector ([[JsonRpcFetcher]] over [[HttpTransport]]);
+    * any other value is the fully-qualified class name of a zero-arg
+    * [[BlockFetcher]] implementation on the classpath — how a deployment
+    * plugs in its node connector without touching this source. */
   def forOption(name: String, maxNumber: Long): BlockFetcher = name match {
     case "sim" => ChainSimFetcher(maxNumber)
+    case rpc if rpc.startsWith("rpc:") =>
+      JsonRpcFetcher(HttpTransport(rpc.stripPrefix("rpc:")))
     case fqcn => Class.forName(fqcn).getDeclaredConstructor()
       .newInstance().asInstanceOf[BlockFetcher]
   }
