@@ -19,13 +19,14 @@ import graft.ingest.PackedBlocks
   * fronts (websocket fanout via [[SubscriptionFilter]]). */
 object Publisher {
 
-  /** The three ordered message tiers of one packed-block batch. `seq` is
-    * the transaction's position in the packed block, `subseq` the event's
-    * position within its transaction — the same ordering the reference
-    * walks in `publish_tx.go:13-96` / `publish_event.go:13-61` (NOT
-    * payload-string order, which interleaves hashes lexicographically). */
-  def messages(packed: DataFrame): DataFrame = {
-    val blockMsgs = PackedBlocks.blocksOf(packed).select(
+  private val msgCols = Seq(
+    col("number"), col("tier"), col("seq"), col("subseq"),
+    col("topic"), col("payload"))
+
+  /** Block-tier messages plus the header columns fanout predicates need
+    * (block subscriptions are unconditional, so none beyond the core). */
+  private def blockFrame(packed: DataFrame): DataFrame =
+    PackedBlocks.blocksOf(packed).select(
       col("number"), lit(0).as("tier"),
       lit(0).as("seq"), lit(0).as("subseq"), lit("block").as("topic"),
       to_json(struct(
@@ -34,17 +35,27 @@ object Publisher {
         col("miner"), col("size"),
         F.hexEncode(col("extradata")).as("extradata"))).as("payload"))
 
-    val txFrames = packed.select(col("block.number").as("number"),
+  private def txFrames(packed: DataFrame): DataFrame =
+    packed.select(col("block.number").as("number"),
       posexplode(col("transactions")).as(Seq("seq", "pt")))
-    val txMsgs = txFrames.select(
+
+  /** Transaction-tier messages with the entity columns the ST11 matchers
+    * compile against (`from`/`to`/`contract`), so tagging composes in the
+    * same pass that shapes the payload. */
+  private def txFrame(packed: DataFrame): DataFrame =
+    txFrames(packed).select(
       col("number"), lit(1).as("tier"), col("seq"), lit(0).as("subseq"),
       lit("transaction").as("topic"),
       F.txJson(col("pt.tx.hash"), col("pt.tx.from"), col("pt.tx.to"),
         col("pt.tx.contract"), col("pt.tx.value"), col("pt.tx.data"),
         col("pt.tx.gas"), col("pt.tx.gasprice"), col("pt.tx.cost"),
-        col("pt.tx.nonce"), col("pt.tx.state"), col("pt.tx.blockhash")).as("payload"))
+        col("pt.tx.nonce"), col("pt.tx.state"), col("pt.tx.blockhash")).as("payload"),
+      col("pt.tx.from").as("from"), col("pt.tx.to").as("to"),
+      col("pt.tx.contract").as("contract"))
 
-    val evMsgs = txFrames
+  /** Event-tier messages with `origin`/`topics` for the matchers. */
+  private def evFrame(packed: DataFrame): DataFrame =
+    txFrames(packed)
       .select(col("number"), col("seq"),
         posexplode(col("pt.events")).as(Seq("subseq", "ev")))
       .select(col("number"), lit(2).as("tier"), col("seq"), col("subseq"),
@@ -52,9 +63,43 @@ object Publisher {
         to_json(struct(
           col("ev.origin"), col("ev.index"), col("ev.topics"),
           F.eventDataJson(col("ev.data")).as("data"),
-          col("ev.txhash"), col("ev.blockhash"))).as("payload"))
+          col("ev.txhash"), col("ev.blockhash"))).as("payload"),
+        col("ev.origin").as("origin"), col("ev.topics").as("topics"))
 
-    blockMsgs.unionByName(txMsgs).unionByName(evMsgs)
+  /** The three ordered message tiers of one packed-block batch. `seq` is
+    * the transaction's position in the packed block, `subseq` the event's
+    * position within its transaction — the same ordering the reference
+    * walks in `publish_tx.go:13-96` / `publish_event.go:13-61` (NOT
+    * payload-string order, which interleaves hashes lexicographically). */
+  def messages(packed: DataFrame): DataFrame =
+    blockFrame(packed).select(msgCols: _*)
+      .unionByName(txFrame(packed).select(msgCols: _*))
+      .unionByName(evFrame(packed).select(msgCols: _*))
+      .orderBy(col("number"), col("tier"), col("seq"), col("subseq"))
+
+  /** [[messages]] with each row tagged by the subscriber ids whose ST11
+    * predicate matches it, dropped when none do — the deployment shape
+    * the websocket tier drains ([[graft.api.WsServer]]): one pass, the
+    * matchers evaluated on the entity columns BEFORE JSON shaping, no
+    * join against a second deliveries frame. */
+  def deliveredMessages(packed: DataFrame,
+      subs: Seq[(String, SubscriptionFilter.Subscription)]): DataFrame = {
+    import SubscriptionFilter._
+    val blockSubs = subs.collect { case (id, BlockSub) => id }
+    val txSubs = subs.collect { case s @ (_, _: TransactionSub) => s }
+    val evSubs = subs.collect { case s @ (_, _: EventSub) => s }
+    val subscribers = col("subscribers")
+
+    val tagged = blockFrame(packed)
+      .select(msgCols :+ array(blockSubs.map(lit(_)): _*)
+        .cast("array<string>").as("subscribers"): _*)
+      .unionByName(txFrame(packed)
+        .select(msgCols :+ SubscriptionFilter.tagMatches(txSubs)
+          .cast("array<string>").as("subscribers"): _*))
+      .unionByName(evFrame(packed)
+        .select(msgCols :+ SubscriptionFilter.tagMatches(evSubs)
+          .cast("array<string>").as("subscribers"): _*))
+    tagged.filter(size(subscribers) > 0)
       .orderBy(col("number"), col("tier"), col("seq"), col("subseq"))
   }
 

@@ -26,25 +26,31 @@ object SubscriptionFilter {
 
   private val Addr = "(?:0[xX][0-9a-fA-F]{40}|\\*)"
   private val Topic = "(?:0[xX][0-9a-fA-F]{64}|\\*)"
-  /** Validation regex ≡ subscription.go:21. */
+  /** Validation regex ≡ subscription.go:21 — every trailing segment is
+    * OPTIONAL there (`transaction`, `transaction/<addr>`, `event/<addr>/
+    * <topic0>`, … are all valid); a missing segment means wildcard. */
   val grammar: scala.util.matching.Regex =
-    s"^(?:block|transaction/$Addr/$Addr|event/$Addr(?:/$Topic){4})$$".r
+    s"^(?:block|transaction(?:/$Addr(?:/$Addr)?)?|event(?:/$Addr(?:/$Topic){0,4})?)$$".r
 
   sealed trait Subscription
   case object BlockSub extends Subscription
   final case class TransactionSub(from: String, to: String) extends Subscription
   final case class EventSub(contract: String, topics: Seq[String]) extends Subscription
 
-  /** Parse + validate a subscription name (None = invalid per grammar). */
+  /** Parse + validate a subscription name (None = invalid per grammar);
+    * omitted trailing segments become `*` wildcards, the reference's
+    * semantics for its optional groups. */
   def parse(name: String): Option[Subscription] = name match {
     case s if grammar.findFirstIn(s).isEmpty => None
     case "block" => Some(BlockSub)
-    case s if s.startsWith("transaction/") =>
+    case s if s.startsWith("transaction") =>
       val parts = s.split("/", -1)
-      Some(TransactionSub(parts(1), parts(2)))
+      Some(TransactionSub(
+        parts.lift(1).getOrElse("*"), parts.lift(2).getOrElse("*")))
     case s =>
       val parts = s.split("/", -1)
-      Some(EventSub(parts(1), parts.drop(2).toSeq))
+      Some(EventSub(parts.lift(1).getOrElse("*"),
+        (0 until 4).map(i => parts.lift(i + 2).getOrElse("*"))))
   }
 
   private def wild(pattern: String, c: Column): Column =

@@ -19,11 +19,21 @@ class SubscriptionFilterSpec extends SparkSpec {
   test("grammar accepts the reference's topic shapes and rejects others") {
     val valid = Seq("block", "transaction/*/*", s"transaction/$a1/*",
       s"transaction/*/$a2", s"transaction/$a1/$a2",
-      "event/*/*/*/*/*", s"event/$a1/$t0/*/*/*", s"event/*/$t0/$t1/*/*")
-    val invalid = Seq("blocks", "transaction/*", "transaction/*/*/*",
-      s"event/$a1/*/*/*", "event/*/*/*/*/*/*", s"transaction/${a1.drop(1)}/*", "")
+      "event/*/*/*/*/*", s"event/$a1/$t0/*/*/*", s"event/*/$t0/$t1/*/*",
+      // every trailing segment is optional in subscription.go:21 —
+      // partial forms are valid and mean wildcard
+      "transaction", s"transaction/$a1", "event", s"event/$a1",
+      s"event/$a1/$t0", s"event/$a1/$t0/$t1")
+    val invalid = Seq("blocks", "transaction/*/*/*", "event/*/*/*/*/*/*",
+      s"transaction/${a1.drop(1)}/*", s"event/$t0", "")
     valid.foreach(v => assert(parse(v).isDefined, v))
     invalid.foreach(v => assert(parse(v).isEmpty, v))
+    // omitted segments parse as explicit wildcards
+    assert(parse("transaction").get ===
+      TransactionSub("*", "*"))
+    assert(parse(s"transaction/$a1").get === TransactionSub(a1, "*"))
+    assert(parse("event").get === EventSub("*", Seq("*", "*", "*", "*")))
+    assert(parse(s"event/$a1/$t0").get === EventSub(a1, Seq(t0, "*", "*", "*")))
   }
 
   private lazy val txs = Seq(
