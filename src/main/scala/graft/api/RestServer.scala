@@ -44,12 +44,11 @@ object RestServer {
   * guardrail-bounded results, the reference's own API contract (10-block
   * / 60-second windows, rest.go:171-225).
   *
-  * Not served: `/v1/ws` (needs a websocket stack the JDK lacks; the
-  * engine-side fanout — per-client predicate filters, ordered delivery,
-  * publish-once — is [[graft.streaming.SubscriptionFilter]]/`Publisher`,
-  * spec-covered) and `/v1/graphql` (an alternate query grammar whose
-  * resolvers, `app/rest/graph/schema.resolvers.go`, delegate to the same
-  * db.Get* arms this class reaches through QueryService). */
+  * `/v1/graphql` serves the reference's schema through [[GraphQl]] (same
+  * QueryService arms, gqlgen's response envelope). The websocket route
+  * lives in [[WsServer]] — RFC 6455 needs a raw socket, which
+  * `com.sun.net.httpserver` cannot hijack, so it binds its own port like
+  * the reference's upgrade path owns its connection. */
 final class RestServer(service: QueryService,
     status: () => RestServer.SyncStatus, port: Int = 0) {
   import RestServer._
@@ -66,6 +65,15 @@ final class RestServer(service: QueryService,
   server.createContext("/v1/block", (ex: HttpExchange) => handle(ex)(block))
   server.createContext("/v1/transaction", (ex: HttpExchange) => handle(ex)(transaction))
   server.createContext("/v1/event", (ex: HttpExchange) => handle(ex)(event))
+  private val graphql = new GraphQl(service)
+  server.createContext("/v1/graphql", (ex: HttpExchange) =>
+    try {
+      val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      val resp = graphql.execute(body).getBytes(UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(200, resp.length) // gqlgen always responds 200
+      ex.getResponseBody.write(resp)
+    } finally ex.close())
 
   def start(): Unit = server.start()
   def stop(): Unit = server.stop(0)

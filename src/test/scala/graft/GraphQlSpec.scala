@@ -1,0 +1,132 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import graft.api.{GraphQl, QueryService, RestServer}
+import graft.fixtures.EvmFixtures
+import graft.queries.EvmQueries
+
+/** The /v1/graphql tier: the subset parser, resolver dispatch into
+  * QueryService, data.go output shaping, gqlgen's error envelope, and
+  * the POST route end-to-end over HTTP. */
+class GraphQlSpec extends SparkSpec {
+
+  private lazy val svc = new QueryService(
+    EvmQueries.blocks(spark), EvmQueries.txs(spark), EvmQueries.events(spark))
+  private lazy val gql = new GraphQl(svc)
+  private val mapper = new ObjectMapper()
+
+  private def run(query: String, variables: String = null): com.fasterxml.jackson.databind.JsonNode = {
+    val body = new java.util.LinkedHashMap[String, Any]()
+    body.put("query", query)
+    if (variables != null) body.put("variables", mapper.readTree(variables))
+    mapper.readTree(gql.execute(mapper.writeValueAsString(body)))
+  }
+
+  test("parser: operations, arguments, variables, ignorable tokens, errors") {
+    val vars = new java.util.HashMap[String, Any]()
+    vars.put("h", "0xabc")
+    vars.put("ts", java.util.List.of("0x1", "0x2"))
+    val fields = GraphQl.parse(
+      """# a comment
+        |query Blocks {
+        |  blockByHash(hash: $h) { hash, number }
+        |  eventsFromContractWithTopicsByNumberRange(
+        |    contract: "0xc", from: "1", to: "2", topics: $ts) { origin }
+        |}""".stripMargin, vars).toOption.get
+    assert(fields.map(_.name) ===
+      Seq("blockByHash", "eventsFromContractWithTopicsByNumberRange"))
+    assert(fields.head.args("hash") === "0xabc")
+    assert(fields.head.selections === Seq("hash", "number"))
+    assert(fields(1).args("topics") === Seq("0x1", "0x2"))
+
+    assert(GraphQl.parse("mutation { x }", vars).isLeft)
+    assert(GraphQl.parse("{ blockByHash { a { b } } }", vars).isLeft) // nested
+    assert(GraphQl.parse("{ f(x: $nope) }", vars).isLeft)            // undefined var
+    assert(GraphQl.parse("{ f } trailing", vars).isLeft)
+  }
+
+  test("blockByHash shapes per data.go:40-70 (decimal strings, Float size)") {
+    val b = EvmFixtures.buildBlock(1500, EvmFixtures.txCount(1500L))
+    val resp = run(s"""{ blockByHash(hash: "${b.hash}") {
+      hash number time gasUsed size extraData parentHash } }""")
+    val node = resp.get("data").get("blockByHash")
+    assert(node.get("hash").asText() === b.hash)
+    assert(node.get("number").asText() === "1500")      // String, not Int
+    assert(node.get("time").asText() === b.time.toString)
+    assert(node.get("gasUsed").asText() === b.gasused.toString)
+    assert(node.get("size").isDouble && node.get("size").asDouble() === b.size)
+    assert(node.get("extraData").asText() === "")       // 1500 % 5 == 0 → empty
+    assert(node.get("parentHash").asText() === b.parenthash)
+    // only the selected fields appear, in selection order
+    assert(node.size() === 7)
+  }
+
+  test("transaction to XOR contract and counts (data.go:103-133)") {
+    // (22 + 0) % 11 == 0 → txHash(22, 0) is a contract creation
+    val creation = run(s"""{ transaction(hash: "${EvmFixtures.txHash(22, 0)}") {
+      hash to contract state } }""").get("data").get("transaction")
+    assert(creation.get("to").asText() === "")
+    assert(creation.get("contract").asText() === EvmFixtures.createdAddr(22, 0))
+
+    val count = run("""{ transactionCountByBlockNumber(number: "2003") }""")
+    assert(count.get("data").get("transactionCountByBlockNumber").asInt() ===
+      EvmFixtures.txCount(2003L))
+  }
+
+  test("two fields, variables, and topic filters in one operation") {
+    val resp = run(
+      """query Q($c: String!, $ts: [String!]!) {
+        |  lastXEventsFromContract(contract: $c, x: 5) { origin index }
+        |  eventsFromContractWithTopicsByNumberRange(
+        |    contract: $c, from: "1000", to: "1099", topics: $ts) { topics }
+        |}""".stripMargin,
+      s"""{"c": "${EvmFixtures.contractAddr(7)}", "ts": ["${EvmFixtures.sig(2)}"]}""")
+    val data = resp.get("data")
+    assert(data != null && !data.isNull, s"unexpected error response: $resp")
+    assert(data.get("lastXEventsFromContract").size() === 5)
+    val evs = data.get("eventsFromContractWithTopicsByNumberRange")
+    assert(evs.size() > 0)
+    (0 until evs.size()).foreach { i =>
+      assert(evs.get(i).get("topics").get(0).asText() === EvmFixtures.sig(2))
+    }
+  }
+
+  test("errors: Found nothing, guardrails, unknown fields (gqlgen envelope)") {
+    val missing = run(s"""{ blockByHash(hash: "0x${"9" * 64}") { hash } }""")
+    assert(missing.get("data").isNull)
+    assert(missing.get("errors").get(0).get("message").asText() === "Found nothing")
+    assert(missing.get("errors").get(0).get("path").get(0).asText() === "blockByHash")
+
+    val tooWide = run("""{ blocksByNumberRange(from: "0", to: "500") { hash } }""")
+    assert(tooWide.get("errors").get(0).get("message").asText().contains("width cap"))
+
+    assert(run("{ nope }").get("errors").get(0).get("message").asText()
+      .contains("unknown field"))
+    assert(run("""{ blockByNumber(number: "13") { hash } }""")
+      .get("errors").get(0).get("message").asText() === "Found nothing")
+  }
+
+  test("the POST /v1/graphql route serves the same envelope over HTTP") {
+    val server = new RestServer(svc,
+      () => RestServer.SyncStatus(0, 0, 0, 0.0, "idle"))
+    server.start()
+    try {
+      val body = mapper.writeValueAsString(java.util.Map.of(
+        "query", s"""{ blockByHash(hash: "${EvmFixtures.blockHash(1500)}") { hash number } }"""))
+      val resp = HttpClient.newHttpClient().send(
+        HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${server.boundPort}/v1/graphql"))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() === 200)
+      val node = mapper.readTree(resp.body()).get("data").get("blockByHash")
+      assert(node.get("hash").asText() === EvmFixtures.blockHash(1500))
+      assert(node.get("number").asText() === "1500")
+    } finally server.stop()
+  }
+}
