@@ -116,6 +116,51 @@ class WsServerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("ingest → publish-once gate → websocket: the full notification path") {
+    val root = java.nio.file.Files.createTempDirectory("graft-wsingest").toString
+    val server = new WsServer()
+    server.start()
+    try {
+      val received = new LinkedBlockingQueue[String]()
+      val ws = HttpClient.newHttpClient().newWebSocketBuilder()
+        .buildAsync(URI.create(s"ws://127.0.0.1:${server.boundPort}/v1/ws"),
+          new WebSocket.Listener {
+            override def onText(w: WebSocket, data: CharSequence,
+                last: Boolean): CompletionStage[_] = {
+              received.add(data.toString); w.request(1); null
+            }
+          }).join()
+      ws.sendText("""{"name":"block","type":"subscribe"}""", true).join()
+      assert(received.poll(10, TimeUnit.SECONDS) ===
+        """{"code":1,"msg":"Subscribed to `block`"}""")
+
+      // the ingest job publishes through the S9 gate into the ws fanout —
+      // the reference's store → Redis → websocket path in one wiring
+      val store = new graft.ingest.BlockStore(spark, s"$root/store")
+      val job = new graft.streaming.IngestJob(spark, store,
+        confirmations = 5, onPublish = server.publish)
+      val stream = spark.readStream
+        .format(classOf[graft.streaming.ChainSimSource].getName)
+        .option("blocksPerBatch", "10").option("maxNumber", "30")
+        .load()
+        .select(org.apache.spark.sql.functions.from_json(
+          org.apache.spark.sql.functions.col("value"),
+          graft.schema.Schemas.packedBlock).as("p"))
+        .select("p.*")
+      val query = job.start(stream, s"$root/ckpt")
+      try query.processAllAvailable() finally query.stop()
+
+      val expected = (0L to 30L).filterNot(EvmFixtures.isGap)
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val got = expected.indices.map { _ =>
+        mapper.readTree(received.poll(10, TimeUnit.SECONDS)).get("number").asLong()
+      }
+      // every present block published exactly once, in order
+      assert(got === expected)
+      assert(received.poll(500, TimeUnit.MILLISECONDS) === null)
+    } finally server.stop()
+  }
+
   test("grammar violations are Bad Payload (subscription.go:213-253)") {
     val server = new WsServer()
     server.start()
