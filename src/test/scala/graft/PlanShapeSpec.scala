@@ -196,6 +196,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("lead("), "bigram formation must not use a window")
   }
 
+  test("ws fanout tags in one pass: no join, the final order is the only sort") {
+    import graft.streaming.SubscriptionFilter._
+    val packed = graft.fixtures.EvmFixtures.packedBlocks.take(20)
+    import spark.implicits._
+    val subs = Seq(
+      "c1#block" -> parse("block").get,
+      "c1#transaction" -> parse("transaction").get,
+      "c2#event" -> parse("event").get)
+    val p = graft.streaming.Publisher.deliveredMessages(packed.toDF(), subs)
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    // predicate tagging rides the projection over entity columns — a
+    // regression to a message⋈deliveries join or a per-tier sort would
+    // show up as Join/extra Sort nodes
+    assert(!p.contains("Join"), p)
+    assert(p.linesIterator.count(_.contains("Sort ")) <= 1, p)
+  }
+
   test("anti-join gap detection has no distinct aggregation on the present side") {
     val p = plan("ev_j10_missing_blocks")
     assert(p.contains("LeftAnti"))
