@@ -324,7 +324,7 @@ object GraphQl {
       }
     }
 
-    private def peek(): Char = { skip(); if (pos < src.length) src(pos) else ' ' }
+    private def peek(): Char = { skip(); if (pos < src.length) src(pos) else '\u0000' }
 
     private def expect(c: Char): Unit = {
       if (peek() != c) fail(s"expected '$c'")
@@ -372,7 +372,11 @@ object GraphQl {
         val start = pos
         pos += 1
         while (pos < src.length && src(pos).isDigit) pos += 1
-        src.substring(start, pos).toLong
+        val text = src.substring(start, pos)
+        try text.toLong // a lone '-' or out-of-Long literal is a SYNTAX error,
+        catch {         // not an exception escaping the envelope
+          case _: NumberFormatException => fail(s"bad integer literal '$text'")
+        }
       case _ => fail("expected a value")
     }
 

@@ -19,9 +19,9 @@ import graft.operators.Relational
   */
 class QueryService(
     blocks: DataFrame, txs: DataFrame, events: DataFrame,
-    maxBlockRange: Long = 100L,   // config.go:62-77 BlockRange default
-    maxTimeRange: Long = 3600L,   // config.go:81-96 TimeRange default
-    maxTopK: Int = 50) {          // rest.go:612-617
+    val maxBlockRange: Long = 100L,   // config.go:62-77 BlockRange default
+    val maxTimeRange: Long = 3600L,   // config.go:81-96 TimeRange default
+    val maxTopK: Int = 50) {          // rest.go:612-617
 
   private val HashRe = "^0x[0-9a-fA-F]{64}$".r
   private val AddrRe = "^0x[0-9a-fA-F]{40}$".r
@@ -62,7 +62,8 @@ class QueryService(
     requireHash(hash).map(h => Relational.pointLookup(txs, col("hash") === h))
 
   def transactionsByBlockHash(hash: String): Either[String, DataFrame] =
-    requireHash(hash).map(h => Relational.filterScan(txs, col("blockhash") === h))
+    requireHash(hash).map(h =>
+      Relational.filterScan(txs, col("blockhash") === h).orderBy(col("hash")))
 
   /** `GetTransactionsByBlockNumber` (query.go:181-190): the reference's
     * scalar subquery number→hash, planned as a broadcast of the at-most-
@@ -71,7 +72,7 @@ class QueryService(
     txs.join(
       broadcast(blocks.filter(col("number") === number)
         .select(col("hash").as("blockhash"))),
-      Seq("blockhash")))
+      Seq("blockhash")).orderBy(col("hash")))
 
   def transactionFromAccountWithNonce(from: String, nonce: Long): Either[String, DataFrame] =
     requireAddr(from).map(a =>
@@ -81,27 +82,27 @@ class QueryService(
     for {
       a <- requireAddr(from)
       r <- requireRange(lo, hi, maxBlockRange)
-    } yield joinRange(txs, col("from") === a, r._1, r._2)
+    } yield joinRange(txs, col("from") === a, r._1, r._2, Seq(col("hash")))
 
   /** `GetTransactionsFromAccountByBlockTimeRange` (query.go:248-272). */
   def transactionsFromAccountByTimeRange(from: String, lo: Long, hi: Long): Either[String, DataFrame] =
     for {
       a <- requireAddr(from)
       r <- requireRange(lo, hi, maxTimeRange)
-    } yield joinTimeRange(txs, col("from") === a, r._1, r._2)
+    } yield joinTimeRange(txs, col("from") === a, r._1, r._2, Seq(col("hash")))
 
   def transactionsToAccountByNumberRange(to: String, lo: Long, hi: Long): Either[String, DataFrame] =
     for {
       a <- requireAddr(to)
       r <- requireRange(lo, hi, maxBlockRange)
-    } yield joinRange(txs, col("to") === a, r._1, r._2)
+    } yield joinRange(txs, col("to") === a, r._1, r._2, Seq(col("hash")))
 
   /** `GetTransactionsToAccountByBlockTimeRange` (query.go:304-328). */
   def transactionsToAccountByTimeRange(to: String, lo: Long, hi: Long): Either[String, DataFrame] =
     for {
       a <- requireAddr(to)
       r <- requireRange(lo, hi, maxTimeRange)
-    } yield joinTimeRange(txs, col("to") === a, r._1, r._2)
+    } yield joinTimeRange(txs, col("to") === a, r._1, r._2, Seq(col("hash")))
 
   /** `GetTransactionsBetweenAccountsByBlockNumberRange` (query.go:332-356). */
   def transactionsBetweenAccountsByNumberRange(from: String, to: String,
@@ -110,7 +111,7 @@ class QueryService(
       f <- requireAddr(from)
       t <- requireAddr(to)
       r <- requireRange(lo, hi, maxBlockRange)
-    } yield joinRange(txs, col("from") === f && col("to") === t, r._1, r._2)
+    } yield joinRange(txs, col("from") === f && col("to") === t, r._1, r._2, Seq(col("hash")))
 
   /** `GetTransactionsBetweenAccountsByBlockTimeRange` (query.go:360-370). */
   def transactionsBetweenAccountsByTimeRange(from: String, to: String,
@@ -119,13 +120,13 @@ class QueryService(
       f <- requireAddr(from)
       t <- requireAddr(to)
       r <- requireRange(lo, hi, maxTimeRange)
-    } yield joinTimeRange(txs, col("from") === f && col("to") === t, r._1, r._2)
+    } yield joinTimeRange(txs, col("from") === f && col("to") === t, r._1, r._2, Seq(col("hash")))
 
   def contractCreationsFromAccount(from: String, lo: Long, hi: Long): Either[String, DataFrame] =
     for {
       a <- requireAddr(from)
       r <- requireRange(lo, hi, maxBlockRange)
-    } yield joinRange(txs, col("from") === a && col("contract") =!= "", r._1, r._2)
+    } yield joinRange(txs, col("from") === a && col("contract") =!= "", r._1, r._2, Seq(col("hash")))
 
   /** `GetContractCreationTransactionsFromAccountByBlockTimeRange`
     * (query.go:388-398). */
@@ -133,7 +134,7 @@ class QueryService(
     for {
       a <- requireAddr(from)
       r <- requireRange(lo, hi, maxTimeRange)
-    } yield joinTimeRange(txs, col("from") === a && col("contract") =!= "", r._1, r._2)
+    } yield joinTimeRange(txs, col("from") === a && col("contract") =!= "", r._1, r._2, Seq(col("hash")))
 
   // ---- count twins (`GetTransactionCount*`, `GetBlockCount`) ------------
   // The reference pairs every range endpoint with a COUNT variant that
@@ -201,20 +202,22 @@ class QueryService(
     for {
       c <- requireAddr(contract)
       r <- requireRange(lo, hi, maxBlockRange)
-    } yield joinRange(events, col("origin") === c, r._1, r._2)
+    } yield joinRange(events, col("origin") === c, r._1, r._2, Seq(col("index")))
 
   def eventsByBlockHash(hash: String): Either[String, DataFrame] =
-    requireHash(hash).map(h => Relational.filterScan(events, col("blockhash") === h))
+    requireHash(hash).map(h =>
+      Relational.filterScan(events, col("blockhash") === h).orderBy(col("index")))
 
   def eventsByTransactionHash(hash: String): Either[String, DataFrame] =
-    requireHash(hash).map(h => Relational.filterScan(events, col("txhash") === h))
+    requireHash(hash).map(h =>
+      Relational.filterScan(events, col("txhash") === h).orderBy(col("index")))
 
   /** `GetEventsFromContractByBlockTimeRange` (query.go:429-440). */
   def eventsFromContractByTimeRange(contract: String, lo: Long, hi: Long): Either[String, DataFrame] =
     for {
       c <- requireAddr(contract)
       r <- requireRange(lo, hi, maxTimeRange)
-    } yield joinTimeRange(events, col("origin") === c, r._1, r._2)
+    } yield joinTimeRange(events, col("origin") === c, r._1, r._2, Seq(col("index")))
 
   private def requireTopics(topics: Map[Int, String]): Either[String, Unit] =
     topics.toSeq.collectFirst {
@@ -231,7 +234,7 @@ class QueryService(
       _ <- requireTopics(topics)
     } yield joinRange(
       events.filter(TopicMatch.topicsMatchTwoPhase(topics.map { case (k, v) => k -> v.toLowerCase })),
-      col("origin") === c, r._1, r._2)
+      col("origin") === c, r._1, r._2, Seq(col("index")))
 
   /** `GetEventsFromContractWithTopicsByBlockTimeRange` (query.go:547-567). */
   def eventsFromContractWithTopicsByTimeRange(contract: String, lo: Long, hi: Long,
@@ -242,7 +245,7 @@ class QueryService(
       _ <- requireTopics(topics)
     } yield joinTimeRange(
       events.filter(TopicMatch.topicsMatchTwoPhase(topics.map { case (k, v) => k -> v.toLowerCase })),
-      col("origin") === c, r._1, r._2)
+      col("origin") === c, r._1, r._2, Seq(col("index")))
 
   def lastEventsFromContract(contract: String, k: Int): Either[String, DataFrame] =
     for {
@@ -272,20 +275,25 @@ class QueryService(
     df.select(F.eventJson(col("origin"), col("index"), col("topics"),
       col("data"), col("txhash"), col("blockhash")).as("json"))
 
+  // collection responses sort (number, tiebreak) so identical requests
+  // serialize identical arrays; the count twins reuse these plans and
+  // Catalyst's EliminateSorts removes the order under their aggregate
   private def joinRange(fact: DataFrame, pred: org.apache.spark.sql.Column,
-      lo: Long, hi: Long): DataFrame =
+      lo: Long, hi: Long, order: Seq[org.apache.spark.sql.Column]): DataFrame =
     Relational.factJoinDim(fact,
       blocks.select(col("hash").as("b_hash"), col("number")),
       "blockhash", "b_hash", pred, col("number").between(lo, hi))
+      .orderBy(col("number") +: order: _*)
 
   // time predicates are width-capped by RangeChecker like number ranges
   // (3600 s / 12 s-per-block ≈ 300 blocks), so the dim side stays a
   // broadcastable sliver here too
   private def joinTimeRange(fact: DataFrame, pred: org.apache.spark.sql.Column,
-      lo: Long, hi: Long): DataFrame =
+      lo: Long, hi: Long, order: Seq[org.apache.spark.sql.Column]): DataFrame =
     Relational.factJoinDim(fact,
       blocks.select(col("hash").as("b_hash"), col("number"), col("time")),
       "blockhash", "b_hash", pred, col("time").between(lo, hi))
+      .orderBy(col("number") +: order: _*)
 
   /** COUNT twin plan: same scan/join, one long per partition exchanged. */
   private def countOf(df: DataFrame): DataFrame =

@@ -19,7 +19,7 @@ object RestServer {
     * seconds before rendering, rest.go:82). */
   def goDuration(seconds: Double): String = {
     val s = if (seconds.isNaN || seconds <= 0 || seconds.isInfinite) 0L
-      else math.round(seconds)
+      else seconds.toLong // TRUNCATE, as float→Duration conversion does
     val (h, m, sec) = (s / 3600, s % 3600 / 60, s % 60)
     if (h > 0) s"${h}h${m}m${sec}s"
     else if (m > 0) s"${m}m${sec}s"
@@ -69,7 +69,12 @@ final class RestServer(service: QueryService,
   server.createContext("/v1/graphql", (ex: HttpExchange) =>
     try {
       val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
-      val resp = graphql.execute(body).getBytes(UTF_8)
+      // resolver/engine failures still produce the envelope, as gqlgen's
+      // recover handler does — the route never drops the response
+      val resp = (try graphql.execute(body) catch {
+        case scala.util.control.NonFatal(_) =>
+          """{"errors":[{"message":"internal system error"}],"data":null}"""
+      }).getBytes(UTF_8)
       ex.getResponseHeaders.set("Content-Type", "application/json")
       ex.sendResponseHeaders(200, resp.length) // gqlgen always responds 200
       ex.getResponseBody.write(resp)
@@ -97,7 +102,10 @@ final class RestServer(service: QueryService,
   private def handle(ex: HttpExchange)(route: Params => (Int, String)): Unit =
     try {
       val (code, body) =
-        try route(parseParams(ex.getRequestURI.getRawQuery))
+        // httpserver contexts match by string PREFIX; gin routes are exact,
+        // so /v1/blockfoo must 404 rather than dispatch as /v1/block
+        if (ex.getRequestURI.getPath != ex.getHttpContext.getPath) notFound
+        else try route(parseParams(ex.getRequestURI.getRawQuery))
         catch { // rest.go:36-44: encoding/query failure → 500
           case scala.util.control.NonFatal(_) => (500, jsonMsg("JSON encoding failed"))
         }
@@ -256,6 +264,10 @@ final class RestServer(service: QueryService,
     def evColl(df: DataFrame) = collection("events", service.eventsAsJson(df))
     val numRange = fromBlock.nonEmpty && toBlock.nonEmpty
     val timeRange = fromTime.nonEmpty && toTime.nonEmpty
+    // malformed topicN params drop out of the ARM CONDITION, so a request
+    // with only invalid topics dispatches to the plain-range arm — exactly
+    // the reference's behavior (rest.go:633: the topics arm requires at
+    // least one shape-valid topic; invalid ones are never 400s)
     val validTopics = topicParams.filter { case (_, t) => isHash(t) }
     val anyTopic = validTopics.nonEmpty
 
@@ -279,7 +291,9 @@ final class RestServer(service: QueryService,
     else if (count.nonEmpty && isAddr(contract))
       parseLong(count) match {
         case None => (400, jsonMsg("Bad event count"))
-        case Some(k) if k > 50 => (400, jsonMsg("Too many events requested"))
+        case Some(k) if k > service.maxTopK => // rest.go:612-617, shared cap
+          (400, jsonMsg("Too many events requested"))
+        case Some(0) => (200, """{"events":[]}""") // LIMIT 0: empty, not an error
         case Some(k) => service.lastEventsFromContract(contract, k.toInt)
           .fold(m => (400, jsonMsg(m)), evColl)
       }

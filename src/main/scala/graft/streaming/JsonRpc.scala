@@ -281,10 +281,20 @@ final case class HttpTransport(endpoint: String, timeoutMs: Long = 10000L)
   * semantics, so no retry loop lives here. */
 final case class JsonRpcFetcher(transport: RpcTransport) extends BlockFetcher {
   @transient private lazy val ids = new java.util.concurrent.atomic.AtomicLong(0L)
+  @transient private lazy val lastHead = new java.util.concurrent.atomic.AtomicLong(-1L)
 
+  /** A failed or malformed head poll reports the LAST known head (-1
+    * before any success = "nothing available yet"): `latestOffset` then
+    * plans an empty batch and the next trigger retries, instead of one
+    * transient node blip terminating the streaming query. Heads also
+    * never move backwards here — a lagging node in a round-robin pool
+    * cannot retract an offset the stream already planned. */
   override def head(): Long =
-    JsonRpc.parseHead(transport.call(JsonRpc.blockNumberRequest(ids.incrementAndGet())))
-      .getOrElse(throw new IllegalStateException("eth_blockNumber returned an error"))
+    try {
+      val h = JsonRpc.parseHead(
+        transport.call(JsonRpc.blockNumberRequest(ids.incrementAndGet())))
+      h.fold(lastHead.get())(n => lastHead.updateAndGet(p => math.max(p, n)))
+    } catch { case scala.util.control.NonFatal(_) => lastHead.get() }
 
   override def fetchBlock(n: Long): Option[PackedBlock] =
     try {

@@ -106,6 +106,10 @@ class GraphQlSpec extends SparkSpec {
 
     assert(run("{ nope }").get("errors").get(0).get("message").asText()
       .contains("unknown field"))
+    // an out-of-Long integer literal is a syntax error in the envelope,
+    // never an exception escaping the route
+    assert(run("""{ lastXEventsFromContract(contract: "0xc", x: 99999999999999999999999) { origin } }""")
+      .get("errors").get(0).get("message").asText().contains("bad integer literal"))
     assert(run("""{ blockByNumber(number: "13") { hash } }""")
       .get("errors").get(0).get("message").asText() === "Found nothing")
   }

@@ -82,6 +82,9 @@ class RestServerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // a gap number → 404, empty params → 400
     assert(get("/v1/block?number=13")._1 === 404)
     assert(get("/v1/block") === (400, """{"msg":"Bad query param(s)"}"""))
+    // httpserver prefix-matching must not leak: unknown paths 404 exactly
+    assert(get(s"/v1/blockchain?hash=${EvmFixtures.blockHash(1500)}")._1 === 404)
+    assert(get("/v1/block/extra?number=1500")._1 === 404)
   }
 
   test("/v1/transaction dispatch arms (rest.go:228-487)") {
@@ -147,6 +150,9 @@ class RestServerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       (400, """{"msg":"Too many events requested"}"""))
     assert(get(s"/v1/event?contract=${EvmFixtures.contractAddr(0)}&count=x") ===
       (400, """{"msg":"Bad event count"}"""))
+    // LIMIT 0 semantics: empty collection, not an error (query.go:503-513)
+    assert(get(s"/v1/event?contract=${EvmFixtures.contractAddr(0)}&count=0") ===
+      (200, """{"events":[]}"""))
 
     // contract + range + topic0: every doc's first topic matches
     val (c6, b6) = get(s"/v1/event?contract=${EvmFixtures.contractAddr(7)}" +
@@ -179,6 +185,7 @@ class RestServerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
   test("goDuration renders Go's duration shapes") {
     assert(RestServer.goDuration(0) === "0s")
     assert(RestServer.goDuration(5.4) === "5s")
+    assert(RestServer.goDuration(5.6) === "5s") // TRUNCATED, not rounded
     assert(RestServer.goDuration(72) === "1m12s")
     assert(RestServer.goDuration(7205) === "2h0m5s")
     assert(RestServer.goDuration(Double.PositiveInfinity) === "0s")
