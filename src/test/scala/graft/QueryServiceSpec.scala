@@ -88,6 +88,20 @@ class QueryServiceSpec extends SparkSpec {
       EvmQueries.blocks(spark).count())
   }
 
+  test("count twins eliminate the collection sort under their aggregate") {
+    // the collection methods order (number, tiebreak) for deterministic
+    // arrays; the count twins reuse those plans and must NOT pay the sort
+    val counted = svc.transactionCountFromAccountByNumberRange(
+      EvmFixtures.account(2), 1000, 1099).toOption.get
+      .queryExecution.executedPlan.toString
+    assert(!counted.contains("Sort "), counted)
+    // while the collection itself keeps it
+    val listed = svc.transactionsFromAccountByNumberRange(
+      EvmFixtures.account(2), 1000, 1099).toOption.get
+      .queryExecution.executedPlan.toString
+    assert(listed.contains("Sort "), listed)
+  }
+
   test("tx JSON shaping emits contract XOR to per row (tx.go:42-52)") {
     val creations = svc.transactionsAsJson(
       EvmQueries.txs(spark).filter(col("contract") =!= "").limit(5)).collect()
