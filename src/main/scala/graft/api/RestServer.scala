@@ -80,6 +80,23 @@ final class RestServer(service: QueryService,
       ex.getResponseBody.write(resp)
     } finally ex.close())
 
+  // rest.go:887-900 serves gqlgen's playground page here; offline, a
+  // self-contained console that posts to the same /v1/graphql endpoint
+  server.createContext("/v1/graphql-playground", (ex: HttpExchange) =>
+    try {
+      val page = ("<!DOCTYPE html><html><head><title>graft graphql</title></head>" +
+        "<body><h3>GraphQL console</h3>" +
+        "<textarea id=q rows=8 cols=80>{ blockByNumber(number: \"1\") { hash number } }</textarea>" +
+        "<br><button onclick=\"fetch('/v1/graphql',{method:'POST'," +
+        "headers:{'Content-Type':'application/json'}," +
+        "body:JSON.stringify({query:document.getElementById('q').value})})" +
+        ".then(r=>r.text()).then(t=>document.getElementById('o').textContent=t)\">" +
+        "run</button><pre id=o></pre></body></html>").getBytes(UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "text/html")
+      ex.sendResponseHeaders(200, page.length)
+      ex.getResponseBody.write(page)
+    } finally ex.close())
+
   def start(): Unit = server.start()
   def stop(): Unit = server.stop(0)
   /** Actual port after binding (`port = 0` requests an ephemeral one). */

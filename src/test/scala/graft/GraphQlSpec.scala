@@ -131,6 +131,13 @@ class GraphQlSpec extends SparkSpec {
       val node = mapper.readTree(resp.body()).get("data").get("blockByHash")
       assert(node.get("hash").asText() === EvmFixtures.blockHash(1500))
       assert(node.get("number").asText() === "1500")
+
+      // the playground route (rest.go:887-900) serves an HTML console
+      val play = HttpClient.newHttpClient().send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:${server.boundPort}/v1/graphql-playground")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(play.statusCode() === 200 && play.body().contains("/v1/graphql"))
     } finally server.stop()
   }
 }
