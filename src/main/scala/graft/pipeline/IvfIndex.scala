@@ -90,13 +90,20 @@ object IvfIndex {
   /** Read the persisted `(c_id, c_emb)` codebook for the corpus at
     * `corpusDir`, building (and for [[Trained]], training) it first if
     * missing. One small file: the probe side of every IVF query reads
-    * this instead of re-deriving centroids from the corpus. */
+    * this instead of re-deriving centroids from the corpus.
+    *
+    * `variant` keys an index built over a DERIVED frame of the corpus
+    * (a filtered slice, a union with synthetic duplicates — the
+    * [[DedupIndex]] convention): same source-file staleness, distinct
+    * artifact, so derived and plain indexes can never shadow each other. */
   def ensureCentroids(spark: SparkSession, corpusDir: String, emb: DataFrame,
       embCol: String, idCol: String, quantizer: Quantizer = Stride(),
-      artifactRootOverride: Option[String] = None): DataFrame = {
+      artifactRootOverride: Option[String] = None,
+      variant: String = ""): DataFrame = {
     val root = artifactRootOverride.getOrElse(artifactRoot(spark))
     val corpus = Paths.get(corpusDir).getFileName.toString
-    val key = s"${corpus}_centroids_v${FormatVersion}_${quantizer.token}"
+    val vtok = if (variant.isEmpty) "" else s"_$variant"
+    val key = s"${corpus}_centroids_v${FormatVersion}_${quantizer.token}$vtok"
     ArtifactStore.ensure(spark, s"$corpusDir/embeddings.parquet", root, key) { tmp =>
       codebook(emb, idCol, embCol, quantizer)
         .coalesce(1) // k rows — one small file, one probe-side read
@@ -111,15 +118,17 @@ object IvfIndex {
     * probe can never see different centroids. */
   def ensure(spark: SparkSession, corpusDir: String, emb: DataFrame,
       embCol: String, idCol: String, quantizer: Quantizer = Stride(),
-      artifactRootOverride: Option[String] = None): DataFrame = {
+      artifactRootOverride: Option[String] = None,
+      variant: String = ""): DataFrame = {
     val root = artifactRootOverride.getOrElse(artifactRoot(spark))
     val corpus = Paths.get(corpusDir).getFileName.toString
-    val key = s"${corpus}_v${FormatVersion}_${quantizer.token}"
+    val vtok = if (variant.isEmpty) "" else s"_$variant"
+    val key = s"${corpus}_v${FormatVersion}_${quantizer.token}$vtok"
     ArtifactStore.ensure(spark, s"$corpusDir/embeddings.parquet", root, key) { tmp =>
       // codebook resolved INSIDE the build closure: a warm query must not
       // pay the centroids artifact's read just to reach a built assignment
       val cents = ensureCentroids(spark, corpusDir, emb, embCol, idCol,
-        quantizer, artifactRootOverride)
+        quantizer, artifactRootOverride, variant)
       Similarity.ivfAssign(emb, embCol, idCol, cents)
         .write.mode("overwrite").partitionBy("c_id").parquet(tmp)
     // partition-column type inference may narrow c_id to int; restore long

@@ -400,4 +400,61 @@ object Similarity {
         (dot(col("a_emb"), col("b_emb")) / (col("a_n") * col("b_n"))).as("score"))
       .filter(col("score") >= minCosine)
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup via
+    * embedding clustering. All-pairs cosine over a corpus is quadratic;
+    * the paper's move is to cluster first (here: the SAME persisted IVF
+    * coarse assignment the ANN queries probe — [[IvfIndex.ensure]]) and
+    * compare pairs only WITHIN clusters, bounding the join by the sum of
+    * squared cluster sizes. Pairs above `eps` are grouped transitively
+    * ([[Components.nearDupClusters]] — "A≈B, B≈C" is one group), and each
+    * group elects ONE keeper: the member LEAST similar to its cluster
+    * centroid (the paper keeps the "edge" example of a semantic
+    * neighborhood — it carries the most marginal training signal), ties
+    * broken by id.
+    *
+    * Returns every corpus row as (idCol, rep_id, cent_cos, kept 0/1) —
+    * singletons are their own group with kept = 1, so downstream `WHERE
+    * kept = 1` is the deduplicated corpus.
+    *
+    * Scale shape: one `c_id`-key shuffle for the within-cluster self-join
+    * (never corpus × corpus), the O(log diameter) bounded component
+    * rounds on the pair graph (≪ corpus), and a map-side-combinable
+    * min-struct aggregate for keeper election — the election shuffles
+    * only (id, rep, cos) triples, never embeddings. The centroid join is
+    * an explicitly-broadcast k-row codebook, same as the IVF probe.
+    */
+  def semDeDup(assigned: DataFrame, centroids: DataFrame, embCol: String,
+      idCol: String, eps: Double,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val c = broadcast(centroids
+      .select(col("c_id"), col("c_emb"), norm(col("c_emb")).as("__cn")))
+    val withCos = assigned
+      .select(col(idCol), col(embCol), col("c_id"), norm(col(embCol)).as("__n"))
+      .join(c, "c_id")
+      .select(col(idCol), col(embCol), col("c_id"), col("__n"),
+        (dot(col(embCol), col("c_emb")) / (col("__n") * col("__cn")))
+          .as("cent_cos"))
+    val a = withCos.select(col("c_id"), col(idCol).as("a_id"),
+      col(embCol).as("__ae"), col("__n").as("__an"))
+    val b = withCos.select(col("c_id"), col(idCol).as("b_id"),
+      col(embCol).as("__be"), col("__n").as("__bn"))
+    val pairs = a.join(b, "c_id")
+      .filter(col("a_id") < col("b_id"))
+      .filter((dot(col("__ae"), col("__be")) / (col("__an") * col("__bn")))
+        > lit(eps))
+      .select("a_id", "b_id")
+    val labels = Components.nearDupClusters(pairs, checkpointDir = checkpointDir)
+    val full = withCos.select(col(idCol), col("cent_cos"))
+      .join(labels, col(idCol) === col("doc_id"), "left")
+      .select(col(idCol), coalesce(col("rep_id"), col(idCol)).as("rep_id"),
+        col("cent_cos"))
+    val keepers = full
+      .groupBy(col("rep_id"))
+      .agg(min(struct(col("cent_cos"), col(idCol))).as("__k"))
+      .select(col("rep_id"), col("__k").getField(idCol).as("__keep_id"))
+    full.join(keepers, "rep_id")
+      .select(col(idCol), col("rep_id"), col("cent_cos"),
+        (col(idCol) === col("__keep_id")).cast("long").as("kept"))
+  }
 }

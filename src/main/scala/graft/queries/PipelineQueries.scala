@@ -429,6 +429,28 @@ object PipelineQueries {
         "embedding", "vec_id", minCosine = 0.5)
       .orderBy(col("a_id"), col("b_id"))
 
+  /** E2: SemDeDup ([[Similarity.semDeDup]], Abbas et al. 2023) — semantic
+    * dedup over the PERSISTED IVF cluster assignment (the `dup10` variant
+    * artifact: the corpus plus an exact copy of every 10th vector at
+    * id+10000, the [[DedupIndex]] derived-corpus convention). Copies land
+    * in their original's cluster at within-cluster cosine ≈ 1 > eps, so
+    * every copied vector forms a 2-member group whose keeper election
+    * ties on cent_cos and falls to the id tiebreak; untouched vectors
+    * pass through as kept singletons. The oracle replays stride
+    * centroids → assignment → within-cluster pairs → recursive-CTE
+    * reachability → ORDER BY (cent_cos, id) election, end to end. */
+  private def e2(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val corpus = emb.union(emb.filter(pmod(col("vec_id"), lit(10)) === 0)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+    val assigned = IvfIndex.ensure(s, dir, corpus, "embedding", "vec_id",
+      variant = "dup10")
+    val cents = IvfIndex.ensureCentroids(s, dir, corpus, "embedding", "vec_id",
+      variant = "dup10")
+    Similarity.semDeDup(assigned, cents, "embedding", "vec_id", eps = 0.9)
+      .orderBy(col("vec_id"))
+  }
+
   // ===== text analysis ===================================================
 
   /** T1: the full per-document stat row — language ID, token counts,
@@ -774,6 +796,7 @@ object PipelineQueries {
     "p_s10_ivf_rpq_topk" -> (s10IvfRpq _),
     "p_h1_hybrid_rrf" -> (h1Hybrid _),
     "p_e1_embedding_neardup" -> (e1 _),
+    "p_e2_semdedup" -> (e2 _),
     "p_t1_text_stats" -> (t1 _),
     "p_t2_vocab_head" -> (t2vocab _),
     "p_t3_contamination" -> (t3Contamination _),
@@ -1343,6 +1366,48 @@ object PipelineQueries {
               ${dotSql("ea.embedding", "eb.embedding")} / (ea.nn * eb.nn) AS score
             FROM cands c JOIN n ea ON ea.vec_id = c.a_id JOIN n eb ON eb.vec_id = c.b_id)
           WHERE score >= 0.5 ORDER BY a_id, b_id"""),
+    "p_e2_semdedup" ->
+      (s"""WITH RECURSIVE corpus AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings
+            WHERE vec_id % 10 = 0),
+          cent AS (SELECT vec_id AS c_id, embedding AS c_emb,
+                  ${normSql("embedding")} AS c_n
+                FROM corpus WHERE vec_id % 25 = 0),
+          e AS (SELECT vec_id, embedding, ${normSql("embedding")} AS e_n
+                FROM corpus),
+          assigned AS (SELECT vec_id, embedding, e_n, c_id FROM (
+            SELECT e.vec_id, e.embedding, e.e_n, c.c_id,
+              row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                ${dotSql("e.embedding", "c.c_emb")} / (e.e_n * c.c_n) DESC,
+                c.c_id) AS rn
+            FROM e, cent c) WHERE rn = 1),
+          wc AS (SELECT a.vec_id, a.embedding, a.e_n, a.c_id,
+                ${dotSql("a.embedding", "c.c_emb")} / (a.e_n * c.c_n) AS cent_cos
+              FROM assigned a JOIN cent c USING (c_id)),
+          pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+              FROM wc a JOIN wc b
+                ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+              WHERE ${dotSql("a.embedding", "b.embedding")} / (a.e_n * b.e_n)
+                > 0.9),
+          edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+                    UNION ALL SELECT b_id, a_id FROM pairs),
+          reach(id, r) AS (
+            SELECT u, u FROM edges
+            UNION
+            SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id),
+          labels AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+          fl AS (SELECT w.vec_id,
+                coalesce(l.rep, w.vec_id) AS rep_id, w.cent_cos
+              FROM wc w LEFT JOIN labels l ON l.id = w.vec_id),
+          keeper AS (SELECT rep_id, vec_id AS keep_id FROM (
+              SELECT rep_id, vec_id, row_number() OVER (PARTITION BY rep_id
+                ORDER BY cent_cos, vec_id) AS rn FROM fl) WHERE rn = 1)
+          SELECT f.vec_id, CAST(f.rep_id AS BIGINT) AS rep_id, f.cent_cos,
+            CAST(CASE WHEN f.vec_id = k.keep_id THEN 1 ELSE 0 END AS BIGINT)
+              AS kept
+          FROM fl f JOIN keeper k USING (rep_id) ORDER BY f.vec_id"""),
     "p_t1_text_stats" ->
       (s"""SELECT doc_id,
             $langCase AS lang_id,

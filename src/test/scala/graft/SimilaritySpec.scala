@@ -167,4 +167,80 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf === brute)
     assert(ivf.size === 20)
   }
+
+  test("semDeDup: exact copies group with their original; election is " +
+      "internally consistent; singletons survive") {
+    val emb = Tables.embeddings(spark, sf0001).select("vec_id", "embedding")
+    val corpus = emb.union(emb.filter(pmod(col("vec_id"), lit(10)) === 0)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+    val centroids = graft.pipeline.IvfIndex.centroids(corpus, "vec_id", "embedding")
+    val assigned = Similarity.ivfAssign(corpus, "embedding", "vec_id", centroids)
+    val out = Similarity.semDeDup(assigned, centroids, "embedding", "vec_id",
+      eps = 0.9).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rep_id"),
+        r.getAs[Double]("cent_cos"), r.getAs[Long]("kept")))
+    assert(out.length === corpus.count())
+    val byId = out.map(t => t._1 -> t).toMap
+    // each copy shares its original's group (cosine == 1 within-cluster)
+    (0L until 500L by 10L).foreach { orig =>
+      assert(byId(orig)._2 === byId(orig + 10000)._2,
+        s"copy of $orig not grouped with it")
+    }
+    // exactly one keeper per group, and it is the (cent_cos, id)-minimum
+    out.groupBy(_._2).foreach { case (rep, members) =>
+      val keepers = members.filter(_._4 == 1L)
+      assert(keepers.length === 1, s"group $rep kept ${keepers.length}")
+      val expected = members.minBy(t => (t._3, t._1))
+      assert(keepers.head._1 === expected._1,
+        s"group $rep kept ${keepers.head._1}, expected ${expected._1}")
+    }
+    // a doc in no pair is its own kept group
+    val singles = out.filter(t => t._1 == t._2 &&
+      out.count(_._2 == t._2) == 1)
+    assert(singles.nonEmpty && singles.forall(_._4 == 1L))
+  }
+
+  test("semDeDup keeps the member LEAST similar to its centroid, not the " +
+      "smallest id (the paper's edge-example rule)") {
+    // one cluster: centroid (1,0); three near-duplicates of each other at
+    // decreasing similarity to the centroid — keeper must be id 30 (the
+    // farthest), proving the election is cent_cos-first, id only on ties
+    val centroids = Seq((1L, Seq(1f, 0f))).toDF("c_id", "c_emb")
+    val assigned = Seq(
+      (10L, Seq(1f, 0.01f), 1L),
+      (20L, Seq(1f, 0.10f), 1L),
+      (30L, Seq(1f, 0.30f), 1L),
+    ).toDF("vec_id", "embedding", "c_id")
+    val out = Similarity.semDeDup(assigned, centroids, "embedding", "vec_id",
+      eps = 0.9).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rep_id"),
+        r.getAs[Long]("kept"))).sortBy(_._1)
+    assert(out.map(_._2).toSeq === Seq(10L, 10L, 10L)) // one group, min label
+    assert(out.map(_._3).toSeq === Seq(0L, 0L, 1L),
+      "the least-centroid-similar member (id 30) must be the keeper")
+  }
+
+  test("semDeDup over the persisted variant artifact ≡ on-the-fly assignment") {
+    val root = java.nio.file.Files.createTempDirectory("graft-semdedup-").toString
+    val emb = Tables.embeddings(spark, sf0001).select("vec_id", "embedding")
+    val corpus = emb.union(emb.filter(pmod(col("vec_id"), lit(10)) === 0)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+    val centroids = graft.pipeline.IvfIndex.centroids(corpus, "vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rep_id"),
+        r.getAs[Double]("cent_cos"), r.getAs[Long]("kept"))).sortBy(_._1).toSeq
+    val onTheFly = rows(Similarity.semDeDup(
+      Similarity.ivfAssign(corpus, "embedding", "vec_id", centroids),
+      centroids, "embedding", "vec_id", eps = 0.9))
+    val indexed = rows(Similarity.semDeDup(
+      graft.pipeline.IvfIndex.ensure(spark, sf0001, corpus, "embedding",
+        "vec_id", artifactRootOverride = Some(root), variant = "dup10"),
+      graft.pipeline.IvfIndex.ensureCentroids(spark, sf0001, corpus, "embedding",
+        "vec_id", artifactRootOverride = Some(root), variant = "dup10"),
+      "embedding", "vec_id", eps = 0.9))
+    assert(indexed === onTheFly)
+    // and the variant artifact is distinct from the plain corpus index
+    val plainKey = new java.io.File(root).list().toSeq
+    assert(plainKey.exists(_.contains("dup10")))
+  }
 }
