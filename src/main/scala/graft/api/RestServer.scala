@@ -68,6 +68,8 @@ final class RestServer(service: QueryService,
   private val graphql = new GraphQl(service)
   server.createContext("/v1/graphql", (ex: HttpExchange) =>
     try {
+      if (notExact(ex)) send404(ex)
+      else {
       val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
       // resolver/engine failures still produce the envelope, as gqlgen's
       // recover handler does — the route never drops the response
@@ -78,12 +80,15 @@ final class RestServer(service: QueryService,
       ex.getResponseHeaders.set("Content-Type", "application/json")
       ex.sendResponseHeaders(200, resp.length) // gqlgen always responds 200
       ex.getResponseBody.write(resp)
+      }
     } finally ex.close())
 
   // rest.go:887-900 serves gqlgen's playground page here; offline, a
   // self-contained console that posts to the same /v1/graphql endpoint
   server.createContext("/v1/graphql-playground", (ex: HttpExchange) =>
     try {
+      if (notExact(ex)) send404(ex)
+      else {
       val page = ("<!DOCTYPE html><html><head><title>graft graphql</title></head>" +
         "<body><h3>GraphQL console</h3>" +
         "<textarea id=q rows=8 cols=80>{ blockByNumber(number: \"1\") { hash number } }</textarea>" +
@@ -95,6 +100,7 @@ final class RestServer(service: QueryService,
       ex.getResponseHeaders.set("Content-Type", "text/html")
       ex.sendResponseHeaders(200, page.length)
       ex.getResponseBody.write(page)
+      }
     } finally ex.close())
 
   def start(): Unit = server.start()
@@ -116,12 +122,22 @@ final class RestServer(service: QueryService,
       }
     }.toMap
 
+  // httpserver contexts match by string PREFIX; gin routes are exact, so
+  // /v1/blockfoo (or /v1/graphql-playgroundzzz) must 404, not dispatch
+  private def notExact(ex: HttpExchange): Boolean =
+    ex.getRequestURI.getPath != ex.getHttpContext.getPath
+
+  private def send404(ex: HttpExchange): Unit = {
+    val bytes = notFound._2.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(404, bytes.length)
+    ex.getResponseBody.write(bytes)
+  }
+
   private def handle(ex: HttpExchange)(route: Params => (Int, String)): Unit =
     try {
       val (code, body) =
-        // httpserver contexts match by string PREFIX; gin routes are exact,
-        // so /v1/blockfoo must 404 rather than dispatch as /v1/block
-        if (ex.getRequestURI.getPath != ex.getHttpContext.getPath) notFound
+        if (notExact(ex)) notFound
         else try route(parseParams(ex.getRequestURI.getRawQuery))
         catch { // rest.go:36-44: encoding/query failure → 500
           case scala.util.control.NonFatal(_) => (500, jsonMsg("JSON encoding failed"))

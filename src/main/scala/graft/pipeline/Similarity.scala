@@ -419,42 +419,52 @@ object Similarity {
     *
     * Scale shape: one `c_id`-key shuffle for the within-cluster self-join
     * (never corpus × corpus), the O(log diameter) bounded component
-    * rounds on the pair graph (≪ corpus), and a map-side-combinable
-    * min-struct aggregate for keeper election — the election shuffles
-    * only (id, rep, cos) triples, never embeddings. The centroid join is
-    * an explicitly-broadcast k-row codebook, same as the IVF probe.
+    * rounds on the pair graph (≪ corpus), and one min-struct window for
+    * keeper election — the election shuffles only (id, rep, cos)
+    * triples, never embeddings, and a window (vs aggregate + join-back)
+    * keeps the corpus-scanning subtree instantiated once. The centroid
+    * join is an explicitly-broadcast k-row codebook, same as the IVF
+    * probe.
     */
   def semDeDup(assigned: DataFrame, centroids: DataFrame, embCol: String,
       idCol: String, eps: Double,
       checkpointDir: Option[String] = None): DataFrame = {
+    require(idCol != "rep_id", "idCol \"rep_id\" collides with the output label column")
     val c = broadcast(centroids
       .select(col("c_id"), col("c_emb"), norm(col("c_emb")).as("__cn")))
-    val withCos = assigned
+    // the self-join sides need no centroid columns — pair them off the
+    // cheaper pre-centroid-join projection (a self-join's two corpus
+    // scans are structural; the centroid join shouldn't multiply them)
+    val base = assigned
       .select(col(idCol), col(embCol), col("c_id"), norm(col(embCol)).as("__n"))
-      .join(c, "c_id")
-      .select(col(idCol), col(embCol), col("c_id"), col("__n"),
-        (dot(col(embCol), col("c_emb")) / (col("__n") * col("__cn")))
-          .as("cent_cos"))
-    val a = withCos.select(col("c_id"), col(idCol).as("a_id"),
+    val a = base.select(col("c_id"), col(idCol).as("a_id"),
       col(embCol).as("__ae"), col("__n").as("__an"))
-    val b = withCos.select(col("c_id"), col(idCol).as("b_id"),
+    val b = base.select(col("c_id"), col(idCol).as("b_id"),
       col(embCol).as("__be"), col("__n").as("__bn"))
     val pairs = a.join(b, "c_id")
       .filter(col("a_id") < col("b_id"))
       .filter((dot(col("__ae"), col("__be")) / (col("__an") * col("__bn")))
         > lit(eps))
       .select("a_id", "b_id")
+    // alias the label columns so idCol = "doc_id" / "rep_id"-adjacent
+    // corpora can't collide with nearDupClusters' fixed output names
     val labels = Components.nearDupClusters(pairs, checkpointDir = checkpointDir)
-    val full = withCos.select(col(idCol), col("cent_cos"))
-      .join(labels, col(idCol) === col("doc_id"), "left")
-      .select(col(idCol), coalesce(col("rep_id"), col(idCol)).as("rep_id"),
+      .select(col("doc_id").as("__lid"), col("rep_id").as("__lrep"))
+    val full = base.join(c, "c_id")
+      .select(col(idCol),
+        (dot(col(embCol), col("c_emb")) / (col("__n") * col("__cn")))
+          .as("cent_cos"))
+      .join(labels, col(idCol) === col("__lid"), "left")
+      .select(col(idCol), coalesce(col("__lrep"), col(idCol)).as("rep_id"),
         col("cent_cos"))
-    val keepers = full
-      .groupBy(col("rep_id"))
-      .agg(min(struct(col("cent_cos"), col(idCol))).as("__k"))
-      .select(col("rep_id"), col("__k").getField(idCol).as("__keep_id"))
-    full.join(keepers, "rep_id")
+    // keeper election as ONE window pass over (id, rep, cos) triples —
+    // an aggregate + join-back would instantiate `full` (and its corpus
+    // scan) twice; min-struct ordering (cent_cos first, id tiebreak) is
+    // identical either way
+    val keep = min(struct(col("cent_cos"), col(idCol)))
+      .over(Window.partitionBy(col("rep_id")))
+    full
       .select(col(idCol), col("rep_id"), col("cent_cos"),
-        (col(idCol) === col("__keep_id")).cast("long").as("kept"))
+        (col(idCol) === keep.getField(idCol)).cast("long").as("kept"))
   }
 }

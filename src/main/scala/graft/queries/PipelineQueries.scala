@@ -822,6 +822,20 @@ object PipelineQueries {
 
   private def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
 
+  /** Recursive-CTE transitive closure over an undirected (a_id, b_id)
+    * pair CTE — the DuckDB twin of [[graft.pipeline.Components
+    * .connectedComponents]]'s min-label fixpoint. Yields CTEs `edges`
+    * and `reach(id, r)`; callers take `min(r) GROUP BY id` as the
+    * component label. Shared by p_d6 and p_e2 so the closure semantics
+    * can't drift between oracles. Requires `WITH RECURSIVE` upstream. */
+  private def reachSql(pairsCte: String): String =
+    s"""edges AS (SELECT a_id AS u, b_id AS v FROM $pairsCte
+                  UNION ALL SELECT b_id, a_id FROM $pairsCte),
+        reach(id, r) AS (
+          SELECT u, u FROM edges
+          UNION
+          SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id)"""
+
   /** DuckDB replay of the full PQ derivation chain ([[Pq]], default
     * geometry: 8 subspaces × 8 dims, 16 codewords sampled at stride 7):
     * codebook from the corpus, Euclidean codes (staged self-dots, the
@@ -987,12 +1001,7 @@ object PipelineQueries {
                         / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) END AS j
             FROM nonempty a, nonempty b WHERE a.doc_id < b.doc_id)
             WHERE j >= 0.8),
-          edges AS (SELECT a_id AS u, b_id AS v FROM pairs
-                    UNION ALL SELECT b_id, a_id FROM pairs),
-          reach(id, r) AS (
-            SELECT u, u FROM edges
-            UNION
-            SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id)
+          ${reachSql("pairs")}
           SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS rep_id
           FROM reach GROUP BY id ORDER BY doc_id"""),
     "p_d7_line_dedup" ->
@@ -1391,12 +1400,7 @@ object PipelineQueries {
                 ON a.c_id = b.c_id AND a.vec_id < b.vec_id
               WHERE ${dotSql("a.embedding", "b.embedding")} / (a.e_n * b.e_n)
                 > 0.9),
-          edges AS (SELECT a_id AS u, b_id AS v FROM pairs
-                    UNION ALL SELECT b_id, a_id FROM pairs),
-          reach(id, r) AS (
-            SELECT u, u FROM edges
-            UNION
-            SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id),
+          ${reachSql("pairs")},
           labels AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
           fl AS (SELECT w.vec_id,
                 coalesce(l.rep, w.vec_id) AS rep_id, w.cent_cos

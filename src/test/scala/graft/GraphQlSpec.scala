@@ -138,6 +138,15 @@ class GraphQlSpec extends SparkSpec {
           s"http://127.0.0.1:${server.boundPort}/v1/graphql-playground")).GET().build(),
         HttpResponse.BodyHandlers.ofString())
       assert(play.statusCode() === 200 && play.body().contains("/v1/graphql"))
+
+      // gin routes are exact (rest.go:887-900): prefix-matched suffixes 404
+      def status(path: String): Int = HttpClient.newHttpClient().send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:${server.boundPort}$path")).GET().build(),
+        HttpResponse.BodyHandlers.ofString()).statusCode()
+      assert(status("/v1/graphql-playground/anything") === 404)
+      assert(status("/v1/graphql-playgroundzzz") === 404)
+      assert(status("/v1/graphqlzzz") === 404)
     } finally server.stop()
   }
 }

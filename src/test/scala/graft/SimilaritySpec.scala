@@ -243,4 +243,28 @@ class SimilaritySpec extends SparkSpec {
     val plainKey = new java.io.File(root).list().toSeq
     assert(plainKey.exists(_.contains("dup10")))
   }
+
+  test("semDeDup accepts idCol = doc_id (no collision with the internal " +
+      "component-label columns)") {
+    // document corpora naturally use doc_id; the labels frame from
+    // nearDupClusters also emits doc_id/rep_id — regression for the
+    // AMBIGUOUS_REFERENCE this used to throw
+    val centroids = Seq((1L, Seq(1f, 0f))).toDF("c_id", "c_emb")
+    val assigned = Seq(
+      (10L, Seq(1f, 0.01f), 1L),
+      (20L, Seq(1f, 0.10f), 1L),
+    ).toDF("doc_id", "embedding", "c_id")
+    val out = Similarity.semDeDup(assigned, centroids, "embedding", "doc_id",
+      eps = 0.9).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rep_id"),
+        r.getAs[Long]("kept"))).sortBy(_._1)
+    assert(out.map(_._2).toSeq === Seq(10L, 10L))
+    assert(out.map(_._3).toSeq === Seq(0L, 1L))
+    // and the one genuinely unsupportable name fails fast, not mid-plan
+    val err = intercept[IllegalArgumentException] {
+      Similarity.semDeDup(assigned.withColumnRenamed("doc_id", "rep_id"),
+        centroids, "embedding", "rep_id", eps = 0.9)
+    }
+    assert(err.getMessage.contains("rep_id"))
+  }
 }
