@@ -290,6 +290,23 @@ object SparkEntry {
       .limit(25)
   }
 
+  /** G3 as-of attribution ([[graft.operators.AsOfJoin]]): every event
+    * carries the same user's most recent purchase at-or-before it — the
+    * "enrich against latest earlier state" shape. The oracle is DuckDB's
+    * NATIVE `ASOF LEFT JOIN`, an independent implementation of the
+    * semantics, so inclusive ties, unmatched-null, and winner selection
+    * are all cross-checked engine-to-engine. */
+  private def g3(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    graft.operators.AsOfJoin.asOf(e, purchases, Seq("user_id"), "ts", "ts",
+        rightPrefix = "p_")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        col("p_event_id"), col("p_ts"), col("p_value"))
+      .orderBy(col("event_id"))
+  }
+
   // ===== registry ========================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = tpchQueries ++
@@ -326,6 +343,7 @@ object SparkEntry {
     "t2_topk_recent" -> (t2 _),
     "g1_groupby_agg" -> (g1GroupbyAgg _),
     "g2_grouped_topn" -> (g2 _),
+    "g3_asof_attribution" -> (g3 _),
   )
 
   def oracleSql: Map[String, String] = tpchOracleSql ++
@@ -442,5 +460,12 @@ object SparkEntry {
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-12-31 23:59:59' " +
         "GROUP BY o_custkey ORDER BY revenue DESC, o_custkey LIMIT 25"),
+    "g3_asof_attribution" ->
+      ("SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts, e.event_type, " +
+        "p.event_id AS p_event_id, CAST(p.ts AS TIMESTAMP) AS p_ts, p.value AS p_value " +
+        "FROM events e ASOF LEFT JOIN " +
+        "(SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase') p " +
+        "ON e.user_id = p.user_id AND e.ts >= p.ts " +
+        "ORDER BY e.event_id"),
   )
 }
