@@ -307,6 +307,28 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /** G4 range join ([[graft.operators.RangeJoin]]): click events landing
+    * inside same-user 6-hour incident windows opened by error events
+    * — one row per (click, window) pair, overlaps included. The oracle
+    * replays the semantics as a plain inequality join (exact at sf0.01
+    * scale), with both sides truncated to microseconds so the boundary
+    * comparisons match Spark's timestamp precision by construction. */
+  private def g4(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val incidents = e.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("incident_id"),
+        col("ts").as("start_ts"),
+        (col("ts") + expr("INTERVAL 6 HOURS")).as("end_ts"))
+    graft.operators.RangeJoin.pointInInterval(clicks, incidents,
+        Seq("user_id"), "ts", "start_ts", "end_ts",
+        binSize = 21600L * 1000000L) // 6 h of microseconds ⇒ fanout ≤ 2
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("incident_id"), col("start_ts"))
+      .orderBy(col("event_id"), col("incident_id"))
+  }
+
   // ===== registry ========================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = tpchQueries ++
@@ -344,6 +366,7 @@ object SparkEntry {
     "g1_groupby_agg" -> (g1GroupbyAgg _),
     "g2_grouped_topn" -> (g2 _),
     "g3_asof_attribution" -> (g3 _),
+    "g4_range_join" -> (g4 _),
   )
 
   def oracleSql: Map[String, String] = tpchOracleSql ++
@@ -467,5 +490,11 @@ object SparkEntry {
         "(SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase') p " +
         "ON e.user_id = p.user_id AND e.ts >= p.ts " +
         "ORDER BY e.event_id"),
+    "g4_range_join" ->
+      ("SELECT c.event_id, c.user_id, c.ts, i.incident_id, i.start_ts " +
+        "FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'click') c " +
+        "JOIN (SELECT user_id, event_id AS incident_id, CAST(ts AS TIMESTAMP) AS start_ts FROM events WHERE event_type = 'error') i " +
+        "ON c.user_id = i.user_id AND c.ts >= i.start_ts AND c.ts < i.start_ts + INTERVAL 6 HOUR " +
+        "ORDER BY c.event_id, i.incident_id"),
   )
 }

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.RangeJoin
+
+/** Range (point-in-interval) join: boundary semantics, bin-spanning
+  * intervals, overlap multiplicity, and brute-force equivalence on the
+  * real events table. */
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  // binSize 10 on a numeric axis; interval (25..52) spans 4 bins
+  private def points = Seq(
+    ("a", 1L, 24L), ("a", 2L, 25L), ("a", 3L, 40L), ("a", 4L, 51L),
+    ("a", 5L, 52L), ("b", 6L, 30L),
+  ).toDF("k", "pid", "t")
+
+  private def intervals = Seq(
+    ("a", 100L, 25L, 52L),  // [25, 52) spanning bins 2..5
+    ("a", 101L, 45L, 60L),  // overlaps the first
+    ("b", 102L, 50L, 40L),  // inverted -> empty, must not match or crash
+  ).toDF("k", "iid", "s", "e")
+
+  test("half-open [s, e) boundaries, bin-spanning intervals, overlap " +
+      "multiplicity, key isolation") {
+    val out = RangeJoin.pointInInterval(points, intervals, Seq("k"),
+        "t", "s", "e", binSize = 10L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(identity)
+    assert(out === Array(
+      (2L, 100L),            // t = s matches (inclusive start)
+      (3L, 100L),            // mid-interval, different bin than s
+      (4L, 100L), (4L, 101L), // overlapping windows -> one row each
+      (5L, 101L),            // t = 52 is 100's exclusive end, inside 101
+      // pid 1 (t = 24 < s) and pid 6 (no same-key live interval) absent
+    ))
+  }
+
+  test("matches the brute-force inequality join on the real events table") {
+    val e = Tables.events(spark, sf0001)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val incidents = e.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("incident_id"),
+        col("ts").as("start_ts"),
+        (col("ts") + expr("INTERVAL 10 MINUTES")).as("end_ts"))
+    val binned = RangeJoin.pointInInterval(clicks, incidents, Seq("user_id"),
+        "ts", "start_ts", "end_ts", binSize = 600L * 1000000L)
+      .select("event_id", "incident_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val bruteInc = incidents
+      .select(col("user_id").as("i_uid"), col("incident_id"),
+        col("start_ts"), col("end_ts"))
+    val brute = clicks
+      .join(bruteInc, col("user_id") === col("i_uid") &&
+        col("ts") >= col("start_ts") && col("ts") < col("end_ts"))
+      .select("event_id", "incident_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(binned.nonEmpty, "fixture should produce at least one match")
+    assert(binned === brute)
+  }
+
+  test("plan shape: equi-join on (keys, bin) — no nested-loop or cartesian") {
+    val plan = RangeJoin.pointInInterval(points, intervals, Seq("k"),
+        "t", "s", "e", binSize = 10L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"range join must stay an equi-join:\n$plan")
+  }
+}
