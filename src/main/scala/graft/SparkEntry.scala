@@ -329,6 +329,26 @@ object SparkEntry {
       .orderBy(col("event_id"), col("incident_id"))
   }
 
+  /** G5 interval-overlap join ([[RangeJoin.intervalOverlap]]): same-user
+    * pairs of concurrent 6-hour windows — error-incident windows
+    * overlapping signup-session windows. Exercises the first-shared-bin
+    * count-once rule under many-bin overlaps. */
+  private def g5(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    def windows(tpe: String, idAs: String, sAs: String, eAs: String) =
+      e.filter(col("event_type") === tpe)
+        .select(col("user_id"), col("event_id").as(idAs),
+          col("ts").as(sAs), (col("ts") + expr("INTERVAL 6 HOURS")).as(eAs))
+    graft.operators.RangeJoin.intervalOverlap(
+        windows("error", "incident_id", "i_start", "i_end"),
+        windows("signup", "signup_id", "s_start", "s_end"),
+        Seq("user_id"), "i_start", "i_end", "s_start", "s_end",
+        binSize = 21600L * 1000000L)
+      .select(col("user_id"), col("incident_id"), col("i_start"),
+        col("signup_id"), col("s_start"))
+      .orderBy(col("incident_id"), col("signup_id"))
+  }
+
   // ===== registry ========================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = tpchQueries ++
@@ -367,6 +387,7 @@ object SparkEntry {
     "g2_grouped_topn" -> (g2 _),
     "g3_asof_attribution" -> (g3 _),
     "g4_range_join" -> (g4 _),
+    "g5_interval_overlap" -> (g5 _),
   )
 
   def oracleSql: Map[String, String] = tpchOracleSql ++
@@ -496,5 +517,11 @@ object SparkEntry {
         "JOIN (SELECT user_id, event_id AS incident_id, CAST(ts AS TIMESTAMP) AS start_ts FROM events WHERE event_type = 'error') i " +
         "ON c.user_id = i.user_id AND c.ts >= i.start_ts AND c.ts < i.start_ts + INTERVAL 6 HOUR " +
         "ORDER BY c.event_id, i.incident_id"),
+    "g5_interval_overlap" ->
+      ("SELECT i.user_id, i.incident_id, i.i_start, s.signup_id, s.s_start " +
+        "FROM (SELECT user_id, event_id AS incident_id, CAST(ts AS TIMESTAMP) AS i_start, CAST(ts AS TIMESTAMP) + INTERVAL 6 HOUR AS i_end FROM events WHERE event_type = 'error') i " +
+        "JOIN (SELECT user_id, event_id AS signup_id, CAST(ts AS TIMESTAMP) AS s_start, CAST(ts AS TIMESTAMP) + INTERVAL 6 HOUR AS s_end FROM events WHERE event_type = 'signup') s " +
+        "ON i.user_id = s.user_id AND i.i_start < s.s_end AND s.s_start < i.i_end " +
+        "ORDER BY i.incident_id, s.signup_id"),
   )
 }

@@ -61,6 +61,54 @@ class RangeJoinSpec extends SparkSpec {
     assert(binned === brute)
   }
 
+  // left intervals for overlap tests (right side reuses `intervals`)
+  private def spans = Seq(
+    ("a", 200L, 10L, 30L),  // overlaps 100 [25,52) in 100's first bin
+    ("a", 201L, 48L, 95L),  // overlaps 100 AND 101, spanning many bins
+    ("a", 202L, 52L, 60L),  // touches 100 only at its exclusive end -> no
+    ("b", 203L, 0L, 99L),   // key b has no live right interval
+  ).toDF("k", "sid", "ss", "se")
+
+  test("interval overlap: half-open semantics, count-once across shared " +
+      "bins, key isolation") {
+    val out = RangeJoin.intervalOverlap(spans, intervals, Seq("k"),
+        "ss", "se", "s", "e", binSize = 10L)
+      .select("sid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(identity)
+    assert(out === Array(
+      (200L, 100L),            // [10,30) ∩ [25,52) = [25,30)
+      (201L, 100L), (201L, 101L), // [48,95) overlaps both, ONE row each
+      (202L, 101L),            // [52,60) misses 100 (its exclusive end)
+                               // but sits inside 101 [45,60)
+      // 203 has no same-key live right interval; inverted right
+      // interval 102 stays dead
+    ))
+  }
+
+  test("interval overlap matches the brute-force inequality join on the " +
+      "real events table") {
+    val e = Tables.events(spark, sf0001)
+    def windows(tpe: String, idAs: String, sAs: String, eAs: String) =
+      e.filter(col("event_type") === tpe)
+        .select(col("user_id"), col("event_id").as(idAs),
+          col("ts").as(sAs), (col("ts") + expr("INTERVAL 6 HOURS")).as(eAs))
+    val binned = RangeJoin.intervalOverlap(
+        windows("error", "iid", "is", "ie"),
+        windows("signup", "sid", "ss", "se"),
+        Seq("user_id"), "is", "ie", "ss", "se", binSize = 3600L * 1000000L)
+      .select("iid", "sid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val r = windows("signup", "sid", "ss", "se")
+      .withColumnRenamed("user_id", "r_uid")
+    val brute = windows("error", "iid", "is", "ie")
+      .join(r, col("user_id") === col("r_uid") &&
+        col("is") < col("se") && col("ss") < col("ie"))
+      .select("iid", "sid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(binned.nonEmpty, "fixture should produce at least one overlap")
+    assert(binned === brute)
+  }
+
   test("plan shape: equi-join on (keys, bin) — no nested-loop or cartesian") {
     val plan = RangeJoin.pointInInterval(points, intervals, Seq("k"),
         "t", "s", "e", binSize = 10L)
