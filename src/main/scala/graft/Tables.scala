@@ -27,14 +27,21 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
-  /** `events.ts` is stored as parquet TIMESTAMP(NANOS); Spark reads it as a
-    * nanosecond long (spark.sql.legacy.parquet.nanosAsLong). Normalize to
-    * microsecond TIMESTAMP_NTZ — the same truncation DuckDB applies when
-    * casting TIMESTAMP_NS to TIMESTAMP — so engine and oracle agree. */
+  /** `events.ts` has shipped as both parquet TIMESTAMP(NANOS) — which Spark
+    * reads as a nanosecond long under `spark.sql.legacy.parquet.nanosAsLong`
+    * — and plain TIMESTAMP(MICROS). Normalize either to microsecond
+    * TIMESTAMP_NTZ — the same truncation DuckDB applies when casting
+    * TIMESTAMP_NS to TIMESTAMP (its `CAST(ts AS TIMESTAMP)` is a no-op on
+    * µs data) — so engine and oracle agree on both vintages. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.expr
-    load(spark, dir, "events")
-      .withColumn("ts", expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"))
+    val df = load(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"))
+      case _ =>
+        df.withColumn("ts", expr("CAST(ts AS TIMESTAMP_NTZ)"))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
