@@ -81,7 +81,11 @@ object IvfIndex {
     case Trained(k, iters, seed) =>
       KMeans.fit(emb, idCol, embCol, k, iters, seed)
         // c_id values from KMeans are corpus ids of the init vectors;
-        // renumber densely so bucket ids are stable, small longs
+        // renumber densely so bucket ids are stable, small longs. The
+        // unpartitioned window is deliberate and safe HERE only: it runs
+        // once at BUILD time over exactly k codebook rows (never the
+        // corpus), persisted behind ensureCentroids — query plans never
+        // contain it.
         .withColumn("c_id", row_number().over(
           org.apache.spark.sql.expressions.Window.orderBy(col("c_id")))
           .cast("long"))

@@ -72,17 +72,25 @@ object Retrieval {
     * boolean-AND-ish retrieval core whose ordering is exact integer
     * arithmetic, so an external engine replays it verbatim (unlike the
     * BM25 float score, whose `ln` is pinned in-JVM). Returns
-    * `(idCol, rank)` for the top `k`. The ranking window spans only the
-    * match set (postings pruned to the query's terms), never the
-    * corpus. */
+    * `(idCol, rank)` for the top `k`.
+    *
+    * Scale shape: top-k FIRST (`orderBy.limit` plans as
+    * TakeOrderedAndProject — per-partition top-k, then a k-row merge on
+    * the driver side of the exchange, exactly like [[scoreBm25]] and
+    * [[rrfFuse]]), and only the k survivors get a rank assigned. The
+    * ranking window therefore spans ≤ k rows that are ALREADY in one
+    * partition (TakeOrdered output), never the match set — a common
+    * query term at corpus scale matches millions of documents, and
+    * ranking those through one unpartitioned window task would
+    * serialize the whole query. */
   def termOverlapTopK(matched: DataFrame, idCol: String, k: Int): DataFrame = {
     val agg = matched.groupBy("id")
       .agg(countDistinct("term").as("__nm"), sum("tf").as("__tf"))
-    agg.select(col("id").as(idCol),
+    val top = agg.orderBy(col("__nm").desc, col("__tf").desc, col("id")).limit(k)
+    top.select(col("id").as(idCol),
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("__nm").desc, col("__tf").desc, col("id")))
           .cast("long").as("rank"))
-      .filter(col("rank") <= k)
   }
 
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of

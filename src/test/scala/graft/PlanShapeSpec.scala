@@ -238,6 +238,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(keyExchanges === 1, s"expected one acct exchange, got $keyExchanges:\n$p")
   }
 
+  test("no registered query ranks through an unbounded single-partition window") {
+    // Class-wide guard for the termOverlapTopK scale-killer pattern: an
+    // unpartitioned WindowExec funnels its ENTIRE input through one task,
+    // so every registered plan must either partition its windows or bound
+    // the window's input with a limit first (TakeOrderedAndProject /
+    // GlobalLimit ⇒ ≤ k rows reach the window). Checked on the pre-AQE
+    // physical plan, where WindowExec nodes are visible.
+    import org.apache.spark.sql.execution.{SparkPlan, GlobalLimitExec,
+      TakeOrderedAndProjectExec, CollectLimitExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    def boundedBelow(p: SparkPlan): Boolean =
+      p.collectFirst {
+        case _: GlobalLimitExec => ()
+        case _: TakeOrderedAndProjectExec => ()
+        case _: CollectLimitExec => ()
+      }.isDefined
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      SparkEntry.queries(name)(spark, sf0001).queryExecution.sparkPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty && !boundedBelow(w.child) =>
+          s"$name: ${w.simpleString(120)}"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"unbounded single-partition windows:\n${offenders.mkString("\n")}")
+  }
+
   test("image_meta stays inside whole-stage codegen") {
     // Assert on a sort-free projection: AQE defers codegen collapse for
     // exchange-bearing plans until execution, so the registry entry's own
