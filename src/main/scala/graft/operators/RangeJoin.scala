@@ -29,6 +29,11 @@ import org.apache.spark.sql.types._
   */
 object RangeJoin {
 
+  /** Post-clamp per-row replication cap: beyond this the binSize is
+    * simply wrong for the data, and a clear error beats an executor
+    * OOM. 2^20 bins ≈ 8 MiB of longs per row — loud but survivable. */
+  val DefaultMaxBins: Long = 1L << 20
+
   private def binExpr(c: Column, dt: DataType, binSize: Long): Column = {
     val axis = dt match {
       case TimestampType => unix_micros(c)
@@ -48,15 +53,44 @@ object RangeJoin {
     require(overlap.isEmpty, s"non-key columns collide: $overlap")
   }
 
+  /** One-row `(__obmin, __obmax)` frame: the observed bin range of the
+    * columns `lo..hi` — the clamp bounds the OTHER side's replication is
+    * held to. A 2-value aggregate (broadcast into the explode), so the
+    * bound costs one cheap pre-pass, never a collect. */
+  private def axisBounds(df: DataFrame, lo: String, hi: String,
+      binSize: Long): DataFrame =
+    df.agg(
+      min(binExpr(col(lo), df.schema(lo).dataType, binSize)).as("__obmin"),
+      max(binExpr(col(hi), df.schema(hi).dataType, binSize)).as("__obmax"))
+
   /** `[s, e)` intervals replicated to every bin they cover; `e <= s` is
     * empty and dropped before `sequence()` (which would otherwise step
-    * backwards). */
+    * backwards).
+    *
+    * Replication is BOUNDED two ways (the unguarded form let one
+    * open-ended / SCD-2-style "valid until 9999" row generate millions
+    * of bins — an input-dependent executor OOM):
+    *   1. each interval's bin span is clamped to `bounds`, the other
+    *      side's observed axis range — bins no partner row occupies
+    *      cannot match and need not exist. Rows entirely outside the
+    *      range (or an empty other side: null bounds) drop before the
+    *      explode.
+    *   2. what survives the clamp must still span ≤ `maxBins` bins —
+    *      both sides genuinely covering that much axis means the
+    *      binSize is mis-picked, and a clear plan-language error beats
+    *      an OOM. */
   private def explodeBins(df: DataFrame, s: String, e: String,
-      binSize: Long): DataFrame = {
-    val live = df.filter(col(e) > col(s))
-    live.withColumn("__bin", explode(sequence(
-      binExpr(col(s), live.schema(s).dataType, binSize),
-      binExpr(col(e), live.schema(e).dataType, binSize))))
+      binSize: Long, bounds: DataFrame, maxBins: Long): DataFrame = {
+    val live = df.filter(col(e) > col(s)).crossJoin(broadcast(bounds))
+    val lo = greatest(binExpr(col(s), df.schema(s).dataType, binSize), col("__obmin"))
+    val hi = least(binExpr(col(e), df.schema(e).dataType, binSize), col("__obmax"))
+    live.filter(col("__obmin").isNotNull && lo <= hi)
+      .withColumn("__bin", explode(sequence(
+        when(hi - lo < lit(maxBins), lo).otherwise(raise_error(concat(
+          lit("range join: an interval spans "), (hi - lo + 1).cast("string"),
+          lit(s" bins after clamping (cap $maxBins); raise binSize toward the typical interval length")))),
+        hi)))
+      .drop("__obmin", "__obmax")
   }
 
   /** Join `points` (at `tsCol`) into `intervals` (`[startCol, endCol)`)
@@ -67,11 +101,15 @@ object RangeJoin {
     * one bin — the point's — so no dedup is needed. */
   def pointInInterval(points: DataFrame, intervals: DataFrame,
       keys: Seq[String], tsCol: String, startCol: String, endCol: String,
-      binSize: Long): DataFrame = {
+      binSize: Long, maxBins: Long = DefaultMaxBins): DataFrame = {
     requireDisjoint(points, intervals, keys, binSize)
     val p = points.withColumn("__bin",
       binExpr(col(tsCol), points.schema(tsCol).dataType, binSize))
-    p.join(explodeBins(intervals, startCol, endCol, binSize), keys :+ "__bin")
+    // intervals clamp to the points' observed bin range: every bin a
+    // point occupies lies inside it, so no matching pair is lost
+    val bounds = axisBounds(points, tsCol, tsCol, binSize)
+    p.join(explodeBins(intervals, startCol, endCol, binSize, bounds, maxBins),
+        keys :+ "__bin")
       .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
       .drop("__bin")
   }
@@ -86,12 +124,21 @@ object RangeJoin {
     * requirement as [[pointInInterval]]. */
   def intervalOverlap(left: DataFrame, right: DataFrame, keys: Seq[String],
       lStart: String, lEnd: String, rStart: String, rEnd: String,
-      binSize: Long): DataFrame = {
+      binSize: Long, maxBins: Long = DefaultMaxBins): DataFrame = {
     requireDisjoint(left, right, keys, binSize)
     val lBin = binExpr(col(lStart), left.schema(lStart).dataType, binSize)
     val rBin = binExpr(col(rStart), right.schema(rStart).dataType, binSize)
-    explodeBins(left, lStart, lEnd, binSize)
-      .join(explodeBins(right, rStart, rEnd, binSize), keys :+ "__bin")
+    // each side clamps to the OTHER side's observed [min start, max end)
+    // bin range. The first-shared-bin b* = max(bin(lStart), bin(rStart))
+    // of any overlapping pair survives both clamps: b* ≥ each side's
+    // start bin by construction, b* ≤ each side's end bin and ≤ the
+    // other side's max-end bin because overlap gives lStart < rEnd and
+    // rStart < lEnd — so the count-once rule below still sees every pair
+    // exactly once.
+    explodeBins(left, lStart, lEnd, binSize,
+        axisBounds(right, rStart, rEnd, binSize), maxBins)
+      .join(explodeBins(right, rStart, rEnd, binSize,
+        axisBounds(left, lStart, lEnd, binSize), maxBins), keys :+ "__bin")
       .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
       .filter(col("__bin") === greatest(lBin, rBin))
       .drop("__bin")

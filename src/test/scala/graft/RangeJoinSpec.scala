@@ -109,12 +109,56 @@ class RangeJoinSpec extends SparkSpec {
     assert(binned === brute)
   }
 
-  test("plan shape: equi-join on (keys, bin) — no nested-loop or cartesian") {
+  test("SCD-2-style far-future interval end completes without row explosion") {
+    // "valid until 9999": unclamped this end replicates to ~10^12 bins
+    // (an executor OOM); clamped to the points' observed axis range it
+    // contributes a handful of rows and still matches correctly
+    val scd = Seq(
+      ("a", 300L, 30L, 9999999999999L),  // open-ended validity
+      ("a", 301L, 0L, 9999999999999L),
+    ).toDF("k", "iid", "s", "e")
+    val out = RangeJoin.pointInInterval(points, scd, Seq("k"),
+        "t", "s", "e", binSize = 10L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(identity)
+    assert(out === Array((1L, 301L), (2L, 301L), (3L, 300L), (3L, 301L),
+      (4L, 300L), (4L, 301L), (5L, 300L), (5L, 301L)))
+  }
+
+  test("SCD-2 far-future ends complete in interval overlap too") {
+    val scd = Seq(("a", 400L, 20L, 9999999999999L)).toDF("k", "iid", "s", "e")
+    val out = RangeJoin.intervalOverlap(spans, scd, Seq("k"),
+        "ss", "se", "s", "e", binSize = 10L)
+      .select("sid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(identity)
+    assert(out === Array((200L, 400L), (201L, 400L), (202L, 400L)))
+  }
+
+  test("post-clamp replication beyond maxBins raises a clear error, not an OOM") {
+    // points themselves span the whole wide axis, so the clamp cannot
+    // shrink the interval — the cap must fire with plan language
+    val wide = Seq(("a", 1L, 0L), ("a", 2L, 100000L)).toDF("k", "pid", "t")
+    val iv = Seq(("a", 500L, 0L, 100000L)).toDF("k", "iid", "s", "e")
+    val ex = intercept[Exception] {
+      RangeJoin.pointInInterval(wide, iv, Seq("k"), "t", "s", "e",
+        binSize = 1L, maxBins = 100L).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("raise binSize")),
+      s"expected the binSize guidance in: ${msgs(ex)}")
+  }
+
+  test("plan shape: pair join is an equi-join on (keys, bin) — no cartesian") {
     val plan = RangeJoin.pointInInterval(points, intervals, Seq("k"),
         "t", "s", "e", binSize = 10L)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("BroadcastNestedLoopJoin") &&
-      !plan.contains("CartesianProduct"),
+    assert(!plan.contains("CartesianProduct"),
       s"range join must stay an equi-join:\n$plan")
+    // the point×interval pairing must be a hash equi-join on (k, __bin);
+    // the only nested-loop allowed is the 1-row axis-bounds broadcast
+    assert(plan.contains("HashJoin"), s"expected a hash equi-join:\n$plan")
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(nlj <= 1, s"only the 1-row bounds broadcast may nested-loop:\n$plan")
   }
 }
