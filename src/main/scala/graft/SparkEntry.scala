@@ -307,6 +307,22 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /** G3b: the same attribution through [[AsOfJoin.asOfBucketed]], the
+    * extreme-skew variant — (keys, time-bucket) partitioned carry with a
+    * bucket-summary stitch. Same independent DuckDB `ASOF LEFT JOIN`
+    * oracle as G3, so "identical output to plain asOf" is cross-checked
+    * engine-to-engine, not just variant-to-variant. */
+  private def g3b(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    graft.operators.AsOfJoin.asOfBucketed(e, purchases, Seq("user_id"),
+        "ts", "ts", bucketSize = 6L * 3600L * 1000000L, rightPrefix = "p_")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        col("p_event_id"), col("p_ts"), col("p_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** G4 range join ([[graft.operators.RangeJoin]]): click events landing
     * inside same-user 6-hour incident windows opened by error events
     * — one row per (click, window) pair, overlaps included. The oracle
@@ -386,6 +402,7 @@ object SparkEntry {
     "g1_groupby_agg" -> (g1GroupbyAgg _),
     "g2_grouped_topn" -> (g2 _),
     "g3_asof_attribution" -> (g3 _),
+    "g3b_asof_bucketed" -> (g3b _),
     "g4_range_join" -> (g4 _),
     "g5_interval_overlap" -> (g5 _),
   )
@@ -505,6 +522,13 @@ object SparkEntry {
         "WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-12-31 23:59:59' " +
         "GROUP BY o_custkey ORDER BY revenue DESC, o_custkey LIMIT 25"),
     "g3_asof_attribution" ->
+      ("SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts, e.event_type, " +
+        "p.event_id AS p_event_id, CAST(p.ts AS TIMESTAMP) AS p_ts, p.value AS p_value " +
+        "FROM events e ASOF LEFT JOIN " +
+        "(SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase') p " +
+        "ON e.user_id = p.user_id AND e.ts >= p.ts " +
+        "ORDER BY e.event_id"),
+    "g3b_asof_bucketed" ->
       ("SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts, e.event_type, " +
         "p.event_id AS p_event_id, CAST(p.ts AS TIMESTAMP) AS p_ts, p.value AS p_value " +
         "FROM events e ASOF LEFT JOIN " +

@@ -3,7 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, DateType, StructType,
+  TimestampNTZType, TimestampType}
 
 /** As-of join — for each left row, attach the same-key right row with the
   * greatest timestamp at-or-before (backward, inclusive) the left row's
@@ -34,6 +35,10 @@ import org.apache.spark.sql.types.StructType
   * `tolerance` (an interval for timestamp columns, a number for numeric
   * time) additionally nulls matches older than `leftTs - tolerance`,
   * pandas-style.
+  *
+  * [[asOfBucketed]] is the extreme-skew variant: identical output,
+  * but the carry window is partitioned by (keys, time-bucket) so a hot
+  * key's history splits across many tasks.
   */
 object AsOfJoin {
 
@@ -42,16 +47,22 @@ object AsOfJoin {
     * the full left row plus every non-key right column under
     * `rightPrefix`. The two timestamp columns must share an orderable
     * type (both timestamps, or both numeric). */
-  def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
-      leftTs: String, rightTs: String, rightPrefix: String = "asof_",
-      strict: Boolean = false, tolerance: Option[Column] = None): DataFrame = {
+  private case class Tagged(lPart: DataFrame, rPart: DataFrame,
+    lPayload: Seq[String], rPayload: Seq[String], rType: StructType,
+    leftSide: Int)
+
+  /** Shared tagging: both sides projected to
+    * `(keys…, __t, __side, __l, __r)` so a union sorts rows of one key
+    * into carry order. At equal ts the window must have already passed
+    * the right row for an inclusive match (right sorts first) and not
+    * yet for strict — `__side` encodes that. */
+  private def tagSides(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, strict: Boolean): Tagged = {
     require(keys.nonEmpty, "as-of join requires at least one equality key")
     val lPayload = left.columns.toSeq.filterNot(keys.contains)
     val rPayload = right.columns.toSeq.filterNot(keys.contains)
     val lType = StructType(left.select(lPayload.map(col): _*).schema)
     val rType = StructType(right.select(rPayload.map(col): _*).schema)
-    // at equal ts the window must have already passed the right row for
-    // an inclusive match (right sorts first) and not yet for strict
     val leftSide = if (strict) 0 else 1
     val lPart = left.select(keys.map(col) ++ Seq(
       col(leftTs).as("__t"), lit(leftSide).as("__side"),
@@ -61,21 +72,110 @@ object AsOfJoin {
       col(rightTs).as("__t"), lit(1 - leftSide).as("__side"),
       lit(null).cast(lType).as("__l"),
       struct(rPayload.map(col): _*).as("__r")): _*)
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = last(col("__r"), ignoreNulls = true).over(w)
-    val masked = tolerance match {
+    Tagged(lPart, rPart, lPayload, rPayload, rType, leftSide)
+  }
+
+  private def maskTolerance(matched: Column, rightTs: String,
+      rType: StructType, tolerance: Option[Column]): Column =
+    tolerance match {
       case Some(tol) =>
         when(matched.getField(rightTs) < col("__t") - tol,
           lit(null).cast(rType)).otherwise(matched)
       case None => matched
     }
-    lPart.unionByName(rPart)
-      .withColumn("__m", masked)
-      .filter(col("__side") === lit(leftSide))
-      .select(keys.map(col)
-        ++ lPayload.map(c => col("__l").getField(c).as(c))
-        ++ rPayload.map(c => col("__m").getField(c).as(rightPrefix + c)): _*)
+
+  private def flatten(df: DataFrame, keys: Seq[String], lPayload: Seq[String],
+      rPayload: Seq[String], matchCol: String, rightPrefix: String): DataFrame =
+    df.select(keys.map(col)
+      ++ lPayload.map(c => col("__l").getField(c).as(c))
+      ++ rPayload.map(c => col(matchCol).getField(c).as(rightPrefix + c)): _*)
+
+  def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, rightPrefix: String = "asof_",
+      strict: Boolean = false, tolerance: Option[Column] = None): DataFrame = {
+    val t = tagSides(left, right, keys, leftTs, rightTs, strict)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = last(col("__r"), ignoreNulls = true).over(w)
+    val out = t.lPart.unionByName(t.rPart)
+      .withColumn("__m", maskTolerance(matched, rightTs, t.rType, tolerance))
+      .filter(col("__side") === lit(t.leftSide))
+    flatten(out, keys, t.lPayload, t.rPayload, "__m", rightPrefix)
+  }
+
+  /** Time-axis units of one bucket for [[asOfBucketed]]: microseconds
+    * for timestamps, days for dates, the column's own units for
+    * numerics — the same axis convention as [[RangeJoin]]. */
+  private def bucketOf(c: Column, dt: DataType, bucketSize: Long): Column = {
+    val axis = dt match {
+      case TimestampType => unix_micros(c)
+      case TimestampNTZType => unix_micros(c.cast(TimestampType))
+      case DateType => unix_date(c).cast("long")
+      case _ => c.cast("long")
+    }
+    floor(axis / lit(bucketSize)).cast("long")
+  }
+
+  /** [[asOf]] for EXTREME key skew: identical output, but no single
+    * window partition ever holds a whole hot key's history.
+    *
+    * Three bounded passes replace the one per-key window:
+    *   1. within-bucket: the union-window formulation partitioned by
+    *      (keys, bucket) — each task sees one key-bucket, ~bucketSize
+    *      of history, however hot the key;
+    *   2. carry summaries: per (keys, bucket) the latest right row —
+    *      ONE row per non-empty key-bucket, so the per-key stitch
+    *      window that orders them runs over bucket COUNTS, not row
+    *      counts (a 100M-row key across 1k buckets is a 1k-row window);
+    *   3. stitch: left buckets equi-join their carry-in (the latest
+    *      right row of any strictly earlier bucket — rows there are
+    *      strictly older, so inclusive/strict ties never cross the
+    *      seam) and the within-bucket match wins via coalesce (it is
+    *      never older than a previous bucket's carry).
+    *
+    * Same tie, tolerance, and left-outer semantics as [[asOf]];
+    * `bucketSize` is in axis units per [[bucketOf]]. Pick it near the
+    * hot keys' per-bucket row target (history span / desired tasks). */
+  def asOfBucketed(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, bucketSize: Long,
+      rightPrefix: String = "asof_", strict: Boolean = false,
+      tolerance: Option[Column] = None): DataFrame = {
+    require(bucketSize > 0, "bucketSize must be positive")
+    val t = tagSides(left, right, keys, leftTs, rightTs, strict)
+    val lb = t.lPart.withColumn("__bk",
+      bucketOf(col("__t"), left.schema(leftTs).dataType, bucketSize))
+    val rb = t.rPart.withColumn("__bk",
+      bucketOf(col("__t"), right.schema(rightTs).dataType, bucketSize))
+    val bkeys = keys :+ "__bk"
+    // 1. within-bucket carry
+    val w = Window.partitionBy(bkeys.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lw = lb.unionByName(rb)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === lit(t.leftSide))
+    // 2. latest right row per non-empty (keys, bucket), then the
+    // carry-in for every LEFT bucket: the last summary of any strictly
+    // earlier bucket (need rows sort before same-bucket summaries, so
+    // the running last() excludes the current bucket)
+    val bsum = rb.groupBy(bkeys.map(col): _*)
+      .agg(max_by(col("__r"), col("__t")).as("__r"))
+      .withColumn("__src", lit(1))
+    val need = lb.select(bkeys.map(col): _*).distinct()
+      .withColumn("__r", lit(null).cast(t.rType))
+      .withColumn("__src", lit(0))
+    val cw = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__bk").asc, col("__src").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cin = need.unionByName(bsum)
+      .withColumn("__cin", last(col("__r"), ignoreNulls = true).over(cw))
+      .filter(col("__src") === 0)
+      .select(bkeys.map(col) :+ col("__cin"): _*)
+    // 3. stitch + the shared tolerance mask and flatten
+    val stitched = lw.join(cin, bkeys)
+      .withColumn("__mm", maskTolerance(coalesce(col("__m"), col("__cin")),
+        rightTs, t.rType, tolerance))
+    flatten(stitched, keys, t.lPayload, t.rPayload, "__mm", rightPrefix)
   }
 }

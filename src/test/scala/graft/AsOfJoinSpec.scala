@@ -78,6 +78,52 @@ class AsOfJoinSpec extends SparkSpec {
     assert(asof === brute)
   }
 
+  test("bucketed variant: identical output to plain asOf on a hot-key fixture") {
+    // one key owns ~90% of both sides (the skew shape the variant
+    // exists for), spanning many buckets; bucket edges deliberately
+    // fall on timestamps (ts 20 with bucketSize 20) to exercise the
+    // inclusive-tie-at-seam path
+    val hotQuotes = (1 to 60).map(i => ("hot", i * 7L, i.toDouble)) ++
+      Seq(("cold", 15L, 9.0))
+    val hotTrades = (1 to 90).map(i => ("hot", i * 5L, i.toLong)) ++
+      Seq(("cold", 5L, 500L), ("cold", 16L, 600L), ("never", 50L, 700L))
+    val q = hotQuotes.toDF("k", "qt", "quote")
+    val t = hotTrades.toDF("k", "tt", "size")
+    for (strict <- Seq(false, true); tol <- Seq(None, Some(lit(11L)))) {
+      val plain = AsOfJoin.asOf(t, q, Seq("k"), "tt", "qt",
+          strict = strict, tolerance = tol)
+        .collect().map(_.toSeq).sortBy(_.toString)
+      val bucketed = AsOfJoin.asOfBucketed(t, q, Seq("k"), "tt", "qt",
+          bucketSize = 20L, strict = strict, tolerance = tol)
+        .collect().map(_.toSeq).sortBy(_.toString)
+      assert(bucketed === plain, s"strict=$strict tol=${tol.isDefined}")
+    }
+  }
+
+  test("bucketed variant agrees with plain asOf on the real events table") {
+    val e = Tables.events(spark, sf0001)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_event_id"))
+    val plain = AsOfJoin.asOf(e, p, Seq("user_id"), "ts", "p_ts", rightPrefix = "")
+      .select(col("event_id"), col("p_event_id"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val bucketed = AsOfJoin.asOfBucketed(e, p, Seq("user_id"), "ts", "p_ts",
+        bucketSize = 6L * 3600L * 1000000L, rightPrefix = "") // 6 h buckets
+      .select(col("event_id"), col("p_event_id"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(bucketed === plain)
+  }
+
+  test("bucketed plan partitions the carry window by (keys, bucket)") {
+    val plan = AsOfJoin.asOfBucketed(trades, quotes, Seq("k"), "tt", "qt",
+        bucketSize = 20L)
+      .queryExecution.executedPlan.toString
+    // the within-bucket pass must exchange on (k, __bk) — a hot key's
+    // history splits across buckets instead of one window partition
+    assert("hashpartitioning\\(k[#0-9]*, __bk".r.findAllIn(plan).nonEmpty,
+      s"expected a (keys, bucket) exchange:\n$plan")
+  }
+
   test("plan shape: one exchange on the keys, no join in the plan") {
     val plan = AsOfJoin.asOf(trades, quotes, Seq("k"), "tt", "qt")
       .queryExecution.executedPlan.toString
