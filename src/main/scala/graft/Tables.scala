@@ -33,14 +33,38 @@ object Tables {
     * TIMESTAMP_NTZ — the same truncation DuckDB applies when casting
     * TIMESTAMP_NS to TIMESTAMP (its `CAST(ts AS TIMESTAMP)` is a no-op on
     * µs data) — so engine and oracle agree on both vintages. */
+  /** Directories whose int64 `events.ts` already passed the ns-magnitude
+    * probe — the check reads one row once per directory, not per query. */
+  private val nsProbed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.expr
+    import org.apache.spark.sql.types._
     val df = load(spark, dir, "events")
     df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
+      case LongType =>
+        // the int64 must be NANOSECONDS since epoch (the nanosAsLong
+        // vintage). Spark's type alone can't distinguish ns from a plain
+        // INT64-micros encoding, and dividing µs by 1000 would silently
+        // shift every timestamp 1000× — so probe ONE row's magnitude
+        // (units are uniform per file): ns since epoch for any plausible
+        // fixture date (≥ ~1973) is ≥ 1e17, µs is ~1e15.
+        if (!nsProbed.contains(dir)) {
+          df.select("ts").head(1).foreach { r =>
+            val ts = r.getLong(0)
+            require(ts > 100_000_000_000_000_000L,
+              s"events.ts int64 magnitude $ts is not nanoseconds since " +
+                "epoch (expected ≥ 1e17); refusing to guess the unit")
+          }
+          nsProbed.add(dir)
+        }
         df.withColumn("ts", expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"))
-      case _ =>
+      case TimestampType | TimestampNTZType =>
         df.withColumn("ts", expr("CAST(ts AS TIMESTAMP_NTZ)"))
+      case dt =>
+        // a catch-all cast here would turn e.g. a malformed string
+        // vintage into silent NULLs under non-ANSI semantics
+        throw new IllegalStateException(s"unexpected events.ts type: $dt")
     }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
