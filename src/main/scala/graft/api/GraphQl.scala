@@ -43,9 +43,10 @@ final class GraphQl(service: QueryService) {
       case Right(fields) =>
         val data = new java.util.LinkedHashMap[String, Any]()
         for (f <- fields) {
-          resolve(f) match {
-            case Left(msg) => return errorJson(msg, f.name)
-            case Right(value) => data.put(f.name, value)
+          if (f.name == "__typename") data.put(f.alias, "Query")
+          else resolve(f) match {
+            case Left(msg) => return errorJson(msg, f.alias)
+            case Right(value) => data.put(f.alias, value)
           }
         }
         mapper.writeValueAsString(
@@ -221,8 +222,9 @@ final class GraphQl(service: QueryService) {
     if (b == null || b.isEmpty) "" else "0x" + b.map("%02x".format(_)).mkString
 
   private def shape(kind: Kind, row: Row,
-      selections: Seq[String]): Either[String, ListMap[String, Any]] = {
+      selections: Seq[Selection]): Either[String, ListMap[String, Any]] = {
     def fieldValue(sel: String): Either[String, Any] = (kind, sel) match {
+      case (_, "__typename") => Right(kind.name)
       case (BlockKind, "hash") => Right(row.getAs[String]("hash"))
       case (BlockKind, "number") => Right(row.getAs[Long]("number").toString)
       case (BlockKind, "time") => Right(row.getAs[Long]("time").toString)
@@ -271,9 +273,18 @@ final class GraphQl(service: QueryService) {
 
       case (k, other) => Left(s"unknown field $other on ${k.name}")
     }
-    selections.foldLeft[Either[String, ListMap[String, Any]]](Right(ListMap.empty)) {
-      case (acc, sel) => for { m <- acc; v <- fieldValue(sel) } yield m.updated(sel, v)
-    }
+    // CollectFields: leaves respond under their alias; guarded groups
+    // (from fragments) apply only when the guard matches this entity
+    // type, recursively
+    def fold(acc: Either[String, ListMap[String, Any]],
+        sels: Seq[Selection]): Either[String, ListMap[String, Any]] =
+      sels.foldLeft(acc) {
+        case (a, Leaf(n, alias)) =>
+          for { m <- a; v <- fieldValue(n) } yield m.updated(alias, v)
+        case (a, Guarded(cond, sub)) =>
+          if (cond == "*" || cond == kind.name) fold(a, sub) else a
+      }
+    fold(Right(ListMap.empty), selections)
   }
 }
 
@@ -289,20 +300,88 @@ object GraphQl {
   private final case class Many(kind: Kind, df: DataFrame) extends Result
   private final case class Count(df: DataFrame) extends Result
 
-  /** One requested top-level field: arguments resolved (variables
-    * substituted) and its flat selection set. */
-  final case class Field(name: String, args: Map[String, Any], selections: Seq[String])
+  /** One requested top-level field: response key (`alias`), schema field
+    * (`name`), arguments resolved (variables substituted), and its
+    * entity selection set (leaves + fragment-derived guarded groups). */
+  final case class Field(name: String, alias: String, args: Map[String, Any],
+    selections: Seq[Selection])
 
-  /** Parse the reference-schema subset: `query Name? { fields… }` or a
-    * bare selection set; arguments are String/Int/[String] literals or
-    * `$variable` references. Commas and `#` comments are ignorable, per
-    * the GraphQL spec. */
+  /** An entity-level selection: a scalar leaf (respond under `alias`),
+    * or a type-guarded group spliced from a named/inline fragment —
+    * applied only when the guard matches the resolved entity type, the
+    * spec's CollectFields rule. */
+  sealed trait Selection
+  final case class Leaf(name: String, alias: String) extends Selection
+  final case class Guarded(cond: String, sels: Seq[Selection]) extends Selection
+
+  private val KnownTypes = Set("Query", "Block", "Transaction", "Event")
+
+  /** Parse a spec-shaped document against the reference's flat schema:
+    * named/anonymous `query` operations, `fragment F on T` definitions
+    * in any document position (spread with `...F`, plus inline
+    * `... on T { }` fragments), field aliases, `__typename`, and
+    * String/Int/[String] literals or `$variable` references. Commas and
+    * `#` comments are ignorable, per the GraphQL spec. */
   def parse(query: String,
       variables: java.util.Map[String, Any]): Either[String, Seq[Field]] =
-    try Right(new Parser(query, variables).document())
-    catch { case e: GqlSyntaxError => Left(e.getMessage) }
+    try {
+      val (ops, frags) = new Parser(query, variables).document()
+      Right(new Expander(frags).topLevel(ops, Set.empty))
+    } catch { case e: GqlSyntaxError => Left(e.getMessage) }
 
   private final class GqlSyntaxError(msg: String) extends RuntimeException(msg)
+
+  // ---- raw document tree (pre-fragment-expansion) -----------------------
+
+  private sealed trait RawSel
+  private final case class RawField(alias: String, name: String,
+    args: Map[String, Any], sels: Seq[RawSel]) extends RawSel
+  private final case class RawSpread(name: String) extends RawSel
+  private final case class RawInline(cond: String, sels: Seq[RawSel]) extends RawSel
+
+  /** Splices fragment definitions into the operation: top-level spreads
+    * must guard `Query` (others can never match and vanish, the
+    * CollectFields rule); entity-level spreads become [[Guarded]] groups
+    * resolved against the actual entity type at shaping time. Unknown
+    * fragment names, unknown guard types, and spread cycles are
+    * document errors. */
+  private final class Expander(frags: Map[String, (String, Seq[RawSel])]) {
+    private def fragment(n: String, expanding: Set[String]): (String, Seq[RawSel]) = {
+      if (expanding(n)) throw new GqlSyntaxError(s"fragment cycle through '$n'")
+      frags.getOrElse(n, throw new GqlSyntaxError(s"unknown fragment '$n'"))
+    }
+    private def checkCond(cond: String): String =
+      if (KnownTypes(cond)) cond
+      else throw new GqlSyntaxError(s"unknown type '$cond' in fragment condition")
+
+    def topLevel(sels: Seq[RawSel], expanding: Set[String]): Seq[Field] =
+      sels.flatMap {
+        case RawField(alias, n, args, sub) =>
+          Seq(Field(n, alias, args, entity(sub, expanding)))
+        case RawSpread(n) =>
+          val (cond, body) = fragment(n, expanding)
+          if (checkCond(cond) == "Query") topLevel(body, expanding + n)
+          else Seq.empty
+        case RawInline(cond, body) =>
+          if (cond == null || checkCond(cond) == "Query") topLevel(body, expanding)
+          else Seq.empty
+      }
+
+    private def entity(sels: Seq[RawSel], expanding: Set[String]): Seq[Selection] =
+      sels.map {
+        case RawField(alias, n, args, sub) =>
+          if (args.nonEmpty)
+            throw new GqlSyntaxError(s"field '$n' takes no arguments here")
+          if (sub.nonEmpty)
+            throw new GqlSyntaxError("nested selection sets are not in the schema")
+          Leaf(n, alias)
+        case RawSpread(n) =>
+          val (cond, body) = fragment(n, expanding)
+          Guarded(checkCond(cond), entity(body, expanding + n))
+        case RawInline(cond, body) =>
+          Guarded(if (cond == null) "*" else checkCond(cond), entity(body, expanding))
+      }
+  }
 
   private final class Parser(src: String, variables: java.util.Map[String, Any]) {
     private var pos = 0
@@ -394,46 +473,76 @@ object GraphQl {
         args.result()
       }
 
-    private def selections(): Seq[String] =
-      if (peek() != '{') Seq.empty
-      else {
-        pos += 1
-        val sels = Vector.newBuilder[String]
-        while (peek() != '}') {
-          sels += name()
-          if (peek() == '{') fail("nested selection sets are not in the schema")
-        }
-        pos += 1
-        sels.result()
-      }
-
-    def document(): Seq[Field] = {
-      skip()
-      if (peek() != '{') {
-        val op = name()
-        if (op != "query") fail(s"unsupported operation '$op' (the schema is query-only)")
-        if (peek() != '{' && peek() != '(') { name(); () } // optional operation name
-        if (peek() == '(') { // variable DEFINITIONS: types only, skip to ')'
-          pos += 1 // consume '('
-          var depth = 0
-          while (pos < src.length && (depth > 0 || src(pos) != ')')) {
-            if (src(pos) == '(') depth += 1
-            if (src(pos) == ')') depth -= 1
-            pos += 1
-          }
-          expect(')')
-        }
-      }
+    /** `{ sel… }`: aliased fields with optional arguments and nested
+      * sets, `...Fragment` spreads, and `... on Type { }` / `... { }`
+      * inline fragments. Schema-level checks (where nesting or
+      * arguments are legal) happen in the [[Expander]]. */
+    private def selectionSet(): Seq[RawSel] = {
       expect('{')
-      val fields = Vector.newBuilder[Field]
+      val sels = Vector.newBuilder[RawSel]
       while (peek() != '}') {
-        val n = name()
-        fields += Field(n, arguments(), selections())
+        if (peek() == '.') {
+          // the three spread dots must be contiguous (no skip between)
+          if (pos + 2 >= src.length || src(pos + 1) != '.' || src(pos + 2) != '.')
+            fail("expected '...'")
+          pos += 3
+          if (peek() == '{') sels += RawInline(null, selectionSet())
+          else name() match {
+            case "on" => sels += RawInline(name(), selectionSet())
+            case frag => sels += RawSpread(frag)
+          }
+        } else {
+          val n1 = name()
+          val (alias, n) =
+            if (peek() == ':') { pos += 1; (n1, name()) } else (n1, n1)
+          val args = arguments()
+          val sub = if (peek() == '{') selectionSet() else Seq.empty
+          sels += RawField(alias, n, args, sub)
+        }
       }
       pos += 1
+      sels.result()
+    }
+
+    /** The document: exactly one `query` operation (named or bare
+      * selection set) plus any number of `fragment Name on Type`
+      * definitions, in any order. */
+    def document(): (Seq[RawSel], Map[String, (String, Seq[RawSel])]) = {
+      var ops: Seq[RawSel] = null
+      val frags = Map.newBuilder[String, (String, Seq[RawSel])]
+      def operation(sels: Seq[RawSel]): Unit = {
+        if (ops != null) fail("multiple operations in one document")
+        ops = sels
+      }
       skip()
-      if (pos < src.length) fail("trailing content after the operation")
-      fields.result()
+      while (pos < src.length) {
+        if (peek() == '{') operation(selectionSet())
+        else name() match {
+          case "query" =>
+            if (peek() != '{' && peek() != '(') { name(); () } // operation name
+            if (peek() == '(') { // variable DEFINITIONS: types only, skip to ')'
+              pos += 1 // consume '('
+              var depth = 0
+              while (pos < src.length && (depth > 0 || src(pos) != ')')) {
+                if (src(pos) == '(') depth += 1
+                if (src(pos) == ')') depth -= 1
+                pos += 1
+              }
+              expect(')')
+            }
+            operation(selectionSet())
+          case "fragment" =>
+            val fn = name()
+            if (fn == "on") fail("fragment name may not be 'on'")
+            if (name() != "on") fail("expected 'on' in the fragment definition")
+            frags += fn -> (name(), selectionSet())
+          case op =>
+            fail(s"unsupported operation '$op' (the schema is query-only)")
+        }
+        skip()
+      }
+      if (ops == null) fail("no query operation in the document")
+      (ops, frags.result())
     }
   }
 }

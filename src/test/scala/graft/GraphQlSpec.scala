@@ -40,13 +40,51 @@ class GraphQlSpec extends SparkSpec {
     assert(fields.map(_.name) ===
       Seq("blockByHash", "eventsFromContractWithTopicsByNumberRange"))
     assert(fields.head.args("hash") === "0xabc")
-    assert(fields.head.selections === Seq("hash", "number"))
+    assert(fields.head.selections ===
+      Seq(GraphQl.Leaf("hash", "hash"), GraphQl.Leaf("number", "number")))
     assert(fields(1).args("topics") === Seq("0x1", "0x2"))
 
     assert(GraphQl.parse("mutation { x }", vars).isLeft)
     assert(GraphQl.parse("{ blockByHash { a { b } } }", vars).isLeft) // nested
     assert(GraphQl.parse("{ f(x: $nope) }", vars).isLeft)            // undefined var
     assert(GraphQl.parse("{ f } trailing", vars).isLeft)
+  }
+
+  test("parser: aliases, fragment definitions/spreads, __typename, cycles") {
+    val vars = new java.util.HashMap[String, Any]()
+    // aliases at both levels; a fragment defined AFTER its use; inline
+    // fragment; __typename — the stock-client document shapes gqlgen takes
+    val fields = GraphQl.parse(
+      """query Q {
+        |  myBlock: blockByHash(hash: "0xabc") {
+        |    id: hash
+        |    ...BlockBits
+        |    ... on Block { time }
+        |    __typename
+        |  }
+        |}
+        |fragment BlockBits on Block { number, gasUsed }""".stripMargin,
+      vars).toOption.get
+    assert(fields.map(_.alias) === Seq("myBlock"))
+    assert(fields.head.name === "blockByHash")
+    assert(fields.head.selections === Seq(
+      GraphQl.Leaf("hash", "id"),
+      GraphQl.Guarded("Block",
+        Seq(GraphQl.Leaf("number", "number"), GraphQl.Leaf("gasUsed", "gasUsed"))),
+      GraphQl.Guarded("Block", Seq(GraphQl.Leaf("time", "time"))),
+      GraphQl.Leaf("__typename", "__typename")))
+
+    // top-level fragment on Query splices more root fields
+    val roots = GraphQl.parse(
+      """fragment Roots on Query { __typename b: blockByNumber(number: "7") { hash } }
+        |{ ...Roots }""".stripMargin, vars).toOption.get
+    assert(roots.map(_.alias) === Seq("__typename", "b"))
+
+    assert(GraphQl.parse("{ ...Nope }", vars).isLeft)                 // unknown fragment
+    assert(GraphQl.parse(
+      "fragment A on Block { ...A } { blockByHash { ...A } }", vars).isLeft) // cycle
+    assert(GraphQl.parse(
+      "fragment A on Wat { hash } { blockByHash { ...A } }", vars).isLeft)   // unknown type
   }
 
   test("blockByHash shapes per data.go:40-70 (decimal strings, Float size)") {
@@ -93,6 +131,30 @@ class GraphQlSpec extends SparkSpec {
     (0 until evs.size()).foreach { i =>
       assert(evs.get(i).get("topics").get(0).asText() === EvmFixtures.sig(2))
     }
+  }
+
+  test("fragment + alias query resolves to the same values as the plain form") {
+    val b = EvmFixtures.buildBlock(1500, EvmFixtures.txCount(1500L))
+    val plain = run(s"""{ blockByHash(hash: "${b.hash}") { hash number gasUsed } }""")
+      .get("data").get("blockByHash")
+    val fancy = run(
+      s"""query Q {
+         |  blk: blockByHash(hash: "${b.hash}") { h: hash ...Bits __typename }
+         |}
+         |fragment Bits on Block { number gasUsed }""".stripMargin)
+      .get("data").get("blk")
+    assert(fancy.get("h").asText() === plain.get("hash").asText())
+    assert(fancy.get("number").asText() === plain.get("number").asText())
+    assert(fancy.get("gasUsed").asText() === plain.get("gasUsed").asText())
+    assert(fancy.get("__typename").asText() === "Block")
+    assert(fancy.size() === 4)
+
+    // __typename on a list entity and at the query root
+    val evs = run(s"""{ __typename lastXEventsFromContract(
+      contract: "${EvmFixtures.contractAddr(7)}", x: 2) { __typename origin } }""")
+    assert(evs.get("data").get("__typename").asText() === "Query")
+    assert(evs.get("data").get("lastXEventsFromContract").get(0)
+      .get("__typename").asText() === "Event")
   }
 
   test("errors: Found nothing, guardrails, unknown fields (gqlgen envelope)") {
