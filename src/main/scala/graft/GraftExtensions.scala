@@ -43,6 +43,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("av_meta", "av_meta(bytes) - struct(container, sample_rate, channels, duration_s, width, height) of a WAV/MP4 header, else NULL"),
       (args: Seq[Expression]) => graft.pipeline.AvHeader.AvMetaExpr(args(0))))
     ext.injectFunction((
+      FunctionIdentifier("wav_pcm"),
+      info("wav_pcm", "wav_pcm(bytes) - struct(sample_rate, channels, n_samples, min_s, max_s, sum_s, sum_sq) decoded from 16-bit PCM WAV samples, else NULL"),
+      (args: Seq[Expression]) => graft.pipeline.AvHeader.WavPcmExpr(args(0))))
+    ext.injectFunction((
       FunctionIdentifier("ecrecover"),
       info("ecrecover", "ecrecover(sigHash, r, s, recId) - uncompressed secp256k1 pubkey, NULL if invalid"),
       (args: Seq[Expression]) => graft.functions.TxSender.EcRecover(args(0), args(1), args(2), args(3))))

@@ -26,8 +26,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * `struct<container, sample_rate, channels, duration_s, width, height>`
   * (null for unrecognizable bytes), codegen'd like
   * [[ImageHeader.ImageMetaExpr]] so media scans stay inside whole-stage
-  * codegen. Frame rate (needs `stts` sample tables) and actual sample
-  * decode remain outside header scope — fps stays a stub field.
+  * codegen.
+  *
+  * AUDIO codec decode is real too: [[decodeWavPcm]] / `wav_pcm(bytes)`
+  * reads every 16-bit PCM sample word out of the `data` chunk into
+  * integer-exact sample statistics — uncompressed PCM needs no external
+  * codec, so the seam closes in pure JVM. Frame rate (needs `stts`
+  * sample tables) and compressed video/audio codecs remain outside:
+  * that residue is the [[Multimodal]] stub.
   */
 object AvHeader {
 
@@ -152,6 +158,116 @@ object AvHeader {
     }
     if (!ok || durationS < 0) None
     else Some(AvMeta("mp4", -1, -1, durationS.toInt, width, height))
+  }
+
+  // ---- WAV PCM sample decode --------------------------------------------
+
+  /** Decoded 16-bit PCM sample statistics — CODEC-level decode, not a
+    * header walk: every sample word in the `data` chunk is read.
+    * Integer-exact fields only (min/max/sum/sum-of-squares over signed
+    * 16-bit values) so an external engine can replay the decode
+    * bit-for-bit from the construction parameters. */
+  final case class PcmStats(sampleRate: Int, channels: Int, nSamples: Long,
+    minS: Long, maxS: Long, sumS: Long, sumSq: Long)
+
+  /** Decode the PCM payload of a WAV byte stream: chunk-walk to `fmt `
+    * (must be format 1 = integer PCM, 16-bit) and `data`, then fold
+    * every interleaved little-endian int16 sample into [[PcmStats]].
+    * Samples are whatever portion of the declared data size is actually
+    * present in the buffer (a header-only stream decodes zero samples —
+    * distinguishable from silence by `nSamples`). None when the bytes
+    * are not 16-bit PCM WAV. */
+  def decodeWavPcm(b: Array[Byte]): Option[PcmStats] = {
+    if (b == null || b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE")
+      return None
+    var i = 12
+    var channels = -1
+    var sampleRate = -1L
+    var bits = -1
+    var fmt = -1
+    var dataLo = -1
+    var dataSize = -1L
+    while (i + 8 <= b.length && (bits < 0 || dataLo < 0)) {
+      val id = tag(b, i)
+      val sz = le32(b, i + 4)
+      if (id == "fmt ") {
+        if (sz < 16 || i + 8 + 16 > b.length) return None
+        fmt = le16(b, i + 8)
+        channels = le16(b, i + 10)
+        sampleRate = le32(b, i + 12)
+        bits = le16(b, i + 22)
+      } else if (id == "data") {
+        dataLo = i + 8
+        dataSize = sz
+      }
+      val step = sz + (sz & 1L)
+      if (step > Int.MaxValue - 8 - i) i = b.length else i += 8 + step.toInt
+    }
+    if (fmt != 1 || bits != 16 || channels < 1 || sampleRate < 1 || dataLo < 0)
+      return None
+    val avail = math.min(dataSize, (b.length - dataLo).toLong)
+    val n = avail / 2
+    var k = 0L
+    var mn = Long.MaxValue
+    var mx = Long.MinValue
+    var sum = 0L
+    var sumSq = 0L
+    while (k < n) {
+      val off = dataLo + (k * 2).toInt
+      val v = (le16(b, off).toShort).toLong // sign-extend the int16
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+      sum += v
+      sumSq += v * v
+      k += 1
+    }
+    if (n == 0) { mn = 0L; mx = 0L }
+    Some(PcmStats(sampleRate.toInt, channels, n, mn, mx, sum, sumSq))
+  }
+
+  /** [[decodeWavPcm]] as a Catalyst row for [[WavPcmExpr]]. */
+  def decodePcmRow(bytes: Array[Byte]): InternalRow = decodeWavPcm(bytes) match {
+    case Some(s) => InternalRow(Int.box(s.sampleRate), Int.box(s.channels),
+      Long.box(s.nSamples), Long.box(s.minS), Long.box(s.maxS),
+      Long.box(s.sumS), Long.box(s.sumSq))
+    case None => null
+  }
+
+  /** `wav_pcm(bytes)`: decoded 16-bit PCM sample statistics, null when
+    * the bytes are not an integer-PCM WAV stream. Codegen'd like
+    * [[AvMetaExpr]] so audio scans stay inside whole-stage codegen. */
+  case class WavPcmExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = WavPcmExpr.schema
+    override def nullable: Boolean = true
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == BinaryType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"wav_pcm requires binary input, got ${child.dataType.catalogString}")
+    override def nullSafeEval(input: Any): Any =
+      AvHeader.decodePcmRow(input.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        s"""
+           |${ev.value} = graft.pipeline.AvHeader.decodePcmRow($c);
+           |${ev.isNull} = ${ev.value} == null;
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "wav_pcm"
+  }
+
+  object WavPcmExpr {
+    val schema: StructType = StructType(Seq(
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("n_samples", LongType),
+      StructField("min_s", LongType),
+      StructField("max_s", LongType),
+      StructField("sum_s", LongType),
+      StructField("sum_sq", LongType)))
   }
 
   /** `av_meta(bytes)`: container metadata struct, null when the bytes are

@@ -10,14 +10,24 @@ import org.apache.spark.sql.functions._
   * CONTAINER decode is REAL for all three kinds: [[decodeMeta]] parses
   * PNG/JPEG/GIF headers via [[ImageHeader.ImageMetaExpr]] and WAV/MP4
   * headers via [[AvHeader.AvMetaExpr]], both codegen'd Catalyst
-  * expressions. Only CODEC decode (pixels, samples, frame rate — which
-  * needs sample-table parsing and actual decoders this container does
-  * not ship) remains STUBBED: `decodeMetaStub` derives deterministic
-  * fake metadata from the raw bytes for payloads that are not a real
-  * container. Everything around the stub — schema, batch shape,
-  * partition-preserving execution, explode semantics — is real and
-  * tested, so swapping in a true codec is a drop-in replacement of one
-  * function.
+  * expressions. AUDIO codec decode is real for uncompressed PCM:
+  * [[wavPcm]] reads every sample word of a 16-bit WAV `data` chunk
+  * ([[AvHeader.decodeWavPcm]] — pure JVM, no external codec needed).
+  * The remaining STUB is compressed video/audio codecs (H.264 pixels,
+  * AAC/MP3 samples, `stts`-derived fps), which genuinely need decoder
+  * libraries this container does not ship: `decodeMetaStub` derives
+  * deterministic fake metadata for those payloads.
+  *
+  * The codec plug is a documented seam, not an ambient dependency: a
+  * real deployment supplies the decoder EITHER as a DataSource v2 read
+  * option on the media source (decode at scan time, e.g.
+  * `spark.read.format(...).option("decode", "h264")` materializing the
+  * decoded struct column) OR as a partition-local batch call behind the
+  * [[extractFeaturesStub]] boundary (the `mapInPandas` analog — FFI
+  * into libav per fixed-size batch). Everything around the seam —
+  * schema, batch shape, partition-preserving execution, explode
+  * semantics — is real and tested, so swapping in a true codec is a
+  * drop-in replacement of one function.
   *
   * Scale notes: media bytes are the dominant payload; every operator here
   * projects metadata *without* shuffling the bytes (per-row expressions or
@@ -55,6 +65,12 @@ object Multimodal {
     * unrecognized bytes). */
   def avMeta(bytes: Column): Column =
     org.apache.spark.sql.functions.call_function("av_meta", bytes)
+
+  /** REAL audio CODEC decode for uncompressed PCM: integer-exact sample
+    * statistics folded over every 16-bit word of a WAV `data` chunk
+    * ([[AvHeader.WavPcmExpr]], codegen'd; null for non-PCM bytes). */
+  def wavPcm(bytes: Column): Column =
+    org.apache.spark.sql.functions.call_function("wav_pcm", bytes)
 
   /** Decode with a real-first policy: image bytes that parse as an actual
     * PNG/JPEG/GIF container get their true dimensions, audio/video bytes

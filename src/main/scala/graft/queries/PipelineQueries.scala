@@ -770,6 +770,48 @@ object PipelineQueries {
       .orderBy(col("doc_id"), col("frame_ts"))
   }
 
+  /** MM5: REAL audio CODEC decode — every document becomes a 16-bit PCM
+    * WAV whose `data` chunk carries `doc_id % 97 + 16` actual sample
+    * words (`u_i = (doc_id·31 + i·7919) mod 65536`, stored
+    * little-endian), and `wav_pcm` ([[graft.pipeline.AvHeader.decodeWavPcm]])
+    * decodes every word back into integer-exact sample statistics. The
+    * oracle replays the sample arithmetic (including the int16
+    * sign-extension) over the same index range — construct→decode is
+    * the identity at the SAMPLE level, not just the header level, which
+    * is what makes the audio seam codec-real. */
+  private def mm5(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    def byteOf(c: Column) = lpad(hex(c.cast("long").bitwiseAND(lit(255L))), 2, "0")
+    def le16(c: Column) = unhex(concat(byteOf(c), byteOf(shiftright(c.cast("long"), 8))))
+    def le32(c: Column) = unhex(concat(byteOf(c), byteOf(shiftright(c.cast("long"), 8)),
+      byteOf(shiftright(c.cast("long"), 16)), byteOf(shiftright(c.cast("long"), 24))))
+    val n = (pmod(d, lit(97)) + 16).cast("int")
+    val sr = element_at(array(lit(8000L), lit(16000L), lit(22050L), lit(44100L)),
+      pmod(d, lit(4)).cast("int") + 1)
+    // the sample words themselves: hex-encode each LE int16, join, unhex
+    val payload = unhex(array_join(
+      transform(sequence(lit(0), n - 1), i => {
+        val u = pmod(d * 31 + i * 7919, lit(65536)).cast("long")
+        concat(byteOf(u), byteOf(shiftright(u, 8)))
+      }), ""))
+    val wavB = concat(
+      s4("RIFF"), le32(n.cast("long") * 2 + 36), s4("WAVE"),
+      s4("fmt "), le32(lit(16)), le16(lit(1)), le16(lit(1)), le32(sr),
+      le32(sr * 2), le16(lit(2)), le16(lit(16)),
+      s4("data"), le32(n.cast("long") * 2), payload)
+    val m = graft.pipeline.Multimodal.wavPcm(wavB)
+    Tables.documents(s, dir).select(col("doc_id"), m.as("__m"))
+      .select(col("doc_id"),
+        col("__m").getField("sample_rate").cast("long").as("sample_rate"),
+        col("__m").getField("channels").cast("long").as("channels"),
+        col("__m").getField("n_samples").as("n_samples"),
+        col("__m").getField("min_s").as("min_s"),
+        col("__m").getField("max_s").as("max_s"),
+        col("__m").getField("sum_s").as("sum_s"),
+        col("__m").getField("sum_sq").as("sum_sq"))
+      .orderBy(col("doc_id"))
+  }
+
   // ===== registry ========================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -811,6 +853,7 @@ object PipelineQueries {
     "p_mm2_image_header" -> (mm2 _),
     "p_mm3_av_header" -> (mm3 _),
     "p_mm4_frame_sample" -> (mm4 _),
+    "p_mm5_wav_pcm" -> (mm5 _),
   )
 
   // ---- DuckDB twins of the vector/fingerprint math ----------------------
@@ -1467,6 +1510,26 @@ object PipelineQueries {
     "p_mm4_frame_sample" ->
       ("""SELECT doc_id, unnest(range(0, doc_id % 600 + 1, 30)) AS frame_ts
           FROM documents ORDER BY doc_id, frame_ts"""),
+    "p_mm5_wav_pcm" ->
+      ("""WITH idx AS (
+            SELECT doc_id, unnest(range(0, doc_id % 97 + 16)) AS i
+            FROM documents),
+          smp AS (
+            SELECT doc_id,
+                   CASE WHEN (doc_id * 31 + i * 7919) % 65536 < 32768
+                        THEN (doc_id * 31 + i * 7919) % 65536
+                        ELSE (doc_id * 31 + i * 7919) % 65536 - 65536
+                   END AS v
+            FROM idx)
+          SELECT s.doc_id,
+                 CAST(([8000, 16000, 22050, 44100])[s.doc_id % 4 + 1] AS BIGINT) AS sample_rate,
+                 CAST(1 AS BIGINT) AS channels,
+                 CAST(count(*) AS BIGINT) AS n_samples,
+                 CAST(min(v) AS BIGINT) AS min_s,
+                 CAST(max(v) AS BIGINT) AS max_s,
+                 CAST(sum(v) AS BIGINT) AS sum_s,
+                 CAST(sum(v * v) AS BIGINT) AS sum_sq
+          FROM smp s GROUP BY s.doc_id ORDER BY s.doc_id"""),
     "p_t3_contamination" ->
       ("""WITH corpus AS (
             SELECT doc_id, text FROM documents WHERE doc_id < 1000),

@@ -213,6 +213,61 @@ class MultimodalSpec extends SparkSpec {
     assert(pipeline.AvHeader.parse("not an mp4 at all, truly".getBytes).isEmpty)
   }
 
+  test("decodeWavPcm: every sample word decodes with sign extension") {
+    import java.nio.ByteBuffer
+    import java.nio.ByteOrder.LITTLE_ENDIAN
+    def wav(sr: Int, ch: Int, samples: Seq[Short], declared: Option[Int] = None,
+        fmt: Short = 1, bits: Short = 16): Array[Byte] = {
+      val dataSize = declared.getOrElse(samples.size * 2)
+      val bb = ByteBuffer.allocate(64 + samples.size * 2).order(LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(36 + dataSize).put("WAVE".getBytes)
+      bb.put("fmt ".getBytes).putInt(16).putShort(fmt).putShort(ch.toShort)
+        .putInt(sr).putInt(sr * ch * 2).putShort((ch * 2).toShort).putShort(bits)
+      bb.put("data".getBytes).putInt(dataSize)
+      samples.foreach(bb.putShort)
+      java.util.Arrays.copyOf(bb.array(), bb.position())
+    }
+    val s = pipeline.AvHeader.decodeWavPcm(
+      wav(16000, 1, Seq[Short](100, -200, 32767, -32768, 0))).get
+    assert((s.sampleRate, s.channels, s.nSamples) === (16000, 1, 5L))
+    assert((s.minS, s.maxS) === (-32768L, 32767L))
+    assert(s.sumS === 100L - 200L + 32767L - 32768L)
+    assert(s.sumSq === 100L * 100 + 200L * 200 + 32767L * 32767 + 32768L * 32768)
+    // a header-only stream (declared size, absent payload) is zero samples
+    val h = pipeline.AvHeader.decodeWavPcm(wav(8000, 1, Seq.empty, Some(4000))).get
+    assert((h.nSamples, h.minS, h.maxS, h.sumS, h.sumSq) === (0L, 0L, 0L, 0L, 0L))
+    // non-PCM format / non-16-bit / non-WAV bytes refuse, not garbage-decode
+    assert(pipeline.AvHeader.decodeWavPcm(wav(8000, 1, Seq[Short](1), fmt = 3)).isEmpty)
+    assert(pipeline.AvHeader.decodeWavPcm(wav(8000, 1, Seq[Short](1), bits = 8)).isEmpty)
+    assert(pipeline.AvHeader.decodeWavPcm("just some text bytes".getBytes).isEmpty)
+  }
+
+  test("wav_pcm expression decodes in-plan and stays inside codegen") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val samples = Seq[Short](7, -7, 300)
+    val bb = java.nio.ByteBuffer.allocate(64 + samples.size * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + 6).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(22050).putInt(22050 * 2).putShort(2).putShort(16)
+    bb.put("data".getBytes).putInt(6)
+    samples.foreach(bb.putShort)
+    val bytes = java.util.Arrays.copyOf(bb.array(), bb.position())
+    // anchor the input to a real scan column (a zero-length slice of the
+    // text bytes appended to the fixed WAV), else constant folding /
+    // local-relation collapse evaluates the expression at plan time and
+    // no codegen'd projection remains to assert on
+    val df = Tables.documents(spark, sf0001).limit(1)
+      .select(pipeline.Multimodal.wavPcm(
+        concat(lit(bytes), expr("substring(encode(text, 'UTF-8'), 1, 0)"))).as("m"))
+    val r = df.select("m.n_samples", "m.sum_s", "m.sum_sq", "m.sample_rate").head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)) ===
+      (3L, 300L, 49L + 49L + 90000L, 22050))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(1) Project"), s"expected codegen'd projection:\n$p")
+  }
+
   test("decodeMeta: real WAV/MP4 containers beat the stub; text stays stubbed") {
     import java.nio.ByteBuffer
     import java.nio.ByteOrder.LITTLE_ENDIAN
