@@ -48,62 +48,143 @@ object ArtifactStore {
   // corpus where each micro-batch adds documents. Segmented artifacts
   // commit APPENDS the way the confirmed block tier does: a new segment
   // directory becomes visible only through one fsynced atomic manifest
-  // swap, so readers never see a torn append; whatever a crash leaves
+  // commit, so readers never see a torn append; whatever a crash leaves
   // (a `__seg_*` staging dir, or a renamed segment the manifest never
-  // recorded) is invisible to readers and swept by the next append.
-  // Appends are SINGLE-WRITER (the ingest job), same as the block
-  // store; concurrent base builds collide on the base segment's fixed
-  // name — one atomic rename wins, the manifest write is idempotent.
+  // recorded) is invisible to readers and swept by the next compaction.
+  //
+  // The manifest commit is CAS-STYLE, so appends are MULTI-WRITER safe:
+  // each manifest generation is an immutable `_segments.v<N>` file
+  // claimed by atomic create-exclusive (hard-link of a fully-synced tmp
+  // — link(2) fails with EEXIST if the generation is taken). An
+  // appender reads generation N, tries to claim N+1 with its segment
+  // added; a loser re-reads (now seeing the winner's segment) and
+  // retries against N+2 — a committed segment can never be dropped by
+  // a racing writer, which last-writer-wins manifest replacement could
+  // not guarantee. Readers resolve the highest generation present.
+  // REGENERATION (the staleness delete) and COMPACTION/sweeping remain
+  // single-maintainer by contract: they destroy state a concurrent
+  // writer may be about to reference.
 
-  private def manifestOf(dir: String) = s"$dir/_segments"
+  private val ManifestPrefix = "_segments.v"
 
-  private def listSegments(dir: String): Seq[String] = {
-    val m = Paths.get(manifestOf(dir))
-    if (Files.exists(m)) {
-      import scala.jdk.CollectionConverters._
-      Files.readAllLines(m).asScala.toSeq.filter(_.nonEmpty)
-    } else Seq.empty
+  /** Zero-padded so the lexically-greatest name is the newest generation. */
+  private def generationName(v: Long) = f"$ManifestPrefix$v%019d"
+
+  /** Highest committed manifest generation `(version, segments)`;
+    * `(0, legacy)` when only a pre-CAS `_segments` file exists, and
+    * `(0, empty)` for a fresh dir. Retries a bounded number of times if
+    * the resolved generation file is swept between listing and read. */
+  private def manifestState(dir: String): (Long, Seq[String]) = {
+    import scala.jdk.CollectionConverters._
+    val d = Paths.get(dir)
+    var attempt = 0
+    while (attempt < 5) {
+      attempt += 1
+      if (!Files.exists(d)) return (0L, Seq.empty)
+      val stream = Files.list(d)
+      val newest =
+        try stream.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith(ManifestPrefix)).maxOption
+        finally stream.close()
+      try {
+        newest match {
+          case Some(n) =>
+            val segs = Files.readAllLines(Paths.get(s"$dir/$n")).asScala
+              .toSeq.filter(_.nonEmpty)
+            return (n.stripPrefix(ManifestPrefix).toLong, segs)
+          case None =>
+            val legacy = Paths.get(s"$dir/_segments")
+            return (0L,
+              if (Files.exists(legacy))
+                Files.readAllLines(legacy).asScala.toSeq.filter(_.nonEmpty)
+              else Seq.empty)
+        }
+      } catch {
+        // the generation we resolved was swept under us — re-list
+        case _: java.nio.file.NoSuchFileException => ()
+      }
+    }
+    throw new IllegalStateException(s"manifest of $dir kept vanishing mid-read")
   }
 
-  private def writeManifest(dir: String, segs: Seq[String]): Unit = {
+  private def listSegments(dir: String): Seq[String] = manifestState(dir)._2
+
+  /** Try to commit manifest generation `version` with content `segs`.
+    * Returns false if that generation was already claimed — the caller
+    * re-reads and retries. The content file is fully written and synced
+    * BEFORE the atomic claim, so a reader can never observe a torn
+    * generation; on power loss the claim either exists with full
+    * content or not at all. */
+  private def casCommit(dir: String, version: Long, segs: Seq[String]): Boolean = {
     import java.nio.file.StandardOpenOption._
-    // UNIQUE per-attempt tmp: racing writers each rename their own file
-    // (ATOMIC_MOVE over an existing manifest replaces it atomically, so
-    // a raced duplicate write just re-commits identical content) — a
-    // shared tmp name would make the losing rename throw NoSuchFile
-    val tmp = Paths.get(manifestOf(dir) + "__tmp_" + java.util.UUID.randomUUID())
-    // SYNC + dir fsync: rename alone is atomic only against process
-    // crashes; on power loss some filesystems persist the rename before
-    // the data, surfacing an empty manifest
+    val tmp = Paths.get(s"$dir/__manifest_tmp_${java.util.UUID.randomUUID()}")
     Files.write(tmp,
       segs.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
       WRITE, CREATE, TRUNCATE_EXISTING, SYNC)
-    Files.move(tmp, Paths.get(manifestOf(dir)),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    try {
-      val ch = java.nio.channels.FileChannel.open(Paths.get(dir), READ)
-      try ch.force(true) finally ch.close()
-    } catch { case _: Exception => () } // best-effort where unsupported
+    val target = Paths.get(s"$dir/${generationName(version)}")
+    val claimed =
+      try { Files.createLink(target, tmp); true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: UnsupportedOperationException =>
+          // no hard links (e.g. FAT): degrade to create-exclusive copy —
+          // still refuses an existing generation, with a narrower
+          // torn-content window this filesystem class cannot avoid
+          try {
+            Files.copy(tmp, target)
+            true
+          } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      }
+    Files.deleteIfExists(tmp)
+    if (claimed) {
+      try {
+        val ch = java.nio.channels.FileChannel.open(Paths.get(dir), READ)
+        try ch.force(true) finally ch.close()
+      } catch { case _: Exception => () } // best-effort where unsupported
+    }
+    claimed
   }
 
-  /** WRITER-ONLY sweep (the single appender calls this; a reader must
-    * never delete — it could race the live writer's staging dir): drops
-    * `__seg_*` staging dirs AND committed-name `seg_*` dirs absent from
-    * the manifest (a crash between segment rename and manifest write
-    * orphans one; it was never visible to readers). */
+  /** Append-with-retry: claim the next generation with `segs(current) :+
+    * extras`; on a lost claim re-read and retry. Returns the committed
+    * segment list. */
+  private def casAppend(dir: String)(update: Seq[String] => Seq[String]): Seq[String] = {
+    while (true) {
+      val (ver, segs) = manifestState(dir)
+      val next = update(segs)
+      if (casCommit(dir, ver + 1, next)) return next
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** MAINTAINER-ONLY sweep (exclusive access by contract — a live
+    * appender may have renamed a segment it has not yet won a manifest
+    * claim for, and a reader must never delete): drops `__seg_*` staging
+    * dirs, committed-name `seg_*` dirs absent from the manifest (a crash
+    * between segment rename and manifest claim orphans one; it was never
+    * visible to readers), and manifest generations older than the
+    * current one. */
   private def recoverSegments(dir: String): Unit = {
     val d = Paths.get(dir)
     if (Files.exists(d)) {
-      val committed = listSegments(dir).toSet
+      val (ver, segs) = manifestState(dir)
+      val committed = segs.toSet
+      val current = generationName(ver)
       val stream = Files.list(d)
       try {
         import scala.jdk.CollectionConverters._
         stream.iterator().asScala.toList
           .filter { p =>
             val n = p.getFileName.toString
-            n.startsWith("__seg_") || (n.startsWith("seg_") && !committed(n))
+            n.startsWith("__seg_") || (n.startsWith("seg_") && !committed(n)) ||
+              n.startsWith("__manifest_tmp_") ||
+              (n.startsWith(ManifestPrefix) && n < current)
           }
-          .foreach(p => org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
+          .foreach { p =>
+            if (Files.isDirectory(p))
+              org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
+            else Files.deleteIfExists(p)
+          }
       } finally stream.close()
     }
   }
@@ -119,15 +200,15 @@ object ArtifactStore {
     * segment has a FIXED name, so racers collide on the atomic rename
     * (loser sweeps its staging dir; a racer whose parent dir vanished
     * retries), and the manifest write is idempotent — never two base
-    * segments. REGENERATION (the staleness delete) is single-builder,
-    * like appends: a regenerating builder racing other builders could
+    * segments. REGENERATION (the staleness delete) is single-builder
+    * (appends, by contrast, are multi-writer safe via the CAS manifest):
+    * a regenerating builder racing other builders could
     * delete a base a racer is about to reference, which the
     * exists-guard before the manifest write narrows but cannot close. */
   def ensureSegmented(spark: SparkSession, root: String, key: String,
       sourceFile: Option[String] = None)(
       buildBase: String => Unit): DataFrame = {
     val dir = s"$root/$key"
-    val manifest = Paths.get(manifestOf(dir))
     val basePath = Paths.get(s"$dir/seg_base")
     sourceFile.foreach { src =>
       val s = Paths.get(src)
@@ -138,8 +219,9 @@ object ArtifactStore {
       // segment's mtime on its output for exactly the same reason (it
       // rewrites old data without consulting the source, so a fresh
       // timestamp would mask a regeneration that preceded it)
-      val stale = Files.exists(s) && Files.exists(manifest) &&
-        listSegments(dir).headOption.forall { seg =>
+      val committed = listSegments(dir)
+      val stale = Files.exists(s) && committed.nonEmpty &&
+        committed.headOption.forall { seg =>
           val p = Paths.get(s"$dir/$seg")
           !Files.exists(p) || // manifest without its segment: torn state
             Files.getLastModifiedTime(s).compareTo(Files.getLastModifiedTime(p)) > 0
@@ -148,7 +230,7 @@ object ArtifactStore {
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
     // bounded retry: a racing regeneration can delete the dir between a
-    // builder's rename and manifest write — the loser rebuilds cleanly
+    // builder's rename and manifest claim — the loser rebuilds cleanly
     var attempt = 0
     while (listSegments(dir).isEmpty && attempt < 3) {
       attempt += 1
@@ -162,31 +244,36 @@ object ArtifactStore {
         case _: java.nio.file.NoSuchFileException => // parent deleted under us
           org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
       }
-      // idempotent under the race (same single-line content), and also
-      // heals a crash that renamed seg_base but never wrote the manifest;
+      // CAS-claim the first generation (idempotent under the race: a
+      // losing claim means a racer committed the same base), and also
+      // heal a crash that renamed seg_base but never claimed a manifest;
       // never commit a manifest whose base a racing delete removed
-      if (listSegments(dir).isEmpty && Files.exists(basePath))
-        writeManifest(dir, Seq("seg_base"))
+      val (ver, segs) = manifestState(dir)
+      if (segs.isEmpty && Files.exists(basePath))
+        casCommit(dir, ver + 1, Seq("seg_base"))
     }
     readSegmented(spark, root, key)
   }
 
-  /** Append one delta segment (SINGLE writer, like the block store). The
-    * delta becomes visible atomically; a crash mid-append changes
-    * nothing for readers and is swept by the next append. */
+  /** Append one delta segment — MULTI-WRITER safe: the delta directory
+    * has a unique name (no rename collisions) and joins the manifest
+    * through the CAS claim loop, so concurrent appenders can interleave
+    * freely and every committed segment survives (a raced claim is
+    * retried against the re-read list, never overwritten). The delta
+    * becomes visible atomically; a crash mid-append changes nothing for
+    * readers and is swept by the next compaction. */
   def appendSegment(spark: SparkSession, root: String, key: String)(
       buildDelta: String => Unit): Unit = {
     val dir = s"$root/$key"
     require(listSegments(dir).nonEmpty,
       s"segmented artifact $dir has no base — call ensureSegmented first")
-    recoverSegments(dir)
     // full UUID: a truncated name's birthday collision with an existing
     // committed segment would abort the append on the rename
     val name = s"seg_${java.util.UUID.randomUUID()}"
     val tmp = Paths.get(s"$dir/__seg_$name")
     buildDelta(tmp.toString)
     Files.move(tmp, Paths.get(s"$dir/$name"))
-    writeManifest(dir, listSegments(dir) :+ name)
+    casAppend(dir)(_ :+ name)
   }
 
   /** Union of all committed segments, in commit order. */
@@ -199,30 +286,46 @@ object ArtifactStore {
 
   /** Fold all committed segments into one — the small-files
     * countermeasure a long-appending artifact needs (the analog of the
-    * block store's confirmed-tier compaction). SINGLE-WRITER like
-    * appends. The compacted data lands as a new `seg_*` written to a
-    * staging dir first, then ONE manifest swap makes it the only
-    * committed segment; readers see either the old segment list or the
-    * compacted one, never a mix. The replaced segments deliberately
-    * stay on disk as unmanifested orphans until the NEXT writer
-    * operation sweeps them — a reader that resolved the old manifest
-    * (parquet file listings are eager) can still finish its scan. The
-    * compacted segment inherits the OLDEST input segment's mtime, so
-    * the [[ensureSegmented]] staleness reference still dates from the
-    * base build and a source regeneration that preceded the compaction
-    * is not masked. Returns the number of segments folded (0 = already
-    * compact). */
+    * block store's confirmed-tier compaction). The compacted data lands
+    * as a new `seg_*` written to a staging dir first, then ONE manifest
+    * claim makes it the only committed segment; readers see either the
+    * old segment list or the compacted one, never a mix. A CONCURRENT
+    * APPEND cannot be lost: the append's claim and the compaction's
+    * claim contend for the same generation, and the loser (either side)
+    * re-reads and retries — a compaction that loses re-folds so the
+    * freshly appended segment is included, bounded to a few attempts
+    * (0 = gave up under sustained append pressure; call again). The
+    * replaced segments stay on disk as unmanifested orphans until
+    * [[recoverSegments]] sweeps them on a later compaction — a reader
+    * that resolved the old manifest (parquet file listings are eager)
+    * can still finish its scan; the sweep itself requires exclusive
+    * maintenance access by contract. The compacted segment inherits the
+    * OLDEST input segment's mtime, so the [[ensureSegmented]] staleness
+    * reference still dates from the base build and a source
+    * regeneration that preceded the compaction is not masked. Returns
+    * the number of segments folded (0 = already compact or lost the
+    * claim race). */
   def compactSegments(spark: SparkSession, root: String, key: String): Int = {
     val dir = s"$root/$key"
-    val before = listSegments(dir)
-    if (before.size <= 1) return 0
-    val oldestMtime = Files.getLastModifiedTime(Paths.get(s"$dir/${before.head}"))
-    val name = s"seg_${java.util.UUID.randomUUID()}"
-    val tmp = s"$dir/__seg_$name"
-    readSegmented(spark, root, key).write.mode("overwrite").parquet(tmp)
-    Files.move(Paths.get(tmp), Paths.get(s"$dir/$name"))
-    Files.setLastModifiedTime(Paths.get(s"$dir/$name"), oldestMtime)
-    writeManifest(dir, Seq(name))
-    before.size
+    recoverSegments(dir)
+    var attempt = 0
+    while (attempt < 3) {
+      attempt += 1
+      val (ver, before) = manifestState(dir)
+      if (before.size <= 1) return 0
+      val oldestMtime = Files.getLastModifiedTime(Paths.get(s"$dir/${before.head}"))
+      val name = s"seg_${java.util.UUID.randomUUID()}"
+      val tmp = s"$dir/__seg_$name"
+      spark.read.parquet(before.map(s => s"$dir/$s"): _*)
+        .write.mode("overwrite").parquet(tmp)
+      Files.move(Paths.get(tmp), Paths.get(s"$dir/$name"))
+      Files.setLastModifiedTime(Paths.get(s"$dir/$name"), oldestMtime)
+      if (casCommit(dir, ver + 1, Seq(name))) return before.size
+      // a concurrent append claimed this generation first: discard our
+      // fold (it is missing the new segment) and re-fold from the new
+      // manifest state
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$dir/$name"))
+    }
+    0
   }
 }

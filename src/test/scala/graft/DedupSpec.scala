@@ -173,8 +173,10 @@ class DedupSpec extends SparkSpec {
       "doc_id", "text", variant = "segspec", artifactRootOverride = Some(root))
 
     // crash debris: a staging dir that never committed, and a renamed
-    // segment the manifest never recorded — readers must see neither,
-    // the next APPEND (writer) sweeps both
+    // segment the manifest never recorded — readers must see neither.
+    // An APPEND must NOT sweep them (multi-writer contract: the "orphan"
+    // could be a live appender's renamed-but-not-yet-claimed segment);
+    // the maintenance sweep in compactSegments drops both
     val key = new java.io.File(root).list().filter(_.startsWith("minhashseg_")).head
     val junk = java.nio.file.Paths.get(s"$root/$key/__seg_crashed")
     val orphan = java.nio.file.Paths.get(s"$root/$key/seg_orphan")
@@ -184,7 +186,10 @@ class DedupSpec extends SparkSpec {
 
     graft.pipeline.DedupIndex.appendMinHash(spark, corpusDir, d2,
       "doc_id", "text", variant = "segspec", artifactRootOverride = Some(root))
-    assert(!java.nio.file.Files.exists(junk), "staging dir swept by next writer")
+    assert(java.nio.file.Files.exists(junk) && java.nio.file.Files.exists(orphan),
+      "appends must not sweep — debris could be a live appender's segment")
+    graft.pipeline.ArtifactStore.compactSegments(spark, root, key)
+    assert(!java.nio.file.Files.exists(junk), "staging dir swept by compaction")
     assert(!java.nio.file.Files.exists(orphan), "unmanifested segment swept")
 
     val segmented = rows(graft.pipeline.ArtifactStore.readSegmented(spark, root, key))
@@ -211,9 +216,13 @@ class DedupSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted.toSeq
     def segDirs() = new java.io.File(s"$root/$key").list()
       .filter(_.startsWith("seg_")).toSeq
-    def manifest() = java.nio.file.Files
-      .readAllLines(java.nio.file.Paths.get(s"$root/$key/_segments"))
-      .toArray.map(_.toString).filter(_.nonEmpty).toSeq
+    def manifest() = { // newest CAS generation file
+      val gen = new java.io.File(s"$root/$key").list()
+        .filter(_.startsWith("_segments.v")).max
+      java.nio.file.Files
+        .readAllLines(java.nio.file.Paths.get(s"$root/$key/$gen"))
+        .toArray.map(_.toString).filter(_.nonEmpty).toSeq
+    }
     val before = rows()
     assert(before === (1L to 30L))
     val baseMtime = java.nio.file.Files.getLastModifiedTime(
@@ -230,15 +239,49 @@ class DedupSpec extends SparkSpec {
     // regeneration that happened after the base build
     assert(java.nio.file.Files.getLastModifiedTime(
       java.nio.file.Paths.get(s"$root/$key/${manifest().head}")) === baseMtime)
+    // the second compaction finds nothing to fold but its maintenance
+    // sweep drops the replaced orphans (appends never sweep — they may
+    // race other appenders)
     assert(graft.pipeline.ArtifactStore.compactSegments(spark, root, key) === 0)
-    // appends continue normally on the compacted artifact, and the
-    // append (a writer op) sweeps the replaced orphans
+    assert(segDirs().size === 1) // orphans swept by the maintenance pass
     graft.pipeline.ArtifactStore.appendSegment(spark, root, key)(build(31, 35))
     assert(rows() === (1L to 35L))
     assert(segDirs().size === 2) // compacted + fresh delta only
     // ensureSegmented stays a pure read (a rebuild would inject the marker)
     val again = graft.pipeline.ArtifactStore.ensureSegmented(spark, root, key)(build(90, 99))
     assert(again.collect().map(_.getLong(0)).sorted.toSeq === (1L to 35L))
+  }
+
+  test("concurrent appends: every racing writer's segment survives the CAS manifest") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_seg_race").toString
+    val key = "race_spec"
+    def build(id: Long)(tmp: String): Unit =
+      Seq((id, s"w$id")).toDF("id", "v").write.parquet(tmp)
+    graft.pipeline.ArtifactStore.ensureSegmented(spark, root, key)(build(0L))
+    // 8 appenders race from a start latch; under last-writer-wins
+    // manifest replacement some of their committed segments would vanish
+    val writers = 8
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    (1 to writers).foreach { w =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          start.await()
+          try graft.pipeline.ArtifactStore.appendSegment(spark, root, key)(build(w.toLong))
+          catch { case t: Throwable => failures.add(t) }
+        }
+      })
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS))
+    assert(failures.isEmpty, s"appender threw: ${failures.peek()}")
+    val got = graft.pipeline.ArtifactStore.readSegmented(spark, root, key)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === (0L to writers.toLong),
+      "every concurrent append must be committed — none lost to a manifest race")
   }
 
   test("segmented staleness keys off the base build — appends don't mask a regenerated corpus") {
