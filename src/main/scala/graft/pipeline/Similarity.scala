@@ -425,10 +425,24 @@ object Similarity {
     * keeps the corpus-scanning subtree instantiated once. The centroid
     * join is an explicitly-broadcast k-row codebook, same as the IVF
     * probe.
+    *
+    * Pair cost is Σ cluster², so ONE mega-cluster (a dense region the
+    * coarse quantizer lumps together) inherits the quadratic blow-up —
+    * the paper has the same property. `maxClusterSize` is the guard:
+    * clusters above the cap are sub-bucketed by a seeded sign-bit
+    * signature of the embedding ([[lshBucket]] — the secondary hash) into
+    * `ceil(size / cap)` sub-buckets, and pairs form only within
+    * (cluster, sub-bucket). Exact duplicates always share every sign bit,
+    * so they can never be split; near-duplicates straddling a sub-bucket
+    * boundary are missed — the standard LSH-style recall trade, taken
+    * only where the exact path would be quadratic. Default None = the
+    * paper's exact within-cluster behavior.
     */
   def semDeDup(assigned: DataFrame, centroids: DataFrame, embCol: String,
       idCol: String, eps: Double,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      maxClusterSize: Option[Long] = None, dim: Int = 64,
+      subSeed: Long = 7L): DataFrame = {
     require(idCol != "rep_id", "idCol \"rep_id\" collides with the output label column")
     val c = broadcast(centroids
       .select(col("c_id"), col("c_emb"), norm(col("c_emb")).as("__cn")))
@@ -437,11 +451,25 @@ object Similarity {
     // scans are structural; the centroid join shouldn't multiply them)
     val base = assigned
       .select(col(idCol), col(embCol), col("c_id"), norm(col(embCol)).as("__n"))
-    val a = base.select(col("c_id"), col(idCol).as("a_id"),
-      col(embCol).as("__ae"), col("__n").as("__an"))
-    val b = base.select(col("c_id"), col(idCol).as("b_id"),
-      col(embCol).as("__be"), col("__n").as("__bn"))
-    val pairs = a.join(b, "c_id")
+    // mega-cluster guard: rows in oversized clusters additionally carry a
+    // sub-bucket id; the pair join keys on it, capping per-task pair work
+    // at ~cap² however skewed the coarse assignment is
+    val (paired, pairKeys) = maxClusterSize match {
+      case None => (base.withColumn("__sub", lit(0L)), Seq("c_id"))
+      case Some(cap) =>
+        require(cap > 0, "maxClusterSize must be positive")
+        val sizes = base.groupBy("c_id").agg(count(lit(1)).as("__csz"))
+        val sig = lshBucket(col(embCol), hyperplanes(16, dim, subSeed))
+        (base.join(sizes, "c_id").withColumn("__sub",
+          when(col("__csz") <= cap, lit(0L))
+            .otherwise(pmod(sig, ceil(col("__csz").cast("double") / cap).cast("long"))))
+          .drop("__csz"), Seq("c_id", "__sub"))
+    }
+    val a = paired.select((pairKeys.map(col) :+ col(idCol).as("a_id")
+      :+ col(embCol).as("__ae") :+ col("__n").as("__an")): _*)
+    val b = paired.select((pairKeys.map(col) :+ col(idCol).as("b_id")
+      :+ col(embCol).as("__be") :+ col("__n").as("__bn")): _*)
+    val pairs = a.join(b, pairKeys)
       .filter(col("a_id") < col("b_id"))
       .filter((dot(col("__ae"), col("__be")) / (col("__an") * col("__bn")))
         > lit(eps))

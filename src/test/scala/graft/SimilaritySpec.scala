@@ -200,6 +200,43 @@ class SimilaritySpec extends SparkSpec {
     assert(singles.nonEmpty && singles.forall(_._4 == 1L))
   }
 
+  test("semDeDup mega-cluster guard: a deliberately skewed assignment " +
+      "completes with bounded pairs; exact copies still dedupe") {
+    // EVERY row lands in one cluster — the worst-case coarse assignment
+    // (Σ cluster² = corpus²). With maxClusterSize the pair join keys on
+    // (c_id, sub-bucket); exact copies share every sign bit of the
+    // secondary signature, so they can never be split apart
+    val emb = Tables.embeddings(spark, sf0001).select("vec_id", "embedding")
+    val corpus = emb.union(emb.filter(pmod(col("vec_id"), lit(10)) === 0)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+    val skewed = corpus.withColumn("c_id", lit(1L))
+    val centroids = Seq((1L, Seq.fill(64)(0.1f))).toDF("c_id", "c_emb")
+    val out = Similarity.semDeDup(skewed, centroids, "embedding", "vec_id",
+      eps = 0.999, maxClusterSize = Some(50L)).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rep_id"),
+        r.getAs[Long]("kept")))
+    assert(out.length === corpus.count())
+    val byId = out.map(t => t._1 -> t).toMap
+    (0L until 500L by 10L).foreach { orig =>
+      assert(byId(orig)._2 === byId(orig + 10000)._2,
+        s"exact copy of $orig split from it by the sub-bucket guard")
+    }
+    // exactly one keeper per group; the guarded path still elects cleanly
+    out.groupBy(_._2).foreach { case (rep, members) =>
+      assert(members.count(_._3 == 1L) === 1, s"group $rep keeper count")
+    }
+    // sub-bucketing engages only above the cap: an under-cap run over the
+    // same skewed assignment is IDENTICAL to the exact (unguarded) path
+    val tiny = corpus.filter(col("vec_id") < 40).withColumn("c_id", lit(1L))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rep_id"),
+        r.getAs[Long]("kept"))).sortBy(_._1).toSeq
+    assert(rows(Similarity.semDeDup(tiny, centroids, "embedding", "vec_id",
+        eps = 0.9, maxClusterSize = Some(1000L))) ===
+      rows(Similarity.semDeDup(tiny, centroids, "embedding", "vec_id",
+        eps = 0.9)))
+  }
+
   test("semDeDup keeps the member LEAST similar to its centroid, not the " +
       "smallest id (the paper's edge-example rule)") {
     // one cluster: centroid (1,0); three near-duplicates of each other at
