@@ -99,6 +99,63 @@ class BenchSpec extends SparkSpec {
       f"10x sessionization took $t10%.2f s vs 1x $t1%.2f s — superlinear growth")
   }
 
+  test("quantized scan+score beats the float scan in TIME at 10x volume") {
+    // The artifact-size specs (PlanShapeSpec) prove the 4x/32x BYTE win;
+    // this proves it converts to WALL TIME once volume swamps the job
+    // floor: at ~300k vectors (≈10x the sf0.01 embeddings) the top-k
+    // scan is decode-bandwidth-bound, and the packed-codes artifacts
+    // (64 B SQ8 / 8 B PQ per vector vs 256 B of float array) must win
+    // the same query. Codes are deterministic arithmetic — quality is
+    // not at stake here, only bytes-per-row through the scan+score path.
+    import graft.pipeline.{Pq, Quantize, Similarity}
+    val dim = 64
+    val n = 300000L
+    val emb = spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        j => (pmod(col("id") * (j * 7 + 3) + j * j, lit(997)).cast("double")
+          / 498.5 - 1.0).cast("float")).as("embedding"))
+    def tmp(tag: String) =
+      java.nio.file.Files.createTempDirectory(s"graft-bw-$tag").toString + "/t"
+    val dirF = tmp("float")
+    val dirS = tmp("sq8")
+    val dirP = tmp("pq")
+    emb.write.mode("overwrite").parquet(dirF)
+    emb.select(col("vec_id"),
+      Quantize.packCodes(Quantize.int8Codes(col("embedding"))).as("codes"),
+      Quantize.int8Scale(col("embedding")).as("scale"))
+      .write.mode("overwrite").parquet(dirS)
+    emb.select(col("vec_id"),
+      Quantize.packCodes(transform(sequence(lit(0), lit(7)),
+        m => pmod(col("vec_id") * (m * 11 + 5), lit(16)))).as("codes"))
+      .write.mode("overwrite").parquet(dirP)
+    val q = Similarity.vec((0 until dim).map(i => ((i * 13 % 200) - 100) / 100.0f))
+    val qBytes = (0 until dim).map(i => ((i * 5) % 255 - 127).toByte).toArray
+    val lut = array((0 until 128).map(i => lit((i % 17) * 0.25 - 2.0)): _*)
+    def topk(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("score").desc, col("vec_id")).limit(20).collect()
+    def floatPass(): Unit = topk(spark.read.parquet(dirF)
+      .select(col("vec_id"), Similarity.dot(col("embedding"), q).as("score")))
+    def sqPass(): Unit = topk(spark.read.parquet(dirS)
+      .select(col("vec_id"),
+        (Quantize.packedDot(col("codes"), lit(qBytes)).cast("double")
+          * col("scale")).as("score")))
+    def pqPass(): Unit = topk(spark.read.parquet(dirP)
+      .select(col("vec_id"),
+        Pq.adcScore(col("codes"), lut, lit(16L)).as("score")))
+    def best(pass: () => Unit): Double = {
+      pass() // warm: codegen + page cache
+      (1 to 3).map(_ => timed(pass())).min
+    }
+    val tF = best(floatPass _)
+    val tS = best(sqPass _)
+    val tP = best(pqPass _)
+    info(f"float $tF%.3f s, sq8 $tS%.3f s, pq $tP%.3f s at $n vectors")
+    assert(tS < tF,
+      f"SQ8 scan $tS%.3f s did not beat the float scan $tF%.3f s at 10x volume")
+    assert(tP < tF,
+      f"PQ ADC scan $tP%.3f s did not beat the float scan $tF%.3f s at 10x volume")
+  }
+
   test("cluster resolution scales ~linearly: 10x edges within 12x time") {
     // disjoint 64-node chains: diameter (and so the doubling round count)
     // is IDENTICAL at both scales; only per-round volume grows 10×
