@@ -40,7 +40,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => graft.pipeline.ImageHeader.ImageMetaExpr(args(0))))
     ext.injectFunction((
       FunctionIdentifier("av_meta"),
-      info("av_meta", "av_meta(bytes) - struct(container, sample_rate, channels, duration_s, width, height) of a WAV/MP4 header, else NULL"),
+      info("av_meta", "av_meta(bytes) - struct(container, sample_rate, channels, duration_s, width, height, fps) of a WAV/MP4 header, else NULL"),
       (args: Seq[Expression]) => graft.pipeline.AvHeader.AvMetaExpr(args(0))))
     ext.injectFunction((
       FunctionIdentifier("wav_pcm"),

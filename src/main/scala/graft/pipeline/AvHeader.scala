@@ -31,8 +31,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * AUDIO codec decode is real too: [[decodeWavPcm]] / `wav_pcm(bytes)`
   * reads every 16-bit PCM sample word out of the `data` chunk into
   * integer-exact sample statistics — uncompressed PCM needs no external
-  * codec, so the seam closes in pure JVM. Frame rate (needs `stts`
-  * sample tables) and compressed video/audio codecs remain outside:
+  * codec, so the seam closes in pure JVM. FRAME RATE is real as well:
+  * the `mdia`→`mdhd` media timescale plus the `stbl`→`stts` sample
+  * table give fps = round(samples · timescale / Σ count·delta) — still
+  * container metadata, no codec required. What remains outside is
+  * compressed video/audio codec decode (pixels/compressed samples):
   * that residue is the [[Multimodal]] stub.
   */
 object AvHeader {
@@ -42,7 +45,7 @@ object AvHeader {
     case Some(m) => InternalRow(
       UTF8String.fromString(m.container),
       boxInt(m.sampleRate), boxInt(m.channels), boxInt(m.durationS),
-      boxInt(m.width), boxInt(m.height))
+      boxInt(m.width), boxInt(m.height), boxInt(m.fps))
     case None => null
   }
 
@@ -51,7 +54,7 @@ object AvHeader {
 
   /** Parsed header; -1 marks a field the container does not carry. */
   final case class AvMeta(container: String, sampleRate: Int, channels: Int,
-      durationS: Int, width: Int, height: Int)
+      durationS: Int, width: Int, height: Int, fps: Int = -1)
 
   def parse(b: Array[Byte]): Option[AvMeta] =
     if (b == null) None else wav(b).orElse(mp4(b))
@@ -132,6 +135,7 @@ object AvHeader {
     var durationS = -1L
     var width = -1
     var height = -1
+    var fps = -1
     val ok = walkBoxes(b, 0, b.length) { (typ, lo, hi) =>
       if (typ == "moov") walkBoxes(b, lo, hi) { (t2, lo2, hi2) =>
         if (t2 == "mvhd" && hi2 - lo2 >= 20) {
@@ -152,12 +156,53 @@ object AvHeader {
               width = (be32(b, lo3 + wOff) >> 16).toInt
               height = (be32(b, lo3 + hOff) >> 16).toInt
             }
+          } else if (t3 == "mdia") {
+            // frame rate from the SAMPLE TABLE (still container
+            // metadata, no codec needed): total stts sample count over
+            // the media-timescale duration — mdia→mdhd carries the
+            // media timescale (the movie timescale does NOT apply to
+            // sample deltas), mdia→minf→stbl→stts the (count, delta)
+            // runs. fps = round(samples · ts / Σ count·delta).
+            var mdhdTs = -1L
+            var nSamples = -1L
+            var sampleDur = -1L
+            walkBoxes(b, lo3, hi3) { (t4, lo4, hi4) =>
+              if (t4 == "mdhd" && hi4 - lo4 >= 24) {
+                val v = u8(b, lo4)
+                mdhdTs =
+                  if (v == 0) be32(b, lo4 + 12)
+                  else if (hi4 - lo4 >= 32) be32(b, lo4 + 20)
+                  else -1L
+              } else if (t4 == "minf") walkBoxes(b, lo4, hi4) { (t5, lo5, hi5) =>
+                if (t5 == "stbl") walkBoxes(b, lo5, hi5) { (t6, lo6, hi6) =>
+                  if (t6 == "stts" && hi6 - lo6 >= 8) {
+                    val entries = be32(b, lo6 + 4)
+                    if (lo6 + 8 + entries * 8 <= hi6) {
+                      var e = 0L
+                      var ns = 0L
+                      var nd = 0L
+                      while (e < entries) {
+                        val off = (lo6 + 8 + e * 8).toInt
+                        val cnt = be32(b, off)
+                        ns += cnt
+                        nd += cnt * be32(b, off + 4)
+                        e += 1
+                      }
+                      nSamples = ns
+                      sampleDur = nd
+                    }
+                  }
+                }
+              }
+            }
+            if (fps < 0 && mdhdTs > 0 && sampleDur > 0)
+              fps = ((nSamples * mdhdTs + sampleDur / 2) / sampleDur).toInt
           }
         }
       }
     }
     if (!ok || durationS < 0) None
-    else Some(AvMeta("mp4", -1, -1, durationS.toInt, width, height))
+    else Some(AvMeta("mp4", -1, -1, durationS.toInt, width, height, fps))
   }
 
   // ---- WAV PCM sample decode --------------------------------------------
@@ -302,6 +347,7 @@ object AvHeader {
       StructField("channels", IntegerType),
       StructField("duration_s", IntegerType),
       StructField("width", IntegerType),
-      StructField("height", IntegerType)))
+      StructField("height", IntegerType),
+      StructField("fps", IntegerType)))
   }
 }

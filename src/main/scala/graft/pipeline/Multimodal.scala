@@ -74,11 +74,11 @@ object Multimodal {
 
   /** Decode with a real-first policy: image bytes that parse as an actual
     * PNG/JPEG/GIF container get their true dimensions, audio/video bytes
-    * that parse as WAV/MP4 get their true rate/channels/duration/dims;
-    * everything else falls back to [[decodeMetaStub]] (the fixture corpus
-    * carries fake payloads, and codec-level decode is not available
-    * in-container). fps stays stubbed — it lives in MP4 sample tables,
-    * codec territory. */
+    * that parse as WAV/MP4 get their true rate/channels/duration/dims —
+    * and for MP4, the true fps from the `stts` sample table; everything
+    * else falls back to [[decodeMetaStub]] (the fixture corpus carries
+    * fake payloads, and compressed-codec decode is not available
+    * in-container). */
   def decodeMeta(kind: Column, bytes: Column): Column = {
     val real = imageMeta(bytes)
     val av = avMeta(bytes)
@@ -98,7 +98,7 @@ object Multimodal {
           av.getField("height").as("height"),
           av.getField("sample_rate").as("sample_rate"),
           av.getField("duration_s").as("duration_s"),
-          lit(null).cast("int").as("fps")))
+          av.getField("fps").as("fps")))
       .otherwise(stub)
   }
 

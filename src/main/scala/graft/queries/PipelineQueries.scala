@@ -812,6 +812,58 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** MM6: REAL frame rate from the MP4 SAMPLE TABLE — every document
+    * becomes an MP4 whose `mdia` subtree carries a media timescale
+    * (`mdhd`) and a two-run `stts` sample table with doc_id-derived
+    * (count, delta) pairs; `av_meta` folds the runs into
+    * fps = round(samples · timescale / Σ count·delta). The oracle
+    * replays the integer arithmetic — fps was the one stub field left
+    * in the container tier, and this pins it as genuinely decoded, not
+    * derived from the construction parameters by the query. */
+  private def mm6(s: SparkSession, dir: String): DataFrame = {
+    val m = graft.pipeline.Multimodal.avMeta(mm6Mp4Bytes(col("doc_id")))
+    Tables.documents(s, dir).select(col("doc_id"), m.as("__m"))
+      .select(col("doc_id"),
+        col("__m").getField("container").as("container"),
+        col("__m").getField("width").cast("long").as("width"),
+        col("__m").getField("height").cast("long").as("height"),
+        col("__m").getField("fps").cast("long").as("fps"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** MM6's construction: the MM3 box tree plus a full `mdia` subtree —
+    * mdhd (media timescale 12288) and a two-entry stts. Box sizes are
+    * exact: stts 32, stbl 40, minf 48, mdhd 32, mdia 88, tkhd 92,
+    * trak 188, mvhd 108, moov 304. */
+  private def mm6Mp4Bytes(d: Column): Column = {
+    val ts = lit(12288L)
+    val n1 = pmod(d, lit(40)) + 5
+    val dl1 = pmod(d, lit(7)) + 100
+    val n2 = pmod(d, lit(25)) + 5
+    val dl2 = pmod(d, lit(11)) + 200
+    val durUnits = n1 * dl1 + n2 * dl2
+    val w = pmod(d, lit(1919)) + 1
+    val h = pmod(d * 7, lit(1079)) + 1
+    val mvhd = concat(be32(lit(108)), s4("mvhd"),
+      be32(lit(0)), be32(lit(0)), be32(lit(0)), be32(ts), be32(durUnits),
+      be32(lit(65536)), be16(lit(256)), zeros(10), zeros(36), zeros(24),
+      be32(lit(2)))
+    val tkhd = concat(be32(lit(92)), s4("tkhd"),
+      be32(lit(7)), be32(lit(0)), be32(lit(0)), be32(lit(1)), be32(lit(0)),
+      be32(durUnits), zeros(8), zeros(8), zeros(36),
+      be32(w * 65536), be32(h * 65536))
+    val mdhd = concat(be32(lit(32)), s4("mdhd"),
+      be32(lit(0)), be32(lit(0)), be32(lit(0)), be32(ts), be32(durUnits),
+      be32(lit(0)))
+    val stts = concat(be32(lit(32)), s4("stts"), be32(lit(0)), be32(lit(2)),
+      be32(n1), be32(dl1), be32(n2), be32(dl2))
+    val mdia = concat(be32(lit(88)), s4("mdia"), mdhd,
+      concat(be32(lit(48)), s4("minf"), concat(be32(lit(40)), s4("stbl"), stts)))
+    val moov = concat(be32(lit(304)), s4("moov"), mvhd,
+      concat(be32(lit(188)), s4("trak"), tkhd, mdia))
+    concat(be32(lit(16)), s4("ftyp"), s4("isom"), be32(lit(512)), moov)
+  }
+
   // ===== registry ========================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -854,6 +906,7 @@ object PipelineQueries {
     "p_mm3_av_header" -> (mm3 _),
     "p_mm4_frame_sample" -> (mm4 _),
     "p_mm5_wav_pcm" -> (mm5 _),
+    "p_mm6_mp4_fps" -> (mm6 _),
   )
 
   // ---- DuckDB twins of the vector/fingerprint math ----------------------
@@ -1530,6 +1583,19 @@ object PipelineQueries {
                  CAST(sum(v) AS BIGINT) AS sum_s,
                  CAST(sum(v * v) AS BIGINT) AS sum_sq
           FROM smp s GROUP BY s.doc_id ORDER BY s.doc_id"""),
+    "p_mm6_mp4_fps" ->
+      ("""WITH p AS (
+            SELECT doc_id,
+                   doc_id % 40 + 5 AS n1, doc_id % 7 + 100 AS dl1,
+                   doc_id % 25 + 5 AS n2, doc_id % 11 + 200 AS dl2
+            FROM documents)
+          SELECT doc_id,
+                 'mp4' AS container,
+                 CAST(doc_id % 1919 + 1 AS BIGINT) AS width,
+                 CAST((doc_id * 7) % 1079 + 1 AS BIGINT) AS height,
+                 CAST(((n1 + n2) * 12288 + (n1 * dl1 + n2 * dl2) // 2)
+                      // (n1 * dl1 + n2 * dl2) AS BIGINT) AS fps
+          FROM p ORDER BY doc_id"""),
     "p_t3_contamination" ->
       ("""WITH corpus AS (
             SELECT doc_id, text FROM documents WHERE doc_id < 1000),

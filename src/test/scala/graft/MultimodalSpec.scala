@@ -213,6 +213,50 @@ class MultimodalSpec extends SparkSpec {
     assert(pipeline.AvHeader.parse("not an mp4 at all, truly".getBytes).isEmpty)
   }
 
+  test("AvHeader: fps folds the stts sample runs over the MEDIA timescale") {
+    import java.nio.ByteBuffer
+    // moov[ mvhd + trak[ tkhd + mdia[ mdhd(mediaTs) + minf[ stbl[ stts ]]]]]
+    // with a DIFFERENT movie timescale, so using the wrong one is caught
+    def mp4(movieTs: Int, mediaTs: Int, runs: Seq[(Int, Int)]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(1024)
+      bb.put(Array[Byte](0, 0, 0, 16)).put("ftyp".getBytes)
+        .put("isom".getBytes).putInt(512)
+      val sttsSz = 16 + 8 * runs.size
+      val stblSz = 8 + sttsSz
+      val minfSz = 8 + stblSz
+      val mdiaSz = 8 + 32 + minfSz
+      val trakSz = 8 + 92 + mdiaSz
+      bb.putInt(8 + 108 + trakSz).put("moov".getBytes)
+      bb.putInt(108).put("mvhd".getBytes)
+        .putInt(0).putInt(0).putInt(0).putInt(movieTs).putInt(movieTs * 9)
+        .putInt(0x00010000).putShort(0x0100.toShort).put(new Array[Byte](10))
+        .put(new Array[Byte](36)).put(new Array[Byte](24)).putInt(2)
+      bb.putInt(trakSz).put("trak".getBytes)
+      bb.putInt(92).put("tkhd".getBytes)
+        .putInt(7).putInt(0).putInt(0).putInt(1).putInt(0).putInt(movieTs * 9)
+        .put(new Array[Byte](8)).put(new Array[Byte](8)).put(new Array[Byte](36))
+        .putInt(640 << 16).putInt(360 << 16)
+      bb.putInt(mdiaSz).put("mdia".getBytes)
+      bb.putInt(32).put("mdhd".getBytes)
+        .putInt(0).putInt(0).putInt(0).putInt(mediaTs).putInt(0).putInt(0)
+      bb.putInt(minfSz).put("minf".getBytes)
+      bb.putInt(stblSz).put("stbl".getBytes)
+      bb.putInt(sttsSz).put("stts".getBytes).putInt(0).putInt(runs.size)
+      runs.foreach { case (c, d) => bb.putInt(c).putInt(d) }
+      java.util.Arrays.copyOf(bb.array(), bb.position())
+    }
+    // 240 samples over 240·512 media units at ts 12288 → 24 fps exactly
+    val exact = pipeline.AvHeader.parse(mp4(1000, 12288, Seq(240 -> 512))).get
+    assert(exact.fps === 24)
+    // mixed runs round: (100·400 + 50·600) = 70000 units, 150 samples,
+    // ts 12288 → 150·12288/70000 = 26.33… → 26
+    val mixed = pipeline.AvHeader.parse(mp4(1000, 12288, Seq(100 -> 400, 50 -> 600))).get
+    assert(mixed.fps === 26)
+    // no stts → fps stays unset (null through the expression)
+    val m0 = pipeline.AvHeader.parse(mp4(1000, 12288, Seq.empty)).get
+    assert(m0.fps === -1)
+  }
+
   test("decodeWavPcm: every sample word decodes with sign extension") {
     import java.nio.ByteBuffer
     import java.nio.ByteOrder.LITTLE_ENDIAN
