@@ -365,6 +365,52 @@ object SparkEntry {
       .orderBy(col("incident_id"), col("signup_id"))
   }
 
+  /** G6 exact percentiles: per-group median/p90 over lineitem quantity
+    * via Spark's exact `percentile` aggregate — linear interpolation on
+    * the sorted group, the same definition as DuckDB's `quantile_cont`,
+    * so the oracle cross-checks the interpolation arithmetic
+    * engine-to-engine (both in DOUBLE). */
+  private def g6(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(CAST(l_quantity AS DOUBLE), 0.5)").as("p50_qty"),
+        expr("percentile(CAST(l_quantity AS DOUBLE), 0.9)").as("p90_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  /** G7 rollup subtotals: revenue and row counts by (returnflag,
+    * linestatus) with ROLLUP — per-pair rows, per-flag subtotals, and
+    * the grand total in one pass (Spark plans a single aggregate over
+    * grouping sets, not one job per level). Null grouping columns mark
+    * subtotal rows in both engines; the oracle orders NULLS FIRST to
+    * match Spark's asc default. */
+  private def g7(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+          .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** J11 salted skew join ([[graft.operators.SkewJoin]]): the lineitem ⋈
+    * orders equi-join salted 8 ways — the planned mitigation for a hot
+    * join key. Salting only redistributes (probe rows tag a
+    * deterministic salt, build rows replicate), so the result is
+    * EXACTLY the plain join's multiset, which the oracle replays as a
+    * plain inequality-free equi-join. */
+  private def j11(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") <= 500)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"), col("o_orderdate"))
+    graft.operators.SkewJoin.saltedJoin(li, o, Seq("l_orderkey"),
+        saltBy = col("l_linenumber"), salt = 8)
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
   // ===== registry ========================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = tpchQueries ++
@@ -405,6 +451,9 @@ object SparkEntry {
     "g3b_asof_bucketed" -> (g3b _),
     "g4_range_join" -> (g4 _),
     "g5_interval_overlap" -> (g5 _),
+    "g6_percentiles" -> (g6 _),
+    "g7_rollup" -> (g7 _),
+    "j11_salted_join" -> (j11 _),
   )
 
   def oracleSql: Map[String, String] = tpchOracleSql ++
@@ -547,5 +596,22 @@ object SparkEntry {
         "JOIN (SELECT user_id, event_id AS signup_id, CAST(ts AS TIMESTAMP) AS s_start, CAST(ts AS TIMESTAMP) + INTERVAL 6 HOUR AS s_end FROM events WHERE event_type = 'signup') s " +
         "ON i.user_id = s.user_id AND i.i_start < s.s_end AND s.s_start < i.i_end " +
         "ORDER BY i.incident_id, s.signup_id"),
+    "g6_percentiles" ->
+      ("SELECT l_returnflag, " +
+        "quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS p50_qty, " +
+        "quantile_cont(CAST(l_quantity AS DOUBLE), 0.9) AS p90_qty, " +
+        "CAST(count(*) AS BIGINT) AS n " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "g7_rollup" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue, " +
+        "CAST(count(*) AS BIGINT) AS n " +
+        "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) " +
+        "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
+    "j11_salted_join" ->
+      ("SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_custkey, o.o_orderdate " +
+        "FROM (SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_orderkey <= 500) l " +
+        "JOIN orders o ON l.l_orderkey = o.o_orderkey " +
+        "ORDER BY l.l_orderkey, l.l_linenumber"),
   )
 }
