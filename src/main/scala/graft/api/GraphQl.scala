@@ -319,9 +319,11 @@ object GraphQl {
   /** Parse a spec-shaped document against the reference's flat schema:
     * named/anonymous `query` operations, `fragment F on T` definitions
     * in any document position (spread with `...F`, plus inline
-    * `... on T { }` fragments), field aliases, `__typename`, and
-    * String/Int/[String] literals or `$variable` references. Commas and
-    * `#` comments are ignorable, per the GraphQL spec. */
+    * `... on T { }` fragments), field aliases, `__typename`, the
+    * `@include(if:)` / `@skip(if:)` execution directives (on fields and
+    * fragment spreads, Boolean literals or variables), and
+    * String/Int/Boolean/[String] literals or `$variable` references.
+    * Commas and `#` comments are ignorable, per the GraphQL spec. */
   def parse(query: String,
       variables: java.util.Map[String, Any]): Either[String, Seq[Field]] =
     try {
@@ -333,11 +335,13 @@ object GraphQl {
 
   // ---- raw document tree (pre-fragment-expansion) -----------------------
 
-  private sealed trait RawSel
+  private type Directives = Seq[(String, Map[String, Any])]
+  private sealed trait RawSel { def dirs: Directives }
   private final case class RawField(alias: String, name: String,
-    args: Map[String, Any], sels: Seq[RawSel]) extends RawSel
-  private final case class RawSpread(name: String) extends RawSel
-  private final case class RawInline(cond: String, sels: Seq[RawSel]) extends RawSel
+    args: Map[String, Any], sels: Seq[RawSel], dirs: Directives) extends RawSel
+  private final case class RawSpread(name: String, dirs: Directives) extends RawSel
+  private final case class RawInline(cond: String, sels: Seq[RawSel],
+    dirs: Directives) extends RawSel
 
   /** Splices fragment definitions into the operation: top-level spreads
     * must guard `Query` (others can never match and vanish, the
@@ -354,31 +358,46 @@ object GraphQl {
       if (KnownTypes(cond)) cond
       else throw new GqlSyntaxError(s"unknown type '$cond' in fragment condition")
 
+    /** Spec §5.7 / CollectFields: `@skip(if: true)` or
+      * `@include(if: false)` excludes the selection; with both present a
+      * selection survives only skip=false AND include=true. Only these
+      * two directives exist in the schema. */
+    private def included(dirs: Directives): Boolean = dirs.forall { case (d, args) =>
+      if (d != "skip" && d != "include")
+        throw new GqlSyntaxError(s"unknown directive '@$d'")
+      val flag = args.get("if") match {
+        case Some(b: Boolean) => b
+        case _ => throw new GqlSyntaxError(
+          s"directive @$d requires a Boolean 'if' argument")
+      }
+      if (d == "skip") !flag else flag
+    }
+
     def topLevel(sels: Seq[RawSel], expanding: Set[String]): Seq[Field] =
-      sels.flatMap {
-        case RawField(alias, n, args, sub) =>
+      sels.filter(s => included(s.dirs)).flatMap {
+        case RawField(alias, n, args, sub, _) =>
           Seq(Field(n, alias, args, entity(sub, expanding)))
-        case RawSpread(n) =>
+        case RawSpread(n, _) =>
           val (cond, body) = fragment(n, expanding)
           if (checkCond(cond) == "Query") topLevel(body, expanding + n)
           else Seq.empty
-        case RawInline(cond, body) =>
+        case RawInline(cond, body, _) =>
           if (cond == null || checkCond(cond) == "Query") topLevel(body, expanding)
           else Seq.empty
       }
 
     private def entity(sels: Seq[RawSel], expanding: Set[String]): Seq[Selection] =
-      sels.map {
-        case RawField(alias, n, args, sub) =>
+      sels.filter(s => included(s.dirs)).map {
+        case RawField(alias, n, args, sub, _) =>
           if (args.nonEmpty)
             throw new GqlSyntaxError(s"field '$n' takes no arguments here")
           if (sub.nonEmpty)
             throw new GqlSyntaxError("nested selection sets are not in the schema")
           Leaf(n, alias)
-        case RawSpread(n) =>
+        case RawSpread(n, _) =>
           val (cond, body) = fragment(n, expanding)
           Guarded(checkCond(cond), entity(body, expanding + n))
-        case RawInline(cond, body) =>
+        case RawInline(cond, body, _) =>
           Guarded(if (cond == null) "*" else checkCond(cond), entity(body, expanding))
       }
   }
@@ -456,7 +475,22 @@ object GraphQl {
         catch {         // not an exception escaping the envelope
           case _: NumberFormatException => fail(s"bad integer literal '$text'")
         }
+      case c if c.isLetter => name() match {
+        case "true" => true
+        case "false" => false
+        case other => fail(s"unexpected enum-like value '$other'")
+      }
       case _ => fail("expected a value")
+    }
+
+    /** Zero or more `@directive(args…)` annotations. */
+    private def directives(): Seq[(String, Map[String, Any])] = {
+      val ds = Vector.newBuilder[(String, Map[String, Any])]
+      while (peek() == '@') {
+        pos += 1
+        ds += name() -> arguments()
+      }
+      ds.result()
     }
 
     private def arguments(): Map[String, Any] =
@@ -486,18 +520,25 @@ object GraphQl {
           if (pos + 2 >= src.length || src(pos + 1) != '.' || src(pos + 2) != '.')
             fail("expected '...'")
           pos += 3
-          if (peek() == '{') sels += RawInline(null, selectionSet())
-          else name() match {
-            case "on" => sels += RawInline(name(), selectionSet())
-            case frag => sels += RawSpread(frag)
+          if (peek() == '{') sels += RawInline(null, selectionSet(), Seq.empty)
+          else if (peek() == '@') {
+            val ds = directives()
+            sels += RawInline(null, selectionSet(), ds)
+          } else name() match {
+            case "on" =>
+              val cond = name()
+              val ds = directives()
+              sels += RawInline(cond, selectionSet(), ds)
+            case frag => sels += RawSpread(frag, directives())
           }
         } else {
           val n1 = name()
           val (alias, n) =
             if (peek() == ':') { pos += 1; (n1, name()) } else (n1, n1)
           val args = arguments()
+          val ds = directives()
           val sub = if (peek() == '{') selectionSet() else Seq.empty
-          sels += RawField(alias, n, args, sub)
+          sels += RawField(alias, n, args, sub, ds)
         }
       }
       pos += 1

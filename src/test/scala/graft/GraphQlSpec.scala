@@ -133,6 +133,35 @@ class GraphQlSpec extends SparkSpec {
     }
   }
 
+  test("@include/@skip directives gate fields and spreads (literal + variable)") {
+    val b = EvmFixtures.buildBlock(1500, EvmFixtures.txCount(1500L))
+    val resp = run(
+      s"""query Q($$full: Boolean!) {
+         |  blockByHash(hash: "${b.hash}") {
+         |    hash
+         |    number @include(if: $$full)
+         |    time @skip(if: true)
+         |    gasUsed @skip(if: false) @include(if: true)
+         |    ...More @include(if: false)
+         |  }
+         |}
+         |fragment More on Block { miner }""".stripMargin,
+      """{"full": true}""")
+    val node = resp.get("data").get("blockByHash")
+    assert(node.get("hash").asText() === b.hash)
+    assert(node.get("number").asText() === "1500") // include(if: true) kept
+    assert(!node.has("time"), "skip(if: true) must drop the field")
+    assert(node.has("gasUsed"), "skip=false AND include=true keeps")
+    assert(!node.has("miner"), "spread gated by include(if: false)")
+    assert(node.size() === 3)
+
+    // error envelope: unknown directive, missing/non-boolean if
+    assert(run("""{ blockByNumber(number: "7") { hash @nope } }""")
+      .get("errors").get(0).get("message").asText().contains("unknown directive"))
+    assert(run("""{ blockByNumber(number: "7") { hash @skip(of: true) } }""")
+      .get("errors").get(0).get("message").asText().contains("Boolean 'if'"))
+  }
+
   test("fragment + alias query resolves to the same values as the plain form") {
     val b = EvmFixtures.buildBlock(1500, EvmFixtures.txCount(1500L))
     val plain = run(s"""{ blockByHash(hash: "${b.hash}") { hash number gasUsed } }""")
