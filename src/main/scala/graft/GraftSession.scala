@@ -22,6 +22,14 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // explicit, not default-dependent: AQE must split skewed shuffle
+      // partitions (the unplanned complement to SkewJoin.saltedJoin)
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // runtime bloom-filter pruning: a selective join's build side
+      // seeds a bloom filter pushed into the probe scan — at 100 TB
+      // this is row-group pruning for fact⋈filtered-dim joins; at
+      // fixture scale the creation-side threshold keeps it dormant
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       // custom Catalyst expressions (uint256 arithmetic) land in the
       // FunctionRegistry via the standard extensions mechanism
