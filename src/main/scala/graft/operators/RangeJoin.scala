@@ -114,6 +114,31 @@ object RangeJoin {
       .drop("__bin")
   }
 
+  /** [[explodeBins]] specialized to the overlap join's count-once rule:
+    * a pair is only ever counted at b* = max(bin(lStart), bin(rStart)),
+    * which is bounded by START bins — so each side clamps its span to
+    * the OTHER side's observed [min, max] START-bin range, floored at
+    * the row's own start bin (a row starting past every partner start
+    * keeps exactly its start bin, where any b* it participates in must
+    * land). Unlike the end-based clamp, this stays bounded even when
+    * BOTH sides carry open-ended SCD-2 ends: replication is capped by
+    * the partner start SPREAD, never by interval length. */
+  private def explodeBinsByStarts(df: DataFrame, s: String, e: String,
+      binSize: Long, startBounds: DataFrame, maxBins: Long): DataFrame = {
+    val live = df.filter(col(e) > col(s)).crossJoin(broadcast(startBounds))
+    val bs = binExpr(col(s), df.schema(s).dataType, binSize)
+    val lo = greatest(bs, col("__obmin"))
+    val hi = greatest(bs,
+      least(binExpr(col(e), df.schema(e).dataType, binSize), col("__obmax")))
+    live.filter(col("__obmin").isNotNull && lo <= hi)
+      .withColumn("__bin", explode(sequence(
+        when(hi - lo < lit(maxBins), lo).otherwise(raise_error(concat(
+          lit("range join: an interval spans "), (hi - lo + 1).cast("string"),
+          lit(s" bins after clamping (cap $maxBins); raise binSize toward the typical interval length")))),
+        hi)))
+      .drop("__obmin", "__obmax")
+  }
+
   /** Interval-overlap join: every same-key (left, right) interval pair
     * with `lStart < rEnd && rStart < lEnd` (half-open overlap). Both
     * sides replicate to their covered bins and equi-join on (keys,
@@ -121,24 +146,25 @@ object RangeJoin {
     * each pair is kept only in its FIRST shared bin —
     * `max(bin(lStart), bin(rStart))` — which counts it exactly once
     * without a distinct pass. Same binning/axis rules and disjoint-name
-    * requirement as [[pointInInterval]]. */
+    * requirement as [[pointInInterval]].
+    *
+    * Replication bound: each side clamps to the other side's START-bin
+    * range ([[explodeBinsByStarts]]). The first-shared-bin b* of any
+    * overlapping pair survives both clamps: b* ≥ each side's start bin
+    * and ≥ the other side's min start bin by construction; b* ≤ each
+    * side's own-start-floored hi because b* is either the row's own
+    * start bin or a partner start bin ≤ the partner-start max (and
+    * ≤ the row's end bin, since overlap gives start < partner end). */
   def intervalOverlap(left: DataFrame, right: DataFrame, keys: Seq[String],
       lStart: String, lEnd: String, rStart: String, rEnd: String,
       binSize: Long, maxBins: Long = DefaultMaxBins): DataFrame = {
     requireDisjoint(left, right, keys, binSize)
     val lBin = binExpr(col(lStart), left.schema(lStart).dataType, binSize)
     val rBin = binExpr(col(rStart), right.schema(rStart).dataType, binSize)
-    // each side clamps to the OTHER side's observed [min start, max end)
-    // bin range. The first-shared-bin b* = max(bin(lStart), bin(rStart))
-    // of any overlapping pair survives both clamps: b* ≥ each side's
-    // start bin by construction, b* ≤ each side's end bin and ≤ the
-    // other side's max-end bin because overlap gives lStart < rEnd and
-    // rStart < lEnd — so the count-once rule below still sees every pair
-    // exactly once.
-    explodeBins(left, lStart, lEnd, binSize,
-        axisBounds(right, rStart, rEnd, binSize), maxBins)
-      .join(explodeBins(right, rStart, rEnd, binSize,
-        axisBounds(left, lStart, lEnd, binSize), maxBins), keys :+ "__bin")
+    explodeBinsByStarts(left, lStart, lEnd, binSize,
+        axisBounds(right, rStart, rStart, binSize), maxBins)
+      .join(explodeBinsByStarts(right, rStart, rEnd, binSize,
+        axisBounds(left, lStart, lStart, binSize), maxBins), keys :+ "__bin")
       .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
       .filter(col("__bin") === greatest(lBin, rBin))
       .drop("__bin")
