@@ -50,12 +50,15 @@ object Tables {
         // (units are uniform per file): ns since epoch for any plausible
         // fixture date (≥ ~1973) is ≥ 1e17, µs is ~1e15.
         if (!nsProbed.contains(dir)) {
-          df.select("ts").head(1).foreach { r =>
-            val ts = r.getLong(0)
-            require(ts > 100_000_000_000_000_000L,
-              s"events.ts int64 magnitude $ts is not nanoseconds since " +
-                "epoch (expected ≥ 1e17); refusing to guess the unit")
-          }
+          // first NON-NULL value: a null in the sampled row would unbox
+          // to 0 and fail the magnitude check spuriously
+          df.select("ts").filter(org.apache.spark.sql.functions.col("ts").isNotNull)
+            .head(1).foreach { r =>
+              val ts = r.getLong(0)
+              require(ts > 100_000_000_000_000_000L,
+                s"events.ts int64 magnitude $ts is not nanoseconds since " +
+                  "epoch (expected ≥ 1e17); refusing to guess the unit")
+            }
           nsProbed.add(dir)
         }
         df.withColumn("ts", expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"))

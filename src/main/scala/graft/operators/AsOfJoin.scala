@@ -106,7 +106,10 @@ object AsOfJoin {
 
   /** Time-axis units of one bucket for [[asOfBucketed]]: microseconds
     * for timestamps, days for dates, the column's own units for
-    * numerics — the same axis convention as [[RangeJoin]]. */
+    * numerics — the same axis convention as [[RangeJoin]]. Floor
+    * division in EXACT integer arithmetic ([[RangeJoin.floorDiv]]):
+    * `floor(x / y)` through doubles mis-buckets near boundaries once
+    * the axis exceeds 2^53 (raw-nanosecond numerics). */
   private def bucketOf(c: Column, dt: DataType, bucketSize: Long): Column = {
     val axis = dt match {
       case TimestampType => unix_micros(c)
@@ -114,7 +117,7 @@ object AsOfJoin {
       case DateType => unix_date(c).cast("long")
       case _ => c.cast("long")
     }
-    floor(axis / lit(bucketSize)).cast("long")
+    RangeJoin.floorDiv(axis, bucketSize)
   }
 
   /** [[asOf]] for EXTREME key skew: identical output, but no single
@@ -172,8 +175,15 @@ object AsOfJoin {
       .withColumn("__cin", last(col("__r"), ignoreNulls = true).over(cw))
       .filter(col("__src") === 0)
       .select(bkeys.map(col) :+ col("__cin"): _*)
-    // 3. stitch + the shared tolerance mask and flatten
-    val stitched = lw.join(cin, bkeys)
+    // 3. stitch + the shared tolerance mask and flatten. The join is
+    // NULL-SAFE on every key: the window variants group null keys (and
+    // the null time-bucket) into ordinary partitions, so a name-based
+    // equi-join (null ≠ null) would silently drop those left rows and
+    // break the identical-output contract with plain asOf
+    val cinR = cin.select(
+      bkeys.map(k => col(k).as(s"__c_$k")) :+ col("__cin"): _*)
+    val stitched = lw.join(cinR,
+        bkeys.map(k => col(k) <=> col(s"__c_$k")).reduce(_ && _))
       .withColumn("__mm", maskTolerance(coalesce(col("__m"), col("__cin")),
         rightTs, t.rType, tolerance))
     flatten(stitched, keys, t.lPayload, t.rPayload, "__mm", rightPrefix)

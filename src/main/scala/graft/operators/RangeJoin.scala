@@ -34,6 +34,19 @@ object RangeJoin {
     * OOM. 2^20 bins ≈ 8 MiB of longs per row — loud but survivable. */
   val DefaultMaxBins: Long = 1L << 20
 
+  /** Floor division of a long axis by a positive constant in EXACT
+    * arithmetic: `axis - pmod(axis, d)` is an exact multiple of `d`
+    * (pmod's remainder is non-negative, so the rounding is a true
+    * floor for negatives too), and the division runs in DECIMAL so no
+    * double rounding can mis-bin values past 2^53 — a raw-nanosecond
+    * axis (~1.6e18) through `floor(x / y)` in doubles lands boundary
+    * values in the adjacent bin. */
+  private[operators] def floorDiv(axis: Column, d: Long): Column = {
+    val num = axis - pmod(axis, lit(d))
+    (num.cast(DecimalType(38, 0)) / lit(d).cast(DecimalType(38, 0)))
+      .cast("long")
+  }
+
   private def binExpr(c: Column, dt: DataType, binSize: Long): Column = {
     val axis = dt match {
       case TimestampType => unix_micros(c)
@@ -41,7 +54,7 @@ object RangeJoin {
       case DateType => unix_date(c).cast("long")
       case _ => c.cast("long")
     }
-    floor(axis / lit(binSize)).cast("long")
+    floorDiv(axis, binSize)
   }
 
   private def requireDisjoint(left: DataFrame, right: DataFrame,

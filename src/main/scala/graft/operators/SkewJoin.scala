@@ -32,7 +32,9 @@ object SkewJoin {
   /** Inner equi-join of `probe` to `build` on `keys`, salted `salt`
     * ways. `saltBy` is any per-row numeric expression on the probe side
     * (a row id, a hash); its distribution controls how evenly a hot
-    * key spreads. Non-key column names must be disjoint. */
+    * key spreads. A null `saltBy` value falls to salt 0 (the row must
+    * still join — a null salt in the equi-join would silently drop it).
+    * Non-key column names must be disjoint. */
   def saltedJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
       saltBy: Column, salt: Int): DataFrame = {
     require(keys.nonEmpty, "salted join requires at least one equality key")
@@ -40,7 +42,8 @@ object SkewJoin {
     val overlap = (probe.columns.toSet -- keys)
       .intersect(build.columns.toSet -- keys)
     require(overlap.isEmpty, s"non-key columns collide: $overlap")
-    val p = probe.withColumn("__salt", pmod(saltBy.cast("long"), lit(salt.toLong)))
+    val p = probe.withColumn("__salt",
+      coalesce(pmod(saltBy.cast("long"), lit(salt.toLong)), lit(0L)))
     val b = build.withColumn("__salt",
       explode(sequence(lit(0L), lit(salt.toLong - 1))))
     p.join(b, keys :+ "__salt").drop("__salt")

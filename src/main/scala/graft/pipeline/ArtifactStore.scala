@@ -157,13 +157,19 @@ object ArtifactStore {
     throw new IllegalStateException("unreachable")
   }
 
-  /** MAINTAINER-ONLY sweep (exclusive access by contract — a live
-    * appender may have renamed a segment it has not yet won a manifest
-    * claim for, and a reader must never delete): drops `__seg_*` staging
-    * dirs, committed-name `seg_*` dirs absent from the manifest (a crash
-    * between segment rename and manifest claim orphans one; it was never
-    * visible to readers), and manifest generations older than the
-    * current one. */
+  /** MAINTAINER-ONLY sweep — requires EXCLUSIVE access (no concurrent
+    * appender or compactor) by contract: a live appender may have
+    * renamed a segment it has not yet won a manifest claim for, and
+    * deleting it would let the appender commit a manifest referencing a
+    * vanished directory. Deliberately NOT called from [[appendSegment]]
+    * or [[compactSegments]] (both are concurrent-safe and must stay
+    * so); schedule it as its own maintenance step. Drops `__seg_*`
+    * staging dirs, committed-name `seg_*` dirs absent from the manifest
+    * (a crash between segment rename and manifest claim orphans one; it
+    * was never visible to readers; compaction's replaced inputs land
+    * here too), and manifest generations older than the current one. */
+  def sweepOrphans(dir: String): Unit = recoverSegments(dir)
+
   private def recoverSegments(dir: String): Unit = {
     val d = Paths.get(dir)
     if (Files.exists(d)) {
@@ -296,10 +302,12 @@ object ArtifactStore {
     * freshly appended segment is included, bounded to a few attempts
     * (0 = gave up under sustained append pressure; call again). The
     * replaced segments stay on disk as unmanifested orphans until
-    * [[recoverSegments]] sweeps them on a later compaction — a reader
-    * that resolved the old manifest (parquet file listings are eager)
-    * can still finish its scan; the sweep itself requires exclusive
-    * maintenance access by contract. The compacted segment inherits the
+    * [[sweepOrphans]] — a SEPARATE maintenance step requiring exclusive
+    * access — removes them: a reader that resolved the old manifest
+    * (parquet file listings are eager) can still finish its scan, and
+    * embedding the sweep here would let this compactor delete a
+    * concurrent appender's renamed-but-unclaimed segment, undoing the
+    * very guarantee the CAS loop provides. The compacted segment inherits the
     * OLDEST input segment's mtime, so the [[ensureSegmented]] staleness
     * reference still dates from the base build and a source
     * regeneration that preceded the compaction is not masked. Returns
@@ -307,7 +315,6 @@ object ArtifactStore {
     * claim race). */
   def compactSegments(spark: SparkSession, root: String, key: String): Int = {
     val dir = s"$root/$key"
-    recoverSegments(dir)
     var attempt = 0
     while (attempt < 3) {
       attempt += 1

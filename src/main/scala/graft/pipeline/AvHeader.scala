@@ -135,7 +135,8 @@ object AvHeader {
     var durationS = -1L
     var width = -1
     var height = -1
-    var fps = -1
+    var fpsVide = -1 // from a trak whose hdlr declares 'vide'
+    var fpsAny = -1  // fallback: first trak with a sample table at all
     val ok = walkBoxes(b, 0, b.length) { (typ, lo, hi) =>
       if (typ == "moov") walkBoxes(b, lo, hi) { (t2, lo2, hi2) =>
         if (t2 == "mvhd" && hi2 - lo2 >= 20) {
@@ -162,10 +163,15 @@ object AvHeader {
             // the media-timescale duration — mdia→mdhd carries the
             // media timescale (the movie timescale does NOT apply to
             // sample deltas), mdia→minf→stbl→stts the (count, delta)
-            // runs. fps = round(samples · ts / Σ count·delta).
+            // runs. fps = round(samples · ts / Σ count·delta). The
+            // hdlr handler type disambiguates tracks: an audio-first
+            // file's stts would otherwise report the AAC packet rate
+            // as the frame rate — only a 'vide' trak's rate wins;
+            // handler-less files fall back to the first sample table.
             var mdhdTs = -1L
             var nSamples = -1L
             var sampleDur = -1L
+            var handler: String = null
             walkBoxes(b, lo3, hi3) { (t4, lo4, hi4) =>
               if (t4 == "mdhd" && hi4 - lo4 >= 24) {
                 val v = u8(b, lo4)
@@ -173,6 +179,8 @@ object AvHeader {
                   if (v == 0) be32(b, lo4 + 12)
                   else if (hi4 - lo4 >= 32) be32(b, lo4 + 20)
                   else -1L
+              } else if (t4 == "hdlr" && hi4 - lo4 >= 12) {
+                handler = tag(b, lo4 + 8)
               } else if (t4 == "minf") walkBoxes(b, lo4, hi4) { (t5, lo5, hi5) =>
                 if (t5 == "stbl") walkBoxes(b, lo5, hi5) { (t6, lo6, hi6) =>
                   if (t6 == "stts" && hi6 - lo6 >= 8) {
@@ -195,14 +203,18 @@ object AvHeader {
                 }
               }
             }
-            if (fps < 0 && mdhdTs > 0 && sampleDur > 0)
-              fps = ((nSamples * mdhdTs + sampleDur / 2) / sampleDur).toInt
+            if (mdhdTs > 0 && sampleDur > 0) {
+              val f = ((nSamples * mdhdTs + sampleDur / 2) / sampleDur).toInt
+              if (handler == "vide" && fpsVide < 0) fpsVide = f
+              if (handler == null && fpsAny < 0) fpsAny = f
+            }
           }
         }
       }
     }
     if (!ok || durationS < 0) None
-    else Some(AvMeta("mp4", -1, -1, durationS.toInt, width, height, fps))
+    else Some(AvMeta("mp4", -1, -1, durationS.toInt, width, height,
+      if (fpsVide >= 0) fpsVide else fpsAny))
   }
 
   // ---- WAV PCM sample decode --------------------------------------------

@@ -459,10 +459,21 @@ object Similarity {
       case Some(cap) =>
         require(cap > 0, "maxClusterSize must be positive")
         val sizes = base.groupBy("c_id").agg(count(lit(1)).as("__csz"))
-        val sig = lshBucket(col(embCol), hyperplanes(16, dim, subSeed))
+        val planes = hyperplanes(16, dim, subSeed)
+        val sig = lshBucket(col(embCol), planes)
+        // a dim mismatch nulls every plane dot, which lshBucket's sign
+        // fold silently maps to signature 0 — the guard would then put
+        // the whole mega-cluster in ONE sub-bucket and quietly return
+        // the quadratic blow-up it exists to prevent. Probe one dot and
+        // fail loudly instead.
+        val probeDot = dot(col(embCol), vec(planes.head))
         (base.join(sizes, "c_id").withColumn("__sub",
           when(col("__csz") <= cap, lit(0L))
-            .otherwise(pmod(sig, ceil(col("__csz").cast("double") / cap).cast("long"))))
+            .otherwise(when(probeDot.isNotNull,
+              pmod(sig, ceil(col("__csz").cast("double") / cap).cast("long")))
+              .otherwise(raise_error(lit(
+                s"semDeDup maxClusterSize guard: null embedding signature — " +
+                  s"does dim=$dim match the embedding dimension?")).cast("long"))))
           .drop("__csz"), Seq("c_id", "__sub"))
     }
     val a = paired.select((pairKeys.map(col) :+ col(idCol).as("a_id")

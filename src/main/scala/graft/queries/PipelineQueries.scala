@@ -835,9 +835,11 @@ object PipelineQueries {
   }
 
   /** MM6's construction: the MM3 box tree plus a full `mdia` subtree —
-    * mdhd (media timescale 12288) and a two-entry stts. Box sizes are
-    * exact: stts 32, stbl 40, minf 48, mdhd 32, mdia 88, tkhd 92,
-    * trak 188, mvhd 108, moov 304. */
+    * mdhd (media timescale 12288), an `hdlr` declaring the trak 'vide'
+    * (so the gate pins the handler-dispatch path, not the handler-less
+    * fallback), and a two-entry stts. Box sizes are exact: stts 32,
+    * stbl 40, minf 48, hdlr 33, mdhd 32, mdia 121, tkhd 92, trak 221,
+    * mvhd 108, moov 337. */
   private def mm6Mp4Bytes(d: Column): Column = {
     val ts = lit(12288L)
     val n1 = pmod(d, lit(40)) + 5
@@ -860,10 +862,12 @@ object PipelineQueries {
       be32(lit(0)))
     val stts = concat(be32(lit(32)), s4("stts"), be32(lit(0)), be32(lit(2)),
       be32(n1), be32(dl1), be32(n2), be32(dl2))
-    val mdia = concat(be32(lit(88)), s4("mdia"), mdhd,
+    val hdlr = concat(be32(lit(33)), s4("hdlr"),
+      be32(lit(0)), be32(lit(0)), s4("vide"), zeros(12), zeros(1))
+    val mdia = concat(be32(lit(121)), s4("mdia"), mdhd, hdlr,
       concat(be32(lit(48)), s4("minf"), concat(be32(lit(40)), s4("stbl"), stts)))
-    val moov = concat(be32(lit(304)), s4("moov"), mvhd,
-      concat(be32(lit(188)), s4("trak"), tkhd, mdia))
+    val moov = concat(be32(lit(337)), s4("moov"), mvhd,
+      concat(be32(lit(221)), s4("trak"), tkhd, mdia))
     concat(be32(lit(16)), s4("ftyp"), s4("isom"), be32(lit(512)), moov)
   }
 

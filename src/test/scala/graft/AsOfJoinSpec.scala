@@ -114,6 +114,24 @@ class AsOfJoinSpec extends SparkSpec {
     assert(bucketed === plain)
   }
 
+  test("bucketed variant keeps null-key and null-timestamp rows like plain asOf") {
+    // Window.partitionBy groups nulls into ordinary partitions, so plain
+    // asOf emits rows with null keys/timestamps; the bucketed stitch
+    // join must be null-safe or those rows silently vanish
+    val q = Seq((Some("a"), Some(10L), 1.0), (None, Some(5L), 2.0),
+      (Some("a"), None, 3.0)).toDF("k", "qt", "quote")
+    val t = Seq((Some("a"), Some(20L), 1L), (None, Some(7L), 2L),
+      (None, Some(3L), 3L), (Some("a"), None, 4L), (Some("b"), Some(9L), 5L))
+      .toDF("k", "tt", "size")
+    val plain = AsOfJoin.asOf(t, q, Seq("k"), "tt", "qt")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val bucketed = AsOfJoin.asOfBucketed(t, q, Seq("k"), "tt", "qt",
+        bucketSize = 4L)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(bucketed.length === t.count())
+    assert(bucketed === plain)
+  }
+
   test("bucketed plan partitions the carry window by (keys, bucket)") {
     val plan = AsOfJoin.asOfBucketed(trades, quotes, Seq("k"), "tt", "qt",
         bucketSize = 20L)

@@ -174,9 +174,10 @@ class DedupSpec extends SparkSpec {
 
     // crash debris: a staging dir that never committed, and a renamed
     // segment the manifest never recorded — readers must see neither.
-    // An APPEND must NOT sweep them (multi-writer contract: the "orphan"
-    // could be a live appender's renamed-but-not-yet-claimed segment);
-    // the maintenance sweep in compactSegments drops both
+    // NO concurrent-safe operation may sweep them (multi-writer
+    // contract: the "orphan" could be a live appender's
+    // renamed-but-not-yet-claimed segment); only the exclusive-access
+    // maintenance sweep drops both
     val key = new java.io.File(root).list().filter(_.startsWith("minhashseg_")).head
     val junk = java.nio.file.Paths.get(s"$root/$key/__seg_crashed")
     val orphan = java.nio.file.Paths.get(s"$root/$key/seg_orphan")
@@ -189,7 +190,10 @@ class DedupSpec extends SparkSpec {
     assert(java.nio.file.Files.exists(junk) && java.nio.file.Files.exists(orphan),
       "appends must not sweep — debris could be a live appender's segment")
     graft.pipeline.ArtifactStore.compactSegments(spark, root, key)
-    assert(!java.nio.file.Files.exists(junk), "staging dir swept by compaction")
+    assert(java.nio.file.Files.exists(junk) && java.nio.file.Files.exists(orphan),
+      "compaction must not sweep either — it is concurrent-append-safe")
+    graft.pipeline.ArtifactStore.sweepOrphans(s"$root/$key")
+    assert(!java.nio.file.Files.exists(junk), "staging dir swept by maintenance")
     assert(!java.nio.file.Files.exists(orphan), "unmanifested segment swept")
 
     val segmented = rows(graft.pipeline.ArtifactStore.readSegmented(spark, root, key))
@@ -239,10 +243,12 @@ class DedupSpec extends SparkSpec {
     // regeneration that happened after the base build
     assert(java.nio.file.Files.getLastModifiedTime(
       java.nio.file.Paths.get(s"$root/$key/${manifest().head}")) === baseMtime)
-    // the second compaction finds nothing to fold but its maintenance
-    // sweep drops the replaced orphans (appends never sweep — they may
-    // race other appenders)
+    // a re-compaction finds nothing to fold; the replaced orphans stay
+    // until the EXCLUSIVE maintenance sweep (neither appends nor
+    // compaction may sweep — both are concurrent-safe operations)
     assert(graft.pipeline.ArtifactStore.compactSegments(spark, root, key) === 0)
+    assert(segDirs().size === 4)
+    graft.pipeline.ArtifactStore.sweepOrphans(s"$root/$key")
     assert(segDirs().size === 1) // orphans swept by the maintenance pass
     graft.pipeline.ArtifactStore.appendSegment(spark, root, key)(build(31, 35))
     assert(rows() === (1L to 35L))

@@ -245,6 +245,55 @@ class MultimodalSpec extends SparkSpec {
       runs.foreach { case (c, d) => bb.putInt(c).putInt(d) }
       java.util.Arrays.copyOf(bb.array(), bb.position())
     }
+    // an hdlr-typed trak builder for multi-trak dispatch tests
+    def trak(bb: ByteBuffer, handler: String, mediaTs: Int,
+        runs: Seq[(Int, Int)]): Unit = {
+      val sttsSz = 16 + 8 * runs.size
+      val stblSz = 8 + sttsSz
+      val minfSz = 8 + stblSz
+      val hdlrSz = 33
+      val mdiaSz = 8 + 32 + hdlrSz + minfSz
+      bb.putInt(8 + 92 + mdiaSz).put("trak".getBytes)
+      bb.putInt(92).put("tkhd".getBytes)
+        .putInt(7).putInt(0).putInt(0).putInt(1).putInt(0).putInt(9000)
+        .put(new Array[Byte](8)).put(new Array[Byte](8)).put(new Array[Byte](36))
+        .putInt(640 << 16).putInt(360 << 16)
+      bb.putInt(mdiaSz).put("mdia".getBytes)
+      bb.putInt(32).put("mdhd".getBytes)
+        .putInt(0).putInt(0).putInt(0).putInt(mediaTs).putInt(0).putInt(0)
+      bb.putInt(hdlrSz).put("hdlr".getBytes)
+        .putInt(0).putInt(0).put(handler.getBytes("US-ASCII"))
+        .put(new Array[Byte](12)).put(new Array[Byte](1))
+      bb.putInt(minfSz).put("minf".getBytes)
+      bb.putInt(stblSz).put("stbl".getBytes)
+      bb.putInt(sttsSz).put("stts".getBytes).putInt(0).putInt(runs.size)
+      runs.foreach { case (c, d) => bb.putInt(c).putInt(d) }
+    }
+    def mp4Traks(specs: Seq[(String, Int, Seq[(Int, Int)])]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(2048)
+      bb.put(Array[Byte](0, 0, 0, 16)).put("ftyp".getBytes)
+        .put("isom".getBytes).putInt(512)
+      val moovStart = bb.position()
+      bb.putInt(0).put("moov".getBytes) // size patched below
+      bb.putInt(108).put("mvhd".getBytes)
+        .putInt(0).putInt(0).putInt(0).putInt(1000).putInt(9000)
+        .putInt(0x00010000).putShort(0x0100.toShort).put(new Array[Byte](10))
+        .put(new Array[Byte](36)).put(new Array[Byte](24)).putInt(2)
+      specs.foreach { case (h, ts, runs) => trak(bb, h, ts, runs) }
+      bb.putInt(moovStart, bb.position() - moovStart)
+      java.util.Arrays.copyOf(bb.array(), bb.position())
+    }
+    // AUDIO-FIRST file: the AAC-ish trak's packet rate (44100/1024 ≈ 43)
+    // must NOT be reported as fps — the later 'vide' trak (24 fps) wins
+    val av = pipeline.AvHeader.parse(mp4Traks(Seq(
+      ("soun", 44100, Seq(430 -> 1024)),
+      ("vide", 12288, Seq(240 -> 512))))).get
+    assert(av.fps === 24, s"audio-first fps dispatch: got ${av.fps}")
+    // audio-ONLY file: a declared non-video handler never yields fps
+    val audioOnly = pipeline.AvHeader.parse(mp4Traks(Seq(
+      ("soun", 44100, Seq(430 -> 1024))))).get
+    assert(audioOnly.fps === -1)
+
     // 240 samples over 240·512 media units at ts 12288 → 24 fps exactly
     val exact = pipeline.AvHeader.parse(mp4(1000, 12288, Seq(240 -> 512))).get
     assert(exact.fps === 24)

@@ -237,6 +237,21 @@ class SimilaritySpec extends SparkSpec {
         eps = 0.9)))
   }
 
+  test("semDeDup mega-cluster guard fails loudly on an embedding dim mismatch") {
+    // wrong dim → every plane dot nulls → the sign fold would silently
+    // collapse the signature to 0 and disable the guard; it must raise
+    val emb = Tables.embeddings(spark, sf0001).select("vec_id", "embedding")
+      .withColumn("c_id", lit(1L))
+    val centroids = Seq((1L, Seq.fill(64)(0.1f))).toDF("c_id", "c_emb")
+    val ex = intercept[Exception] {
+      Similarity.semDeDup(emb, centroids, "embedding", "vec_id",
+        eps = 0.9, maxClusterSize = Some(10L), dim = 32).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("does dim=32 match")), msgs(ex).mkString("; "))
+  }
+
   test("semDeDup keeps the member LEAST similar to its centroid, not the " +
       "smallest id (the paper's edge-example rule)") {
     // one cluster: centroid (1,0); three near-duplicates of each other at

@@ -43,6 +43,17 @@ class SkewJoinSpec extends SparkSpec {
     assert(salted === plain && salted > 0)
   }
 
+  test("null saltBy values still join (salt 0), preserving the plain multiset") {
+    val p = Seq((1L, Some(4L)), (1L, None), (101L, None)).toDF("k", "pid")
+    val plain = p.join(build, Seq("k"))
+      .select("k", "tag").collect().map(_.toSeq).sortBy(_.toString)
+    val salted = SkewJoin.saltedJoin(p, build, Seq("k"),
+        saltBy = col("pid"), salt = 4)
+      .select("k", "tag").collect().map(_.toSeq).sortBy(_.toString)
+    assert(salted === plain)
+    assert(salted.length === 3) // both null-pid rows survive
+  }
+
   test("the hot key's probe rows spread across salt values") {
     val spread = probe.withColumn("__salt", pmod(col("pid"), lit(8L)))
       .filter(col("k") === 1L)
