@@ -34,8 +34,17 @@ object Tables {
     * TIMESTAMP_NS to TIMESTAMP (its `CAST(ts AS TIMESTAMP)` is a no-op on
     * µs data) — so engine and oracle agree on both vintages. */
   /** Directories whose int64 `events.ts` already passed the ns-magnitude
-    * probe — the check reads one row once per directory, not per query. */
-  private val nsProbed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    * probe — the check reads one row once per directory VERSION, not per
+    * query. Keyed on the parquet path's mtime so a fixture regenerated
+    * in-place with different units mid-session re-probes instead of
+    * riding a stale pass. */
+  private val nsProbed = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
+  private def eventsMtime(dir: String): Long =
+    try java.nio.file.Files
+      .getLastModifiedTime(java.nio.file.Paths.get(s"$dir/events.parquet"))
+      .toMillis
+    catch { case _: java.io.IOException => -1L } // non-local path: probe every call
 
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.expr
@@ -49,7 +58,8 @@ object Tables {
         // shift every timestamp 1000× — so probe ONE row's magnitude
         // (units are uniform per file): ns since epoch for any plausible
         // fixture date (≥ ~1973) is ≥ 1e17, µs is ~1e15.
-        if (!nsProbed.contains(dir)) {
+        val mtime = eventsMtime(dir)
+        if (mtime < 0 || nsProbed.get(dir) != mtime) {
           // first NON-NULL value: a null in the sampled row would unbox
           // to 0 and fail the magnitude check spuriously
           df.select("ts").filter(org.apache.spark.sql.functions.col("ts").isNotNull)
@@ -59,7 +69,7 @@ object Tables {
                 s"events.ts int64 magnitude $ts is not nanoseconds since " +
                   "epoch (expected ≥ 1e17); refusing to guess the unit")
             }
-          nsProbed.add(dir)
+          if (mtime >= 0) nsProbed.put(dir, mtime)
         }
         df.withColumn("ts", expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"))
       case TimestampType | TimestampNTZType =>

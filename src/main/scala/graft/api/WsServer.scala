@@ -79,6 +79,12 @@ final class WsServer(port: Int = 0) {
           s"${c.id}#$name" -> sub
         })
     if (subs.isEmpty) return
+    // Driver-side collect is BOUNDED by the match set, not the batch:
+    // deliveredMessages returns only (payload, subscriber-ids) rows that
+    // matched at least one live subscription — per micro-batch that is
+    // O(matched msgs × avg fanout), the same shape as the reference's
+    // Redis pub/sub consumer (app/pubsub/*.go), which also materializes
+    // each deliverable message in the API tier before socket writes.
     Publisher.deliveredMessages(packed, subs)
       .select("payload", "subscribers").collect()
       .foreach { row =>

@@ -107,27 +107,23 @@ object Relational {
     df.orderBy(ordering: _*).limit(k)
 
   /** Skew-safe equi-join for when one fact key dominates (a hot contract
-    * address, a viral block): the fact side's hot key rows spread over
-    * `salts` shuffle partitions via a deterministic per-row salt, and the
-    * dim side replicates each row `salts` times to meet them. Result is
-    * row-identical to the plain join; shuffle skew drops by ~`salts`.
-    *
-    * AQE's skew-join handles most cases at runtime (enabled in
-    * [[graft.GraftSession]]) but only splits SORT-MERGE join partitions;
-    * salting also covers hash joins and gives a deterministic plan when
-    * a key's dominance is known ahead of time. The salt is
-    * `xxhash64(monotonic row id) % salts` — uniform, and needing no
-    * extra column from the caller. */
+    * address, a viral block). Thin façade over [[SkewJoin.saltedJoin]] —
+    * the single salting implementation — for the common fact/dim
+    * differing-key-name case. The salt is `xxhash64` over the WHOLE fact
+    * row, which (unlike `monotonically_increasing_id`) survives task
+    * retries and AQE re-planning with an identical plan: any fully
+    * duplicate rows share a salt, which only concentrates skew in the
+    * degenerate all-rows-identical case. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
       dimKey: String, salts: Int): DataFrame = {
-    require(salts > 0, "salts must be positive")
-    val salted = fact.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)))
-    val replicated = dim.withColumn("__salt",
-      explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
-    salted
-      .join(replicated, salted(factKey) === replicated(dimKey) &&
-        salted("__salt") === replicated("__salt"))
-      .drop("__salt")
+    val d =
+      if (dimKey == factKey) dim
+      else {
+        require(!dim.columns.contains(factKey),
+          s"dim already has a column named $factKey; rename it first")
+        dim.withColumnRenamed(dimKey, factKey)
+      }
+    SkewJoin.saltedJoin(fact, d, Seq(factKey),
+      xxhash64(fact.columns.map(col).toIndexedSeq: _*), salts)
   }
 }

@@ -70,6 +70,17 @@ object ArtifactStore {
   /** Zero-padded so the lexically-greatest name is the newest generation. */
   private def generationName(v: Long) = f"$ManifestPrefix$v%019d"
 
+  /** Last line of every committed manifest generation. On filesystems
+    * where the claim degrades to create-exclusive COPY (no hard links),
+    * a reader racing the copy — or a crash mid-copy — can observe a
+    * prefix of the content; the terminator makes that detectable: a
+    * generation without it is treated as never-committed and the reader
+    * steps back to the newest terminated one. Pre-marker generations
+    * (older on-disk artifacts) are accepted only when NO terminated
+    * generation exists in the dir, which a mixed dir can't hit (the
+    * newest generation there is always marker-era). */
+  private val ManifestEnd = "#end"
+
   /** Highest committed manifest generation `(version, segments)`;
     * `(0, legacy)` when only a pre-CAS `_segments` file exists, and
     * `(0, empty)` for a fresh dir. Retries a bounded number of times if
@@ -82,23 +93,42 @@ object ArtifactStore {
       attempt += 1
       if (!Files.exists(d)) return (0L, Seq.empty)
       val stream = Files.list(d)
-      val newest =
+      val gens =
         try stream.iterator().asScala.map(_.getFileName.toString)
-          .filter(_.startsWith(ManifestPrefix)).maxOption
+          .filter(_.startsWith(ManifestPrefix)).toSeq.sorted.reverse
         finally stream.close()
       try {
-        newest match {
-          case Some(n) =>
-            val segs = Files.readAllLines(Paths.get(s"$dir/$n")).asScala
-              .toSeq.filter(_.nonEmpty)
-            return (n.stripPrefix(ManifestPrefix).toLong, segs)
-          case None =>
-            val legacy = Paths.get(s"$dir/_segments")
-            return (0L,
-              if (Files.exists(legacy))
-                Files.readAllLines(legacy).asScala.toSeq.filter(_.nonEmpty)
-              else Seq.empty)
+        if (gens.isEmpty) {
+          val legacy = Paths.get(s"$dir/_segments")
+          return (0L,
+            if (Files.exists(legacy))
+              Files.readAllLines(legacy).asScala.toSeq.filter(_.nonEmpty)
+            else Seq.empty)
         }
+        // The CAS version to beat is ALWAYS the newest NAME present —
+        // even when its content is torn (a racing/crashed copy on a
+        // no-hard-link fs): an appender must claim past it, never
+        // re-claim it. Segments come from the newest TERMINATED
+        // generation; an un-terminated one was never committed. A
+        // marker-era dir whose NEWEST generation lacks the terminator
+        // is likely mid-copy — wait out the remaining attempts for the
+        // terminator to land before building past it (building past a
+        // copy that then completes would drop the winner's segment);
+        // only a crashed copy exhausts the wait. If NO generation is
+        // terminated, the dir predates the marker — accept the newest
+        // as-is (legacy format).
+        val maxVer = gens.head.stripPrefix(ManifestPrefix).toLong
+        val contents = gens.map { n =>
+          Files.readAllLines(Paths.get(s"$dir/$n")).asScala.toSeq
+        }
+        val termIdx = contents.indexWhere(_.lastOption.contains(ManifestEnd))
+        if (termIdx == 0)
+          return (maxVer, contents.head.dropRight(1).filter(_.nonEmpty))
+        else if (termIdx < 0)
+          return (maxVer, contents.head.filter(_.nonEmpty))
+        else if (attempt >= 5)
+          return (maxVer, contents(termIdx).dropRight(1).filter(_.nonEmpty))
+        else Thread.sleep(10L * attempt)
       } catch {
         // the generation we resolved was swept under us — re-list
         case _: java.nio.file.NoSuchFileException => ()
@@ -119,7 +149,8 @@ object ArtifactStore {
     import java.nio.file.StandardOpenOption._
     val tmp = Paths.get(s"$dir/__manifest_tmp_${java.util.UUID.randomUUID()}")
     Files.write(tmp,
-      segs.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      (segs :+ ManifestEnd).mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8),
       WRITE, CREATE, TRUNCATE_EXISTING, SYNC)
     val target = Paths.get(s"$dir/${generationName(version)}")
     val claimed =
@@ -173,9 +204,27 @@ object ArtifactStore {
   private def recoverSegments(dir: String): Unit = {
     val d = Paths.get(dir)
     if (Files.exists(d)) {
-      val (ver, segs) = manifestState(dir)
+      val (_, segs) = manifestState(dir)
       val committed = segs.toSet
-      val current = generationName(ver)
+      // Keep exactly the generation whose content manifestState serves:
+      // the newest TERMINATED one (else the newest, legacy format). A
+      // torn NEWER generation (crashed copy-mode claim) is dropped too —
+      // safe under sweep's exclusive-access contract, and required: the
+      // old `n < current` rule would have kept the torn file and deleted
+      // the terminated generation readers actually resolve.
+      val keep: Option[String] = {
+        import scala.jdk.CollectionConverters._
+        val s2 = Files.list(d)
+        val gens =
+          try s2.iterator().asScala.map(_.getFileName.toString)
+            .filter(_.startsWith(ManifestPrefix)).toSeq.sorted.reverse
+          finally s2.close()
+        gens.find { n =>
+          try Files.readAllLines(Paths.get(s"$dir/$n")).asScala
+            .lastOption.contains(ManifestEnd)
+          catch { case _: java.io.IOException => false }
+        }.orElse(gens.headOption)
+      }
       val stream = Files.list(d)
       try {
         import scala.jdk.CollectionConverters._
@@ -184,7 +233,7 @@ object ArtifactStore {
             val n = p.getFileName.toString
             n.startsWith("__seg_") || (n.startsWith("seg_") && !committed(n)) ||
               n.startsWith("__manifest_tmp_") ||
-              (n.startsWith(ManifestPrefix) && n < current)
+              (n.startsWith(ManifestPrefix) && !keep.contains(n))
           }
           .foreach { p =>
             if (Files.isDirectory(p))

@@ -186,27 +186,49 @@ object AvHeader {
                   if (t6 == "stts" && hi6 - lo6 >= 8) {
                     val entries = be32(b, lo6 + 4)
                     if (lo6 + 8 + entries * 8 <= hi6) {
+                      // cnt and delta are UNSIGNED 32-bit from untrusted
+                      // bytes: cnt·delta alone can reach ~2^64 and wrap
+                      // Long, yielding a wrong-but-plausible fps. Bound
+                      // the running sums to 2^53 (far beyond any real
+                      // sample table) and reject the whole stts on
+                      // overflow — fps stays -1 rather than lying.
+                      val cap = 1L << 53
                       var e = 0L
                       var ns = 0L
                       var nd = 0L
-                      while (e < entries) {
+                      var sane = true
+                      while (e < entries && sane) {
                         val off = (lo6 + 8 + e * 8).toInt
                         val cnt = be32(b, off)
+                        val del = be32(b, off + 4)
                         ns += cnt
-                        nd += cnt * be32(b, off + 4)
+                        if (ns > cap || (del != 0 && cnt > cap / del)) sane = false
+                        else {
+                          nd += cnt * del
+                          if (nd > cap) sane = false
+                        }
                         e += 1
                       }
-                      nSamples = ns
-                      sampleDur = nd
+                      if (sane) {
+                        nSamples = ns
+                        sampleDur = nd
+                      }
                     }
                   }
                 }
               }
             }
-            if (mdhdTs > 0 && sampleDur > 0) {
-              val f = ((nSamples * mdhdTs + sampleDur / 2) / sampleDur).toInt
-              if (handler == "vide" && fpsVide < 0) fpsVide = f
-              if (handler == null && fpsAny < 0) fpsAny = f
+            // nSamples ≤ 2^53 and mdhdTs ≤ 2^32-1, so the product can
+            // still wrap Long on adversarial tables — guard the multiply
+            // and the Int narrowing; on either, fps stays -1.
+            if (mdhdTs > 0 && sampleDur > 0 && nSamples >= 0 &&
+                nSamples <= (Long.MaxValue - sampleDur / 2) / mdhdTs) {
+              val f64 = (nSamples * mdhdTs + sampleDur / 2) / sampleDur
+              if (f64 >= 0 && f64 <= Int.MaxValue) {
+                val f = f64.toInt
+                if (handler == "vide" && fpsVide < 0) fpsVide = f
+                if (handler == null && fpsAny < 0) fpsAny = f
+              }
             }
           }
         }

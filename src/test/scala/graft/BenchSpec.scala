@@ -157,6 +157,15 @@ class BenchSpec extends SparkSpec {
       tF = again._1; tS = again._2; tP = again._3
       info(f"retry: float $tF%.3f s, sq8 $tS%.3f s, pq $tP%.3f s")
     }
+    // A sub-second ordering is only meaningful when the float scan is
+    // decode-bound, not scheduling-floor-bound: on a loaded or very fast
+    // host the three times collapse into the per-job floor and their
+    // order is noise. Measure the floor (a trivial job through the same
+    // scheduler) and CANCEL — not fail — when the signal can't clear it.
+    val floor = (1 to 3).map(_ => timed(spark.range(32).count())).min
+    assume(tF > floor * 3,
+      f"float scan $tF%.3f s within 3x the $floor%.3f s job floor — " +
+        "ordering would be noise on this host; skipping the wall-time gate")
     assert(tS < tF,
       f"SQ8 scan $tS%.3f s did not beat the float scan $tF%.3f s at 10x volume")
     assert(tP < tF,

@@ -225,7 +225,7 @@ class DedupSpec extends SparkSpec {
         .filter(_.startsWith("_segments.v")).max
       java.nio.file.Files
         .readAllLines(java.nio.file.Paths.get(s"$root/$key/$gen"))
-        .toArray.map(_.toString).filter(_.nonEmpty).toSeq
+        .toArray.map(_.toString).filter(l => l.nonEmpty && l != "#end").toSeq
     }
     val before = rows()
     assert(before === (1L to 30L))
@@ -288,6 +288,39 @@ class DedupSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(got === (0L to writers.toLong),
       "every concurrent append must be committed — none lost to a manifest race")
+  }
+
+  test("torn newest manifest generation: readers fall back, appends build past it, sweep drops it") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_seg_torn").toString
+    val key = "torn_spec"
+    def build(id: Long)(tmp: String): Unit =
+      Seq((id, s"w$id")).toDF("id", "v").write.parquet(tmp)
+    graft.pipeline.ArtifactStore.ensureSegmented(spark, root, key)(build(0L))
+    graft.pipeline.ArtifactStore.appendSegment(spark, root, key)(build(1L))
+    val dir = s"$root/$key"
+    def gens() = new java.io.File(dir).list().filter(_.startsWith("_segments.v")).sorted.toSeq
+    val committed = gens()
+    // Simulate a crashed copy-mode claim (no-hard-link filesystem): the
+    // next generation name exists but its content is a PREFIX — a
+    // truncated segment line, no #end terminator.
+    val maxVer = committed.max.stripPrefix("_segments.v").toLong
+    val torn = f"${dir}/_segments.v${maxVer + 1}%019d"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(torn), "seg_trunc")
+    def rows() = graft.pipeline.ArtifactStore.readSegmented(spark, root, key)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // reader steps back to the newest TERMINATED generation
+    assert(rows() === Seq(0L, 1L))
+    // an append claims PAST the torn name (never re-claims it) and
+    // carries the terminated generation's segments forward
+    graft.pipeline.ArtifactStore.appendSegment(spark, root, key)(build(2L))
+    assert(rows() === Seq(0L, 1L, 2L))
+    assert(gens().max.stripPrefix("_segments.v").toLong === maxVer + 2)
+    // maintenance sweep keeps only the generation readers resolve; the
+    // torn file goes with the stale ones
+    graft.pipeline.ArtifactStore.sweepOrphans(dir)
+    assert(gens() === Seq(f"_segments.v${maxVer + 2}%019d"))
+    assert(rows() === Seq(0L, 1L, 2L))
   }
 
   test("segmented staleness keys off the base build — appends don't mask a regenerated corpus") {

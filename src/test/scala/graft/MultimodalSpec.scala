@@ -304,6 +304,11 @@ class MultimodalSpec extends SparkSpec {
     // no stts → fps stays unset (null through the expression)
     val m0 = pipeline.AvHeader.parse(mp4(1000, 12288, Seq.empty)).get
     assert(m0.fps === -1)
+    // ADVERSARIAL stts: cnt = delta = 0xFFFFFFFF (unsigned max) would
+    // wrap cnt·delta past Long and yield a wrong-but-plausible fps;
+    // the fold must refuse (-1), never compute from wrapped sums
+    val hostile = pipeline.AvHeader.parse(mp4(1000, 12288, Seq(-1 -> -1))).get
+    assert(hostile.fps === -1, s"overflowing stts must not yield fps: ${hostile.fps}")
   }
 
   test("decodeWavPcm: every sample word decodes with sign extension") {
