@@ -44,8 +44,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => graft.pipeline.AvHeader.AvMetaExpr(args(0))))
     ext.injectFunction((
       FunctionIdentifier("wav_pcm"),
-      info("wav_pcm", "wav_pcm(bytes) - struct(sample_rate, channels, n_samples, min_s, max_s, sum_s, sum_sq) decoded from 16-bit PCM WAV samples, else NULL"),
+      info("wav_pcm", "wav_pcm(bytes) - struct(sample_rate, channels, n_samples, min_s, max_s, sum_s, sum_sq, codec) decoded from WAV samples (PCM16 / G.711 ulaw / alaw / IMA ADPCM), else NULL"),
       (args: Seq[Expression]) => graft.pipeline.AvHeader.WavPcmExpr(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("png_gen"),
+      info("png_gen", "png_gen(seed) - deterministic DEFLATE-compressed grayscale PNG for seed (closed-form pixel pattern)"),
+      (args: Seq[Expression]) => graft.pipeline.PngCodec.PngGenExpr(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("image_pixels"),
+      info("image_pixels", "image_pixels(bytes) - struct(width, height, n_px, min_px, max_px, sum_px, sum_sq) of a decoded compressed image (PNG/JPEG/GIF/BMP), else NULL"),
+      (args: Seq[Expression]) => graft.pipeline.PngCodec.ImagePixelsExpr(args(0))))
     ext.injectFunction((
       FunctionIdentifier("ecrecover"),
       info("ecrecover", "ecrecover(sigHash, r, s, recId) - uncompressed secp256k1 pubkey, NULL if invalid"),

@@ -29,14 +29,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * codegen.
   *
   * AUDIO codec decode is real too: [[decodeWavPcm]] / `wav_pcm(bytes)`
-  * reads every 16-bit PCM sample word out of the `data` chunk into
-  * integer-exact sample statistics — uncompressed PCM needs no external
-  * codec, so the seam closes in pure JVM. FRAME RATE is real as well:
-  * the `mdia`→`mdhd` media timescale plus the `stbl`→`stts` sample
-  * table give fps = round(samples · timescale / Σ count·delta) — still
-  * container metadata, no codec required. What remains outside is
-  * compressed video/audio codec decode (pixels/compressed samples):
-  * that residue is the [[Multimodal]] stub.
+  * decodes the `data` chunk through the format's actual codec —
+  * 16-bit PCM words, G.711 µ-law/A-law companding expansion
+  * ([[ulaw2linear]]/[[alaw2linear]]), or the IMA ADPCM adaptive
+  * state machine — into integer-exact sample statistics, all pure
+  * JVM. FRAME RATE is real as well: the `mdia`→`mdhd` media timescale
+  * plus the `stbl`→`stts` sample table give fps = round(samples ·
+  * timescale / Σ count·delta) — still container metadata, no codec
+  * required. What remains outside is transform-coded audio/video
+  * (AAC/MP3, H.264): that residue is the [[Multimodal]] stub.
   */
 object AvHeader {
 
@@ -241,21 +242,69 @@ object AvHeader {
 
   // ---- WAV PCM sample decode --------------------------------------------
 
-  /** Decoded 16-bit PCM sample statistics — CODEC-level decode, not a
-    * header walk: every sample word in the `data` chunk is read.
+  /** Decoded sample statistics — CODEC-level decode, not a header walk:
+    * every sample word in the `data` chunk is read (and for compressed
+    * formats, expanded through the codec's integer state machine).
     * Integer-exact fields only (min/max/sum/sum-of-squares over signed
     * 16-bit values) so an external engine can replay the decode
-    * bit-for-bit from the construction parameters. */
+    * bit-for-bit from the construction parameters. `codec` names the
+    * decode path taken: `pcm_s16le`, `ulaw`, `alaw`, `ima_adpcm`. */
   final case class PcmStats(sampleRate: Int, channels: Int, nSamples: Long,
-    minS: Long, maxS: Long, sumS: Long, sumSq: Long)
+    minS: Long, maxS: Long, sumS: Long, sumSq: Long, codec: String = "pcm_s16le")
 
-  /** Decode the PCM payload of a WAV byte stream: chunk-walk to `fmt `
-    * (must be format 1 = integer PCM, 16-bit) and `data`, then fold
-    * every interleaved little-endian int16 sample into [[PcmStats]].
+  // ---- G.711 (ITU-T) expansion: COMPRESSED telephony audio ------------
+  // Table-free integer forms of the canonical segmented decode (the
+  // same arithmetic the published reference tables are generated from).
+
+  /** µ-law byte → linear int16 (range ±32124). */
+  def ulaw2linear(byte: Int): Int = {
+    val u = (~byte) & 0xFF
+    var t = ((u & 0x0F) << 3) + 0x84
+    t <<= (u & 0x70) >> 4
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** A-law byte → linear int16 (range ±32256). */
+  def alaw2linear(byte: Int): Int = {
+    val a = (byte ^ 0x55) & 0xFF
+    var t = (a & 0x0F) << 4
+    val seg = (a & 0x70) >> 4
+    if (seg == 0) t += 8
+    else if (seg == 1) t += 0x108
+    else { t += 0x108; t <<= seg - 1 }
+    if ((a & 0x80) != 0) t else -t
+  }
+
+  // ---- IMA/DVI ADPCM (4 bits/sample): COMPRESSED 4:1 audio ------------
+
+  private val ImaStep: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+
+  private val ImaIndexAdjust: Array[Int] = Array(
+    -1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** Decode the sample payload of a WAV byte stream: chunk-walk to
+    * `fmt ` and `data`, then expand every sample through the format's
+    * codec:
+    *
+    *   - format 1, 16-bit: interleaved little-endian int16 PCM
+    *   - format 7, 8-bit: G.711 µ-law (COMPRESSED — each byte expands
+    *     through the segmented [[ulaw2linear]] curve)
+    *   - format 6, 8-bit: G.711 A-law ([[alaw2linear]])
+    *   - format 0x11, 4-bit mono: IMA ADPCM (COMPRESSED 4:1 — block
+    *     header carries the int16 predictor seed + step index; every
+    *     nibble advances the adaptive step-size state machine)
+    *
     * Samples are whatever portion of the declared data size is actually
     * present in the buffer (a header-only stream decodes zero samples —
     * distinguishable from silence by `nSamples`). None when the bytes
-    * are not 16-bit PCM WAV. */
+    * are not WAV or the format is not one of the four above. */
   def decodeWavPcm(b: Array[Byte]): Option[PcmStats] = {
     if (b == null || b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE")
       return None
@@ -264,6 +313,7 @@ object AvHeader {
     var sampleRate = -1L
     var bits = -1
     var fmt = -1
+    var blockAlign = -1
     var dataLo = -1
     var dataSize = -1L
     while (i + 8 <= b.length && (bits < 0 || dataLo < 0)) {
@@ -274,6 +324,7 @@ object AvHeader {
         fmt = le16(b, i + 8)
         channels = le16(b, i + 10)
         sampleRate = le32(b, i + 12)
+        blockAlign = le16(b, i + 20)
         bits = le16(b, i + 22)
       } else if (id == "data") {
         dataLo = i + 8
@@ -282,39 +333,93 @@ object AvHeader {
       val step = sz + (sz & 1L)
       if (step > Int.MaxValue - 8 - i) i = b.length else i += 8 + step.toInt
     }
-    if (fmt != 1 || bits != 16 || channels < 1 || sampleRate < 1 || dataLo < 0)
-      return None
+    if (channels < 1 || sampleRate < 1 || dataLo < 0) return None
     val avail = math.min(dataSize, (b.length - dataLo).toLong)
-    val n = avail / 2
-    var k = 0L
+    var n = 0L
     var mn = Long.MaxValue
     var mx = Long.MinValue
     var sum = 0L
     var sumSq = 0L
-    while (k < n) {
-      val off = dataLo + (k * 2).toInt
-      val v = (le16(b, off).toShort).toLong // sign-extend the int16
+    @inline def emit(s: Int): Unit = {
+      val v = s.toLong
       if (v < mn) mn = v
       if (v > mx) mx = v
       sum += v
       sumSq += v * v
-      k += 1
+      n += 1
+    }
+    val codec = (fmt, bits) match {
+      case (1, 16) =>
+        var k = 0L
+        val words = avail / 2
+        while (k < words) {
+          emit(le16(b, dataLo + (k * 2).toInt).toShort.toInt)
+          k += 1
+        }
+        "pcm_s16le"
+      case (7, 8) =>
+        var k = 0L
+        while (k < avail) { emit(ulaw2linear(b(dataLo + k.toInt))); k += 1 }
+        "ulaw"
+      case (6, 8) =>
+        var k = 0L
+        while (k < avail) { emit(alaw2linear(b(dataLo + k.toInt))); k += 1 }
+        "alaw"
+      case (0x11, 4) if channels == 1 && blockAlign >= 5 =>
+        // Mono IMA blocks: [int16 LE predictor][u8 step index][reserved]
+        // then 4-bit codes, LOW nibble first. The header predictor IS
+        // the block's first output sample; a trailing partial block
+        // decodes whatever codes are present.
+        var pos = dataLo
+        val end = dataLo + avail.toInt
+        while (pos + 4 <= end) {
+          var pred = le16(b, pos).toShort.toInt
+          var idx = math.min(b(pos + 2) & 0xFF, 88)
+          emit(pred)
+          var p = pos + 4
+          val blockEnd = math.min(pos + blockAlign, end)
+          while (p < blockEnd) {
+            val w = b(p) & 0xFF
+            var half = 0
+            while (half < 2) {
+              val code = if (half == 0) w & 0x0F else (w >> 4) & 0x0F
+              val step = ImaStep(idx)
+              var diff = step >> 3
+              if ((code & 4) != 0) diff += step
+              if ((code & 2) != 0) diff += step >> 1
+              if ((code & 1) != 0) diff += step >> 2
+              pred = if ((code & 8) != 0) pred - diff else pred + diff
+              if (pred > 32767) pred = 32767
+              if (pred < -32768) pred = -32768
+              idx += ImaIndexAdjust(code)
+              if (idx < 0) idx = 0
+              if (idx > 88) idx = 88
+              emit(pred)
+              half += 1
+            }
+            p += 1
+          }
+          pos += blockAlign
+        }
+        "ima_adpcm"
+      case _ => return None
     }
     if (n == 0) { mn = 0L; mx = 0L }
-    Some(PcmStats(sampleRate.toInt, channels, n, mn, mx, sum, sumSq))
+    Some(PcmStats(sampleRate.toInt, channels, n, mn, mx, sum, sumSq, codec))
   }
 
   /** [[decodeWavPcm]] as a Catalyst row for [[WavPcmExpr]]. */
   def decodePcmRow(bytes: Array[Byte]): InternalRow = decodeWavPcm(bytes) match {
     case Some(s) => InternalRow(Int.box(s.sampleRate), Int.box(s.channels),
       Long.box(s.nSamples), Long.box(s.minS), Long.box(s.maxS),
-      Long.box(s.sumS), Long.box(s.sumSq))
+      Long.box(s.sumS), Long.box(s.sumSq), UTF8String.fromString(s.codec))
     case None => null
   }
 
-  /** `wav_pcm(bytes)`: decoded 16-bit PCM sample statistics, null when
-    * the bytes are not an integer-PCM WAV stream. Codegen'd like
-    * [[AvMetaExpr]] so audio scans stay inside whole-stage codegen. */
+  /** `wav_pcm(bytes)`: decoded sample statistics (PCM16 / µ-law / A-law
+    * / IMA ADPCM), null when the bytes are not a decodable WAV stream.
+    * Codegen'd like [[AvMetaExpr]] so audio scans stay inside
+    * whole-stage codegen. */
   case class WavPcmExpr(child: Expression) extends UnaryExpression {
     override def dataType: DataType = WavPcmExpr.schema
     override def nullable: Boolean = true
@@ -346,7 +451,8 @@ object AvHeader {
       StructField("min_s", LongType),
       StructField("max_s", LongType),
       StructField("sum_s", LongType),
-      StructField("sum_sq", LongType)))
+      StructField("sum_sq", LongType),
+      StructField("codec", StringType)))
   }
 
   /** `av_meta(bytes)`: container metadata struct, null when the bytes are

@@ -10,13 +10,21 @@ import org.apache.spark.sql.functions._
   * CONTAINER decode is REAL for all three kinds: [[decodeMeta]] parses
   * PNG/JPEG/GIF headers via [[ImageHeader.ImageMetaExpr]] and WAV/MP4
   * headers via [[AvHeader.AvMetaExpr]], both codegen'd Catalyst
-  * expressions. AUDIO codec decode is real for uncompressed PCM:
-  * [[wavPcm]] reads every sample word of a 16-bit WAV `data` chunk
-  * ([[AvHeader.decodeWavPcm]] — pure JVM, no external codec needed).
-  * The remaining STUB is compressed video/audio codecs (H.264 pixels,
-  * AAC/MP3 samples, `stts`-derived fps), which genuinely need decoder
-  * libraries this container does not ship: `decodeMetaStub` derives
-  * deterministic fake metadata for those payloads.
+  * expressions. CODEC decode is real wherever a pure-JVM decoder
+  * exists:
+  *
+  *   - audio, uncompressed: 16-bit PCM — every sample word of the WAV
+  *     `data` chunk ([[AvHeader.decodeWavPcm]])
+  *   - audio, COMPRESSED: G.711 µ-law / A-law (segmented companding
+  *     expansion) and IMA ADPCM (4:1 adaptive state machine) — same
+  *     entry point, dispatched on the WAV format tag
+  *   - image, COMPRESSED: PNG — zlib/DEFLATE scanlines decoded to
+  *     pixels through `javax.imageio` ([[PngCodec]])
+  *
+  * The remaining STUB is transform-coded audio/video (AAC/MP3 samples,
+  * H.264/VP9 pixels), which genuinely needs decoder libraries this
+  * container does not ship: `decodeMetaStub` derives deterministic fake
+  * metadata for those payloads.
   *
   * The codec plug is a documented seam, not an ambient dependency: a
   * real deployment supplies the decoder EITHER as a DataSource v2 read

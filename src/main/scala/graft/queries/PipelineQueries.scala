@@ -805,6 +805,7 @@ object PipelineQueries {
     val m = graft.pipeline.Multimodal.wavPcm(wavB)
     Tables.documents(s, dir).select(col("doc_id"), m.as("__m"))
       .select(col("doc_id"),
+        col("__m").getField("codec").as("codec"),
         col("__m").getField("sample_rate").cast("long").as("sample_rate"),
         col("__m").getField("channels").cast("long").as("channels"),
         col("__m").getField("n_samples").as("n_samples"),
@@ -871,6 +872,109 @@ object PipelineQueries {
     concat(be32(lit(16)), s4("ftyp"), s4("isom"), be32(lit(512)), moov)
   }
 
+  /** MM7: REAL COMPRESSED audio codec decode — ITU-T G.711. Each
+    * document becomes an 8-bit G.711 WAV (µ-law for even doc_ids,
+    * A-law for odd — format tags 7 and 6) whose data bytes are
+    * doc_id-derived, and `wav_pcm` expands every COMPRESSED byte
+    * through the segmented companding curve
+    * ([[graft.pipeline.AvHeader.ulaw2linear]]/[[graft.pipeline.AvHeader.alaw2linear]]).
+    * The oracle replays the table-free G.711 expansion arithmetic in
+    * SQL, so construct→decode is pinned at the compressed-sample level
+    * on an INDEPENDENT implementation of the curve. */
+  private def mm7(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    def byteOf(c: Column) = lpad(hex(c.cast("long").bitwiseAND(lit(255L))), 2, "0")
+    def le16(c: Column) = unhex(concat(byteOf(c), byteOf(shiftright(c.cast("long"), 8))))
+    def le32(c: Column) = unhex(concat(byteOf(c), byteOf(shiftright(c.cast("long"), 8)),
+      byteOf(shiftright(c.cast("long"), 16)), byteOf(shiftright(c.cast("long"), 24))))
+    val n = (pmod(d, lit(97)) + 16).cast("int")
+    val fmtTag = when(pmod(d, lit(2)) === 0, lit(7L)).otherwise(lit(6L))
+    val payload = unhex(array_join(
+      transform(sequence(lit(0), n - 1),
+        i => byteOf(pmod(d * 31 + i * 7919, lit(256)))), ""))
+    val wavB = concat(
+      s4("RIFF"), le32(n.cast("long") + 36), s4("WAVE"),
+      s4("fmt "), le32(lit(16)), le16(fmtTag), le16(lit(1)), le32(lit(8000L)),
+      le32(lit(8000L)), le16(lit(1)), le16(lit(8)),
+      s4("data"), le32(n.cast("long")), payload)
+    val m = graft.pipeline.Multimodal.wavPcm(wavB)
+    Tables.documents(s, dir).select(col("doc_id"), m.as("__m"))
+      .select(col("doc_id"),
+        col("__m").getField("codec").as("codec"),
+        col("__m").getField("n_samples").as("n_samples"),
+        col("__m").getField("min_s").as("min_s"),
+        col("__m").getField("max_s").as("max_s"),
+        col("__m").getField("sum_s").as("sum_s"),
+        col("__m").getField("sum_sq").as("sum_sq"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** MM8: REAL COMPRESSED audio codec decode — IMA/DVI ADPCM (WAV
+    * format 0x11, 4 bits per sample, 4:1). Each document becomes a
+    * single-block mono ADPCM WAV: the block header seeds the int16
+    * predictor and step index from doc_id, and every 4-bit code
+    * advances the adaptive step-size state machine
+    * ([[graft.pipeline.AvHeader.decodeWavPcm]]). The oracle replays the
+    * decoder as a RECURSIVE CTE over the nibble sequence — step table,
+    * index adjustments, clamps — an independent SQL implementation of
+    * the full codec state machine. */
+  private def mm8(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    def byteOf(c: Column) = lpad(hex(c.cast("long").bitwiseAND(lit(255L))), 2, "0")
+    def le16(c: Column) = unhex(concat(byteOf(c), byteOf(shiftright(c.cast("long"), 8))))
+    def le32(c: Column) = unhex(concat(byteOf(c), byteOf(shiftright(c.cast("long"), 8)),
+      byteOf(shiftright(c.cast("long"), 16)), byteOf(shiftright(c.cast("long"), 24))))
+    val npairs = (pmod(d, lit(24)) + 4).cast("int")
+    val blockAlign = (npairs + 4).cast("long")
+    val u = pmod(d * 31, lit(65536)).cast("long")
+    val idx0 = pmod(d, lit(89))
+    // byte j packs nibbles 2j (low) and 2j+1 (high)
+    val codeHex = array_join(
+      transform(sequence(lit(0), npairs - 1), j =>
+        byteOf(pmod(d * 7 + (j * 2) * 13, lit(16)) +
+          pmod(d * 7 + (j * 2 + 1) * 13, lit(16)) * 16)), "")
+    val payload = unhex(concat(
+      byteOf(u), byteOf(shiftright(u, 8)), byteOf(idx0), lit("00"), codeHex))
+    val wavB = concat(
+      s4("RIFF"), le32(blockAlign + 36), s4("WAVE"),
+      s4("fmt "), le32(lit(16)), le16(lit(17L)), le16(lit(1)), le32(lit(8000L)),
+      le32(lit(4000L)), le16(blockAlign), le16(lit(4)),
+      s4("data"), le32(blockAlign), payload)
+    val m = graft.pipeline.Multimodal.wavPcm(wavB)
+    Tables.documents(s, dir).select(col("doc_id"), m.as("__m"))
+      .select(col("doc_id"),
+        col("__m").getField("codec").as("codec"),
+        col("__m").getField("n_samples").as("n_samples"),
+        col("__m").getField("min_s").as("min_s"),
+        col("__m").getField("max_s").as("max_s"),
+        col("__m").getField("sum_s").as("sum_s"),
+        col("__m").getField("sum_sq").as("sum_sq"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** MM9: REAL COMPRESSED image codec decode — PNG (zlib/DEFLATE +
+    * scanline filters + CRC-framed chunks). `png_gen` writes a real
+    * PNG by hand (Deflater + CRC32) for a closed-form grayscale
+    * pattern; `image_pixels` decodes it through `javax.imageio` — the
+    * JDK's own INDEPENDENT PNG codec — and folds every pixel into
+    * integer-exact statistics. The oracle replays the pattern's
+    * closed form, so a defect in either the hand-rolled encoder or the
+    * decode fold breaks the gate. */
+  private def mm9(s: SparkSession, dir: String): DataFrame = {
+    val bytes = call_function("png_gen", col("doc_id"))
+    val m = call_function("image_pixels", bytes)
+    Tables.documents(s, dir).select(col("doc_id"), m.as("__m"))
+      .select(col("doc_id"),
+        col("__m").getField("width").cast("long").as("width"),
+        col("__m").getField("height").cast("long").as("height"),
+        col("__m").getField("n_px").as("n_px"),
+        col("__m").getField("min_px").as("min_px"),
+        col("__m").getField("max_px").as("max_px"),
+        col("__m").getField("sum_px").as("sum_px"),
+        col("__m").getField("sum_sq").as("sum_sq"))
+      .orderBy(col("doc_id"))
+  }
+
   // ===== registry ========================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -914,6 +1018,9 @@ object PipelineQueries {
     "p_mm4_frame_sample" -> (mm4 _),
     "p_mm5_wav_pcm" -> (mm5 _),
     "p_mm6_mp4_fps" -> (mm6 _),
+    "p_mm7_g711_decode" -> (mm7 _),
+    "p_mm8_adpcm_decode" -> (mm8 _),
+    "p_mm9_png_pixels" -> (mm9 _),
   )
 
   // ---- DuckDB twins of the vector/fingerprint math ----------------------
@@ -1582,6 +1689,7 @@ object PipelineQueries {
                    END AS v
             FROM idx)
           SELECT s.doc_id,
+                 'pcm_s16le' AS codec,
                  CAST(([8000, 16000, 22050, 44100])[s.doc_id % 4 + 1] AS BIGINT) AS sample_rate,
                  CAST(1 AS BIGINT) AS channels,
                  CAST(count(*) AS BIGINT) AS n_samples,
@@ -1603,6 +1711,110 @@ object PipelineQueries {
                  CAST(((n1 + n2) * 12288 + (n1 * dl1 + n2 * dl2) // 2)
                       // (n1 * dl1 + n2 * dl2) AS BIGINT) AS fps
           FROM p ORDER BY doc_id"""),
+    // G.711 expansion replayed table-free: µ-law (even doc_ids) via the
+    // biased-exponent curve, A-law (odd) via the segmented curve —
+    // independent SQL implementations of ITU-T G.711's decode arithmetic
+    "p_mm7_g711_decode" ->
+      ("""WITH idx AS (
+            SELECT doc_id, unnest(range(0, doc_id % 97 + 16)) AS i
+            FROM documents),
+          raw AS (
+            SELECT doc_id, (doc_id * 31 + i * 7919) % 256 AS b FROM idx),
+          cc AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 255 - b ELSE xor(b, 85) END AS c
+            FROM raw),
+          lin AS (
+            SELECT doc_id,
+              CASE WHEN doc_id % 2 = 0 THEN
+                CASE WHEN (c & 128) <> 0
+                     THEN 132 - ((c & 15) * 8 + 132) * (1 << ((c & 112) >> 4))
+                     ELSE ((c & 15) * 8 + 132) * (1 << ((c & 112) >> 4)) - 132 END
+              ELSE
+                (CASE WHEN (c & 128) <> 0 THEN 1 ELSE -1 END) *
+                (CASE (c & 112) >> 4
+                   WHEN 0 THEN (c & 15) * 16 + 8
+                   WHEN 1 THEN (c & 15) * 16 + 264
+                   ELSE ((c & 15) * 16 + 264) * (1 << (((c & 112) >> 4) - 1)) END)
+              END AS v
+            FROM cc)
+          SELECT doc_id,
+                 CASE WHEN doc_id % 2 = 0 THEN 'ulaw' ELSE 'alaw' END AS codec,
+                 CAST(count(*) AS BIGINT) AS n_samples,
+                 CAST(min(v) AS BIGINT) AS min_s,
+                 CAST(max(v) AS BIGINT) AS max_s,
+                 CAST(sum(v) AS BIGINT) AS sum_s,
+                 CAST(sum(v * v) AS BIGINT) AS sum_sq
+          FROM lin GROUP BY doc_id ORDER BY doc_id"""),
+    // the IMA ADPCM decoder replayed as a recursive CTE: row i carries
+    // the (predictor, step index) state BEFORE nibble i; consuming
+    // nibble i = (doc_id*7 + i*13) % 16 yields row i+1 — step table,
+    // index adjust, and both clamps included. Samples are rows 0..nn.
+    "p_mm8_adpcm_decode" ->
+      ("""WITH RECURSIVE
+          docs AS (
+            SELECT doc_id, (doc_id % 24 + 4) * 2 AS nn FROM documents),
+          dec(doc_id, i, nn, pred, idx) AS (
+            SELECT doc_id, 0, nn,
+                   CASE WHEN (doc_id * 31) % 65536 < 32768
+                        THEN (doc_id * 31) % 65536
+                        ELSE (doc_id * 31) % 65536 - 65536 END,
+                   doc_id % 89
+            FROM docs
+            UNION ALL
+            SELECT doc_id, i + 1, nn,
+                   LEAST(32767, GREATEST(-32768,
+                     pred + CASE WHEN (nib & 8) <> 0 THEN -diff ELSE diff END)),
+                   LEAST(88, GREATEST(0, idx +
+                     ([-1,-1,-1,-1,2,4,6,8,-1,-1,-1,-1,2,4,6,8])[nib + 1]))
+            FROM (
+              SELECT doc_id, i, nn, pred, idx, nib,
+                     step // 8
+                       + CASE WHEN (nib & 4) <> 0 THEN step ELSE 0 END
+                       + CASE WHEN (nib & 2) <> 0 THEN step // 2 ELSE 0 END
+                       + CASE WHEN (nib & 1) <> 0 THEN step // 4 ELSE 0 END AS diff
+              FROM (
+                SELECT doc_id, i, nn, pred, idx,
+                       (doc_id * 7 + i * 13) % 16 AS nib,
+                       ([7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,
+                         41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,
+                         173,190,209,230,253,279,307,337,371,408,449,494,544,
+                         598,658,724,796,876,963,1060,1166,1282,1411,1552,
+                         1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,
+                         4428,4871,5358,5894,6484,7132,7845,8630,9493,10442,
+                         11487,12635,13899,15289,16818,18500,20350,22385,
+                         24623,27086,29794,32767])[idx + 1] AS step
+                FROM dec WHERE i < nn) s0) s1)
+          SELECT doc_id,
+                 'ima_adpcm' AS codec,
+                 CAST(count(*) AS BIGINT) AS n_samples,
+                 CAST(min(pred) AS BIGINT) AS min_s,
+                 CAST(max(pred) AS BIGINT) AS max_s,
+                 CAST(sum(pred) AS BIGINT) AS sum_s,
+                 CAST(sum(pred * pred) AS BIGINT) AS sum_sq
+          FROM dec GROUP BY doc_id ORDER BY doc_id"""),
+    // the PNG gate's closed-form pixel pattern: dims and gray values
+    // are pure arithmetic in doc_id — what png_gen encodes (Deflater)
+    // and image_pixels decodes (javax.imageio) must fold back to this
+    "p_mm9_png_pixels" ->
+      ("""WITH dims AS (
+            SELECT doc_id, doc_id % 16 + 4 AS w, (doc_id * 7) % 12 + 4 AS h
+            FROM documents),
+          r AS (SELECT unnest(range(0, 20)) AS n),
+          px AS (
+            SELECT d.doc_id, d.w, d.h,
+                   (d.doc_id * 31 + rx.n * 7 + ry.n * 13) % 256 AS v
+            FROM dims d, r rx, r ry
+            WHERE rx.n < d.w AND ry.n < d.h)
+          SELECT doc_id,
+                 CAST(max(w) AS BIGINT) AS width,
+                 CAST(max(h) AS BIGINT) AS height,
+                 CAST(count(*) AS BIGINT) AS n_px,
+                 CAST(min(v) AS BIGINT) AS min_px,
+                 CAST(max(v) AS BIGINT) AS max_px,
+                 CAST(sum(v) AS BIGINT) AS sum_px,
+                 CAST(sum(v * v) AS BIGINT) AS sum_sq
+          FROM px GROUP BY doc_id ORDER BY doc_id"""),
     "p_t3_contamination" ->
       ("""WITH corpus AS (
             SELECT doc_id, text FROM documents WHERE doc_id < 1000),

@@ -340,6 +340,95 @@ class MultimodalSpec extends SparkSpec {
     assert(pipeline.AvHeader.decodeWavPcm("just some text bytes".getBytes).isEmpty)
   }
 
+  test("G.711 expansion: published extreme/zero points and curve symmetry") {
+    import pipeline.AvHeader.{alaw2linear, ulaw2linear}
+    // µ-law: 0x00 is the negative extreme (-32124), 0x80 the positive
+    // (+32124); 0xFF and 0x7F are the two zeros
+    assert(ulaw2linear(0x00) === -32124)
+    assert(ulaw2linear(0x80) === 32124)
+    assert(ulaw2linear(0xFF) === 0)
+    assert(ulaw2linear(0x7F) === 0)
+    // A-law: no zero code — smallest magnitudes are ±8 (0x55/0xD5),
+    // extremes ±32256 (0x2A/0xAA)
+    assert(alaw2linear(0x55) === -8)
+    assert(alaw2linear(0xD5) === 8)
+    assert(alaw2linear(0x2A) === -32256)
+    assert(alaw2linear(0xAA) === 32256)
+    // sign symmetry across the full byte range: flipping the sign bit
+    // negates the decode, for both curves
+    (0 until 128).foreach { c =>
+      assert(ulaw2linear(c) === -ulaw2linear(c | 0x80))
+      assert(alaw2linear(c) === -alaw2linear(c | 0x80))
+    }
+    // µ-law decode is monotone within each sign half (codes order by
+    // magnitude): 0x00..0x7F strictly increasing
+    val neg = (0x00 to 0x7F).map(ulaw2linear)
+    assert(neg === neg.sorted)
+  }
+
+  test("decodeWavPcm: G.711 and IMA ADPCM payloads decode through the codec, not raw bytes") {
+    import java.nio.ByteBuffer
+    import java.nio.ByteOrder.LITTLE_ENDIAN
+    def wav(fmt: Int, ch: Int, bits: Int, blockAlign: Int, data: Array[Byte]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(64 + data.length).order(LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(36 + data.length).put("WAVE".getBytes)
+      bb.put("fmt ".getBytes).putInt(16).putShort(fmt.toShort).putShort(ch.toShort)
+        .putInt(8000).putInt(8000).putShort(blockAlign.toShort).putShort(bits.toShort)
+      bb.put("data".getBytes).putInt(data.length).put(data)
+      java.util.Arrays.copyOf(bb.array(), bb.position())
+    }
+    // µ-law: bytes 0x00, 0xFF, 0x80 → -32124, 0, +32124
+    val u = pipeline.AvHeader.decodeWavPcm(
+      wav(7, 1, 8, 1, Array(0x00, 0xFF, 0x80).map(_.toByte))).get
+    assert((u.codec, u.nSamples, u.minS, u.maxS, u.sumS) ===
+      ("ulaw", 3L, -32124L, 32124L, 0L))
+    // A-law: 0x55, 0xD5 → -8, +8
+    val a = pipeline.AvHeader.decodeWavPcm(
+      wav(6, 1, 8, 1, Array(0x55, 0xD5).map(_.toByte))).get
+    assert((a.codec, a.nSamples, a.minS, a.maxS, a.sumS) === ("alaw", 2L, -8L, 8L, 0L))
+    // IMA ADPCM, hand-stepped: pred0=0 idx0=0 (step 7), codes [7, 7]:
+    //   code 7 @ step 7  → diff 0+7+3+1 = 11 → pred 11, idx 8 (step 16)
+    //   code 7 @ step 16 → diff 2+16+8+4 = 30 → pred 41
+    // samples = [0, 11, 41]
+    val block = Array[Byte](0, 0, 0, 0, 0x77)
+    val ad = pipeline.AvHeader.decodeWavPcm(wav(0x11, 1, 4, 5, block)).get
+    assert((ad.codec, ad.nSamples) === ("ima_adpcm", 3L))
+    assert((ad.minS, ad.maxS, ad.sumS, ad.sumSq) === (0L, 41L, 52L, 11L * 11 + 41L * 41))
+    // two blocks: the second block's header RESEEDS the predictor —
+    // state must not leak across block boundaries
+    val b2 = ByteBuffer.allocate(10).order(LITTLE_ENDIAN)
+      .putShort(100.toShort).put(0.toByte).put(0.toByte).put(0x00.toByte)
+      .putShort(-50.toShort).put(0.toByte).put(0.toByte).put(0x00.toByte)
+    val two = pipeline.AvHeader.decodeWavPcm(wav(0x11, 1, 4, 5, b2.array())).get
+    // code 0 @ step 7 → diff 0 → pred unchanged, twice per block
+    assert((two.nSamples, two.minS, two.maxS, two.sumS) === (6L, -50L, 100L, 150L))
+    // stereo / short-block ADPCM refuses rather than garbage-decodes
+    assert(pipeline.AvHeader.decodeWavPcm(wav(0x11, 2, 4, 8, block)).isEmpty)
+    assert(pipeline.AvHeader.decodeWavPcm(wav(0x11, 1, 4, 4, block)).isEmpty)
+  }
+
+  test("PNG codec: hand-rolled DEFLATE encode decodes through javax.imageio to the exact pattern") {
+    val seed = 5L
+    val w = (seed % 16 + 4).toInt
+    val h = (seed * 7 % 12 + 4).toInt
+    val s = pipeline.PngCodec.decodePixels(pipeline.PngCodec.pngBytes(seed)).get
+    assert((s.width, s.height, s.nPx) === (w, h, w.toLong * h))
+    val expected = for { y <- 0 until h; x <- 0 until w }
+      yield math.floorMod(seed * 31 + x * 7 + y * 13, 256)
+    assert(s.sumPx === expected.sum)
+    assert(s.sumSq === expected.map(v => v * v).sum)
+    assert(s.minPx === expected.min && s.maxPx === expected.max)
+    // non-image bytes refuse
+    assert(pipeline.PngCodec.decodePixels("not an image".getBytes).isEmpty)
+    assert(pipeline.PngCodec.decodePixels(Array.emptyByteArray).isEmpty)
+    // a corrupted IDAT (flipped byte mid-stream) must not decode to a
+    // plausible-but-wrong fold: either refuses or fails CRC inside ImageIO
+    val png = pipeline.PngCodec.pngBytes(seed)
+    png(png.length - 20) = (png(png.length - 20) ^ 0x7F).toByte
+    val corrupt = pipeline.PngCodec.decodePixels(png)
+    assert(corrupt.isEmpty || corrupt.get.sumPx != s.sumPx)
+  }
+
   test("wav_pcm expression decodes in-plan and stays inside codegen") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
