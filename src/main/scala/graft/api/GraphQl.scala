@@ -43,8 +43,17 @@ final class GraphQl(service: QueryService) {
       case Right(fields) =>
         val data = new java.util.LinkedHashMap[String, Any]()
         for (f <- fields) {
-          if (f.name == "__typename") data.put(f.alias, "Query")
-          else resolve(f) match {
+          val resolved: Either[String, Any] = f.name match {
+            case "__typename" => Right("Query")
+            case "__schema" | "__type" =>
+              val sels = f.selections.collectFirst { case Intro(s) => s }
+                .getOrElse(Seq.empty)
+              if (sels.isEmpty) Left(s"${f.name}: selection set required")
+              else if (f.name == "__schema") GraphQlIntrospection.schema(sels)
+              else GraphQlIntrospection.typeByName(f.args, sels)
+            case _ => resolve(f)
+          }
+          resolved match {
             case Left(msg) => return errorJson(msg, f.alias)
             case Right(value) => data.put(f.alias, value)
           }
@@ -314,6 +323,18 @@ object GraphQl {
   final case class Leaf(name: String, alias: String) extends Selection
   final case class Guarded(cond: String, sels: Seq[Selection]) extends Selection
 
+  /** An introspection selection tree — unlike the flat entity tier,
+    * `__schema`/`__type` selections nest arbitrarily (`types { fields {
+    * type { ofType { … } } } }`), so their subtree is lowered into this
+    * recursive form and resolved by [[GraphQlIntrospection]]. */
+  sealed trait ISel
+  final case class IField(name: String, alias: String, args: Map[String, Any],
+    sels: Seq[ISel]) extends ISel
+  final case class IGuard(cond: String, sels: Seq[ISel]) extends ISel
+
+  /** Wrapper carrying an introspection subtree through [[Field]]. */
+  final case class Intro(sels: Seq[ISel]) extends Selection
+
   private val KnownTypes = Set("Query", "Block", "Transaction", "Event")
 
   /** Parse a spec-shaped document against the reference's flat schema:
@@ -375,6 +396,10 @@ object GraphQl {
 
     def topLevel(sels: Seq[RawSel], expanding: Set[String]): Seq[Field] =
       sels.filter(s => included(s.dirs)).flatMap {
+        case RawField(alias, n @ ("__schema" | "__type"), args, sub, _) =>
+          // introspection subtrees nest arbitrarily and guard META type
+          // names — lowered recursively, resolved by GraphQlIntrospection
+          Seq(Field(n, alias, args, Seq(Intro(intro(sub, expanding)))))
         case RawField(alias, n, args, sub, _) =>
           Seq(Field(n, alias, args, entity(sub, expanding)))
         case RawSpread(n, _) =>
@@ -399,6 +424,22 @@ object GraphQl {
           Guarded(checkCond(cond), entity(body, expanding + n))
         case RawInline(cond, body, _) =>
           Guarded(if (cond == null) "*" else checkCond(cond), entity(body, expanding))
+      }
+
+    /** Recursive lowering for introspection subtrees: nested selection
+      * sets and field arguments are legal, and fragment conditions may
+      * name META types (`… on __Type`) — an unknown condition simply
+      * never matches (the runtime type of every introspection position
+      * is concrete), mirroring CollectFields rather than erroring. */
+    private def intro(sels: Seq[RawSel], expanding: Set[String]): Seq[ISel] =
+      sels.filter(s => included(s.dirs)).map {
+        case RawField(alias, n, args, sub, _) =>
+          IField(n, alias, args, intro(sub, expanding))
+        case RawSpread(n, _) =>
+          val (cond, body) = fragment(n, expanding)
+          IGuard(cond, intro(body, expanding + n))
+        case RawInline(cond, body, _) =>
+          IGuard(if (cond == null) "*" else cond, intro(body, expanding))
       }
   }
 

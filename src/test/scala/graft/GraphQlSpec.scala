@@ -240,4 +240,131 @@ class GraphQlSpec extends SparkSpec {
       assert(status("/v1/graphqlzzz") === 404)
     } finally server.stop()
   }
+
+  test("introspection: __schema surfaces the full gqlgen schema shape") {
+    val r = run(
+      """{ __schema {
+        |  queryType { name kind }
+        |  mutationType { name }
+        |  types { name kind }
+        |  directives { name locations args { name type { kind ofType { name } } } }
+        |} }""".stripMargin).get("data").get("__schema")
+    assert(r.get("queryType").get("name").asText() === "Query")
+    assert(r.get("queryType").get("kind").asText() === "OBJECT")
+    assert(r.get("mutationType").isNull, "schema has no mutations")
+    val typeNames = (0 until r.get("types").size())
+      .map(i => r.get("types").get(i).get("name").asText()).toSet
+    for (t <- Seq("Query", "Block", "Transaction", "Event", "String", "Int",
+        "Float", "Boolean", "__Schema", "__Type", "__Field", "__TypeKind"))
+      assert(typeNames.contains(t), s"missing type $t")
+    val dirs = (0 until r.get("directives").size())
+      .map(i => r.get("directives").get(i))
+    assert(dirs.map(_.get("name").asText()).toSet
+      .intersect(Set("include", "skip")) === Set("include", "skip"))
+    val include = dirs.find(_.get("name").asText() == "include").get
+    assert(include.get("locations").get(0).asText() === "FIELD")
+    val ifArg = include.get("args").get(0)
+    assert(ifArg.get("name").asText() === "if")
+    assert(ifArg.get("type").get("kind").asText() === "NON_NULL")
+    assert(ifArg.get("type").get("ofType").get("name").asText() === "Boolean")
+  }
+
+  test("introspection: __type walks fields, args, and wrapped type chains") {
+    // Query has exactly the reference schema's 33 root fields
+    val q = run("""{ __type(name: "Query") { fields { name } } }""")
+      .get("data").get("__type")
+    val rootFields = (0 until q.get("fields").size())
+      .map(i => q.get("fields").get(i).get("name").asText())
+    assert(rootFields.size === 33, s"got ${rootFields.size}: $rootFields")
+    assert(rootFields.contains("blockByHash"))
+    assert(rootFields.contains("eventsFromContractWithTopicsByNumberRange"))
+
+    // Block: 15 fields, size is Float!, the rest String!
+    val b = run(
+      """{ __type(name: "Block") {
+        |  kind fields { name type { kind ofType { kind name } } } } }""".stripMargin)
+      .get("data").get("__type")
+    assert(b.get("kind").asText() === "OBJECT")
+    assert(b.get("fields").size() === 15)
+    val size = (0 until 15).map(b.get("fields").get)
+      .find(_.get("name").asText() == "size").get
+    assert(size.get("type").get("kind").asText() === "NON_NULL")
+    assert(size.get("type").get("ofType").get("name").asText() === "Float")
+
+    // Event.topics: NON_NULL → LIST → NON_NULL → String
+    val e = run(
+      """{ __type(name: "Event") { fields {
+        |  name type { kind ofType { kind ofType { kind ofType { name } } } } } } }"""
+        .stripMargin).get("data").get("__type")
+    val topics = (0 until e.get("fields").size()).map(e.get("fields").get)
+      .find(_.get("name").asText() == "topics").get.get("type")
+    assert(topics.get("kind").asText() === "NON_NULL")
+    assert(topics.get("ofType").get("kind").asText() === "LIST")
+    assert(topics.get("ofType").get("ofType").get("kind").asText() === "NON_NULL")
+    assert(topics.get("ofType").get("ofType").get("ofType").get("name").asText() === "String")
+
+    // lastXEventsFromContract(x:) is the schema's one Int! argument
+    val args = run(
+      """{ __type(name: "Query") { fields {
+        |  name args { name type { ofType { name } } } } } }""".stripMargin)
+      .get("data").get("__type")
+    val lastX = (0 until args.get("fields").size()).map(args.get("fields").get)
+      .find(_.get("name").asText() == "lastXEventsFromContract").get
+    val xArg = (0 until lastX.get("args").size()).map(lastX.get("args").get)
+      .find(_.get("name").asText() == "x").get
+    assert(xArg.get("type").get("ofType").get("name").asText() === "Int")
+
+    // unknown type name → null data, not an error (spec §4.5.2)
+    val unknown = run("""{ __type(name: "Nope") { name } }""")
+    assert(unknown.get("data").get("__type").isNull)
+    assert(!unknown.has("errors"))
+  }
+
+  test("introspection: GraphiQL's stock IntrospectionQuery document executes") {
+    // the fragment-structured document every GraphiQL/codegen client
+    // sends on connect (depth-7 TypeRef chain, fragments on meta types)
+    val r = run(
+      """query IntrospectionQuery {
+        |  __schema {
+        |    queryType { name }
+        |    mutationType { name }
+        |    subscriptionType { name }
+        |    types { ...FullType }
+        |    directives { name locations args { ...InputValue } }
+        |  }
+        |}
+        |fragment FullType on __Type {
+        |  kind name
+        |  fields(includeDeprecated: true) {
+        |    name args { ...InputValue }
+        |    type { ...TypeRef }
+        |    isDeprecated deprecationReason
+        |  }
+        |  inputFields { ...InputValue }
+        |  interfaces { ...TypeRef }
+        |  enumValues(includeDeprecated: true) { name isDeprecated deprecationReason }
+        |  possibleTypes { ...TypeRef }
+        |}
+        |fragment InputValue on __InputValue {
+        |  name type { ...TypeRef } defaultValue
+        |}
+        |fragment TypeRef on __Type {
+        |  kind name
+        |  ofType { kind name ofType { kind name ofType { kind name
+        |    ofType { kind name ofType { kind name ofType { kind name
+        |      ofType { kind name } } } } } } }
+        |}""".stripMargin)
+    assert(!r.has("errors"), s"stock introspection failed: ${r.get("errors")}")
+    val schema = r.get("data").get("__schema")
+    assert(schema.get("queryType").get("name").asText() === "Query")
+    // every OBJECT type resolves its field list; ENUMs their values
+    val types = schema.get("types")
+    val kinds = (0 until types.size()).map(types.get)
+    assert(kinds.exists(t => t.get("kind").asText() == "ENUM" &&
+      t.get("enumValues").size() >= 8))
+    val query = kinds.find(_.get("name").asText() == "Query").get
+    assert(query.get("fields").size() === 33)
+    assert(query.get("interfaces").size() === 0)
+    assert(query.get("inputFields").isNull)
+  }
 }
