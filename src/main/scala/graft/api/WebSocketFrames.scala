@@ -45,6 +45,35 @@ object WebSocketFrames {
   def writeText(out: OutputStream, text: String): Unit =
     writeFrame(out, OpText, text.getBytes(UTF_8))
 
+  /** One complete frame, CLIENT side: §5.3 requires every
+    * client-to-server frame be masked with a fresh unpredictable key
+    * (so proxy caches can't be poisoned by attacker-chosen bytes). */
+  def writeMaskedFrame(out: OutputStream, opcode: Int, payload: Array[Byte],
+      rng: java.security.SecureRandom): Unit = {
+    out.write(0x80 | (opcode & 0x0F))
+    val n = payload.length
+    if (n < 126) out.write(0x80 | n)
+    else if (n < 65536) {
+      out.write(0x80 | 126); out.write(n >> 8); out.write(n & 0xFF)
+    } else {
+      out.write(0x80 | 127)
+      var i = 7
+      while (i >= 0) { out.write(((n.toLong >> (8 * i)) & 0xFF).toInt); i -= 1 }
+    }
+    val mask = new Array[Byte](4)
+    rng.nextBytes(mask)
+    out.write(mask)
+    val masked = new Array[Byte](n)
+    var i = 0
+    while (i < n) { masked(i) = (payload(i) ^ mask(i % 4)).toByte; i += 1 }
+    out.write(masked)
+    out.flush()
+  }
+
+  def writeMaskedText(out: OutputStream, text: String,
+      rng: java.security.SecureRandom): Unit =
+    writeMaskedFrame(out, OpText, text.getBytes(UTF_8), rng)
+
   /** One complete frame, reading the client side (which MUST mask, §5.3).
     * None on clean EOF before a frame starts. Fragmentation is not
     * handled (the subscription grammar's payloads are tiny single

@@ -40,6 +40,20 @@ object BlockFetcher {
     case "sim" => ChainSimFetcher(maxNumber)
     case rpc if rpc.startsWith("rpc:") =>
       JsonRpcFetcher(HttpTransport(rpc.stripPrefix("rpc:")))
+    case ws if ws.startsWith("ws:") =>
+      // "ws:ws://host:port/path|http://host:port" — heads arrive by
+      // eth_subscribe newHeads over the websocket (the reference's
+      // listener.go split), block bodies by JSON-RPC over HTTP
+      ws.stripPrefix("ws:").split('|') match {
+        case Array(wsUri, httpUri) =>
+          val u = java.net.URI.create(wsUri)
+          require(u.getScheme == "ws", s"unsupported scheme ${u.getScheme} (wss needs TLS config)")
+          WsTransport.WsSubscribingFetcher(u.getHost, u.getPort,
+            if (u.getPath == null || u.getPath.isEmpty) "/" else u.getPath,
+            HttpTransport(httpUri))
+        case _ => throw new IllegalArgumentException(
+          s"ws fetcher needs 'ws:<ws-uri>|<http-uri>', got: $ws")
+      }
     case fqcn => Class.forName(fqcn).getDeclaredConstructor()
       .newInstance().asInstanceOf[BlockFetcher]
   }

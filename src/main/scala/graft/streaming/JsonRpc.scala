@@ -77,6 +77,47 @@ object JsonRpc {
   def receiptRequest(id: Long, txHash: String): String =
     request(id, "eth_getTransactionReceipt")(p => { p.add(txHash); () })
 
+  // ---- pub/sub (eth_subscribe, the reference listener.go:20-171) --------
+
+  /** `eth_subscribe` over a websocket transport; topic is `newHeads`
+    * for the S1 head stream. */
+  def subscribeRequest(id: Long, topic: String): String =
+    request(id, "eth_subscribe")(p => { p.add(topic); () })
+
+  /** Node-side encoder: the subscription-id result for a subscribe. */
+  def subscribeResponse(id: Long, subId: String): String =
+    envelope(id, mapper.getNodeFactory.textNode(subId))
+
+  def parseSubscriptionId(body: String): Option[String] =
+    result(body).map(_.asText())
+
+  /** Node-side encoder: one `eth_subscription` newHeads notification —
+    * id-less per JSON-RPC 2.0 notification rules, header fields in the
+    * standard hex wire forms. */
+  def newHeadNotification(subId: String, number: Long, hash: String): String = {
+    val o = mapper.createObjectNode()
+    o.put("jsonrpc", "2.0").put("method", "eth_subscription")
+    val params = o.putObject("params")
+    params.put("subscription", subId)
+    val res = params.putObject("result")
+    res.put("number", quantity(number))
+    res.put("hash", hash)
+    mapper.writeValueAsString(o)
+  }
+
+  /** The new head number from an `eth_subscription` notification frame;
+    * None for anything else (responses, pings, other subscriptions). */
+  def parseNewHead(body: String): Option[Long] =
+    try {
+      val root = mapper.readTree(body)
+      if (root.path("method").asText() != "eth_subscription") None
+      else {
+        val num = root.path("params").path("result").path("number")
+        if (num.isMissingNode || num.isNull) None
+        else Some(parseQuantityLong(num.asText()))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   // ---- response envelope ------------------------------------------------
 
   /** The `result` member, or None on a JSON-RPC error object or a null

@@ -1,0 +1,178 @@
+package graft.streaming
+
+import java.io.BufferedInputStream
+import java.net.Socket
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.atomic.AtomicLong
+
+import graft.api.WebSocketFrames
+import graft.schema.Model.PackedBlock
+
+/** RFC 6455 CLIENT transport + the `eth_subscribe` head listener — the
+  * live half of the reference's S1 (`app/block/listener.go:20-171`
+  * subscribes to `newHeads` over `wss` and treats every notification as
+  * the new chain head). [[graft.api.WsServer]] is the protocol's server
+  * side; this is the client side: handshake with accept-key
+  * VERIFICATION (§4.2.2), mandatory frame masking (§5.3), pong replies,
+  * and a reader thread that folds `eth_subscription` notifications into
+  * a monotone head counter.
+  *
+  * A deployment plugs it in through the same [[BlockFetcher]] seam as
+  * polling: [[WsSubscribingFetcher]] serves `head()` from the
+  * subscription (no per-trigger `eth_blockNumber` round trip — the
+  * reference's listener-vs-syncer split) and delegates `fetchBlock` to
+  * the JSON-RPC codec over HTTP. Connections are lazy per-JVM state;
+  * the case class itself stays Serializable CONFIG. Plain `ws:` TCP
+  * in-container; a `wss:` deployment wraps the socket with
+  * `SSLSocketFactory` at the one `connect()` seam.
+  */
+object WsTransport {
+
+  /** A connected, handshaken websocket client. Not thread-safe for
+    * concurrent sends; the subscriber below serializes its use. */
+  final class WsClient(host: String, port: Int, path: String) {
+    private val socket = new Socket(host, port)
+    private val in = new BufferedInputStream(socket.getInputStream)
+    private val out = socket.getOutputStream
+    private val rng = new java.security.SecureRandom()
+
+    locally {
+      val keyBytes = new Array[Byte](16)
+      rng.nextBytes(keyBytes)
+      val key = java.util.Base64.getEncoder.encodeToString(keyBytes)
+      out.write((s"GET $path HTTP/1.1\r\n" +
+        s"Host: $host:$port\r\n" +
+        "Upgrade: websocket\r\nConnection: Upgrade\r\n" +
+        s"Sec-WebSocket-Key: $key\r\n" +
+        "Sec-WebSocket-Version: 13\r\n\r\n").getBytes(UTF_8))
+      out.flush()
+      val lines = Iterator.continually(readLine())
+        .takeWhile(l => l != null && l.nonEmpty).toVector
+      require(lines.headOption.exists(_.startsWith("HTTP/1.1 101")),
+        s"websocket upgrade refused: ${lines.headOption.getOrElse("<eof>")}")
+      val accept = lines.collectFirst {
+        case l if l.toLowerCase.startsWith("sec-websocket-accept:") =>
+          l.substring(l.indexOf(':') + 1).trim
+      }
+      // §4.2.2: a wrong accept key means the peer did not actually
+      // process OUR nonce (a transparent proxy or non-ws endpoint) —
+      // failing here is the spec's mandated client behavior
+      require(accept.contains(WebSocketFrames.acceptKey(key)),
+        s"bad Sec-WebSocket-Accept: $accept")
+    }
+
+    private def readLine(): String = {
+      val sb = new StringBuilder
+      var b = in.read()
+      while (b >= 0 && b != '\n') {
+        if (b != '\r') sb.append(b.toChar)
+        b = in.read()
+      }
+      if (b < 0 && sb.isEmpty) null else sb.toString
+    }
+
+    def sendText(text: String): Unit =
+      WebSocketFrames.writeMaskedText(out, text, rng)
+
+    /** Next TEXT payload; answers pings, skips pongs/binary; None on
+      * close (answered per §5.5.1) or EOF. */
+    def readText(): Option[String] = {
+      while (true) {
+        WebSocketFrames.readFrame(in) match {
+          case None => return None
+          case Some((WebSocketFrames.OpClose, _)) =>
+            try WebSocketFrames.writeMaskedFrame(
+              out, WebSocketFrames.OpClose, Array.empty, rng)
+            catch { case _: Exception => () }
+            return None
+          case Some((WebSocketFrames.OpPing, p)) =>
+            WebSocketFrames.writeMaskedFrame(out, WebSocketFrames.OpPong, p, rng)
+          case Some((WebSocketFrames.OpText, p)) =>
+            return Some(new String(p, UTF_8))
+          case Some(_) => // pong/binary: skip
+        }
+      }
+      None
+    }
+
+    def close(): Unit = {
+      try socket.close() catch { case _: Exception => () }
+    }
+  }
+
+  /** A `newHeads` subscription feeding a monotone head counter from a
+    * daemon reader thread. `head()` is non-blocking and never goes
+    * backwards; a dropped connection freezes the head at its last value
+    * (the fetcher's hole semantics — the syncer keeps draining the
+    * backlog and the next [[connectOnce]] caller can resubscribe). */
+  final class NewHeadsSubscriber(host: String, port: Int, path: String) {
+    private val last = new AtomicLong(-1L)
+    @volatile private var client: WsClient = null
+    @volatile private var started = false
+
+    def head(): Long = { ensureStarted(); last.get() }
+
+    private def ensureStarted(): Unit = synchronized {
+      if (!started) {
+        started = true
+        connectOnce()
+      }
+    }
+
+    private def connectOnce(): Unit =
+      try {
+        val c = new WsClient(host, port, path)
+        c.sendText(JsonRpc.subscribeRequest(1L, "newHeads"))
+        // the subscribe result frame arrives before notifications (the
+        // node assigns the id first); tolerate either order anyway
+        val t = new Thread(() => {
+          var live = true
+          while (live) c.readText() match {
+            case None => live = false
+            case Some(text) =>
+              JsonRpc.parseNewHead(text)
+                .foreach(n => last.updateAndGet(p => math.max(p, n)))
+          }
+          c.close()
+        }, s"ws-newheads-$host:$port")
+        t.setDaemon(true)
+        t.start()
+        client = c
+      } catch { case scala.util.control.NonFatal(_) => () } // head stays last-known
+
+    def close(): Unit = {
+      val c = client
+      if (c != null) c.close()
+    }
+  }
+
+  /** [[BlockFetcher]] whose head comes from the websocket subscription
+    * and whose blocks come from JSON-RPC over `rpc` — the reference's
+    * exact split (listener.go heads, fetch.go bodies). Serializable
+    * CONFIG: the subscription socket is lazy per-JVM state keyed by
+    * endpoint, so executor-side readers share one connection instead of
+    * one per partition. */
+  final case class WsSubscribingFetcher(wsHost: String, wsPort: Int,
+      wsPath: String, rpc: RpcTransport) extends BlockFetcher {
+    @transient private lazy val delegate = JsonRpcFetcher(rpc)
+    override def head(): Long =
+      WsTransport.subscriberFor(wsHost, wsPort, wsPath).head()
+    override def fetchBlock(n: Long): Option[PackedBlock] =
+      delegate.fetchBlock(n)
+  }
+
+  private val subscribers =
+    new java.util.concurrent.ConcurrentHashMap[String, NewHeadsSubscriber]()
+
+  /** One shared subscription per (host, port, path) per JVM. */
+  def subscriberFor(host: String, port: Int, path: String): NewHeadsSubscriber =
+    subscribers.computeIfAbsent(s"$host:$port$path",
+      _ => new NewHeadsSubscriber(host, port, path))
+
+  /** Test/maintenance hook: drop the shared subscription for an endpoint
+    * so the next caller reconnects. */
+  def resetSubscriber(host: String, port: Int, path: String): Unit = {
+    val s = subscribers.remove(s"$host:$port$path")
+    if (s != null) s.close()
+  }
+}

@@ -1,0 +1,162 @@
+package graft
+
+import java.io.BufferedInputStream
+import java.net.ServerSocket
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.CountDownLatch
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.WebSocketFrames
+import graft.streaming.{JsonRpc, WsTransport}
+
+/** The websocket CLIENT transport: handshake with accept-key
+  * verification, mandatory §5.3 masking, the eth_subscribe protocol,
+  * and the subscription-fed head counter behind the BlockFetcher seam.
+  * The peer is a fake node speaking the SERVER side of RFC 6455 through
+  * the same frame codec the WsServer uses — so the two halves of the
+  * implementation check each other over a real TCP socket. */
+class WsTransportSpec extends AnyFunSuite {
+
+  /** A one-connection fake Ethereum node: upgrades, answers
+    * eth_subscribe, pushes the given heads, pings once, then closes.
+    * Records whether every client frame arrived masked. */
+  private final class FakeNode(heads: Seq[Long]) {
+    val server = new ServerSocket(0)
+    def port: Int = server.getLocalPort
+    @volatile var sawUnmasked = false
+    @volatile var subscribeText: String = null
+    val served = new CountDownLatch(1)
+
+    val thread = new Thread(() => {
+      try {
+        val s = server.accept()
+        val in = new BufferedInputStream(s.getInputStream)
+        val out = s.getOutputStream
+        def readLine(): String = {
+          val sb = new StringBuilder
+          var b = in.read()
+          while (b >= 0 && b != '\n') { if (b != '\r') sb.append(b.toChar); b = in.read() }
+          sb.toString
+        }
+        val lines = Iterator.continually(readLine()).takeWhile(_.nonEmpty).toVector
+        val key = lines.collectFirst {
+          case l if l.toLowerCase.startsWith("sec-websocket-key:") =>
+            l.substring(l.indexOf(':') + 1).trim
+        }.get
+        out.write(("HTTP/1.1 101 Switching Protocols\r\n" +
+          "Upgrade: websocket\r\nConnection: Upgrade\r\n" +
+          s"Sec-WebSocket-Accept: ${WebSocketFrames.acceptKey(key)}\r\n\r\n").getBytes(UTF_8))
+        out.flush()
+        // the subscribe request — §5.3: MUST be masked (bit 7 of byte 1)
+        val b0 = in.read(); val b1 = in.read()
+        if ((b1 & 0x80) == 0) sawUnmasked = true
+        var len = b1 & 0x7F
+        if (len == 126) len = (in.read() << 8) | in.read()
+        val mask = Array.fill(4)(in.read().toByte)
+        val payload = in.readNBytes(len)
+        (0 until len).foreach(i => payload(i) = (payload(i) ^ mask(i % 4)).toByte)
+        require((b0 & 0x0F) == WebSocketFrames.OpText)
+        subscribeText = new String(payload, UTF_8)
+        WebSocketFrames.writeText(out, JsonRpc.subscribeResponse(1L, "0xsub1"))
+        for (h <- heads)
+          WebSocketFrames.writeText(out,
+            JsonRpc.newHeadNotification("0xsub1", h, s"0xhash$h"))
+        // a server ping mid-stream: the client must answer (masked)
+        WebSocketFrames.writeFrame(out, WebSocketFrames.OpPing, "hb".getBytes(UTF_8))
+        WebSocketFrames.readFrame(in) match {
+          case Some((op, p)) =>
+            require(op == WebSocketFrames.OpPong && new String(p, UTF_8) == "hb",
+              s"expected pong hb, got $op")
+          case None => ()
+        }
+        served.countDown()
+        // hold the socket open briefly so the client drains all heads
+        Thread.sleep(300)
+        WebSocketFrames.writeFrame(out, WebSocketFrames.OpClose, Array.empty)
+        s.close()
+      } catch { case _: Exception => () }
+      finally server.close()
+    }, "fake-eth-node")
+    thread.setDaemon(true)
+    thread.start()
+  }
+
+  test("subscription codec: construct -> parse identity, foreign frames ignored") {
+    assert(JsonRpc.parseSubscriptionId(JsonRpc.subscribeResponse(7L, "0xab")) ===
+      Some("0xab"))
+    assert(JsonRpc.parseNewHead(
+      JsonRpc.newHeadNotification("0xab", 12345L, "0xh")) === Some(12345L))
+    // responses, other methods, and garbage all parse to None, not throw
+    assert(JsonRpc.parseNewHead(JsonRpc.subscribeResponse(7L, "0xab")) === None)
+    assert(JsonRpc.parseNewHead("""{"method":"other","params":{}}""") === None)
+    assert(JsonRpc.parseNewHead("not json at all") === None)
+    assert(JsonRpc.subscribeRequest(1L, "newHeads").contains("eth_subscribe"))
+  }
+
+  test("client subscribes over RFC 6455, masks every frame, and folds heads monotonically") {
+    val node = new FakeNode(Seq(100L, 101L, 99L, 105L)) // 99 must not regress the head
+    val sub = new WsTransport.NewHeadsSubscriber("127.0.0.1", node.port, "/")
+    try {
+      // head() lazily connects; poll it first, then confirm the node's view
+      val deadline = System.nanoTime() + 10_000_000_000L
+      var h = sub.head()
+      while (h < 105L && System.nanoTime() < deadline) { Thread.sleep(20); h = sub.head() }
+      assert(h === 105L, "head must reach the highest pushed notification")
+      assert(node.served.await(10, java.util.concurrent.TimeUnit.SECONDS),
+        "fake node never finished serving")
+      assert(!node.sawUnmasked, "client frames must be masked (RFC 6455 5.3)")
+      assert(node.subscribeText.contains("eth_subscribe") &&
+        node.subscribeText.contains("newHeads"))
+    } finally sub.close()
+  }
+
+  test("handshake verifies the accept key and refuses a lying peer") {
+    val server = new ServerSocket(0)
+    val t = new Thread(() => {
+      try {
+        val s = server.accept()
+        val in = new BufferedInputStream(s.getInputStream)
+        def readLine(): String = {
+          val sb = new StringBuilder
+          var b = in.read()
+          while (b >= 0 && b != '\n') { if (b != '\r') sb.append(b.toChar); b = in.read() }
+          sb.toString
+        }
+        Iterator.continually(readLine()).takeWhile(_.nonEmpty).foreach(_ => ())
+        s.getOutputStream.write(("HTTP/1.1 101 Switching Protocols\r\n" +
+          "Upgrade: websocket\r\nConnection: Upgrade\r\n" +
+          "Sec-WebSocket-Accept: bm90IHRoZSByaWdodCBrZXk=\r\n\r\n").getBytes(UTF_8))
+        s.getOutputStream.flush()
+      } catch { case _: Exception => () }
+    })
+    t.setDaemon(true)
+    t.start()
+    try {
+      val e = intercept[IllegalArgumentException] {
+        new WsTransport.WsClient("127.0.0.1", server.getLocalPort, "/")
+      }
+      assert(e.getMessage.contains("Sec-WebSocket-Accept"))
+    } finally server.close()
+  }
+
+  test("the ws fetcher option wires subscription heads to the BlockFetcher seam") {
+    val node = new FakeNode(Seq(42L, 43L))
+    val fetcher = graft.streaming.BlockFetcher.forOption(
+      s"ws:ws://127.0.0.1:${node.port}/|http://127.0.0.1:1/unused", maxNumber = 0L)
+    try {
+      val deadline = System.nanoTime() + 5_000_000_000L
+      var h = fetcher.head()
+      while (h < 43L && System.nanoTime() < deadline) { Thread.sleep(20); h = fetcher.head() }
+      assert(h === 43L)
+      // serializable CONFIG: the case class round-trips through Java
+      // serialization (the live socket is shared per-JVM state, not a field)
+      val bos = new java.io.ByteArrayOutputStream()
+      new java.io.ObjectOutputStream(bos).writeObject(fetcher)
+      val back = new java.io.ObjectInputStream(
+        new java.io.ByteArrayInputStream(bos.toByteArray)).readObject()
+        .asInstanceOf[graft.streaming.BlockFetcher]
+      assert(back.head() === h, "deserialized fetcher shares the JVM subscription")
+    } finally WsTransport.resetSubscriber("127.0.0.1", node.port, "/")
+  }
+}
