@@ -41,7 +41,7 @@ object RangeJoin {
     * double rounding can mis-bin values past 2^53 — a raw-nanosecond
     * axis (~1.6e18) through `floor(x / y)` in doubles lands boundary
     * values in the adjacent bin. */
-  private[operators] def floorDiv(axis: Column, d: Long): Column = {
+  private[graft] def floorDiv(axis: Column, d: Long): Column = {
     val num = axis - pmod(axis, lit(d))
     (num.cast(DecimalType(38, 0)) / lit(d).cast(DecimalType(38, 0)))
       .cast("long")

@@ -143,6 +143,30 @@ object EvmQueries {
   private def q5(s: SparkSession, d: String): DataFrame =
     Relational.keyRangeScan(blocks(s), col("number"), 500L, 799L).select("number")
 
+  /** Q1/Q3 shapes answered FROM the clustered layout artifact
+    * ([[graft.sources.SortedLayout]]): blocks written once into
+    * `__kb = number div 256` partition dirs with key-sorted 64 KB row
+    * groups (the ArtifactStore lifecycle, staleness-keyed on the fixture
+    * file), lookups derive the bucket predicate from the layout sidecar —
+    * planning-time directory pruning plus min/max row-group pruning
+    * (SortedLayoutSpec pins both scan metrics at 10x volume). The oracle
+    * reads the ORIGINAL parquet, so a hash match proves the clustered
+    * rewrite is lossless — the parquet answer to the reference's B-tree
+    * point queries (query.go:92-100) once blocks number 10M+. */
+  private def layoutDir(s: SparkSession): String =
+    graft.sources.SortedLayout.ensure(s, s"$P/blocks.parquet", blocks(s),
+      "number", span = 256L, rowGroupBytes = 64L * 1024)
+
+  private val layoutCols = Seq("number", "hash", "time", "gasused", "miner")
+
+  private def layoutPoint(s: SparkSession, d: String): DataFrame =
+    graft.sources.SortedLayout.pointLookup(s, layoutDir(s), 2003L)
+      .select(layoutCols.map(col): _*)
+
+  private def layoutRange(s: SparkSession, d: String): DataFrame =
+    graft.sources.SortedLayout.rangeLookup(s, layoutDir(s), 1200L, 1500L)
+      .select(layoutCols.map(col): _*)
+
   /** Q6 `GetTransactionByHash` (query.go:194-202). */
   private def q6(s: SparkSession, d: String): DataFrame =
     Relational.pointLookup(txs(s), col("hash") === TX1201).select(txApi: _*)
@@ -641,6 +665,8 @@ object EvmQueries {
   // ===== registry ========================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_layout_point_lookup" -> (layoutPoint _),
+    "ev_layout_range_scan" -> (layoutRange _),
     "ev_q1_block_by_hash" -> (q1 _),
     "ev_q2_block_by_number" -> (q2 _),
     "ev_q3_blocks_by_number_range" -> (q3 _),
@@ -699,6 +725,10 @@ object EvmQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "ev_layout_point_lookup" ->
+      s"SELECT number, hash, time, gasused, miner FROM $blocksT WHERE number = 2003",
+    "ev_layout_range_scan" ->
+      s"SELECT number, hash, time, gasused, miner FROM $blocksT WHERE number BETWEEN 1200 AND 1500",
     "ev_q1_block_by_hash" ->
       s"SELECT ${blockApiSql()} FROM $blocksT WHERE hash = '$H1500'",
     "ev_q2_block_by_number" ->
