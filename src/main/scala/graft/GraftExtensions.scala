@@ -55,6 +55,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("image_pixels", "image_pixels(bytes) - struct(width, height, n_px, min_px, max_px, sum_px, sum_sq) of a decoded compressed image (PNG/JPEG/GIF/BMP), else NULL"),
       (args: Seq[Expression]) => graft.pipeline.PngCodec.ImagePixelsExpr(args(0))))
     ext.injectFunction((
+      FunctionIdentifier("gif_gen"),
+      info("gif_gen", "gif_gen(seed) - deterministic LZW-compressed grayscale GIF89a for seed (closed-form pixel pattern)"),
+      (args: Seq[Expression]) => graft.pipeline.GifCodec.GifGenExpr(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("gif_pixels"),
+      info("gif_pixels", "gif_pixels(bytes) - struct(width, height, n_px, min_px, max_px, sum_px, sum_sq) via the hand-written GIF LZW decoder, else NULL"),
+      (args: Seq[Expression]) => graft.pipeline.GifCodec.GifPixelsExpr(args(0))))
+    ext.injectFunction((
       FunctionIdentifier("ecrecover"),
       info("ecrecover", "ecrecover(sigHash, r, s, recId) - uncompressed secp256k1 pubkey, NULL if invalid"),
       (args: Seq[Expression]) => graft.functions.TxSender.EcRecover(args(0), args(1), args(2), args(3))))

@@ -19,7 +19,9 @@ import org.apache.spark.sql.functions._
   *     expansion) and IMA ADPCM (4:1 adaptive state machine) — same
   *     entry point, dispatched on the WAV format tag
   *   - image, COMPRESSED: PNG — zlib/DEFLATE scanlines decoded to
-  *     pixels through `javax.imageio` ([[PngCodec]])
+  *     pixels through `javax.imageio` ([[PngCodec]]) — and GIF89a,
+  *     decoded by a from-scratch variable-width LZW decoder
+  *     ([[GifCodec]], cross-checked against the JDK's GIF codec)
   *
   * The remaining STUB is transform-coded audio/video (AAC/MP3 samples,
   * H.264/VP9 pixels), which genuinely needs decoder libraries this

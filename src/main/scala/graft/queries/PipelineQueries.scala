@@ -975,6 +975,30 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** MM10: second real compressed image codec — GIF89a, with the
+    * hand-written half SWAPPED relative to MM9: `gif_gen` is a
+    * from-scratch LZW ENCODER (variable-width codes, clear/EOI,
+    * sub-block framing) and `gif_pixels` a from-scratch LZW DECODER
+    * (dictionary rebuild, KwKwK, width sync) — `javax.imageio` never
+    * touches this path at gate time; MultimodalSpec separately
+    * cross-checks the decoder against the JDK's own GIF codec. The
+    * oracle replays the closed-form pattern, so a defect in EITHER
+    * hand-written half breaks the gate. */
+  private def mm10(s: SparkSession, dir: String): DataFrame = {
+    val bytes = call_function("gif_gen", col("doc_id"))
+    val m = call_function("gif_pixels", bytes)
+    Tables.documents(s, dir).select(col("doc_id"), m.as("__m"))
+      .select(col("doc_id"),
+        col("__m").getField("width").cast("long").as("width"),
+        col("__m").getField("height").cast("long").as("height"),
+        col("__m").getField("n_px").as("n_px"),
+        col("__m").getField("min_px").as("min_px"),
+        col("__m").getField("max_px").as("max_px"),
+        col("__m").getField("sum_px").as("sum_px"),
+        col("__m").getField("sum_sq").as("sum_sq"))
+      .orderBy(col("doc_id"))
+  }
+
   // ===== registry ========================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1021,6 +1045,7 @@ object PipelineQueries {
     "p_mm7_g711_decode" -> (mm7 _),
     "p_mm8_adpcm_decode" -> (mm8 _),
     "p_mm9_png_pixels" -> (mm9 _),
+    "p_mm10_gif_pixels" -> (mm10 _),
   )
 
   // ---- DuckDB twins of the vector/fingerprint math ----------------------
@@ -1804,6 +1829,27 @@ object PipelineQueries {
           px AS (
             SELECT d.doc_id, d.w, d.h,
                    (d.doc_id * 31 + rx.n * 7 + ry.n * 13) % 256 AS v
+            FROM dims d, r rx, r ry
+            WHERE rx.n < d.w AND ry.n < d.h)
+          SELECT doc_id,
+                 CAST(max(w) AS BIGINT) AS width,
+                 CAST(max(h) AS BIGINT) AS height,
+                 CAST(count(*) AS BIGINT) AS n_px,
+                 CAST(min(v) AS BIGINT) AS min_px,
+                 CAST(max(v) AS BIGINT) AS max_px,
+                 CAST(sum(v) AS BIGINT) AS sum_px,
+                 CAST(sum(v * v) AS BIGINT) AS sum_sq
+          FROM px GROUP BY doc_id ORDER BY doc_id"""),
+    // the GIF gate's closed-form pattern — what the hand-written LZW
+    // encoder compresses and the hand-written LZW decoder folds back
+    "p_mm10_gif_pixels" ->
+      ("""WITH dims AS (
+            SELECT doc_id, doc_id % 14 + 5 AS w, (doc_id * 5) % 11 + 5 AS h
+            FROM documents),
+          r AS (SELECT unnest(range(0, 20)) AS n),
+          px AS (
+            SELECT d.doc_id, d.w, d.h,
+                   (d.doc_id * 17 + rx.n * 11 + ry.n * 29) % 256 AS v
             FROM dims d, r rx, r ry
             WHERE rx.n < d.w AND ry.n < d.h)
           SELECT doc_id,

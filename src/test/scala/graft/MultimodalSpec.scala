@@ -429,6 +429,72 @@ class MultimodalSpec extends SparkSpec {
     assert(corrupt.isEmpty || corrupt.get.sumPx != s.sumPx)
   }
 
+  test("GIF codec: hand-written LZW encode+decode match the pattern AND javax.imageio, 150 seeds") {
+    for (seed <- 0L until 150L) {
+      val bytes = pipeline.GifCodec.gifBytes(seed)
+      val w = (seed % 14 + 5).toInt
+      val h = (seed * 5 % 11 + 5).toInt
+      val mine = pipeline.GifCodec.decodePixels(bytes).get
+      val expected = for { y <- 0 until h; x <- 0 until w }
+        yield math.floorMod(seed * 17 + x * 11 + y * 29, 256)
+      assert((mine.width, mine.height, mine.nPx) === (w, h, w.toLong * h), s"seed $seed dims")
+      assert(mine.sumPx === expected.sum, s"seed $seed sum")
+      assert(mine.sumSq === expected.map(v => v * v).sum, s"seed $seed sumSq")
+      assert(mine.minPx === expected.min && mine.maxPx === expected.max, s"seed $seed extremes")
+      // the JDK's own GIF codec must read the hand-encoded bytes to the
+      // SAME indexed raster (identity gray palette: index == gray value),
+      // so neither hand-written half can hide a defect in the other
+      assert(pipeline.PngCodec.decodePixels(bytes).get === mine,
+        s"seed $seed: javax.imageio disagrees with the hand decoder")
+    }
+  }
+
+  test("GIF LZW: width bumps at 512/1024/2048 and the 4096 table reset, vs javax.imageio") {
+    // high-entropy 120x120: the dictionary grows ~1 entry/code, crossing
+    // every width bump and forcing the 4096 clear-reset several times —
+    // the corner cases the small pattern images never reach
+    val (w, h) = (120, 120)
+    val px = new Array[Byte](w * h)
+    var x = 0x12345678
+    for (i <- px.indices) { x = x * 1103515245 + 12345; px(i) = (x >>> 16).toByte }
+    val enc = pipeline.GifCodec.lzwEncode(px, 8)
+    val dec = pipeline.GifCodec.lzwDecode(enc, 8, px.length.toLong)
+    assert(dec != null && java.util.Arrays.equals(dec, px), "raw LZW round-trip")
+    val gif = pipeline.GifCodec.gifBytesOf(w, h, px)
+    val mine = pipeline.GifCodec.decodePixels(gif).get
+    val jdk = pipeline.PngCodec.decodePixels(gif).get
+    assert(mine === jdk, "javax.imageio disagrees past the width bumps / table reset")
+    assert(mine.nPx === w.toLong * h)
+    assert(mine.sumPx === px.map(b => (b & 0xFF).toLong).sum)
+  }
+
+  test("gif_pixels refuses garbage; corrupt LZW never folds to plausible stats") {
+    assert(pipeline.GifCodec.decodePixels("GIF89a but not an image".getBytes).isEmpty)
+    assert(pipeline.GifCodec.decodePixels("not an image at all....".getBytes).isEmpty)
+    assert(pipeline.GifCodec.decodePixels(Array.emptyByteArray).isEmpty)
+    val good = pipeline.GifCodec.gifBytes(9L)
+    assert(pipeline.GifCodec.decodePixels(good.take(30)).isEmpty, "truncated header")
+    assert(pipeline.GifCodec.decodePixels(good.dropRight(8)).isEmpty, "truncated stream")
+    val ok = pipeline.GifCodec.decodePixels(good).get
+    val flipped = good.clone()
+    flipped(good.length - 12) = (flipped(good.length - 12) ^ 0x55).toByte
+    val corrupt = pipeline.GifCodec.decodePixels(flipped)
+    assert(corrupt.isEmpty || corrupt.get != ok, "corrupt LZW decoded to the same fold")
+  }
+
+  test("gif_gen/gif_pixels run in-plan and match the local decoder") {
+    import org.apache.spark.sql.functions._
+    val rows = spark.range(24).select(col("id"),
+      call_function("gif_pixels", call_function("gif_gen", col("id"))).as("m"))
+      .select(col("id"), col("m.n_px"), col("m.sum_px"), col("m.sum_sq"))
+      .collect()
+    for (r <- rows) {
+      val s = pipeline.GifCodec.decodePixels(
+        pipeline.GifCodec.gifBytes(r.getLong(0))).get
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) === (s.nPx, s.sumPx, s.sumSq))
+    }
+  }
+
   test("wav_pcm expression decodes in-plan and stays inside codegen") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
