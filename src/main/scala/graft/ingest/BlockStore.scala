@@ -69,7 +69,7 @@ class BlockStore(spark: SparkSession, val root: String, bucketSize: Long = 1000L
     * table: a segment directory not listed here does not exist as far as
     * any reader is concerned. Pure read — never mutates the directory
     * (readers may sit on read-only storage; migration is writer work). */
-  private def listSegments(table: String): Seq[String] = {
+  private[graft] def listSegments(table: String): Seq[String] = {
     val m = Paths.get(manifestOf(table))
     if (Files.exists(m)) {
       import scala.jdk.CollectionConverters._
@@ -378,13 +378,32 @@ class BlockStore(spark: SparkSession, val root: String, bucketSize: Long = 1000L
     * superseded segment dirs are NOT deleted here: a concurrent reader
     * that resolved its file list before the swap may still be scanning
     * them — [[vacuumConfirmed]] removes them after a grace period. */
-  def compactConfirmed(table: String): Unit = {
+  /** Per-table clustering key for compacted files: the column(s) the
+    * point-lookup surface probes (Q1/Q2 blocks by number, Q6 txs by
+    * hash, Q11 events by (blockhash, index)). Sorting each compacted
+    * file by it makes parquet min/max row-group stats TIGHT, so a point
+    * lookup over the compacted tier skips every non-matching row group —
+    * the within-bucket half of the B-tree replacement (the bucket
+    * partition dirs are the other half). */
+  private def sortKeyOf(table: String): Seq[org.apache.spark.sql.Column] =
+    table match {
+      case "blocks" => Seq(col("number"))
+      case "transactions" => Seq(col("hash"))
+      case "events" => Seq(col("blockhash"), col("index"))
+    }
+
+  def compactConfirmed(table: String, rowGroupBytes: Long = 128L << 20): Unit = {
     val retired = listSegments(table)
     if (retired.length > 1) {
       val uuid = java.util.UUID.randomUUID().toString.replace("-", "")
       val stage = s"${tableDir(table)}/__seg_$uuid"
       confirmed(table)
+        // one task per bucket: each bucket dir gets ONE key-sorted file
+        // (not one per upstream partition), stats tight per row group
+        .repartition(col("bucket"))
+        .sortWithinPartitions(col("bucket") +: sortKeyOf(table): _*)
         .write.mode(SaveMode.Overwrite)
+        .option("parquet.block.size", rowGroupBytes.toString)
         .partitionBy("bucket")
         .parquet(stage)
       val seg = s"seg=$uuid"

@@ -224,6 +224,50 @@ class IngestSpec extends SparkSpec {
     assert(store.confirmed("transactions").count() === before.length)
   }
 
+  test("compaction clusters every bucket file by its lookup key") {
+    val store = new BlockStore(spark, tmpDir)
+    val job = new IngestJob(spark, store, confirmations = 0)
+    // two appends in REVERSE number order: the pre-compaction segments
+    // are deliberately unsorted, so any ordering below is compaction's
+    job.processBatch((20L to 39L).reverse.map(packed(_)).toDF(), batchId = 0)
+    job.processBatch((0L to 19L).reverse.map(packed(_)).toDF(), batchId = 1)
+    store.compactConfirmed("blocks", rowGroupBytes = 4 * 1024)
+    store.compactConfirmed("transactions")
+
+    def compactedFiles(table: String): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(
+          java.nio.file.Paths.get(s"${store.confirmedDir}/$table"))
+        .iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") &&
+          !p.getFileName.toString.startsWith("_"))
+        .map(_.toString).toSeq
+        // only the LIVE segment (the compacted one): retired segments
+        // keep their unsorted files until vacuum
+        .filter(_.contains(store.listSegments(table).head))
+    }
+    // within every compacted blocks file, numbers are ascending — the
+    // invariant that makes min/max row-group stats disjoint, so the
+    // point-lookup surface (Q1/Q2) skips non-matching groups
+    // (SortedLayoutSpec pins the resulting scan metrics at volume)
+    val blockFiles = compactedFiles("blocks")
+    assert(blockFiles.nonEmpty)
+    for (f <- blockFiles) {
+      val nums = spark.read.parquet(f).select("number")
+        .collect().map(_.getLong(0)).toSeq
+      assert(nums === nums.sorted, s"compacted file $f is not number-sorted")
+    }
+    // and transactions files are hash-sorted (Q6's probe key)
+    for (f <- compactedFiles("transactions")) {
+      val hs = spark.read.parquet(f).select("hash")
+        .collect().map(_.getString(0)).toSeq
+      assert(hs === hs.sorted, s"compacted file $f is not hash-sorted")
+    }
+    // compaction reorders storage, never rows: the tier round-trips
+    assert(store.confirmed("blocks").select("number").collect()
+      .map(_.getLong(0)).sorted.toSeq === (0L to 39L))
+  }
+
   test("pre-manifest layout migrates to seg=legacy0 instead of vanishing") {
     import java.nio.file.{Files => F, Paths => P}
     val store = new BlockStore(spark, tmpDir)
