@@ -368,4 +368,54 @@ object TextAnalysis {
           (acc, x) => acc + x.getField("__lp")) /
           col("n_tokens").cast(DoubleType)).as("avg_nll"))
   }
+
+  // ---- DSIR-style importance filtering ----------------------------------
+
+  /** Data Selection via Importance Resampling (Xie et al. 2023,
+    * arXiv:2302.03169) re-expressed with this module's exactly-replayable
+    * unigram machinery: train a TARGET model on the wanted domain and a
+    * BACKGROUND model on the general corpus, then keep candidates whose
+    * tokens are relatively more probable under the target.
+    *
+    * The paper weights candidates by log(p_target(x)/p_raw(x)) over
+    * hashed n-gram features and Gumbel-resamples; that float path is the
+    * [[unigramNll]]-difference (spec-pinned, ln being the primitive whose
+    * last ulp libms disagree on). The GATE decision here is the
+    * integer-exact cross-multiplied comparison of per-document average
+    * model frequency:
+    *
+    *   selected(x)  iff  t_sum(x) · C_bg  >  r_sum(x) · C_target
+    *
+    * where t_sum/r_sum are the sums of each model's counts over x's
+    * tokens and C is total model mass — i.e. compare the frequency-ratio
+    * estimates of p under the two unsmoothed models, OOV contributing 0
+    * to both sides. Monotone in the paper's ratio for unigram features,
+    * and replayable bit-for-bit by an external engine in 128-bit integer
+    * arithmetic. Products run in DECIMAL(38,0): two longs can overflow
+    * Long, and a silent wrap would flip selections.
+    *
+    * Scale: token rows join two vocabulary-sized models (AQE broadcasts
+    * small ones, an unboundedly large one degrades to a shuffle join,
+    * never an OOM); document bodies shuffle only once into the per-doc
+    * aggregate; both models are persisted artifacts in the gate
+    * lifecycle ([[PostingsIndex.ensureUnigramModel]]). */
+  def importanceStats(docs: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, background: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val toks = explodedTokens(docs, idCol, textCol)
+    val tgt = target.select(col("term"), col("c").as("__ct"))
+    val bg = background.select(col("term"), col("c").as("__cr"))
+    val masses =
+      tgt.agg(sum("__ct").as("__Ct")).crossJoin(bg.agg(sum("__cr").as("__Cr")))
+    toks.join(tgt, Seq("term"), "left")
+      .join(bg, Seq("term"), "left")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("__ct"), lit(0L))).as("t_sum"),
+        sum(coalesce(col("__cr"), lit(0L))).as("r_sum"))
+      .crossJoin(broadcast(masses))
+      .select(col("__id").as(idCol), col("n_tokens"), col("t_sum"), col("r_sum"),
+        (col("t_sum").cast(dec) * col("__Cr").cast(dec) >
+          col("r_sum").cast(dec) * col("__Ct").cast(dec)).cast("int").as("selected"))
+  }
 }

@@ -627,6 +627,26 @@ object PipelineQueries {
       .orderBy(col("keep_id"))
   }
 
+  /** C8: DSIR-style importance filter ([[TA.importanceStats]], Xie et
+    * al. 2023) — target model trained on the `doc_id%3==0` slice (the
+    * "wanted domain"), background on `%3==1`, candidates `%3==2`. Both
+    * models are PERSISTED artifacts (train once at ingest, filter many
+    * batches); the gate pins the integer-exact per-doc sums under both
+    * models and the 128-bit cross-multiplied selection bit. The float
+    * log-ratio weight the paper resamples by is the spec-pinned
+    * avg-NLL difference (TextAnalysisSpec). */
+  private def c8Dsir(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val tgt = PostingsIndex.ensureUnigramModel(s, dir,
+      docs.filter(pmod(col("doc_id"), lit(3)) === 0), "doc_id", "text", "mod3t")
+    val bg = PostingsIndex.ensureUnigramModel(s, dir,
+      docs.filter(pmod(col("doc_id"), lit(3)) === 1), "doc_id", "text", "mod3b")
+    TA.importanceStats(
+      docs.filter(pmod(col("doc_id"), lit(3)) === 2 && col("doc_id") < 600),
+      "doc_id", "text", tgt, bg)
+      .orderBy(col("doc_id"))
+  }
+
   // ===== multimodal ======================================================
 
   /** MM1: binary media columns through the real-first decode
@@ -1013,6 +1033,7 @@ object PipelineQueries {
     "p_t7_bm25_stats" -> (t7Bm25 _),
     "p_c6_mixture" -> (c6Mixture _),
     "p_c7_url_canonical" -> (c7UrlCanon _),
+    "p_c8_dsir_importance" -> (c8Dsir _),
     "p_s1_topk_cosine" -> (s1 _),
     "p_s2_nearest_neighbor" -> (s2 _),
     "p_s3_lsh_ann_topk" -> (s3 _),
@@ -1348,6 +1369,38 @@ object PipelineQueries {
           SELECT canonical_url, CAST(min(doc_id) AS BIGINT) AS keep_id,
                  CAST(count(*) AS BIGINT) AS n_variants
           FROM canon GROUP BY canonical_url ORDER BY keep_id"""),
+    // DSIR gate: both unigram models replayed from their slices, per-doc
+    // count sums under each, and the 128-bit cross-multiplied selection
+    "p_c8_dsir_importance" ->
+      ("""WITH tgt AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS c FROM (
+              SELECT unnest(string_split(text, ' ')) AS term
+              FROM documents WHERE doc_id % 3 = 0)
+            WHERE term <> '' GROUP BY term),
+          bg AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS c FROM (
+              SELECT unnest(string_split(text, ' ')) AS term
+              FROM documents WHERE doc_id % 3 = 1)
+            WHERE term <> '' GROUP BY term),
+          tok AS (
+            SELECT doc_id, term FROM (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents WHERE doc_id % 3 = 2 AND doc_id < 600)
+            WHERE term <> ''),
+          st AS (
+            SELECT doc_id,
+              CAST(count(*) AS BIGINT) AS n_tokens,
+              CAST(sum(coalesce(t.c, 0)) AS BIGINT) AS t_sum,
+              CAST(sum(coalesce(b.c, 0)) AS BIGINT) AS r_sum
+            FROM tok
+            LEFT JOIN tgt t USING (term)
+            LEFT JOIN bg b USING (term)
+            GROUP BY doc_id)
+          SELECT doc_id, n_tokens, t_sum, r_sum,
+            CAST(CASE WHEN CAST(t_sum AS HUGEINT) * (SELECT sum(c) FROM bg)
+                         > CAST(r_sum AS HUGEINT) * (SELECT sum(c) FROM tgt)
+                 THEN 1 ELSE 0 END AS INT) AS selected
+          FROM st ORDER BY doc_id"""),
     "p_s1_topk_cosine" ->
       ("""WITH q AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
           SELECT vec_id,

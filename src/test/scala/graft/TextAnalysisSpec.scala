@@ -152,4 +152,41 @@ class TextAnalysisSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
     assert(run(docs) === run(docs.repartition(7)))
   }
+
+  test("importanceStats selects target-leaning docs by the exact cross-multiplied rule") {
+    // target domain talks about "spark shuffle join"; background about
+    // "cats purr softly" — candidates lean clearly one way or the other
+    val target = Seq((1L, "spark shuffle join spark join"),
+      (2L, "shuffle spark partition join")).toDF("doc_id", "text")
+    val bg = Seq((1L, "cats purr softly cats nap"),
+      (2L, "purr nap cats softly purr")).toDF("doc_id", "text")
+    val cands = Seq(
+      (10L, "spark join shuffle"),        // target-leaning → selected
+      (11L, "cats purr nap"),             // background-leaning → not
+      (12L, "quantum flux"),              // all-OOV: 0·Cbg > 0·Ct false
+      (13L, "spark cats")                 // mixed: decided by exact sums
+    ).toDF("doc_id", "text")
+    val tm = TA.unigramModel(target, "text")
+    val bm = TA.unigramModel(bg, "text")
+    val got = TA.importanceStats(cands, "doc_id", "text", tm, bm)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getInt(4)))
+
+    // hand-replay: per-term target counts {spark 3, shuffle 2, join 3,
+    // partition 1} (Ct 9), background {cats 3, purr 3, softly 2, nap 2}
+    // (Cbg 10)
+    assert(got(0) === ((10L, 3L, 8L, 0L, 1)))  // 8·10 > 0·9
+    assert(got(1) === ((11L, 3L, 0L, 8L, 0)))  // 0·10 > 8·9 is false
+    assert(got(2) === ((12L, 2L, 0L, 0L, 0)))  // OOV everywhere: kept out
+    assert(got(3) === ((13L, 2L, 3L, 3L, 1)))  // 3·10 > 3·9
+    // the selection bit agrees in sign with the float log-ratio weight
+    // (avg-NLL under background minus under target) on the clear-cut docs
+    val nllT = TA.unigramNll(cands.filter($"doc_id" < 12), "doc_id", "text", tm)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val nllB = TA.unigramNll(cands.filter($"doc_id" < 12), "doc_id", "text", bm)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(nllB(10L) - nllT(10L) > 0, "target-leaning doc must have positive log-ratio")
+    assert(nllB(11L) - nllT(11L) < 0, "background-leaning doc must have negative log-ratio")
+  }
 }
