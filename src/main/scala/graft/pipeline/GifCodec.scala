@@ -53,8 +53,22 @@ object GifCodec {
 
   /** A complete grayscale GIF89a around an arbitrary index buffer —
     * split out so specs can wrap buffers large enough to cross every
-    * LZW width bump and the 4096 table reset. */
-  private[graft] def gifBytesOf(w: Int, h: Int, px: Array[Byte]): Array[Byte] = {
+    * LZW width bump and the 4096 table reset, and write INTERLACED
+    * streams (rows permuted into the 8/8/4/2 pass order, flag set). */
+  private[graft] def gifBytesOf(w: Int, h: Int, pxIn: Array[Byte],
+      interlaced: Boolean = false): Array[Byte] = {
+    val px =
+      if (!interlaced) pxIn
+      else { // stream row i carries actual row order(i)
+        val order = interlaceRows(h)
+        val permuted = new Array[Byte](pxIn.length)
+        var i = 0
+        while (i < h) {
+          System.arraycopy(pxIn, order(i) * w, permuted, i * w, w)
+          i += 1
+        }
+        permuted
+      }
     val out = new java.io.ByteArrayOutputStream()
     out.write("GIF89a".getBytes("US-ASCII"))
     def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
@@ -66,7 +80,7 @@ object GifCodec {
     while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
     out.write(0x2C) // image descriptor
     le16(0); le16(0); le16(w); le16(h)
-    out.write(0)    // no local table, not interlaced
+    out.write(if (interlaced) 0x40 else 0) // no local table
     out.write(8)    // LZW minimum code size
     val lzw = lzwEncode(px, minCodeSize = 8)
     var off = 0
@@ -139,10 +153,23 @@ object GifCodec {
     out.toByteArray
   }
 
-  /** Hand-written GIF decode to band-0 (= palette index = gray value)
-    * statistics. None on anything that is not a well-formed,
-    * non-interlaced GIF87a/89a. */
-  def decodePixels(bytes: Array[Byte]): Option[PngCodec.PixStats] = {
+  /** The GIF89a §appendix-E interlace row order: pass 1 every 8th row
+    * from 0, pass 2 every 8th from 4, pass 3 every 4th from 2, pass 4
+    * every 2nd from 1. Returns stream position → actual row. */
+  private[graft] def interlaceRows(h: Int): Array[Int] = {
+    val order = new Array[Int](h)
+    var i = 0
+    for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2)); r <- start until h by step) {
+      order(i) = r
+      i += 1
+    }
+    order
+  }
+
+  /** Hand-written GIF decode to the raw index buffer in ROW-MAJOR order
+    * (interlaced streams are de-permuted). None on anything that is not
+    * a well-formed GIF87a/89a. */
+  private[graft] def decodeIndices(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     if (bytes == null || bytes.length < 13) return None
     val sig = new String(bytes, 0, 6, "US-ASCII")
     if (sig != "GIF89a" && sig != "GIF87a") return None
@@ -166,7 +193,7 @@ object GifCodec {
       val w = le16()
       val h = le16()
       val ipacked = u8()
-      if ((ipacked & 0x40) != 0) return None // interlaced: out of scope
+      val interlaced = (ipacked & 0x40) != 0
       if ((ipacked & 0x80) != 0) p += 3 * (1 << ((ipacked & 7) + 1)) // LCT
       val minCodeSize = u8()
       if (minCodeSize < 2 || minCodeSize > 8) return None
@@ -180,6 +207,26 @@ object GifCodec {
       }
       val px = lzwDecode(data.toByteArray, minCodeSize, w.toLong * h)
       if (px == null) return None
+      if (!interlaced) Some((w, h, px))
+      else { // stream row i is actual row order(i)
+        val order = interlaceRows(h)
+        val out = new Array[Byte](px.length)
+        var i = 0
+        while (i < h) {
+          System.arraycopy(px, i * w, out, order(i) * w, w)
+          i += 1
+        }
+        Some((w, h, out))
+      }
+    } catch { // truncated container: any read past the buffer is a refusal
+      case _: IndexOutOfBoundsException | _: NegativeArraySizeException => None
+    }
+  }
+
+  /** [[decodeIndices]] folded to band-0 (= palette index = gray value)
+    * statistics. */
+  def decodePixels(bytes: Array[Byte]): Option[PngCodec.PixStats] =
+    decodeIndices(bytes).map { case (w, h, px) =>
       var mn = Long.MaxValue
       var mx = Long.MinValue
       var sum = 0L
@@ -194,11 +241,8 @@ object GifCodec {
         i += 1
       }
       if (px.length == 0) { mn = 0L; mx = 0L }
-      Some(PngCodec.PixStats(w, h, px.length.toLong, mn, mx, sum, sumSq))
-    } catch { // truncated container: any read past the buffer is a refusal
-      case _: IndexOutOfBoundsException | _: NegativeArraySizeException => None
+      PngCodec.PixStats(w, h, px.length.toLong, mn, mx, sum, sumSq)
     }
-  }
 
   /** GIF-flavor LZW decompress of exactly `expected` pixels: variable
     * width LSB-first codes, dictionary rebuilt from the stream (entry =

@@ -468,6 +468,26 @@ class MultimodalSpec extends SparkSpec {
     assert(mine.sumPx === px.map(b => (b & 0xFF).toLong).sum)
   }
 
+  test("GIF interlace: 8/8/4/2 pass order de-permutes to the exact raster, vs javax.imageio") {
+    // hand-check the pass order itself on a 10-row image
+    assert(pipeline.GifCodec.interlaceRows(10).toSeq ===
+      Seq(0, 8, 4, 2, 6, 1, 3, 5, 7, 9))
+    val (w, h) = (23, 19)
+    val px = new Array[Byte](w * h)
+    for (i <- px.indices) px(i) = ((i * 37 + 11) % 256).toByte
+    val gif = pipeline.GifCodec.gifBytesOf(w, h, px, interlaced = true)
+    val (dw, dh, mine) = pipeline.GifCodec.decodeIndices(gif).get
+    assert((dw, dh) === (w, h))
+    // POSITION-exact: pixel statistics are permutation-blind, so an
+    // interlace bug is invisible to the stats fold — compare the raster
+    assert(java.util.Arrays.equals(mine, px), "deinterlaced buffer mismatch")
+    // and the JDK's decoder agrees sample-for-sample on the same bytes
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gif))
+    for (y <- 0 until h; x <- 0 until w)
+      assert(img.getRaster.getSample(x, y, 0) === (px(y * w + x) & 0xFF),
+        s"pixel ($x,$y)")
+  }
+
   test("gif_pixels refuses garbage; corrupt LZW never folds to plausible stats") {
     assert(pipeline.GifCodec.decodePixels("GIF89a but not an image".getBytes).isEmpty)
     assert(pipeline.GifCodec.decodePixels("not an image at all....".getBytes).isEmpty)
