@@ -390,6 +390,7 @@ class BlockStore(spark: SparkSession, val root: String, bucketSize: Long = 1000L
       case "blocks" => Seq(col("number"))
       case "transactions" => Seq(col("hash"))
       case "events" => Seq(col("blockhash"), col("index"))
+      case _ => Seq.empty // unknown table: compact unclustered, never throw
     }
 
   def compactConfirmed(table: String, rowGroupBytes: Long = 128L << 20): Unit = {

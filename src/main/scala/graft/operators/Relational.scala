@@ -113,7 +113,11 @@ object Relational {
     * row, which (unlike `monotonically_increasing_id`) survives task
     * retries and AQE re-planning with an identical plan: any fully
     * duplicate rows share a salt, which only concentrates skew in the
-    * degenerate all-rows-identical case. */
+    * degenerate all-rows-identical case.
+    *
+    * Output shape matches the plain `fact.join(dim, factKey === dimKey)`:
+    * both key columns are present (the dim's under its own name). Like
+    * the underlying join, non-key column names must be disjoint. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
       dimKey: String, salts: Int): DataFrame = {
     val d =
@@ -123,7 +127,9 @@ object Relational {
           s"dim already has a column named $factKey; rename it first")
         dim.withColumnRenamed(dimKey, factKey)
       }
-    SkewJoin.saltedJoin(fact, d, Seq(factKey),
+    val joined = SkewJoin.saltedJoin(fact, d, Seq(factKey),
       xxhash64(fact.columns.map(col).toIndexedSeq: _*), salts)
+    if (dimKey == factKey) joined
+    else joined.withColumn(dimKey, col(factKey))
   }
 }

@@ -118,17 +118,27 @@ object ArtifactStore {
         // terminated, the dir predates the marker — accept the newest
         // as-is (legacy format).
         val maxVer = gens.head.stripPrefix(ManifestPrefix).toLong
-        val contents = gens.map { n =>
-          Files.readAllLines(Paths.get(s"$dir/$n")).asScala.toSeq
+        // read LAZILY, newest first — the common case touches one file,
+        // and a stale generation a concurrent sweep deletes mid-scan is
+        // simply skipped (it was superseded) instead of failing the read
+        def readGen(n: String): Option[Seq[String]] =
+          try Some(Files.readAllLines(Paths.get(s"$dir/$n")).asScala.toSeq)
+          catch { case _: java.nio.file.NoSuchFileException => None }
+        readGen(gens.head) match {
+          case None => () // the NEWEST vanished under us: re-list
+          case Some(newest) if newest.lastOption.contains(ManifestEnd) =>
+            return (maxVer, newest.dropRight(1).filter(_.nonEmpty))
+          case Some(newest) =>
+            gens.tail.iterator.flatMap(readGen(_))
+              .find(_.lastOption.contains(ManifestEnd)) match {
+              case Some(term) =>
+                if (attempt >= 5)
+                  return (maxVer, term.dropRight(1).filter(_.nonEmpty))
+                else Thread.sleep(10L * attempt)
+              case None => // pre-marker legacy dir: newest as-is
+                return (maxVer, newest.filter(_.nonEmpty))
+            }
         }
-        val termIdx = contents.indexWhere(_.lastOption.contains(ManifestEnd))
-        if (termIdx == 0)
-          return (maxVer, contents.head.dropRight(1).filter(_.nonEmpty))
-        else if (termIdx < 0)
-          return (maxVer, contents.head.filter(_.nonEmpty))
-        else if (attempt >= 5)
-          return (maxVer, contents(termIdx).dropRight(1).filter(_.nonEmpty))
-        else Thread.sleep(10L * attempt)
       } catch {
         // the generation we resolved was swept under us — re-list
         case _: java.nio.file.NoSuchFileException => ()
@@ -158,11 +168,17 @@ object ArtifactStore {
       catch {
         case _: java.nio.file.FileAlreadyExistsException => false
         case _: UnsupportedOperationException =>
-          // no hard links (e.g. FAT): degrade to create-exclusive copy —
-          // still refuses an existing generation, with a narrower
-          // torn-content window this filesystem class cannot avoid
+          // no hard links (e.g. FAT): degrade to same-dir RENAME of the
+          // fully-synced tmp — atomic where supported, so a reader can
+          // never observe torn content (a copy could be observed
+          // half-written); an existing generation still refuses the claim
           try {
-            Files.copy(tmp, target)
+            try Files.move(tmp, target,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            catch {
+              case _: java.nio.file.AtomicMoveNotSupportedException =>
+                Files.move(tmp, target)
+            }
             true
           } catch { case _: java.nio.file.FileAlreadyExistsException => false }
       }

@@ -415,7 +415,11 @@ object TextAnalysis {
         sum(coalesce(col("__cr"), lit(0L))).as("r_sum"))
       .crossJoin(broadcast(masses))
       .select(col("__id").as(idCol), col("n_tokens"), col("t_sum"), col("r_sum"),
-        (col("t_sum").cast(dec) * col("__Cr").cast(dec) >
-          col("r_sum").cast(dec) * col("__Ct").cast(dec)).cast("int").as("selected"))
+        // an EMPTY model makes its mass NULL and the comparison NULL —
+        // coalesce to false so `selected` is always 0/1 (the oracle's
+        // CASE maps the NULL comparison to 0 the same way)
+        coalesce(col("t_sum").cast(dec) * col("__Cr").cast(dec) >
+          col("r_sum").cast(dec) * col("__Ct").cast(dec), lit(false))
+          .cast("int").as("selected"))
   }
 }

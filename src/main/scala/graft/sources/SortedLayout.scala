@@ -63,7 +63,9 @@ object SortedLayout {
       artifactRootOverride: Option[String] = None): String = {
     val root = artifactRootOverride.getOrElse(artifactRoot(spark))
     val name = new Path(sourceFile).getName.stripSuffix(".parquet")
-    val k = s"${name}_layout_v${FormatVersion}_${key}_s$span"
+    // rowGroupBytes is part of the key: it shapes the artifact's pruning
+    // granularity, so two callers disagreeing on it must not share one
+    val k = s"${name}_layout_v${FormatVersion}_${key}_s${span}_g$rowGroupBytes"
     graft.pipeline.ArtifactStore.ensure(spark, sourceFile, root, k) { tmp =>
       write(df, tmp, key, span, rowGroupBytes)
     }

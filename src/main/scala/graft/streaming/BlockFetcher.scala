@@ -48,6 +48,9 @@ object BlockFetcher {
         case Array(wsUri, httpUri) =>
           val u = java.net.URI.create(wsUri)
           require(u.getScheme == "ws", s"unsupported scheme ${u.getScheme} (wss needs TLS config)")
+          // fail the CONFIG loudly: a missing port would otherwise surface
+          // as a swallowed connect error indistinguishable from "no heads"
+          require(u.getPort > 0, s"ws fetcher URI needs an explicit port: $wsUri")
           WsTransport.WsSubscribingFetcher(u.getHost, u.getPort,
             if (u.getPath == null || u.getPath.isEmpty) "/" else u.getPath,
             HttpTransport(httpUri))

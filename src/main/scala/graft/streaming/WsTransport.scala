@@ -29,9 +29,16 @@ import graft.schema.Model.PackedBlock
 object WsTransport {
 
   /** A connected, handshaken websocket client. Not thread-safe for
-    * concurrent sends; the subscriber below serializes its use. */
-  final class WsClient(host: String, port: Int, path: String) {
-    private val socket = new Socket(host, port)
+    * concurrent sends; the subscriber below serializes its use.
+    * `connectTimeoutMs` bounds BOTH the TCP connect and each handshake
+    * read (a black-holed endpoint — firewall drop, half-open accept —
+    * must fail the constructor, never park it); once upgraded, stream
+    * reads block indefinitely (heads arrive sporadically by design). */
+  final class WsClient(host: String, port: Int, path: String,
+      connectTimeoutMs: Int = 10000) {
+    private val socket = new Socket()
+    socket.connect(new java.net.InetSocketAddress(host, port), connectTimeoutMs)
+    socket.setSoTimeout(connectTimeoutMs) // bounds the handshake reads
     private val in = new BufferedInputStream(socket.getInputStream)
     private val out = socket.getOutputStream
     private val rng = new java.security.SecureRandom()
@@ -59,6 +66,7 @@ object WsTransport {
       // failing here is the spec's mandated client behavior
       require(accept.contains(WebSocketFrames.acceptKey(key)),
         s"bad Sec-WebSocket-Accept: $accept")
+      socket.setSoTimeout(0) // handshake done: stream reads block freely
     }
 
     private def readLine(): String = {
@@ -101,27 +109,35 @@ object WsTransport {
   }
 
   /** A `newHeads` subscription feeding a monotone head counter from a
-    * daemon reader thread. `head()` is non-blocking and never goes
-    * backwards; a dropped connection freezes the head at its last value
-    * (the fetcher's hole semantics — the syncer keeps draining the
-    * backlog and the next [[connectOnce]] caller can resubscribe). */
-  final class NewHeadsSubscriber(host: String, port: Int, path: String) {
+    * daemon reader thread. `head()` serves the last-known value and never
+    * goes backwards; a FAILED or DROPPED connection retries on a later
+    * `head()` call once `retryCooldownMs` has elapsed (the reader thread
+    * clears `client` when the socket dies), each attempt bounded by the
+    * WsClient connect/handshake timeout — so a black-holed endpoint can
+    * stall one poll for ~2x the timeout, never deadlock every caller,
+    * and a node restart re-subscribes without operator action. Between
+    * attempts the fetcher's hole semantics hold: the syncer keeps
+    * draining the backlog against the frozen head. */
+  final class NewHeadsSubscriber(host: String, port: Int, path: String,
+      connectTimeoutMs: Int = 10000, retryCooldownMs: Long = 5000L) {
     private val last = new AtomicLong(-1L)
     @volatile private var client: WsClient = null
-    @volatile private var started = false
+    private var lastAttemptNanos = 0L // guarded by this
 
-    def head(): Long = { ensureStarted(); last.get() }
+    def head(): Long = { ensureConnected(); last.get() }
 
-    private def ensureStarted(): Unit = synchronized {
-      if (!started) {
-        started = true
+    private def ensureConnected(): Unit = synchronized {
+      val now = System.nanoTime()
+      if (client == null && (lastAttemptNanos == 0L ||
+          now - lastAttemptNanos >= retryCooldownMs * 1000000L)) {
+        lastAttemptNanos = now
         connectOnce()
       }
     }
 
     private def connectOnce(): Unit =
       try {
-        val c = new WsClient(host, port, path)
+        val c = new WsClient(host, port, path, connectTimeoutMs)
         c.sendText(JsonRpc.subscribeRequest(1L, "newHeads"))
         // the subscribe result frame arrives before notifications (the
         // node assigns the id first); tolerate either order anyway
@@ -134,6 +150,10 @@ object WsTransport {
                 .foreach(n => last.updateAndGet(p => math.max(p, n)))
           }
           c.close()
+          // connection died: clear so a later head() can resubscribe
+          NewHeadsSubscriber.this.synchronized {
+            if (client eq c) client = null
+          }
         }, s"ws-newheads-$host:$port")
         t.setDaemon(true)
         t.start()

@@ -488,6 +488,31 @@ class MultimodalSpec extends SparkSpec {
         s"pixel ($x,$y)")
   }
 
+  test("GIF sub-rectangle frame: decoder reports FRAME dims, agreeing with javax.imageio") {
+    // real-world optimized GIFs place a frame smaller than the logical
+    // screen at a nonzero offset. javax.imageio decodes the FRAME (not a
+    // screen canvas) — probed empirically — and this decoder must agree,
+    // or gif_pixels and image_pixels would diverge on the same bytes.
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    le16(10); le16(10) // logical screen 10x10
+    out.write(0xF7); out.write(0); out.write(0)
+    for (i <- 0 until 256) { out.write(i); out.write(i); out.write(i) }
+    out.write(0x2C)
+    le16(2); le16(1)   // frame offset (2,1)
+    le16(4); le16(3)   // frame 4x3
+    out.write(0); out.write(8)
+    val px = Array.tabulate[Byte](12)(i => (50 + i).toByte)
+    val z = pipeline.GifCodec.lzwEncode(px, 8)
+    out.write(z.length); out.write(z, 0, z.length); out.write(0); out.write(0x3B)
+    val gif = out.toByteArray
+    val mine = pipeline.GifCodec.decodePixels(gif).get
+    val jdk = pipeline.PngCodec.decodePixels(gif).get
+    assert((mine.width, mine.height, mine.nPx) === (4, 3, 12L))
+    assert(mine === jdk, "frame-vs-canvas divergence from javax.imageio")
+  }
+
   test("gif_pixels refuses garbage; corrupt LZW never folds to plausible stats") {
     assert(pipeline.GifCodec.decodePixels("GIF89a but not an image".getBytes).isEmpty)
     assert(pipeline.GifCodec.decodePixels("not an image at all....".getBytes).isEmpty)

@@ -59,6 +59,10 @@ class RelationalSpec extends SparkSpec {
       .select("fk", "payload", "name").collect().map(_.toString).sorted
     assert(salted === plain)
     assert(salted.length === 1000)
+    // plain-join shape contract: the dim's key column stays addressable
+    val withDk = Relational.saltedJoin(fact, dim, "fk", "dk", salts = 8)
+      .select("dk").distinct().collect().map(_.getLong(0)).sorted
+    assert(withDk === Array(0L, 1L, 2L, 3L, 4L, 7L))
     // the dim side really replicates: 6 keys × 8 salts rows on the build side
     val replicated = dim.withColumn("__salt",
       explode(array((0 until 8).map(s => lit(s.toLong)): _*)))

@@ -21,8 +21,8 @@ class WsTransportSpec extends AnyFunSuite {
   /** A one-connection fake Ethereum node: upgrades, answers
     * eth_subscribe, pushes the given heads, pings once, then closes.
     * Records whether every client frame arrived masked. */
-  private final class FakeNode(heads: Seq[Long]) {
-    val server = new ServerSocket(0)
+  private final class FakeNode(heads: Seq[Long], bindPort: Int = 0) {
+    val server = new ServerSocket(bindPort)
     def port: Int = server.getLocalPort
     @volatile var sawUnmasked = false
     @volatile var subscribeText: String = null
@@ -138,6 +138,41 @@ class WsTransportSpec extends AnyFunSuite {
       }
       assert(e.getMessage.contains("Sec-WebSocket-Accept"))
     } finally server.close()
+  }
+
+  test("subscriber retries a failed connection and resubscribes after a drop") {
+    // reserve a port and leave it CLOSED: the first attempt is refused,
+    // swallowed (head stays -1), and must NOT freeze the subscriber
+    val probe = new ServerSocket(0)
+    val port = probe.getLocalPort
+    probe.close()
+    val sub = new WsTransport.NewHeadsSubscriber("127.0.0.1", port, "/",
+      connectTimeoutMs = 1000, retryCooldownMs = 50L)
+    try {
+      assert(sub.head() === -1L, "no node yet: head must be the hole value")
+      // a node appears on the SAME port: a later head() call past the
+      // cooldown reconnects and folds its notifications
+      val node1 = new FakeNode(Seq(42L), bindPort = port)
+      var h = poll(sub, target = 42L)
+      assert(h === 42L, s"head $h: subscriber never recovered from the refused connect")
+      // node1 served and CLOSED the socket; the reader thread clears the
+      // client, so when a restarted node appears the subscriber
+      // resubscribes — a node restart needs no operator action
+      assert(node1.served.await(10, java.util.concurrent.TimeUnit.SECONDS))
+      val d2 = System.nanoTime() + 10_000_000_000L
+      while (!node1.server.isClosed && System.nanoTime() < d2) Thread.sleep(20)
+      val node2 = new FakeNode(Seq(77L), bindPort = port)
+      h = poll(sub, target = 77L)
+      assert(h === 77L, s"head $h: subscriber never resubscribed after the drop")
+      assert(node2.subscribeText != null, "no second eth_subscribe issued")
+    } finally sub.close()
+  }
+
+  private def poll(sub: WsTransport.NewHeadsSubscriber, target: Long): Long = {
+    val deadline = System.nanoTime() + 10_000_000_000L
+    var h = sub.head()
+    while (h < target && System.nanoTime() < deadline) { Thread.sleep(20); h = sub.head() }
+    h
   }
 
   test("the ws fetcher option wires subscription heads to the BlockFetcher seam") {
