@@ -627,6 +627,60 @@ object PipelineQueries {
       .orderBy(col("keep_id"))
   }
 
+  /** T8: BPE vocabulary training ([[graft.pipeline.Bpe]], Sennrich et
+    * al. 2016) — learn 8 merges over the lowercased a-z tokenization of
+    * the first 300 documents. The gate pins the ENTIRE training
+    * trajectory: each round's chosen pair and its frequency-weighted
+    * count, under the module's deterministic tie-break and two-pass
+    * literal-replace convention, which the oracle replays round by round
+    * in chained CTEs (an 8-round unrolled SQL twin — generated, like the
+    * training loop itself, from the round count). */
+  private def t8Bpe(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Bpe.trainDF(s,
+      Tables.documents(s, dir).filter(col("doc_id") < 300), "text", rounds = 8)
+      .select(col("round"), col("left").as("merge_l"),
+        col("right").as("merge_r"), col("cnt"))
+      .orderBy(col("round"))
+
+  /** The DuckDB twin of [[graft.pipeline.Bpe.train]], unrolled: w0 is
+    * the seeded word frame, each round i gets pair-count (p), argmax
+    * (m), and rewrite (w) CTEs, and the result unions the argmax rows.
+    * Tokens never contain spaces, so `l || ' ' || r` is an injective
+    * tie-break key and the pair string splits back unambiguously. */
+  private def bpeOracleSql(rounds: Int, docFilter: String): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH w0 AS (
+            SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') || '</w> ' AS symbols,
+                   CAST(count(*) AS BIGINT) AS freq
+            FROM (
+              SELECT unnest(string_split(
+                regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' ')) AS word
+              FROM documents WHERE $docFilter)
+            WHERE word <> '' GROUP BY 1)"""
+    for (i <- 1 to rounds) {
+      sb ++= s""",
+          p$i AS (
+            SELECT string_split(pair, ' ')[1] AS l, string_split(pair, ' ')[2] AS r,
+                   CAST(sum(freq) AS BIGINT) AS cnt
+            FROM (SELECT freq,
+                    unnest([a[k] || ' ' || a[k+1] for k in range(1, len(a))]) AS pair
+                  FROM (SELECT freq, string_split(trim(symbols), ' ') AS a FROM w${i - 1}))
+            GROUP BY 1, 2),
+          m$i AS (SELECT $i AS round, l, r, cnt FROM p$i
+                  ORDER BY cnt DESC, (l || ' ' || r) ASC LIMIT 1),
+          w$i AS (SELECT w.freq,
+                    replace(replace(w.symbols,
+                        ' ' || m.l || ' ' || m.r || ' ', ' ' || m.l || m.r || ' '),
+                      ' ' || m.l || ' ' || m.r || ' ', ' ' || m.l || m.r || ' ') AS symbols
+                  FROM w${i - 1} w, m$i m)"""
+    }
+    sb ++= s"""
+          SELECT round, l AS merge_l, r AS merge_r, cnt
+          FROM (${(1 to rounds).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")})
+          ORDER BY round"""
+    sb.result()
+  }
+
   /** C8: DSIR-style importance filter ([[TA.importanceStats]], Xie et
     * al. 2023) — target model trained on the `doc_id%3==0` slice (the
     * "wanted domain"), background on `%3==1`, candidates `%3==2`. Both
@@ -1034,6 +1088,7 @@ object PipelineQueries {
     "p_c6_mixture" -> (c6Mixture _),
     "p_c7_url_canonical" -> (c7UrlCanon _),
     "p_c8_dsir_importance" -> (c8Dsir _),
+    "p_t8_bpe_merges" -> (t8Bpe _),
     "p_s1_topk_cosine" -> (s1 _),
     "p_s2_nearest_neighbor" -> (s2 _),
     "p_s3_lsh_ann_topk" -> (s3 _),
@@ -1369,6 +1424,7 @@ object PipelineQueries {
           SELECT canonical_url, CAST(min(doc_id) AS BIGINT) AS keep_id,
                  CAST(count(*) AS BIGINT) AS n_variants
           FROM canon GROUP BY canonical_url ORDER BY keep_id"""),
+    "p_t8_bpe_merges" -> bpeOracleSql(rounds = 8, docFilter = "doc_id < 300"),
     // DSIR gate: both unigram models replayed from their slices, per-doc
     // count sums under each, and the 128-bit cross-multiplied selection
     "p_c8_dsir_importance" ->
