@@ -142,6 +142,116 @@ object Dedup {
           array_sort(collect_list(struct(col(lineNoCol), col(lineCol)))),
           x => x.getField(lineCol)), sep).as("text"))
 
+  // ---- exact substring dedup (ExactSubstr) ------------------------------
+
+  /** Positioned window-fingerprint rows `(__id, __start, __fp)`: the md5
+    * of every w-token window, with its 1-based token start. Unlike the
+    * winnowing sketch ([[graft.pipeline.TextAnalysis.rollingFingerprintRows]])
+    * this keeps positions and multiplicity — which is what lets the
+    * caller CUT the duplicated span, not merely detect overlap. The
+    * split is staged once per row; the per-window md5 shuffles 16 bytes,
+    * never the window text. Cf. reference semantics for content-addressed
+    * dedup; the algorithm is the ExactSubstr recipe of Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better"). */
+  def windowFingerprintRows(df: DataFrame, idCol: String, textCol: String,
+      window: Int): DataFrame =
+    df.select(col(idCol).as("__id"), split(col(textCol), " ").as("__w"))
+      .filter(size(col("__w")) >= window)
+      .select(col("__id"),
+        posexplode(transform(
+          sequence(lit(1), size(col("__w")) - (window - 1)),
+          i => md5(array_join(slice(col("__w"), i, lit(window)), " "))))
+          .as(Seq("__p", "__fp")))
+      .select(col("__id"), (col("__p") + 1).cast(LongType).as("__start"),
+        col("__fp"))
+
+  /** Removable window sites `(__id, __start)`: for every fingerprint with
+    * ≥ 2 sites corpus-wide, every site EXCEPT the globally-first one
+    * (minimum (doc, start), lexicographic) — the kept occurrence. One
+    * hash-shuffle on the fingerprint with map-side partial aggregation
+    * (a degenerate window repeated millions of times collapses to one
+    * (count, min) pair per map task — a per-fp ranking window could
+    * not), then a shuffle join of the narrow site rows back to the
+    * surviving keys. */
+  def removableWindowSites(fps: DataFrame): DataFrame = {
+    val dups = fps.groupBy(col("__fp"))
+      .agg(count(lit(1)).as("__n"),
+        min(struct(col("__id"), col("__start"))).as("__keep"))
+      .filter(col("__n") >= 2)
+      .select(col("__fp"), col("__keep.__id").as("__kid"),
+        col("__keep.__start").as("__kstart"))
+    fps.join(dups, "__fp")
+      .filter(!(col("__id") === col("__kid") && col("__start") === col("__kstart")))
+      .select(col("__id"), col("__start"))
+  }
+
+  /** Merge per-document intervals `(__id, __s, __e)` that overlap or
+    * touch into maximal spans (gaps-and-islands): running max-end over a
+    * per-document window keyed by the unique start — a new island opens
+    * when a start clears the previous maximum end by more than 1. */
+  def mergeSpans(spans: DataFrame, idCol: String = "__id"): DataFrame = {
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__s"))
+    val pmax = max(col("__e"))
+      .over(byDoc.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
+    spans
+      .withColumn("__nw",
+        when(col("__s") > coalesce(pmax, col("__s") - 2) + 1, 1L).otherwise(0L))
+      .withColumn("__isl", sum(col("__nw")).over(
+        byDoc.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min(col("__s")).as("span_start"), max(col("__e")).as("span_end"))
+      .drop("__isl")
+  }
+
+  /** Maximal removable spans per document from a positioned fingerprint
+    * frame (the persisted [[DedupIndex.ensureSubstrWindows]] sketch at
+    * scale): duplicate sites widened to their w-token extent, then
+    * island-merged. Returns `(__id, span_start, span_end)`. */
+  def substringDupSpansFromFingerprints(fps: DataFrame, window: Int): DataFrame =
+    mergeSpans(removableWindowSites(fps)
+      .select(col("__id"), col("__start").as("__s"),
+        (col("__start") + (window - 1)).as("__e")))
+
+  /** [[substringDupSpansFromFingerprints]] with fingerprints computed
+    * inline. */
+  def substringDupSpans(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 8): DataFrame =
+    substringDupSpansFromFingerprints(
+      windowFingerprintRows(df, idCol, textCol, window), window)
+
+  /** Cut the merged duplicate spans out of each document: tokens covered
+    * by any span are dropped, the rest re-join in order. Returns
+    * `(idCol, tot_tokens, dup_tokens, clean_text)` — every input
+    * document appears (unaffected docs keep their text verbatim; fully
+    * duplicated docs come back empty). The span list is per-document and
+    * island-merged, so the collected array is bounded by the document's
+    * own token count; the token filter is a per-row lambda over that
+    * small array, not a join against exploded positions. */
+  def substringDedup(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 8,
+      spansOverride: Option[DataFrame] = None): DataFrame = {
+    val spans = spansOverride
+      .getOrElse(substringDupSpans(df, idCol, textCol, window))
+    val perDoc = spans.groupBy(col("__id"))
+      .agg(
+        collect_list(struct(col("span_start").as("s"), col("span_end").as("e")))
+          .as("__spans"),
+        sum(col("span_end") - col("span_start") + 1).as("__dup"))
+    df.select(col(idCol), col(textCol), split(col(textCol), " ").as("__w"))
+      .join(perDoc, col(idCol) === col("__id"), "left")
+      .select(
+        col(idCol),
+        size(col("__w")).cast(LongType).as("tot_tokens"),
+        coalesce(col("__dup"), lit(0L)).as("dup_tokens"),
+        when(col("__spans").isNull, col(textCol))
+          .otherwise(array_join(
+            filter(col("__w"), (t, i) => !exists(col("__spans"),
+              sp => (i + 1) >= sp.getField("s") && (i + 1) <= sp.getField("e"))),
+            " "))
+          .as("clean_text"))
+  }
+
   // ---- MinHash + banded LSH --------------------------------------------
 
   /** MinHash signature (length `numHashes`) over an ALREADY-HASHED element

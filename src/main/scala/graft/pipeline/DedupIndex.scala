@@ -97,6 +97,18 @@ object DedupIndex {
       artifactRootOverride.getOrElse(artifactRoot(spark)),
       TextAnalysis.rollingFingerprintRows(corpus, idCol, textCol, window))
 
+  /** Persisted POSITIONED window-fingerprint rows `(__id, __start, __fp)`
+    * for exact substring dedup (see [[Dedup.windowFingerprintRows]]) —
+    * winnowing's sketch keeps distinct fingerprints for overlap
+    * detection; this one keeps every site so duplicate SPANS can be cut. */
+  def ensureSubstrWindows(spark: SparkSession, corpusDir: String, corpus: DataFrame,
+      idCol: String, textCol: String, variant: String, window: Int = 8,
+      artifactRootOverride: Option[String] = None): DataFrame =
+    ensure(spark, corpusDir,
+      s"substr_${Paths.get(corpusDir).getFileName}_${variant}_v${FormatVersion}_w$window",
+      artifactRootOverride.getOrElse(artifactRoot(spark)),
+      Dedup.windowFingerprintRows(corpus, idCol, textCol, window))
+
   /** Persisted SimHash fingerprints `(__id, __sim)`. `hashTag` names the
     * per-shingle hash function in the cache key (the Column function
     * itself can't be fingerprinted). */

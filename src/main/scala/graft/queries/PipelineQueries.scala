@@ -152,6 +152,75 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus for the exact-substring-dedup demos: base docs, head-truncated
+    * tail copies (`% 7`, whole remaining text duplicated), and SPLICE
+    * mutants (`% 13`, ids +20000): 4 tokens of self followed by the first
+    * 20 tokens of the NEXT document — a duplicated run strictly inside
+    * otherwise-novel text, so span cutting (not just whole-doc dropping)
+    * is exercised. */
+  private def substrCorpus(docs: DataFrame): DataFrame = {
+    val a = docs.filter(pmod(col("doc_id"), lit(13)) === 0)
+      .select(col("doc_id").as("__aid"), split(col("text"), " ").as("__aw"))
+    val b = docs.select(col("doc_id").as("__bid"), split(col("text"), " ").as("__bw"))
+    val spliced = a.join(b, col("__bid") === col("__aid") + 1)
+      .select((col("__aid") + 20000).as("doc_id"),
+        array_join(concat(slice(col("__aw"), 1, 4), slice(col("__bw"), 1, 20)), " ")
+          .as("text"))
+    docs.union(mutatedDocs(docs.filter(pmod(col("doc_id"), lit(7)) === 0)))
+      .union(spliced)
+  }
+
+  private val substrCorpusSql =
+    """base AS (SELECT doc_id, text FROM documents WHERE doc_id < 800),
+      corpus AS (
+        SELECT doc_id, text FROM base
+        UNION ALL
+        SELECT doc_id + 10000 AS doc_id,
+               array_to_string((string_split(text, ' '))[3:], ' ') AS text
+        FROM base WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT a.doc_id + 20000 AS doc_id,
+               array_to_string((string_split(a.text, ' '))[1:4]
+                 || (string_split(b.text, ' '))[1:20], ' ') AS text
+        FROM base a JOIN base b ON b.doc_id = a.doc_id + 1
+        WHERE a.doc_id % 13 = 0)"""
+
+  /** D8: exact substring dedup, span detection (Lee et al. 2022
+    * ExactSubstr): every 8-token window occurring at ≥ 2 sites
+    * corpus-wide keeps its globally-first occurrence; every other site is
+    * removable, and removable windows merge into maximal per-doc spans.
+    * Sites come from the persisted positional window sketch
+    * ([[DedupIndex.ensureSubstrWindows]]); the oracle replays window
+    * fingerprints, first-site election, and the gaps-and-islands merge. */
+  private def d8(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .filter(col("doc_id") < 800)
+    val fps = DedupIndex.ensureSubstrWindows(s, dir, substrCorpus(docs),
+      "doc_id", "text", variant = "lt800mut7sp13", window = 8)
+    Dedup.substringDupSpansFromFingerprints(fps, window = 8)
+      .select(col("__id").as("doc_id"), col("span_start"), col("span_end"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  /** D9: the cut itself — D8's spans removed from each document's token
+    * stream; tail copies collapse to (nearly) nothing, splice mutants
+    * lose exactly the interior duplicated run, untouched docs round-trip
+    * verbatim. Output keeps token accounting plus the md5 of the cleaned
+    * text (the D7 convention: the gate hashes whole reconstructed
+    * documents without shipping them). */
+  private def d9(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .filter(col("doc_id") < 800)
+    val corpus = substrCorpus(docs)
+    val fps = DedupIndex.ensureSubstrWindows(s, dir, corpus,
+      "doc_id", "text", variant = "lt800mut7sp13", window = 8)
+    Dedup.substringDedup(corpus, "doc_id", "text", window = 8,
+        spansOverride = Some(Dedup.substringDupSpansFromFingerprints(fps, window = 8)))
+      .select(col("doc_id"), col("tot_tokens"), col("dup_tokens"),
+        md5(col("clean_text")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** C6: corpus mixture — down-sample sources to a 5:3:2 target recipe
     * ([[Curation.sampleToMixture]]); the binding source keeps 100%,
     * the others down-sample to the weight ratios via the deterministic
@@ -1083,6 +1152,8 @@ object PipelineQueries {
     "p_d5_rolling_overlap" -> (d5 _),
     "p_d6_dedup_resolve" -> (d6 _),
     "p_d7_line_dedup" -> (d7 _),
+    "p_d8_substring_spans" -> (d8 _),
+    "p_d9_substring_clean" -> (d9 _),
     "p_t6_unigram_lm" -> (t6Lm _),
     "p_t7_bm25_stats" -> (t7Bm25 _),
     "p_c6_mixture" -> (c6Mixture _),
@@ -1335,6 +1406,70 @@ object PipelineQueries {
           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
                  md5(string_agg(line, ' ' ORDER BY ln)) AS text_md5
           FROM kept GROUP BY doc_id ORDER BY doc_id"""),
+    "p_d8_substring_spans" ->
+      (s"""WITH $substrCorpusSql,
+          toks AS (SELECT doc_id, string_split(text, ' ') AS wds FROM corpus),
+          sites AS (SELECT doc_id, i AS s, i + 7 AS e,
+                   md5(array_to_string(wds[i:i+7], ' ')) AS fp
+            FROM (SELECT doc_id, wds, unnest(range(1, len(wds) - 6)) AS i
+                  FROM toks WHERE len(wds) >= 8)),
+          dup AS (SELECT fp, min(struct_pack(d := doc_id, p := s)) AS keep
+                  FROM sites GROUP BY fp HAVING count(*) >= 2),
+          rem AS (SELECT w.doc_id, w.s, w.e FROM sites w JOIN dup g ON w.fp = g.fp
+                  WHERE NOT (w.doc_id = g.keep.d AND w.s = g.keep.p)),
+          marked AS (SELECT doc_id, s, e,
+              CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END AS nw
+            FROM (SELECT doc_id, s, e,
+                    max(e) OVER (PARTITION BY doc_id ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+                  FROM rem)),
+          isl AS (SELECT doc_id, s, e,
+                    sum(nw) OVER (PARTITION BY doc_id ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+                  FROM marked)
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 CAST(min(s) AS BIGINT) AS span_start,
+                 CAST(max(e) AS BIGINT) AS span_end
+          FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start"""),
+    "p_d9_substring_clean" ->
+      (s"""WITH $substrCorpusSql,
+          toks AS (SELECT doc_id, string_split(text, ' ') AS wds FROM corpus),
+          sites AS (SELECT doc_id, i AS s, i + 7 AS e,
+                   md5(array_to_string(wds[i:i+7], ' ')) AS fp
+            FROM (SELECT doc_id, wds, unnest(range(1, len(wds) - 6)) AS i
+                  FROM toks WHERE len(wds) >= 8)),
+          dup AS (SELECT fp, min(struct_pack(d := doc_id, p := s)) AS keep
+                  FROM sites GROUP BY fp HAVING count(*) >= 2),
+          rem AS (SELECT w.doc_id, w.s, w.e FROM sites w JOIN dup g ON w.fp = g.fp
+                  WHERE NOT (w.doc_id = g.keep.d AND w.s = g.keep.p)),
+          marked AS (SELECT doc_id, s, e,
+              CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END AS nw
+            FROM (SELECT doc_id, s, e,
+                    max(e) OVER (PARTITION BY doc_id ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+                  FROM rem)),
+          isl AS (SELECT doc_id, s, e,
+                    sum(nw) OVER (PARTITION BY doc_id ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+                  FROM marked),
+          spans AS (SELECT doc_id, min(s) AS ss, max(e) AS se
+                    FROM isl GROUP BY doc_id, island),
+          dupn AS (SELECT doc_id, sum(se - ss + 1) AS dup
+                   FROM spans GROUP BY doc_id),
+          pos AS (SELECT doc_id, unnest(range(1, len(wds) + 1)) AS i, wds
+                  FROM toks),
+          keptpos AS (SELECT p.doc_id, p.i, p.wds[p.i] AS w FROM pos p
+            WHERE NOT EXISTS (SELECT 1 FROM spans sp
+              WHERE sp.doc_id = p.doc_id AND p.i BETWEEN sp.ss AND sp.se)),
+          clean AS (SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS ct
+                    FROM keptpos GROUP BY doc_id)
+          SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+                 CAST(len(t.wds) AS BIGINT) AS tot_tokens,
+                 CAST(coalesce(d.dup, 0) AS BIGINT) AS dup_tokens,
+                 md5(coalesce(c.ct, '')) AS clean_md5
+          FROM toks t LEFT JOIN dupn d USING (doc_id)
+               LEFT JOIN clean c USING (doc_id)
+          ORDER BY doc_id"""),
     "p_t6_unigram_lm" ->
       ("""WITH model AS (
             SELECT term, count(*) AS c FROM (

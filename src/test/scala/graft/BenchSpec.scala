@@ -16,7 +16,7 @@ package graft
   * real multi-stage jobs) — this is a tripwire for order-of-magnitude
   * regressions, not a benchmark.
   */
-class BenchSpec extends SparkSpec {
+class BenchSpec extends SparkSpec with GrowthChecks {
   private val sf001 = "/root/testdata/sf0.01"
 
   private def timed(body: => Unit): Double = {
@@ -78,25 +78,18 @@ class BenchSpec extends SparkSpec {
   // jitter.
   import org.apache.spark.sql.functions._
 
-  private def timedWarm(body: => Unit): Double = {
-    body // warm: codegen + JIT
-    timed(body)
-  }
-
   test("sessionization scales ~linearly: 10x keys*rows within 12x time") {
     def activity(keys: Int, perKey: Int) =
       spark.range(keys.toLong * perKey)
         .select((col("id") % keys).as("acct"),
           ((col("id") / keys) * 37 % 997).as("ts"))
-    def run(keys: Int): Double = timedWarm {
+    def run(keys: Int): Unit = {
       graft.operators.Sessionize.sessions(
         activity(keys, perKey = 20), Seq("acct"), "ts", gap = 60L).count()
+      ()
     }
-    val t1 = run(5000)    // 100k rows
-    val t10 = run(50000)  // 1M rows — 10× keys, same per-key depth
-    info(f"sessions: 1x $t1%.2f s, 10x $t10%.2f s")
-    assert(t10 <= math.max(12 * t1, 2.0),
-      f"10x sessionization took $t10%.2f s vs 1x $t1%.2f s — superlinear growth")
+    // 1x = 100k rows; 10x = 1M rows — 10× keys, same per-key depth
+    assertGrowth("sessionization", factor = 12, absFloor = 2.0)(run(5000))(run(50000))
   }
 
   test("quantized scan+score beats the float scan in TIME at 10x volume") {
@@ -178,13 +171,12 @@ class BenchSpec extends SparkSpec {
     def chains(nodes: Long) =
       spark.range(nodes - 1).filter(col("id") % 64 =!= 63)
         .select(col("id").as("a_id"), (col("id") + 1).as("b_id"))
-    def run(nodes: Long): Double = timedWarm {
+    def run(nodes: Long): Unit = {
       graft.pipeline.Components.connectedComponents(chains(nodes)).count()
+      ()
     }
-    val t1 = run(64 * 500L)   // 32k nodes
-    val t10 = run(64 * 5000L) // 320k nodes
-    info(f"components: 1x $t1%.2f s, 10x $t10%.2f s")
-    assert(t10 <= math.max(12 * t1, 4.0),
-      f"10x cluster resolution took $t10%.2f s vs 1x $t1%.2f s — superlinear growth")
+    // 1x = 32k nodes; 10x = 320k nodes
+    assertGrowth("cluster resolution", factor = 12, absFloor = 4.0)(
+      run(64 * 500L))(run(64 * 5000L))
   }
 }

@@ -375,4 +375,70 @@ class DedupSpec extends SparkSpec {
       (2L, 1L, "z z z z")))         // lost the shared line, kept its own
     // doc 3 lost every line → absent entirely
   }
+
+  // ---- exact substring dedup (ExactSubstr) ------------------------------
+
+  test("mergeSpans: overlapping and touching intervals fuse, gapped don't") {
+    import spark.implicits._
+    val spans = Seq(
+      (1L, 1L, 8L), (1L, 3L, 10L),   // overlap → [1,10]
+      (1L, 12L, 19L), (1L, 20L, 27L), // touching (20 = 19+1) → [12,27]
+      (1L, 29L, 30L),                 // gap of 1 at 28 → own island
+      (2L, 4L, 11L)
+    ).toDF("__id", "__s", "__e")
+    val got = Dedup.mergeSpans(spans).orderBy("__id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq(
+      (1L, 1L, 10L), (1L, 12L, 27L), (1L, 29L, 30L), (2L, 4L, 11L)))
+  }
+
+  test("substring dedup: globally-first site kept, every later site cut") {
+    import spark.implicits._
+    // doc 1: tokens t1..t12; doc 2 repeats doc 1's tokens 3..10 inside
+    // novel text; doc 3 is an exact copy of doc 1.
+    val d1 = (1 to 12).map("t" + _).mkString(" ")
+    val d2 = ("n1 n2 " + (3 to 10).map("t" + _).mkString(" ") + " n3 n4")
+    val df = Seq((1L, d1), (2L, d2), (3L, d1)).toDF("doc_id", "text")
+    val spans = Dedup.substringDupSpans(df, "doc_id", "text", window = 8)
+      .orderBy("__id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 1 is first everywhere → untouched; doc 2's embedded run covers
+    // tokens 3..10 (one 8-token window); doc 3 loses everything.
+    assert(spans.toSeq === Seq((2L, 3L, 10L), (3L, 1L, 12L)))
+
+    val out = Dedup.substringDedup(df, "doc_id", "text", window = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq === Seq(
+      (1L, 12L, 0L, d1),                 // verbatim round-trip
+      (2L, 12L, 8L, "n1 n2 n3 n4"),      // interior run cut, edges kept
+      (3L, 12L, 12L, "")))               // full copy → empty
+  }
+
+  test("substring dedup: within-document repeats keep only the first run") {
+    import spark.implicits._
+    val run = (1 to 8).map("w" + _).mkString(" ")
+    val df = Seq((5L, s"$run x1 x2 $run")).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(df, "doc_id", "text", window = 8)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq === Seq((18L, 8L, s"$run x1 x2")))
+  }
+
+  test("substring dedup: indexed spans ≡ inline spans, sketch cached") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("substr").toString
+    val docs = Tables.documents(spark, sf0001).select(col("doc_id"), col("text"))
+      .filter(col("doc_id") < 60)
+    val corpus = docs.union(docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    val fps = DedupIndex.ensureSubstrWindows(spark, sf0001, corpus,
+      "doc_id", "text", variant = "spec60", window = 8,
+      artifactRootOverride = Some(tmp))
+    val indexed = Dedup.substringDupSpansFromFingerprints(fps, window = 8)
+      .orderBy("__id", "span_start").collect().toSeq
+    val inline = Dedup.substringDupSpans(corpus, "doc_id", "text", window = 8)
+      .orderBy("__id", "span_start").collect().toSeq
+    assert(indexed === inline)
+    assert(indexed.nonEmpty) // the +10000 copies must surface as spans
+  }
 }

@@ -17,7 +17,7 @@ import graft.operators.{AsOfJoin, RangeJoin}
   * parallel tasks. On a skewed fixture the bucketed form must win
   * outright — that is its reason to exist, measured, not claimed.
   */
-class TemporalGrowthSpec extends SparkSpec {
+class TemporalGrowthSpec extends SparkSpec with GrowthChecks {
 
   private def timed(body: => Unit): Double = {
     val t0 = System.nanoTime()
@@ -43,15 +43,12 @@ class TemporalGrowthSpec extends SparkSpec {
       (col("id") % keys).as("k"),
       (seq(keys) * 53 % 997 * 10).as("rs"),
       (seq(keys) * 53 % 997 * 10 + 40 + col("id") % 5 * 35).as("re"))
-    def run(keys: Int): Double = timedWarm {
+    def run(keys: Int): Unit = {
       RangeJoin.intervalOverlap(left(keys), right(keys), Seq("k"),
         "ls", "le", "rs", "re", binSize = 200L).count()
+      ()
     }
-    val t1 = run(200)
-    val t10 = run(2000)
-    info(f"interval-overlap: 1x $t1%.2f s, 10x $t10%.2f s")
-    assert(t10 <= math.max(12 * t1, 4.0),
-      f"10x interval-overlap took $t10%.2f s vs 1x $t1%.2f s — superlinear growth")
+    assertGrowth("interval-overlap", factor = 12, absFloor = 4.0)(run(200))(run(2000))
   }
 
   test("bucketed as-of scales ~linearly: 10x keys*rows within 12x time") {
@@ -70,17 +67,13 @@ class TemporalGrowthSpec extends SparkSpec {
       col("id").as("r_val"))
     // aggregate over the MATCHED column: a bare count() lets column
     // pruning delete the as-of window itself and times nothing
-    def run(keys: Int): Double = timedWarm {
+    def run(keys: Int): Unit = {
       AsOfJoin.asOfBucketed(left(keys), right(keys), Seq("k"),
         "ts", "rts", bucketSize = 1000L)
         .agg(sum("asof_r_val")).collect()
       ()
     }
-    val t1 = run(200)
-    val t10 = run(2000)
-    info(f"bucketed as-of: 1x $t1%.2f s, 10x $t10%.2f s")
-    assert(t10 <= math.max(12 * t1, 4.0),
-      f"10x bucketed as-of took $t10%.2f s vs 1x $t1%.2f s — superlinear growth")
+    assertGrowth("bucketed as-of", factor = 12, absFloor = 4.0)(run(200))(run(2000))
   }
 
   test("hot-key crossover: asOfBucketed beats plain asOf on a single hot key") {
