@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
 import graft.Tables
-import graft.pipeline.{Curation, Dedup, DedupIndex, IvfIndex, LshIndex, Multimodal, PostingsIndex, Pq, PqIndex, Quantize, Similarity, TextAnalysis => TA}
+import graft.pipeline.{Curation, Dedup, DedupIndex, IvfIndex, LshIndex, Multimodal, PostingsIndex, Pq, PqIndex, Quantize, Similarity, Sketches, TextAnalysis => TA}
 
 /** Training-data-pipeline operators (dedup / similarity / text analysis /
   * multimodal) registered against the driver's `documents` / `embeddings`
@@ -758,6 +758,70 @@ object PipelineQueries {
     * models and the 128-bit cross-multiplied selection bit. The float
     * log-ratio weight the paper resamples by is the spec-pinned
     * avg-NLL difference (TextAnalysisSpec). */
+  /** Trigram-count frame over the FULL documents corpus — the fixture's
+    * word lexicon is only ~31 terms, so the sketches run over word
+    * TRIGRAMS (~16k distinct at sf0.01): the regime where cells actually
+    * collide and registers fill, and the realistic pipeline use
+    * (boilerplate n-gram heavy hitters, distinct-n-gram scale probes). */
+  private def gramCountsOf(docs: DataFrame): DataFrame =
+    docs.select(split(col("text"), " ").as("__w"))
+      .filter(size(col("__w")) >= 3)
+      .select(explode(transform(sequence(lit(1), size(col("__w")) - 2),
+        i => array_join(slice(col("__w"), i, lit(3)), " "))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+
+  private def gramCounts(s: SparkSession, dir: String): DataFrame =
+    gramCountsOf(Tables.documents(s, dir))
+
+  /** K1: Count-Min heavy hitters — the 4×512-cell sketch is a persisted,
+    * segment-mergeable artifact ([[Sketches.ensureCmsSegmented]]); the
+    * query broadcast-joins it to estimate every vocabulary term and
+    * returns the top 20 with the exact count beside the (never-under)
+    * estimate. The oracle replays all four sha256-derived row hashes,
+    * the cell sums, and the min-over-rows estimate. */
+  private def k1Cms(s: SparkSession, dir: String): DataFrame = {
+    // the natural trigram distribution is FLAT (max count ~5 at sf0.01),
+    // so a deterministic 50x boost of ten documents constructs the
+    // Zipf-like head a heavy-hitter query exists for — the top-20 must
+    // surface exactly the boosted trigrams, collision noise well below
+    val base = Tables.documents(s, dir)
+    val corpus = base.select(col("text")).union(
+      base.filter(col("doc_id") < 10)
+        .crossJoin(s.range(50).select(col("id").as("__rep")))
+        .select(col("text")))
+    val tc = gramCountsOf(corpus)
+    val cells = Sketches.ensureCmsSegmented(s, dir, tc, "term", "c",
+      variant = "grams_boost10x50", width = 2048)
+    Sketches.cmsEstimate(cells, tc.select(col("term")), "term", width = 2048)
+      .join(tc, "term")
+      .select(col("term"), col("est"), col("c").as("exact"))
+      .orderBy(col("est").desc, col("term")).limit(20)
+  }
+
+  /** K2: HyperLogLog register table over the corpus vocabulary — the
+    * ≤256-row mergeable artifact itself (cell-wise max across segments).
+    * Registers are duplicate-insensitive, so building from the distinct
+    * vocabulary is bit-identical to folding the raw token stream
+    * (SketchesSpec pins stream ≡ distinct ≡ segment-merge); the gate
+    * uses the vocabulary form so the oracle hashes each term once. The
+    * oracle replays hash, bucket split, and the OR-fold + bit_count
+    * leading-rank in exact integer arithmetic. */
+  private def k2Hll(s: SparkSession, dir: String): DataFrame =
+    Sketches.ensureHllSegmented(s, dir,
+        gramCounts(s, dir).select(col("term")), "term", variant = "grams_full")
+      .orderBy(col("bucket"))
+
+  /** K3: the HLL cardinality estimate as one exact row — integer
+    * numerator Σ2^(53−reg) (absent buckets at reg 0), the double raw
+    * estimate α·m²·2^53/num, and the true distinct count beside it. */
+  private def k3HllEst(s: SparkSession, dir: String): DataFrame = {
+    val vocab = gramCounts(s, dir).select(col("term"))
+    val regs = Sketches.ensureHllSegmented(s, dir, vocab, "term",
+      variant = "grams_full")
+    Sketches.hllEstimate(regs)
+      .crossJoin(vocab.agg(count(lit(1)).as("exact")))
+  }
+
   private def c8Dsir(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val tgt = PostingsIndex.ensureUnigramModel(s, dir,
@@ -1193,6 +1257,9 @@ object PipelineQueries {
     "p_mm8_adpcm_decode" -> (mm8 _),
     "p_mm9_png_pixels" -> (mm9 _),
     "p_mm10_gif_pixels" -> (mm10 _),
+    "p_k1_cms_heavy_hitters" -> (k1Cms _),
+    "p_k2_hll_registers" -> (k2Hll _),
+    "p_k3_hll_estimate" -> (k3HllEst _),
   )
 
   // ---- DuckDB twins of the vector/fingerprint math ----------------------
@@ -2234,5 +2301,75 @@ object PipelineQueries {
             doc_id % 1919 + 1 AS width,
             (doc_id * 7) % 1079 + 1 AS height
           FROM documents ORDER BY doc_id"""),
+    "p_k1_cms_heavy_hitters" ->
+      (s"""WITH corpus AS (SELECT text FROM documents
+            UNION ALL
+            SELECT text FROM documents, range(50) WHERE doc_id < 10),
+          tc AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM (
+            SELECT unnest([array_to_string(wds[i:i+2], ' ')
+                           for i in range(1, len(wds) - 1)]) AS term
+            FROM (SELECT string_split(text, ' ') AS wds FROM corpus)
+            WHERE len(wds) >= 3)
+          GROUP BY term),
+          cells AS (
+            SELECT j, bucket, CAST(sum(c) AS BIGINT) AS cnt FROM (
+              SELECT c, 0 AS j, ${Sketches.cmsBucketSql("term", 0, 2048)} AS bucket FROM tc
+              UNION ALL SELECT c, 1, ${Sketches.cmsBucketSql("term", 1, 2048)} FROM tc
+              UNION ALL SELECT c, 2, ${Sketches.cmsBucketSql("term", 2, 2048)} FROM tc
+              UNION ALL SELECT c, 3, ${Sketches.cmsBucketSql("term", 3, 2048)} FROM tc)
+            GROUP BY j, bucket),
+          probes AS (
+            SELECT term, 0 AS j, ${Sketches.cmsBucketSql("term", 0, 2048)} AS bucket FROM tc
+            UNION ALL SELECT term, 1, ${Sketches.cmsBucketSql("term", 1, 2048)} FROM tc
+            UNION ALL SELECT term, 2, ${Sketches.cmsBucketSql("term", 2, 2048)} FROM tc
+            UNION ALL SELECT term, 3, ${Sketches.cmsBucketSql("term", 3, 2048)} FROM tc),
+          est AS (SELECT term, min(coalesce(cnt, 0)) AS est
+                  FROM probes LEFT JOIN cells USING (j, bucket) GROUP BY term)
+          SELECT e.term, CAST(e.est AS BIGINT) AS est, t.c AS exact
+          FROM est e JOIN tc t ON t.term = e.term
+          ORDER BY est DESC, e.term LIMIT 20"""),
+    "p_k2_hll_registers" ->
+      (s"""WITH vocab AS (SELECT DISTINCT array_to_string(wds[i:i+2], ' ') AS term
+            FROM (SELECT wds, unnest(range(1, len(wds) - 1)) AS i
+                  FROM (SELECT string_split(text, ' ') AS wds FROM documents)
+                  WHERE len(wds) >= 3)),
+          h AS (SELECT ${Dedup.sha60Sql("term")} AS h FROM vocab),
+          br AS (SELECT h >> 52 AS bucket,
+                        h & ((CAST(1 AS BIGINT) << 52) - 1) AS r FROM h),
+          f1 AS (SELECT bucket, r, r | (r >> 1) AS f FROM br),
+          f2 AS (SELECT bucket, r, f | (f >> 2) AS f FROM f1),
+          f3 AS (SELECT bucket, r, f | (f >> 4) AS f FROM f2),
+          f4 AS (SELECT bucket, r, f | (f >> 8) AS f FROM f3),
+          f5 AS (SELECT bucket, r, f | (f >> 16) AS f FROM f4),
+          f6 AS (SELECT bucket, r, f | (f >> 32) AS f FROM f5),
+          rho AS (SELECT bucket,
+                    CASE WHEN r = 0 THEN 53 ELSE 53 - bit_count(f) END AS rho
+                  FROM f6)
+          SELECT CAST(bucket AS BIGINT) AS bucket, CAST(max(rho) AS BIGINT) AS reg
+          FROM rho GROUP BY bucket ORDER BY bucket"""),
+    "p_k3_hll_estimate" ->
+      (s"""WITH vocab AS (SELECT DISTINCT array_to_string(wds[i:i+2], ' ') AS term
+            FROM (SELECT wds, unnest(range(1, len(wds) - 1)) AS i
+                  FROM (SELECT string_split(text, ' ') AS wds FROM documents)
+                  WHERE len(wds) >= 3)),
+          h AS (SELECT ${Dedup.sha60Sql("term")} AS h FROM vocab),
+          br AS (SELECT h >> 52 AS bucket,
+                        h & ((CAST(1 AS BIGINT) << 52) - 1) AS r FROM h),
+          f1 AS (SELECT bucket, r, r | (r >> 1) AS f FROM br),
+          f2 AS (SELECT bucket, r, f | (f >> 2) AS f FROM f1),
+          f3 AS (SELECT bucket, r, f | (f >> 4) AS f FROM f2),
+          f4 AS (SELECT bucket, r, f | (f >> 8) AS f FROM f3),
+          f5 AS (SELECT bucket, r, f | (f >> 16) AS f FROM f4),
+          f6 AS (SELECT bucket, r, f | (f >> 32) AS f FROM f5),
+          rho AS (SELECT bucket,
+                    CASE WHEN r = 0 THEN 53 ELSE 53 - bit_count(f) END AS rho
+                  FROM f6),
+          regs AS (SELECT bucket, max(rho) AS reg FROM rho GROUP BY bucket),
+          n AS (SELECT CAST(sum(CAST(1 AS BIGINT) << CAST(53 - reg AS INT))
+                       + (256 - count(*)) * (CAST(1 AS BIGINT) << 53) AS BIGINT) AS num
+                FROM regs)
+          SELECT num, ${Sketches.HllAlphaM2Pow53} / num AS est,
+                 (SELECT CAST(count(*) AS BIGINT) FROM vocab) AS exact
+          FROM n"""),
   )
 }
