@@ -40,6 +40,43 @@ object Curation {
     df.withColumn(out, tag)
   }
 
+  /** Cross-engine-reproducible 60-bit order hash: the first 15 md5 hex
+    * digits of the id's decimal string (the [[Dedup.sha60]] trick on
+    * md5) — the oracle-verifiable variant of [[xxOrd]]. */
+  def md5Ord(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Production order hash: codegen'd xxhash64 of the id. */
+  def xxOrd(id: Column): Column = xxhash64(id)
+
+  /** Deterministic export plan — the "global shuffle" of training-data
+    * assembly, made reproducible and resumable: every row gets a
+    * pseudo-random 60-bit order key (a pure function of its id and
+    * nothing else) and a shard = key mod `numShards`. Sorting each shard
+    * by the key yields a stable global scramble: re-running the plan on
+    * the same corpus reproduces byte-identical shard contents and order,
+    * appending new documents never reorders old ones, and any shard can
+    * be re-exported alone. Adds (`__ord`, `shard`). */
+  def shardForExport(df: DataFrame, idCol: String, numShards: Int,
+      ordFn: Column => Column = xxOrd): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    df.withColumn("__ord", ordFn(col(idCol)))
+      .withColumn("shard", pmod(col("__ord"), lit(numShards.toLong)))
+  }
+
+  /** Materialize the plan: one shuffle to `numShards` write tasks, each
+    * sorting its shard(s) by the order key and writing
+    * `shard=<k>/part-*.parquet` — consumers stream shards in file order
+    * and see the deterministic scramble. (Shards greatly outnumbered by
+    * executors would bottleneck on `numShards` write tasks — pick shard
+    * counts ≥ cluster parallelism, the usual export-layout rule.) */
+  def writeShards(df: DataFrame, idCol: String, outDir: String,
+      numShards: Int, ordFn: Column => Column = xxOrd): Unit =
+    shardForExport(df, idCol, numShards, ordFn)
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("__ord"), col(idCol))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+
   /** Per-group quota: keep the top `n` rows of each group under a
     * deterministic ordering (e.g. quality desc, id) — the
     * class-balancing / per-language capping step of corpus assembly.

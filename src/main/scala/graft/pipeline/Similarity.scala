@@ -296,6 +296,35 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batched [[ivfTopK]]: top-k for EVERY probe row in one plan — the
+    * shape of an evaluation harness or a bulk retrieval job. Probe ×
+    * centroid ranking stays tiny (probes × k-row codebook, both
+    * broadcastable); the candidate scan joins `assigned` once against
+    * the broadcast (probe, bucket) pairs, so each probed bucket is read
+    * once per probe that wants it and the per-probe ranking window spans
+    * only that probe's ~nprobe·(N/centroids) candidates — never the
+    * corpus. Self-matches (probe id = candidate id) are excluded, the
+    * [[nearestNeighbors]] convention. */
+  def ivfTopKBatch(assigned: DataFrame, embCol: String, idCol: String,
+      centroids: DataFrame, probes: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val p = probes.select(col(idCol).as("probe_id"), col(embCol).as("__q"))
+    val wp = Window.partitionBy(col("probe_id"))
+      .orderBy(col("__qs").desc, col("c_id"))
+    val probed = p.crossJoin(broadcast(centroids))
+      .select(col("probe_id"), col("__q"), col("c_id"),
+        cosine(col("c_emb"), col("__q")).as("__qs"))
+      .withColumn("__rn", row_number().over(wp)).filter(col("__rn") <= nprobe)
+      .select(col("probe_id"), col("__q"), col("c_id"))
+    val cand = assigned.join(broadcast(probed), Seq("c_id"))
+      .filter(col(idCol) =!= col("probe_id"))
+      .select(col("probe_id"), col(idCol),
+        cosine(col(embCol), col("__q")).as("score"))
+    val wk = Window.partitionBy(col("probe_id"))
+      .orderBy(col("score").desc, col(idCol))
+    cand.withColumn("__rn", row_number().over(wk)).filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** IVF-SQ8 — the faiss IVF+ScalarQuantizer composition: probe the top
     * `nprobe` centroid buckets exactly like [[ivfTopK]], but rank the
     * bucket members by the QUANTIZED integer dot against the quantized

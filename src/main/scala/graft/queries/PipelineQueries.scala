@@ -343,6 +343,34 @@ object PipelineQueries {
       q, k = 20, nprobe = 4)
   }
 
+  /** S11: ANN quality evaluation — recall@10 of the IVF path (nprobe 4)
+    * against the exact brute-force top-10, per probe, over the persisted
+    * index ([[Similarity.ivfTopKBatch]] — the batched-probe shape an
+    * evaluation harness runs). Both sides are deterministic (ties break
+    * by vec_id), so per-probe hit counts — and the recall fractions —
+    * hash-match the oracle's replay of assignment, probing, both
+    * rankings, and the intersection. Measuring recall IS part of
+    * operating an ANN index; this keeps the measurement inside the
+    * engine, gate-verified. */
+  private def s11Recall(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val probes = emb.filter(col("vec_id") < 10)
+    val assigned = IvfIndex.ensure(s, dir, emb, "embedding", "vec_id")
+    val cents = IvfIndex.ensureCentroids(s, dir, emb, "embedding", "vec_id")
+    val ann = Similarity.ivfTopKBatch(assigned, "embedding", "vec_id",
+        cents, probes, k = 10, nprobe = 4)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"))
+    val exact = Similarity.nearestNeighbors(probes, emb, "embedding", "vec_id", k = 10)
+      .select(col("probe_id"), col("neighbor_id"))
+    val hits = exact.join(ann, Seq("probe_id", "neighbor_id"))
+      .groupBy(col("probe_id")).agg(count(lit(1)).as("n_hits"))
+    probes.select(col("vec_id").as("probe_id"))
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) / lit(10.0)).as("recall"))
+      .orderBy(col("probe_id"))
+  }
+
   /** S6: IVF-SQ8 composition ([[Similarity.ivfQuantizedTopKIndexed]]) —
     * probe the top-4 buckets of the PERSISTED quantized assignment
     * ([[graft.pipeline.SqIndex.ensureIvf]]: codes + scales partitioned
@@ -822,6 +850,26 @@ object PipelineQueries {
       .crossJoin(vocab.agg(count(lit(1)).as("exact")))
   }
 
+  /** C9: deterministic shard-export plan — the reproducible "global
+    * shuffle" of training-data assembly ([[Curation.shardForExport]]
+    * with the md5 order hash so the oracle replays it): per-shard
+    * counts, token mass, id checksum, and the head/tail doc under the
+    * within-shard pseudo-random order, which pins the ORDER ITSELF (not
+    * just membership) cross-engine. The parquet materialization
+    * (`writeShards`) is spec-verified — written shard files carry
+    * exactly this order. */
+  private def c9Shards(s: SparkSession, dir: String): DataFrame =
+    Curation.shardForExport(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", numShards = 8, ordFn = Curation.md5Ord)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+        sum(col("doc_id")).as("id_sum"),
+        min_by(col("doc_id"), col("__ord")).as("head_id"),
+        max_by(col("doc_id"), col("__ord")).as("tail_id"))
+      .orderBy(col("shard"))
+
   private def c8Dsir(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val tgt = PostingsIndex.ensureUnigramModel(s, dir,
@@ -1223,6 +1271,7 @@ object PipelineQueries {
     "p_c6_mixture" -> (c6Mixture _),
     "p_c7_url_canonical" -> (c7UrlCanon _),
     "p_c8_dsir_importance" -> (c8Dsir _),
+    "p_c9_shard_plan" -> (c9Shards _),
     "p_t8_bpe_merges" -> (t8Bpe _),
     "p_s1_topk_cosine" -> (s1 _),
     "p_s2_nearest_neighbor" -> (s2 _),
@@ -1234,6 +1283,7 @@ object PipelineQueries {
     "p_s8_ivf_pq_topk" -> (s8IvfPq _),
     "p_s9_pq_rerank" -> (s9PqRerank _),
     "p_s10_ivf_rpq_topk" -> (s10IvfRpq _),
+    "p_s11_ivf_recall" -> (s11Recall _),
     "p_h1_hybrid_rrf" -> (h1Hybrid _),
     "p_e1_embedding_neardup" -> (e1 _),
     "p_e2_semdedup" -> (e2 _),
@@ -1629,6 +1679,21 @@ object PipelineQueries {
     "p_t8_bpe_merges" -> bpeOracleSql(rounds = 8, docFilter = "doc_id < 300"),
     // DSIR gate: both unigram models replayed from their slices, per-doc
     // count sums under each, and the 128-bit cross-multiplied selection
+    "p_c9_shard_plan" ->
+      ("""WITH planned AS (
+            SELECT doc_id, text,
+              CAST(list_sum(list_transform(range(1, 16), i ->
+                CAST(strpos('0123456789abcdef',
+                  substring(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT)
+                * (CAST(1 AS BIGINT) << CAST(4 * (15 - i) AS INT)))) AS BIGINT) AS ord
+            FROM documents)
+          SELECT CAST(ord % 8 AS BIGINT) AS shard,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+                 CAST(sum(doc_id) AS BIGINT) AS id_sum,
+                 CAST(min_by(doc_id, ord) AS BIGINT) AS head_id,
+                 CAST(max_by(doc_id, ord) AS BIGINT) AS tail_id
+          FROM planned GROUP BY 1 ORDER BY shard"""),
     "p_c8_dsir_importance" ->
       ("""WITH tgt AS (
             SELECT term, CAST(count(*) AS BIGINT) AS c FROM (
@@ -1909,6 +1974,41 @@ object PipelineQueries {
           FROM assigned a JOIN probed USING (c_id), q
           WHERE a.vec_id <> 0
           ORDER BY score DESC, vec_id LIMIT 20"""),
+    "p_s11_ivf_recall" ->
+      (s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS c_emb,
+                  ${normSql("embedding")} AS c_n
+                FROM embeddings WHERE vec_id % 25 = 0),
+          e AS (SELECT vec_id, embedding, ${normSql("embedding")} AS e_n FROM embeddings),
+          assigned AS (SELECT vec_id, embedding, e_n, c_id FROM (
+            SELECT e.vec_id, e.embedding, e.e_n, c.c_id,
+              row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                ${dotSql("e.embedding", "c.c_emb")} / (e.e_n * c.c_n) DESC, c.c_id) AS rn
+            FROM e, cent c) WHERE rn = 1),
+          probes AS (SELECT vec_id AS probe_id, embedding AS qe,
+                  ${normSql("embedding")} AS qn
+                FROM embeddings WHERE vec_id < 10),
+          probed AS (SELECT probe_id, qe, qn, c_id FROM (
+            SELECT p.probe_id, p.qe, p.qn, c.c_id,
+              row_number() OVER (PARTITION BY p.probe_id ORDER BY
+                ${dotSql("c.c_emb", "p.qe")} / (c.c_n * p.qn) DESC, c.c_id) AS rn
+            FROM probes p, cent c) WHERE rn <= 4),
+          ann AS (SELECT probe_id, vec_id FROM (
+            SELECT pr.probe_id, a.vec_id,
+              row_number() OVER (PARTITION BY pr.probe_id ORDER BY
+                ${dotSql("a.embedding", "pr.qe")} / (a.e_n * pr.qn) DESC, a.vec_id) AS rn
+            FROM assigned a JOIN probed pr USING (c_id)
+            WHERE a.vec_id <> pr.probe_id) WHERE rn <= 10),
+          exact AS (SELECT probe_id, vec_id FROM (
+            SELECT p.probe_id, c.vec_id,
+              row_number() OVER (PARTITION BY p.probe_id ORDER BY
+                ${dotSql("c.embedding", "p.qe")} / (c.e_n * p.qn) DESC, c.vec_id) AS rn
+            FROM probes p JOIN e c ON c.vec_id <> p.probe_id) WHERE rn <= 10),
+          hits AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS n
+                   FROM exact JOIN ann USING (probe_id, vec_id) GROUP BY probe_id)
+          SELECT p.probe_id, coalesce(h.n, 0) AS n_hits,
+                 CAST(coalesce(h.n, 0) AS DOUBLE) / CAST(10.0 AS DOUBLE) AS recall
+          FROM probes p LEFT JOIN hits h USING (probe_id)
+          ORDER BY probe_id"""),
     "p_e1_embedding_neardup" ->
       (s"""WITH planes(t, p, vec) AS (VALUES ${planesSql(3, 6, 64, 42L)}),
           sig AS ($sigSql),

@@ -102,6 +102,39 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf === brute)
   }
 
+  test("ivfTopKBatch ≡ per-probe ivfTopK; full probing recovers exact top-k") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val centroids = emb.filter(pmod(col("vec_id"), lit(25)) === 0)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val assigned = Similarity.ivfAssign(emb, "embedding", "vec_id", centroids).cache()
+    val probes = emb.filter(col("vec_id") < 5)
+
+    val batch = Similarity.ivfTopKBatch(assigned, "embedding", "vec_id",
+        centroids, probes, k = 10, nprobe = 2)
+      .orderBy("probe_id", "score")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // per-probe single-query path, minus the probe's own row (the batch
+    // form excludes self-matches; single-query ivfTopK does not know the
+    // probe's id, so filter the corpus instead)
+    val single = (0L until 5L).flatMap { pid =>
+      Similarity.ivfTopK(assigned.filter(col("vec_id") =!= pid),
+          "embedding", "vec_id", centroids,
+          emb.filter(col("vec_id") === pid).select("embedding"),
+          k = 10, nprobe = 2)
+        .collect().map(r => (pid, r.getAs[Long]("vec_id")))
+    }.sortBy(x => x).toSeq
+    assert(batch.sorted === single)
+
+    // nprobe ≥ centroid count degrades to exact search: recall@10 = 1
+    val nCent = centroids.count().toInt
+    val full = Similarity.ivfTopKBatch(assigned, "embedding", "vec_id",
+        centroids, probes, k = 10, nprobe = nCent)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"))
+    val exact = Similarity.nearestNeighbors(probes, emb, "embedding", "vec_id", k = 10)
+      .select(col("probe_id"), col("neighbor_id"))
+    assert(full.join(exact, Seq("probe_id", "neighbor_id")).count() === 50L)
+  }
+
   test("indexed LSH paths are bit-identical to the on-the-fly ones") {
     val emb = Tables.embeddings(spark, sf0001)
     val root = java.nio.file.Files.createTempDirectory("graft-lsh").toString
