@@ -109,6 +109,35 @@ object DedupIndex {
       artifactRootOverride.getOrElse(artifactRoot(spark)),
       Dedup.windowFingerprintRows(corpus, idCol, textCol, window))
 
+  /** Segmented positional window fingerprints: the streaming-era
+    * substring-dedup lifecycle — each ingest batch fingerprints only ITS
+    * documents ([[Dedup.windowFingerprintRows]] is a per-document pure
+    * function, so base ∪ deltas ≡ full rebuild), and span election
+    * ([[Dedup.removableWindowSites]]) runs over the merged segments. */
+  private def substrSegKey(corpusDir: String, variant: String, window: Int): String =
+    s"substrseg_${Paths.get(corpusDir).getFileName}_${variant}_v${FormatVersion}_w$window"
+
+  def ensureSubstrWindowsSegmented(spark: SparkSession, corpusDir: String,
+      baseDocs: DataFrame, idCol: String, textCol: String, variant: String,
+      window: Int = 8, artifactRootOverride: Option[String] = None): DataFrame =
+    ArtifactStore.ensureSegmented(spark,
+      artifactRootOverride.getOrElse(artifactRoot(spark)),
+      substrSegKey(corpusDir, variant, window),
+      sourceFile = Some(s"$corpusDir/documents.parquet")) {
+      tmp => Dedup.windowFingerprintRows(baseDocs, idCol, textCol, window)
+        .write.mode("overwrite").parquet(tmp)
+    }
+
+  def appendSubstrWindows(spark: SparkSession, corpusDir: String,
+      newDocs: DataFrame, idCol: String, textCol: String, variant: String,
+      window: Int = 8, artifactRootOverride: Option[String] = None): Unit =
+    ArtifactStore.appendSegment(spark,
+      artifactRootOverride.getOrElse(artifactRoot(spark)),
+      substrSegKey(corpusDir, variant, window)) {
+      tmp => Dedup.windowFingerprintRows(newDocs, idCol, textCol, window)
+        .write.mode("overwrite").parquet(tmp)
+    }
+
   /** Persisted SimHash fingerprints `(__id, __sim)`. `hashTag` names the
     * per-shingle hash function in the cache key (the Column function
     * itself can't be fingerprinted). */

@@ -424,6 +424,40 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq === Seq((18L, 8L, s"$run x1 x2")))
   }
 
+  test("segmented substring windows: base + appends ≡ full rebuild; " +
+      "spans from merged segments ≡ inline") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("substrseg").toString
+    val docs = Tables.documents(spark, sf0001).select(col("doc_id"), col("text"))
+      .filter(col("doc_id") < 90)
+    val base = docs.filter(col("doc_id") < 60)
+    val delta = docs.filter(col("doc_id") >= 60).union(
+      docs.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    val full = base.union(delta)
+
+    DedupIndex.ensureSubstrWindowsSegmented(spark, sf0001, base,
+      "doc_id", "text", variant = "segspec", window = 8,
+      artifactRootOverride = Some(tmp))
+    DedupIndex.appendSubstrWindows(spark, sf0001, delta,
+      "doc_id", "text", variant = "segspec", window = 8,
+      artifactRootOverride = Some(tmp))
+    val merged = DedupIndex.ensureSubstrWindowsSegmented(spark, sf0001, base,
+      "doc_id", "text", variant = "segspec", window = 8,
+      artifactRootOverride = Some(tmp))
+    assert(merged.orderBy("__id", "__start").collect().toSeq ===
+      Dedup.windowFingerprintRows(full, "doc_id", "text", 8)
+        .orderBy("__id", "__start").collect().toSeq)
+    // election over the merged segments ≡ the inline path — the +10000
+    // copies must surface as full-coverage spans
+    val idx = Dedup.substringDupSpansFromFingerprints(merged, window = 8)
+      .orderBy("__id", "span_start").collect().toSeq
+    val inline = Dedup.substringDupSpans(full, "doc_id", "text", window = 8)
+      .orderBy("__id", "span_start").collect().toSeq
+    assert(idx === inline)
+    assert(idx.nonEmpty)
+  }
+
   test("substring dedup: indexed spans ≡ inline spans, sketch cached") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("substr").toString

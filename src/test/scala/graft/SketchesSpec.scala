@@ -75,6 +75,64 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(est - n) / n < 0.20, s"estimate $est for true $n")
   }
 
+  test("streaming micro-batches maintain both sketches via foreachBatch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = java.nio.file.Files.createTempDirectory("sketchstream").toString
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 150)
+      .as[(Long, String)].collect()
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("sketchstream-ck").toString
+    def terms(df: org.apache.spark.sql.DataFrame) =
+      df.select(explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+    def tcOf(df: org.apache.spark.sql.DataFrame) =
+      terms(df).groupBy("term").agg(count(lit(1)).as("c"))
+    val query = input.toDF().toDF("doc_id", "text")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        // each batch contributes ONE O(batch) segment per sketch; the
+        // corpus is never re-scanned — the merge happens at read
+        val cmsDir = new java.io.File(
+          s"$root/${Sketches.cmsKey(sf0001, "stream", 64)}")
+        if (!cmsDir.exists()) {
+          Sketches.ensureCmsSegmented(spark, sf0001, tcOf(df), "term", "c",
+            variant = "stream", width = 64, artifactRootOverride = Some(root))
+          Sketches.ensureHllSegmented(spark, sf0001, terms(df), "term",
+            variant = "stream", artifactRootOverride = Some(root))
+        } else {
+          Sketches.appendCmsSegment(spark, sf0001, tcOf(df), "term", "c",
+            variant = "stream", width = 64, artifactRootOverride = Some(root))
+          Sketches.appendHllSegment(spark, sf0001, terms(df), "term",
+            variant = "stream", artifactRootOverride = Some(root))
+        }
+        ()
+      }.start()
+    try {
+      input.addData(docs.take(50).toSeq); query.processAllAvailable()
+      input.addData(docs.slice(50, 100).toSeq); query.processAllAvailable()
+      input.addData(docs.drop(100).toSeq); query.processAllAvailable()
+    } finally query.stop()
+
+    val allDocs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 150)
+    val streamedCms = Sketches.ensureCmsSegmented(spark, sf0001,
+        tcOf(allDocs.limit(0)), "term", "c", variant = "stream", width = 64,
+        artifactRootOverride = Some(root))
+      .orderBy("j", "bucket").collect().toSeq
+    val directCms = Sketches.cmsCells(tcOf(allDocs), "term", "c", 64)
+      .orderBy("j", "bucket").collect().toSeq
+    assert(streamedCms === directCms)
+    val streamedHll = Sketches.ensureHllSegmented(spark, sf0001,
+        terms(allDocs).limit(0), "term", variant = "stream",
+        artifactRootOverride = Some(root))
+      .orderBy("bucket").collect().toSeq
+    val directHll = Sketches.hllRegisters(terms(allDocs), "term")
+      .orderBy("bucket").collect().toSeq
+    assert(streamedHll === directHll)
+  }
+
   test("segmented sketch artifacts: base + append ≡ full rebuild") {
     val tmp = java.nio.file.Files.createTempDirectory("sketchseg").toString
     val base = termsOf(500, "s").groupBy("term").agg(count(lit(1)).as("c"))
