@@ -123,6 +123,54 @@ object Sketches {
         (lit(HllBuckets.toLong) - count(lit(1))) * lit(1L << 53)).as("num"))
       .select(col("num"), (lit(HllAlphaM2Pow53) / col("num")).as("est"))
 
+  // ---- Bloom filter ------------------------------------------------------
+
+  /** Bloom membership filter (Bloom 1970) — the third sketch:
+    * frequency (CMS), cardinality (HLL), MEMBERSHIP (this). The filter
+    * is a `bits`-wide bit array stored as 32-bit words in BIGINTs
+    * (shift counts stay ≤ 31 — a 63-bit shift overflows some engines'
+    * checked BIGINT shift, and 32-bit words replay everywhere), k = 4
+    * set bits per value from the same sha256-slice hashes as the CMS
+    * rows. No false negatives ever; false positives at the classic
+    * (1−e^(−kn/m))^k rate. Merge = word-wise OR, so ingest batches
+    * append word tables and readers fold them. */
+  val BloomHashes = 4
+
+  /** Filter words `(word, bits)` from a value frame: explode each
+    * value's k (word, mask) pairs, OR per word. Word count ≤ bits/32
+    * regardless of corpus size — the whole filter broadcasts. */
+  def bloomWords(values: DataFrame, valueCol: String, bits: Int): DataFrame =
+    values
+      .select(posexplode(array((0 until BloomHashes).map(j =>
+        cmsBucket(col(valueCol), j, bits)): _*)).as(Seq("__j", "__pos")))
+      .select((col("__pos") / 32).cast(LongType).as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(__pos % 32 AS INT))").as("__m"))
+      .groupBy(col("word"))
+      .agg(expr("bit_or(__m)").as("bits"))
+
+  /** Membership probe: true iff every one of the value's k bits is set.
+    * The word table broadcasts; absent words mean unset bits. Returns
+    * `(valueCol, hit)` — never a false negative. */
+  def bloomProbe(words: DataFrame, probes: DataFrame, valueCol: String,
+      bits: Int): DataFrame =
+    probes
+      .select(col(valueCol),
+        posexplode(array((0 until BloomHashes).map(j =>
+          cmsBucket(col(valueCol), j, bits)): _*)).as(Seq("__j", "__pos")))
+      .select(col(valueCol), (col("__pos") / 32).cast(LongType).as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(__pos % 32 AS INT))").as("__m"))
+      .join(broadcast(words), Seq("word"), "left")
+      .select(col(valueCol),
+        when(col("bits").isNotNull &&
+          col("bits").bitwiseAND(col("__m")) === col("__m"), 1L)
+          .otherwise(0L).as("__hit"))
+      .groupBy(col(valueCol))
+      .agg((min(col("__hit")) === 1L).as("hit"))
+
+  /** Fold segment word tables into one filter: word-wise OR. */
+  def mergeBloom(segments: DataFrame): DataFrame =
+    segments.groupBy(col("word")).agg(expr("bit_or(bits)").as("bits"))
+
   // ---- persisted artifacts ----------------------------------------------
 
   val RootConfKey = "graft.sketch.artifactRoot"
@@ -197,4 +245,31 @@ object Sketches {
   /** Fold segment register tables into one sketch: cell-wise max. */
   def mergeHll(segments: DataFrame): DataFrame =
     segments.groupBy(col("bucket")).agg(max(col("reg")).as("reg"))
+
+  /** Persisted Bloom words; segments merge by word-wise OR. */
+  def bloomKey(corpusDir: String, variant: String, bits: Int): String =
+    s"bloom_${Paths.get(corpusDir).getFileName}_${variant}_v${FormatVersion}_k${BloomHashes}_b$bits"
+
+  def ensureBloomSegmented(spark: SparkSession, corpusDir: String,
+      values: DataFrame, valueCol: String, variant: String, bits: Int,
+      artifactRootOverride: Option[String] = None): DataFrame = {
+    val raw = ArtifactStore.ensureSegmented(spark,
+      artifactRootOverride.getOrElse(artifactRoot(spark)),
+      bloomKey(corpusDir, variant, bits),
+      sourceFile = Some(s"$corpusDir/documents.parquet")) {
+      tmp => bloomWords(values, valueCol, bits)
+        .write.mode("overwrite").parquet(tmp)
+    }
+    mergeBloom(raw)
+  }
+
+  def appendBloomSegment(spark: SparkSession, corpusDir: String,
+      newValues: DataFrame, valueCol: String, variant: String, bits: Int,
+      artifactRootOverride: Option[String] = None): Unit =
+    ArtifactStore.appendSegment(spark,
+      artifactRootOverride.getOrElse(artifactRoot(spark)),
+      bloomKey(corpusDir, variant, bits)) {
+      tmp => bloomWords(newValues, valueCol, bits)
+        .write.mode("overwrite").parquet(tmp)
+    }
 }

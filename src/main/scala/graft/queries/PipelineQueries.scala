@@ -870,6 +870,25 @@ object PipelineQueries {
         max_by(col("doc_id"), col("__ord")).as("tail_id"))
       .orderBy(col("shard"))
 
+  /** K4: Bloom membership over document content digests — the
+    * crawl-frontier / seen-before check: 30 digests that ARE in the
+    * corpus (must all hit — the filter's no-false-negative contract is
+    * part of the gate) and 30 constructed strangers probed against the
+    * persisted word table. The oracle replays the k bit positions, the
+    * 32-bit word masks, the OR-fold, and the all-bits-set test. */
+  private def k4Bloom(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val digests = docs.select(md5(col("text")).as("v"))
+    val words = Sketches.ensureBloomSegmented(s, dir, digests, "v",
+      variant = "digests_full", bits = 65536)
+    val probes = docs.filter(col("doc_id") < 30)
+      .select(md5(col("text")).as("probe"))
+      .union(s.range(30).select(concat(lit("absent-probe-"), col("id")).as("probe")))
+      .distinct()
+    Sketches.bloomProbe(words, probes, "probe", bits = 65536)
+      .orderBy(col("probe"))
+  }
+
   private def c8Dsir(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val tgt = PostingsIndex.ensureUnigramModel(s, dir,
@@ -1310,6 +1329,7 @@ object PipelineQueries {
     "p_k1_cms_heavy_hitters" -> (k1Cms _),
     "p_k2_hll_registers" -> (k2Hll _),
     "p_k3_hll_estimate" -> (k3HllEst _),
+    "p_k4_bloom_membership" -> (k4Bloom _),
   )
 
   // ---- DuckDB twins of the vector/fingerprint math ----------------------
@@ -2471,5 +2491,34 @@ object PipelineQueries {
           SELECT num, ${Sketches.HllAlphaM2Pow53} / num AS est,
                  (SELECT CAST(count(*) AS BIGINT) FROM vocab) AS exact
           FROM n"""),
+    "p_k4_bloom_membership" ->
+      (s"""WITH digests AS (SELECT md5(text) AS v FROM documents),
+          pos AS (
+            SELECT ${Sketches.cmsBucketSql("v", 0, 65536)} AS p FROM digests
+            UNION ALL SELECT ${Sketches.cmsBucketSql("v", 1, 65536)} FROM digests
+            UNION ALL SELECT ${Sketches.cmsBucketSql("v", 2, 65536)} FROM digests
+            UNION ALL SELECT ${Sketches.cmsBucketSql("v", 3, 65536)} FROM digests),
+          words AS (SELECT p // 32 AS word,
+                      bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+                    FROM pos GROUP BY 1),
+          probes AS (
+            SELECT DISTINCT probe FROM (
+              SELECT md5(text) AS probe FROM documents WHERE doc_id < 30
+              UNION ALL
+              SELECT 'absent-probe-' || CAST(range AS VARCHAR) FROM range(30))),
+          pp AS (
+            SELECT probe, ${Sketches.cmsBucketSql("probe", 0, 65536)} AS p FROM probes
+            UNION ALL SELECT probe, ${Sketches.cmsBucketSql("probe", 1, 65536)} FROM probes
+            UNION ALL SELECT probe, ${Sketches.cmsBucketSql("probe", 2, 65536)} FROM probes
+            UNION ALL SELECT probe, ${Sketches.cmsBucketSql("probe", 3, 65536)} FROM probes),
+          checks AS (
+            SELECT pp.probe,
+              CASE WHEN w.bits IS NOT NULL AND
+                (w.bits & (CAST(1 AS BIGINT) << CAST(pp.p % 32 AS INT)))
+                  = (CAST(1 AS BIGINT) << CAST(pp.p % 32 AS INT))
+                THEN 1 ELSE 0 END AS hit
+            FROM pp LEFT JOIN words w ON w.word = pp.p // 32)
+          SELECT probe, min(hit) = 1 AS hit
+          FROM checks GROUP BY probe ORDER BY probe"""),
   )
 }

@@ -75,6 +75,29 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(est - n) / n < 0.20, s"estimate $est for true $n")
   }
 
+  test("bloom filter: zero false negatives, OR-merge law, bounded FP rate") {
+    val n = 2000
+    val in = termsOf(n, "member")
+    val words = Sketches.bloomWords(in, "term", bits = 65536)
+    // every member hits — the structural no-false-negative contract
+    val memberHits = Sketches.bloomProbe(words, in, "term", 65536)
+      .filter(!col("hit")).count()
+    assert(memberHits === 0L)
+    // strangers: FP rate at k=4, n=2000, m=65536 is (1-e^(-kn/m))^4 ≈ 1.2e-4
+    val strangers = termsOf(2000, "stranger")
+    val fp = Sketches.bloomProbe(words, strangers, "term", 65536)
+      .filter(col("hit")).count()
+    assert(fp <= 5L, s"$fp false positives out of 2000")
+    // merge law: words(A ∪ B) == or-merge(words(A), words(B))
+    val a = termsOf(700, "member")
+    val b = spark.range(700, n).select(concat(lit("member"), col("id")).as("term"))
+    val merged = Sketches.mergeBloom(
+      Sketches.bloomWords(a, "term", 65536)
+        .union(Sketches.bloomWords(b, "term", 65536)))
+      .orderBy("word").collect().toSeq
+    assert(merged === words.orderBy("word").collect().toSeq)
+  }
+
   test("streaming micro-batches maintain both sketches via foreachBatch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val root = java.nio.file.Files.createTempDirectory("sketchstream").toString
