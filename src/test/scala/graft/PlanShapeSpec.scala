@@ -238,6 +238,42 @@ class PlanShapeSpec extends SparkSpec {
     assert(keyExchanges === 1, s"expected one acct exchange, got $keyExchanges:\n$p")
   }
 
+  test("substring dedup: fp election partial-aggregates; no cartesian, no text shuffle") {
+    val p = plan("p_d8_substring_spans")
+    // the (count, min-site) election must combine map-side on the 16-byte
+    // fingerprint — a ranking-window formulation would shuffle every site
+    // row unsorted and hold hot fingerprints in one task
+    assert(p.contains("partial_count") && p.contains("partial_min"),
+      s"fp election lost its map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // the shuffled join keys are the fingerprint, never document text
+    assert(!p.contains("hashpartitioning(text"), "text must never shuffle")
+  }
+
+  test("CMS estimate broadcasts the cell table; cells partial-aggregate") {
+    val p = plan("p_k1_cms_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the <=depth*width cell table must broadcast:\n$p")
+    assert(p.contains("partial_sum"), "cell sums must combine map-side")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("bloom probe broadcasts the word table — never a shuffle join") {
+    val p = plan("p_k4_bloom_membership")
+    assert(p.contains("BroadcastHashJoin"), s"word table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("batched IVF recall: probed buckets join by hash, windows per probe") {
+    val p = plan("p_s11_ivf_recall")
+    // probes × k-row codebook ride broadcast nested loops (tiny), but the
+    // corpus-side candidate join must be a hash join on (c_id | keys) —
+    // an unkeyed product against the corpus would be quadratic
+    assert(p.contains("BroadcastHashJoin"), s"candidate join shape:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("no registered query ranks through an unbounded single-partition window") {
     // Class-wide guard for the termOverlapTopK scale-killer pattern: a
     // WindowExec whose partition spec is empty OR all-constant funnels
