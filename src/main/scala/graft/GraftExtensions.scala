@@ -86,5 +86,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("pq_adc"),
       info("pq_adc", "pq_adc(codes, lut, kk) - ADC sum over packed PQ codes against a per-query lookup table"),
       (args: Seq[Expression]) => graft.pipeline.Pq.PqAdc(args(0), args(1), args(2))))
+    ext.injectFunction((
+      FunctionIdentifier("gzip_text"),
+      info("gzip_text", "gzip_text(s) - deterministic gzip (RFC 1952, MTIME 0) of the UTF-8 text"),
+      (args: Seq[Expression]) => graft.pipeline.TextCodec.GzipTextExpr(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("gunzip_text"),
+      info("gunzip_text", "gunzip_text(bytes) - text from one-or-many concatenated gzip members, NULL on corruption"),
+      (args: Seq[Expression]) => graft.pipeline.TextCodec.GunzipTextExpr(args(0))))
   }
 }

@@ -889,6 +889,19 @@ object PipelineQueries {
       .orderBy(col("probe"))
   }
 
+  /** T9: gzip round-trip over every document — the compressed-text
+    * ingestion seam ([[graft.pipeline.TextCodec]]): construct real RFC
+    * 1952 bytes in-plan, decode them back, and the gate hash-matches the
+    * original corpus (the p_mm9 construct→decode convention at text
+    * level; multi-member concatenation, corruption → NULL, and the
+    * external python-zlib vector are spec-pinned). */
+  private def t9Gzip(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        call_function("gunzip_text",
+          call_function("gzip_text", col("text"))).as("text"))
+      .orderBy(col("doc_id"))
+
   private def c8Dsir(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val tgt = PostingsIndex.ensureUnigramModel(s, dir,
@@ -1292,6 +1305,7 @@ object PipelineQueries {
     "p_c8_dsir_importance" -> (c8Dsir _),
     "p_c9_shard_plan" -> (c9Shards _),
     "p_t8_bpe_merges" -> (t8Bpe _),
+    "p_t9_gzip_roundtrip" -> (t9Gzip _),
     "p_s1_topk_cosine" -> (s1 _),
     "p_s2_nearest_neighbor" -> (s2 _),
     "p_s3_lsh_ann_topk" -> (s3 _),
@@ -2491,6 +2505,8 @@ object PipelineQueries {
           SELECT num, ${Sketches.HllAlphaM2Pow53} / num AS est,
                  (SELECT CAST(count(*) AS BIGINT) FROM vocab) AS exact
           FROM n"""),
+    "p_t9_gzip_roundtrip" ->
+      ("""SELECT doc_id, text FROM documents ORDER BY doc_id"""),
     "p_k4_bloom_membership" ->
       (s"""WITH digests AS (SELECT md5(text) AS v FROM documents),
           pos AS (

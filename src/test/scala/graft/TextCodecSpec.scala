@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.TextCodec
+
+/** Gzip text codec: round-trip, the multi-member WARC layout, corruption
+  * rejection, an external (python zlib) vector pinning cross-ecosystem
+  * compatibility, and in-plan execution through the registered SQL
+  * functions. */
+class TextCodecSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("round-trip: text → gzip → text, including empty and unicode") {
+    val texts = Seq("", "a", "hello world", "ünïcødé — 東京 🚀",
+      "x" * 100000)
+    texts.foreach { t =>
+      val bytes = TextCodec.gzipBytes(t.getBytes("UTF-8"))
+      assert(new String(TextCodec.gunzipBytes(bytes), "UTF-8") === t)
+    }
+  }
+
+  test("external vector: python-zlib bytes (mtime 0) decode exactly") {
+    val v = Array(0x1f, 0x8b, 0x08, 0x00, 0x00, 0x00, 0x00, 0x00, 0x02, 0xff,
+      0xcb, 0x48, 0xcd, 0xc9, 0xc9, 0x57, 0x48, 0xaf, 0xca, 0x2c, 0x50, 0x28,
+      0xcf, 0x2f, 0xca, 0x49, 0x01, 0x00, 0x6b, 0x7d, 0xe8, 0xb7, 0x10, 0x00,
+      0x00, 0x00).map(_.toByte)
+    assert(new String(TextCodec.gunzipBytes(v), "UTF-8") === "hello gzip world")
+  }
+
+  test("concatenated members decode to the concatenation (WARC layout)") {
+    val a = TextCodec.gzipBytes("first record ".getBytes("UTF-8"))
+    val b = TextCodec.gzipBytes("second record".getBytes("UTF-8"))
+    val got = new String(TextCodec.gunzipBytes(a ++ b), "UTF-8")
+    assert(got === "first record second record")
+  }
+
+  test("corruption rejected whole: bad CRC, truncation, wrong magic → null") {
+    val good = TextCodec.gzipBytes("some payload to corrupt".getBytes("UTF-8"))
+    val badCrc = good.clone()
+    badCrc(badCrc.length - 5) = (badCrc(badCrc.length - 5) ^ 0x7f).toByte
+    assert(TextCodec.gunzipBytes(badCrc) === null)
+    assert(TextCodec.gunzipBytes(good.take(good.length - 4)) === null)
+    assert(TextCodec.gunzipBytes("not gzip at all".getBytes("UTF-8")) === null)
+    assert(TextCodec.gunzipBytes(Array[Byte](0x1f, 0x8b.toByte)) === null)
+  }
+
+  test("in-plan through the registered SQL functions, inside codegen") {
+    val df = spark.range(2)
+      .select(col("id"), concat(lit("text-"), col("id")).as("text"))
+      .select(col("id"),
+        call_function("gunzip_text",
+          call_function("gzip_text", col("text"))).as("rt"),
+        call_function("gunzip_text",
+          call_function("gzip_text", col("text")).substr(lit(1), lit(9))).as("bad"))
+    val rows = df.orderBy("id").collect()
+    assert(rows.map(_.getString(1)).toSeq === Seq("text-0", "text-1"))
+    assert(rows.forall(_.isNullAt(2)))
+    // '*(n)' prefixes mark WholeStageCodegen spans in the plan rendering
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), s"codegen lost:\n$plan")
+  }
+}
