@@ -139,4 +139,56 @@ object IvfIndex {
     // partition-column type inference may narrow c_id to int; restore long
     }.withColumn("c_id", col("c_id").cast("long"))
   }
+
+  // ---- incremental maintenance ------------------------------------------
+
+  /** Segmented assignment: the streaming-era IVF lifecycle — each ingest
+    * batch assigns ONLY its vectors against the PERSISTED codebook (the
+    * stored frame is THE quantizer; appends never retrain, so probe and
+    * assignment can never disagree) and appends one O(batch) segment.
+    * Per-vector assignment is a pure function of (vector, codebook), so
+    * base ∪ deltas is row-identical to a full rebuild (spec-pinned).
+    *
+    * Layout trade vs [[ensure]]: the one-shot artifact dir-partitions by
+    * c_id (probed buckets prune at planning time); segments instead SORT
+    * by c_id within one directory — probed reads prune on parquet
+    * row-group min/max stats — because partition-column inference over a
+    * manifest's many segment roots is not portable. Fold segments
+    * through [[ArtifactStore.compactSegments]] when delta count grows. */
+  private def segKey(corpusDir: String, quantizer: Quantizer,
+      variant: String): String = {
+    val corpus = Paths.get(corpusDir).getFileName.toString
+    s"${corpus}_seg_v${FormatVersion}_${quantizer.token}_$variant"
+  }
+
+  def ensureSegmented(spark: SparkSession, corpusDir: String, baseEmb: DataFrame,
+      embCol: String, idCol: String, quantizer: Quantizer = Stride(),
+      artifactRootOverride: Option[String] = None,
+      variant: String = "seg"): DataFrame = {
+    val root = artifactRootOverride.getOrElse(artifactRoot(spark))
+    ArtifactStore.ensureSegmented(spark, root, segKey(corpusDir, quantizer, variant),
+      sourceFile = Some(s"$corpusDir/embeddings.parquet")) { tmp =>
+      val cents = ensureCentroids(spark, corpusDir, baseEmb, embCol, idCol,
+        quantizer, artifactRootOverride, s"seg_$variant")
+      Similarity.ivfAssign(baseEmb, embCol, idCol, cents)
+        .sort(col("c_id"))
+        .write.mode("overwrite").parquet(tmp)
+    }
+  }
+
+  /** Append the assignment segment for NEW vectors: codebook read from
+    * the persisted artifact, never re-derived. */
+  def append(spark: SparkSession, corpusDir: String, newEmb: DataFrame,
+      embCol: String, idCol: String, quantizer: Quantizer = Stride(),
+      artifactRootOverride: Option[String] = None,
+      variant: String = "seg"): Unit = {
+    val root = artifactRootOverride.getOrElse(artifactRoot(spark))
+    val cents = ensureCentroids(spark, corpusDir, newEmb, embCol, idCol,
+      quantizer, artifactRootOverride, s"seg_$variant")
+    ArtifactStore.appendSegment(spark, root, segKey(corpusDir, quantizer, variant)) {
+      tmp => Similarity.ivfAssign(newEmb, embCol, idCol, cents)
+        .sort(col("c_id"))
+        .write.mode("overwrite").parquet(tmp)
+    }
+  }
 }

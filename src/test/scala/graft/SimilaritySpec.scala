@@ -135,6 +135,41 @@ class SimilaritySpec extends SparkSpec {
     assert(full.join(exact, Seq("probe_id", "neighbor_id")).count() === 50L)
   }
 
+  test("segmented IVF assignment: appends assign against the frozen " +
+      "codebook; base + deltas ≡ full rebuild; appended vectors searchable") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivfseg").toString
+    val emb = Tables.embeddings(spark, sf0001)
+    val base = emb.filter(col("vec_id") < 300)
+    val delta = emb.filter(col("vec_id") >= 300 && col("vec_id") < 450)
+
+    graft.pipeline.IvfIndex.ensureSegmented(spark, sf0001, base,
+      "embedding", "vec_id", artifactRootOverride = Some(tmp))
+    graft.pipeline.IvfIndex.append(spark, sf0001, delta,
+      "embedding", "vec_id", artifactRootOverride = Some(tmp))
+    val merged = graft.pipeline.IvfIndex.ensureSegmented(spark, sf0001, base,
+      "embedding", "vec_id", artifactRootOverride = Some(tmp))
+
+    // the codebook is the BASE build's persisted artifact — a full
+    // rebuild over base ∪ delta with that same codebook must match
+    // row for row (assignment is per-vector pure)
+    val cents = graft.pipeline.IvfIndex.ensureCentroids(spark, sf0001, base,
+      "embedding", "vec_id", artifactRootOverride = Some(tmp),
+      variant = "seg_seg")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "c_id").orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(key(merged) ===
+      key(Similarity.ivfAssign(base.union(delta), "embedding", "vec_id", cents)))
+
+    // an appended vector is immediately searchable: probing with its own
+    // embedding must return it at rank 1 (cosine 1 with itself)
+    val probeId = 350L
+    val q = emb.filter(col("vec_id") === probeId).select("embedding")
+    val top = Similarity.ivfTopK(merged, "embedding", "vec_id", cents, q,
+      k = 1, nprobe = 2).collect()
+    assert(top.head.getAs[Long]("vec_id") === probeId)
+  }
+
   test("indexed LSH paths are bit-identical to the on-the-fly ones") {
     val emb = Tables.embeddings(spark, sf0001)
     val root = java.nio.file.Files.createTempDirectory("graft-lsh").toString
