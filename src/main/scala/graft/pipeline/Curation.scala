@@ -64,16 +64,18 @@ object Curation {
       .withColumn("shard", pmod(col("__ord"), lit(numShards.toLong)))
   }
 
-  /** Materialize the plan: one shuffle to `numShards` write tasks, each
+  /** Materialize the plan: one RANGE shuffle to `numShards` write tasks
+    * (range partitioning over the dense 0..N-1 shard values lands ~one
+    * shard per task — hash `repartition(n, col)` routes by hash(shard)
+    * mod n, which collides and leaves write slots idle), each task
     * sorting its shard(s) by the order key and writing
     * `shard=<k>/part-*.parquet` — consumers stream shards in file order
-    * and see the deterministic scramble. (Shards greatly outnumbered by
-    * executors would bottleneck on `numShards` write tasks — pick shard
-    * counts ≥ cluster parallelism, the usual export-layout rule.) */
+    * and see the deterministic scramble. (Pick shard counts ≥ cluster
+    * parallelism, the usual export-layout rule.) */
   def writeShards(df: DataFrame, idCol: String, outDir: String,
       numShards: Int, ordFn: Column => Column = xxOrd): Unit =
     shardForExport(df, idCol, numShards, ordFn)
-      .repartition(numShards, col("shard"))
+      .repartitionByRange(numShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("__ord"), col(idCol))
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
 

@@ -176,15 +176,23 @@ object IvfIndex {
     }
   }
 
-  /** Append the assignment segment for NEW vectors: codebook read from
-    * the persisted artifact, never re-derived. */
+  /** Append the assignment segment for NEW vectors: the codebook is READ
+    * from the persisted artifact — never built, let alone from the delta.
+    * A missing codebook fails loudly (run [[ensureSegmented]] over the
+    * base first): quietly deriving a quantizer from one micro-batch
+    * would degrade every bucket until someone noticed recall collapse. */
   def append(spark: SparkSession, corpusDir: String, newEmb: DataFrame,
       embCol: String, idCol: String, quantizer: Quantizer = Stride(),
       artifactRootOverride: Option[String] = None,
       variant: String = "seg"): Unit = {
     val root = artifactRootOverride.getOrElse(artifactRoot(spark))
-    val cents = ensureCentroids(spark, corpusDir, newEmb, embCol, idCol,
-      quantizer, artifactRootOverride, s"seg_$variant")
+    val corpus = Paths.get(corpusDir).getFileName.toString
+    val centKey = s"${corpus}_centroids_v${FormatVersion}_${quantizer.token}_seg_$variant"
+    val centPath = Paths.get(s"$root/$centKey")
+    require(java.nio.file.Files.exists(centPath),
+      s"IvfIndex.append: no persisted codebook at $centPath — " +
+        "build the base with ensureSegmented first")
+    val cents = spark.read.parquet(centPath.toString)
     ArtifactStore.appendSegment(spark, root, segKey(corpusDir, quantizer, variant)) {
       tmp => Similarity.ivfAssign(newEmb, embCol, idCol, cents)
         .sort(col("c_id"))

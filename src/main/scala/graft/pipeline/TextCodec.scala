@@ -1,7 +1,7 @@
 package graft.pipeline
 
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
-import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+import java.io.ByteArrayOutputStream
+import java.util.zip.GZIPOutputStream
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -13,8 +13,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * the engine as per-row codegen'd expressions, not a driver-side
   * preprocessing step: `gunzip_text(binary)` inflates one-or-many
   * concatenated gzip members to the UTF-8 text (multi-member streams —
-  * the WARC layout — decode to the concatenation, the JDK reader's
-  * native behavior), and `gzip_text(string)` is the deterministic
+  * the WARC layout — decode to the concatenation, every member framed
+  * and CRC-verified by hand), and `gzip_text(string)` is the deterministic
   * inverse used to construct round-trip gates in-plan (the JDK writer
   * emits a fixed header: MTIME 0, no name/comment, so equal text ⇒
   * equal bytes).
@@ -35,24 +35,83 @@ object TextCodec {
     bos.toByteArray
   }
 
-  /** Inflate concatenated gzip members; null on any corruption. */
+  /** Inflate concatenated gzip members; null on any corruption.
+    *
+    * Framed by hand (header fields → `Inflater(nowrap)` → CRC32/ISIZE
+    * trailer, member by member) rather than through `GZIPInputStream`:
+    * the JDK reader swallows a malformed next-member header as
+    * end-of-stream, silently dropping everything after the corruption —
+    * exactly the partial-text outcome this decoder must never produce.
+    * Here every byte of the input must belong to a fully-verified
+    * member; trailing garbage, a truncated second member, a CRC or
+    * length mismatch all reject the WHOLE value to null. */
   def gunzipBytes(bytes: Array[Byte]): Array[Byte] = {
-    if (bytes == null || bytes.length < 18 ||
-      (bytes(0) & 0xff) != 0x1f || (bytes(1) & 0xff) != 0x8b) return null
+    if (bytes == null || bytes.length < 18) return null
+    val out = new ByteArrayOutputStream(bytes.length * 3 + 64)
+    var off = 0
     try {
-      val in = new GZIPInputStream(new ByteArrayInputStream(bytes), 8192)
-      val out = new ByteArrayOutputStream(bytes.length * 3 + 64)
-      val buf = new Array[Byte](8192)
-      var n = in.read(buf)
-      while (n >= 0) {
-        out.write(buf, 0, n)
-        n = in.read(buf)
+      while (off < bytes.length) {
+        off = inflateMember(bytes, off, out)
+        if (off < 0) return null
       }
-      in.close()
       out.toByteArray
     } catch {
-      case _: java.io.IOException => null // bad CRC, truncation, bad framing
+      case _: java.io.IOException => null
+      case _: java.util.zip.DataFormatException => null
+      case _: IndexOutOfBoundsException => null
     }
+  }
+
+  /** Decode one RFC 1952 member starting at `off`; append its text to
+    * `out` and return the offset just past its trailer, or -1 on any
+    * malformation. */
+  private def inflateMember(b: Array[Byte], off: Int,
+      out: ByteArrayOutputStream): Int = {
+    var p = off
+    def u8(i: Int): Int = b(i) & 0xff
+    if (b.length - p < 18) return -1 // header(10) + trailer(8) minimum
+    if (u8(p) != 0x1f || u8(p + 1) != 0x8b || u8(p + 2) != 8) return -1
+    val flg = u8(p + 3)
+    if ((flg & 0xe0) != 0) return -1 // reserved bits must be zero
+    p += 10
+    if ((flg & 4) != 0) { // FEXTRA: 2-byte little-endian length + payload
+      if (b.length - p < 2) return -1
+      p += 2 + (u8(p) | (u8(p + 1) << 8))
+    }
+    if ((flg & 8) != 0) { // FNAME: zero-terminated
+      while (p < b.length && b(p) != 0) p += 1
+      p += 1
+    }
+    if ((flg & 16) != 0) { // FCOMMENT: zero-terminated
+      while (p < b.length && b(p) != 0) p += 1
+      p += 1
+    }
+    if ((flg & 2) != 0) p += 2 // FHCRC
+    if (p >= b.length) return -1
+    val inf = new java.util.zip.Inflater(true)
+    inf.setInput(b, p, b.length - p)
+    val crc = new java.util.zip.CRC32
+    val buf = new Array[Byte](8192)
+    var size = 0L
+    while (!inf.finished()) {
+      val n = inf.inflate(buf)
+      if (n == 0 && (inf.needsInput() || inf.needsDictionary())) {
+        inf.end(); return -1 // truncated deflate stream (or preset-dict)
+      }
+      out.write(buf, 0, n)
+      crc.update(buf, 0, n)
+      size += n
+    }
+    val consumed = inf.getBytesRead.toInt
+    inf.end()
+    p += consumed
+    if (b.length - p < 8) return -1 // trailer truncated
+    def le32(i: Int): Long =
+      (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) |
+        (u8(i + 3).toLong << 24)) & 0xffffffffL
+    if (le32(p) != crc.getValue) return -1
+    if (le32(p + 4) != (size & 0xffffffffL)) return -1
+    p + 8
   }
 
   /** UTF8String bridges for codegen call sites. */

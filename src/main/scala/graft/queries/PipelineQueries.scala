@@ -801,7 +801,7 @@ object PipelineQueries {
   private def gramCounts(s: SparkSession, dir: String): DataFrame =
     gramCountsOf(Tables.documents(s, dir))
 
-  /** K1: Count-Min heavy hitters — the 4×512-cell sketch is a persisted,
+  /** K1: Count-Min heavy hitters — the 4×2048-cell sketch is a persisted,
     * segment-mergeable artifact ([[Sketches.ensureCmsSegmented]]); the
     * query broadcast-joins it to estimate every vocabulary term and
     * returns the top 20 with the exact count beside the (never-under)
@@ -820,8 +820,16 @@ object PipelineQueries {
     val tc = gramCountsOf(corpus)
     val cells = Sketches.ensureCmsSegmented(s, dir, tc, "term", "c",
       variant = "grams_boost10x50", width = 2048)
-    Sketches.cmsEstimate(cells, tc.select(col("term")), "term", width = 2048)
-      .join(tc, "term")
+    // probe with the exact count CARRIED through the estimate's grouping
+    // ((term, c) groups ≡ term groups — c is functionally dependent), so
+    // the boosted-corpus trigram aggregate appears ONCE in the plan
+    // instead of once for the probes and again for an exact-count join
+    tc.select(col("term"), col("c"),
+        posexplode(array((0 until Sketches.CmsDepth).map(j =>
+          Sketches.cmsBucket(col("term"), j, 2048)): _*)).as(Seq("j", "bucket")))
+      .join(broadcast(cells), Seq("j", "bucket"), "left")
+      .groupBy(col("term"), col("c"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
       .select(col("term"), col("est"), col("c").as("exact"))
       .orderBy(col("est").desc, col("term")).limit(20)
   }

@@ -1,13 +1,11 @@
 package graft.tools
 
-import java.nio.file.{Files, Paths}
-
 import graft._
 
-/** Throwaway measurement / iteration probe (not part of the library):
-  * a SUBSET [[Verify]] — dump only the named registry queries (plus their
-  * oracle SQL) so `tools/compare.py` can gate-check work in progress
-  * without replaying all 140+ entries.
+/** Throwaway iteration probe (not part of the library): a SUBSET
+  * [[Verify]] — dump only the named registry queries (plus their oracle
+  * SQL) through [[Verify.dump]] so `tools/compare.py` can gate-check
+  * work in progress without replaying all 149+ entries.
   *
   * Usage: runMain graft.tools.Probe <sfDir> <outDir> <name1,name2,...>
   */
@@ -16,26 +14,9 @@ object Probe {
     val Array(sfDir, outDir, names) = args
     val wanted = names.split(',').toSet
     val spark = GraftSession.get()
-    new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.filter(kv => wanted(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[probe] $name failed: ${e.getMessage}")
-      }
-    }
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql.filter(kv => wanted(kv._1))
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Verify.dump(spark, sfDir, outDir,
+      SparkEntry.queries.filter(kv => wanted(kv._1)),
+      SparkEntry.oracleSql.filter(kv => wanted(kv._1)))
     spark.stop()
   }
 }

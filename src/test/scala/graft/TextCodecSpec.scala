@@ -43,6 +43,43 @@ class TextCodecSpec extends SparkSpec {
     assert(TextCodec.gunzipBytes(good.take(good.length - 4)) === null)
     assert(TextCodec.gunzipBytes("not gzip at all".getBytes("UTF-8")) === null)
     assert(TextCodec.gunzipBytes(Array[Byte](0x1f, 0x8b.toByte)) === null)
+    // bad ISIZE with a good CRC: the length word is verified too
+    val badLen = good.clone()
+    badLen(badLen.length - 1) = (badLen(badLen.length - 1) ^ 0x01).toByte
+    assert(TextCodec.gunzipBytes(badLen) === null)
+  }
+
+  test("NO silent partial text: garbage or truncation AFTER a valid " +
+      "member rejects the whole value") {
+    // the JDK's GZIPInputStream treats a malformed second-member header
+    // as end-of-stream and would return the first member's text — a
+    // silently partial corpus document; the hand framer must refuse
+    val good = TextCodec.gzipBytes("first member".getBytes("UTF-8"))
+    assert(TextCodec.gunzipBytes(good ++ "JUNK TRAILING".getBytes) === null)
+    val second = TextCodec.gzipBytes("second member".getBytes("UTF-8"))
+    assert(TextCodec.gunzipBytes(good ++ second.take(7)) === null)
+    assert(TextCodec.gunzipBytes(good ++ Array[Byte](0x1f, 0x8b.toByte)) === null)
+    // and the clean two-member stream still decodes (control)
+    assert(new String(TextCodec.gunzipBytes(good ++ second), "UTF-8")
+      === "first membersecond member")
+  }
+
+  test("header fields framed correctly: FNAME/FCOMMENT/FEXTRA/FHCRC members decode") {
+    // python can emit FNAME-bearing members; construct one by hand from
+    // a known-good stream: set FNAME and splice a name after the header
+    val base = TextCodec.gzipBytes("named payload".getBytes("UTF-8"))
+    val withName = Array.concat(
+      base.take(3), Array((base(3) | 8).toByte), base.slice(4, 10),
+      "file.txt".getBytes("ISO-8859-1") :+ 0.toByte, base.drop(10))
+    assert(new String(TextCodec.gunzipBytes(withName), "UTF-8") === "named payload")
+    // FEXTRA: 4-byte payload, little-endian length
+    val withExtra = Array.concat(
+      base.take(3), Array((base(3) | 4).toByte), base.slice(4, 10),
+      Array[Byte](4, 0, 9, 9, 9, 9), base.drop(10))
+    assert(new String(TextCodec.gunzipBytes(withExtra), "UTF-8") === "named payload")
+    // reserved FLG bits are refused
+    val badFlg = Array.concat(base.take(3), Array(0x80.toByte), base.drop(4))
+    assert(TextCodec.gunzipBytes(badFlg) === null)
   }
 
   test("in-plan through the registered SQL functions, inside codegen") {
