@@ -82,4 +82,17 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** Register every fixture table as a session temp view, so the whole
+    * analytics surface is reachable from pure `spark.sql(...)` — the
+    * DataFrame registry and the SQL text route hit the same Catalyst
+    * plans, and the custom functions ([[GraftExtensions]]: keccak256,
+    * uint256_*, vec_dot*, gzip_text/gunzip_text, image/av decode) are
+    * already in the session FunctionRegistry. `events` goes through
+    * [[events]], so its timestamp normalization applies to SQL too. */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    all.foreach { name =>
+      val df = if (name == "events") events(spark, dir) else load(spark, dir, name)
+      df.createOrReplaceTempView(name)
+    }
 }
