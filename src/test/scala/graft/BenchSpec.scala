@@ -165,6 +165,27 @@ class BenchSpec extends SparkSpec with GrowthChecks {
       f"PQ ADC scan $tP%.3f s did not beat the float scan $tF%.3f s at 10x volume")
   }
 
+  test("substring dedup scales ~linearly: 10x docs within 12x time") {
+    // fixed doc shape (40 tokens over a 50-word lexicon, every 5th doc a
+    // shifted copy of its neighbor so duplicate windows exist at both
+    // scales); only the doc count grows 10x, so window sites, election
+    // groups, and spans all grow ~10x — a lost map-side combine or an
+    // accidental all-sites window shows up superlinearly
+    def corpus(nDocs: Int) =
+      spark.range(nDocs).select(col("id").as("doc_id"),
+        array_join(transform(sequence(lit(0), lit(39)),
+          j => concat(lit("w"),
+            pmod(col("id") / lit(5) * 7 + j * (pmod(col("id"), lit(5)) + 1),
+              lit(50)))), " ").as("text"))
+    def run(nDocs: Int): Unit = {
+      graft.pipeline.Dedup.substringDupSpans(
+        corpus(nDocs), "doc_id", "text", window = 8).count()
+      ()
+    }
+    assertGrowth("substring dedup", factor = 12, absFloor = 4.0)(
+      run(3000))(run(30000))
+  }
+
   test("cluster resolution scales ~linearly: 10x edges within 12x time") {
     // disjoint 64-node chains: diameter (and so the doubling round count)
     // is IDENTICAL at both scales; only per-round volume grows 10×
