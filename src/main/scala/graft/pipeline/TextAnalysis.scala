@@ -131,6 +131,34 @@ object TextAnalysis {
       .groupBy(col("term"))
       .agg(countDistinct(col("__id")).as("df"), count(lit(1)).as("cf"))
 
+  /** Overlapping token chunks — the retrieval-prep (RAG) step feeding
+    * the BM25/ANN index builders: windows of `width` tokens advancing by
+    * `stride` (< width ⇒ consecutive chunks overlap by width − stride,
+    * so no query phrase straddles a boundary unseen). Chunk k starts at
+    * token 1 + k·stride; the count is 1 + ⌈(n − width)/stride⌉ for
+    * n > width, else 1 — the last chunk keeps the partial tail. Empty
+    * docs have no chunks. Narrow per-row expressions (the ceil-division
+    * runs on token counts, far below the 2^53 double-exactness bound).
+    * Returns `(__id, __chunk, __text, __n)`. */
+  def tokenChunks(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, width: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(width > 0 && stride > 0 && stride <= width,
+      "need 0 < stride <= width")
+    val staged = df.filter(length(col(textCol)) > 0)
+      .select(col(idCol).as("__id"), split(col(textCol), " ").as("__w"))
+    val n = size(col("__w"))
+    val m = lit(1) + when(n > width,
+      floor((n - lit(width) + lit(stride - 1)) / lit(stride)).cast("int"))
+      .otherwise(lit(0))
+    staged.select(col("__id"),
+        posexplode(transform(sequence(lit(0), m - 1), k => struct(
+          array_join(slice(col("__w"), k * stride + 1, lit(width)), " ").as("t"),
+          least(lit(width), n - k * stride).cast("long").as("n"))))
+          .as(Seq("__chunk", "__c")))
+      .select(col("__id"), col("__chunk").cast("long").as("__chunk"),
+        col("__c.t").as("__text"), col("__c.n").as("__n"))
+  }
+
   /** Distinct window-fingerprint rows `(__id, __fp)` of a corpus — the
     * winnowing sketch [[DedupIndex.ensureWinnowing]] persists at ingest.
     * md5 so an external engine can reproduce the keys. */

@@ -910,6 +910,19 @@ object PipelineQueries {
           call_function("gzip_text", col("text"))).as("text"))
       .orderBy(col("doc_id"))
 
+  /** T10: overlapping token chunking ([[TA.tokenChunks]]) — the
+    * retrieval-prep step: width-16 windows at stride 12 (4-token
+    * overlap), partial tails kept, chunk starts and counts pure integer
+    * arithmetic the oracle replays with list slicing. */
+  private def t10Chunks(s: SparkSession, dir: String): DataFrame =
+    TA.tokenChunks(
+        Tables.documents(s, dir).select(col("doc_id"), col("text"))
+          .filter(col("doc_id") < 200),
+        "doc_id", "text", width = 16, stride = 12)
+      .select(col("__id").as("doc_id"), col("__chunk").as("chunk"),
+        col("__text").as("text"), col("__n").as("n_tokens"))
+      .orderBy(col("doc_id"), col("chunk"))
+
   private def c8Dsir(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val tgt = PostingsIndex.ensureUnigramModel(s, dir,
@@ -1314,6 +1327,7 @@ object PipelineQueries {
     "p_c9_shard_plan" -> (c9Shards _),
     "p_t8_bpe_merges" -> (t8Bpe _),
     "p_t9_gzip_roundtrip" -> (t9Gzip _),
+    "p_t10_token_chunks" -> (t10Chunks _),
     "p_s1_topk_cosine" -> (s1 _),
     "p_s2_nearest_neighbor" -> (s2 _),
     "p_s3_lsh_ann_topk" -> (s3 _),
@@ -2515,6 +2529,18 @@ object PipelineQueries {
           FROM n"""),
     "p_t9_gzip_roundtrip" ->
       ("""SELECT doc_id, text FROM documents ORDER BY doc_id"""),
+    "p_t10_token_chunks" ->
+      ("""WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS wds, len(string_split(text, ' ')) AS n
+            FROM documents WHERE doc_id < 200 AND len(text) > 0),
+          m AS (SELECT doc_id, wds, n,
+                  1 + CASE WHEN n > 16 THEN (n - 16 + 11) // 12 ELSE 0 END AS nc
+                FROM toks)
+          SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(k AS BIGINT) AS chunk,
+                 array_to_string(wds[k * 12 + 1 : k * 12 + 16], ' ') AS text,
+                 CAST(least(16, n - k * 12) AS BIGINT) AS n_tokens
+          FROM (SELECT doc_id, wds, n, unnest(range(0, nc)) AS k FROM m)
+          ORDER BY doc_id, chunk"""),
     "p_k4_bloom_membership" ->
       (s"""WITH digests AS (SELECT md5(text) AS v FROM documents),
           pos AS (

@@ -189,4 +189,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(nllB(10L) - nllT(10L) > 0, "target-leaning doc must have positive log-ratio")
     assert(nllB(11L) - nllT(11L) < 0, "background-leaning doc must have negative log-ratio")
   }
+
+  test("tokenChunks: stride overlap, partial tail, full coverage, empty dropped") {
+    import spark.implicits._
+    val doc = (1 to 23).map("t" + _).mkString(" ")
+    val df = Seq((1L, doc), (2L, "a b"), (3L, "")).toDF("doc_id", "text")
+    val got = TA.tokenChunks(df, "doc_id", "text", width = 10, stride = 6)
+      .orderBy("__id", "__chunk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // n=23, width 10, stride 6: chunks at 1, 7, 13, 19 → m = 1 + ceil(13/6) = 4
+    assert(got.map(x => (x._1, x._2)).toSeq ===
+      Seq((1L, 0L), (1L, 1L), (1L, 2L), (1L, 3L), (2L, 0L)))
+    assert(got(0)._3 === (1 to 10).map("t" + _).mkString(" "))
+    assert(got(3)._3 === (19 to 23).map("t" + _).mkString(" ")) // partial tail
+    assert(got(3)._4 === 5L)
+    // consecutive chunks overlap by width - stride = 4 tokens
+    assert(got(0)._3.split(" ").takeRight(4).toSeq ===
+      got(1)._3.split(" ").take(4).toSeq)
+    // every token of doc 1 appears in at least one chunk
+    val covered = got.filter(_._1 == 1L).flatMap(_._3.split(" ")).toSet
+    assert(covered === (1 to 23).map("t" + _).toSet)
+    // short doc: one chunk, whole text; empty doc: no chunks
+    assert(got.last === ((2L, 0L, "a b", 2L)))
+  }
 }

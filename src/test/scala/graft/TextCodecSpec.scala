@@ -82,6 +82,30 @@ class TextCodecSpec extends SparkSpec {
     assert(TextCodec.gunzipBytes(badFlg) === null)
   }
 
+  test("fuzz: single-byte corruption anywhere never throws and never " +
+      "yields wrong text — null or the exact original only") {
+    val text = "fuzz target payload with some length to it " * 3
+    val good = TextCodec.gzipBytes(text.getBytes("UTF-8"))
+    val rnd = new scala.util.Random(42)
+    var nulls = 0
+    (1 to 400).foreach { _ =>
+      val pos = rnd.nextInt(good.length)
+      val mutated = good.clone()
+      mutated(pos) = (mutated(pos) ^ (1 << rnd.nextInt(8))).toByte
+      val out = TextCodec.gunzipBytes(mutated) // must not throw
+      if (out == null) nulls += 1
+      else assert(new String(out, "UTF-8") === text,
+        s"corruption at $pos decoded to WRONG text")
+    }
+    // most flips land in deflate data or the trailer and must reject
+    assert(nulls > 300, s"only $nulls/400 corruptions rejected")
+    // truncation at every length: never throws, never wrong
+    (0 until good.length).foreach { len =>
+      val out = TextCodec.gunzipBytes(good.take(len))
+      assert(out == null || new String(out, "UTF-8") === text)
+    }
+  }
+
   test("in-plan through the registered SQL functions, inside codegen") {
     val df = spark.range(2)
       .select(col("id"), concat(lit("text-"), col("id")).as("text"))
