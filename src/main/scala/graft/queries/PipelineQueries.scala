@@ -923,6 +923,29 @@ object PipelineQueries {
         col("__text").as("text"), col("__n").as("n_tokens"))
       .orderBy(col("doc_id"), col("chunk"))
 
+  /** H2: chunk-level retrieval — the composed RAG query shape:
+    * [[TA.tokenChunks]] feeds a PERSISTED chunk postings artifact
+    * (composite chunk key doc·1000+k — fixture docs stay far below
+    * 1000 chunks; a production key would be a struct), and the
+    * fixed 3-term query ranks chunks by (distinct matches, tf) through
+    * the limit-bounded [[graft.pipeline.Retrieval.termOverlapTopK]].
+    * The oracle replays chunking → postings → pruning → ranking. */
+  private def h2ChunkRetrieval(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .filter(col("doc_id") < 200)
+    val chunks = TA.tokenChunks(docs, "doc_id", "text", width = 16, stride = 12)
+      .select((col("__id") * 1000 + col("__chunk")).as("cid"),
+        col("__text").as("text"))
+    val terms = Seq("vector", "merge", "customer")
+    val post = PostingsIndex.ensurePostings(s, dir, chunks, "cid", "text",
+      variant = "chunks_w16s12_lt200")
+    graft.pipeline.Retrieval
+      .termOverlapTopK(PostingsIndex.prunedPostings(post, terms), "cid", k = 10)
+      .select(floor(col("cid") / 1000).cast("long").as("doc_id"),
+        pmod(col("cid"), lit(1000)).as("chunk"), col("rank"))
+      .orderBy(col("rank"))
+  }
+
   private def c8Dsir(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val tgt = PostingsIndex.ensureUnigramModel(s, dir,
@@ -1328,6 +1351,7 @@ object PipelineQueries {
     "p_t8_bpe_merges" -> (t8Bpe _),
     "p_t9_gzip_roundtrip" -> (t9Gzip _),
     "p_t10_token_chunks" -> (t10Chunks _),
+    "p_h2_chunk_retrieval" -> (h2ChunkRetrieval _),
     "p_s1_topk_cosine" -> (s1 _),
     "p_s2_nearest_neighbor" -> (s2 _),
     "p_s3_lsh_ann_topk" -> (s3 _),
@@ -2541,6 +2565,27 @@ object PipelineQueries {
                  CAST(least(16, n - k * 12) AS BIGINT) AS n_tokens
           FROM (SELECT doc_id, wds, n, unnest(range(0, nc)) AS k FROM m)
           ORDER BY doc_id, chunk"""),
+    "p_h2_chunk_retrieval" ->
+      ("""WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS wds, len(string_split(text, ' ')) AS n
+            FROM documents WHERE doc_id < 200 AND len(text) > 0),
+          m AS (SELECT doc_id, wds, n,
+                  1 + CASE WHEN n > 16 THEN (n - 16 + 11) // 12 ELSE 0 END AS nc
+                FROM toks),
+          ch AS (SELECT doc_id * 1000 + k AS cid,
+                   array_to_string(wds[k * 12 + 1 : k * 12 + 16], ' ') AS text
+                 FROM (SELECT doc_id, wds, n, unnest(range(0, nc)) AS k FROM m)),
+          post AS (SELECT cid, term, CAST(count(*) AS BIGINT) AS tf FROM (
+              SELECT cid, unnest(string_split(text, ' ')) AS term FROM ch)
+            WHERE term <> '' GROUP BY cid, term),
+          mt AS (SELECT * FROM post
+                 WHERE term IN ('vector', 'merge', 'customer')),
+          agg AS (SELECT cid, count(DISTINCT term) AS nm, sum(tf) AS tfs
+                  FROM mt GROUP BY cid)
+          SELECT CAST(cid // 1000 AS BIGINT) AS doc_id,
+                 CAST(cid % 1000 AS BIGINT) AS chunk,
+                 CAST(row_number() OVER (ORDER BY nm DESC, tfs DESC, cid) AS BIGINT) AS rank
+          FROM agg ORDER BY rank LIMIT 10"""),
     "p_k4_bloom_membership" ->
       (s"""WITH digests AS (SELECT md5(text) AS v FROM documents),
           pos AS (
