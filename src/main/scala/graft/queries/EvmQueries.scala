@@ -7,6 +7,7 @@ import org.apache.spark.sql.types._
 import graft.fixtures.EvmFixtures
 import graft.functions.{EvmFunctions => F, TopicMatch}
 import graft.operators.{Compaction, Relational}
+import graft.pipeline.{Dedup, Sketches}
 import graft.streaming.{Publisher, SubscriptionFilter}
 
 /** The reference's 24-query historical surface (SURVEY §2.2–2.6) bound to
@@ -380,6 +381,23 @@ object EvmQueries {
         .as("avg_topics"))
       .orderBy(col("origin"))
 
+  /** Chain-scale cardinality analytics via the HyperLogLog sketch
+    * ([[Sketches.hllRegisters]]): distinct transaction hashes observed,
+    * answered from a ≤256-row mergeable artifact instead of a
+    * corpus-wide distinct — the register table is duplicate-insensitive,
+    * so per-segment sketches of the tx stream (reorg replays included)
+    * fold by max to the same answer. The 7k+ fixture cardinality sits in
+    * the raw-estimate regime (n/m > 2.5; the tiny 20-sender set would
+    * need the linear-counting correction, whose ln() the gates avoid —
+    * libms differ in the last ulp). The gate emits the exact integer
+    * numerator, the raw estimate, and the true distinct beside it; the
+    * oracle replays the sha-derived bucket/rank arithmetic. */
+  private def k1TxCardinality(s: SparkSession, d: String): DataFrame = {
+    val hashes = txs(s).select(col("hash").as("v")).distinct()
+    Sketches.hllEstimate(Sketches.hllRegisters(hashes, "v"))
+      .crossJoin(hashes.agg(count(lit(1)).as("exact")))
+  }
+
   /** Per-1000-block bucket chain stats incl. distinct miners — the shape
     * of a partition-pruned dashboard query over the confirmed tier. */
   private def g3BucketStats(s: SparkSession, d: String): DataFrame =
@@ -702,6 +720,7 @@ object EvmQueries {
     "ev_g1_gas_by_miner" -> (g1GasByMiner _),
     "ev_g2_events_per_contract" -> (g2EventsPerContract _),
     "ev_g3_bucket_stats" -> (g3BucketStats _),
+    "ev_k1_tx_cardinality" -> (k1TxCardinality _),
     "ev_w1_block_intervals" -> (w1BlockIntervals _),
     "ev_f_scalar_shapes" -> (fScalarShapes _),
     "ev_f_event_data_shape" -> (fEventDataShape _),
@@ -865,6 +884,27 @@ object EvmQueries {
           CAST(count(DISTINCT miner) AS BIGINT) AS n_miners,
           CAST(sum(gasused) AS BIGINT) AS total_gas
           FROM $blocksT GROUP BY 1 ORDER BY bucket""",
+    "ev_k1_tx_cardinality" ->
+      s"""WITH vals AS (SELECT DISTINCT hash AS v FROM $txsT),
+          h AS (SELECT ${Dedup.sha60Sql("v")} AS h FROM vals),
+          br AS (SELECT h >> 52 AS bucket,
+                        h & ((CAST(1 AS BIGINT) << 52) - 1) AS r FROM h),
+          f1 AS (SELECT bucket, r, r | (r >> 1) AS f FROM br),
+          f2 AS (SELECT bucket, r, f | (f >> 2) AS f FROM f1),
+          f3 AS (SELECT bucket, r, f | (f >> 4) AS f FROM f2),
+          f4 AS (SELECT bucket, r, f | (f >> 8) AS f FROM f3),
+          f5 AS (SELECT bucket, r, f | (f >> 16) AS f FROM f4),
+          f6 AS (SELECT bucket, r, f | (f >> 32) AS f FROM f5),
+          rho AS (SELECT bucket,
+                    CASE WHEN r = 0 THEN 53 ELSE 53 - bit_count(f) END AS rho
+                  FROM f6),
+          regs AS (SELECT bucket, max(rho) AS reg FROM rho GROUP BY bucket),
+          n AS (SELECT CAST(sum(CAST(1 AS BIGINT) << CAST(53 - reg AS INT))
+                       + (256 - count(*)) * (CAST(1 AS BIGINT) << 53) AS BIGINT) AS num
+                FROM regs)
+          SELECT num, ${Sketches.HllAlphaM2Pow53} / num AS est,
+                 (SELECT CAST(count(*) AS BIGINT) FROM vals) AS exact
+          FROM n""",
     "ev_w1_block_intervals" ->
       s"""SELECT number, time, time - lag(time) OVER (ORDER BY number) AS dt
           FROM $blocksT WHERE number BETWEEN 1000 AND 1099 ORDER BY number""",
