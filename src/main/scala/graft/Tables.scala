@@ -90,9 +90,16 @@ object Tables {
     * uint256_*, vec_dot*, gzip_text/gunzip_text, image/av decode) are
     * already in the session FunctionRegistry. `events` goes through
     * [[events]], so its timestamp normalization applies to SQL too. */
-  def registerViews(spark: SparkSession, dir: String): Unit =
-    all.foreach { name =>
-      val df = if (name == "events") events(spark, dir) else load(spark, dir, name)
-      df.createOrReplaceTempView(name)
-    }
+  def registerViews(spark: SparkSession, dir: String): Unit = {
+    // route through the per-table accessors, not raw load(): any
+    // normalization an accessor carries (events' ns/µs probe today, any
+    // future one) must reach SQL users too, or the SQL-≡-DataFrame
+    // equivalence SqlSurfaceSpec pins silently breaks
+    val loaders: Map[String, (SparkSession, String) => DataFrame] = Map(
+      "region" -> (region _), "nation" -> (nation _), "customer" -> (customer _),
+      "supplier" -> (supplier _), "part" -> (part _), "orders" -> (orders _),
+      "lineitem" -> (lineitem _), "events" -> (events _),
+      "documents" -> (documents _), "embeddings" -> (embeddings _))
+    all.foreach(name => loaders(name)(spark, dir).createOrReplaceTempView(name))
+  }
 }

@@ -175,8 +175,8 @@ class BenchSpec extends SparkSpec with GrowthChecks {
       spark.range(nDocs).select(col("id").as("doc_id"),
         array_join(transform(sequence(lit(0), lit(39)),
           j => concat(lit("w"),
-            pmod(col("id") / lit(5) * 7 + j * (pmod(col("id"), lit(5)) + 1),
-              lit(50)))), " ").as("text"))
+            pmod(floor(col("id") / 5).cast("long") * 7
+              + j * (pmod(col("id"), lit(5)) + 1), lit(50)))), " ").as("text"))
     def run(nDocs: Int): Unit = {
       graft.pipeline.Dedup.substringDupSpans(
         corpus(nDocs), "doc_id", "text", window = 8).count()
