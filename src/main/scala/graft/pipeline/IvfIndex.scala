@@ -101,14 +101,22 @@ object IvfIndex {
     * (a filtered slice, a union with synthetic duplicates — the
     * [[DedupIndex]] convention): same source-file staleness, distinct
     * artifact, so derived and plain indexes can never shadow each other. */
+  /** THE centroids-artifact key — one construction shared by build
+    * ([[ensureCentroids]]) and read ([[append]]) paths, so the two can
+    * never drift byte-for-byte out of sync. */
+  def centroidsKey(corpusDir: String, quantizer: Quantizer,
+      variant: String): String = {
+    val corpus = Paths.get(corpusDir).getFileName.toString
+    val vtok = if (variant.isEmpty) "" else s"_$variant"
+    s"${corpus}_centroids_v${FormatVersion}_${quantizer.token}$vtok"
+  }
+
   def ensureCentroids(spark: SparkSession, corpusDir: String, emb: DataFrame,
       embCol: String, idCol: String, quantizer: Quantizer = Stride(),
       artifactRootOverride: Option[String] = None,
       variant: String = ""): DataFrame = {
     val root = artifactRootOverride.getOrElse(artifactRoot(spark))
-    val corpus = Paths.get(corpusDir).getFileName.toString
-    val vtok = if (variant.isEmpty) "" else s"_$variant"
-    val key = s"${corpus}_centroids_v${FormatVersion}_${quantizer.token}$vtok"
+    val key = centroidsKey(corpusDir, quantizer, variant)
     ArtifactStore.ensure(spark, s"$corpusDir/embeddings.parquet", root, key) { tmp =>
       codebook(emb, idCol, embCol, quantizer)
         .coalesce(1) // k rows — one small file, one probe-side read
@@ -178,20 +186,27 @@ object IvfIndex {
 
   /** Append the assignment segment for NEW vectors: the codebook is READ
     * from the persisted artifact — never built, let alone from the delta.
-    * A missing codebook fails loudly (run [[ensureSegmented]] over the
-    * base first): quietly deriving a quantizer from one micro-batch
-    * would degrade every bucket until someone noticed recall collapse. */
+    * A missing OR STALE codebook fails loudly (run [[ensureSegmented]]
+    * over the base first): quietly deriving a quantizer from one
+    * micro-batch would degrade every bucket until someone noticed recall
+    * collapse, and quietly assigning against a codebook older than a
+    * regenerated corpus would be the same rot from the other side. */
   def append(spark: SparkSession, corpusDir: String, newEmb: DataFrame,
       embCol: String, idCol: String, quantizer: Quantizer = Stride(),
       artifactRootOverride: Option[String] = None,
       variant: String = "seg"): Unit = {
     val root = artifactRootOverride.getOrElse(artifactRoot(spark))
-    val corpus = Paths.get(corpusDir).getFileName.toString
-    val centKey = s"${corpus}_centroids_v${FormatVersion}_${quantizer.token}_seg_$variant"
+    val centKey = centroidsKey(corpusDir, quantizer, s"seg_$variant")
     val centPath = Paths.get(s"$root/$centKey")
     require(java.nio.file.Files.exists(centPath),
       s"IvfIndex.append: no persisted codebook at $centPath — " +
         "build the base with ensureSegmented first")
+    val src = Paths.get(s"$corpusDir/embeddings.parquet")
+    require(!java.nio.file.Files.exists(src) ||
+      java.nio.file.Files.getLastModifiedTime(src)
+        .compareTo(java.nio.file.Files.getLastModifiedTime(centPath)) <= 0,
+      s"IvfIndex.append: codebook at $centPath is STALE (corpus regenerated " +
+        "after it was trained) — rebuild the base with ensureSegmented first")
     val cents = spark.read.parquet(centPath.toString)
     ArtifactStore.appendSegment(spark, root, segKey(corpusDir, quantizer, variant)) {
       tmp => Similarity.ivfAssign(newEmb, embCol, idCol, cents)

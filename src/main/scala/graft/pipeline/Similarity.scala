@@ -304,9 +304,18 @@ object Similarity {
     * once per probe that wants it and the per-probe ranking window spans
     * only that probe's ~nprobe·(N/centroids) candidates — never the
     * corpus. Self-matches (probe id = candidate id) are excluded, the
-    * [[nearestNeighbors]] convention. */
+    * [[nearestNeighbors]] convention.
+    *
+    * SIZE BOUND: the broadcast side is probes × nprobe rows, each
+    * carrying the probe embedding — fine for an evaluation batch
+    * (10²–10⁴ probes), NOT for probe sets that rival the corpus. Past
+    * ~10⁵ probes (or when probes×nprobe×dim×4 B nears
+    * `spark.sql.autoBroadcastJoinThreshold`) pass
+    * `broadcastProbes = false`: the candidate join then shuffles both
+    * sides on `c_id` — the right plan when neither side is small. */
   def ivfTopKBatch(assigned: DataFrame, embCol: String, idCol: String,
-      centroids: DataFrame, probes: DataFrame, k: Int, nprobe: Int): DataFrame = {
+      centroids: DataFrame, probes: DataFrame, k: Int, nprobe: Int,
+      broadcastProbes: Boolean = true): DataFrame = {
     val p = probes.select(col(idCol).as("probe_id"), col(embCol).as("__q"))
     val wp = Window.partitionBy(col("probe_id"))
       .orderBy(col("__qs").desc, col("c_id"))
@@ -315,7 +324,8 @@ object Similarity {
         cosine(col("c_emb"), col("__q")).as("__qs"))
       .withColumn("__rn", row_number().over(wp)).filter(col("__rn") <= nprobe)
       .select(col("probe_id"), col("__q"), col("c_id"))
-    val cand = assigned.join(broadcast(probed), Seq("c_id"))
+    val probedSide = if (broadcastProbes) broadcast(probed) else probed
+    val cand = assigned.join(probedSide, Seq("c_id"))
       .filter(col(idCol) =!= col("probe_id"))
       .select(col("probe_id"), col(idCol),
         cosine(col(embCol), col("__q")).as("score"))

@@ -119,7 +119,9 @@ object Sketches {
     registers
       // shift amount is a column, so the SQL ShiftLeft expression is used
       // directly (the Scala wrapper only accepts literal shift counts)
-      .agg((sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - reg AS INT))")) +
+      // coalesce: an empty register frame (empty corpus/segment) must yield
+      // the defined all-registers-absent numerator 256·2^53, not NULL
+      .agg((coalesce(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - reg AS INT))")), lit(0L)) +
         (lit(HllBuckets.toLong) - count(lit(1))) * lit(1L << 53)).as("num"))
       .select(col("num"), (lit(HllAlphaM2Pow53) / col("num")).as("est"))
 

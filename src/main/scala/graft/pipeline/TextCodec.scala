@@ -45,13 +45,24 @@ object TextCodec {
     * Here every byte of the input must belong to a fully-verified
     * member; trailing garbage, a truncated second member, a CRC or
     * length mismatch all reject the WHOLE value to null. */
-  def gunzipBytes(bytes: Array[Byte]): Array[Byte] = {
+  /** Hard ceiling on decompressed output per value. ISIZE in the trailer
+    * is only verifiable AFTER full inflation, so without an in-loop cap a
+    * small hostile member (a "gzip bomb" in untrusted WARC/web input)
+    * would inflate gigabytes into the per-row buffer before rejection.
+    * 64 MiB comfortably covers any real document row; a corpus with
+    * larger values should call the explicit-cap overload. */
+    val MaxOutputBytes: Long = 64L << 20
+
+  def gunzipBytes(bytes: Array[Byte]): Array[Byte] =
+    gunzipBytes(bytes, MaxOutputBytes)
+
+  def gunzipBytes(bytes: Array[Byte], maxOut: Long): Array[Byte] = {
     if (bytes == null || bytes.length < 18) return null
     val out = new ByteArrayOutputStream(bytes.length * 3 + 64)
     var off = 0
     try {
       while (off < bytes.length) {
-        off = inflateMember(bytes, off, out)
+        off = inflateMember(bytes, off, out, maxOut)
         if (off < 0) return null
       }
       out.toByteArray
@@ -66,7 +77,7 @@ object TextCodec {
     * `out` and return the offset just past its trailer, or -1 on any
     * malformation. */
   private def inflateMember(b: Array[Byte], off: Int,
-      out: ByteArrayOutputStream): Int = {
+      out: ByteArrayOutputStream, maxOut: Long): Int = {
     var p = off
     def u8(i: Int): Int = b(i) & 0xff
     if (b.length - p < 18) return -1 // header(10) + trailer(8) minimum
@@ -89,21 +100,24 @@ object TextCodec {
     if ((flg & 2) != 0) p += 2 // FHCRC
     if (p >= b.length) return -1
     val inf = new java.util.zip.Inflater(true)
-    inf.setInput(b, p, b.length - p)
     val crc = new java.util.zip.CRC32
-    val buf = new Array[Byte](8192)
     var size = 0L
-    while (!inf.finished()) {
-      val n = inf.inflate(buf)
-      if (n == 0 && (inf.needsInput() || inf.needsDictionary())) {
-        inf.end(); return -1 // truncated deflate stream (or preset-dict)
+    var consumed = 0
+    try { // finally-released: DataFormatException is the EXPECTED path
+      inf.setInput(b, p, b.length - p) // for corrupt rows; without end()
+      val buf = new Array[Byte](8192) //  native zlib memory waits for GC
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) {
+          return -1 // truncated deflate stream (or preset-dict)
+        }
+        out.write(buf, 0, n)
+        crc.update(buf, 0, n)
+        size += n
+        if (out.size().toLong > maxOut) return -1 // bomb guard (all members)
       }
-      out.write(buf, 0, n)
-      crc.update(buf, 0, n)
-      size += n
-    }
-    val consumed = inf.getBytesRead.toInt
-    inf.end()
+      consumed = inf.getBytesRead.toInt
+    } finally inf.end()
     p += consumed
     if (b.length - p < 8) return -1 // trailer truncated
     def le32(i: Int): Long =

@@ -73,6 +73,13 @@ class SketchesSpec extends SparkSpec {
       .collect()(0).getDouble(1)
     // raw-estimate error is ~1.04/sqrt(256) ≈ 6.5%; allow 3 sigma
     assert(math.abs(est - n) / n < 0.20, s"estimate $est for true $n")
+
+    // empty register frame (empty corpus/segment): the defined
+    // all-registers-absent numerator 256·2^53, never a NULL-poisoned sum
+    val emptyRow = Sketches.hllEstimate(
+      Sketches.hllRegisters(once.filter(lit(false)), "term")).collect()(0)
+    assert(emptyRow.getLong(0) === 256L * (1L << 53))
+    assert(!emptyRow.isNullAt(1))
   }
 
   test("bloom filter: zero false negatives, OR-merge law, bounded FP rate") {

@@ -106,6 +106,20 @@ class TextCodecSpec extends SparkSpec {
     }
   }
 
+  test("bomb guard: output cap rejects during inflation, not after") {
+    // 8 MiB of zeros compresses to ~8 KiB; a 4 KiB cap must reject it
+    // (return null) instead of inflating the whole payload first
+    val big = new Array[Byte](8 << 20)
+    val bomb = TextCodec.gzipBytes(big)
+    assert(bomb.length < (64 << 10))
+    assert(TextCodec.gunzipBytes(bomb, maxOut = 4096L) === null)
+    // under the cap the same member decodes fine
+    assert(TextCodec.gunzipBytes(bomb, maxOut = 16L << 20).length === big.length)
+    // the default cap still accepts ordinary documents
+    assert(new String(TextCodec.gunzipBytes(
+      TextCodec.gzipBytes("ordinary".getBytes("UTF-8"))), "UTF-8") === "ordinary")
+  }
+
   test("in-plan through the registered SQL functions, inside codegen") {
     val df = spark.range(2)
       .select(col("id"), concat(lit("text-"), col("id")).as("text"))
