@@ -15,10 +15,18 @@ import graft.operators.Relational
   * All methods return Either[error, DataFrame]: the Left messages mirror
   * the reference's 400-response reasons. `blocks`/`txs`/`events` are the
   * canonical tables (e.g. [[graft.ingest.BlockStore.view]] or the domain
-  * parquet).
+  * parquet) — BY-NAME, re-resolved on every method call: a live
+  * deployment ([[graft.Serve]]) passes `store.view(…)`, and each request
+  * must see the files ingest committed since the service was built (a
+  * DataFrame captures its file listing at creation; the hot tier is even
+  * rewritten in place). Static domain parquet passes through unchanged —
+  * re-evaluating `spark.read.parquet(dir)` is idempotent plan wiring. At
+  * warehouse scale the re-listing per request is what a catalog table
+  * with a transaction log would absorb; the guardrails already bound the
+  * data read to 1–2 partitions.
   */
 class QueryService(
-    blocks: DataFrame, txs: DataFrame, events: DataFrame,
+    blocks: => DataFrame, txs: => DataFrame, events: => DataFrame,
     val maxBlockRange: Long = 100L,   // config.go:62-77 BlockRange default
     val maxTimeRange: Long = 3600L,   // config.go:81-96 TimeRange default
     val maxTopK: Int = 50) {          // rest.go:612-617

@@ -26,6 +26,17 @@ trait BlockFetcher extends Serializable {
     * hole (gap, pruned, or not yet present) — `eth_getBlockByNumber`
     * plus per-tx receipts in a real connector. */
   def fetchBlock(n: Long): Option[PackedBlock]
+
+  /** Append-only log of REORG SIGNALS the connector has observed: a
+    * `newHeads` notification at an already-seen height means the chain
+    * replaced that block, and the reference reprocesses it immediately
+    * (`app/block/listener.go:49-73` — a repeated number IS the signal)
+    * rather than waiting for the confirmation pass. The stream's offset
+    * carries the log's length, so each signal is consumed by exactly one
+    * micro-batch (which refetches the height; last-writer-wins in the
+    * hot tier replaces the block). Connectors without a push channel
+    * (polling JSON-RPC, the sim) have no such signal — empty log. */
+  def reorgs(): IndexedSeq[Long] = IndexedSeq.empty
 }
 
 object BlockFetcher {

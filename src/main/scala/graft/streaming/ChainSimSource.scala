@@ -114,19 +114,32 @@ class ChainSimTable extends Table with SupportsRead {
   }
 }
 
-/** Offset = next block number to emit (exclusive high-water mark). */
-case class ChainOffset(next: Long) extends Offset {
-  override def json(): String = next.toString
+/** Offset = next block number to emit (exclusive high-water mark) PLUS
+  * the length of the connector's reorg-signal log consumed so far —
+  * both monotone, so the pair is a valid streaming offset. The JSON form
+  * is `next` alone when no signal has ever fired (also the legacy
+  * checkpoint format) and `next,reorgSeq` after the first one. */
+case class ChainOffset(next: Long, reorgSeq: Int = 0) extends Offset {
+  override def json(): String =
+    if (reorgSeq == 0) next.toString else s"$next,$reorgSeq"
+}
+
+object ChainOffset {
+  def parse(json: String): ChainOffset = json.split(',') match {
+    case Array(n) => ChainOffset(n.toLong)
+    case Array(n, r) => ChainOffset(n.toLong, r.toInt)
+  }
 }
 
 class ChainSimStream(blocksPerBatch: Long, maxNumber: Long,
     fetcher: BlockFetcher) extends MicroBatchStream {
   override def initialOffset(): Offset = ChainOffset(0L)
-  override def deserializeOffset(json: String): Offset = ChainOffset(json.toLong)
+  override def deserializeOffset(json: String): Offset = ChainOffset.parse(json)
   override def latestOffset(): Offset = ChainOffset(
     // the connector reports the chain head ([[BlockFetcher.head]]);
     // maxNumber bounds the stream for finite test runs
-    math.min(fetcher.head() + 1, maxNumber + 1))
+    math.min(fetcher.head() + 1, maxNumber + 1),
+    fetcher.reorgs().size)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
@@ -135,8 +148,21 @@ class ChainSimStream(blocksPerBatch: Long, maxNumber: Long,
     val hi = end.asInstanceOf[ChainOffset].next
     // chunked like the reference's range syncer (syncer.go:65) — one
     // partition per blocksPerBatch-sized slice, fetched in parallel
-    (lo until hi by blocksPerBatch).map(s =>
-      ChainRangePartition(s, math.min(s + blocksPerBatch, hi)): InputPartition).toArray
+    val ranges = (lo until hi by blocksPerBatch).map(s =>
+      ChainRangePartition(s, math.min(s + blocksPerBatch, hi)): InputPartition)
+    // ST7 hot path: reorg signals claimed by THIS batch (offset range in
+    // the connector's log) refetch their height immediately — the
+    // replacement block rides the same batch and last-writer-wins in the
+    // hot tier replaces the stale one (listener.go:49-73 semantics).
+    // Heights the range partitions already cover are skipped; a signal
+    // beyond the log snapshot (restart with a fresh connector) is inert.
+    val rlo = start.asInstanceOf[ChainOffset].reorgSeq
+    val rhi = end.asInstanceOf[ChainOffset].reorgSeq
+    val log = fetcher.reorgs()
+    val refetch = log.slice(rlo, math.min(rhi, log.size)).distinct
+      .filter(_ < lo) // in [lo,hi) the range partitions fetch it anyway;
+      .map(h => ChainRangePartition(h, h + 1): InputPartition) // ≥ hi can't occur (signal ≤ old head)
+    (ranges ++ refetch).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {

@@ -38,6 +38,11 @@ class IngestJob(spark: SparkSession, store: BlockStore, confirmations: Long,
     * Usable both as a `foreachBatch` body and directly for batch backfill
     * jobs (ST2/ST3 use the same code path, as in the reference). */
   def processBatch(packed: DataFrame, batchId: Long): Unit = {
+    // an idle trigger (stream started before the connector knows a head)
+    // delivers an EMPTY batch: nothing to store, publish, or promote —
+    // and the observe() metric below never materializes on a plan whose
+    // source is empty, so skipping is correctness, not just economy
+    if (packed.isEmpty) return
     store.storeBatch(packed, batchId)
 
     val batchMax = PackedBlocks.blocksOf(packed).agg(max("number")).collect()(0)
@@ -59,10 +64,16 @@ class IngestJob(spark: SparkSession, store: BlockStore, confirmations: Long,
       .cache()
     onPublish(toPublish)
     if (!obs.future.isCompleted) toPublish.count()
-    val nums: Seq[Long] = (obs.get("nums"): @unchecked) match {
-      case s: scala.collection.Seq[_] => s.iterator.map(_.asInstanceOf[Long]).toSeq
-      case a: Array[_] => a.iterator.map(_.asInstanceOf[Long]).toSeq
-    }
+    // an all-filtered batch (e.g. a reorg refetch of an already-published
+    // number) can optimize the CollectMetrics subtree away entirely —
+    // a missing/incomplete metric then means "nothing was published",
+    // and under-marking errs to at-least-once republish, never loss
+    val nums: Seq[Long] =
+      if (!obs.future.isCompleted) Seq.empty
+      else try (obs.get("nums"): @unchecked) match {
+        case s: scala.collection.Seq[_] => s.iterator.map(_.asInstanceOf[Long]).toSeq
+        case a: Array[_] => a.iterator.map(_.asInstanceOf[Long]).toSeq
+      } catch { case _: NoSuchElementException => Seq.empty }
     toPublish.unpersist()
 
     // prune keeps the gate O(confirmation depth); persist before promotion

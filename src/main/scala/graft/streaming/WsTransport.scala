@@ -121,10 +121,24 @@ object WsTransport {
   final class NewHeadsSubscriber(host: String, port: Int, path: String,
       connectTimeoutMs: Int = 10000, retryCooldownMs: Long = 5000L) {
     private val last = new AtomicLong(-1L)
+    /** Reorg signals: heights whose `newHeads` notification arrived at or
+      * below the already-known head — the reference's repeated-number
+      * signal (`app/block/listener.go:49-73`). Append-only; the stream
+      * offset indexes into it, so the list is never pruned while the
+      * subscriber lives (entries are 8 bytes and reorgs are rare —
+      * bounded in practice by chain behavior, not data volume). */
+    private val reorgLog = new java.util.concurrent.CopyOnWriteArrayList[java.lang.Long]()
     @volatile private var client: WsClient = null
     private var lastAttemptNanos = 0L // guarded by this
 
     def head(): Long = { ensureConnected(); last.get() }
+
+    /** Snapshot of the reorg-signal log (append-only ⇒ a prefix read is
+      * always consistent). */
+    def reorgs(): IndexedSeq[Long] = {
+      import scala.jdk.CollectionConverters._
+      reorgLog.iterator().asScala.map(_.longValue).toIndexedSeq
+    }
 
     private def ensureConnected(): Unit = synchronized {
       val now = System.nanoTime()
@@ -146,8 +160,13 @@ object WsTransport {
           while (live) c.readText() match {
             case None => live = false
             case Some(text) =>
-              JsonRpc.parseNewHead(text)
-                .foreach(n => last.updateAndGet(p => math.max(p, n)))
+              JsonRpc.parseNewHead(text).foreach { n =>
+                // a head AT OR BELOW the known tip is the reorg signal:
+                // the chain replaced that block — log it for immediate
+                // refetch instead of folding it into the monotone counter
+                val prev = last.getAndUpdate(p => math.max(p, n))
+                if (prev >= 0 && n <= prev) { reorgLog.add(n); () }
+              }
           }
           c.close()
           // connection died: clear so a later head() can resubscribe
@@ -179,6 +198,8 @@ object WsTransport {
       WsTransport.subscriberFor(wsHost, wsPort, wsPath).head()
     override def fetchBlock(n: Long): Option[PackedBlock] =
       delegate.fetchBlock(n)
+    override def reorgs(): IndexedSeq[Long] =
+      WsTransport.subscriberFor(wsHost, wsPort, wsPath).reorgs()
   }
 
   private val subscribers =

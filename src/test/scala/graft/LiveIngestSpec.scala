@@ -1,20 +1,17 @@
 package graft
 
-import java.io.BufferedInputStream
-import java.net.{InetSocketAddress, ServerSocket, URI}
+import java.net.URI
 import java.net.http.{HttpClient, WebSocket}
-import java.nio.charset.StandardCharsets.UTF_8
 import java.nio.file.Files
 import java.util.concurrent.{CompletionStage, LinkedBlockingQueue, TimeUnit}
 
 import com.fasterxml.jackson.databind.ObjectMapper
-import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.functions._
 
-import graft.api.{WebSocketFrames, WsServer}
+import graft.api.WsServer
 import graft.ingest.BlockStore
-import graft.schema.{Model, Schemas}
-import graft.streaming.{BlockFetcher, ChainSimSource, IngestJob, JsonRpc, WsTransport}
+import graft.schema.Schemas
+import graft.streaming.{BlockFetcher, ChainSimSource, IngestJob, WsTransport}
 
 /** The WHOLE live loop in one spec — the path the reference's demo
   * scripts exercise by hand (reference `demo/` shell scripts): a node
@@ -24,95 +21,17 @@ import graft.streaming.{BlockFetcher, ChainSimSource, IngestJob, JsonRpc, WsTran
   * the `fetcher=ws:…|…` OPTION, streaming ingest into the store with the
   * publish-once gate, and ordered fanout to a live websocket subscriber
   * — then the chain ADVANCES and the loop does it again incrementally.
-  * Every hop is the production code path; only the node is simulated.
+  * Every hop is the production code path; only the node is simulated
+  * ([[FakeNode]] — shared with [[ServeSpec]]).
   */
 class LiveIngestSpec extends SparkSpec {
 
   private val mapper = new ObjectMapper()
 
-  /** In-process node, HTTP half: the three JSON-RPC methods the
-    * connector issues, over the deterministic sim chain (gaps → null). */
-  private final class HttpNode(maxNumber: Long) {
-    private val byNumber: Map[Long, Model.PackedBlock] =
-      (0L to maxNumber).flatMap(n => ChainSimSource.fetchBlock(n).map(n -> _)).toMap
-    private val receiptByTx: Map[String, Model.PackedTransaction] =
-      byNumber.values.flatMap(_.transactions.map(pt => pt.tx.hash -> pt)).toMap
-    val server: HttpServer = HttpServer.create(new InetSocketAddress(0), 0)
-    server.createContext("/", (ex: HttpExchange) => {
-      val req = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
-      val id = req.get("id").asLong()
-      val resp = (req.get("method").asText() match {
-        case "eth_blockNumber" => JsonRpc.encodeHead(id, maxNumber)
-        case "eth_getBlockByNumber" =>
-          val n = JsonRpc.parseQuantityLong(req.get("params").get(0).asText())
-          byNumber.get(n).map(JsonRpc.encodeBlock(id, _))
-            .getOrElse(JsonRpc.encodeNull(id))
-        case "eth_getTransactionReceipt" =>
-          receiptByTx.get(req.get("params").get(0).asText())
-            .map(JsonRpc.encodeReceipt(id, _)).getOrElse(JsonRpc.encodeNull(id))
-        case other =>
-          s"""{"jsonrpc":"2.0","id":$id,"error":{"code":-32601,"message":"$other"}}"""
-      }).getBytes(UTF_8)
-      ex.getResponseHeaders.set("Content-Type", "application/json")
-      ex.sendResponseHeaders(200, resp.length)
-      ex.getResponseBody.write(resp)
-      ex.close()
-    })
-    server.start()
-    def port: Int = server.getAddress.getPort
-    def stop(): Unit = server.stop(0)
-  }
-
-  /** In-process node, websocket half: one subscriber, heads pushed on
-    * demand (a STAGED chain tip, unlike WsTransportSpec's fixed replay),
-    * so the spec can advance the chain mid-stream. */
-  private final class WsHeadNode {
-    private val server = new ServerSocket(0)
-    private val queue = new LinkedBlockingQueue[java.lang.Long]()
-    @volatile private var closed = false
-    def port: Int = server.getLocalPort
-    def push(head: Long): Unit = { queue.add(head); () }
-    def stop(): Unit = { closed = true; try server.close() catch { case _: Exception => () } }
-
-    private val thread = new Thread(() => {
-      try {
-        val s = server.accept()
-        val in = new BufferedInputStream(s.getInputStream)
-        val out = s.getOutputStream
-        def readLine(): String = {
-          val sb = new StringBuilder
-          var b = in.read()
-          while (b >= 0 && b != '\n') { if (b != '\r') sb.append(b.toChar); b = in.read() }
-          sb.toString
-        }
-        val lines = Iterator.continually(readLine()).takeWhile(_.nonEmpty).toVector
-        val key = lines.collectFirst {
-          case l if l.toLowerCase.startsWith("sec-websocket-key:") =>
-            l.substring(l.indexOf(':') + 1).trim
-        }.get
-        out.write(("HTTP/1.1 101 Switching Protocols\r\n" +
-          "Upgrade: websocket\r\nConnection: Upgrade\r\n" +
-          s"Sec-WebSocket-Accept: ${WebSocketFrames.acceptKey(key)}\r\n\r\n").getBytes(UTF_8))
-        out.flush()
-        WebSocketFrames.readFrame(in) // the masked eth_subscribe request
-        WebSocketFrames.writeText(out, JsonRpc.subscribeResponse(1L, "0xlive"))
-        while (!closed) {
-          val h = queue.poll(100, TimeUnit.MILLISECONDS)
-          if (h != null)
-            WebSocketFrames.writeText(out,
-              JsonRpc.newHeadNotification("0xlive", h.longValue, s"0xh$h"))
-        }
-        s.close()
-      } catch { case _: Exception => () }
-    }, "ws-head-node")
-    thread.setDaemon(true)
-    thread.start()
-  }
-
   test("live loop: ws heads + http bodies → streaming ingest → store → ws fanout, " +
-      "across a chain advance") {
-    val httpNode = new HttpNode(maxNumber = 60)
-    val wsNode = new WsHeadNode
+      "across a chain advance and a same-height reorg") {
+    val httpNode = new FakeNode.HttpNode(maxNumber = 60)
+    val wsNode = new FakeNode.WsHeadNode
     val fanout = new WsServer()
     fanout.start()
     val fetcherOpt =
@@ -196,6 +115,31 @@ class LiveIngestSpec extends SparkSpec {
       assert(got.toVector == pubs, "fanout order/content diverged from publish order")
       assert(received.poll(300, TimeUnit.MILLISECONDS) == null,
         "subscriber received more frames than were published")
+
+      // stage 3: SAME-HEIGHT REORG over the live listener — the node
+      // replaces block 59 (above the confirmation watermark 58) and
+      // re-announces height 59: a repeated number is the reorg signal
+      // (listener.go:49-73). The subscriber logs it, the next micro-batch
+      // refetches the height, and last-writer-wins in the hot tier swaps
+      // the block in — WITHOUT waiting for any head advance.
+      val replaced = httpNode.reorg(59L)
+      wsNode.push(59L, replaced.block.hash)
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (probe.reorgs().isEmpty) {
+        assert(System.nanoTime() < deadline, "reorg signal never logged")
+        Thread.sleep(20)
+      }
+      query.processAllAvailable()
+      val hashAt59 = store.view("blocks").filter(col("number") === 59L)
+        .select("hash").collect().map(_.getString(0)).toSeq
+      assert(hashAt59 == Seq(replaced.block.hash),
+        s"hot tier still serves the stale block: $hashAt59")
+      // the replacement's transactions re-anchored too (cascade replace)
+      val txAnchors = store.view("transactions")
+        .join(store.view("blocks").filter(col("number") === 59L)
+          .select(col("hash").as("bh")), col("blockhash") === col("bh"), "left_semi")
+        .count()
+      assert(txAnchors == replaced.transactions.size.toLong)
     } finally {
       query.stop()
       client.abort()

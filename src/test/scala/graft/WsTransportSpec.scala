@@ -103,6 +103,9 @@ class WsTransportSpec extends AnyFunSuite {
       var h = sub.head()
       while (h < 105L && System.nanoTime() < deadline) { Thread.sleep(20); h = sub.head() }
       assert(h === 105L, "head must reach the highest pushed notification")
+      // the repeat-at-or-below-head push (99 after 101) is the REORG
+      // SIGNAL (listener.go:49-73): logged for refetch, never a regression
+      assert(sub.reorgs() === IndexedSeq(99L))
       assert(node.served.await(10, java.util.concurrent.TimeUnit.SECONDS),
         "fake node never finished serving")
       assert(!node.sawUnmasked, "client frames must be masked (RFC 6455 5.3)")
