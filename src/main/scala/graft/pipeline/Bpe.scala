@@ -103,6 +103,55 @@ object Bpe {
       .select(col("round"), col("left"), col("right"), col("cnt"))
   }
 
+  // ---- persisted merge table --------------------------------------------
+  //
+  // Training is a MAINTENANCE job, not a query: the merge table is the
+  // vocabulary every downstream tokenize applies, so it follows the
+  // ingest-artifact lifecycle (parameter-keyed, built once per corpus,
+  // atomic-commit via ArtifactStore) exactly like a postings list or an
+  // IVF codebook. Segmented appends deliberately do NOT apply — a merge
+  // table is not a union of per-batch tables (round i depends on the
+  // whole corpus after rounds 1..i-1); new data means retraining, which
+  // the source-mtime staleness check forces.
+
+  /** Bump when the training convention or artifact layout changes. */
+  val FormatVersion = 1
+
+  /** Session conf key for the artifact root; falls back to a directory
+    * under the JVM working dir rather than any absolute literal. */
+  val RootConfKey = "graft.bpe.artifactRoot"
+
+  def artifactRoot(spark: SparkSession): String =
+    spark.conf.getOption(RootConfKey)
+      .orElse(sys.env.get("GRAFT_BPE_ROOT"))
+      .getOrElse(java.nio.file.Paths.get("artifacts", "bpe").toAbsolutePath.toString)
+
+  /** Read the persisted merge table `(round, left, right, cnt)` for the
+    * corpus at `corpusDir`, training it first if missing or stale.
+    * `variant` tags the training slice ([[graft.pipeline.DedupIndex]]
+    * convention); `rounds` is part of the key — a vocabulary trained to
+    * a different size is a different artifact, never a silent reuse. */
+  def ensureMerges(spark: SparkSession, corpusDir: String, docs: DataFrame,
+      textCol: String, rounds: Int, variant: String,
+      artifactRootOverride: Option[String] = None): DataFrame = {
+    val corpus = java.nio.file.Paths.get(corpusDir).getFileName.toString
+    val key = s"bpe_${corpus}_${variant}_v${FormatVersion}_r$rounds"
+    ArtifactStore.ensure(spark, s"$corpusDir/documents.parquet",
+      artifactRootOverride.getOrElse(artifactRoot(spark)), key) { tmp =>
+      trainDF(spark, docs, textCol, rounds)
+        .coalesce(1) // ≤ rounds rows — one small file
+        .write.mode("overwrite").parquet(tmp)
+    }
+  }
+
+  /** The persisted frame back as the in-order merge table [[tokenize]]
+    * applies. The collect is control-plane: ≤ rounds rows — the merge
+    * table is vocabulary metadata, like a broadcast codebook. */
+  def mergesOf(persisted: DataFrame): Seq[Merge] =
+    persisted.orderBy(col("round")).collect().toSeq.map(r => Merge(
+      r.getAs[Int]("round"), r.getAs[String]("left"),
+      r.getAs[String]("right"), r.getAs[Long]("cnt")))
+
   /** Apply a learned merge table to text — the tokenize half: same
     * seeding, same two-pass literal replace per merge IN LEARN ORDER,
     * then the symbols split into final tokens. Distributed per-row

@@ -731,22 +731,52 @@ object PipelineQueries {
     * count, under the module's deterministic tie-break and two-pass
     * literal-replace convention, which the oracle replays round by round
     * in chained CTEs (an 8-round unrolled SQL twin — generated, like the
-    * training loop itself, from the round count). */
+    * training loop itself, from the round count).
+    *
+    * The merge table is a PERSISTED artifact ([[graft.pipeline.Bpe
+    * .ensureMerges]] — training is a maintenance job): the gate pins the
+    * trajectory THROUGH the artifact, so a stale or corrupt persisted
+    * table fails the hash, and warm runs read instead of retraining. */
+  private def bpeMergesArtifact(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Bpe.ensureMerges(s, dir,
+      Tables.documents(s, dir).filter(col("doc_id") < 300), "text",
+      rounds = 8, variant = "lt300")
+
   private def t8Bpe(s: SparkSession, dir: String): DataFrame =
-    graft.pipeline.Bpe.trainDF(s,
-      Tables.documents(s, dir).filter(col("doc_id") < 300), "text", rounds = 8)
+    bpeMergesArtifact(s, dir)
       .select(col("round"), col("left").as("merge_l"),
         col("right").as("merge_r"), col("cnt"))
       .orderBy(col("round"))
+
+  /** T11: the APPLY half over the persisted vocabulary — what every
+    * downstream tokenization pays at query time: read the k-row merge
+    * table (never retrain), fold it into the per-row two-pass literal
+    * replaces of [[graft.pipeline.Bpe.tokenize]]. The oracle re-derives
+    * the merge table with the unrolled training CTEs and applies it via
+    * a recursive CTE (one iteration per round), pinning that persisted
+    * training and direct SQL replay tokenize IDENTICALLY. */
+  private def t11BpeTokenize(s: SparkSession, dir: String): DataFrame = {
+    val merges = graft.pipeline.Bpe.mergesOf(bpeMergesArtifact(s, dir))
+    graft.pipeline.Bpe.tokenize(
+      Tables.documents(s, dir).filter(col("doc_id") < 40)
+        .select(col("doc_id"), col("text")),
+      "doc_id", "text", merges)
+      .select(col("doc_id"), col("word"),
+        concat_ws(" ", col("tokens")).as("toks"))
+      .orderBy(col("doc_id"), col("word"), col("toks"))
+  }
 
   /** The DuckDB twin of [[graft.pipeline.Bpe.train]], unrolled: w0 is
     * the seeded word frame, each round i gets pair-count (p), argmax
     * (m), and rewrite (w) CTEs, and the result unions the argmax rows.
     * Tokens never contain spaces, so `l || ' ' || r` is an injective
     * tie-break key and the pair string splits back unambiguously. */
-  private def bpeOracleSql(rounds: Int, docFilter: String): String = {
+  /** The shared training-CTE chain (w0, then p_i/m_i/w_i per round) —
+    * one generator, used by both the trajectory gate and the tokenize
+    * gate so the two oracles can never train differently. */
+  private def bpeTrainingCtes(rounds: Int, docFilter: String): String = {
     val sb = new StringBuilder
-    sb ++= s"""WITH w0 AS (
+    sb ++= s"""w0 AS (
             SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') || '</w> ' AS symbols,
                    CAST(count(*) AS BIGINT) AS freq
             FROM (
@@ -771,12 +801,46 @@ object PipelineQueries {
                       ' ' || m.l || ' ' || m.r || ' ', ' ' || m.l || m.r || ' ') AS symbols
                   FROM w${i - 1} w, m$i m)"""
     }
-    sb ++= s"""
+    sb.result()
+  }
+
+  private def bpeOracleSql(rounds: Int, docFilter: String): String =
+    s"""WITH ${bpeTrainingCtes(rounds, docFilter)}
           SELECT round, l AS merge_l, r AS merge_r, cnt
           FROM (${(1 to rounds).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")})
           ORDER BY round"""
-    sb.result()
-  }
+
+  /** Tokenize twin: re-derive the merge table with the training CTEs,
+    * then APPLY it — one recursive-CTE iteration per round, the same
+    * two-pass literal replace. Final tokens joined by single spaces are
+    * exactly `trim(symbols)` (merges only ever remove spaces). */
+  private def bpeTokenizeOracleSql(rounds: Int, trainFilter: String,
+      applyFilter: String): String =
+    s"""WITH RECURSIVE ${bpeTrainingCtes(rounds, trainFilter)},
+          merges AS (
+            SELECT round, l, r
+            FROM (${(1 to rounds).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")})),
+          words AS (
+            SELECT doc_id, word FROM (
+              SELECT doc_id, unnest(string_split(
+                regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' ')) AS word
+              FROM documents WHERE $applyFilter)
+            WHERE word <> ''),
+          apply AS (
+            SELECT doc_id, word,
+                   ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') || '</w> ' AS symbols,
+                   0 AS rnd
+            FROM words
+            UNION ALL
+            SELECT a.doc_id, a.word,
+                   replace(replace(a.symbols,
+                       ' ' || m.l || ' ' || m.r || ' ', ' ' || m.l || m.r || ' '),
+                     ' ' || m.l || ' ' || m.r || ' ', ' ' || m.l || m.r || ' '),
+                   a.rnd + 1
+            FROM apply a JOIN merges m ON m.round = a.rnd + 1)
+          SELECT doc_id, word, trim(symbols) AS toks
+          FROM apply WHERE rnd = (SELECT max(round) FROM merges)
+          ORDER BY doc_id, word, toks"""
 
   /** C8: DSIR-style importance filter ([[TA.importanceStats]], Xie et
     * al. 2023) — target model trained on the `doc_id%3==0` slice (the
@@ -1349,6 +1413,7 @@ object PipelineQueries {
     "p_c8_dsir_importance" -> (c8Dsir _),
     "p_c9_shard_plan" -> (c9Shards _),
     "p_t8_bpe_merges" -> (t8Bpe _),
+    "p_t11_bpe_tokenize" -> (t11BpeTokenize _),
     "p_t9_gzip_roundtrip" -> (t9Gzip _),
     "p_t10_token_chunks" -> (t10Chunks _),
     "p_h2_chunk_retrieval" -> (h2ChunkRetrieval _),
@@ -1757,6 +1822,8 @@ object PipelineQueries {
                  CAST(count(*) AS BIGINT) AS n_variants
           FROM canon GROUP BY canonical_url ORDER BY keep_id"""),
     "p_t8_bpe_merges" -> bpeOracleSql(rounds = 8, docFilter = "doc_id < 300"),
+    "p_t11_bpe_tokenize" -> bpeTokenizeOracleSql(rounds = 8,
+      trainFilter = "doc_id < 300", applyFilter = "doc_id < 40"),
     // DSIR gate: both unigram models replayed from their slices, per-doc
     // count sums under each, and the 128-bit cross-multiplied selection
     "p_c9_shard_plan" ->

@@ -53,6 +53,53 @@ class BpeSpec extends SparkSpec {
     assert(got("newest").length < "newest".length)
   }
 
+  test("persisted merge table: train-once artifact, warm reads, staleness rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("bpe-art")
+    val corpusDir = dir.resolve("corpus")
+    java.nio.file.Files.createDirectories(corpusDir)
+    val src = corpusDir.resolve("documents.parquet")
+    corpus.write.mode("overwrite").parquet(src.toString)
+    val root = Some(dir.resolve("artifacts").toString)
+    val docs = spark.read.parquet(src.toString)
+
+    val cold = Bpe.ensureMerges(spark, corpusDir.toString, docs, "text",
+      rounds = 4, variant = "t", artifactRootOverride = root)
+    val expect = Bpe.train(spark, corpus, "text", rounds = 4)
+    assert(Bpe.mergesOf(cold) === expect)
+
+    // warm read: artifact untouched (mtime pinned), contents identical
+    val artDir = java.nio.file.Paths.get(root.get, "bpe_corpus_t_v1_r4")
+    val mtime = java.nio.file.Files.getLastModifiedTime(artDir)
+    val warm = Bpe.ensureMerges(spark, corpusDir.toString, docs, "text",
+      rounds = 4, variant = "t", artifactRootOverride = root)
+    assert(Bpe.mergesOf(warm) === expect)
+    assert(java.nio.file.Files.getLastModifiedTime(artDir) === mtime,
+      "warm ensure must not rebuild")
+
+    // a different round count is a DIFFERENT artifact, never silent reuse
+    val r2 = Bpe.ensureMerges(spark, corpusDir.toString, docs, "text",
+      rounds = 2, variant = "t", artifactRootOverride = root)
+    assert(Bpe.mergesOf(r2) === expect.take(2))
+
+    // tokenize through the persisted table ≡ tokenize through live training
+    val probe = Seq((1L, "lowest newest low")).toDF("doc_id", "text")
+    val viaArtifact = Bpe.tokenize(probe, "doc_id", "text", Bpe.mergesOf(cold))
+      .select("word", "tokens").collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val viaTrain = Bpe.tokenize(probe, "doc_id", "text", expect)
+      .select("word", "tokens").collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(viaArtifact === viaTrain)
+
+    // corpus regeneration → stale artifact rebuilds (source mtime newer)
+    Thread.sleep(1100) // fs mtime granularity
+    corpus.write.mode("overwrite").parquet(src.toString)
+    val rebuilt = Bpe.ensureMerges(spark, corpusDir.toString,
+      spark.read.parquet(src.toString), "text",
+      rounds = 4, variant = "t", artifactRootOverride = root)
+    assert(Bpe.mergesOf(rebuilt) === expect)
+    assert(java.nio.file.Files.getLastModifiedTime(artDir).compareTo(mtime) > 0,
+      "stale artifact must rebuild")
+  }
+
   test("training stops early when no pair repeats") {
     val merges = Bpe.train(spark,
       Seq((1L, "ab")).toDF("doc_id", "text"), "text", rounds = 5)
