@@ -47,6 +47,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("wav_pcm", "wav_pcm(bytes) - struct(sample_rate, channels, n_samples, min_s, max_s, sum_s, sum_sq, codec) decoded from WAV samples (PCM16 / G.711 ulaw / alaw / IMA ADPCM), else NULL"),
       (args: Seq[Expression]) => graft.pipeline.AvHeader.WavPcmExpr(args(0))))
     ext.injectFunction((
+      FunctionIdentifier("mp3_meta"),
+      info("mp3_meta", "mp3_meta(bytes) - struct(version, layer, sample_rate, channels, bitrate_kbps, frames, total_bytes, duration_ms, avg_kbps, xing_frames, vbr) from an MPEG-audio frame-header walk, else NULL"),
+      (args: Seq[Expression]) => graft.pipeline.Mp3Header.Mp3MetaExpr(args(0))))
+    ext.injectFunction((
       FunctionIdentifier("png_gen"),
       info("png_gen", "png_gen(seed) - deterministic DEFLATE-compressed grayscale PNG for seed (closed-form pixel pattern)"),
       (args: Seq[Expression]) => graft.pipeline.PngCodec.PngGenExpr(args(0))))

@@ -36,8 +36,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * JVM. FRAME RATE is real as well: the `mdia`→`mdhd` media timescale
   * plus the `stbl`→`stts` sample table give fps = round(samples ·
   * timescale / Σ count·delta) — still container metadata, no codec
-  * required. What remains outside is transform-coded audio/video
-  * (AAC/MP3, H.264): that residue is the [[Multimodal]] stub.
+  * required. MP3 framing is decoded for real too ([[Mp3Header]]: sync
+  * scan, frame walk, Xing/VBR). What remains outside is transform
+  * DECODE only (AAC, H.264 sample reconstruction): that residue is the
+  * [[Multimodal]] stub.
   */
 object AvHeader {
 

@@ -22,11 +22,16 @@ import org.apache.spark.sql.functions._
   *     pixels through `javax.imageio` ([[PngCodec]]) — and GIF89a,
   *     decoded by a from-scratch variable-width LZW decoder
   *     ([[GifCodec]], cross-checked against the JDK's GIF codec)
+  *   - audio, TRANSFORM-CODED framing: MPEG audio (MP3) frame headers
+  *     walked from the public framing spec ([[Mp3Header]]) — codec
+  *     parameters, frame count, integer-exact duration/bitrate, the
+  *     Xing/Info VBR header
   *
-  * The remaining STUB is transform-coded audio/video (AAC/MP3 samples,
-  * H.264/VP9 pixels), which genuinely needs decoder libraries this
-  * container does not ship: `decodeMetaStub` derives deterministic fake
-  * metadata for those payloads.
+  * The remaining STUB is transform DECODE only (AAC and H.264/VP9
+  * sample reconstruction — Huffman/IMDCT and motion-compensated
+  * pixels), which genuinely needs decoder libraries this container
+  * does not ship: `decodeMetaStub` derives deterministic fake metadata
+  * for those payloads.
   *
   * The codec plug is a documented seam, not an ambient dependency: a
   * real deployment supplies the decoder EITHER as a DataSource v2 read
@@ -81,6 +86,13 @@ object Multimodal {
     * ([[AvHeader.WavPcmExpr]], codegen'd; null for non-PCM bytes). */
   def wavPcm(bytes: Column): Column =
     org.apache.spark.sql.functions.call_function("wav_pcm", bytes)
+
+  /** REAL MPEG-audio frame-header walk ([[Mp3Header.Mp3MetaExpr]],
+    * codegen'd; null when no structurally-valid frame is found): codec
+    * parameters, frame count, integer-exact duration/bitrate stats, and
+    * the Xing/Info VBR header. */
+  def mp3Meta(bytes: Column): Column =
+    org.apache.spark.sql.functions.call_function("mp3_meta", bytes)
 
   /** Decode with a real-first policy: image bytes that parse as an actual
     * PNG/JPEG/GIF container get their true dimensions, audio/video bytes

@@ -1394,6 +1394,63 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** MM11: MPEG-audio FRAME-HEADER walk ([[graft.pipeline.Mp3Header]])
+    * — each document becomes a multi-frame MPEG-1 Layer III stream with
+    * doc_id-derived bitrate index (1–14), samplerate index (0–2),
+    * per-frame padding bits, a junk prefix the sync scan must skip, and
+    * — for even doc_ids (mono) — a `Xing` VBR header carrying the frame
+    * count at the spec offset (4 + 17-byte mono side info). `mp3_meta`
+    * walks the frames; the oracle replays the bitrate/samplerate table
+    * lookups, the frame-length and padding arithmetic, and the
+    * integer-exact duration/avg-bitrate divisions from the construction
+    * parameters — so every surfaced stat is pinned as genuinely decoded
+    * from the bytes, not echoed from the generator. */
+  private def mm11(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    def byteOf(c: Column) = lpad(hex(c.cast("long").bitwiseAND(lit(255L))), 2, "0")
+    val bi = (pmod(d, lit(14)) + 1).cast("int")
+    val si = pmod(d, lit(3)).cast("int")
+    val kbps = element_at(
+      array(Seq(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+        .map(v => lit(v.toLong)): _*), bi)
+    val sr = element_at(
+      array(lit(44100L), lit(48000L), lit(32000L)), si + 1)
+    val mono = pmod(d, lit(2)) === 0
+    val nF = (pmod(d, lit(9)) + 2).cast("int")
+    val baseLen = floor((lit(144000L) * kbps) / sr).cast("long")
+    def frameHex(f: Column): Column = {
+      val pad = pmod(d + f, lit(2)).cast("long")
+      val hdr = concat(lit("FFFB"),
+        byteOf(bi.cast("long") * 16 + si.cast("long") * 4 + pad * 2),
+        when(mono, lit("C0")).otherwise(lit("00")))
+      val payloadLen = (baseLen + pad - 4).cast("int")
+      val xing = concat(repeat(lit("00"), 17), lit("58696E67"), // "Xing"
+        lit("00000001"), lpad(hex(nF.cast("long")), 8, "0"),
+        repeat(lit("00"), payloadLen - 29))
+      concat(hdr,
+        when(mono && f === 0, xing).otherwise(repeat(lit("00"), payloadLen)))
+    }
+    val bytes = unhex(concat(
+      repeat(lit("00"), pmod(d, lit(5)).cast("int")), // sync-scan junk
+      array_join(transform(sequence(lit(0), nF - 1),
+        f => frameHex(f.cast("long"))), "")))
+    val m = graft.pipeline.Multimodal.mp3Meta(bytes)
+    Tables.documents(s, dir).select(col("doc_id"), m.as("__m"))
+      .select(col("doc_id"),
+        col("__m").getField("version").as("version"),
+        col("__m").getField("layer").cast("long").as("layer"),
+        col("__m").getField("sample_rate").cast("long").as("sample_rate"),
+        col("__m").getField("channels").cast("long").as("channels"),
+        col("__m").getField("bitrate_kbps").cast("long").as("bitrate_kbps"),
+        col("__m").getField("frames").as("frames"),
+        col("__m").getField("total_bytes").as("total_bytes"),
+        col("__m").getField("duration_ms").as("duration_ms"),
+        col("__m").getField("avg_kbps").as("avg_kbps"),
+        col("__m").getField("xing_frames").as("xing_frames"),
+        col("__m").getField("vbr").cast("long").as("vbr"))
+      .orderBy(col("doc_id"))
+  }
+
   // ===== registry ========================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1451,6 +1508,7 @@ object PipelineQueries {
     "p_mm8_adpcm_decode" -> (mm8 _),
     "p_mm9_png_pixels" -> (mm9 _),
     "p_mm10_gif_pixels" -> (mm10 _),
+    "p_mm11_mp3_frames" -> (mm11 _),
     "p_k1_cms_heavy_hitters" -> (k1Cms _),
     "p_k2_hll_registers" -> (k2Hll _),
     "p_k3_hll_estimate" -> (k3HllEst _),
@@ -2419,6 +2477,41 @@ object PipelineQueries {
                  CAST(sum(v) AS BIGINT) AS sum_px,
                  CAST(sum(v * v) AS BIGINT) AS sum_sq
           FROM px GROUP BY doc_id ORDER BY doc_id"""),
+    // MPEG-audio framing replayed from the public tables: bitrate index →
+    // kbps, samplerate index → Hz, frame length 144000·kbps//sr + pad,
+    // padding alternating per frame, Xing frames for even (mono) docs,
+    // and the decoder's exact sequential integer divisions
+    "p_mm11_mp3_frames" ->
+      ("""WITH p AS (
+            SELECT doc_id,
+                   doc_id % 14 + 1 AS bi, doc_id % 3 AS si,
+                   doc_id % 9 + 2 AS nf,
+                   [32,40,48,56,64,80,96,112,128,160,192,224,256,320]
+                     [CAST(doc_id % 14 + 1 AS INT)] AS kbps,
+                   [44100,48000,32000][CAST(doc_id % 3 + 1 AS INT)] AS sr
+            FROM documents),
+          q AS (
+            SELECT doc_id, nf, kbps, sr,
+                   (144000 * kbps) // sr AS baselen,
+                   nf // 2 + (doc_id % 2) * (nf % 2) AS pads
+            FROM p),
+          t AS (
+            SELECT doc_id, nf, kbps, sr,
+                   nf * baselen + pads AS total_bytes
+            FROM q)
+          SELECT doc_id,
+                 '1' AS version,
+                 CAST(3 AS BIGINT) AS layer,
+                 CAST(sr AS BIGINT) AS sample_rate,
+                 CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS BIGINT) AS channels,
+                 CAST(kbps AS BIGINT) AS bitrate_kbps,
+                 CAST(nf AS BIGINT) AS frames,
+                 CAST(total_bytes AS BIGINT) AS total_bytes,
+                 CAST((nf * 1152 * 1000) // sr AS BIGINT) AS duration_ms,
+                 CAST(((total_bytes * 8 * sr) // (nf * 1152)) // 1000 AS BIGINT) AS avg_kbps,
+                 CAST(CASE WHEN doc_id % 2 = 0 THEN nf ELSE NULL END AS BIGINT) AS xing_frames,
+                 CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS vbr
+          FROM t ORDER BY doc_id"""),
     "p_t3_contamination" ->
       ("""WITH corpus AS (
             SELECT doc_id, text FROM documents WHERE doc_id < 1000),

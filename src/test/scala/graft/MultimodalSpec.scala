@@ -340,6 +340,70 @@ class MultimodalSpec extends SparkSpec {
     assert(pipeline.AvHeader.decodeWavPcm("just some text bytes".getBytes).isEmpty)
   }
 
+  test("mp3_meta: sync scan, version/layer branches, Xing/Info, truncation") {
+    import pipeline.Mp3Header
+
+    /** Build one frame: 4-byte header + zero payload to frameLen. */
+    def frame(verBits: Int, layerBits: Int, bi: Int, si: Int, pad: Int,
+        mono: Boolean, lenOverride: Int = -1): Array[Byte] = {
+      val h = Array[Byte](0xff.toByte,
+        (0xe0 | (verBits << 3) | (layerBits << 1) | 1).toByte,
+        ((bi << 4) | (si << 2) | (pad << 1)).toByte,
+        (if (mono) 0xc0 else 0x00).toByte)
+      val parsed = Mp3Header.parse(h ++ new Array[Byte](8192)).get
+      val len = if (lenOverride >= 0) lenOverride
+        else (parsed.totalBytes / parsed.frames).toInt
+      h ++ new Array[Byte](len - 4)
+    }
+
+    // MPEG1 Layer III stereo 128 kbps @ 44100: frameLen 417+pad
+    val f = frame(3, 1, 9, 0, 0, mono = false)
+    assert(f.length === 417)
+    val m = Mp3Header.parse(f ++ f ++ f).get
+    assert((m.version, m.layer, m.sampleRate, m.channels) === (1, 3, 44100, 2))
+    assert((m.bitrateKbps, m.frames, m.totalBytes) === (128, 3L, 1251L))
+    assert(m.durationMs === 3L * 1152 * 1000 / 44100)
+    assert(m.avgKbps === 1251L * 8 * 44100 / (3 * 1152) / 1000)
+    assert(m.xingFrames.isEmpty && !m.vbr)
+
+    // sync scan skips junk INCLUDING a lone 0xFF that fails re-validation
+    val junk = Array[Byte](0, 0x49, 0x44, 0x33, 0xff.toByte, 0)
+    assert(Mp3Header.parse(junk ++ f).get.frames === 1L)
+
+    // a truncated final frame never counts
+    assert(Mp3Header.parse(f ++ f.take(100)).get.frames === 1L)
+
+    // padding bit lengthens the frame by exactly one byte
+    assert(frame(3, 1, 9, 0, 1, mono = false).length === 418)
+
+    // MPEG2 Layer III mono: 576-sample frames, the V2 rate/bitrate tables
+    val m2 = Mp3Header.parse(frame(2, 1, 4, 1, 0, mono = true)).get
+    assert((m2.version, m2.sampleRate, m2.bitrateKbps) === (2, 24000, 32))
+    assert(m2.durationMs === 576L * 1000 / 24000)
+
+    // Layer I frame-length formula: (12·bitrate/rate + pad)·4
+    val m1 = Mp3Header.parse(frame(3, 3, 1, 0, 0, mono = false)).get
+    assert((m1.layer, m1.totalBytes) === (1, (12 * 32000 / 44100) * 4L))
+
+    // Xing (VBR) and Info (CBR) at the mono-V1 offset 4+17
+    def withTag(tag: String): Array[Byte] = {
+      val base = frame(3, 1, 9, 0, 0, mono = true)
+      System.arraycopy(tag.getBytes("US-ASCII"), 0, base, 21, 4)
+      System.arraycopy(Array[Byte](0, 0, 0, 1), 0, base, 25, 4) // flags: frames
+      System.arraycopy(Array[Byte](0, 0, 1, 42), 0, base, 29, 4) // 0x012A
+      base
+    }
+    val x = Mp3Header.parse(withTag("Xing")).get
+    assert(x.vbr && x.xingFrames === Some(298L)) // 0x0000012A
+    val i = Mp3Header.parse(withTag("Info")).get
+    assert(!i.vbr && i.xingFrames === Some(298L))
+
+    // free-format (bi=0) and reserved codes refuse
+    assert(Mp3Header.parse(Array[Byte](0xff.toByte, 0xfb.toByte, 0x02, 0)).isEmpty)
+    assert(Mp3Header.parse(Array[Byte](0xff.toByte, 0xeb.toByte, 0x92.toByte, 0)).isEmpty) // ver=01
+    assert(Mp3Header.parse("not audio at all".getBytes) === None)
+  }
+
   test("G.711 expansion: published extreme/zero points and curve symmetry") {
     import pipeline.AvHeader.{alaw2linear, ulaw2linear}
     // µ-law: 0x00 is the negative extreme (-32124), 0x80 the positive
