@@ -54,17 +54,20 @@ object BlockFetcher {
     case ws if ws.startsWith("ws:") =>
       // "ws:ws://host:port/path|http://host:port" — heads arrive by
       // eth_subscribe newHeads over the websocket (the reference's
-      // listener.go split), block bodies by JSON-RPC over HTTP
+      // listener.go split), block bodies by JSON-RPC over HTTP. A
+      // `wss://` head URI runs the subscription over TLS (platform
+      // trust, or the context installed via WsTransport.setSslContext).
       ws.stripPrefix("ws:").split('|') match {
         case Array(wsUri, httpUri) =>
           val u = java.net.URI.create(wsUri)
-          require(u.getScheme == "ws", s"unsupported scheme ${u.getScheme} (wss needs TLS config)")
+          require(u.getScheme == "ws" || u.getScheme == "wss",
+            s"unsupported scheme ${u.getScheme} (want ws or wss)")
           // fail the CONFIG loudly: a missing port would otherwise surface
           // as a swallowed connect error indistinguishable from "no heads"
           require(u.getPort > 0, s"ws fetcher URI needs an explicit port: $wsUri")
           WsTransport.WsSubscribingFetcher(u.getHost, u.getPort,
             if (u.getPath == null || u.getPath.isEmpty) "/" else u.getPath,
-            HttpTransport(httpUri))
+            HttpTransport(httpUri), tls = u.getScheme == "wss")
         case _ => throw new IllegalArgumentException(
           s"ws fetcher needs 'ws:<ws-uri>|<http-uri>', got: $ws")
       }

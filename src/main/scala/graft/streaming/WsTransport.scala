@@ -35,10 +35,24 @@ object WsTransport {
     * must fail the constructor, never park it); once upgraded, stream
     * reads block indefinitely (heads arrive sporadically by design). */
   final class WsClient(host: String, port: Int, path: String,
-      connectTimeoutMs: Int = 10000) {
-    private val socket = new Socket()
-    socket.connect(new java.net.InetSocketAddress(host, port), connectTimeoutMs)
-    socket.setSoTimeout(connectTimeoutMs) // bounds the handshake reads
+      connectTimeoutMs: Int = 10000,
+      tls: Option[javax.net.ssl.SSLSocketFactory] = None) {
+    private val socket: Socket = {
+      val raw = new Socket()
+      raw.connect(new java.net.InetSocketAddress(host, port), connectTimeoutMs)
+      raw.setSoTimeout(connectTimeoutMs) // bounds the handshake reads
+      tls match {
+        case None => raw
+        case Some(f) => // wss: layer TLS over the connected socket; the
+          // TLS handshake completes (and the peer verifies) BEFORE any
+          // ws bytes flow, and it shares the connect timeout bound
+          val s = f.createSocket(raw, host, port, true)
+            .asInstanceOf[javax.net.ssl.SSLSocket]
+          s.setSoTimeout(connectTimeoutMs)
+          s.startHandshake()
+          s
+      }
+    }
     private val in = new BufferedInputStream(socket.getInputStream)
     private val out = socket.getOutputStream
     private val rng = new java.security.SecureRandom()
@@ -117,9 +131,18 @@ object WsTransport {
     * stall one poll for ~2x the timeout, never deadlock every caller,
     * and a node restart re-subscribes without operator action. Between
     * attempts the fetcher's hole semantics hold: the syncer keeps
-    * draining the backlog against the frozen head. */
+    * draining the backlog against the frozen head.
+    *
+    * Retry cadence is the reference's FIBONACCI backoff
+    * (`app/queue/queue.go:31-40`: delay ×= the golden ratio, rounded —
+    * consecutive delays walk the Fibonacci series — reset on success):
+    * consecutive FAILED attempts grow the wait from `retryCooldownMs`
+    * by φ per failure; a successful connect resets it. We CAP at the
+    * reference's 3600 s bound rather than reproducing its `% 3600`,
+    * which wraps a long-outage delay back to zero and hot-loops. */
   final class NewHeadsSubscriber(host: String, port: Int, path: String,
-      connectTimeoutMs: Int = 10000, retryCooldownMs: Long = 5000L) {
+      connectTimeoutMs: Int = 10000, retryCooldownMs: Long = 5000L,
+      tls: Option[javax.net.ssl.SSLSocketFactory] = None) {
     private val last = new AtomicLong(-1L)
     /** Reorg signals: heights whose `newHeads` notification arrived at or
       * below the already-known head — the reference's repeated-number
@@ -130,8 +153,12 @@ object WsTransport {
     private val reorgLog = new java.util.concurrent.CopyOnWriteArrayList[java.lang.Long]()
     @volatile private var client: WsClient = null
     private var lastAttemptNanos = 0L // guarded by this
+    private var delayMs = retryCooldownMs // next-retry wait, guarded by this
 
     def head(): Long = { ensureConnected(); last.get() }
+
+    /** Current retry delay (test observability). */
+    def currentDelayMs: Long = synchronized { delayMs }
 
     /** Snapshot of the reorg-signal log (append-only ⇒ a prefix read is
       * always consistent). */
@@ -143,7 +170,7 @@ object WsTransport {
     private def ensureConnected(): Unit = synchronized {
       val now = System.nanoTime()
       if (client == null && (lastAttemptNanos == 0L ||
-          now - lastAttemptNanos >= retryCooldownMs * 1000000L)) {
+          now - lastAttemptNanos >= delayMs * 1000000L)) {
         lastAttemptNanos = now
         connectOnce()
       }
@@ -151,7 +178,7 @@ object WsTransport {
 
     private def connectOnce(): Unit =
       try {
-        val c = new WsClient(host, port, path, connectTimeoutMs)
+        val c = new WsClient(host, port, path, connectTimeoutMs, tls)
         c.sendText(JsonRpc.subscribeRequest(1L, "newHeads"))
         // the subscribe result frame arrives before notifications (the
         // node assigns the id first); tolerate either order anyway
@@ -177,7 +204,12 @@ object WsTransport {
         t.setDaemon(true)
         t.start()
         client = c
-      } catch { case scala.util.control.NonFatal(_) => () } // head stays last-known
+        delayMs = retryCooldownMs // ResetDelay (queue.go:39-41)
+      } catch {
+        case scala.util.control.NonFatal(_) => // head stays last-known
+          // SetDelay (queue.go:33-36): golden-ratio step ≈ next Fibonacci
+          delayMs = math.min(3600000L, math.round(delayMs * 1.6180339887498949))
+      }
 
     def close(): Unit = {
       val c = client
@@ -192,28 +224,55 @@ object WsTransport {
     * endpoint, so executor-side readers share one connection instead of
     * one per partition. */
   final case class WsSubscribingFetcher(wsHost: String, wsPort: Int,
-      wsPath: String, rpc: RpcTransport) extends BlockFetcher {
+      wsPath: String, rpc: RpcTransport, tls: Boolean = false) extends BlockFetcher {
     @transient private lazy val delegate = JsonRpcFetcher(rpc)
     override def head(): Long =
-      WsTransport.subscriberFor(wsHost, wsPort, wsPath).head()
+      WsTransport.subscriberFor(wsHost, wsPort, wsPath, tls).head()
     override def fetchBlock(n: Long): Option[PackedBlock] =
       delegate.fetchBlock(n)
     override def reorgs(): IndexedSeq[Long] =
-      WsTransport.subscriberFor(wsHost, wsPort, wsPath).reorgs()
+      WsTransport.subscriberFor(wsHost, wsPort, wsPath, tls).reorgs()
   }
+
+  // ---- TLS (wss:) --------------------------------------------------------
+  //
+  // The fetcher stays Serializable CONFIG (an SSLSocketFactory is live
+  // JVM state and must never ride a task closure), so `wss:` is a
+  // boolean on the config and the factory resolves per-JVM here: the
+  // platform default trust store, unless a deployment installs its own
+  // SSLContext (private CA, pinned node cert) through [[setSslContext]].
+
+  @volatile private var sslContextOverride: Option[javax.net.ssl.SSLContext] = None
+
+  /** Install the JVM-wide SSLContext `wss:` connections use (e.g. one
+    * trusting a private CA). Pass None to return to the platform
+    * default. Affects subscriptions created AFTER the call. */
+  def setSslContext(ctx: Option[javax.net.ssl.SSLContext]): Unit =
+    sslContextOverride = ctx
+
+  private def sslFactory(): javax.net.ssl.SSLSocketFactory =
+    sslContextOverride.map(_.getSocketFactory).getOrElse(
+      javax.net.ssl.SSLSocketFactory.getDefault
+        .asInstanceOf[javax.net.ssl.SSLSocketFactory])
 
   private val subscribers =
     new java.util.concurrent.ConcurrentHashMap[String, NewHeadsSubscriber]()
 
-  /** One shared subscription per (host, port, path) per JVM. */
-  def subscriberFor(host: String, port: Int, path: String): NewHeadsSubscriber =
-    subscribers.computeIfAbsent(s"$host:$port$path",
-      _ => new NewHeadsSubscriber(host, port, path))
+  private def subscriberKey(host: String, port: Int, path: String,
+      tls: Boolean): String = s"${if (tls) "wss" else "ws"}://$host:$port$path"
+
+  /** One shared subscription per (scheme, host, port, path) per JVM. */
+  def subscriberFor(host: String, port: Int, path: String,
+      tls: Boolean = false): NewHeadsSubscriber =
+    subscribers.computeIfAbsent(subscriberKey(host, port, path, tls),
+      _ => new NewHeadsSubscriber(host, port, path,
+        tls = if (tls) Some(sslFactory()) else None))
 
   /** Test/maintenance hook: drop the shared subscription for an endpoint
     * so the next caller reconnects. */
-  def resetSubscriber(host: String, port: Int, path: String): Unit = {
-    val s = subscribers.remove(s"$host:$port$path")
+  def resetSubscriber(host: String, port: Int, path: String,
+      tls: Boolean = false): Unit = {
+    val s = subscribers.remove(subscriberKey(host, port, path, tls))
     if (s != null) s.close()
   }
 }

@@ -149,4 +149,45 @@ class LiveIngestSpec extends SparkSpec {
       WsTransport.resetSubscriber("127.0.0.1", wsNode.port, "/")
     }
   }
+
+  test("live ingest over wss: TLS heads (self-signed node) + http bodies → store") {
+    val (serverCtx, clientCtx) = FakeNode.makeTls()
+    val httpNode = new FakeNode.HttpNode(maxNumber = 20)
+    val wsNode = new FakeNode.WsHeadNode(
+      serverCtx.getServerSocketFactory.createServerSocket(0))
+    WsTransport.setSslContext(Some(clientCtx))
+    val fetcherOpt =
+      s"ws:wss://127.0.0.1:${wsNode.port}/|http://127.0.0.1:${httpNode.port}/"
+    val probe = streaming.BlockFetcher.forOption(fetcherOpt, maxNumber = 0L)
+    val root = Files.createTempDirectory("graft-wss").toString
+    val store = new BlockStore(spark, s"$root/store")
+    val job = new IngestJob(spark, store, confirmations = 2)
+    val stream = spark.readStream
+      .format(classOf[ChainSimSource].getName)
+      .option("blocksPerBatch", "10")
+      .option("maxNumber", "20")
+      .option("fetcher", fetcherOpt)
+      .load()
+      .select(from_json(col("value"), Schemas.packedBlock).as("p"))
+      .select("p.*")
+    wsNode.push(20L)
+    val deadline = System.nanoTime() + 10e9.toLong
+    while (probe.head() < 20L) {
+      assert(System.nanoTime() < deadline, "head never arrived over TLS")
+      Thread.sleep(20)
+    }
+    val query = job.start(stream, s"$root/checkpoint")
+    try {
+      query.processAllAvailable()
+      val stored = store.view("blocks").select("number")
+        .collect().map(_.getLong(0)).toSet
+      assert(stored == (0L to 20L).filterNot(graft.fixtures.EvmFixtures.isGap).toSet)
+    } finally {
+      query.stop()
+      wsNode.stop()
+      httpNode.stop()
+      WsTransport.resetSubscriber("127.0.0.1", wsNode.port, "/", tls = true)
+      WsTransport.setSslContext(None)
+    }
+  }
 }

@@ -171,6 +171,63 @@ class WsTransportSpec extends AnyFunSuite {
     } finally sub.close()
   }
 
+  test("reconnect backoff walks the fibonacci (golden-ratio) series and resets on success") {
+    val probe = new ServerSocket(0)
+    val port = probe.getLocalPort
+    probe.close()
+    val sub = new WsTransport.NewHeadsSubscriber("127.0.0.1", port, "/",
+      connectTimeoutMs = 500, retryCooldownMs = 1L)
+    try {
+      assert(sub.currentDelayMs === 1L)
+      // drive failed attempts; delays must follow round(d·φ): 1,2,3,5,8,13…
+      val deadline = System.nanoTime() + 15_000_000_000L
+      while (sub.currentDelayMs < 13L && System.nanoTime() < deadline) {
+        sub.head(); Thread.sleep(5)
+      }
+      val seen = sub.currentDelayMs
+      assert(Seq(13L, 21L, 34L).contains(seen), // next-fib members only
+        s"delay $seen is off the fibonacci walk")
+      // capped, never the reference's %3600 wrap-to-zero
+      assert(seen <= 3600000L)
+      // a node appears: successful connect resets the delay to the base
+      val node = new FakeNode(Seq(5L), bindPort = port)
+      assert(poll(sub, target = 5L) === 5L)
+      assert(sub.currentDelayMs === 1L, "success must reset the backoff")
+      assert(node.served.await(10, java.util.concurrent.TimeUnit.SECONDS))
+    } finally sub.close()
+  }
+
+  test("wss: subscription over TLS against a self-signed SSLServerSocket node") {
+    val (serverCtx, clientCtx) = graft.FakeNode.makeTls()
+    val node = new graft.FakeNode.WsHeadNode(
+      serverCtx.getServerSocketFactory.createServerSocket(0))
+    val sub = new WsTransport.NewHeadsSubscriber("127.0.0.1", node.port, "/",
+      tls = Some(clientCtx.getSocketFactory))
+    try {
+      node.push(7L)
+      assert(poll(sub, target = 7L) === 7L,
+        "heads never arrived over the TLS subscription")
+      // same-height repeat still signals a reorg over TLS
+      node.push(7L, "0xother")
+      val d = System.nanoTime() + 10_000_000_000L
+      while (sub.reorgs().isEmpty && System.nanoTime() < d) Thread.sleep(20)
+      assert(sub.reorgs() === IndexedSeq(7L))
+
+      // an UNTRUSTING client must refuse the self-signed peer: the
+      // default platform trust store fails the handshake, head stays -1
+      val untrusting = new WsTransport.NewHeadsSubscriber("127.0.0.1", node.port,
+        "/", connectTimeoutMs = 2000,
+        tls = Some(javax.net.ssl.SSLContext.getDefault.getSocketFactory))
+      try {
+        assert(untrusting.head() === -1L,
+          "a self-signed cert must not pass default trust")
+      } finally untrusting.close()
+    } finally {
+      sub.close()
+      node.stop()
+    }
+  }
+
   private def poll(sub: WsTransport.NewHeadsSubscriber, target: Long): Long = {
     val deadline = System.nanoTime() + 10_000_000_000L
     var h = sub.head()
