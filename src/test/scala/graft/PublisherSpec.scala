@@ -61,4 +61,80 @@ class PublisherSpec extends SparkSpec {
     assert(txSubs.count(_ == "from0") === 1)
     assert(!byTopic.contains("event")) // no event subscription matches → filtered out
   }
+
+  test("ST11 at fleet size: 1,000 mixed subscriptions stay ONE pass and " +
+      "sublinear wall time vs 10") {
+    // the reference matches per client per message (subscription.go:159-199
+    // — O(clients × msgs) regex walks); ours compiles ALL subscriptions
+    // into one tagged column evaluated in a single pass over the batch.
+    // This pins the claim at fleet size: same job count as 10 subs, no
+    // joins, no per-subscription jobs, and wall time grows ~sublinearly.
+    val batch = (0L until 200L).map(packed).toDF().cache()
+    batch.count()
+
+    def subsOf(n: Int): Seq[(String, SubscriptionFilter.Subscription)] =
+      (0 until n).map { i =>
+        val name = i % 4 match {
+          case 0 => "block"
+          case 1 => s"transaction/${EvmFixtures.account(i % 20)}/*"
+          case 2 => s"transaction/*/${EvmFixtures.account(i % 20)}"
+          case _ => s"event/${EvmFixtures.contractAddr(i % 7)}/*"
+        }
+        s"sub$i" -> SubscriptionFilter.parse(name).get
+      }
+
+    val jobCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobCounter.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    def measured(n: Int): (Long, Long, Long) = { // (rows, jobs, bestNanos)
+      val df = Publisher.deliveredMessages(batch, subsOf(n))
+      var rows = 0L
+      var best = Long.MaxValue
+      var jobs = 0L
+      def drained(): Long = { // listener events post async: settle first
+        var prev = -1L
+        while (prev != jobCounter.get()) { prev = jobCounter.get(); Thread.sleep(150) }
+        prev
+      }
+      (1 to 3).foreach { _ =>
+        val j0 = drained()
+        val t0 = System.nanoTime()
+        rows = df.count()
+        val dt = System.nanoTime() - t0
+        jobs = drained() - j0
+        best = math.min(best, dt)
+      }
+      (rows, jobs, best)
+    }
+    try {
+      val (rows10, jobs10, t10) = measured(10)
+      val (rows1000, jobs1000, t1000) = measured(1000)
+      assert(rows1000 > rows10, "the 1,000-sub fanout should tag more rows")
+
+      // ONE pass regardless of fleet size: the subscription count must
+      // not change the job count, and the plan holds no joins and the
+      // same three entity branches
+      assert(jobs1000 === jobs10,
+        s"job count grew with subscriptions: $jobs10 -> $jobs1000")
+      val plan1000 = Publisher.deliveredMessages(batch, subsOf(1000))
+        .queryExecution.executedPlan.toString
+      assert(!plan1000.contains("Join"), "fanout must not join per subscription")
+      val scans = "InMemoryTableScan".r.findAllIn(plan1000).size
+      assert(scans <= 3, s"$scans cached-batch scans: more than one per entity tier")
+
+      // 100× the subscriptions must cost FAR less than 100× the time;
+      // generous margin keeps the assertion robust on a noisy harness
+      assert(t1000 < t10 * 25,
+        f"wall time not sublinear: 10 subs ${t10 / 1e6}%.1f ms, " +
+          f"1000 subs ${t1000 / 1e6}%.1f ms")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      batch.unpersist()
+      ()
+    }
+  }
 }
