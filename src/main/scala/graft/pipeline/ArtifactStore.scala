@@ -20,6 +20,17 @@ object ArtifactStore {
     * @param build writes the artifact's parquet to the given staging path
     *        (the caller picks options like `partitionBy`)
     */
+  /** Name of the provenance file written INTO each artifact directory
+    * (underscore prefix: invisible to Spark's parquet listing). It
+    * records the source path the artifact derives from, which is what
+    * lets [[sweepStale]] find artifacts whose corpus is gone. */
+  private val SourceMarker = "_source"
+
+  private def writeSourceMarker(dir: String, sourceFile: String): Unit =
+    try Files.write(Paths.get(dir, SourceMarker),
+      sourceFile.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: java.io.IOException => () } // provenance is best-effort
+
   def ensure(spark: SparkSession, sourceFile: String, root: String,
       key: String)(build: String => Unit): DataFrame = {
     val target = Paths.get(s"$root/$key")
@@ -32,6 +43,7 @@ object ArtifactStore {
       // their own area; exactly one wins the atomic rename
       val tmp = Paths.get(s"$root/__build_${key}_${java.util.UUID.randomUUID()}")
       build(tmp.toString)
+      writeSourceMarker(tmp.toString, sourceFile) // provenance rides the rename
       try Files.move(tmp, target)
       catch { // lost the race: the winner's artifact is equivalent
         case _: java.nio.file.FileAlreadyExistsException =>
@@ -306,6 +318,7 @@ object ArtifactStore {
     while (listSegments(dir).isEmpty && attempt < 3) {
       attempt += 1
       Files.createDirectories(Paths.get(dir))
+      sourceFile.foreach(writeSourceMarker(dir, _)) // provenance for sweepStale
       val tmp = Paths.get(s"$dir/__seg_base_${java.util.UUID.randomUUID()}")
       buildBase(tmp.toString)
       try Files.move(tmp, basePath)
@@ -378,6 +391,55 @@ object ArtifactStore {
     * regeneration that preceded the compaction is not masked. Returns
     * the number of segments folded (0 = already compact or lost the
     * claim race). */
+  // ---- retention --------------------------------------------------------
+
+  /** MAINTAINER-ONLY retention sweep over an artifact ROOT — requires
+    * EXCLUSIVE access to the whole root (no concurrent builder,
+    * appender, or reader), the same contract as [[sweepOrphans]].
+    * Parameter-keyed cache dirs accumulate one per (corpus, variant,
+    * params) forever; this deletes the dead ones:
+    *
+    *   - ORPHANED: the artifact's recorded source file (the `_source`
+    *     provenance marker every build writes) no longer exists — the
+    *     corpus was deleted or renamed, so nothing can ever read or
+    *     revalidate this key again
+    *   - EXPIRED: `olderThanMs` is set and the artifact was built
+    *     longer ago than that (build time = the dir's own mtime; reads
+    *     never touch it) — generational retention for roots where old
+    *     parameterizations linger after a config change
+    *   - abandoned `__build_*` staging dirs (a crashed builder's
+    *     leavings, never visible to readers)
+    *
+    * A LIVE key — source present, within age — is never touched, and an
+    * artifact predating the provenance marker is treated as live unless
+    * the age rule fires (deleting on missing metadata would eat every
+    * pre-upgrade artifact on the first sweep). Returns the deleted
+    * directory names. */
+  def sweepStale(root: String, olderThanMs: Option[Long] = None): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val rootPath = Paths.get(root)
+    if (!Files.exists(rootPath)) return Seq.empty
+    val now = System.currentTimeMillis()
+    val stream = Files.list(rootPath)
+    val dirs = try stream.iterator().asScala.toList finally stream.close()
+    dirs.filter(Files.isDirectory(_)).flatMap { dir =>
+      val name = dir.getFileName.toString
+      val marker = dir.resolve(SourceMarker)
+      val orphaned = Files.exists(marker) && {
+        val src = new String(Files.readAllBytes(marker),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        src.nonEmpty && !Files.exists(Paths.get(src))
+      }
+      val expired = olderThanMs.exists(age =>
+        Files.getLastModifiedTime(dir).toMillis < now - age)
+      val staging = name.startsWith("__build_")
+      if (orphaned || expired || staging) {
+        org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+        Some(name)
+      } else None
+    }
+  }
+
   def compactSegments(spark: SparkSession, root: String, key: String): Int = {
     val dir = s"$root/$key"
     var attempt = 0
