@@ -51,6 +51,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("mp3_meta", "mp3_meta(bytes) - struct(version, layer, sample_rate, channels, bitrate_kbps, frames, total_bytes, duration_ms, avg_kbps, xing_frames, vbr) from an MPEG-audio frame-header walk, else NULL"),
       (args: Seq[Expression]) => graft.pipeline.Mp3Header.Mp3MetaExpr(args(0))))
     ext.injectFunction((
+      FunctionIdentifier("adts_meta"),
+      info("adts_meta", "adts_meta(bytes) - struct(mpeg_version, object_type, sample_rate, channels, crc_present, frames, total_bytes, duration_ms, avg_kbps) from an AAC ADTS frame-header walk, else NULL"),
+      (args: Seq[Expression]) => graft.pipeline.AdtsHeader.AdtsMetaExpr(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("h264_gen"),
+      info("h264_gen", "h264_gen(seed) - deterministic Annex-B H.264 stream (exp-Golomb SPS, escaped slice payloads) for seed"),
+      (args: Seq[Expression]) => graft.pipeline.H264Nal.H264GenExpr(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("h264_meta"),
+      info("h264_meta", "h264_meta(bytes) - struct(nal counts, slice_rbsp_bytes, SPS profile/level/dims/crop) from an Annex-B NAL walk, else NULL"),
+      (args: Seq[Expression]) => graft.pipeline.H264Nal.H264MetaExpr(args(0))))
+    ext.injectFunction((
       FunctionIdentifier("png_gen"),
       info("png_gen", "png_gen(seed) - deterministic DEFLATE-compressed grayscale PNG for seed (closed-form pixel pattern)"),
       (args: Seq[Expression]) => graft.pipeline.PngCodec.PngGenExpr(args(0))))

@@ -25,13 +25,19 @@ import org.apache.spark.sql.functions._
   *   - audio, TRANSFORM-CODED framing: MPEG audio (MP3) frame headers
   *     walked from the public framing spec ([[Mp3Header]]) — codec
   *     parameters, frame count, integer-exact duration/bitrate, the
-  *     Xing/Info VBR header
+  *     Xing/Info VBR header — and AAC ADTS streams ([[AdtsHeader]]):
+  *     object type, samplerate/channel config, CRC presence, frame
+  *     walk by the 13-bit frame length
+  *   - video, TRANSFORM-CODED structure: H.264 Annex-B NAL walk with
+  *     emulation-prevention de-escaping and a full exp-Golomb SPS
+  *     parse ([[H264Nal]]) — profile/level, the mb-grid, frame
+  *     cropping, the exact luma picture dimensions
   *
-  * The remaining STUB is transform DECODE only (AAC and H.264/VP9
-  * sample reconstruction — Huffman/IMDCT and motion-compensated
-  * pixels), which genuinely needs decoder libraries this container
-  * does not ship: `decodeMetaStub` derives deterministic fake metadata
-  * for those payloads.
+  * The remaining STUB is transform sample DECODE only (the AAC
+  * Huffman+IMDCT filterbank and the H.264/VP9 entropy-decode +
+  * motion-compensation pixel pipelines), which genuinely needs decoder
+  * libraries this container does not ship: `decodeMetaStub` derives
+  * deterministic fake metadata for those payloads.
   *
   * The codec plug is a documented seam, not an ambient dependency: a
   * real deployment supplies the decoder EITHER as a DataSource v2 read
@@ -93,6 +99,17 @@ object Multimodal {
     * the Xing/Info VBR header. */
   def mp3Meta(bytes: Column): Column =
     org.apache.spark.sql.functions.call_function("mp3_meta", bytes)
+
+  /** REAL AAC ADTS frame-header walk ([[AdtsHeader.AdtsMetaExpr]],
+    * codegen'd; null when no structurally-valid frame is found). */
+  def adtsMeta(bytes: Column): Column =
+    org.apache.spark.sql.functions.call_function("adts_meta", bytes)
+
+  /** REAL H.264 Annex-B structural decode ([[H264Nal.H264MetaExpr]],
+    * codegen'd; null when no start code is found): NAL composition,
+    * de-escaped payload sizes, and the SPS-derived picture geometry. */
+  def h264Meta(bytes: Column): Column =
+    org.apache.spark.sql.functions.call_function("h264_meta", bytes)
 
   /** Decode with a real-first policy: image bytes that parse as an actual
     * PNG/JPEG/GIF container get their true dimensions, audio/video bytes

@@ -1451,6 +1451,104 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** MM12: H.264 STRUCTURAL decode ([[graft.pipeline.H264Nal]]) — each
+    * document becomes an Annex-B stream (SPS + PPS + IDR + slices) via
+    * the from-scratch exp-Golomb bit WRITER `h264_gen`, with doc_id-
+    * derived profile/level/mb-grid/crop parameters, a junk prefix the
+    * start-code scan must skip, both 3- and 4-byte start codes, and
+    * zero-run payload patterns that force emulation-prevention escaping
+    * in every third slice. `h264_meta` walks the NALs (de-escaping each
+    * payload) and bit-parses the SPS; the oracle replays NAL counts, the
+    * de-escaped slice byte sum, and the spec's crop arithmetic
+    * (width = mbs·16 − 2·crop_right for 4:2:0) in closed form — so a
+    * defect in EITHER hand-written bit codec half breaks the gate. */
+  private def mm12(s: SparkSession, dir: String): DataFrame = {
+    val bytes = call_function("h264_gen", col("doc_id"))
+    val m = call_function("h264_meta", bytes)
+    Tables.documents(s, dir).select(col("doc_id"), m.as("__m"))
+      .select(col("doc_id"),
+        col("__m").getField("nal_total").cast("long").as("nal_total"),
+        col("__m").getField("sps_count").cast("long").as("sps_count"),
+        col("__m").getField("pps_count").cast("long").as("pps_count"),
+        col("__m").getField("idr_count").cast("long").as("idr_count"),
+        col("__m").getField("slice_count").cast("long").as("slice_count"),
+        col("__m").getField("slice_rbsp_bytes").as("slice_rbsp_bytes"),
+        col("__m").getField("profile_idc").cast("long").as("profile_idc"),
+        col("__m").getField("level_idc").cast("long").as("level_idc"),
+        col("__m").getField("sps_id").cast("long").as("sps_id"),
+        col("__m").getField("log2_max_frame_num").cast("long").as("log2_max_frame_num"),
+        col("__m").getField("poc_type").cast("long").as("poc_type"),
+        col("__m").getField("max_ref_frames").cast("long").as("max_ref_frames"),
+        col("__m").getField("width").cast("long").as("width"),
+        col("__m").getField("height").cast("long").as("height"),
+        col("__m").getField("frame_mbs_only").cast("long").as("frame_mbs_only"),
+        col("__m").getField("crop_right_px").cast("long").as("crop_right_px"),
+        col("__m").getField("crop_bottom_px").cast("long").as("crop_bottom_px"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** MM13: AAC ADTS frame-header walk ([[graft.pipeline.AdtsHeader]]) —
+    * the fixture is built in PURE SQL column arithmetic (the 13818-7
+    * byte-packing formulas inverted: sync/version/protection in bytes
+    * 0–1, profile/samplerate-index/channel bits packed across bytes
+    * 2–3, the 13-bit frame length split across bytes 3–5, buffer
+    * fullness 0x7FF), with a junk prefix the sync scan must skip, CRC
+    * headers on even doc_ids, per-frame varying payload lengths, and a
+    * planted `FF F1` INSIDE every fifth document's payload that a
+    * re-syncing (rather than frame-length-jumping) walk would miscount.
+    * The oracle replays construction and the integer-exact
+    * duration/bitrate stats in closed form. */
+  private def mm13(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    def byteOf(c: Column) = lpad(hex(c.cast("long").bitwiseAND(lit(255L))), 2, "0")
+    val nF = (pmod(d, lit(8)) + 2).cast("int")
+    val prof = pmod(d, lit(3)) // object_type - 1
+    val sfi = pmod(d, lit(12))
+    val rate = element_at(array(Seq(96000, 88200, 64000, 48000, 44100, 32000,
+      24000, 22050, 16000, 12000, 11025, 8000).map(v => lit(v.toLong)): _*),
+      sfi.cast("int") + 1)
+    val chan = pmod(d, lit(2)) + 1
+    val mpegId = when(pmod(d, lit(3)) === 0, lit(1L)).otherwise(lit(0L))
+    val crc = when(pmod(d, lit(2)) === 0, lit(1L)).otherwise(lit(0L))
+    val headerLen = lit(7L) + crc * 2
+    def frameHex(f: Column): Column = {
+      val payloadLen = (pmod(d, lit(50)) + 10 + f).cast("int")
+      val frameLen = headerLen + payloadLen
+      val hdr = concat(lit("FF"),
+        byteOf(lit(0xf0L) + mpegId * 8 + (lit(1L) - crc)),
+        byteOf(prof * 64 + sfi * 4),
+        byteOf(chan * 64 + floor(frameLen / 2048)),
+        byteOf(floor(frameLen / 8) % 256),
+        byteOf(pmod(frameLen, lit(8)) * 32 + 31),
+        lit("FC"),
+        when(crc === 1,
+          concat(byteOf(pmod(d, lit(256))), byteOf(pmod(d * 7, lit(256)))))
+          .otherwise(lit("")))
+      val payload =
+        when(pmod(d, lit(5)) === 0 && f === 0,
+          concat(lit("FFF1"), repeat(lit("AB"), payloadLen - 2)))
+          .otherwise(repeat(lit("AB"), payloadLen))
+      concat(hdr, payload)
+    }
+    val bytes = unhex(concat(
+      repeat(lit("AA"), pmod(d, lit(6)).cast("int")), // sync-scan junk
+      array_join(transform(sequence(lit(0), nF - 1),
+        f => frameHex(f.cast("long"))), "")))
+    val m = call_function("adts_meta", bytes)
+    Tables.documents(s, dir).select(col("doc_id"), m.as("__m"))
+      .select(col("doc_id"),
+        col("__m").getField("mpeg_version").cast("long").as("mpeg_version"),
+        col("__m").getField("object_type").cast("long").as("object_type"),
+        col("__m").getField("sample_rate").cast("long").as("sample_rate"),
+        col("__m").getField("channels").cast("long").as("channels"),
+        col("__m").getField("crc_present").cast("long").as("crc_present"),
+        col("__m").getField("frames").as("frames"),
+        col("__m").getField("total_bytes").as("total_bytes"),
+        col("__m").getField("duration_ms").as("duration_ms"),
+        col("__m").getField("avg_kbps").as("avg_kbps"))
+      .orderBy(col("doc_id"))
+  }
+
   // ===== registry ========================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1509,6 +1607,8 @@ object PipelineQueries {
     "p_mm9_png_pixels" -> (mm9 _),
     "p_mm10_gif_pixels" -> (mm10 _),
     "p_mm11_mp3_frames" -> (mm11 _),
+    "p_mm12_h264_nals" -> (mm12 _),
+    "p_mm13_adts_frames" -> (mm13 _),
     "p_k1_cms_heavy_hitters" -> (k1Cms _),
     "p_k2_hll_registers" -> (k2Hll _),
     "p_k3_hll_estimate" -> (k3HllEst _),
@@ -2511,6 +2611,61 @@ object PipelineQueries {
                  CAST(((total_bytes * 8 * sr) // (nf * 1152)) // 1000 AS BIGINT) AS avg_kbps,
                  CAST(CASE WHEN doc_id % 2 = 0 THEN nf ELSE NULL END AS BIGINT) AS xing_frames,
                  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS vbr
+          FROM t ORDER BY doc_id"""),
+    "p_mm12_h264_nals" ->
+      ("""WITH p AS (
+            SELECT doc_id,
+                   doc_id % 6 + 1 AS n,
+                   doc_id % 17 + 8 AS base,
+                   [66,77,100][CAST(doc_id % 3 + 1 AS INT)] AS profile,
+                   [10,20,30,40,51][CAST(doc_id % 5 + 1 AS INT)] AS level,
+                   CASE WHEN doc_id % 2 = 0 THEN doc_id % 8 ELSE 0 END AS cr,
+                   CASE WHEN doc_id % 2 = 0 THEN doc_id % 4 ELSE 0 END AS cb
+            FROM documents)
+          SELECT doc_id,
+                 CAST(n + 2 AS BIGINT) AS nal_total,
+                 CAST(1 AS BIGINT) AS sps_count,
+                 CAST(1 AS BIGINT) AS pps_count,
+                 CAST(1 AS BIGINT) AS idr_count,
+                 CAST(n - 1 AS BIGINT) AS slice_count,
+                 CAST(n * base + n * (n - 1) // 2 AS BIGINT) AS slice_rbsp_bytes,
+                 CAST(profile AS BIGINT) AS profile_idc,
+                 CAST(level AS BIGINT) AS level_idc,
+                 CAST(doc_id % 3 AS BIGINT) AS sps_id,
+                 CAST(4 + doc_id % 13 AS BIGINT) AS log2_max_frame_num,
+                 CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 2 END AS BIGINT) AS poc_type,
+                 CAST(doc_id % 5 AS BIGINT) AS max_ref_frames,
+                 CAST((doc_id % 120 + 1) * 16 - 2 * cr AS BIGINT) AS width,
+                 CAST((doc_id % 68 + 1) * 16 - 2 * cb AS BIGINT) AS height,
+                 CAST(1 AS BIGINT) AS frame_mbs_only,
+                 CAST(2 * cr AS BIGINT) AS crop_right_px,
+                 CAST(2 * cb AS BIGINT) AS crop_bottom_px
+          FROM p ORDER BY doc_id"""),
+    "p_mm13_adts_frames" ->
+      ("""WITH p AS (
+            SELECT doc_id,
+                   doc_id % 8 + 2 AS nf,
+                   doc_id % 3 + 1 AS object_type,
+                   [96000,88200,64000,48000,44100,32000,24000,22050,16000,12000,11025,8000]
+                     [CAST(doc_id % 12 + 1 AS INT)] AS sr,
+                   doc_id % 2 + 1 AS channels,
+                   CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 4 END AS mpeg_version,
+                   CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS crc,
+                   doc_id % 50 + 10 AS basepay
+            FROM documents),
+          t AS (
+            SELECT *, nf * (7 + 2 * crc + basepay) + nf * (nf - 1) // 2 AS total_bytes
+            FROM p)
+          SELECT doc_id,
+                 CAST(mpeg_version AS BIGINT) AS mpeg_version,
+                 CAST(object_type AS BIGINT) AS object_type,
+                 CAST(sr AS BIGINT) AS sample_rate,
+                 CAST(channels AS BIGINT) AS channels,
+                 CAST(crc AS BIGINT) AS crc_present,
+                 CAST(nf AS BIGINT) AS frames,
+                 CAST(total_bytes AS BIGINT) AS total_bytes,
+                 CAST(nf * 1024 * 1000 // sr AS BIGINT) AS duration_ms,
+                 CAST(total_bytes * 8 * sr // (nf * 1024) // 1000 AS BIGINT) AS avg_kbps
           FROM t ORDER BY doc_id"""),
     "p_t3_contamination" ->
       ("""WITH corpus AS (
