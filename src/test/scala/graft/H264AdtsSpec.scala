@@ -121,6 +121,47 @@ class H264AdtsSpec extends SparkSpec {
     assert(m.crc && m.frames === 1L && m.totalBytes === 22L)
   }
 
+  // ---- corruption fuzz: hostile bytes must never throw -------------------
+
+  /** Deterministic xorshift so the fuzz corpus is reproducible. */
+  private def rng(seed: Long): () => Long = {
+    var x = seed | 1
+    () => { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x }
+  }
+
+  test("fuzz: corrupted/truncated streams never throw across all three parsers") {
+    val next = rng(0x5eed)
+    val bases = Seq(
+      H264Nal.generate(12L),
+      handAdts ++ handAdts,
+      Array[Byte](0, 0, 0, 1, 0x67) ++ handSps)
+    for (base <- bases; trial <- 0 until 200) {
+      val b = base.clone()
+      // flip 1-3 bytes, then sometimes truncate
+      (0 until 1 + (next() & 3).toInt.min(2)).foreach { _ =>
+        val i = ((next() % b.length + b.length) % b.length).toInt
+        b(i) = (next() & 0xff).toByte
+      }
+      val cut = if ((next() & 1) == 0) b.length
+        else 1 + ((next() % b.length + b.length) % b.length).toInt
+      val mutated = b.take(cut)
+      // parse must return (possibly None) without throwing — trial index
+      // in the clue so a failing corruption is reproducible
+      withClue(s"trial $trial") {
+        H264Nal.parse(mutated)
+        AdtsHeader.parse(mutated)
+        graft.pipeline.Mp3Header.parse(mutated)
+      }
+    }
+    // pure-noise buffers too
+    (0 until 100).foreach { _ =>
+      val n = 1 + (next() & 1023).toInt
+      val noise = Array.fill(n)((next() & 0xff).toByte)
+      H264Nal.parse(noise); AdtsHeader.parse(noise)
+      graft.pipeline.Mp3Header.parse(noise)
+    }
+  }
+
   // ---- registry entries drive the Catalyst expressions end-to-end --------
 
   test("p_mm12 / p_mm13 registry entries run and agree with the closed forms") {
