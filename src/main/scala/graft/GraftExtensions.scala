@@ -63,6 +63,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("h264_meta", "h264_meta(bytes) - struct(nal counts, slice_rbsp_bytes, SPS profile/level/dims/crop) from an Annex-B NAL walk, else NULL"),
       (args: Seq[Expression]) => graft.pipeline.H264Nal.H264MetaExpr(args(0))))
     ext.injectFunction((
+      FunctionIdentifier("vp9_gen"),
+      info("vp9_gen", "vp9_gen(seed) - deterministic VP9-in-IVF capture file (keyframe + inter frames) for seed"),
+      (args: Seq[Expression]) => graft.pipeline.Vp9Ivf.Vp9GenExpr(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("vp9_meta"),
+      info("vp9_meta", "vp9_meta(bytes) - struct(IVF header fields, frame-type counts, first-keyframe VP9 header: profile/bit depth/color/dims) from an IVF walk, else NULL"),
+      (args: Seq[Expression]) => graft.pipeline.Vp9Ivf.Vp9MetaExpr(args(0))))
+    ext.injectFunction((
       FunctionIdentifier("png_gen"),
       info("png_gen", "png_gen(seed) - deterministic DEFLATE-compressed grayscale PNG for seed (closed-form pixel pattern)"),
       (args: Seq[Expression]) => graft.pipeline.PngCodec.PngGenExpr(args(0))))

@@ -31,7 +31,10 @@ import org.apache.spark.sql.functions._
   *   - video, TRANSFORM-CODED structure: H.264 Annex-B NAL walk with
   *     emulation-prevention de-escaping and a full exp-Golomb SPS
   *     parse ([[H264Nal]]) — profile/level, the mb-grid, frame
-  *     cropping, the exact luma picture dimensions
+  *     cropping, the exact luma picture dimensions — and VP9-in-IVF
+  *     ([[Vp9Ivf]]): container walk, per-frame key/inter
+  *     classification, and the uncompressed keyframe header down to
+  *     the bitstream's own dimensions
   *
   * The remaining STUB is transform sample DECODE only (the AAC
   * Huffman+IMDCT filterbank and the H.264/VP9 entropy-decode +
@@ -110,6 +113,11 @@ object Multimodal {
     * de-escaped payload sizes, and the SPS-derived picture geometry. */
   def h264Meta(bytes: Column): Column =
     org.apache.spark.sql.functions.call_function("h264_meta", bytes)
+
+  /** REAL VP9-in-IVF structural decode ([[Vp9Ivf.Vp9MetaExpr]],
+    * codegen'd; null when the container or every frame is invalid). */
+  def vp9Meta(bytes: Column): Column =
+    org.apache.spark.sql.functions.call_function("vp9_meta", bytes)
 
   /** Decode with a real-first policy: image bytes that parse as an actual
     * PNG/JPEG/GIF container get their true dimensions, audio/video bytes

@@ -1549,6 +1549,41 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** MM14: VP9-in-IVF structural decode ([[graft.pipeline.Vp9Ivf]]) —
+    * each document becomes an IVF capture file (32-byte "DKIF" header +
+    * length/PTS-framed frames) whose frame 0 is a VP9 KEYFRAME with a
+    * full uncompressed header (marker, profile bits, sync code
+    * 0x498342, profile-2 bit depth, color config, 16-bit dims) written
+    * by the from-scratch bit writer `vp9_gen`, followed by inter
+    * frames. The BITSTREAM dims deliberately differ from the container
+    * dims (+1/+2), and both are surfaced — the gate proves the parser
+    * read the VP9 bits, not the IVF fields. The oracle replays every
+    * field in closed form from the seed. */
+  private def mm14(s: SparkSession, dir: String): DataFrame = {
+    val bytes = call_function("vp9_gen", col("doc_id"))
+    val m = call_function("vp9_meta", bytes)
+    Tables.documents(s, dir).select(col("doc_id"), m.as("__m"))
+      .select(col("doc_id"),
+        col("__m").getField("fourcc").as("fourcc"),
+        col("__m").getField("ivf_width").cast("long").as("ivf_width"),
+        col("__m").getField("ivf_height").cast("long").as("ivf_height"),
+        col("__m").getField("tb_den").as("tb_den"),
+        col("__m").getField("tb_num").as("tb_num"),
+        col("__m").getField("hdr_frames").as("hdr_frames"),
+        col("__m").getField("frames").as("frames"),
+        col("__m").getField("key_frames").as("key_frames"),
+        col("__m").getField("inter_frames").as("inter_frames"),
+        col("__m").getField("payload_bytes").as("payload_bytes"),
+        col("__m").getField("last_pts").as("last_pts"),
+        col("__m").getField("profile").cast("long").as("profile"),
+        col("__m").getField("bit_depth").cast("long").as("bit_depth"),
+        col("__m").getField("color_space").cast("long").as("color_space"),
+        col("__m").getField("color_range").cast("long").as("color_range"),
+        col("__m").getField("width").cast("long").as("width"),
+        col("__m").getField("height").cast("long").as("height"))
+      .orderBy(col("doc_id"))
+  }
+
   // ===== registry ========================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1609,6 +1644,7 @@ object PipelineQueries {
     "p_mm11_mp3_frames" -> (mm11 _),
     "p_mm12_h264_nals" -> (mm12 _),
     "p_mm13_adts_frames" -> (mm13 _),
+    "p_mm14_vp9_ivf" -> (mm14 _),
     "p_k1_cms_heavy_hitters" -> (k1Cms _),
     "p_k2_hll_registers" -> (k2Hll _),
     "p_k3_hll_estimate" -> (k3HllEst _),
@@ -2667,6 +2703,36 @@ object PipelineQueries {
                  CAST(nf * 1024 * 1000 // sr AS BIGINT) AS duration_ms,
                  CAST(total_bytes * 8 * sr // (nf * 1024) // 1000 AS BIGINT) AS avg_kbps
           FROM t ORDER BY doc_id"""),
+    "p_mm14_vp9_ivf" ->
+      ("""WITH p AS (
+            SELECT doc_id,
+                   doc_id % 7 + 1 AS n,
+                   doc_id % 40 + 12 AS base,
+                   (doc_id % 2) * 2 AS profile,
+                   (doc_id % 4) // 2 AS ten,
+                   doc_id % 640 + 16 AS iw,
+                   doc_id % 360 + 16 AS ih
+            FROM documents)
+          SELECT doc_id,
+                 'VP90' AS fourcc,
+                 CAST(iw AS BIGINT) AS ivf_width,
+                 CAST(ih AS BIGINT) AS ivf_height,
+                 CAST(doc_id % 30 + 1 AS BIGINT) AS tb_den,
+                 CAST(1 AS BIGINT) AS tb_num,
+                 CAST(n AS BIGINT) AS hdr_frames,
+                 CAST(n AS BIGINT) AS frames,
+                 CAST(1 AS BIGINT) AS key_frames,
+                 CAST(n - 1 AS BIGINT) AS inter_frames,
+                 CAST(n * base + n * (n - 1) // 2 AS BIGINT) AS payload_bytes,
+                 CAST(doc_id * 7 + (n - 1) * 1000 AS BIGINT) AS last_pts,
+                 CAST(profile AS BIGINT) AS profile,
+                 CAST(CASE WHEN profile = 0 THEN 8
+                           WHEN ten = 1 THEN 12 ELSE 10 END AS BIGINT) AS bit_depth,
+                 CAST(doc_id % 7 AS BIGINT) AS color_space,
+                 CAST(doc_id % 2 AS BIGINT) AS color_range,
+                 CAST(iw + 1 AS BIGINT) AS width,
+                 CAST(ih + 2 AS BIGINT) AS height
+          FROM p ORDER BY doc_id"""),
     "p_t3_contamination" ->
       ("""WITH corpus AS (
             SELECT doc_id, text FROM documents WHERE doc_id < 1000),
