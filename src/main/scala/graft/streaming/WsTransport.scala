@@ -224,14 +224,17 @@ object WsTransport {
     * endpoint, so executor-side readers share one connection instead of
     * one per partition. */
   final case class WsSubscribingFetcher(wsHost: String, wsPort: Int,
-      wsPath: String, rpc: RpcTransport, tls: Boolean = false) extends BlockFetcher {
+      wsPath: String, rpc: RpcTransport, tls: Boolean = false,
+      connectTimeoutMs: Int = 10000, retryBaseMs: Long = 5000L)
+      extends BlockFetcher {
     @transient private lazy val delegate = JsonRpcFetcher(rpc)
-    override def head(): Long =
-      WsTransport.subscriberFor(wsHost, wsPort, wsPath, tls).head()
+    private def sub =
+      WsTransport.subscriberFor(wsHost, wsPort, wsPath, tls,
+        connectTimeoutMs, retryBaseMs)
+    override def head(): Long = sub.head()
     override def fetchBlock(n: Long): Option[PackedBlock] =
       delegate.fetchBlock(n)
-    override def reorgs(): IndexedSeq[Long] =
-      WsTransport.subscriberFor(wsHost, wsPort, wsPath, tls).reorgs()
+    override def reorgs(): IndexedSeq[Long] = sub.reorgs()
   }
 
   // ---- TLS (wss:) --------------------------------------------------------
@@ -261,11 +264,21 @@ object WsTransport {
   private def subscriberKey(host: String, port: Int, path: String,
       tls: Boolean): String = s"${if (tls) "wss" else "ws"}://$host:$port$path"
 
-  /** One shared subscription per (scheme, host, port, path) per JVM. */
+  /** One shared subscription per (scheme, host, port, path) per JVM.
+    *
+    * `connectTimeoutMs` / `retryBaseMs` configure the endpoint's
+    * connect+handshake bound and the fibonacci backoff's base delay.
+    * Because the subscription is SHARED, the first caller for an
+    * endpoint fixes them (later values for the same endpoint are
+    * ignored — one socket cannot honor two timeout policies); the
+    * defaults match the reference's hardcoded cadence
+    * (`app/queue/queue.go:31-40`). */
   def subscriberFor(host: String, port: Int, path: String,
-      tls: Boolean = false): NewHeadsSubscriber =
+      tls: Boolean = false, connectTimeoutMs: Int = 10000,
+      retryBaseMs: Long = 5000L): NewHeadsSubscriber =
     subscribers.computeIfAbsent(subscriberKey(host, port, path, tls),
       _ => new NewHeadsSubscriber(host, port, path,
+        connectTimeoutMs = connectTimeoutMs, retryCooldownMs = retryBaseMs,
         tls = if (tls) Some(sslFactory()) else None))
 
   /** Test/maintenance hook: drop the shared subscription for an endpoint
