@@ -42,16 +42,21 @@ import org.apache.spark.sql.functions._
   * libraries this container does not ship: `decodeMetaStub` derives
   * deterministic fake metadata for those payloads.
   *
-  * The codec plug is a documented seam, not an ambient dependency: a
-  * real deployment supplies the decoder EITHER as a DataSource v2 read
-  * option on the media source (decode at scan time, e.g.
-  * `spark.read.format(...).option("decode", "h264")` materializing the
-  * decoded struct column) OR as a partition-local batch call behind the
-  * [[extractFeaturesStub]] boundary (the `mapInPandas` analog — FFI
-  * into libav per fixed-size batch). Everything around the seam —
-  * schema, batch shape, partition-preserving execution, explode
-  * semantics — is real and tested, so swapping in a true codec is a
-  * drop-in replacement of one function.
+  * The codec plug is a LIVE seam, not just documentation: the DSv2
+  * batch source [[graft.sources.MediaSource]] scans media directories
+  * with decode at scan time —
+  * `spark.read.format("graft.sources.MediaSource")
+  * .option("decode", "h264").load(dir)` materializes the structural
+  * struct column inside the partition reader, with column pruning that
+  * skips the file read entirely for metadata-only projections — and a
+  * production transform-codec decoder registers as one entry in its
+  * dispatch map. The alternative deployment shape is a partition-local
+  * batch call behind the [[extractFeaturesStub]] boundary (the
+  * `mapInPandas` analog — FFI into libav per fixed-size batch).
+  * Everything around the seam — schema, batch shape,
+  * partition-preserving execution, explode semantics — is real and
+  * tested, so swapping in a true codec is a drop-in replacement of one
+  * function.
   *
   * Scale notes: media bytes are the dominant payload; every operator here
   * projects metadata *without* shuffling the bytes (per-row expressions or

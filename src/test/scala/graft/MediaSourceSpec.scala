@@ -1,0 +1,97 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{H264Nal, Vp9Ivf}
+import graft.sources.MediaSource
+
+/** DSv2 batch media source: directory scan → (path, size, mtime, bytes,
+  * meta) with structural decode at scan time, size-balanced partitions,
+  * and column pruning that skips the file read entirely for
+  * metadata-only projections. */
+class MediaSourceSpec extends SparkSpec {
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("media_src").toString
+    Files.createDirectories(Paths.get(d, "sub"))
+    (0 until 6).foreach { i =>
+      Files.write(Paths.get(d, f"clip_$i%02d.ivf"), Vp9Ivf.generate(i.toLong))
+    }
+    (0 until 4).foreach { i =>
+      Files.write(Paths.get(d, "sub", f"clip_$i%02d.h264"), H264Nal.generate(i.toLong))
+    }
+    d
+  }
+
+  private def read(decode: String) =
+    spark.read.format("graft.sources.MediaSource")
+      .option("decode", decode).load(dir)
+
+  test("recursive listing surfaces every file with its true size") {
+    val rows = read("none").select("path", "size").collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      assert(r.getLong(1) === Files.size(Paths.get(r.getString(0))))
+    }
+    assert(rows.count(_.getString(0).contains("/sub/")) === 4)
+  }
+
+  test("bytes column round-trips file content exactly") {
+    val r = read("none").filter(col("path").endsWith("clip_03.ivf"))
+      .select("bytes").collect().head
+    assert(r.getAs[Array[Byte]](0).toSeq === Vp9Ivf.generate(3L).toSeq)
+  }
+
+  test("decode=vp9 runs the structural parser at scan time") {
+    val m = read("vp9").filter(col("path").endsWith("clip_05.ivf"))
+      .select("meta.frames", "meta.width", "meta.ivf_width").collect().head
+    assert(m.getLong(0) === (5 % 7) + 1)
+    assert(m.getInt(1) === m.getInt(2) + 1) // bitstream width ≠ container width
+    // non-VP9 files in the same tree decode to null, not an error
+    val h = read("vp9").filter(col("path").endsWith(".h264"))
+      .select("meta").collect()
+    assert(h.length === 4 && h.forall(_.isNullAt(0)))
+  }
+
+  test("decode=h264 surfaces the SPS geometry") {
+    val m = read("h264").filter(col("path").endsWith("clip_02.h264"))
+      .select("meta.width", "meta.profile_idc").collect().head
+    assert(m.getInt(0) === (2 % 120 + 1) * 16 - 2 * (2 % 8))
+    assert(m.getInt(1) === 100) // seed 2 → profile index 2
+  }
+
+  test("metadata-only projection never opens a file") {
+    MediaSource.contentReads.set(0)
+    val n = read("vp9").select("path", "size", "mtime_ms").count()
+    assert(n === 10)
+    assert(MediaSource.contentReads.get() === 0L,
+      "path/size/count projection must not read file contents")
+    // count() prunes even an explicit select(meta) to zero columns —
+    // still no read. Materializing meta DOES read, once per file.
+    MediaSource.contentReads.set(0)
+    assert(read("vp9").select("meta").count() === 10)
+    assert(MediaSource.contentReads.get() === 0L)
+    MediaSource.contentReads.set(0)
+    read("vp9").select("meta").collect()
+    assert(MediaSource.contentReads.get() === 10L)
+  }
+
+  test("partitions bin-pack by cumulative size") {
+    val tiny = spark.read.format("graft.sources.MediaSource")
+      .option("decode", "none").option("partitionTargetBytes", "1").load(dir)
+    assert(tiny.rdd.getNumPartitions === 10) // one per file at a 1-byte target
+    val one = read("none")
+    assert(one.rdd.getNumPartitions === 1) // all files fit 128 MiB
+  }
+
+  test("unknown decode option fails loudly") {
+    val e = intercept[Exception] {
+      spark.read.format("graft.sources.MediaSource")
+        .option("decode", "wavelet").load(dir).collect()
+    }
+    assert(e.getMessage.contains("unknown decode option") ||
+      Option(e.getCause).exists(_.getMessage.contains("unknown decode option")))
+  }
+}
