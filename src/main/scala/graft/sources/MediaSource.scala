@@ -6,7 +6,8 @@ import java.util.concurrent.atomic.AtomicLong
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, StringContains, StringEndsWith, StringStartsWith}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -35,9 +36,16 @@ import graft.pipeline.{AdtsHeader, H264Nal, ImageHeader, Mp3Header, Vp9Ivf}
   *     by cumulative byte size (`partitionTargetBytes`, default 128 MiB
   *     — the parquet-scan convention), so one partition per giant file
   *     and many small files per partition, independent of file count.
+  *   - FILTERS AND LIMIT PUSH INTO THE LISTING
+  *     ([[MediaScanBuilder.pushFilters]]): `path` string predicates and
+  *     `size`/`mtime_ms` comparisons drop files during the walk — a
+  *     `path` PREFIX predicate prunes whole subtrees before descent
+  *     (`SKIP_SUBTREE`), so a query over one collection never lists its
+  *     million siblings — and a pushed LIMIT terminates the walk after
+  *     enough surviving files. Residual filters stay with Spark.
   *
-  * Driver work is ONE directory walk (sorted for determinism); bytes
-  * stay inside their task — the source never shuffles.
+  * Driver work is at most ONE directory walk (sorted for determinism);
+  * bytes stay inside their task — the source never shuffles.
   */
 class MediaSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -77,6 +85,41 @@ object MediaSource {
   /** Test observability: file-content reads performed by partition
     * readers (meaningful in local mode, where tasks share the JVM). */
   val contentReads = new AtomicLong(0)
+
+  /** Test observability: files surfaced by the most recent directory
+    * walk (after pushed-filter pruning — a skipped subtree never
+    * counts). Spark may plan a scan more than once, so this is a
+    * per-walk figure, not a running total. */
+  val filesListedLastWalk = new AtomicLong(0)
+
+  /** Which pushed filters the walk can evaluate: path string predicates
+    * and size/mtime comparisons. Everything else stays with Spark. */
+  private[sources] def supportedFilter(f: Filter): Boolean = f match {
+    case EqualTo(a, _) => a == "path" || a == "size" || a == "mtime_ms"
+    case StringStartsWith("path", _) | StringEndsWith("path", _) |
+         StringContains("path", _) => true
+    case GreaterThan(a, _) => a == "size" || a == "mtime_ms"
+    case GreaterThanOrEqual(a, _) => a == "size" || a == "mtime_ms"
+    case LessThan(a, _) => a == "size" || a == "mtime_ms"
+    case LessThanOrEqual(a, _) => a == "size" || a == "mtime_ms"
+    case _ => false
+  }
+
+  private[sources] def eval(f: Filter, file: MediaFile): Boolean = {
+    def num(a: String): Long = if (a == "size") file.size else file.mtimeMs
+    f match {
+      case EqualTo("path", v) => file.path == v.toString
+      case EqualTo(a, v) => num(a) == v.asInstanceOf[Number].longValue
+      case StringStartsWith("path", p) => file.path.startsWith(p)
+      case StringEndsWith("path", s) => file.path.endsWith(s)
+      case StringContains("path", s) => file.path.contains(s)
+      case GreaterThan(a, v) => num(a) > v.asInstanceOf[Number].longValue
+      case GreaterThanOrEqual(a, v) => num(a) >= v.asInstanceOf[Number].longValue
+      case LessThan(a, v) => num(a) < v.asInstanceOf[Number].longValue
+      case LessThanOrEqual(a, v) => num(a) <= v.asInstanceOf[Number].longValue
+      case _ => true
+    }
+  }
 }
 
 class MediaTable(schema: StructType) extends Table with SupportsRead {
@@ -95,11 +138,24 @@ class MediaTable(schema: StructType) extends Table with SupportsRead {
 }
 
 class MediaScanBuilder(path: String, decode: String, targetBytes: Long)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters with SupportsPushDownLimit {
   private var required: StructType = MediaSource.schemaFor(decode)
+  private var pushed: Array[Filter] = Array.empty
+  private var limit: Int = -1
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new MediaScan(path, decode, targetBytes, required)
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (sup, residual) = filters.partition(MediaSource.supportedFilter)
+    pushed = sup
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  /** Partial push: the walk stops after `limit` surviving files; Spark
+    * keeps its own global limit on top. */
+  override def pushLimit(l: Int): Boolean = { limit = l; false }
+  override def build(): Scan =
+    new MediaScan(path, decode, targetBytes, required, pushed, limit)
 }
 
 /** One file's driver-side listing entry. */
@@ -108,21 +164,51 @@ final case class MediaFile(path: String, size: Long, mtimeMs: Long)
 final case class MediaFilesPartition(files: Array[MediaFile]) extends InputPartition
 
 class MediaScan(path: String, decode: String, targetBytes: Long,
-    required: StructType) extends Scan with Batch {
+    required: StructType, filters: Array[Filter], limit: Int)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
-  /** One sorted recursive walk; greedy bin-pack by cumulative size. */
+  /** One sorted recursive walk with pushed filters applied AT THE
+    * LISTING: a `path` prefix predicate prunes whole subtrees before
+    * descent, per-file predicates drop entries before they reach a
+    * partition, and a pushed limit stops the walk after enough
+    * surviving files. Then greedy bin-pack by cumulative size. */
   override def planInputPartitions(): Array[InputPartition] = {
-    import scala.jdk.CollectionConverters._
     val root = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.isDirectory(root))
       throw new IllegalArgumentException(s"media source path is not a directory: $path")
-    val files = java.nio.file.Files.walk(root).iterator().asScala
-      .filter(java.nio.file.Files.isRegularFile(_))
-      .map(p => MediaFile(p.toString, java.nio.file.Files.size(p),
-        java.nio.file.Files.getLastModifiedTime(p).toMillis))
-      .toArray.sortBy(_.path)
+    val prefixes = filters.collect { case StringStartsWith("path", p) => p }
+    // a directory can contain matches iff for every required prefix p,
+    // some path starting with dir+sep can start with p — i.e. dir+sep
+    // and p are prefix-compatible in either direction
+    def dirCanMatch(dir: String): Boolean = prefixes.forall { p =>
+      val ds = dir + java.io.File.separator
+      ds.startsWith(p) || p.startsWith(ds)
+    }
+    val found = scala.collection.mutable.ArrayBuffer.empty[MediaFile]
+    var remaining = if (limit >= 0) limit else Int.MaxValue
+    java.nio.file.Files.walkFileTree(root, new java.nio.file.SimpleFileVisitor[java.nio.file.Path] {
+      import java.nio.file.{FileVisitResult, Path}
+      import java.nio.file.attribute.BasicFileAttributes
+      override def preVisitDirectory(d: Path, a: BasicFileAttributes): FileVisitResult =
+        if (remaining <= 0) FileVisitResult.TERMINATE
+        else if (dirCanMatch(d.toString)) FileVisitResult.CONTINUE
+        else FileVisitResult.SKIP_SUBTREE
+      override def visitFile(f: Path, a: BasicFileAttributes): FileVisitResult = {
+        if (remaining <= 0) return FileVisitResult.TERMINATE
+        if (a.isRegularFile) {
+          val m = MediaFile(f.toString, a.size(), a.lastModifiedTime().toMillis)
+          if (filters.forall(MediaSource.eval(_, m))) {
+            found += m
+            remaining -= 1
+          }
+        }
+        FileVisitResult.CONTINUE
+      }
+    })
+    MediaSource.filesListedLastWalk.set(found.size)
+    val files = found.toArray.sortBy(_.path)
     val parts = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
     val cur = scala.collection.mutable.ArrayBuffer.empty[MediaFile]
     var curBytes = 0L

@@ -86,6 +86,34 @@ class MediaSourceSpec extends SparkSpec {
     assert(one.rdd.getNumPartitions === 1) // all files fit 128 MiB
   }
 
+  test("path-suffix and size filters push into the listing") {
+    val ivf = read("none").filter(col("path").endsWith(".ivf"))
+      .select("path").collect()
+    assert(ivf.length === 6)
+    assert(MediaSource.filesListedLastWalk.get() === 6L,
+      "suffix filter must drop files at the walk, not post-scan")
+    val cut = read("none").filter(col("size") > 100L).select("path", "size").collect()
+    cut.foreach(r => assert(r.getLong(1) > 100L))
+    assert(MediaSource.filesListedLastWalk.get() === cut.length.toLong)
+  }
+
+  test("a path-prefix filter prunes whole subtrees before descent") {
+    val sub = read("none")
+      .filter(col("path").startsWith(Paths.get(dir, "sub").toString))
+      .select("path").collect()
+    assert(sub.length === 4)
+    // the walk surfaced ONLY the subtree's files — the 6 top-level
+    // files were never listed (subtree skip, not post-filter)
+    assert(MediaSource.filesListedLastWalk.get() === 4L)
+  }
+
+  test("a pushed limit stops the walk early") {
+    val three = read("none").select("path").limit(3).collect()
+    assert(three.length === 3)
+    assert(MediaSource.filesListedLastWalk.get() <= 3L,
+      "limit must stop the directory walk, not list everything")
+  }
+
   test("unknown decode option fails loudly") {
     val e = intercept[Exception] {
       spark.read.format("graft.sources.MediaSource")
