@@ -32,7 +32,17 @@ object ArtifactStore {
     catch { case _: java.io.IOException => () } // provenance is best-effort
 
   def ensure(spark: SparkSession, sourceFile: String, root: String,
-      key: String)(build: String => Unit): DataFrame = {
+      key: String)(build: String => Unit): DataFrame =
+    spark.read.parquet(ensureDir(sourceFile, root, key)(build))
+
+  /** The lifecycle without the parquet read — for artifacts that are a
+    * DIRECTORY OF RAW FILES rather than a parquet table (e.g. the media
+    * fixture a [[graft.sources.MediaSource]] scan reads). Same contract:
+    * staleness vs the source's mtime, build into a unique staging dir,
+    * one atomic rename wins, provenance marker rides along. Returns the
+    * committed directory path. */
+  def ensureDir(sourceFile: String, root: String,
+      key: String)(build: String => Unit): String = {
     val target = Paths.get(s"$root/$key")
     val source = Paths.get(sourceFile)
     if (Files.exists(target) && Files.exists(source) &&
@@ -50,7 +60,7 @@ object ArtifactStore {
           org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
       }
     }
-    spark.read.parquet(target.toString)
+    target.toString
   }
 
   // ---- segmented artifacts (incremental append) -------------------------

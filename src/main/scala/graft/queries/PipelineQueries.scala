@@ -1584,6 +1584,37 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** MM15: the MEDIA SOURCE scan path end-to-end through the
+    * correctness gate — [[graft.sources.MediaFixture]] materializes one
+    * VP9 file per document (distributed writes, ArtifactStore
+    * lifecycle), then the DSv2 source scans the tree with decode at
+    * scan time. Every surfaced value crosses the real file boundary:
+    * `file_size` is the container's on-disk byte length (closed-form:
+    * 32-byte DKIF header + per-frame 12-byte headers + payloads), the
+    * rest are bitstream fields parsed back out of the written bytes.
+    * Oracle replays all of it from the seed. */
+  private def mm15(s: SparkSession, dir: String): DataFrame = {
+    val mediaDir = graft.sources.MediaFixture.ensureVp9Dir(
+      s, dir, Tables.documents(s, dir))
+    s.read.format("graft.sources.MediaSource")
+      .option("decode", "vp9").load(mediaDir)
+      // pushed suffix filter: the _source provenance marker (and any
+      // other non-media droppings) never leave the directory walk
+      .filter(col("path").endsWith(".ivf"))
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.ivf$", 1)
+          .cast("long").as("doc_id"),
+        col("size").as("file_size"),
+        col("meta").getField("frames").as("frames"),
+        col("meta").getField("key_frames").as("key_frames"),
+        col("meta").getField("inter_frames").as("inter_frames"),
+        col("meta").getField("payload_bytes").as("payload_bytes"),
+        col("meta").getField("width").cast("long").as("width"),
+        col("meta").getField("height").cast("long").as("height"),
+        col("meta").getField("profile").cast("long").as("profile"))
+      .orderBy(col("doc_id"))
+  }
+
   // ===== registry ========================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1645,6 +1676,7 @@ object PipelineQueries {
     "p_mm12_h264_nals" -> (mm12 _),
     "p_mm13_adts_frames" -> (mm13 _),
     "p_mm14_vp9_ivf" -> (mm14 _),
+    "p_mm15_media_source_scan" -> (mm15 _),
     "p_k1_cms_heavy_hitters" -> (k1Cms _),
     "p_k2_hll_registers" -> (k2Hll _),
     "p_k3_hll_estimate" -> (k3HllEst _),
@@ -2733,6 +2765,28 @@ object PipelineQueries {
                  CAST(iw + 1 AS BIGINT) AS width,
                  CAST(ih + 2 AS BIGINT) AS height
           FROM p ORDER BY doc_id"""),
+    "p_mm15_media_source_scan" ->
+      ("""WITH p AS (
+            SELECT doc_id,
+                   doc_id % 7 + 1 AS n,
+                   doc_id % 40 + 12 AS base,
+                   (doc_id % 2) * 2 AS profile,
+                   doc_id % 640 + 16 AS iw,
+                   doc_id % 360 + 16 AS ih
+            FROM documents),
+          t AS (
+            SELECT *, n * base + n * (n - 1) // 2 AS payload_bytes
+            FROM p)
+          SELECT doc_id,
+                 CAST(32 + 12 * n + payload_bytes AS BIGINT) AS file_size,
+                 CAST(n AS BIGINT) AS frames,
+                 CAST(1 AS BIGINT) AS key_frames,
+                 CAST(n - 1 AS BIGINT) AS inter_frames,
+                 CAST(payload_bytes AS BIGINT) AS payload_bytes,
+                 CAST(iw + 1 AS BIGINT) AS width,
+                 CAST(ih + 2 AS BIGINT) AS height,
+                 CAST(profile AS BIGINT) AS profile
+          FROM t ORDER BY doc_id"""),
     "p_t3_contamination" ->
       ("""WITH corpus AS (
             SELECT doc_id, text FROM documents WHERE doc_id < 1000),

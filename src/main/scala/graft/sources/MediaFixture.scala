@@ -1,0 +1,52 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.pipeline.ArtifactStore
+
+/** Materializes a corpus-derived MEDIA DIRECTORY for the
+  * [[MediaSource]] scan path — the test/registry analog of a media
+  * crawl landing objects on shared storage. One `.ivf` file per
+  * document (payload from the deterministic [[graft.pipeline.Vp9Ivf]]
+  * generator, seeded by doc_id), written DISTRIBUTED: each task writes
+  * its partition's files, the driver only coordinates the
+  * [[ArtifactStore.ensureDir]] lifecycle (staleness vs the corpus,
+  * staging + one atomic rename, provenance marker). In local mode the
+  * staging dir is trivially shared; on a cluster this is the
+  * shared-FS/object-store landing zone every media pipeline already
+  * has.
+  */
+object MediaFixture {
+
+  val RootConfKey = "graft.media.artifactRoot"
+
+  def artifactRoot(spark: SparkSession): String =
+    spark.conf.getOption(RootConfKey)
+      .orElse(sys.env.get("GRAFT_MEDIA_ROOT"))
+      .getOrElse(java.nio.file.Paths.get("artifacts", "media")
+        .toAbsolutePath.toString)
+
+  /** doc_id → stable file name; zero-padded so path order = id order. */
+  def fileName(docId: Long): String = f"doc_$docId%012d.ivf"
+
+  /** Ensure the per-document VP9 file tree for `corpusDir` exists and
+    * is fresh; returns its committed path. `docs` must carry `doc_id`
+    * and be a deterministic function of the corpus. */
+  def ensureVp9Dir(spark: SparkSession, corpusDir: String,
+      docs: DataFrame): String =
+    ArtifactStore.ensureDir(s"$corpusDir/documents.parquet",
+      artifactRoot(spark),
+      s"vp9_${java.nio.file.Paths.get(corpusDir).getFileName}_v1") { staging =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(staging))
+      import org.apache.spark.sql.functions.col
+      docs.select(col("doc_id").cast("long")).repartition(32)
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          it.foreach { r =>
+            val id = r.getLong(0)
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(staging, fileName(id)),
+              graft.pipeline.Vp9Ivf.generate(id))
+          }
+        }
+    }
+}
