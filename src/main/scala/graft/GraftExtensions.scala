@@ -63,6 +63,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("h264_meta", "h264_meta(bytes) - struct(nal counts, slice_rbsp_bytes, SPS profile/level/dims/crop) from an Annex-B NAL walk, else NULL"),
       (args: Seq[Expression]) => graft.pipeline.H264Nal.H264MetaExpr(args(0))))
     ext.injectFunction((
+      FunctionIdentifier("flac_meta"),
+      info("flac_meta", "flac_meta(bytes) - struct(block/frame bounds, sample_rate, channels, bits_per_sample, total_samples, duration_ms, n_blocks, md5_hex) from a FLAC STREAMINFO + metadata-block walk, else NULL"),
+      (args: Seq[Expression]) => graft.pipeline.FlacHeader.FlacMetaExpr(args(0))))
+    ext.injectFunction((
       FunctionIdentifier("vp9_gen"),
       info("vp9_gen", "vp9_gen(seed) - deterministic VP9-in-IVF capture file (keyframe + inter frames) for seed"),
       (args: Seq[Expression]) => graft.pipeline.Vp9Ivf.Vp9GenExpr(args(0))))

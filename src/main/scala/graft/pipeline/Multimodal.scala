@@ -25,9 +25,11 @@ import org.apache.spark.sql.functions._
   *   - audio, TRANSFORM-CODED framing: MPEG audio (MP3) frame headers
   *     walked from the public framing spec ([[Mp3Header]]) — codec
   *     parameters, frame count, integer-exact duration/bitrate, the
-  *     Xing/Info VBR header — and AAC ADTS streams ([[AdtsHeader]]):
+  *     Xing/Info VBR header — AAC ADTS streams ([[AdtsHeader]]):
   *     object type, samplerate/channel config, CRC presence, frame
-  *     walk by the 13-bit frame length
+  *     walk by the 13-bit frame length — and FLAC ([[FlacHeader]]):
+  *     the STREAMINFO packed bit fields (20-bit rate, 36-bit total
+  *     samples), exact duration, stream MD5, metadata-block walk
   *   - video, TRANSFORM-CODED structure: H.264 Annex-B NAL walk with
   *     emulation-prevention de-escaping and a full exp-Golomb SPS
   *     parse ([[H264Nal]]) — profile/level, the mb-grid, frame

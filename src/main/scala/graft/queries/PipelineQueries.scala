@@ -1615,6 +1615,68 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** MM16: FLAC STREAMINFO decode ([[graft.pipeline.FlacHeader]]) —
+    * the fixture is built in PURE SQL byte-packing arithmetic (the
+    * marker, the block header with its last-flag and 24-bit BE length,
+    * and STREAMINFO's packed 20/3/5/36-bit field group split across
+    * bytes 10–17), with the 16-byte MD5 generated per-doc and — on even
+    * doc_ids — a trailing VORBIS_COMMENT block the metadata walk must
+    * count by its own length. The oracle replays construction, the
+    * bit-field extraction, the exact duration division, and the MD5 hex
+    * in closed form. */
+  private def mm16(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    def byteOf(c: Column) = lpad(hex(c.cast("long").bitwiseAND(lit(255L))), 2, "0")
+    val sr = element_at(array(Seq(8000, 16000, 22050, 24000, 32000, 44100,
+      48000, 96000).map(v => lit(v.toLong)): _*), pmod(d, lit(8)).cast("int") + 1)
+    val ch = pmod(d, lit(8)) + 1
+    val bps = element_at(array(lit(8L), lit(16L), lit(24L)),
+      pmod(d, lit(3)).cast("int") + 1)
+    val total = d * 100 + 1
+    val minb = pmod(d, lit(256)) + 1024
+    val maxb = minb + pmod(d, lit(64))
+    val minf = pmod(d, lit(1000))
+    val maxf = minf + 100
+    val hasTail = pmod(d, lit(2)) === 0
+    def be16(v: Column) = concat(byteOf(floor(v / 256)), byteOf(pmod(v, lit(256))))
+    def be24(v: Column) = concat(byteOf(floor(v / 65536)),
+      byteOf(floor(v / 256) % 256), byteOf(pmod(v, lit(256))))
+    val md5 = array_join(transform(sequence(lit(0), lit(15)),
+      j => byteOf(pmod(d * 7 + j * 11, lit(256)))), "")
+    val tailLen = (pmod(d, lit(20)) + 4).cast("int")
+    val tail = concat(lit("84"), lpad(hex(tailLen), 6, "0"),
+      array_join(transform(sequence(lit(0), tailLen - 1),
+        j => byteOf(pmod(d + j, lit(256)))), ""))
+    val bytes = unhex(concat(
+      lit("664C6143"), // "fLaC"
+      byteOf(when(hasTail, lit(0L)).otherwise(lit(128L))), // last flag
+      lit("000022"), // STREAMINFO length 34
+      be16(minb), be16(maxb), be24(minf), be24(maxf),
+      byteOf(floor(sr / 4096)),
+      byteOf(floor(sr / 16) % 256),
+      byteOf(pmod(sr, lit(16)) * 16 + (ch - 1) * 2 + floor((bps - 1) / 16)),
+      byteOf(pmod(bps - 1, lit(16)) * 16 + floor(total / lit(4294967296L)) % 16),
+      byteOf(floor(total / 16777216) % 256), byteOf(floor(total / 65536) % 256),
+      byteOf(floor(total / 256) % 256), byteOf(pmod(total, lit(256))),
+      md5,
+      when(hasTail, tail).otherwise(lit(""))))
+    val m = call_function("flac_meta", bytes)
+    Tables.documents(s, dir).select(col("doc_id"), m.as("__m"))
+      .select(col("doc_id"),
+        col("__m").getField("min_block").cast("long").as("min_block"),
+        col("__m").getField("max_block").cast("long").as("max_block"),
+        col("__m").getField("min_frame").cast("long").as("min_frame"),
+        col("__m").getField("max_frame").cast("long").as("max_frame"),
+        col("__m").getField("sample_rate").cast("long").as("sample_rate"),
+        col("__m").getField("channels").cast("long").as("channels"),
+        col("__m").getField("bits_per_sample").cast("long").as("bits_per_sample"),
+        col("__m").getField("total_samples").as("total_samples"),
+        col("__m").getField("duration_ms").as("duration_ms"),
+        col("__m").getField("n_blocks").cast("long").as("n_blocks"),
+        lower(col("__m").getField("md5_hex")).as("md5_hex"))
+      .orderBy(col("doc_id"))
+  }
+
   // ===== registry ========================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1677,6 +1739,7 @@ object PipelineQueries {
     "p_mm13_adts_frames" -> (mm13 _),
     "p_mm14_vp9_ivf" -> (mm14 _),
     "p_mm15_media_source_scan" -> (mm15 _),
+    "p_mm16_flac_streaminfo" -> (mm16 _),
     "p_k1_cms_heavy_hitters" -> (k1Cms _),
     "p_k2_hll_registers" -> (k2Hll _),
     "p_k3_hll_estimate" -> (k3HllEst _),
@@ -2787,6 +2850,33 @@ object PipelineQueries {
                  CAST(ih + 2 AS BIGINT) AS height,
                  CAST(profile AS BIGINT) AS profile
           FROM t ORDER BY doc_id"""),
+    "p_mm16_flac_streaminfo" ->
+      ("""WITH p AS (
+            SELECT doc_id,
+                   [8000,16000,22050,24000,32000,44100,48000,96000]
+                     [CAST(doc_id % 8 + 1 AS INT)] AS sr,
+                   doc_id % 8 + 1 AS ch,
+                   [8,16,24][CAST(doc_id % 3 + 1 AS INT)] AS bps,
+                   doc_id * 100 + 1 AS total,
+                   doc_id % 256 + 1024 AS minb,
+                   doc_id % 256 + 1024 + doc_id % 64 AS maxb,
+                   doc_id % 1000 AS minf,
+                   doc_id % 1000 + 100 AS maxf
+            FROM documents)
+          SELECT doc_id,
+                 CAST(minb AS BIGINT) AS min_block,
+                 CAST(maxb AS BIGINT) AS max_block,
+                 CAST(minf AS BIGINT) AS min_frame,
+                 CAST(maxf AS BIGINT) AS max_frame,
+                 CAST(sr AS BIGINT) AS sample_rate,
+                 CAST(ch AS BIGINT) AS channels,
+                 CAST(bps AS BIGINT) AS bits_per_sample,
+                 CAST(total AS BIGINT) AS total_samples,
+                 CAST(total * 1000 // sr AS BIGINT) AS duration_ms,
+                 CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_blocks,
+                 array_to_string([lpad(lower(to_hex((doc_id * 7 + j * 11) % 256)), 2, '0')
+                   for j in range(0, 16)], '') AS md5_hex
+          FROM p ORDER BY doc_id"""),
     "p_t3_contamination" ->
       ("""WITH corpus AS (
             SELECT doc_id, text FROM documents WHERE doc_id < 1000),
