@@ -126,7 +126,7 @@ class MediaTable(schema: StructType) extends Table with SupportsRead {
   override def name(): String = "media"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val path = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("media source requires a path"))
@@ -161,6 +161,21 @@ class MediaScanBuilder(path: String, decode: String, targetBytes: Long)
 /** One file's driver-side listing entry. */
 final case class MediaFile(path: String, size: Long, mtimeMs: Long)
 
+/** Streaming high-water mark: the max `(mtime_ms, path)` key claimed.
+  * Serialized as `<mtime>:<path>` — the numeric field comes first, so
+  * the first `:` splits unambiguously whatever the path contains. */
+final case class MediaOffset(mtime: Long, path: String)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s"$mtime:$path"
+}
+
+object MediaOffset {
+  def parse(json: String): MediaOffset = {
+    val i = json.indexOf(':')
+    MediaOffset(json.substring(0, i).toLong, json.substring(i + 1))
+  }
+}
+
 final case class MediaFilesPartition(files: Array[MediaFile]) extends InputPartition
 
 class MediaScan(path: String, decode: String, targetBytes: Long,
@@ -169,12 +184,54 @@ class MediaScan(path: String, decode: String, targetBytes: Long,
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
+  /** STREAMING read — the landing-zone shape: a crawl keeps dropping
+    * files into the tree, each micro-batch picks up the files that
+    * arrived since the last offset. The offset is the max
+    * `(mtime_ms, path)` key processed so far (lexicographic on the
+    * pair), so the tree only needs to be APPEND-ONLY: new files carry
+    * a later mtime (or a greater path at the same millisecond) and are
+    * claimed exactly once; rewrites of already-claimed files are
+    * deliberately NOT re-emitted. Pushed column pruning and filters
+    * apply unchanged — each trigger's walk prunes subtrees and skips
+    * payload reads exactly like the batch path. */
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new MediaStream
+
+  private def keyGt(a: MediaFile, m: Long, p: String): Boolean =
+    a.mtimeMs > m || (a.mtimeMs == m && a.path > p)
+
+  final class MediaStream
+      extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+    import org.apache.spark.sql.connector.read.streaming.Offset
+    override def initialOffset(): Offset = MediaOffset(-1L, "")
+    override def deserializeOffset(json: String): Offset = MediaOffset.parse(json)
+    override def latestOffset(): Offset = {
+      val fs = listFiles()
+      if (fs.isEmpty) MediaOffset(-1L, "")
+      else {
+        val m = fs.maxBy(f => (f.mtimeMs, f.path))
+        MediaOffset(m.mtimeMs, m.path)
+      }
+    }
+    override def commit(end: Offset): Unit = ()
+    override def stop(): Unit = ()
+    override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+      val s = start.asInstanceOf[MediaOffset]
+      val e = end.asInstanceOf[MediaOffset]
+      pack(listFiles().filter(f =>
+        keyGt(f, s.mtime, s.path) && !keyGt(f, e.mtime, e.path)))
+    }
+    override def createReaderFactory(): PartitionReaderFactory =
+      MediaScan.this.createReaderFactory()
+  }
+
   /** One sorted recursive walk with pushed filters applied AT THE
     * LISTING: a `path` prefix predicate prunes whole subtrees before
     * descent, per-file predicates drop entries before they reach a
     * partition, and a pushed limit stops the walk after enough
-    * surviving files. Then greedy bin-pack by cumulative size. */
-  override def planInputPartitions(): Array[InputPartition] = {
+    * surviving files. */
+  private def listFiles(): Array[MediaFile] = {
     val root = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.isDirectory(root))
       throw new IllegalArgumentException(s"media source path is not a directory: $path")
@@ -208,7 +265,12 @@ class MediaScan(path: String, decode: String, targetBytes: Long,
       }
     })
     MediaSource.filesListedLastWalk.set(found.size)
-    val files = found.toArray.sortBy(_.path)
+    found.toArray.sortBy(_.path)
+  }
+
+  /** Greedy bin-pack by cumulative size (one oversized file → its own
+    * partition; small files share). */
+  private def pack(files: Array[MediaFile]): Array[InputPartition] = {
     val parts = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
     val cur = scala.collection.mutable.ArrayBuffer.empty[MediaFile]
     var curBytes = 0L
@@ -221,6 +283,8 @@ class MediaScan(path: String, decode: String, targetBytes: Long,
     if (cur.nonEmpty) parts += MediaFilesPartition(cur.toArray)
     parts.toArray
   }
+
+  override def planInputPartitions(): Array[InputPartition] = pack(listFiles())
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val dec = decode

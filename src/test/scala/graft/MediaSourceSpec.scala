@@ -114,6 +114,38 @@ class MediaSourceSpec extends SparkSpec {
       "limit must stop the directory walk, not list everything")
   }
 
+  test("streaming: each micro-batch claims only newly-arrived files, decoded") {
+    val sdir = Files.createTempDirectory("media_stream").toString
+    (0 until 3).foreach { i =>
+      Files.write(Paths.get(sdir, f"v_$i%02d.ivf"), Vp9Ivf.generate(i.toLong))
+    }
+    val q = spark.readStream.format("graft.sources.MediaSource")
+      .option("decode", "vp9").load(sdir)
+      .select(col("path"), col("meta.frames").as("frames"))
+      .writeStream.format("memory").queryName("media_stream")
+      .option("checkpointLocation",
+        Files.createTempDirectory("media_ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val first = spark.sql("select * from media_stream").collect()
+      assert(first.length === 3)
+      assert(first.map(_.getLong(1)).sorted.toSeq ===
+        (0 until 3).map(i => (i % 7) + 1L).sorted)
+      // late arrivals: a later mtime key → claimed by the next batch
+      (3 until 5).foreach { i =>
+        val p = Paths.get(sdir, f"v_$i%02d.ivf")
+        Files.write(p, Vp9Ivf.generate(i.toLong))
+        Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime
+          .fromMillis(System.currentTimeMillis() + 2000))
+      }
+      q.processAllAvailable()
+      val all = spark.sql("select * from media_stream").collect()
+      assert(all.length === 5, "two new files claimed exactly once")
+      assert(all.map(_.getString(0)).distinct.length === 5)
+    } finally q.stop()
+  }
+
   test("unknown decode option fails loudly") {
     val e = intercept[Exception] {
       spark.read.format("graft.sources.MediaSource")
