@@ -51,6 +51,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("mp3_meta", "mp3_meta(bytes) - struct(version, layer, sample_rate, channels, bitrate_kbps, frames, total_bytes, duration_ms, avg_kbps, xing_frames, vbr) from an MPEG-audio frame-header walk, else NULL"),
       (args: Seq[Expression]) => graft.pipeline.Mp3Header.Mp3MetaExpr(args(0))))
     ext.injectFunction((
+      FunctionIdentifier("mp3_frames"),
+      info("mp3_frames", "mp3_frames(bytes) - array of per-frame structs (frame_idx, offset, frame_len, padding, kbps, rate) from an MPEG-audio frame walk, else NULL"),
+      (args: Seq[Expression]) => graft.pipeline.Mp3Header.Mp3FramesExpr(args(0))))
+    ext.injectFunction((
       FunctionIdentifier("adts_meta"),
       info("adts_meta", "adts_meta(bytes) - struct(mpeg_version, object_type, sample_rate, channels, crc_present, frames, total_bytes, duration_ms, avg_kbps) from an AAC ADTS frame-header walk, else NULL"),
       (args: Seq[Expression]) => graft.pipeline.AdtsHeader.AdtsMetaExpr(args(0))))

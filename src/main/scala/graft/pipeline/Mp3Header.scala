@@ -168,6 +168,77 @@ object Mp3Header {
     case None => null
   }
 
+  /** Per-frame walk rows for [[Mp3FramesExpr]]: one entry per
+    * fully-present frame — its byte offset in the stream, on-wire
+    * length, padding bit, and codec parameters. The offsets come from
+    * the ACTUAL walk (junk prefix included), so the gate's closed-form
+    * prefix-sum oracle pins the frame-length arithmetic per frame, not
+    * just in aggregate. */
+  def framesRows(b: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (b == null || b.length < 4) return null
+    var start = 0
+    var first: Option[Frame] = None
+    while (start + 4 <= b.length && first.isEmpty) {
+      first = header(b, start)
+      if (first.isEmpty) start += 1
+    }
+    if (first.isEmpty) return null
+    val rows = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    var i = start
+    var idx = 0
+    var walking = true
+    while (walking) {
+      header(b, i) match {
+        case Some(f) if i + f.frameLen <= b.length =>
+          rows += InternalRow(idx, i.toLong, f.frameLen, f.padding, f.kbps, f.rate)
+          i += f.frameLen
+          idx += 1
+        case _ => walking = false
+      }
+    }
+    if (rows.isEmpty) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(rows.toArray[Any])
+  }
+
+  /** `mp3_frames(binary)`: array of per-frame structs (index, byte
+    * offset, on-wire length, padding bit, kbps, rate), null if no
+    * structurally-valid frame — the audio analog of video frame
+    * sampling: downstream explodes ONLY this tiny struct array, the
+    * payload bytes never leave their row. */
+  case class Mp3FramesExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = Mp3FramesExpr.schema
+    override def nullable: Boolean = true
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == BinaryType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"mp3_frames requires binary input, got ${child.dataType.catalogString}")
+    override def nullSafeEval(input: Any): Any =
+      Mp3Header.framesRows(input.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        s"""
+           |${ev.value} = graft.pipeline.Mp3Header.framesRows($c);
+           |${ev.isNull} = ${ev.value} == null;
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "mp3_frames"
+  }
+
+  object Mp3FramesExpr {
+    val element: StructType = StructType(Seq(
+      StructField("frame_idx", IntegerType),
+      StructField("offset", LongType),
+      StructField("frame_len", IntegerType),
+      StructField("padding", IntegerType),
+      StructField("kbps", IntegerType),
+      StructField("rate", IntegerType)))
+    val schema: DataType = ArrayType(element, containsNull = false)
+  }
+
   /** `mp3_meta(binary)`: parsed frame-header stats, null if no frame. */
   case class Mp3MetaExpr(child: Expression) extends UnaryExpression {
     override def dataType: DataType = Mp3MetaExpr.schema

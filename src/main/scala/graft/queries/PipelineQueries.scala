@@ -1405,8 +1405,10 @@ object PipelineQueries {
     * integer-exact duration/avg-bitrate divisions from the construction
     * parameters — so every surfaced stat is pinned as genuinely decoded
     * from the bytes, not echoed from the generator. */
-  private def mm11(s: SparkSession, dir: String): DataFrame = {
-    val d = col("doc_id")
+  /** The shared MP3 fixture stream for mm11/mm17 — doc_id-derived
+    * bitrate/samplerate/padding, junk prefix, Xing header on mono
+    * (even) docs. */
+  private def mm11Stream(d: Column): Column = {
     def byteOf(c: Column) = lpad(hex(c.cast("long").bitwiseAND(lit(255L))), 2, "0")
     val bi = (pmod(d, lit(14)) + 1).cast("int")
     val si = pmod(d, lit(3)).cast("int")
@@ -1430,10 +1432,14 @@ object PipelineQueries {
       concat(hdr,
         when(mono && f === 0, xing).otherwise(repeat(lit("00"), payloadLen)))
     }
-    val bytes = unhex(concat(
+    unhex(concat(
       repeat(lit("00"), pmod(d, lit(5)).cast("int")), // sync-scan junk
       array_join(transform(sequence(lit(0), nF - 1),
         f => frameHex(f.cast("long"))), "")))
+  }
+
+  private def mm11(s: SparkSession, dir: String): DataFrame = {
+    val bytes = mm11Stream(col("doc_id"))
     val m = graft.pipeline.Multimodal.mp3Meta(bytes)
     Tables.documents(s, dir).select(col("doc_id"), m.as("__m"))
       .select(col("doc_id"),
@@ -1677,6 +1683,28 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** MM17: per-frame EXPLODE over the mm11 MP3 stream — the audio
+    * analog of video frame sampling (mm4): `mp3_frames` returns one
+    * tiny struct per walked frame (index, byte offset, on-wire length,
+    * padding bit, codec params) and only THAT array explodes; payload
+    * bytes never leave their row. The oracle replays every frame's
+    * offset as a closed-form prefix sum over the padding sequence
+    * (pads-before = f/2 plus the parity correction), so the per-frame
+    * walk arithmetic is pinned positionally, not just in aggregate. */
+  private def mm17(s: SparkSession, dir: String): DataFrame = {
+    val frames = call_function("mp3_frames", mm11Stream(col("doc_id")))
+    Tables.documents(s, dir).select(col("doc_id"), frames.as("__f"))
+      .select(col("doc_id"), explode(col("__f")).as("f"))
+      .select(col("doc_id"),
+        col("f").getField("frame_idx").cast("long").as("frame_idx"),
+        col("f").getField("offset").as("offset"),
+        col("f").getField("frame_len").cast("long").as("frame_len"),
+        col("f").getField("padding").cast("long").as("padding"),
+        col("f").getField("kbps").cast("long").as("kbps"),
+        col("f").getField("rate").cast("long").as("rate"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   // ===== registry ========================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1740,6 +1768,7 @@ object PipelineQueries {
     "p_mm14_vp9_ivf" -> (mm14 _),
     "p_mm15_media_source_scan" -> (mm15 _),
     "p_mm16_flac_streaminfo" -> (mm16 _),
+    "p_mm17_mp3_frame_explode" -> (mm17 _),
     "p_k1_cms_heavy_hitters" -> (k1Cms _),
     "p_k2_hll_registers" -> (k2Hll _),
     "p_k3_hll_estimate" -> (k3HllEst _),
@@ -2877,6 +2906,33 @@ object PipelineQueries {
                  array_to_string([lpad(lower(to_hex((doc_id * 7 + j * 11) % 256)), 2, '0')
                    for j in range(0, 16)], '') AS md5_hex
           FROM p ORDER BY doc_id"""),
+    "p_mm17_mp3_frame_explode" ->
+      ("""WITH p AS (
+            SELECT doc_id,
+                   doc_id % 5 AS junk,
+                   doc_id % 9 + 2 AS nf,
+                   [32,40,48,56,64,80,96,112,128,160,192,224,256,320]
+                     [CAST(doc_id % 14 + 1 AS INT)] AS kbps,
+                   [44100,48000,32000][CAST(doc_id % 3 + 1 AS INT)] AS sr
+            FROM documents),
+          q AS (
+            SELECT doc_id, junk, nf, kbps, sr,
+                   (144000 * kbps) // sr AS baselen
+            FROM p),
+          f AS (
+            SELECT doc_id, junk, kbps, sr, baselen,
+                   unnest(range(0, nf)) AS fi
+            FROM q)
+          SELECT doc_id,
+                 CAST(fi AS BIGINT) AS frame_idx,
+                 CAST(junk + fi * baselen + fi // 2 +
+                      CASE WHEN doc_id % 2 = 1 AND fi % 2 = 1 THEN 1 ELSE 0 END
+                      AS BIGINT) AS offset,
+                 CAST(baselen + (doc_id + fi) % 2 AS BIGINT) AS frame_len,
+                 CAST((doc_id + fi) % 2 AS BIGINT) AS padding,
+                 CAST(kbps AS BIGINT) AS kbps,
+                 CAST(sr AS BIGINT) AS rate
+          FROM f ORDER BY doc_id, frame_idx"""),
     "p_t3_contamination" ->
       ("""WITH corpus AS (
             SELECT doc_id, text FROM documents WHERE doc_id < 1000),

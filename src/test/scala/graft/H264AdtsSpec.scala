@@ -121,6 +121,25 @@ class H264AdtsSpec extends SparkSpec {
     assert(m.crc && m.frames === 1L && m.totalBytes === 22L)
   }
 
+  // ---- mp3 per-frame walk -------------------------------------------------
+
+  test("mp3_frames: per-frame rows tile the stream back-to-back") {
+    val rows = SparkEntry.queries("p_mm17_mp3_frame_explode")(spark, sf0001)
+      .filter(col("doc_id") < 20L).collect()
+      .groupBy(_.getAs[Long]("doc_id")).toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { case (d, fs) =>
+      val sorted = fs.sortBy(_.getAs[Long]("frame_idx"))
+      assert(sorted.head.getAs[Long]("offset") === d % 5, s"doc $d junk prefix")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("offset") ===
+            a.getAs[Long]("offset") + a.getAs[Long]("frame_len"), s"doc $d")
+        case _ => ()
+      }
+    }
+  }
+
   // ---- corruption fuzz: hostile bytes must never throw -------------------
 
   /** Deterministic xorshift so the fuzz corpus is reproducible. */
