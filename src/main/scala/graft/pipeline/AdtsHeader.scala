@@ -63,8 +63,12 @@ object AdtsHeader {
     val objectType = ((u8(b, i + 2) >> 6) & 3) + 1
     val sfi = (u8(b, i + 2) >> 2) & 15
     if (sfi >= Rates.length) return None // 12..15 reserved
-    val channels = ((u8(b, i + 2) & 1) << 2) | ((u8(b, i + 3) >> 6) & 3)
-    if (channels == 0) return None // 0 = channel config in PCE, unwalkable here
+    val chanCfg = ((u8(b, i + 2) & 1) << 2) | ((u8(b, i + 3) >> 6) & 3)
+    if (chanCfg == 0) return None // 0 = channel config in PCE, unwalkable here
+    // channel_configuration 1..6 == channel count; 7 means 7.1 = 8
+    // channels (ISO 14496-3 Table 1.19) — surface the COUNT, not the
+    // raw config, so 8-channel streams aren't misreported as 7
+    val channels = if (chanCfg == 7) 8 else chanCfg
     val frameLen = ((u8(b, i + 3) & 3) << 11) | (u8(b, i + 4) << 3) |
       ((u8(b, i + 5) >> 5) & 7)
     val headerLen = if (crc) 9 else 7

@@ -433,20 +433,25 @@ object ArtifactStore {
     val stream = Files.list(rootPath)
     val dirs = try stream.iterator().asScala.toList finally stream.close()
     dirs.filter(Files.isDirectory(_)).flatMap { dir =>
-      val name = dir.getFileName.toString
-      val marker = dir.resolve(SourceMarker)
-      val orphaned = Files.exists(marker) && {
-        val src = new String(Files.readAllBytes(marker),
-          java.nio.charset.StandardCharsets.UTF_8).trim
-        src.nonEmpty && !Files.exists(Paths.get(src))
-      }
-      val expired = olderThanMs.exists(age =>
-        Files.getLastModifiedTime(dir).toMillis < now - age)
-      val staging = name.startsWith("__build_")
-      if (orphaned || expired || staging) {
-        org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
-        Some(name)
-      } else None
+      // per-directory isolation: one unreadable marker or failed delete
+      // must not abort the sweep midway — skip the bad dir and keep
+      // sweeping (the skipped dir is simply retried on the next sweep)
+      try {
+        val name = dir.getFileName.toString
+        val marker = dir.resolve(SourceMarker)
+        val orphaned = Files.exists(marker) && {
+          val src = new String(Files.readAllBytes(marker),
+            java.nio.charset.StandardCharsets.UTF_8).trim
+          src.nonEmpty && !Files.exists(Paths.get(src))
+        }
+        val expired = olderThanMs.exists(age =>
+          Files.getLastModifiedTime(dir).toMillis < now - age)
+        val staging = name.startsWith("__build_")
+        if (orphaned || expired || staging) {
+          org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+          Some(name)
+        } else None
+      } catch { case scala.util.control.NonFatal(_) => None }
     }
   }
 

@@ -144,7 +144,11 @@ object Mp3Header {
           vbr = tag == "Xing"
           val flags = ((u8(b, off + 4) << 24) | (u8(b, off + 5) << 16) |
             (u8(b, off + 6) << 8) | u8(b, off + 7)).toLong
-          if ((flags & 1L) != 0 && off + 12 <= b.length)
+          // count read bounded by the FIRST FRAME's extent too (not
+          // just b.length): a short first frame must not let the 4
+          // count bytes be read out of the next frame's data
+          if ((flags & 1L) != 0 && off + 12 <= b.length &&
+              off + 12 <= start + f0.frameLen)
             xingFrames = Some(((u8(b, off + 8).toLong << 24) |
               (u8(b, off + 9) << 16) | (u8(b, off + 10) << 8) |
               u8(b, off + 11)) & 0xffffffffL)

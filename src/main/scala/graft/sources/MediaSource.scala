@@ -45,7 +45,9 @@ import graft.pipeline.{AdtsHeader, H264Nal, ImageHeader, Mp3Header, Vp9Ivf}
   *     enough surviving files. Residual filters stay with Spark.
   *
   * Driver work is at most ONE directory walk (sorted for determinism);
-  * bytes stay inside their task — the source never shuffles.
+  * `listParallelism` fans the walk itself out as a Spark job over the
+  * root's subdirectories for 10⁸-file trees. Bytes stay inside their
+  * task — the source never shuffles.
   */
 class MediaSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -105,6 +107,47 @@ object MediaSource {
     case _ => false
   }
 
+  /** A directory can contain matches iff for every required prefix p,
+    * some path starting with dir+sep can start with p — i.e. dir+sep
+    * and p are prefix-compatible in either direction. */
+  private[sources] def dirCanMatch(dir: String, prefixes: Array[String]): Boolean =
+    prefixes.forall { p =>
+      val ds = dir + java.io.File.separator
+      ds.startsWith(p) || p.startsWith(ds)
+    }
+
+  /** One pruned recursive walk of `rootDir` — a STATIC method (not a
+    * scan-instance closure) so the distributed listing's tasks ship
+    * only the filter array, and the same code runs driver-side and
+    * executor-side byte for byte. `cap` bounds the surviving-file
+    * count (pushed limit); Int.MaxValue = unbounded. */
+  private[sources] def walkTree(rootDir: String, prefixes: Array[String],
+      filters: Array[Filter], cap: Int): Array[MediaFile] = {
+    val found = scala.collection.mutable.ArrayBuffer.empty[MediaFile]
+    var remaining = cap
+    java.nio.file.Files.walkFileTree(java.nio.file.Paths.get(rootDir),
+      new java.nio.file.SimpleFileVisitor[java.nio.file.Path] {
+        import java.nio.file.{FileVisitResult, Path}
+        import java.nio.file.attribute.BasicFileAttributes
+        override def preVisitDirectory(d: Path, a: BasicFileAttributes): FileVisitResult =
+          if (remaining <= 0) FileVisitResult.TERMINATE
+          else if (dirCanMatch(d.toString, prefixes)) FileVisitResult.CONTINUE
+          else FileVisitResult.SKIP_SUBTREE
+        override def visitFile(f: Path, a: BasicFileAttributes): FileVisitResult = {
+          if (remaining <= 0) return FileVisitResult.TERMINATE
+          if (a.isRegularFile) {
+            val m = MediaFile(f.toString, a.size(), a.lastModifiedTime().toMillis)
+            if (filters.forall(eval(_, m))) {
+              found += m
+              remaining -= 1
+            }
+          }
+          FileVisitResult.CONTINUE
+        }
+      })
+    found.toArray
+  }
+
   private[sources] def eval(f: Filter, file: MediaFile): Boolean = {
     def num(a: String): Long = if (a == "size") file.size else file.mtimeMs
     f match {
@@ -133,11 +176,14 @@ class MediaTable(schema: StructType) extends Table with SupportsRead {
     val decode = options.getOrDefault("decode", "none")
     MediaSource.schemaFor(decode) // validate the option eagerly
     val target = options.getLong("partitionTargetBytes", 128L * 1024 * 1024)
-    new MediaScanBuilder(path, decode, target)
+    val listPar = options.getInt("listParallelism", 0)
+    val slackMs = options.getLong("mtimeSlackMs", 0L)
+    new MediaScanBuilder(path, decode, target, listPar, slackMs)
   }
 }
 
-class MediaScanBuilder(path: String, decode: String, targetBytes: Long)
+class MediaScanBuilder(path: String, decode: String, targetBytes: Long,
+    listParallelism: Int = 0, mtimeSlackMs: Long = 0L)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit {
   private var required: StructType = MediaSource.schemaFor(decode)
@@ -155,31 +201,39 @@ class MediaScanBuilder(path: String, decode: String, targetBytes: Long)
     * keeps its own global limit on top. */
   override def pushLimit(l: Int): Boolean = { limit = l; false }
   override def build(): Scan =
-    new MediaScan(path, decode, targetBytes, required, pushed, limit)
+    new MediaScan(path, decode, targetBytes, required, pushed, limit,
+      listParallelism, mtimeSlackMs)
 }
 
 /** One file's driver-side listing entry. */
 final case class MediaFile(path: String, size: Long, mtimeMs: Long)
 
-/** Streaming high-water mark: the max `(mtime_ms, path)` key claimed.
-  * Serialized as `<mtime>:<path>` — the numeric field comes first, so
-  * the first `:` splits unambiguously whatever the path contains. */
-final case class MediaOffset(mtime: Long, path: String)
+/** Streaming high-water mark: the max `(mtime_ms, path)` key claimed,
+  * plus `seq` — a slack-window claim counter that lets the offset
+  * advance (and so trigger a micro-batch) when a BACKDATED file lands
+  * below the `(mtime, path)` high-water mark (see `mtimeSlackMs`).
+  * Serialized as `<mtime>:<seq>:<path>` — the numeric fields come
+  * first, so the first two `:` split unambiguously whatever the path
+  * contains. */
+final case class MediaOffset(mtime: Long, path: String, seq: Long = 0L)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
-  override def json(): String = s"$mtime:$path"
+  override def json(): String = s"$mtime:$seq:$path"
 }
 
 object MediaOffset {
   def parse(json: String): MediaOffset = {
     val i = json.indexOf(':')
-    MediaOffset(json.substring(0, i).toLong, json.substring(i + 1))
+    val j = json.indexOf(':', i + 1)
+    MediaOffset(json.substring(0, i).toLong, json.substring(j + 1),
+      json.substring(i + 1, j).toLong)
   }
 }
 
 final case class MediaFilesPartition(files: Array[MediaFile]) extends InputPartition
 
 class MediaScan(path: String, decode: String, targetBytes: Long,
-    required: StructType, filters: Array[Filter], limit: Int)
+    required: StructType, filters: Array[Filter], limit: Int,
+    listParallelism: Int = 0, mtimeSlackMs: Long = 0L)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -188,84 +242,159 @@ class MediaScan(path: String, decode: String, targetBytes: Long,
     * files into the tree, each micro-batch picks up the files that
     * arrived since the last offset. The offset is the max
     * `(mtime_ms, path)` key processed so far (lexicographic on the
-    * pair), so the tree only needs to be APPEND-ONLY: new files carry
-    * a later mtime (or a greater path at the same millisecond) and are
-    * claimed exactly once; rewrites of already-claimed files are
-    * deliberately NOT re-emitted. Pushed column pruning and filters
-    * apply unchanged — each trigger's walk prunes subtrees and skips
-    * payload reads exactly like the batch path. */
+    * pair), so by default the tree needs to be APPEND-ONLY: new files
+    * carry a later mtime (or a greater path at the same millisecond)
+    * and are claimed exactly once; rewrites of already-claimed files
+    * are deliberately NOT re-emitted. A file landing with an OLDER
+    * mtime (clock skew, `mv` into place preserving timestamps) would
+    * be silently skipped under that contract — `mtimeSlackMs` relaxes
+    * it: each trigger also re-examines the window `[hwm - slack, hwm]`
+    * and claims any un-claimed path it finds there, deduplicated
+    * against a claim ledger persisted in the stream's checkpoint (so a
+    * restart does not re-emit). The ledger only ever holds paths whose
+    * mtime is inside the slack window — bounded by arrival rate ×
+    * slack, not corpus size. Pushed column pruning and filters apply
+    * unchanged; a pushed LIMIT is ignored on the streaming listing
+    * (truncating the walk would advance the high-water mark past
+    * never-emitted files and lose them permanently). */
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new MediaStream
+    new MediaStream(checkpointLocation)
 
   private def keyGt(a: MediaFile, m: Long, p: String): Boolean =
     a.mtimeMs > m || (a.mtimeMs == m && a.path > p)
 
-  final class MediaStream
+  final class MediaStream(checkpointLocation: String)
       extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
     import org.apache.spark.sql.connector.read.streaming.Offset
+
+    /** Claim ledger (slack mode only): path → mtime of every emitted
+      * file still inside the slack window, persisted at commit so a
+      * restart resumes with the same dedup state. `pending` holds the
+      * claims of the batch currently planned-but-uncommitted. */
+    private val ledger = java.nio.file.Paths.get(checkpointLocation, "graft-media-claims")
+    private var claimed: Map[String, Long] =
+      if (mtimeSlackMs <= 0L || !java.nio.file.Files.exists(ledger)) Map.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.readAllLines(ledger).asScala.filter(_.nonEmpty).map { l =>
+          val i = l.indexOf('\t')
+          l.substring(i + 1) -> l.substring(0, i).toLong
+        }.toMap
+      }
+    private var pending: Map[String, Long] = Map.empty
+
+    private def inWindow(f: MediaFile, hwmMtime: Long): Boolean =
+      f.mtimeMs >= hwmMtime - mtimeSlackMs
+
     override def initialOffset(): Offset = MediaOffset(-1L, "")
     override def deserializeOffset(json: String): Offset = MediaOffset.parse(json)
     override def latestOffset(): Offset = {
-      val fs = listFiles()
+      // streaming NEVER applies the pushed limit to the listing: the
+      // high-water mark must come from the full tree
+      val fs = listFiles(applyLimit = false)
       if (fs.isEmpty) MediaOffset(-1L, "")
       else {
         val m = fs.maxBy(f => (f.mtimeMs, f.path))
-        MediaOffset(m.mtimeMs, m.path)
+        // seq makes the offset advance when a BACKDATED file lands
+        // below an unchanged (mtime, path) hwm: claimed.size + the
+        // count of unclaimed in-window files moves exactly when a new
+        // claimable path appears (claiming one leaves it constant)
+        val seq = if (mtimeSlackMs <= 0L) 0L
+          else claimed.size.toLong +
+            fs.count(f => inWindow(f, m.mtimeMs) && !claimed.contains(f.path))
+        MediaOffset(m.mtimeMs, m.path, seq)
       }
     }
-    override def commit(end: Offset): Unit = ()
+    override def commit(end: Offset): Unit = if (mtimeSlackMs > 0L) {
+      val e = end.asInstanceOf[MediaOffset]
+      // fold in the committed batch's claims, prune what fell out of
+      // the window (those paths can never be re-examined again — the
+      // hwm mtime is monotone), persist atomically
+      claimed = (claimed ++ pending).filter(_._2 >= e.mtime - mtimeSlackMs)
+      pending = Map.empty
+      val tmp = ledger.resolveSibling("graft-media-claims.tmp")
+      java.nio.file.Files.createDirectories(ledger.getParent)
+      java.nio.file.Files.write(tmp, claimed.map { case (p, m) => s"$m\t$p" }
+        .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, ledger,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
     override def stop(): Unit = ()
     override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
       val s = start.asInstanceOf[MediaOffset]
       val e = end.asInstanceOf[MediaOffset]
-      pack(listFiles().filter(f =>
-        keyGt(f, s.mtime, s.path) && !keyGt(f, e.mtime, e.path)))
+      val fs = listFiles(applyLimit = false)
+      val emit = fs.filter { f =>
+        val inRange = keyGt(f, s.mtime, s.path) && !keyGt(f, e.mtime, e.path)
+        // slack rescue: key AT OR BELOW the start hwm, inside the
+        // window, never claimed — the backdated arrival
+        val rescued = mtimeSlackMs > 0L && !keyGt(f, s.mtime, s.path) &&
+          inWindow(f, e.mtime) && !claimed.contains(f.path)
+        inRange || rescued
+      }
+      // every emitted in-window file enters the ledger — otherwise the
+      // NEXT batch's rescue clause (its key is then ≤ start) re-emits it
+      if (mtimeSlackMs > 0L)
+        pending = emit.iterator.filter(inWindow(_, e.mtime))
+          .map(f => f.path -> f.mtimeMs).toMap
+      pack(emit)
     }
     override def createReaderFactory(): PartitionReaderFactory =
       MediaScan.this.createReaderFactory()
   }
 
-  /** One sorted recursive walk with pushed filters applied AT THE
-    * LISTING: a `path` prefix predicate prunes whole subtrees before
-    * descent, per-file predicates drop entries before they reach a
-    * partition, and a pushed limit stops the walk after enough
-    * surviving files. */
-  private def listFiles(): Array[MediaFile] = {
+  /** One sorted listing with pushed filters applied AT THE LISTING: a
+    * `path` prefix predicate prunes whole subtrees before descent,
+    * per-file predicates drop entries before they reach a partition,
+    * and a pushed limit stops the walk after enough surviving files.
+    *
+    * By default the walk is a single driver-side recursive descent —
+    * fine to millions of files. `listParallelism` > 0 fans the root's
+    * immediate subdirectories out as a Spark job (the
+    * InMemoryFileIndex approach) for 10⁸-file trees where the listing
+    * itself is the bottleneck; each task runs the SAME pruned walk
+    * over its subtree, so pushed-filter semantics are identical
+    * driver-vs-distributed (spec-asserted). Under the fan-out a pushed
+    * limit caps each subtree's walk and the sorted union is truncated
+    * after collect — any `limit` surviving files is a valid partial
+    * push (Spark holds the exact global limit). */
+  private def listFiles(applyLimit: Boolean = true): Array[MediaFile] = {
     val root = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.isDirectory(root))
       throw new IllegalArgumentException(s"media source path is not a directory: $path")
-    val prefixes = filters.collect { case StringStartsWith("path", p) => p }
-    // a directory can contain matches iff for every required prefix p,
-    // some path starting with dir+sep can start with p — i.e. dir+sep
-    // and p are prefix-compatible in either direction
-    def dirCanMatch(dir: String): Boolean = prefixes.forall { p =>
-      val ds = dir + java.io.File.separator
-      ds.startsWith(p) || p.startsWith(ds)
-    }
-    val found = scala.collection.mutable.ArrayBuffer.empty[MediaFile]
-    var remaining = if (limit >= 0) limit else Int.MaxValue
-    java.nio.file.Files.walkFileTree(root, new java.nio.file.SimpleFileVisitor[java.nio.file.Path] {
-      import java.nio.file.{FileVisitResult, Path}
-      import java.nio.file.attribute.BasicFileAttributes
-      override def preVisitDirectory(d: Path, a: BasicFileAttributes): FileVisitResult =
-        if (remaining <= 0) FileVisitResult.TERMINATE
-        else if (dirCanMatch(d.toString)) FileVisitResult.CONTINUE
-        else FileVisitResult.SKIP_SUBTREE
-      override def visitFile(f: Path, a: BasicFileAttributes): FileVisitResult = {
-        if (remaining <= 0) return FileVisitResult.TERMINATE
-        if (a.isRegularFile) {
-          val m = MediaFile(f.toString, a.size(), a.lastModifiedTime().toMillis)
-          if (filters.forall(MediaSource.eval(_, m))) {
-            found += m
-            remaining -= 1
-          }
+    val prefixes: Array[String] =
+      filters.collect { case StringStartsWith("path", p) => p }
+    val cap = if (applyLimit && limit >= 0) limit else Int.MaxValue
+    val found: Array[MediaFile] =
+      if (listParallelism <= 0) MediaSource.walkTree(path, prefixes, filters, cap)
+      else {
+        import scala.jdk.CollectionConverters._
+        val stream = java.nio.file.Files.list(root)
+        val children = try stream.iterator().asScala.toArray finally stream.close()
+        val subdirs = children.filter(java.nio.file.Files.isDirectory(_))
+          .map(_.toString).filter(MediaSource.dirCanMatch(_, prefixes)).sorted
+        val rootFiles = children.filter(java.nio.file.Files.isRegularFile(_)).flatMap { f =>
+          val m = MediaFile(f.toString, java.nio.file.Files.size(f),
+            java.nio.file.Files.getLastModifiedTime(f).toMillis)
+          if (filters.forall(MediaSource.eval(_, m))) Some(m) else None
         }
-        FileVisitResult.CONTINUE
+        if (subdirs.length < 2) // nothing to fan out — walk in the driver
+          rootFiles ++ subdirs.flatMap(MediaSource.walkTree(_, prefixes, filters, cap))
+        else {
+          val fsSer = filters; val pfxSer = prefixes; val capSer = cap
+          val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+          rootFiles ++ sc
+            .parallelize(subdirs.toSeq, math.min(listParallelism, subdirs.length))
+            .flatMap(d => MediaSource.walkTree(d, pfxSer, fsSer, capSer))
+            .collect()
+        }
       }
-    })
-    MediaSource.filesListedLastWalk.set(found.size)
-    found.toArray.sortBy(_.path)
+    val sorted = found.sortBy(_.path)
+    val out = if (sorted.length > cap) sorted.take(cap) else sorted
+    MediaSource.filesListedLastWalk.set(out.length)
+    out
   }
 
   /** Greedy bin-pack by cumulative size (one oversized file → its own

@@ -44,11 +44,19 @@ object WsTransport {
       tls match {
         case None => raw
         case Some(f) => // wss: layer TLS over the connected socket; the
-          // TLS handshake completes (and the peer verifies) BEFORE any
-          // ws bytes flow, and it shares the connect timeout bound
+          // TLS handshake completes BEFORE any ws bytes flow, and it
+          // shares the connect timeout bound
           val s = f.createSocket(raw, host, port, true)
             .asInstanceOf[javax.net.ssl.SSLSocket]
           s.setSoTimeout(connectTimeoutMs)
+          // startHandshake() alone validates only the chain, not that
+          // the cert names THIS host — any CA-issued cert for any
+          // domain would pass. Endpoint identification ("HTTPS", RFC
+          // 2818 §3.1) makes the JSSE layer match SAN dNSName/iPAddress
+          // entries against `host`, closing the MITM hole.
+          val params = s.getSSLParameters
+          params.setEndpointIdentificationAlgorithm("HTTPS")
+          s.setSSLParameters(params)
           s.startHandshake()
           s
       }

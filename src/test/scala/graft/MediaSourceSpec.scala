@@ -146,6 +146,96 @@ class MediaSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming + mtimeSlackMs: a BACKDATED file is claimed exactly once") {
+    val sdir = Files.createTempDirectory("media_slack").toString
+    (0 until 3).foreach { i =>
+      Files.write(Paths.get(sdir, f"v_$i%02d.ivf"), Vp9Ivf.generate(i.toLong))
+    }
+    val q = spark.readStream.format("graft.sources.MediaSource")
+      .option("decode", "none").option("mtimeSlackMs", "3600000").load(sdir)
+      .select(col("path"))
+      .writeStream.format("memory").queryName("media_slack")
+      .option("checkpointLocation",
+        Files.createTempDirectory("media_slack_ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("select * from media_slack").count() === 3)
+      // a file lands with an OLDER mtime than the high-water mark
+      // (mv-into-place preserving timestamps) — the strict append-only
+      // offset would skip it forever; the slack window rescues it
+      val back = Paths.get(sdir, "v_backdated.ivf")
+      Files.write(back, Vp9Ivf.generate(9L))
+      Files.setLastModifiedTime(back, java.nio.file.attribute.FileTime
+        .fromMillis(System.currentTimeMillis() - 60000))
+      q.processAllAvailable()
+      val rows = spark.sql("select * from media_slack").collect().map(_.getString(0))
+      assert(rows.count(_.endsWith("v_backdated.ivf")) === 1,
+        "the backdated file must be claimed exactly once")
+      assert(rows.length === 4)
+      // further triggers with no new files must NOT re-emit it
+      q.processAllAvailable()
+      q.processAllAvailable()
+      assert(spark.sql("select * from media_slack").count() === 4,
+        "no re-emission on later empty triggers")
+    } finally q.stop()
+  }
+
+  test("distributed listing (listParallelism) surfaces the identical file set") {
+    // a wider tree: files at the root AND in several subdirectories
+    val d = Files.createTempDirectory("media_dist").toString
+    (0 until 3).foreach { i =>
+      Files.write(Paths.get(d, f"root_$i.ivf"), Vp9Ivf.generate(i.toLong))
+    }
+    (0 until 4).foreach { s =>
+      Files.createDirectories(Paths.get(d, s"shard_$s"))
+      (0 until 5).foreach { i =>
+        Files.write(Paths.get(d, s"shard_$s", f"clip_$i%02d.ivf"),
+          Vp9Ivf.generate((s * 10 + i).toLong))
+      }
+    }
+    def list(extra: Map[String, String]) = {
+      var r = spark.read.format("graft.sources.MediaSource").option("decode", "none")
+      extra.foreach { case (k, v) => r = r.option(k, v) }
+      r.load(d).select("path", "size", "mtime_ms").collect()
+        .map(x => (x.getString(0), x.getLong(1), x.getLong(2))).sortBy(_._1).toSeq
+    }
+    val driver = list(Map.empty)
+    val dist = list(Map("listParallelism" -> "4"))
+    assert(driver.length === 23)
+    assert(dist === driver, "driver and distributed walks must agree exactly")
+    // pushed subtree pruning survives the fan-out: a prefix filter
+    // over one shard lists only that shard's files
+    val one = spark.read.format("graft.sources.MediaSource")
+      .option("decode", "none").option("listParallelism", "4").load(d)
+      .filter(col("path").startsWith(Paths.get(d, "shard_2").toString))
+      .select("path").collect()
+    assert(one.length === 5)
+    assert(MediaSource.filesListedLastWalk.get() === 5L,
+      "prefix pruning must hold under the distributed walk")
+  }
+
+  test("a pushed limit does NOT truncate the streaming listing") {
+    // batch scan with a pushed limit of 1, streamed through the same
+    // MediaScan: latestOffset must still see the FULL tree, or files
+    // below the claimed high-water mark outside the first `limit`
+    // survivors would be lost forever
+    val sdir = Files.createTempDirectory("media_lim").toString
+    (0 until 4).foreach { i =>
+      Files.write(Paths.get(sdir, f"v_$i%02d.ivf"), Vp9Ivf.generate(i.toLong))
+    }
+    val b = new graft.sources.MediaScanBuilder(sdir, "none", 128L * 1024 * 1024)
+    assert(!b.pushLimit(1)) // partial push, Spark keeps the global limit
+    val scan = b.build().asInstanceOf[graft.sources.MediaScan]
+    val stream = scan.toMicroBatchStream(
+      Files.createTempDirectory("media_lim_ckpt").toString)
+    val start = stream.initialOffset()
+    val end = stream.latestOffset()
+    val parts = stream.planInputPartitions(start, end)
+    val n = parts.map(_.asInstanceOf[graft.sources.MediaFilesPartition].files.length).sum
+    assert(n === 4, "the streaming path must list every file despite the pushed limit")
+  }
+
   test("unknown decode option fails loudly") {
     val e = intercept[Exception] {
       spark.read.format("graft.sources.MediaSource")

@@ -228,6 +228,29 @@ class WsTransportSpec extends AnyFunSuite {
     }
   }
 
+  test("wss: a trusted cert for the WRONG host is refused (endpoint identification)") {
+    // the client trusts this cert's chain — but the SANs name another
+    // host, so without endpoint identification the handshake would
+    // succeed and the connection would be MITM-able. With the "HTTPS"
+    // algorithm set, JSSE matches SANs against the dialed host and the
+    // handshake must fail; head stays -1.
+    val (serverCtx, clientCtx) =
+      graft.FakeNode.makeTls(san = "SAN=dns:other.invalid")
+    val node = new graft.FakeNode.WsHeadNode(
+      serverCtx.getServerSocketFactory.createServerSocket(0))
+    val sub = new WsTransport.NewHeadsSubscriber("127.0.0.1", node.port, "/",
+      connectTimeoutMs = 2000, tls = Some(clientCtx.getSocketFactory))
+    try {
+      node.push(9L)
+      Thread.sleep(500)
+      assert(sub.head() === -1L,
+        "a cert naming a different host must not pass endpoint identification")
+    } finally {
+      sub.close()
+      node.stop()
+    }
+  }
+
   private def poll(sub: WsTransport.NewHeadsSubscriber, target: Long): Long = {
     val deadline = System.nanoTime() + 10_000_000_000L
     var h = sub.head()
