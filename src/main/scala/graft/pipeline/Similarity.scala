@@ -230,12 +230,66 @@ object Similarity {
   /** [[embeddingNearDupPairs]] over a [[LshIndex]] frame: candidates come
     * from exploding the persisted signatures (one shuffle on (table,
     * bucket), identical candidate set), and scoring reuses the persisted
-    * norms — the per-query work is ONE dot per deduped candidate pair. */
+    * norms — the per-query work is ONE dot per deduped candidate pair.
+    *
+    * With a FIXED plane count the bucket count is constant, so the
+    * within-bucket self-join's candidate pairs grow ~n²/buckets once the
+    * corpus dwarfs the 2^planes buckets per table — quadratic at scale
+    * (measured 19.9× wall for 10× rows in the sf1→sf10 decade). The
+    * guard is the same move [[semDeDup]]'s `maxClusterSize` makes for
+    * mega-clusters: rows in a (table, bucket) whose population exceeds
+    * `maxBucketSize` additionally carry a sub-bucket id — a seeded
+    * 16-plane secondary sign signature mod `ceil(size / cap)` — and
+    * pairs form only within (table, bucket, sub-bucket). Per-key pair
+    * work is then bounded at ~cap² whatever the corpus size, so total
+    * candidate volume grows LINEARLY with n. Exact duplicates share
+    * every sign bit of every signature, so the guard can never split
+    * them; near-duplicates straddling a sub-bucket boundary in ALL
+    * tables are missed — the standard LSH recall trade, taken only
+    * where the exact path would be quadratic (recall floor pinned in
+    * SimilaritySpec). Default None = the historical exact-within-bucket
+    * behavior. */
   def embeddingNearDupPairsIndexed(indexed: DataFrame, embCol: String,
-      idCol: String, minCosine: Double): DataFrame = {
-    val exploded = indexed
-      .select(col(idCol).as("__id"), posexplode(col("sig")).as(Seq("__t", "__bkt")))
-      .select(col("__id"), struct(col("__t"), col("__bkt")).as("__b"))
+      idCol: String, minCosine: Double,
+      maxBucketSize: Option[Long] = None, dim: Int = 64,
+      subSeed: Long = 7L): DataFrame = {
+    // secondary signature per SOURCE row (before the per-table explode):
+    // 16 codegen'd dots per corpus row, linear — the price of bounding a
+    // quadratic. A dim mismatch nulls every plane dot, which lshBucket's
+    // sign fold silently maps to signature 0 — one sub-bucket, i.e. the
+    // quadratic blow-up the guard exists to prevent; probe one dot and
+    // fail loudly instead (the semDeDup guard's convention).
+    val withSub = maxBucketSize match {
+      case None => indexed.withColumn("__s2", lit(0L))
+      case Some(cap) =>
+        require(cap > 0, "maxBucketSize must be positive")
+        val planes = hyperplanes(16, dim, subSeed)
+        val probeDot = dot(col(embCol), vec(planes.head))
+        indexed.withColumn("__s2",
+          when(probeDot.isNotNull, lshBucket(col(embCol), planes))
+            .otherwise(raise_error(lit(
+              s"embeddingNearDupPairsIndexed maxBucketSize guard: null " +
+                s"embedding signature — does dim=$dim match the embedding " +
+                s"dimension?")).cast("long")))
+    }
+    val sigRows = withSub
+      .select(col(idCol).as("__id"), col("__s2"),
+        posexplode(col("sig")).as(Seq("__t", "__bkt")))
+    val exploded = maxBucketSize match {
+      case None =>
+        sigRows.select(col("__id"), struct(col("__t"), col("__bkt")).as("__b"))
+      case Some(cap) =>
+        // bucket populations: ≤ tables × 2^planes rows of counts —
+        // broadcast, so sizing adds no shuffle to the corpus side
+        val sizes = sigRows.groupBy("__t", "__bkt")
+          .agg(count(lit(1)).as("__bsz"))
+        sigRows.join(broadcast(sizes), Seq("__t", "__bkt"))
+          .select(col("__id"), struct(col("__t"), col("__bkt"),
+            when(col("__bsz") <= cap, lit(0L))
+              .otherwise(pmod(col("__s2"),
+                ceil(col("__bsz").cast("double") / cap).cast("long")))
+              .as("__sub")).as("__b"))
+    }
     val cands = exploded.select(col("__id").as("a_id"), col("__b"))
       .join(exploded.select(col("__id").as("b_id"), col("__b")), Seq("__b"))
       .filter(col("a_id") < col("b_id"))

@@ -521,13 +521,26 @@ object PipelineQueries {
   /** E1: embedding near-dup pairs over the persisted 3-table signature
     * index — candidates from exploding stored signatures, scores from
     * stored norms + one dot per deduped pair. Seeded plane literals again
-    * make the candidate set + scores oracle-replayable in DuckDB. */
+    * make the candidate set + scores oracle-replayable in DuckDB.
+    *
+    * `maxBucketSize = 256` is the scale guard: a fixed 6-plane signature
+    * means 64 buckets/table FOREVER, so within-bucket pairs grow
+    * quadratically once the corpus dwarfs the bucket count (19.9× wall
+    * for 10× rows in the sf1→sf10 decade before the guard). Oversized
+    * buckets sub-split on a seeded secondary signature mod
+    * ceil(size/256); the oracle replays the split bit-for-bit, and the
+    * recall floor is spec-pinned in SimilaritySpec. */
   private def e1(s: SparkSession, dir: String): DataFrame =
     Similarity.embeddingNearDupPairsIndexed(
         LshIndex.ensure(s, dir, Tables.embeddings(s, dir), "embedding", "vec_id",
           planesPerTable = 6, tables = 3),
-        "embedding", "vec_id", minCosine = 0.5)
+        "embedding", "vec_id", minCosine = 0.5,
+        maxBucketSize = Some(E1BucketCap))
       .orderBy(col("a_id"), col("b_id"))
+
+  /** p_e1's sub-bucket cap — shared with the oracle-SQL generator so the
+    * two sides can't drift. */
+  private val E1BucketCap = 256L
 
   /** E2: SemDeDup ([[Similarity.semDeDup]], Abbas et al. 2023) — semantic
     * dedup over the PERSISTED IVF cluster assignment (the `dup10` variant
@@ -2476,9 +2489,24 @@ object PipelineQueries {
           ORDER BY probe_id"""),
     "p_e1_embedding_neardup" ->
       (s"""WITH planes(t, p, vec) AS (VALUES ${planesSql(3, 6, 64, 42L)}),
+          subplanes(zt, p, vec) AS (VALUES ${planesSql(1, 16, 64, 7L)}),
           sig AS ($sigSql),
+          sub AS (SELECT e.vec_id,
+                CAST(sum(CASE WHEN ${dotSql("e.embedding", "sp.vec")} >= 0
+                  THEN (CAST(1 AS BIGINT) << CAST(sp.p AS INT)) ELSE 0 END)
+                  AS BIGINT) AS s2
+              FROM embeddings e, subplanes sp GROUP BY e.vec_id),
+          sized AS (SELECT t, bkt, CAST(count(*) AS BIGINT) AS bsz
+                    FROM sig GROUP BY t, bkt),
+          keyed AS (SELECT s.vec_id, s.t, s.bkt,
+                CASE WHEN z.bsz <= $E1BucketCap THEN CAST(0 AS BIGINT)
+                     ELSE u.s2 % CAST(ceil(CAST(z.bsz AS DOUBLE)
+                       / $E1BucketCap.0) AS BIGINT) END AS sub
+              FROM sig s JOIN sized z ON z.t = s.t AND z.bkt = s.bkt
+                         JOIN sub u ON u.vec_id = s.vec_id),
           cands AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
-                    FROM sig a JOIN sig b ON a.t = b.t AND a.bkt = b.bkt
+                    FROM keyed a JOIN keyed b
+                      ON a.t = b.t AND a.bkt = b.bkt AND a.sub = b.sub
                     WHERE a.vec_id < b.vec_id),
           n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nn FROM embeddings)
           SELECT * FROM (

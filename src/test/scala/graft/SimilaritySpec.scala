@@ -199,6 +199,38 @@ class SimilaritySpec extends SparkSpec {
     assert(idxP === flyP)
   }
 
+  test("maxBucketSize guard: subset of exact pairs, exact dups never split, recall floor") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val root = java.nio.file.Files.createTempDirectory("graft-lsh-cap").toString
+    // exact copies of every 25th vector at id+10000: the guard's hard
+    // invariant is that identical embeddings share every sign bit of
+    // every signature, so copy-pairs can NEVER straddle a sub-bucket
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+      .union(emb.filter(pmod(col("vec_id"), lit(25)) === 0)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+    val indexed = graft.pipeline.LshIndex.ensure(spark, sf0001, corpus,
+      "embedding", "vec_id", planesPerTable = 6, tables = 3,
+      artifactRootOverride = Some(root))
+    def pairs(cap: Option[Long]) =
+      Similarity.embeddingNearDupPairsIndexed(indexed, "embedding", "vec_id",
+          minCosine = 0.5, maxBucketSize = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(None)
+    // cap = 4 on a 520-row corpus over 64 buckets/table forces real
+    // splits (avg bucket ≈ 8 > 4) — the guard is exercised, not idle
+    val guarded = pairs(Some(4L))
+    assert(guarded.subsetOf(exact), "guard must only ever REMOVE candidates")
+    val copyPairs = exact.filter { case (a, b) => b == a + 10000 }
+    assert(copyPairs.nonEmpty)
+    assert(copyPairs.subsetOf(guarded), "exact duplicates must survive any cap")
+    // recall floor at an adversarially small cap; p_e1 runs cap=256
+    val recall = guarded.size.toDouble / exact.size
+    assert(recall >= 0.80, s"guarded recall $recall < 0.80 floor (cap=4)")
+    // a realistic cap leaves the sf0.001 candidate set untouched at all:
+    // no bucket exceeds 256 rows, so sub = 0 everywhere
+    assert(pairs(Some(256L)) === exact)
+  }
+
   test("embeddingNearDupPairs only reports pairs above the threshold") {
     val emb = Tables.embeddings(spark, sf0001)
     val pairs = Similarity.embeddingNearDupPairs(emb, "embedding", "vec_id", 0.3)
