@@ -55,6 +55,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("mp3_frames", "mp3_frames(bytes) - array of per-frame structs (frame_idx, offset, frame_len, padding, kbps, rate) from an MPEG-audio frame walk, else NULL"),
       (args: Seq[Expression]) => graft.pipeline.Mp3Header.Mp3FramesExpr(args(0))))
     ext.injectFunction((
+      FunctionIdentifier("mp3l3_gen"),
+      info("mp3l3_gen", "mp3l3_gen(seed) - deterministic single-frame MPEG-1 Layer III stream (side info + scalefactors + Huffman-coded spectral lines) for seed"),
+      (args: Seq[Expression]) => graft.pipeline.Mp3L3.Mp3L3GenExpr(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("mp3l3_spectral"),
+      info("mp3l3_spectral", "mp3l3_spectral(bytes) - struct of side-info fields + integer-exact spectral-line functionals from a Layer III entropy decode (tables 0-3, count1 A/B), else NULL"),
+      (args: Seq[Expression]) => graft.pipeline.Mp3L3.Mp3L3SpectralExpr(args(0))))
+    ext.injectFunction((
       FunctionIdentifier("adts_meta"),
       info("adts_meta", "adts_meta(bytes) - struct(mpeg_version, object_type, sample_rate, channels, crc_present, frames, total_bytes, duration_ms, avg_kbps) from an AAC ADTS frame-header walk, else NULL"),
       (args: Seq[Expression]) => graft.pipeline.AdtsHeader.AdtsMetaExpr(args(0))))

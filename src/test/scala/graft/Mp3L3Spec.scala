@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Mp3L3
+
+/** Layer III entropy decode: table integrity (every embedded ISO Huffman
+  * table must be a complete prefix code), a hand-assembled bit-literal
+  * decode vector independent of the encoder half, gen→decode identity,
+  * and malformed-stream rejection. */
+class Mp3L3Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("every embedded Huffman table is a complete prefix code (Kraft sum = 1)") {
+    def check(name: String, hlen: Array[Int], hcod: Array[Int]): Unit = {
+      val entries = hlen.zip(hcod).filter(_._1 > 0)
+      // completeness: Σ 2^-len == 1 exactly (scaled to the max length)
+      val maxLen = entries.map(_._1).max
+      val kraft = entries.map { case (l, _) => 1L << (maxLen - l) }.sum
+      assert(kraft === (1L << maxLen), s"$name is not a complete code")
+      // prefix-freeness: no code is a prefix of another
+      val codes = entries.map { case (l, c) =>
+        (0 until l).map(i => (c >> (l - 1 - i)) & 1).mkString
+      }
+      assert(codes.distinct.length === codes.length, s"$name has duplicate codes")
+      for (a <- codes; b <- codes if a != b)
+        assert(!b.startsWith(a), s"$name: $a is a prefix of $b")
+    }
+    for ((id, t) <- Mp3L3.BvTables if id != 0)
+      check(s"big-value table $id", t.hlen, t.hcod)
+    check("count1 table A", Mp3L3.Cnt1ALen, Mp3L3.Cnt1ACod)
+    check("count1 table B", Mp3L3.Cnt1BLenArr, Mp3L3.Cnt1BCodArr)
+  }
+
+  test("hand-assembled bit vector decodes to the expected spectral lines") {
+    // built with a LOCAL bit packer — independent of Mp3L3's encoder half
+    val bits = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def u(v: Int, n: Int): Unit = (n - 1 to 0 by -1).foreach(i => bits += ((v >> i) & 1))
+    // header: FF FB A0 C0 (MPEG-1 L3 no-CRC, 160 kbps, 44.1 kHz, mono)
+    u(0xff, 8); u(0xfb, 8); u(0xa0, 8); u(0xc0, 8)
+    // side info: main_data_begin 0, private 0, scfsi 0000
+    u(0, 9); u(0, 5); u(0, 4)
+    // granule 0: p23=14, bv=2, gg=100, sc=0, long blocks, tables (1,1,1),
+    // r0=3, r1=3, pre=0, sfs=0, count1 table B
+    u(14, 12); u(2, 9); u(100, 8); u(0, 4); u(0, 1)
+    u(1, 5); u(1, 5); u(1, 5); u(3, 4); u(3, 3); u(0, 1); u(0, 1); u(1, 1)
+    // granule 1: fully empty (p23=0, table 0 everywhere)
+    u(0, 12); u(0, 9); u(0, 8); u(0, 4); u(0, 1)
+    u(0, 5); u(0, 5); u(0, 5); u(0, 4); u(0, 3); u(0, 1); u(0, 1); u(0, 1)
+    assert(bits.length === (4 + 17) * 8)
+    // main data, granule 0 (no scalefactor bits at sc=0):
+    //   pair (1,-1): table 1 idx 3 → '000', signs 0 (pos) and 1 (neg)
+    //   pair (0,1):  table 1 idx 1 → '001', sign 0
+    //   quad (0,0,-1,0): table B idx 2 → code ~2 = 13 '1101', sign 1
+    u(0, 3); u(0, 1); u(1, 1)
+    u(1, 3); u(0, 1)
+    u(13, 4); u(1, 1)
+    while (bits.length % 8 != 0) bits += 0
+    val frameLen = 144 * 160000 / 44100
+    val b = new Array[Byte](frameLen)
+    bits.grouped(8).zipWithIndex.foreach { case (g, i) =>
+      b(i) = g.foldLeft(0)((a, x) => (a << 1) | x).toByte
+    }
+    val d = Mp3L3.decode(b).get
+    val g0 = d.granules(0)
+    assert(d.sampleRate === 44100 && d.bitrateKbps === 160)
+    assert(g0.part23Length === 14 && g0.bitsUsed === 14)
+    assert(g0.is.take(8).toSeq === Seq(1, -1, 0, 1, 0, 0, -1, 0))
+    assert(g0.is.drop(8).forall(_ == 0))
+    assert(g0.count1Quads === 1)
+    val g1 = d.granules(1)
+    assert(g1.bitsUsed === 0 && g1.is.forall(_ == 0))
+  }
+
+  test("gen → decode identity: every surfaced functional matches the closed form") {
+    for (seed <- Seq(0L, 1L, 7L, 42L, 123L, 999L)) {
+      val d = Mp3L3.decode(Mp3L3.gen(seed)).getOrElse(fail(s"seed $seed: no decode"))
+      for (g <- 0 to 1) {
+        val p = Mp3L3.GranParams(seed, g)
+        val gr = d.granules(g)
+        assert(gr.bigValues === p.bigValues, s"seed $seed g$g big_values")
+        assert(gr.globalGain === p.globalGain)
+        assert(gr.scalefacCompress === p.scalefacCompress)
+        assert(gr.tableSelect.toSeq === Seq(0, 1, 2).map(p.tableSelect))
+        assert(gr.count1Table === p.count1Table)
+        assert(gr.count1Quads === p.nQuads)
+        assert(gr.bitsUsed === gr.part23Length, "decode must close the bit count")
+        assert(gr.scalefacs.toSeq === (0 until 21).map(p.scalefac))
+        // spectral lines, coefficient by coefficient
+        val expected = new Array[Int](576)
+        for (i <- 0 until p.bigValues) {
+          val (x, y) = p.pair(i)
+          expected(2 * i) = x; expected(2 * i + 1) = y
+        }
+        for (j <- 0 until p.nQuads) {
+          val (v, w, x, y) = p.quad(j)
+          val base = 2 * p.bigValues + 4 * j
+          expected(base) = v; expected(base + 1) = w
+          expected(base + 2) = x; expected(base + 3) = y
+        }
+        assert(gr.is.toSeq === expected.toSeq, s"seed $seed g$g spectral lines")
+      }
+    }
+  }
+
+  test("malformed or out-of-scope streams return null") {
+    val good = Mp3L3.gen(5L)
+    assert(Mp3L3.decode(good.take(20)) === None)        // truncated
+    assert(Mp3L3.decode(Array[Byte](1, 2, 3)) === None) // no sync
+    // stereo header is out of scope
+    val stereo = good.clone(); stereo(3) = 0x00
+    assert(Mp3L3.decode(stereo) === None)
+    // an escape-table select (16) in granule 0 is out of scope: table
+    // bits live at side-info bit offset 18 + 12+9+8+4+1 = 52
+    val esc = good.clone()
+    val bitOff = 32 + 52
+    def setBits(b: Array[Byte], off: Int, v: Int, n: Int): Unit =
+      (0 until n).foreach { i =>
+        val bit = (v >> (n - 1 - i)) & 1
+        val p = off + i
+        val mask = 1 << (7 - (p & 7))
+        b(p >> 3) = (((b(p >> 3) & ~mask) | (if (bit == 1) mask else 0)).toByte)
+      }
+    setBits(esc, bitOff, 16, 5)
+    assert(Mp3L3.decode(esc) === None)
+    // corrupting the part2_3_length must break the exact-bit-count close
+    val bad = good.clone()
+    setBits(bad, 32 + 18, 1, 12)
+    assert(Mp3L3.decode(bad) === None)
+  }
+
+  test("mp3l3_gen / mp3l3_spectral are registered SQL functions") {
+    val row = spark.range(3, 4)
+      .select(call_function("mp3l3_spectral",
+        call_function("mp3l3_gen", col("id"))).as("m"))
+      .select(col("m.sample_rate"), col("m.g0_big_values"), col("m.g1_spec_nonzero"))
+      .collect().head
+    assert(row.getLong(0) === 44100L)
+    val p = Mp3L3.GranParams(3L, 0)
+    assert(row.getLong(1) === p.bigValues.toLong)
+    assert(row.getLong(2) > 0L)
+  }
+}
