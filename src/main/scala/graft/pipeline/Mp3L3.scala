@@ -165,16 +165,18 @@ object Mp3L3 {
       * table's range. */
     def pair(i: Int): (Int, Int) = {
       val t = BvTables(tableForLine(2 * i))
+      // signs cycle at period 3 against period-2/3 magnitudes, so both
+      // sign polarities occur for every magnitude as the seed varies
       val mx = (seed + g + i) % (t.maxV + 1)
       val my = (seed + g + i + 1) % (t.maxV + 1)
-      val sx = if ((seed + i) % 2 == 0) 1 else -1
-      val sy = if ((seed + i + 1) % 2 == 0) 1 else -1
+      val sx = if ((seed + i) % 3 == 0) 1 else -1
+      val sy = if ((seed + i + 1) % 3 == 0) 1 else -1
       (sx * mx.toInt, sy * my.toInt)
     }
     /** Count1 quad j → (v, w, x, y) SIGNED, magnitudes 0/1. */
     def quad(j: Int): (Int, Int, Int, Int) = {
       def m(k: Long) = (k % 2).toInt
-      def s(k: Long) = if (k % 2 == 0) 1 else -1
+      def s(k: Long) = if (k % 3 == 0) 1 else -1
       (s(seed + j) * m(seed + j), s(seed + j + 1) * m(seed + j + 1),
         s(seed + j + g) * m(seed + j + g), s(seed + j + g + 1) * m(seed + j + g + 1))
     }

@@ -1718,9 +1718,32 @@ object PipelineQueries {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** MM18: MP3 Layer III TRANSFORM-SAMPLE decode, entropy half
+    * ([[graft.pipeline.Mp3L3]]) — each document becomes a single-frame
+    * MPEG-1 Layer III mono stream via the hand-written encoder half
+    * `mp3l3_gen` (doc_id-derived bitrate, region layout, Huffman table
+    * selection over ISO tables 1–3, count1 A/B, scalefactors, signed
+    * spectral values); `mp3l3_spectral` independently bit-decodes side
+    * info → scalefactors → Huffman big-values/count1 down to the 576
+    * spectral lines. The oracle replays EVERYTHING in closed form from
+    * doc_id — including part2_3_length as the sum of the ISO Huffman
+    * code lengths + sign bits (embedded as VALUES tables), which only
+    * matches if the decoder consumed exactly the right bits for every
+    * coefficient — and the position-weighted spectral sums pin each
+    * line's value AND placement. */
+  private def mm18(s: SparkSession, dir: String): DataFrame = {
+    val m = call_function("mp3l3_spectral",
+      call_function("mp3l3_gen", col("doc_id")))
+    val fields = graft.pipeline.Mp3L3.SpectralSchema.fieldNames.toSeq
+    Tables.documents(s, dir).select(col("doc_id"), m.as("__m"))
+      .select(col("doc_id") +: fields.map(f => col(s"__m.$f").as(f)): _*)
+      .orderBy(col("doc_id"))
+  }
+
   // ===== registry ========================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p_mm18_mp3_spectral" -> (mm18 _),
     "p_d1_exact_dedup" -> (d1 _),
     "p_d2_neardup_bruteforce" -> (d2 _),
     "p_d3_minhash_lsh_neardup" -> (d3 _),
@@ -1855,6 +1878,27 @@ object PipelineQueries {
           s"($t, $i, [${p.map(_.toDouble.toString).mkString(",")}])"
       }
     }.mkString(", ")
+
+  /** The Layer III constant tables ([[graft.pipeline.Mp3L3]]) as VALUES
+    * lists, rendered from the same arrays the engine decodes with — the
+    * planesSql convention: shared constants, independently-replayed
+    * logic. (Structural validity of the ISO tables themselves — Kraft
+    * completeness, prefix-freeness — is pinned in Mp3L3Spec.) */
+  private def mp3l3BvLenSql: String =
+    (1 to 3).flatMap { t =>
+      val tb = graft.pipeline.Mp3L3.BvTables(t)
+      for (x <- 0 to tb.maxV; y <- 0 to tb.maxV)
+        yield s"($t, $x, $y, ${tb.hlen(x * (tb.maxV + 1) + y)})"
+    }.mkString(", ")
+  private def mp3l3Cnt1aSql: String =
+    graft.pipeline.Mp3L3.Cnt1ALen.zipWithIndex
+      .map { case (l, i) => s"($i, $l)" }.mkString(", ")
+  private def mp3l3SlenSql: String =
+    graft.pipeline.Mp3L3.Slen.zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+  private def mp3l3SfbSql: String =
+    graft.pipeline.Mp3L3.Sfb44100.zipWithIndex
+      .map { case (l, i) => s"($i, $l)" }.mkString(", ")
 
   /** Per-(vector, table) sign-bit bucket CTE body — the twin of
     * [[Similarity.lshBucket]]: bit p set iff dot(emb, plane_p) >= 0. */
@@ -2961,6 +3005,103 @@ object PipelineQueries {
                  CAST(kbps AS BIGINT) AS kbps,
                  CAST(sr AS BIGINT) AS rate
           FROM f ORDER BY doc_id, frame_idx"""),
+    "p_mm18_mp3_spectral" ->
+      (s"""WITH slentab(sc, s1, s2) AS (VALUES $mp3l3SlenSql),
+          sfbtab(i, line) AS (VALUES $mp3l3SfbSql),
+          bvlen(t, x, y, len) AS (VALUES $mp3l3BvLenSql),
+          cnt1a(idx, len) AS (VALUES $mp3l3Cnt1aSql),
+          base AS (SELECT doc_id AS d, gg.g FROM documents, (VALUES (0), (1)) gg(g)),
+          p AS (SELECT d, g,
+              18 + (d + g) % 11 AS bv, 3 + (d + g) % 4 AS r0,
+              (d + g) % 2 AS c1t, 4 + (d + g) % 4 AS nq, (d + g) % 16 AS sc,
+              d % 64 + 100 AS gain, d % 2 AS pre, (d // 2) % 2 AS sfs,
+              (d + g) % 3 + 1 AS t0, (d + g + 1) % 3 + 1 AS t1,
+              (d + g + 2) % 3 + 1 AS t2
+            FROM base),
+          pb AS (SELECT p.*, b1t.line AS b1, b2t.line AS b2, sl.s1, sl.s2
+            FROM p JOIN sfbtab b1t ON b1t.i = p.r0 + 1
+                   JOIN sfbtab b2t ON b2t.i = p.r0 + 5
+                   JOIN slentab sl ON sl.sc = p.sc),
+          sfagg AS (SELECT d, g, CAST(sum((band + 1) *
+                CASE WHEN (CASE WHEN band < 11 THEN s1 ELSE s2 END) = 0 THEN 0
+                     ELSE (d + band + g) %
+                       (CAST(1 AS BIGINT) << (CASE WHEN band < 11 THEN s1 ELSE s2 END))
+                END) AS BIGINT) AS sf_wsum
+            FROM pb, range(0, 21) rb(band) GROUP BY d, g),
+          pv AS (SELECT d, g, i, t,
+              (d + g + i) % (CASE WHEN t = 1 THEN 2 ELSE 3 END) AS mx,
+              (d + g + i + 1) % (CASE WHEN t = 1 THEN 2 ELSE 3 END) AS my,
+              CASE WHEN (d + i) % 3 = 0 THEN 1 ELSE -1 END AS sx,
+              CASE WHEN (d + i + 1) % 3 = 0 THEN 1 ELSE -1 END AS sy
+            FROM (SELECT pb.*, rp.i,
+                CASE WHEN 2 * rp.i < b1 THEN t0
+                     WHEN 2 * rp.i < b2 THEN t1 ELSE t2 END AS t
+              FROM pb, range(0, 28) rp(i) WHERE rp.i < bv)),
+          pagg AS (SELECT pv.d, pv.g,
+              sum(l.len + CASE WHEN mx <> 0 THEN 1 ELSE 0 END
+                + CASE WHEN my <> 0 THEN 1 ELSE 0 END) AS hbits,
+              sum(CASE WHEN mx <> 0 THEN 1 ELSE 0 END
+                + CASE WHEN my <> 0 THEN 1 ELSE 0 END) AS nz,
+              sum(sx * mx + sy * my) AS vsum,
+              sum((2 * i + 1) * sx * mx + (2 * i + 2) * sy * my) AS wsum
+            FROM pv JOIN bvlen l ON l.t = pv.t AND l.x = pv.mx AND l.y = pv.my
+            GROUP BY pv.d, pv.g),
+          qv AS (SELECT d, g, bv, c1t, j,
+              (d + j) % 2 AS mv, (d + j + 1) % 2 AS mw,
+              (d + j + g) % 2 AS mx, (d + j + g + 1) % 2 AS my,
+              CASE WHEN (d + j) % 3 = 0 THEN 1 ELSE -1 END AS sv,
+              CASE WHEN (d + j + 1) % 3 = 0 THEN 1 ELSE -1 END AS sw,
+              CASE WHEN (d + j + g) % 3 = 0 THEN 1 ELSE -1 END AS sx,
+              CASE WHEN (d + j + g + 1) % 3 = 0 THEN 1 ELSE -1 END AS sy
+            FROM (SELECT pb.d, pb.g, pb.bv, pb.c1t, rq.j
+              FROM pb, range(0, 7) rq(j) WHERE rq.j < nq)),
+          qagg AS (SELECT d, g,
+              sum((CASE WHEN c1t = 1 THEN 4 ELSE a.len END)
+                + mv + mw + mx + my) AS hbits,
+              sum(mv + mw + mx + my) AS nz,
+              sum(sv * mv + sw * mw + sx * mx + sy * my) AS vsum,
+              sum((2 * bv + 4 * j + 1) * sv * mv + (2 * bv + 4 * j + 2) * sw * mw
+                + (2 * bv + 4 * j + 3) * sx * mx
+                + (2 * bv + 4 * j + 4) * sy * my) AS wsum
+            FROM qv JOIN cnt1a a ON a.idx = mv * 8 + mw * 4 + mx * 2 + my
+            GROUP BY d, g),
+          gr AS (SELECT pb.d, pb.g,
+              CAST(11 * s1 + 10 * s2 + pa.hbits + qa.hbits AS BIGINT) AS part23,
+              CAST(bv AS BIGINT) AS bv, CAST(gain AS BIGINT) AS gain,
+              CAST(sc AS BIGINT) AS sc, CAST(r0 AS BIGINT) AS r0,
+              CAST(t0 AS BIGINT) AS t0, CAST(t1 AS BIGINT) AS t1,
+              CAST(t2 AS BIGINT) AS t2, CAST(c1t AS BIGINT) AS c1t,
+              CAST(pre AS BIGINT) AS pre, CAST(sfs AS BIGINT) AS sfs,
+              sf.sf_wsum,
+              CAST(pa.nz + qa.nz AS BIGINT) AS nz,
+              CAST(pa.vsum + qa.vsum AS BIGINT) AS vsum,
+              CAST(pa.wsum + qa.wsum AS BIGINT) AS wsum,
+              CAST(nq AS BIGINT) AS nq
+            FROM pb JOIN sfagg sf ON sf.d = pb.d AND sf.g = pb.g
+                    JOIN pagg pa ON pa.d = pb.d AND pa.g = pb.g
+                    JOIN qagg qa ON qa.d = pb.d AND qa.g = pb.g)
+          SELECT g0.d AS doc_id,
+            CAST(44100 AS BIGINT) AS sample_rate,
+            CAST([160, 192, 224, 256, 320][CAST(g0.d % 5 + 1 AS INT)] AS BIGINT)
+              AS bitrate_kbps,
+            g0.part23 AS g0_part2_3_length, g0.bv AS g0_big_values,
+            g0.gain AS g0_global_gain, g0.sc AS g0_scalefac_compress,
+            g0.r0 AS g0_region0_count, CAST(3 AS BIGINT) AS g0_region1_count,
+            g0.t0 AS g0_table0, g0.t1 AS g0_table1, g0.t2 AS g0_table2,
+            g0.c1t AS g0_count1_table, g0.pre AS g0_preflag,
+            g0.sfs AS g0_scalefac_scale, g0.sf_wsum AS g0_sf_wsum,
+            g0.nz AS g0_spec_nonzero, g0.vsum AS g0_spec_sum,
+            g0.wsum AS g0_spec_wsum, g0.nq AS g0_count1_quads,
+            g1.part23 AS g1_part2_3_length, g1.bv AS g1_big_values,
+            g1.gain AS g1_global_gain, g1.sc AS g1_scalefac_compress,
+            g1.r0 AS g1_region0_count, CAST(3 AS BIGINT) AS g1_region1_count,
+            g1.t0 AS g1_table0, g1.t1 AS g1_table1, g1.t2 AS g1_table2,
+            g1.c1t AS g1_count1_table, g1.pre AS g1_preflag,
+            g1.sfs AS g1_scalefac_scale, g1.sf_wsum AS g1_sf_wsum,
+            g1.nz AS g1_spec_nonzero, g1.vsum AS g1_spec_sum,
+            g1.wsum AS g1_spec_wsum, g1.nq AS g1_count1_quads
+          FROM gr g0 JOIN gr g1 ON g1.d = g0.d AND g1.g = 1
+          WHERE g0.g = 0 ORDER BY doc_id"""),
     "p_t3_contamination" ->
       ("""WITH corpus AS (
             SELECT doc_id, text FROM documents WHERE doc_id < 1000),

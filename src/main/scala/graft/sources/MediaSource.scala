@@ -12,7 +12,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.pipeline.{AdtsHeader, H264Nal, ImageHeader, Mp3Header, Vp9Ivf}
+import graft.pipeline.{AdtsHeader, H264Nal, ImageHeader, Mp3Header, Mp3L3, Vp9Ivf}
 
 /** The MEDIA SOURCE — the documented codec seam made real as a
   * DataSource V2 BATCH source: `spark.read.format("graft.sources.
@@ -65,6 +65,7 @@ object MediaSource {
   val decoders: Map[String, (StructType, Array[Byte] => InternalRow)] = Map(
     "image" -> ((ImageHeader.ImageMetaExpr.schema, ImageHeader.parseRow _)),
     "mp3" -> ((Mp3Header.Mp3MetaExpr.schema, Mp3Header.parseRow _)),
+    "mp3l3" -> ((Mp3L3.SpectralSchema, Mp3L3.spectralRow _)),
     "adts" -> ((AdtsHeader.AdtsMetaExpr.schema, AdtsHeader.parseRow _)),
     "h264" -> ((H264Nal.H264MetaExpr.schema, H264Nal.parseRow _)),
     "vp9" -> ((Vp9Ivf.Vp9MetaExpr.schema, Vp9Ivf.parseRow _)))
