@@ -156,7 +156,12 @@ object EvmQueries {
     * point queries (query.go:92-100) once blocks number 10M+. */
   private def layoutDir(s: SparkSession): String =
     graft.sources.SortedLayout.ensure(s, s"$P/blocks.parquet", blocks(s),
-      "number", span = 256L, rowGroupBytes = 64L * 1024)
+      "number", span = 256L, rowGroupBytes = 64L * 1024,
+      // hash lookups (Q1's B-tree analog) can't use the number-derived
+      // bucket tier OR min/max stats (hashes are uniform) — bloom
+      // filters are their row-group pruning tier (SortedLayoutSpec pins
+      // the scanned-row drop)
+      bloomCols = Seq("hash"), bloomNdv = 4096L)
 
   private val layoutCols = Seq("number", "hash", "time", "gasused", "miner")
 
@@ -166,6 +171,14 @@ object EvmQueries {
 
   private def layoutRange(s: SparkSession, d: String): DataFrame =
     graft.sources.SortedLayout.rangeLookup(s, layoutDir(s), 1200L, 1500L)
+      .select(layoutCols.map(col): _*)
+
+  /** Q1-by-hash FROM the layout: no bucket predicate exists for a
+    * uniform hash, so the lookup's pruning is the `hash` column's bloom
+    * filters. The oracle reads the ORIGINAL parquet by the same hash —
+    * a hash match proves bloom-pruned reads are lossless. */
+  private def layoutHash(s: SparkSession, d: String): DataFrame =
+    graft.sources.SortedLayout.hashLookup(s, layoutDir(s), "hash", H2003)
       .select(layoutCols.map(col): _*)
 
   /** Q6 `GetTransactionByHash` (query.go:194-202). */
@@ -685,6 +698,7 @@ object EvmQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_layout_point_lookup" -> (layoutPoint _),
     "ev_layout_range_scan" -> (layoutRange _),
+    "ev_layout_hash_lookup" -> (layoutHash _),
     "ev_q1_block_by_hash" -> (q1 _),
     "ev_q2_block_by_number" -> (q2 _),
     "ev_q3_blocks_by_number_range" -> (q3 _),
@@ -748,6 +762,8 @@ object EvmQueries {
       s"SELECT number, hash, time, gasused, miner FROM $blocksT WHERE number = 2003",
     "ev_layout_range_scan" ->
       s"SELECT number, hash, time, gasused, miner FROM $blocksT WHERE number BETWEEN 1200 AND 1500",
+    "ev_layout_hash_lookup" ->
+      s"SELECT number, hash, time, gasused, miner FROM $blocksT WHERE hash = '$H2003'",
     "ev_q1_block_by_hash" ->
       s"SELECT ${blockApiSql()} FROM $blocksT WHERE hash = '$H1500'",
     "ev_q2_block_by_number" ->

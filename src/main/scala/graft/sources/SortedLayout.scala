@@ -60,14 +60,18 @@ object SortedLayout {
     * predicate from the sidecar, not through a bare DataFrame. */
   def ensure(spark: SparkSession, sourceFile: String, df: DataFrame,
       key: String, span: Long, rowGroupBytes: Long = 128L << 20,
+      bloomCols: Seq[String] = Nil, bloomNdv: Long = 100000L,
       artifactRootOverride: Option[String] = None): String = {
     val root = artifactRootOverride.getOrElse(artifactRoot(spark))
     val name = new Path(sourceFile).getName.stripSuffix(".parquet")
-    // rowGroupBytes is part of the key: it shapes the artifact's pruning
-    // granularity, so two callers disagreeing on it must not share one
-    val k = s"${name}_layout_v${FormatVersion}_${key}_s${span}_g$rowGroupBytes"
+    // rowGroupBytes (and the bloom config) are part of the key: they
+    // shape the artifact's pruning granularity, so two callers
+    // disagreeing on them must not share one
+    val bloomK = if (bloomCols.isEmpty) ""
+      else s"_b${bloomCols.sorted.mkString("-")}_n$bloomNdv"
+    val k = s"${name}_layout_v${FormatVersion}_${key}_s${span}_g$rowGroupBytes$bloomK"
     graft.pipeline.ArtifactStore.ensure(spark, sourceFile, root, k) { tmp =>
-      write(df, tmp, key, span, rowGroupBytes)
+      write(df, tmp, key, span, rowGroupBytes, bloomCols, bloomNdv)
     }
     s"$root/$k"
   }
@@ -83,11 +87,25 @@ object SortedLayout {
     * of `span` key values each, key-sorted files within. `rowGroupBytes`
     * sizes parquet row groups (the row-group-pruning granule); the
     * production default 128 MB is right at scale, tests shrink it so a
-    * single fixture file has many groups to prune. */
+    * single fixture file has many groups to prune.
+    *
+    * `bloomCols` names columns to carry parquet BLOOM FILTERS — the
+    * pruning tier for the columns min/max stats CANNOT serve: uniformly
+    * distributed hashes (block hash, tx hash) span nearly the whole
+    * value space in every row group, so a hash-equality lookup survives
+    * every stats check and reads the entire table. A per-row-group bloom
+    * filter turns that into ~one row group read (false-positive groups
+    * aside): parquet-mr consults it for pushed equality predicates at
+    * row-group-selection time, no reader changes needed. `bloomNdv`
+    * sizes the filter (expected distinct values per row group — set it
+    * near rowGroupBytes/rowWidth; oversizing only costs footprint). This
+    * is the parquet answer to the reference's hash B-trees (Q1/Q6,
+    * query.go:92-100) at 10M+ rows. */
   def write(df: DataFrame, dir: String, key: String, span: Long,
-      rowGroupBytes: Long = 128L << 20): Unit = {
+      rowGroupBytes: Long = 128L << 20,
+      bloomCols: Seq[String] = Nil, bloomNdv: Long = 100000L): Unit = {
     require(span > 0, "bucket span must be positive")
-    df.withColumn("__kb", bucketOf(col(key), span))
+    val writer = df.withColumn("__kb", bucketOf(col(key), span))
       // one shuffle: co-locate each bucket in one task so each dir gets
       // one key-sorted file per task that holds it (not one per input
       // partition), and sort so row-group stats are tight
@@ -95,7 +113,10 @@ object SortedLayout {
       .sortWithinPartitions(col("__kb"), col(key))
       .write.partitionBy("__kb")
       .option("parquet.block.size", rowGroupBytes.toString)
-      .mode("overwrite").parquet(dir)
+    bloomCols.foldLeft(writer) { (w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", bloomNdv.toString)
+    }.mode("overwrite").parquet(dir)
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
     val p = new Path(dir, LayoutFile)
     val fs = p.getFileSystem(conf)
@@ -124,6 +145,18 @@ object SortedLayout {
       .filter(col("__kb") === kb && col(key) === value)
       .drop("__kb")
   }
+
+  /** Equality lookup on a NON-key column (a uniform hash): no bucket
+    * predicate exists — the derived-key tier can't help — so pruning is
+    * entirely the column's bloom filters (write the layout with the
+    * column in `bloomCols`). Every dir is listed, but only bloom-passing
+    * row groups are read: ~one group + false positives, independent of
+    * table size. */
+  def hashLookup(spark: SparkSession, dir: String, hashCol: String,
+      value: String): DataFrame =
+    spark.read.parquet(dir)
+      .filter(col(hashCol) === value)
+      .drop("__kb")
 
   /** `lo <= key <= hi` touching only the ceil(range/span)+1 covering
     * bucket dirs. */

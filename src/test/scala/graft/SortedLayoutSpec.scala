@@ -72,6 +72,40 @@ class SortedLayoutSpec extends SparkSpec {
         "within the bucket (is the file key-sorted?)")
   }
 
+  test("hash lookup: bloom filters prune row groups that min/max stats cannot") {
+    val n = 200000L
+    // uniform hashes: every row group's [min, max] spans nearly the whole
+    // hex space, so a hash-equality predicate survives every stats check
+    val blocks = spark.range(n).select(col("id").as("number"),
+      md5(col("id").cast("string")).as("hash"))
+    val target = blocks.filter(col("number") === 123456L)
+      .select("hash").head().getString(0)
+
+    def lookupRows(bloom: Boolean): (Long, Long) = {
+      val dir = Files.createTempDirectory(s"graft-layout-h$bloom").toString + "/b"
+      SortedLayout.write(blocks, dir, "number", span = 65536L,
+        rowGroupBytes = 64L * 1024,
+        bloomCols = if (bloom) Seq("hash") else Nil, bloomNdv = 4096L)
+      val q = SortedLayout.hashLookup(spark, dir, "hash", target)
+      val qe = q.queryExecution
+      val hits = qe.executedPlan.execute().count()
+      (hits, scanMetrics(qe)._2)
+    }
+
+    val (hitsOff, rowsOff) = lookupRows(bloom = false)
+    val (hitsOn, rowsOn) = lookupRows(bloom = true)
+    assert(hitsOff == 1L && hitsOn == 1L, "hash lookup must find its row")
+    info(s"hash lookup scan rows: $rowsOff without bloom, $rowsOn with bloom")
+    // without bloom the uniform hash defeats stats pruning: the scan
+    // materializes (nearly) the whole table
+    assert(rowsOff > n / 2,
+      s"control broken: $rowsOff rows scanned without bloom — stats pruned " +
+        "a uniform hash?")
+    // with bloom, only bloom-passing row groups read: ~one group + FPs
+    assert(rowsOn < n / 10,
+      s"bloom did not prune: $rowsOn rows off the scan (without: $rowsOff)")
+  }
+
   test("range lookup touches only covering bucket dirs and matches a plain filter") {
     val dir = Files.createTempDirectory("graft-layout-r").toString + "/blocks"
     val n = 200000L
