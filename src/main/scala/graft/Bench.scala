@@ -28,7 +28,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = GraftSession.get(s"local[$cpus]", cpus.toInt)
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val spark = GraftSession.get(master, cpus.toInt)
 
     // Release cross-query state so each measurement starts clean: cached
     // relations, then a driver GC so ContextCleaner reclaims dead

@@ -43,7 +43,11 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = GraftSession.get(s"local[$cpus]", cpus.toInt)
+    // SPARK_GRAFT_MASTER overrides the master URL — the multi-JVM
+    // shake-out path (`local-cluster[2,8,4g]`), where closure capture
+    // and JVM-local state actually serialize across executor processes
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val spark = GraftSession.get(master, cpus.toInt)
     dump(spark, sfDir, outDir, SparkEntry.queries, SparkEntry.oracleSql)
     spark.stop()
   }

@@ -192,7 +192,10 @@ object WsTransport {
         // node assigns the id first); tolerate either order anyway
         val t = new Thread(() => {
           var live = true
-          while (live) c.readText() match {
+          // a concurrent close() mid-read surfaces as an IOException from
+          // the socket, not a clean None — same meaning: stream over
+          while (live) (try c.readText()
+              catch { case _: java.io.IOException => None }) match {
             case None => live = false
             case Some(text) =>
               JsonRpc.parseNewHead(text).foreach { n =>

@@ -61,7 +61,7 @@ class ServeSpec extends SparkSpec {
 
   test("serve boots the full stack: live ingest incl. reorg, REST answers, " +
       "ws fanout notifies") {
-    val httpNode = new FakeNode.HttpNode(maxNumber = 40)
+    val httpNode = new FakeNode.HttpNode(maxNumber = 44)
     val wsNode = new FakeNode.WsHeadNode
     val root = Files.createTempDirectory("graft-serve").toString
     val cfg = Serve.Config(
@@ -70,7 +70,7 @@ class ServeSpec extends SparkSpec {
       storeRoot = root,
       port = 0, wsPort = 0, // ephemeral: the spec reads the bound ports
       blockConfirmations = 2L,
-      maxNumber = 40L)
+      maxNumber = 44L)
     val running = Serve.run(spark, cfg)
     try {
       // downstream ws subscriber through the running fanout tier
@@ -149,6 +149,44 @@ class ServeSpec extends SparkSpec {
         val (c, body) = get(running.restPort, "/v1/block?number=39")
         healed = c == 200 && mapper.readTree(body).get("hash").asText() == replaced.block.hash
         if (!healed) Thread.sleep(20)
+      }
+
+      // maintenance under load: a long-running deployment accumulates one
+      // confirmed segment per promoting micro-batch. Advance the chain so
+      // a SECOND promote appends a second segment, then compact + vacuum
+      // each table WHILE the stream is live, and prove the query surface
+      // still answers and ingest still runs over the compacted tier.
+      wsNode.push(42L)
+      val dSeg = System.nanoTime() + 10e9.toLong
+      while (running.store.listSegments("blocks").length < 2) {
+        assert(System.nanoTime() < dSeg,
+          "second promote never appended a segment")
+        running.query.processAllAvailable()
+        Thread.sleep(20)
+      }
+      for (t <- Seq("blocks", "transactions", "events")) {
+        running.store.compactConfirmed(t, rowGroupBytes = 64L * 1024)
+        running.store.vacuumConfirmed(t, graceMs = 0L)
+      }
+      assert(running.store.listSegments("blocks").length === 1,
+        "compaction did not fold the confirmed tier")
+      val (cm, bodyM) = get(running.restPort, "/v1/block?number=7")
+      assert(cm === 200, bodyM)
+      assert(mapper.readTree(bodyM).get("hash").asText() === b7.hash,
+        "query surface broke after compaction under a live stream")
+      // the stream keeps ingesting over the compacted store
+      wsNode.push(44L)
+      val d3 = System.nanoTime() + 10e9.toLong
+      var caught = false
+      val b44 = graft.fixtures.EvmFixtures.buildBlock(44,
+        graft.fixtures.EvmFixtures.txCount(44L))
+      while (!caught) {
+        assert(System.nanoTime() < d3,
+          "post-compaction ingest never reflected in the store")
+        running.query.processAllAvailable()
+        val (c, body) = get(running.restPort, "/v1/block?number=44")
+        caught = c == 200 && mapper.readTree(body).get("hash").asText() == b44.hash
+        if (!caught) Thread.sleep(20)
       }
 
       client.abort()
