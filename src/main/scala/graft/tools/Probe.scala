@@ -5,7 +5,7 @@ import graft._
 /** Throwaway iteration probe (not part of the library): a SUBSET
   * [[Verify]] — dump only the named registry queries (plus their oracle
   * SQL) through [[Verify.dump]] so `tools/compare.py` can gate-check
-  * work in progress without replaying all 149+ entries.
+  * work in progress without replaying the full registry.
   *
   * Usage: runMain graft.tools.Probe <sfDir> <outDir> <name1,name2,...>
   */
