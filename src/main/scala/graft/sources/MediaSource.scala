@@ -222,11 +222,20 @@ final case class MediaOffset(mtime: Long, path: String, seq: Long = 0L)
 }
 
 object MediaOffset {
+  /** Tolerant of the pre-`seq` checkpoint format `<mtime>:<path>`: if
+    * the segment between the first two `:` is not a plain number, the
+    * offset is the legacy two-field form and everything after the
+    * first `:` is the path (seq = 0). Unambiguous for absolute paths —
+    * they start with `/` or a scheme letter, never a bare digit run
+    * followed by `:`. */
   def parse(json: String): MediaOffset = {
     val i = json.indexOf(':')
+    val mtime = json.substring(0, i).toLong
     val j = json.indexOf(':', i + 1)
-    MediaOffset(json.substring(0, i).toLong, json.substring(j + 1),
-      json.substring(i + 1, j).toLong)
+    val mid = if (j < 0) "" else json.substring(i + 1, j)
+    if (j >= 0 && mid.nonEmpty && mid.forall(c => c >= '0' && c <= '9'))
+      MediaOffset(mtime, json.substring(j + 1), mid.toLong)
+    else MediaOffset(mtime, json.substring(i + 1))
   }
 }
 
@@ -272,13 +281,27 @@ class MediaScan(path: String, decode: String, targetBytes: Long,
     /** Claim ledger (slack mode only): path → mtime of every emitted
       * file still inside the slack window, persisted at commit so a
       * restart resumes with the same dedup state. `pending` holds the
-      * claims of the batch currently planned-but-uncommitted. */
-    private val ledger = java.nio.file.Paths.get(checkpointLocation, "graft-media-claims")
+      * claims of the batch currently planned-but-uncommitted.
+      *
+      * Spark hands `checkpointLocation` as a QUALIFIED URI
+      * (`file:/tmp/...`, `hdfs://...`), so the ledger is resolved
+      * through the Hadoop FileSystem API — the same way Spark's own
+      * HDFSMetadataLog keeps its offsets — never through `java.nio`,
+      * which would treat the scheme as a relative path segment and
+      * silently drop the ledger under the driver's CWD (losing the
+      * dedup state on any restart from another directory or host, and
+      * breaking non-local checkpoint filesystems outright). */
+    private val ledgerPath =
+      new org.apache.hadoop.fs.Path(checkpointLocation, "graft-media-claims")
+    private val ledgerFs = ledgerPath.getFileSystem(
+      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
     private var claimed: Map[String, Long] =
-      if (mtimeSlackMs <= 0L || !java.nio.file.Files.exists(ledger)) Map.empty
+      if (mtimeSlackMs <= 0L || !ledgerFs.exists(ledgerPath)) Map.empty
       else {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.readAllLines(ledger).asScala.filter(_.nonEmpty).map { l =>
+        val in = ledgerFs.open(ledgerPath)
+        val text = try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+        text.linesIterator.filter(_.nonEmpty).map { l =>
           val i = l.indexOf('\t')
           l.substring(i + 1) -> l.substring(0, i).toLong
         }.toMap
@@ -314,13 +337,19 @@ class MediaScan(path: String, decode: String, targetBytes: Long,
       // hwm mtime is monotone), persist atomically
       claimed = (claimed ++ pending).filter(_._2 >= e.mtime - mtimeSlackMs)
       pending = Map.empty
-      val tmp = ledger.resolveSibling("graft-media-claims.tmp")
-      java.nio.file.Files.createDirectories(ledger.getParent)
-      java.nio.file.Files.write(tmp, claimed.map { case (p, m) => s"$m\t$p" }
+      // write-then-rename so a crash mid-write never leaves a torn
+      // ledger; FileContext rename(OVERWRITE) is the atomic replace
+      // primitive on both the local FS and HDFS
+      val tmp = new org.apache.hadoop.fs.Path(
+        ledgerPath.getParent, "graft-media-claims.tmp")
+      ledgerFs.mkdirs(ledgerPath.getParent)
+      val out = ledgerFs.create(tmp, true)
+      try out.write(claimed.map { case (p, m) => s"$m\t$p" }
         .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      java.nio.file.Files.move(tmp, ledger,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      finally out.close()
+      org.apache.hadoop.fs.FileContext.getFileContext(ledgerPath.toUri,
+          ledgerFs.getConf)
+        .rename(tmp, ledgerPath, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     }
     override def stop(): Unit = ()
     override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
