@@ -172,7 +172,14 @@ class MediaTable(schema: StructType) extends Table with SupportsRead {
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val path = Option(options.get("path")).getOrElse(
+    // Qualify to an absolute path at construction: the legacy-offset
+    // discrimination in [[MediaOffset.parse]] relies on paths never
+    // starting with a bare digit run followed by ':', which only holds
+    // for absolute paths — enforce the invariant rather than document it.
+    val path = Option(options.get("path")).map { p =>
+      if (p.contains("://") || p.startsWith("file:")) p
+      else java.nio.file.Paths.get(p).toAbsolutePath.toString
+    }.getOrElse(
       throw new IllegalArgumentException("media source requires a path"))
     val decode = options.getOrDefault("decode", "none")
     MediaSource.schemaFor(decode) // validate the option eagerly
@@ -338,8 +345,12 @@ class MediaScan(path: String, decode: String, targetBytes: Long,
       claimed = (claimed ++ pending).filter(_._2 >= e.mtime - mtimeSlackMs)
       pending = Map.empty
       // write-then-rename so a crash mid-write never leaves a torn
-      // ledger; FileContext rename(OVERWRITE) is the atomic replace
-      // primitive on both the local FS and HDFS
+      // ledger. FileContext rename(OVERWRITE) is atomic on HDFS; on the
+      // local FS (RawLocalFs) overwrite is delete-then-rename, so a
+      // crash in that gap can lose the ledger — the same caveat Spark's
+      // FileContextBasedCheckpointFileManager carries. The degradation
+      // is at-least-once (in-window files may re-emit after such a
+      // crash), never data loss.
       val tmp = new org.apache.hadoop.fs.Path(
         ledgerPath.getParent, "graft-media-claims.tmp")
       ledgerFs.mkdirs(ledgerPath.getParent)

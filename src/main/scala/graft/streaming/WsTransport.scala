@@ -125,7 +125,13 @@ object WsTransport {
       None
     }
 
+    /** Whether close() was initiated locally — lets the reader loop
+      * distinguish OUR teardown (clean EOF) from a connection that
+      * DIED under us (surfaced as an error). */
+    @volatile private[WsTransport] var closeRequested = false
+
     def close(): Unit = {
+      closeRequested = true
       try socket.close() catch { case _: Exception => () }
     }
   }
@@ -159,6 +165,10 @@ object WsTransport {
       * subscriber lives (entries are 8 bytes and reorgs are rare —
       * bounded in practice by chain behavior, not data volume). */
     private val reorgLog = new java.util.concurrent.CopyOnWriteArrayList[java.lang.Long]()
+    /** The error that killed the last subscription, if it DIED rather
+      * than being closed; cleared by the next successful connect. */
+    private val lastErrorRef =
+      new java.util.concurrent.atomic.AtomicReference[Throwable](null)
     @volatile private var client: WsClient = null
     private var lastAttemptNanos = 0L // guarded by this
     private var delayMs = retryCooldownMs // next-retry wait, guarded by this
@@ -167,6 +177,13 @@ object WsTransport {
 
     /** Current retry delay (test observability). */
     def currentDelayMs: Long = synchronized { delayMs }
+
+    /** Why the subscription last DIED (socket error while nobody called
+      * `close()`), or None if it is live or was closed deliberately.
+      * Callers use this to tell "closed" from "died"; reconnection
+      * still happens automatically on a later `head()` after the
+      * backoff elapses. */
+    def lastError: Option[Throwable] = Option(lastErrorRef.get)
 
     /** Snapshot of the reorg-signal log (append-only ⇒ a prefix read is
       * always consistent). */
@@ -192,10 +209,18 @@ object WsTransport {
         // node assigns the id first); tolerate either order anyway
         val t = new Thread(() => {
           var live = true
-          // a concurrent close() mid-read surfaces as an IOException from
-          // the socket, not a clean None — same meaning: stream over
+          // a concurrent close() mid-read surfaces as an IOException
+          // from the socket — clean EOF. Any OTHER IOException means
+          // the subscription DIED under us: record it so callers can
+          // distinguish "closed" from "died" (head() still reconnects
+          // after the backoff — the ledger entry is observability, not
+          // a behavior switch)
           while (live) (try c.readText()
-              catch { case _: java.io.IOException => None }) match {
+              catch {
+                case e: java.io.IOException =>
+                  if (!c.closeRequested) lastErrorRef.set(e)
+                  None
+              }) match {
             case None => live = false
             case Some(text) =>
               JsonRpc.parseNewHead(text).foreach { n =>
@@ -215,6 +240,7 @@ object WsTransport {
         t.setDaemon(true)
         t.start()
         client = c
+        lastErrorRef.set(null) // live again: the old death is history
         delayMs = retryCooldownMs // ResetDelay (queue.go:39-41)
       } catch {
         case scala.util.control.NonFatal(_) => // head stays last-known

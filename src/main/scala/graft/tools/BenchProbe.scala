@@ -20,6 +20,9 @@ object BenchProbe {
     }
     SparkEntry.queries.filter(kv => wanted(kv._1)).toSeq.sortBy(_._1)
       .foreach { case (name, fn) =>
+        // isolate BEFORE the cold timing too, so cold numbers are not
+        // order-dependent on whatever the previous query left cached
+        isolate()
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         val cold = (System.nanoTime() - t0) / 1e9

@@ -236,6 +236,81 @@ class MediaSourceSpec extends SparkSpec {
     assert(n === 4, "the streaming path must list every file despite the pushed limit")
   }
 
+  test("MediaOffset.parse round-trips all three serialized forms") {
+    import graft.sources.MediaOffset
+    // initial offset, legacy (pre-seq) form
+    assert(MediaOffset.parse("-1:") === MediaOffset(-1L, "", 0L))
+    // legacy form with a colon-bearing absolute path: everything after
+    // the first ':' is the path, seq = 0
+    assert(MediaOffset.parse("1000:/a:b") === MediaOffset(1000L, "/a:b", 0L))
+    // new three-field form, including a colon-bearing path
+    assert(MediaOffset.parse("5:0:/p") === MediaOffset(5L, "/p", 0L))
+    val o = MediaOffset(123L, "/x/y:z.ivf", 7L)
+    assert(MediaOffset.parse(o.json()) === o)
+    val init = MediaOffset(-1L, "")
+    assert(MediaOffset.parse(init.json()) === init)
+  }
+
+  test("slack claim ledger lives in the checkpoint and a restart from a " +
+      "changed working directory does not re-emit") {
+    val sdir = Files.createTempDirectory("media_slack_cwd").toString
+    val ckpt = Files.createTempDirectory("media_slack_cwd_ckpt").toString
+    (0 until 2).foreach { i =>
+      Files.write(Paths.get(sdir, f"v_$i%02d.ivf"), Vp9Ivf.generate(i.toLong))
+    }
+    // foreachBatch (checkpoint-recoverable, unlike the memory sink)
+    // collecting into a driver-side queue
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def start() =
+      spark.readStream.format("graft.sources.MediaSource")
+        .option("decode", "none").option("mtimeSlackMs", "3600000").load(sdir)
+        .select(col("path"))
+        .writeStream.foreachBatch {
+          (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            df.collect().foreach(r => emitted.add(r.getString(0))); ()
+        }
+        .option("checkpointLocation", ckpt).start()
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      // a backdated arrival exercises the slack rescue → enters the ledger
+      val back = Paths.get(sdir, "v_backdated.ivf")
+      Files.write(back, Vp9Ivf.generate(9L))
+      Files.setLastModifiedTime(back, java.nio.file.attribute.FileTime
+        .fromMillis(System.currentTimeMillis() - 60000))
+      q1.processAllAvailable()
+      assert(emitted.size === 3)
+    } finally q1.stop()
+    // the ledger must live INSIDE the checkpoint (Hadoop-Path-resolved
+    // from the qualified URI Spark hands over), never under the CWD
+    assert(Files.exists(Paths.get(ckpt, "sources", "0", "graft-media-claims")),
+      "claim ledger must be persisted inside the stream checkpoint")
+    assert(!Files.exists(Paths.get(sys.props("user.dir"), "file:")),
+      "no scheme-named ledger directory may appear under the working directory")
+    // simulate resuming from a different working directory: repoint the
+    // cached local FileSystem's working directory, under which any
+    // CWD-relative (i.e. buggy) ledger resolution would now land
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI("file:///"),
+      spark.sparkContext.hadoopConfiguration)
+    val prevWd = fs.getWorkingDirectory
+    val otherCwd = Files.createTempDirectory("media_other_cwd").toString
+    fs.setWorkingDirectory(new org.apache.hadoop.fs.Path(otherCwd))
+    try {
+      emitted.clear()
+      val q2 = start()
+      try {
+        q2.processAllAvailable()
+        q2.processAllAvailable()
+        // the resumed stream loads the ledger from the checkpoint: the
+        // backdated file is already claimed, so nothing re-emits
+        assert(emitted.isEmpty,
+          "a checkpoint resume from another working directory must not re-emit")
+      } finally q2.stop()
+      assert(!Files.exists(Paths.get(otherCwd, "file:")),
+        "the resumed stream must not write a CWD-relative ledger")
+    } finally fs.setWorkingDirectory(prevWd)
+  }
+
   test("unknown decode option fails loudly") {
     val e = intercept[Exception] {
       spark.read.format("graft.sources.MediaSource")

@@ -21,7 +21,8 @@ class WsTransportSpec extends AnyFunSuite {
   /** A one-connection fake Ethereum node: upgrades, answers
     * eth_subscribe, pushes the given heads, pings once, then closes.
     * Records whether every client frame arrived masked. */
-  private final class FakeNode(heads: Seq[Long], bindPort: Int = 0) {
+  private final class FakeNode(heads: Seq[Long], bindPort: Int = 0,
+      rst: Boolean = false) {
     val server = new ServerSocket(bindPort)
     def port: Int = server.getLocalPort
     @volatile var sawUnmasked = false
@@ -62,19 +63,26 @@ class WsTransportSpec extends AnyFunSuite {
         for (h <- heads)
           WebSocketFrames.writeText(out,
             JsonRpc.newHeadNotification("0xsub1", h, s"0xhash$h"))
-        // a server ping mid-stream: the client must answer (masked)
-        WebSocketFrames.writeFrame(out, WebSocketFrames.OpPing, "hb".getBytes(UTF_8))
-        WebSocketFrames.readFrame(in) match {
-          case Some((op, p)) =>
-            require(op == WebSocketFrames.OpPong && new String(p, UTF_8) == "hb",
-              s"expected pong hb, got $op")
-          case None => ()
+        if (rst) {
+          served.countDown()
+          Thread.sleep(300) // let the client drain the pushed heads
+          s.setSoLinger(true, 0) // hard kill: TCP RST, no close frame
+          s.close()
+        } else {
+          // a server ping mid-stream: the client must answer (masked)
+          WebSocketFrames.writeFrame(out, WebSocketFrames.OpPing, "hb".getBytes(UTF_8))
+          WebSocketFrames.readFrame(in) match {
+            case Some((op, p)) =>
+              require(op == WebSocketFrames.OpPong && new String(p, UTF_8) == "hb",
+                s"expected pong hb, got $op")
+            case None => ()
+          }
+          served.countDown()
+          // hold the socket open briefly so the client drains all heads
+          Thread.sleep(300)
+          WebSocketFrames.writeFrame(out, WebSocketFrames.OpClose, Array.empty)
+          s.close()
         }
-        served.countDown()
-        // hold the socket open briefly so the client drains all heads
-        Thread.sleep(300)
-        WebSocketFrames.writeFrame(out, WebSocketFrames.OpClose, Array.empty)
-        s.close()
       } catch { case _: Exception => () }
       finally server.close()
     }, "fake-eth-node")
@@ -141,6 +149,36 @@ class WsTransportSpec extends AnyFunSuite {
       }
       assert(e.getMessage.contains("Sec-WebSocket-Accept"))
     } finally server.close()
+  }
+
+  test("a subscription that DIES surfaces its error; a deliberate close does not") {
+    // phase 1: the node hard-kills the socket (RST) mid-subscription —
+    // the reader must record the death, distinguishable from close()
+    val dying = new FakeNode(Seq(42L), rst = true)
+    val sub = new WsTransport.NewHeadsSubscriber("127.0.0.1", dying.port, "/")
+    try {
+      val deadline = System.nanoTime() + 10_000_000_000L
+      var h = sub.head()
+      while (h < 42L && System.nanoTime() < deadline) { Thread.sleep(20); h = sub.head() }
+      assert(h === 42L)
+      assert(sub.lastError.isEmpty, "no error while the subscription is live")
+      while (sub.lastError.isEmpty && System.nanoTime() < deadline) Thread.sleep(20)
+      assert(sub.lastError.exists(_.isInstanceOf[java.io.IOException]),
+        "a died subscription must surface the IOException that killed it")
+    } finally sub.close()
+    // phase 2: OUR close() on a healthy connection is clean EOF — the
+    // resulting socket IOException must NOT read as a death
+    val healthy = new FakeNode(Seq(7L))
+    val sub2 = new WsTransport.NewHeadsSubscriber("127.0.0.1", healthy.port, "/")
+    try {
+      val deadline = System.nanoTime() + 10_000_000_000L
+      var h = sub2.head()
+      while (h < 7L && System.nanoTime() < deadline) { Thread.sleep(20); h = sub2.head() }
+      assert(h === 7L)
+    } finally sub2.close()
+    Thread.sleep(200) // let the reader thread observe the closed socket
+    assert(sub2.lastError.isEmpty,
+      "a deliberate close() must not register as a subscription death")
   }
 
   test("subscriber retries a failed connection and resubscribes after a drop") {
