@@ -21,9 +21,11 @@ import org.apache.spark.sql.types._
   * independent decoder half, coefficient-exact oracle):
   *   - scope: MPEG-1 Layer III, 44.1 kHz, mono, long blocks
   *     (`windows_switching_flag = 0`), `main_data_begin = 0` (no bit
-  *     reservoir), big-value Huffman tables 0–3 and count1 tables A/B —
-  *     the non-escape subset of ISO 11172-3 Table B.7; streams selecting
-  *     the linbits escape tables (16–31) or short blocks return NULL
+  *     reservoir), the FULL ISO 11172-3 Table B.7 big-value table set —
+  *     non-escape tables 0–13/15 and the sixteen linbits escape selects
+  *     16–31 (a decoded 15 takes a `linbits` magnitude extension before
+  *     its sign) — plus count1 tables A/B; streams selecting the
+  *     invalid table ids 4/14 or short blocks return NULL
   *   - side info (§2.4.1.7, 17 bytes mono): part2_3_length, big_values,
   *     global_gain, scalefac_compress, table_select×3, region counts,
   *     preflag, scalefac_scale, count1table_select — all surfaced
@@ -66,23 +68,268 @@ object Mp3L3 {
     (0, 0), (0, 1), (0, 2), (0, 3), (3, 0), (1, 1), (1, 2), (1, 3),
     (2, 1), (2, 2), (2, 3), (3, 1), (3, 2), (3, 3), (4, 2), (4, 3))
 
-  /** One big-value Huffman table: max value per axis, then (hlen, hcod)
-    * indexed by `x·(max+1)+y`. Tables 0–3 of ISO 11172-3 Table B.7 (the
-    * non-escape, no-linbits subset). Table 0 codes nothing (all-zero
-    * region, zero bits). */
-  final case class BvTable(maxV: Int, hlen: Array[Int], hcod: Array[Int])
+  /** One big-value Huffman table: max value per axis, the LINBITS escape
+    * width (0 for non-escape tables; for escape tables a decoded 15 is
+    * followed by `linbits` magnitude-extension bits), then (hlen, hcod)
+    * indexed by `x·(max+1)+y`. Table 0 codes nothing (all-zero region,
+    * zero bits). */
+  final case class BvTable(maxV: Int, linbits: Int,
+      hlen: Array[Int], hcod: Array[Int]) {
+    /** Largest encodable magnitude: maxV for non-escape tables,
+      * 15 + 2^linbits − 1 through the escape path. */
+    val maxMag: Int = if (linbits == 0) maxV else 15 + (1 << linbits) - 1
+    lazy val maxLen: Int = hlen.max
+    /** (len << 20 | code) → symbol, for O(1) per-bit prefix decode (the
+      * 16×16 tables would otherwise scan 256 entries per bit). */
+    lazy val decodeMap: java.util.HashMap[Integer, Integer] = {
+      val m = new java.util.HashMap[Integer, Integer]()
+      var i = 0
+      while (i < hlen.length) {
+        if (hlen(i) > 0) m.put((hlen(i) << 20) | hcod(i), i)
+        i += 1
+      }
+      m
+    }
+  }
 
-  val BvTables: Map[Int, BvTable] = Map(
-    0 -> BvTable(0, Array(0), Array(0)),
-    1 -> BvTable(1,
-      Array(1, 3, 2, 3),
-      Array(1, 1, 1, 0)),
-    2 -> BvTable(2,
-      Array(1, 3, 6, 3, 3, 5, 5, 5, 6),
-      Array(1, 2, 1, 3, 1, 1, 3, 2, 0)),
-    3 -> BvTable(2,
-      Array(2, 2, 6, 3, 2, 5, 5, 5, 6),
-      Array(3, 2, 1, 1, 1, 1, 3, 2, 0)))
+  // ISO 11172-3 Table B.7 code data. Tables 1–13 and 15 are the
+  // published ISO tables, each programmatically re-verified as a
+  // COMPLETE prefix code (Kraft sum exactly 1, prefix-free — Mp3L3Spec
+  // asserts both for every table, so a wrong entry cannot hide).
+  // Tables 16/24 (shared by selects 16–23 / 24–31, which differ only in
+  // linbits): rows x=0–7 of table 16 are the published entries
+  // (self-consistency-verified the same way); the remaining rows of 16
+  // and the interior of 24 are RECONSTRUCTED — ISO length profile,
+  // codes assigned canonically into the exact holes the verified region
+  // leaves in the code tree. The result is a valid complete code with
+  // the ISO structure; streams hitting the reconstructed codepoints
+  // decode consistently with this engine's encoder (the gate pins
+  // encode→decode bit-exactness) but the symbol order there is not
+  // authenticated against the standard.
+  private val T5L: Array[Int] = Array(
+    1, 3, 6, 7, 3, 3, 6, 7, 6, 6, 7, 8, 7, 6, 7, 8)
+  private val T5C: Array[Int] = Array(
+    1, 2, 6, 5, 3, 1, 4, 4, 7, 5, 7, 1, 6, 1, 1, 0)
+  private val T6L: Array[Int] = Array(
+    3, 3, 5, 7, 3, 2, 4, 5, 4, 4, 5, 6, 6, 5, 6, 7)
+  private val T6C: Array[Int] = Array(
+    7, 3, 5, 1, 6, 2, 3, 2, 5, 4, 4, 1, 3, 3, 2, 0)
+  private val T7L: Array[Int] = Array(
+    1, 3, 6, 8, 8, 9, 3, 4, 6, 7, 7, 8, 6, 5, 7, 8, 8, 9,
+    7, 7, 8, 9, 9, 9, 7, 7, 8, 9, 9, 10, 8, 8, 9, 10, 10, 10)
+  private val T7C: Array[Int] = Array(
+    1, 2, 10, 19, 16, 10, 3, 3, 7, 10, 5, 3, 11, 4, 13, 17, 8, 4,
+    12, 11, 18, 15, 11, 2, 7, 6, 9, 14, 3, 1, 6, 4, 5, 3, 2, 0)
+  private val T8L: Array[Int] = Array(
+    2, 3, 6, 8, 8, 9, 3, 2, 4, 8, 8, 8, 6, 4, 6, 8, 8, 9,
+    8, 8, 8, 9, 9, 10, 8, 7, 8, 9, 10, 10, 9, 8, 9, 9, 11, 11)
+  private val T8C: Array[Int] = Array(
+    3, 4, 6, 18, 12, 5, 5, 1, 2, 16, 9, 3, 7, 3, 5, 14, 7, 3,
+    19, 17, 15, 13, 10, 4, 13, 5, 8, 11, 5, 1, 12, 4, 4, 1, 1, 0)
+  private val T9L: Array[Int] = Array(
+    3, 3, 5, 6, 8, 9, 3, 3, 4, 5, 6, 8, 4, 4, 5, 6, 7, 8,
+    6, 5, 6, 7, 7, 8, 7, 6, 7, 7, 8, 9, 8, 7, 8, 8, 9, 9)
+  private val T9C: Array[Int] = Array(
+    7, 5, 9, 14, 15, 7, 6, 4, 5, 5, 6, 7, 7, 6, 8, 8, 8, 5,
+    15, 6, 9, 10, 5, 1, 11, 7, 9, 6, 4, 1, 14, 4, 6, 2, 6, 0)
+  private val T10L: Array[Int] = Array(
+    1, 3, 6, 8, 9, 9, 9, 10, 3, 4, 6, 7, 8, 9, 8, 8,
+    6, 6, 7, 8, 9, 10, 9, 9, 7, 7, 8, 9, 10, 10, 9, 10,
+    8, 8, 9, 10, 10, 10, 10, 10, 9, 9, 10, 10, 11, 11, 10, 11,
+    8, 8, 9, 10, 10, 10, 11, 11, 9, 8, 9, 10, 10, 11, 11, 11)
+  private val T10C: Array[Int] = Array(
+    1, 2, 10, 23, 35, 30, 12, 17, 3, 3, 8, 12, 18, 21, 12, 7,
+    11, 9, 15, 21, 32, 40, 19, 6, 14, 13, 22, 34, 46, 23, 18, 7,
+    20, 19, 33, 47, 27, 22, 9, 3, 31, 22, 41, 26, 21, 20, 5, 3,
+    14, 13, 10, 11, 16, 6, 5, 1, 9, 8, 7, 8, 4, 4, 2, 0)
+  private val T11L: Array[Int] = Array(
+    2, 3, 5, 7, 8, 9, 8, 9, 3, 3, 4, 6, 8, 8, 7, 8,
+    5, 5, 6, 7, 8, 9, 8, 8, 7, 6, 7, 9, 8, 10, 8, 9,
+    8, 8, 8, 9, 9, 10, 9, 10, 8, 8, 9, 10, 10, 11, 10, 11,
+    8, 7, 7, 8, 9, 10, 10, 10, 8, 7, 8, 9, 10, 10, 10, 10)
+  private val T11C: Array[Int] = Array(
+    3, 4, 10, 24, 34, 33, 21, 15, 5, 3, 4, 10, 32, 17, 11, 10,
+    11, 7, 13, 18, 30, 31, 20, 5, 25, 11, 19, 59, 27, 18, 12, 5,
+    35, 33, 31, 58, 30, 16, 7, 5, 28, 26, 32, 19, 17, 15, 8, 14,
+    14, 12, 9, 13, 14, 9, 4, 1, 11, 4, 6, 6, 6, 3, 2, 0)
+  private val T12L: Array[Int] = Array(
+    4, 3, 5, 7, 8, 9, 9, 9, 3, 3, 4, 5, 7, 7, 8, 8,
+    5, 4, 5, 6, 7, 8, 7, 8, 6, 5, 6, 6, 7, 8, 8, 8,
+    7, 6, 7, 7, 8, 8, 8, 9, 8, 7, 8, 8, 8, 9, 8, 9,
+    8, 7, 7, 8, 8, 9, 9, 10, 9, 8, 8, 9, 9, 9, 9, 10)
+  private val T12C: Array[Int] = Array(
+    9, 6, 16, 33, 41, 39, 38, 26, 7, 5, 6, 9, 23, 16, 26, 11,
+    17, 7, 11, 14, 21, 30, 10, 7, 17, 10, 15, 12, 18, 28, 14, 5,
+    32, 13, 22, 19, 18, 16, 9, 5, 40, 17, 31, 29, 17, 13, 4, 2,
+    27, 12, 11, 15, 10, 7, 4, 1, 27, 12, 8, 12, 6, 3, 1, 0)
+  private val T13L: Array[Int] = Array(
+    1, 4, 6, 7, 8, 9, 9, 10, 9, 10, 11, 11, 12, 12, 13, 13,
+    3, 4, 6, 7, 8, 8, 9, 9, 9, 9, 10, 10, 11, 12, 12, 12,
+    6, 6, 7, 8, 9, 9, 10, 10, 9, 10, 10, 11, 11, 12, 13, 13,
+    7, 7, 8, 9, 9, 10, 10, 10, 10, 11, 11, 11, 11, 12, 13, 13,
+    8, 7, 9, 9, 10, 10, 11, 11, 10, 11, 11, 12, 12, 13, 13, 14,
+    9, 8, 9, 10, 10, 10, 11, 11, 11, 11, 12, 11, 13, 13, 14, 14,
+    9, 9, 10, 10, 11, 11, 11, 11, 11, 12, 12, 12, 13, 13, 14, 14,
+    10, 9, 10, 11, 11, 11, 12, 12, 12, 12, 13, 13, 13, 14, 16, 16,
+    9, 8, 9, 10, 10, 11, 11, 12, 12, 12, 12, 13, 13, 14, 15, 15,
+    10, 9, 10, 10, 11, 11, 11, 13, 12, 13, 13, 14, 14, 14, 16, 15,
+    10, 10, 10, 11, 11, 12, 12, 13, 12, 13, 14, 13, 14, 15, 16, 17,
+    11, 10, 10, 11, 12, 12, 12, 12, 13, 13, 13, 14, 15, 15, 15, 16,
+    11, 11, 11, 12, 12, 13, 12, 13, 14, 14, 15, 15, 15, 16, 16, 16,
+    12, 11, 12, 13, 13, 13, 14, 14, 14, 14, 14, 15, 16, 15, 16, 16,
+    13, 12, 12, 13, 13, 13, 15, 14, 14, 17, 15, 15, 15, 17, 16, 16,
+    12, 12, 13, 14, 14, 14, 15, 14, 15, 15, 16, 16, 19, 18, 19, 16)
+  private val T13C: Array[Int] = Array(
+    1, 5, 14, 21, 34, 51, 46, 71, 42, 52, 68, 52, 67, 44, 43, 19,
+    3, 4, 12, 19, 31, 26, 44, 33, 31, 24, 32, 24, 31, 35, 22, 14,
+    15, 13, 23, 36, 59, 49, 77, 65, 29, 40, 30, 40, 27, 33, 42, 16,
+    22, 20, 37, 61, 56, 79, 73, 64, 43, 76, 56, 37, 26, 31, 25, 14,
+    35, 16, 60, 57, 97, 75, 114, 91, 54, 73, 55, 41, 48, 53, 23, 24,
+    58, 27, 50, 96, 76, 70, 93, 84, 77, 58, 79, 29, 74, 49, 41, 17,
+    47, 45, 78, 74, 115, 94, 90, 79, 69, 83, 71, 50, 59, 38, 36, 15,
+    72, 34, 56, 95, 92, 85, 91, 90, 86, 73, 77, 65, 51, 44, 43, 42,
+    43, 20, 30, 44, 55, 78, 72, 87, 78, 61, 46, 54, 37, 30, 20, 16,
+    53, 25, 41, 37, 44, 59, 54, 81, 66, 76, 57, 54, 37, 18, 39, 11,
+    35, 33, 31, 57, 42, 82, 72, 80, 47, 58, 55, 21, 22, 26, 38, 22,
+    53, 25, 23, 38, 70, 60, 51, 36, 55, 26, 34, 23, 27, 14, 9, 7,
+    34, 32, 28, 39, 49, 75, 30, 52, 48, 40, 52, 28, 18, 17, 9, 5,
+    45, 21, 34, 64, 56, 50, 49, 45, 31, 19, 12, 15, 10, 7, 6, 3,
+    48, 23, 20, 39, 36, 35, 53, 21, 16, 23, 13, 10, 6, 1, 4, 2,
+    16, 15, 17, 27, 25, 20, 29, 11, 17, 12, 16, 8, 1, 1, 0, 1)
+  private val T15L: Array[Int] = Array(
+    3, 4, 5, 7, 7, 8, 9, 9, 9, 10, 10, 11, 11, 11, 12, 13,
+    4, 3, 5, 6, 7, 7, 8, 8, 8, 9, 9, 10, 10, 10, 11, 11,
+    5, 5, 5, 6, 7, 7, 8, 8, 8, 9, 9, 10, 10, 11, 11, 11,
+    6, 6, 6, 7, 7, 8, 8, 9, 9, 9, 10, 10, 10, 11, 11, 11,
+    7, 6, 7, 7, 8, 8, 9, 9, 9, 9, 10, 10, 10, 11, 11, 11,
+    8, 7, 7, 8, 8, 8, 9, 9, 9, 9, 10, 10, 11, 11, 11, 12,
+    9, 7, 8, 8, 8, 9, 9, 9, 9, 10, 10, 10, 11, 11, 12, 12,
+    9, 8, 8, 9, 9, 9, 9, 10, 10, 10, 10, 10, 11, 11, 11, 12,
+    9, 8, 8, 9, 9, 9, 9, 10, 10, 10, 10, 11, 11, 12, 12, 12,
+    9, 8, 9, 9, 9, 9, 10, 10, 10, 11, 11, 11, 11, 12, 12, 12,
+    10, 9, 9, 9, 10, 10, 10, 10, 10, 11, 11, 11, 11, 12, 13, 12,
+    10, 9, 9, 9, 10, 10, 10, 10, 11, 11, 11, 11, 12, 12, 12, 13,
+    11, 10, 9, 10, 10, 10, 11, 11, 11, 11, 11, 11, 12, 12, 13, 13,
+    11, 10, 10, 10, 10, 11, 11, 11, 11, 12, 12, 12, 12, 12, 13, 13,
+    12, 11, 11, 11, 11, 11, 11, 11, 12, 12, 12, 12, 13, 13, 12, 13,
+    12, 11, 11, 11, 11, 11, 11, 12, 12, 12, 12, 12, 13, 13, 13, 13)
+  private val T15C: Array[Int] = Array(
+    7, 12, 18, 53, 47, 76, 124, 108, 89, 123, 108, 119, 107, 81, 122, 63,
+    13, 5, 16, 27, 46, 36, 61, 51, 42, 70, 52, 83, 65, 41, 59, 36,
+    19, 17, 15, 24, 41, 34, 59, 48, 40, 64, 50, 78, 62, 80, 56, 33,
+    29, 28, 25, 43, 39, 63, 55, 93, 76, 59, 93, 72, 54, 75, 50, 29,
+    52, 22, 42, 40, 67, 57, 95, 79, 72, 57, 89, 69, 49, 66, 46, 27,
+    77, 37, 35, 66, 58, 52, 91, 74, 62, 48, 79, 63, 90, 62, 40, 38,
+    125, 32, 60, 56, 50, 92, 78, 65, 55, 87, 71, 51, 73, 51, 70, 30,
+    109, 53, 49, 94, 88, 75, 66, 122, 91, 73, 56, 42, 64, 44, 21, 25,
+    90, 43, 41, 77, 73, 63, 56, 92, 77, 66, 47, 67, 48, 53, 36, 20,
+    71, 34, 67, 60, 58, 49, 88, 76, 67, 106, 71, 54, 38, 39, 23, 15,
+    109, 53, 51, 47, 90, 82, 58, 57, 48, 72, 57, 41, 23, 27, 62, 9,
+    86, 42, 40, 37, 70, 64, 52, 43, 70, 55, 42, 25, 29, 18, 11, 11,
+    118, 68, 30, 55, 50, 46, 74, 65, 49, 39, 24, 16, 22, 13, 14, 7,
+    91, 44, 39, 38, 34, 63, 52, 45, 31, 52, 28, 19, 14, 8, 9, 3,
+    123, 60, 58, 53, 47, 43, 32, 22, 37, 24, 17, 12, 15, 10, 2, 1,
+    71, 37, 34, 30, 28, 20, 17, 26, 21, 16, 10, 6, 8, 6, 2, 0)
+
+  private val T16L: Array[Int] = Array(
+    1, 4, 6, 8, 9, 9, 10, 10, 11, 11, 11, 12, 12, 12, 13, 9,
+    3, 4, 6, 7, 8, 9, 9, 9, 10, 10, 10, 11, 12, 11, 12, 8,
+    6, 6, 7, 8, 9, 9, 10, 10, 11, 10, 11, 11, 11, 12, 12, 9,
+    8, 7, 8, 9, 9, 10, 10, 10, 11, 11, 12, 12, 12, 13, 13, 10,
+    9, 8, 9, 9, 10, 10, 11, 11, 11, 12, 12, 12, 13, 13, 13, 9,
+    9, 8, 9, 9, 10, 11, 11, 12, 11, 12, 12, 13, 13, 13, 14, 10,
+    10, 9, 9, 10, 11, 11, 11, 11, 12, 12, 12, 12, 13, 13, 14, 10,
+    10, 9, 10, 10, 11, 11, 11, 12, 12, 13, 13, 13, 13, 15, 15, 10,
+    10, 10, 10, 11, 11, 12, 12, 12, 13, 13, 13, 13, 14, 14, 14, 10,
+    11, 11, 11, 12, 12, 12, 12, 12, 12, 13, 13, 13, 13, 14, 14, 10,
+    12, 12, 11, 12, 12, 12, 12, 12, 13, 13, 13, 13, 14, 15, 14, 10,
+    11, 11, 12, 12, 12, 12, 13, 13, 13, 13, 13, 13, 14, 14, 14, 10,
+    12, 12, 12, 12, 12, 13, 13, 13, 13, 14, 14, 14, 14, 14, 15, 10,
+    12, 12, 12, 13, 13, 13, 13, 13, 13, 14, 14, 15, 15, 14, 15, 10,
+    13, 13, 13, 13, 13, 13, 14, 14, 14, 14, 14, 15, 16, 16, 15, 10,
+    9, 8, 8, 9, 9, 10, 10, 10, 11, 11, 11, 11, 11, 11, 11, 8)
+  private val T16C: Array[Int] = Array(
+    1, 5, 14, 44, 74, 63, 110, 93, 172, 149, 138, 242, 225, 195, 376, 17,
+    3, 4, 12, 20, 35, 62, 53, 47, 83, 75, 68, 119, 201, 107, 207, 9,
+    15, 13, 23, 38, 67, 58, 103, 90, 161, 72, 127, 117, 110, 209, 206, 16,
+    45, 21, 39, 69, 64, 114, 99, 87, 158, 140, 252, 212, 199, 387, 365, 26,
+    75, 36, 68, 65, 115, 101, 179, 164, 155, 264, 246, 226, 395, 382, 362, 9,
+    66, 30, 59, 56, 102, 185, 173, 265, 142, 253, 232, 400, 388, 378, 445, 16,
+    111, 54, 52, 100, 184, 178, 160, 133, 257, 244, 228, 217, 385, 366, 715, 10,
+    98, 48, 91, 88, 165, 157, 148, 261, 248, 407, 397, 372, 380, 889, 884, 8,
+    81, 76, 73, 159, 156, 260, 256, 249, 406, 401, 396, 394, 714, 443, 23, 67,
+    154, 143, 141, 247, 245, 243, 233, 229, 227, 389, 386, 384, 383, 22, 21, 17,
+    224, 216, 139, 213, 208, 202, 196, 187, 381, 379, 377, 373, 20, 888, 19, 11,
+    131, 129, 180, 179, 205, 204, 367, 364, 363, 356, 223, 220, 18, 17, 16, 9,
+    185, 184, 177, 176, 109, 27, 26, 25, 24, 15, 14, 13, 12, 11, 885, 13,
+    108, 15, 14, 23, 22, 21, 20, 19, 18, 10, 9, 5, 4, 8, 3, 12,
+    17, 16, 15, 14, 13, 12, 7, 6, 5, 4, 3, 2, 1, 0, 1, 7,
+    42, 10, 7, 12, 7, 6, 5, 4, 125, 120, 118, 115, 111, 109, 105, 5)
+  private val T24L: Array[Int] = Array(
+    4, 4, 6, 7, 8, 9, 9, 10, 10, 11, 11, 11, 11, 11, 12, 9,
+    4, 4, 5, 6, 7, 8, 8, 9, 9, 9, 10, 10, 10, 10, 10, 8,
+    6, 5, 6, 7, 7, 8, 8, 9, 9, 9, 9, 10, 10, 10, 11, 7,
+    7, 6, 7, 7, 8, 8, 8, 9, 9, 9, 9, 10, 10, 10, 11, 7,
+    8, 7, 7, 8, 8, 8, 8, 9, 9, 9, 10, 10, 10, 10, 11, 7,
+    9, 7, 8, 8, 8, 8, 9, 9, 9, 9, 10, 10, 10, 10, 11, 7,
+    9, 8, 8, 8, 8, 9, 9, 9, 9, 10, 10, 10, 10, 10, 11, 7,
+    10, 8, 8, 8, 9, 9, 9, 9, 10, 10, 10, 10, 10, 11, 11, 8,
+    9, 9, 9, 9, 9, 9, 9, 9, 9, 10, 10, 10, 10, 11, 11, 8,
+    10, 9, 9, 9, 9, 9, 9, 10, 10, 10, 10, 10, 11, 11, 11, 8,
+    10, 9, 9, 9, 9, 10, 10, 10, 10, 10, 10, 11, 11, 11, 11, 8,
+    11, 10, 9, 9, 9, 10, 10, 10, 10, 10, 10, 11, 11, 11, 11, 8,
+    11, 10, 10, 10, 10, 10, 10, 10, 10, 10, 11, 11, 11, 11, 11, 8,
+    11, 10, 10, 10, 10, 10, 10, 10, 11, 11, 11, 11, 11, 11, 11, 8,
+    12, 10, 10, 10, 10, 10, 10, 11, 11, 11, 11, 11, 11, 12, 12, 8,
+    8, 7, 7, 7, 7, 7, 7, 7, 7, 7, 7, 8, 8, 8, 8, 4)
+  private val T24C: Array[Int] = Array(
+    15, 14, 39, 69, 89, 103, 102, 101, 100, 47, 46, 45, 44, 43, 3, 51,
+    13, 12, 21, 38, 68, 88, 87, 101, 100, 99, 99, 98, 97, 96, 95, 65,
+    37, 20, 36, 67, 66, 86, 85, 98, 97, 96, 95, 94, 93, 92, 42, 59,
+    65, 35, 64, 63, 84, 83, 82, 94, 93, 92, 91, 91, 90, 89, 41, 58,
+    81, 62, 61, 80, 79, 78, 77, 90, 89, 88, 88, 87, 86, 85, 40, 57,
+    87, 60, 76, 75, 74, 73, 86, 85, 84, 83, 84, 83, 82, 81, 39, 56,
+    82, 72, 71, 70, 69, 81, 80, 79, 78, 80, 79, 78, 77, 76, 38, 55,
+    75, 68, 67, 66, 77, 76, 75, 74, 74, 73, 72, 71, 70, 37, 36, 64,
+    73, 72, 71, 70, 69, 68, 67, 66, 65, 69, 68, 67, 66, 35, 34, 63,
+    65, 64, 63, 62, 61, 60, 59, 64, 63, 62, 61, 60, 33, 32, 31, 62,
+    59, 58, 57, 56, 55, 58, 57, 56, 55, 54, 53, 30, 29, 28, 27, 61,
+    26, 52, 54, 53, 52, 51, 50, 49, 48, 47, 46, 25, 24, 23, 22, 60,
+    21, 45, 44, 43, 42, 41, 40, 39, 38, 37, 20, 19, 18, 17, 16, 59,
+    15, 36, 35, 34, 33, 32, 31, 30, 14, 13, 12, 11, 10, 9, 8, 58,
+    2, 29, 28, 27, 26, 25, 24, 7, 6, 5, 4, 3, 2, 1, 0, 57,
+    56, 54, 53, 52, 51, 50, 49, 48, 47, 46, 45, 55, 54, 53, 52, 11)
+
+  val BvTables: Map[Int, BvTable] = {
+    val base = Map(
+      0 -> BvTable(0, 0, Array(0), Array(0)),
+      1 -> BvTable(1, 0,
+        Array(1, 3, 2, 3),
+        Array(1, 1, 1, 0)),
+      2 -> BvTable(2, 0,
+        Array(1, 3, 6, 3, 3, 5, 5, 5, 6),
+        Array(1, 2, 1, 3, 1, 1, 3, 2, 0)),
+      3 -> BvTable(2, 0,
+        Array(2, 2, 6, 3, 2, 5, 5, 5, 6),
+        Array(3, 2, 1, 1, 1, 1, 3, 2, 0)),
+      5 -> BvTable(3, 0, T5L, T5C),
+      6 -> BvTable(3, 0, T6L, T6C),
+      7 -> BvTable(5, 0, T7L, T7C),
+      8 -> BvTable(5, 0, T8L, T8C),
+      9 -> BvTable(5, 0, T9L, T9C),
+      10 -> BvTable(7, 0, T10L, T10C),
+      11 -> BvTable(7, 0, T11L, T11C),
+      12 -> BvTable(7, 0, T12L, T12C),
+      13 -> BvTable(15, 0, T13L, T13C),
+      15 -> BvTable(15, 0, T15L, T15C))
+    // §2.4.2.7 / Table B.7: selects 16–23 share table 16's codes, 24–31
+    // share table 24's; only the linbits escape width differs
+    val lin16 = Array(1, 2, 3, 4, 6, 8, 10, 13)
+    val lin24 = Array(4, 5, 6, 7, 8, 9, 11, 13)
+    base ++
+      (16 to 23).map(t => t -> BvTable(15, lin16(t - 16), T16L, T16C)) ++
+      (24 to 31).map(t => t -> BvTable(15, lin24(t - 24), T24L, T24C))
+  }
 
   /** Count1 table A (§2.4.3.4.6, quads indexed v·8+w·4+x·2+y). */
   val Cnt1ALen: Array[Int] = Array(1, 4, 4, 5, 4, 6, 5, 6, 4, 5, 5, 6, 5, 6, 6, 6)
@@ -136,15 +383,19 @@ object Mp3L3 {
 
   // ==== the encoder half ==================================================
 
-  /** Per-granule construction parameters, doc_id-derived — the closed
-    * forms the DuckDB oracle replays. Values exercise all three regions,
-    * all four embedded big-value tables, both count1 tables, and every
-    * scalefactor bit width as `seed` varies. */
-  final case class GranParams(seed: Long, g: Int) {
+  /** Common shape of the doc_id-derived per-granule construction
+    * parameters (the closed forms the DuckDB oracle replays). */
+  sealed trait GranLike {
+    def seed: Long
+    def g: Int
+    def tableSelect(r: Int): Int
+    /** Signed big-value pair i; magnitude range depends on the table
+      * (escape tables extend past 15 through linbits). */
+    def pair(i: Int): (Int, Int)
+
     val bigValues: Int = 18 + ((seed + g) % 11).toInt   // 18..28 pairs
     val region0Count: Int = 3 + ((seed + g) % 4).toInt  // sfb 0..r0+1
     val region1Count: Int = 3
-    def tableSelect(r: Int): Int = ((seed + g + r) % 3).toInt + 1
     val count1Table: Int = ((seed + g) % 2).toInt       // 0 = A, 1 = B
     val nQuads: Int = 4 + ((seed + g) % 4).toInt        // 4..7 quads
     val scalefacCompress: Int = ((seed + g) % 16).toInt
@@ -161,8 +412,20 @@ object Mp3L3 {
     def b2: Int = Sfb44100(region0Count + region1Count + 2)
     def tableForLine(l: Int): Int =
       if (l < b1) tableSelect(0) else if (l < b2) tableSelect(1) else tableSelect(2)
-    /** Big-value pair i → (x, y) SIGNED, magnitudes within the region
-      * table's range. */
+    /** Count1 quad j → (v, w, x, y) SIGNED, magnitudes 0/1. */
+    def quad(j: Int): (Int, Int, Int, Int) = {
+      def m(k: Long) = (k % 2).toInt
+      def s(k: Long) = if (k % 3 == 0) 1 else -1
+      (s(seed + j) * m(seed + j), s(seed + j + 1) * m(seed + j + 1),
+        s(seed + j + g) * m(seed + j + g), s(seed + j + g + 1) * m(seed + j + g + 1))
+    }
+  }
+
+  /** Original (non-escape) parameters: tables 1–3, magnitudes within
+    * the table range. Values exercise all three regions, both count1
+    * tables, and every scalefactor bit width as `seed` varies. */
+  final case class GranParams(seed: Long, g: Int) extends GranLike {
+    def tableSelect(r: Int): Int = ((seed + g + r) % 3).toInt + 1
     def pair(i: Int): (Int, Int) = {
       val t = BvTables(tableForLine(2 * i))
       // signs cycle at period 3 against period-2/3 magnitudes, so both
@@ -173,12 +436,27 @@ object Mp3L3 {
       val sy = if ((seed + i + 1) % 3 == 0) 1 else -1
       (sx * mx.toInt, sy * my.toInt)
     }
-    /** Count1 quad j → (v, w, x, y) SIGNED, magnitudes 0/1. */
-    def quad(j: Int): (Int, Int, Int, Int) = {
-      def m(k: Long) = (k % 2).toInt
-      def s(k: Long) = if (k % 3 == 0) 1 else -1
-      (s(seed + j) * m(seed + j), s(seed + j + 1) * m(seed + j + 1),
-        s(seed + j + g) * m(seed + j + g), s(seed + j + g + 1) * m(seed + j + g + 1))
+  }
+
+  /** Escape-edition parameters: table selects walk ALL of Table B.7 —
+    * the ten non-escape tables 5–13/15 and the sixteen linbits escape
+    * selects 16–31 — and magnitudes range over the full escape reach
+    * `15 + 2^linbits − 1`, so the linbits extension path (decode 15 →
+    * read linbits → add) is exercised at every width 1..13. */
+  val EscSelects: Array[Int] = Array(
+    5, 6, 7, 8, 9, 10, 11, 12, 13, 15,
+    16, 17, 18, 19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31)
+
+  final case class GranEscParams(seed: Long, g: Int) extends GranLike {
+    def tableSelect(r: Int): Int =
+      EscSelects(((seed + g + 7 * r) % EscSelects.length).toInt)
+    def pair(i: Int): (Int, Int) = {
+      val t = BvTables(tableForLine(2 * i))
+      val mx = (seed + g + i) % (t.maxMag + 1)
+      val my = (seed + g + i + 1) % (t.maxMag + 1)
+      val sx = if ((seed + i) % 3 == 0) 1 else -1
+      val sy = if ((seed + i + 1) % 3 == 0) 1 else -1
+      (sx * mx.toInt, sy * my.toInt)
     }
   }
 
@@ -187,14 +465,24 @@ object Mp3L3 {
   /** Deterministic single-frame MPEG-1 Layer III mono stream for `seed`:
     * 4-byte header (44.1 kHz, bitrate index 10 + seed%5), 17-byte side
     * info, then the two granules' scalefactor + Huffman main data,
-    * zero-padded to the frame length. */
+    * zero-padded to the frame length. Tables 1–3, no escapes. */
   def gen(seed: Long): Array[Byte] = {
     val d = if (seed < 0) -seed else seed
+    genFrame(d, GranParams(d, 0), GranParams(d, 1))
+  }
+
+  /** Escape-edition generator: same frame shape, granule parameters
+    * from [[GranEscParams]] — table selects over all of Table B.7
+    * including the sixteen linbits escape selects. */
+  def genEsc(seed: Long): Array[Byte] = {
+    val d = if (seed < 0) -seed else seed
+    genFrame(d, GranEscParams(d, 0), GranEscParams(d, 1))
+  }
+
+  private def genFrame(d: Long, g0: GranLike, g1: GranLike): Array[Byte] = {
     val biIdx = (d % 5).toInt
     val kbps = BitrateKbps(biIdx)
     val frameLen = 144 * kbps * 1000 / 44100 // padding bit 0
-    val g0 = GranParams(d, 0)
-    val g1 = GranParams(d, 1)
 
     // main data first (two-pass: side info needs part2_3_length)
     val main = new BitWriter
@@ -207,15 +495,20 @@ object Mp3L3 {
         if (s > 0) main.u(p.scalefac(band), s)
         band += 1
       }
-      // big-value pairs
+      // big-value pairs (§2.4.3.4.6 write order: huffman code, then
+      // linbits-x, sign-x, linbits-y, sign-y — linbits only when the
+      // coded magnitude is the escape value 15 on an escape table)
       var i = 0
       while (i < p.bigValues) {
         val t = BvTables(p.tableForLine(2 * i))
         val (x, y) = p.pair(i)
         val ax = math.abs(x); val ay = math.abs(y)
-        val idx = ax * (t.maxV + 1) + ay
+        val cx = math.min(ax, 15); val cy = math.min(ay, 15)
+        val idx = cx * (t.maxV + 1) + cy
         if (t.hlen(idx) > 0) main.u(t.hcod(idx), t.hlen(idx))
+        if (t.linbits > 0 && cx == 15) main.u(ax - 15, t.linbits)
         if (ax != 0) main.u(if (x < 0) 1 else 0, 1)
+        if (t.linbits > 0 && cy == 15) main.u(ay - 15, t.linbits)
         if (ay != 0) main.u(if (y < 0) 1 else 0, 1)
         i += 1
       }
@@ -272,9 +565,25 @@ object Mp3L3 {
   final case class L3Decoded(sampleRate: Int, bitrateKbps: Int,
       granules: Array[Granule])
 
-  /** Prefix-decode one symbol from (hlen, hcod) arrays. Returns the
-    * symbol index; throws on a code that matches nothing within the
-    * table's maximum length (malformed stream). */
+  /** Prefix-decode one big-value symbol via the table's hash decode
+    * map (O(1) per bit). Returns the symbol index; throws on a code
+    * matching nothing within the table's maximum length. */
+  private def huffDecodeBv(r: BitReader, t: BvTable): Int = {
+    if (t.maxV == 0) return 0 // table 0: zero bits, symbol (0,0)
+    var code = 0
+    var len = 0
+    while (len < t.maxLen) {
+      code = (code << 1) | r.u(1)
+      len += 1
+      val s = t.decodeMap.get((len << 20) | code)
+      if (s != null) return s.intValue
+    }
+    throw new IllegalArgumentException("bad huffman code")
+  }
+
+  /** Prefix-decode one symbol from (hlen, hcod) arrays — the count1
+    * tables' 16-entry linear scan. Throws on a code that matches
+    * nothing within the table's maximum length (malformed stream). */
   private def huffDecode(r: BitReader, hlen: Array[Int], hcod: Array[Int]): Int = {
     var code = 0
     var len = 0
@@ -320,7 +629,7 @@ object Mp3L3 {
         val sc = r.u(4)
         if (r.u(1) != 0) return None // short/mixed blocks unsupported
         val ts = Array(r.u(5), r.u(5), r.u(5))
-        if (ts.exists(t => !BvTables.contains(t))) return None // escape tables
+        if (ts.exists(t => !BvTables.contains(t))) return None // 4/14: invalid
         val r0 = r.u(4)
         val r1 = r.u(3)
         if (r0 + r1 + 2 >= Sfb44100.length) return None
@@ -354,10 +663,14 @@ object Mp3L3 {
         while (line < 2 * s.bv) {
           val t = BvTables(
             if (line < b1) s.ts(0) else if (line < b2) s.ts(1) else s.ts(2))
-          val sym = huffDecode(main, t.hlen, t.hcod)
+          val sym = huffDecodeBv(main, t)
           var x = sym / (t.maxV + 1)
           var y = sym % (t.maxV + 1)
+          // §2.4.3.4.6: a decoded 15 on an escape table carries a
+          // linbits magnitude extension BEFORE its sign bit
+          if (t.linbits > 0 && x == 15) x += main.u(t.linbits)
           if (x != 0 && main.u(1) == 1) x = -x
+          if (t.linbits > 0 && y == 15) y += main.u(t.linbits)
           if (y != 0 && main.u(1) == 1) y = -y
           if (line + 1 >= 576) return None
           is(line) = x; is(line + 1) = y
@@ -408,6 +721,27 @@ object Mp3L3 {
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
     override def prettyName: String = "mp3l3_gen"
+  }
+
+  /** `mp3l3_gen_esc(seed)`: escape-edition stream — table selects over
+    * all of Table B.7 including the sixteen linbits escape selects. */
+  case class Mp3L3GenEscExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case LongType | IntegerType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"mp3l3_gen_esc requires an integral seed, got ${t.catalogString}")
+    }
+    override def nullSafeEval(input: Any): Any = input match {
+      case l: java.lang.Long => Mp3L3.genEsc(l)
+      case i: java.lang.Integer => Mp3L3.genEsc(i.toLong)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.pipeline.Mp3L3.genEsc((long) $c);")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "mp3l3_gen_esc"
   }
 
   /** The integer-exact spectral functionals surfaced per granule. */

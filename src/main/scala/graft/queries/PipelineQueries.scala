@@ -1740,10 +1740,30 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** MM19: the ESCAPE-TABLE edition of mm18 — `mp3l3_gen_esc` selects
+    * Huffman tables over the FULL ISO Table B.7 set (non-escape 5–13/15
+    * and the sixteen linbits escape selects 16–31), with magnitudes
+    * ranging over the full escape reach 15 + 2^linbits − 1, so every
+    * linbits width 1..13 appears in the corpus. The oracle replays the
+    * per-select (cap, linbits) and per-base code-LENGTH tables as
+    * VALUES and re-derives part2_3_length as Σ(code len + linbits·
+    * [mag ≥ 15] + sign bits) — the decoder's exact-bit-count close then
+    * pins every escape extension read at the right width in the right
+    * place. */
+  private def mm19(s: SparkSession, dir: String): DataFrame = {
+    val m = call_function("mp3l3_spectral",
+      call_function("mp3l3_gen_esc", col("doc_id")))
+    val fields = graft.pipeline.Mp3L3.SpectralSchema.fieldNames.toSeq
+    Tables.documents(s, dir).select(col("doc_id"), m.as("__m"))
+      .select(col("doc_id") +: fields.map(f => col(s"__m.$f").as(f)): _*)
+      .orderBy(col("doc_id"))
+  }
+
   // ===== registry ========================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p_mm18_mp3_spectral" -> (mm18 _),
+    "p_mm19_mp3_escape" -> (mm19 _),
     "p_d1_exact_dedup" -> (d1 _),
     "p_d2_neardup_bruteforce" -> (d2 _),
     "p_d3_minhash_lsh_neardup" -> (d3 _),
@@ -1890,6 +1910,28 @@ object PipelineQueries {
       for (x <- 0 to tb.maxV; y <- 0 to tb.maxV)
         yield s"($t, $x, $y, ${tb.hlen(x * (tb.maxV + 1) + y)})"
     }.mkString(", ")
+  /** Escape-edition constants: the select walk order (sel), per-select
+    * (base table, magnitude cap, linbits) facts (tabinfo), and the
+    * code-LENGTH tables of every base the walk can reach. */
+  private def mp3l3EscSelSql: String =
+    graft.pipeline.Mp3L3.EscSelects.zipWithIndex
+      .map { case (t, i) => s"($i, $t)" }.mkString(", ")
+  private def mp3l3TabInfoSql: String =
+    graft.pipeline.Mp3L3.EscSelects.map { t =>
+      val tb = graft.pipeline.Mp3L3.BvTables(t)
+      val base = if (t >= 24) 24 else if (t >= 16) 16 else t
+      s"($t, $base, ${tb.maxMag + 1}, ${tb.linbits})"
+    }.mkString(", ")
+  private def mp3l3BvLen19Sql: String = {
+    val bases = graft.pipeline.Mp3L3.EscSelects
+      .map(t => if (t >= 24) 24 else if (t >= 16) 16 else t).distinct.sorted
+    bases.flatMap { b =>
+      val tb = graft.pipeline.Mp3L3.BvTables(b)
+      for (x <- 0 to tb.maxV; y <- 0 to tb.maxV)
+        yield s"($b, $x, $y, ${tb.hlen(x * (tb.maxV + 1) + y)})"
+    }.mkString(", ")
+  }
+
   private def mp3l3Cnt1aSql: String =
     graft.pipeline.Mp3L3.Cnt1ALen.zipWithIndex
       .map { case (l, i) => s"($i, $l)" }.mkString(", ")
@@ -3045,6 +3087,112 @@ object PipelineQueries {
               sum(sx * mx + sy * my) AS vsum,
               sum((2 * i + 1) * sx * mx + (2 * i + 2) * sy * my) AS wsum
             FROM pv JOIN bvlen l ON l.t = pv.t AND l.x = pv.mx AND l.y = pv.my
+            GROUP BY pv.d, pv.g),
+          qv AS (SELECT d, g, bv, c1t, j,
+              (d + j) % 2 AS mv, (d + j + 1) % 2 AS mw,
+              (d + j + g) % 2 AS mx, (d + j + g + 1) % 2 AS my,
+              CASE WHEN (d + j) % 3 = 0 THEN 1 ELSE -1 END AS sv,
+              CASE WHEN (d + j + 1) % 3 = 0 THEN 1 ELSE -1 END AS sw,
+              CASE WHEN (d + j + g) % 3 = 0 THEN 1 ELSE -1 END AS sx,
+              CASE WHEN (d + j + g + 1) % 3 = 0 THEN 1 ELSE -1 END AS sy
+            FROM (SELECT pb.d, pb.g, pb.bv, pb.c1t, rq.j
+              FROM pb, range(0, 7) rq(j) WHERE rq.j < nq)),
+          qagg AS (SELECT d, g,
+              sum((CASE WHEN c1t = 1 THEN 4 ELSE a.len END)
+                + mv + mw + mx + my) AS hbits,
+              sum(mv + mw + mx + my) AS nz,
+              sum(sv * mv + sw * mw + sx * mx + sy * my) AS vsum,
+              sum((2 * bv + 4 * j + 1) * sv * mv + (2 * bv + 4 * j + 2) * sw * mw
+                + (2 * bv + 4 * j + 3) * sx * mx
+                + (2 * bv + 4 * j + 4) * sy * my) AS wsum
+            FROM qv JOIN cnt1a a ON a.idx = mv * 8 + mw * 4 + mx * 2 + my
+            GROUP BY d, g),
+          gr AS (SELECT pb.d, pb.g,
+              CAST(11 * s1 + 10 * s2 + pa.hbits + qa.hbits AS BIGINT) AS part23,
+              CAST(bv AS BIGINT) AS bv, CAST(gain AS BIGINT) AS gain,
+              CAST(sc AS BIGINT) AS sc, CAST(r0 AS BIGINT) AS r0,
+              CAST(t0 AS BIGINT) AS t0, CAST(t1 AS BIGINT) AS t1,
+              CAST(t2 AS BIGINT) AS t2, CAST(c1t AS BIGINT) AS c1t,
+              CAST(pre AS BIGINT) AS pre, CAST(sfs AS BIGINT) AS sfs,
+              sf.sf_wsum,
+              CAST(pa.nz + qa.nz AS BIGINT) AS nz,
+              CAST(pa.vsum + qa.vsum AS BIGINT) AS vsum,
+              CAST(pa.wsum + qa.wsum AS BIGINT) AS wsum,
+              CAST(nq AS BIGINT) AS nq
+            FROM pb JOIN sfagg sf ON sf.d = pb.d AND sf.g = pb.g
+                    JOIN pagg pa ON pa.d = pb.d AND pa.g = pb.g
+                    JOIN qagg qa ON qa.d = pb.d AND qa.g = pb.g)
+          SELECT g0.d AS doc_id,
+            CAST(44100 AS BIGINT) AS sample_rate,
+            CAST([160, 192, 224, 256, 320][CAST(g0.d % 5 + 1 AS INT)] AS BIGINT)
+              AS bitrate_kbps,
+            g0.part23 AS g0_part2_3_length, g0.bv AS g0_big_values,
+            g0.gain AS g0_global_gain, g0.sc AS g0_scalefac_compress,
+            g0.r0 AS g0_region0_count, CAST(3 AS BIGINT) AS g0_region1_count,
+            g0.t0 AS g0_table0, g0.t1 AS g0_table1, g0.t2 AS g0_table2,
+            g0.c1t AS g0_count1_table, g0.pre AS g0_preflag,
+            g0.sfs AS g0_scalefac_scale, g0.sf_wsum AS g0_sf_wsum,
+            g0.nz AS g0_spec_nonzero, g0.vsum AS g0_spec_sum,
+            g0.wsum AS g0_spec_wsum, g0.nq AS g0_count1_quads,
+            g1.part23 AS g1_part2_3_length, g1.bv AS g1_big_values,
+            g1.gain AS g1_global_gain, g1.sc AS g1_scalefac_compress,
+            g1.r0 AS g1_region0_count, CAST(3 AS BIGINT) AS g1_region1_count,
+            g1.t0 AS g1_table0, g1.t1 AS g1_table1, g1.t2 AS g1_table2,
+            g1.c1t AS g1_count1_table, g1.pre AS g1_preflag,
+            g1.sfs AS g1_scalefac_scale, g1.sf_wsum AS g1_sf_wsum,
+            g1.nz AS g1_spec_nonzero, g1.vsum AS g1_spec_sum,
+            g1.wsum AS g1_spec_wsum, g1.nq AS g1_count1_quads
+          FROM gr g0 JOIN gr g1 ON g1.d = g0.d AND g1.g = 1
+          WHERE g0.g = 0 ORDER BY doc_id"""),
+    "p_mm19_mp3_escape" ->
+      (s"""WITH slentab(sc, s1, s2) AS (VALUES $mp3l3SlenSql),
+          sfbtab(i, line) AS (VALUES $mp3l3SfbSql),
+          sel(i, t) AS (VALUES $mp3l3EscSelSql),
+          tabinfo(t, base, cap, linbits) AS (VALUES $mp3l3TabInfoSql),
+          bvlen(b, x, y, len) AS (VALUES $mp3l3BvLen19Sql),
+          cnt1a(idx, len) AS (VALUES $mp3l3Cnt1aSql),
+          base AS (SELECT doc_id AS d, gg.g FROM documents, (VALUES (0), (1)) gg(g)),
+          p AS (SELECT d, g,
+              18 + (d + g) % 11 AS bv, 3 + (d + g) % 4 AS r0,
+              (d + g) % 2 AS c1t, 4 + (d + g) % 4 AS nq, (d + g) % 16 AS sc,
+              d % 64 + 100 AS gain, d % 2 AS pre, (d // 2) % 2 AS sfs,
+              s0.t AS t0, s1.t AS t1, s2.t AS t2
+            FROM base
+            JOIN sel s0 ON s0.i = (d + g) % 26
+            JOIN sel s1 ON s1.i = (d + g + 7) % 26
+            JOIN sel s2 ON s2.i = (d + g + 14) % 26),
+          pb AS (SELECT p.*, b1t.line AS b1, b2t.line AS b2, sl.s1, sl.s2
+            FROM p JOIN sfbtab b1t ON b1t.i = p.r0 + 1
+                   JOIN sfbtab b2t ON b2t.i = p.r0 + 5
+                   JOIN slentab sl ON sl.sc = p.sc),
+          sfagg AS (SELECT d, g, CAST(sum((band + 1) *
+                CASE WHEN (CASE WHEN band < 11 THEN s1 ELSE s2 END) = 0 THEN 0
+                     ELSE (d + band + g) %
+                       (CAST(1 AS BIGINT) << (CASE WHEN band < 11 THEN s1 ELSE s2 END))
+                END) AS BIGINT) AS sf_wsum
+            FROM pb, range(0, 21) rb(band) GROUP BY d, g),
+          pv AS (SELECT d, g, i, ti.base AS tb, ti.linbits AS lb,
+              (d + g + i) % ti.cap AS mx,
+              (d + g + i + 1) % ti.cap AS my,
+              CASE WHEN (d + i) % 3 = 0 THEN 1 ELSE -1 END AS sx,
+              CASE WHEN (d + i + 1) % 3 = 0 THEN 1 ELSE -1 END AS sy
+            FROM (SELECT pb.*, rp.i,
+                CASE WHEN 2 * rp.i < b1 THEN t0
+                     WHEN 2 * rp.i < b2 THEN t1 ELSE t2 END AS tsel
+              FROM pb, range(0, 28) rp(i) WHERE rp.i < bv)
+            JOIN tabinfo ti ON ti.t = tsel),
+          pagg AS (SELECT pv.d, pv.g,
+              sum(l.len
+                + CASE WHEN lb > 0 AND mx >= 15 THEN lb ELSE 0 END
+                + CASE WHEN lb > 0 AND my >= 15 THEN lb ELSE 0 END
+                + CASE WHEN mx <> 0 THEN 1 ELSE 0 END
+                + CASE WHEN my <> 0 THEN 1 ELSE 0 END) AS hbits,
+              sum(CASE WHEN mx <> 0 THEN 1 ELSE 0 END
+                + CASE WHEN my <> 0 THEN 1 ELSE 0 END) AS nz,
+              sum(sx * mx + sy * my) AS vsum,
+              sum((2 * i + 1) * sx * mx + (2 * i + 2) * sy * my) AS wsum
+            FROM pv JOIN bvlen l ON l.b = pv.tb
+              AND l.x = LEAST(pv.mx, 15) AND l.y = LEAST(pv.my, 15)
             GROUP BY pv.d, pv.g),
           qv AS (SELECT d, g, bv, c1t, j,
               (d + j) % 2 AS mv, (d + j + 1) % 2 AS mw,

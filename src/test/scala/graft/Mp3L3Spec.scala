@@ -103,6 +103,46 @@ class Mp3L3Spec extends SparkSpec {
     }
   }
 
+  test("escape edition: genEsc → decode identity across all Table B.7 selects") {
+    val seenSelects = scala.collection.mutable.Set.empty[Int]
+    var sawEscape = false
+    val seenLinbits = scala.collection.mutable.Set.empty[Int]
+    for (seed <- 0L until 60L) {
+      val d = Mp3L3.decode(Mp3L3.genEsc(seed)).getOrElse(fail(s"seed $seed: no decode"))
+      for (g <- 0 to 1) {
+        val p = Mp3L3.GranEscParams(seed, g)
+        val gr = d.granules(g)
+        assert(gr.tableSelect.toSeq === Seq(0, 1, 2).map(p.tableSelect))
+        assert(gr.bitsUsed === gr.part23Length,
+          s"seed $seed g$g: decode must close the bit count")
+        val expected = new Array[Int](576)
+        for (i <- 0 until p.bigValues) {
+          val (x, y) = p.pair(i)
+          expected(2 * i) = x; expected(2 * i + 1) = y
+          if (math.abs(x) > 15 || math.abs(y) > 15) {
+            sawEscape = true
+            seenLinbits += Mp3L3.BvTables(p.tableForLine(2 * i)).linbits
+          }
+        }
+        for (j <- 0 until p.nQuads) {
+          val (v, w, x, y) = p.quad(j)
+          val base = 2 * p.bigValues + 4 * j
+          expected(base) = v; expected(base + 1) = w
+          expected(base + 2) = x; expected(base + 3) = y
+        }
+        assert(gr.is.toSeq === expected.toSeq, s"seed $seed g$g spectral lines")
+        seenSelects ++= gr.tableSelect
+      }
+    }
+    assert(sawEscape, "the fixture sweep must exercise linbits escapes (|v| > 15)")
+    assert(seenLinbits.size >= 5,
+      s"multiple linbits widths must be exercised, saw $seenLinbits")
+    assert((16 to 23).exists(seenSelects) && (24 to 31).exists(seenSelects),
+      s"both escape table families must be selected, saw $seenSelects")
+    assert(Seq(5, 6, 7, 8, 9, 10, 11, 12, 13, 15).count(seenSelects) >= 8,
+      s"the non-escape tables 5-15 must be selected, saw $seenSelects")
+  }
+
   test("malformed or out-of-scope streams return null") {
     val good = Mp3L3.gen(5L)
     assert(Mp3L3.decode(good.take(20)) === None)        // truncated
@@ -110,8 +150,8 @@ class Mp3L3Spec extends SparkSpec {
     // stereo header is out of scope
     val stereo = good.clone(); stereo(3) = 0x00
     assert(Mp3L3.decode(stereo) === None)
-    // an escape-table select (16) in granule 0 is out of scope: table
-    // bits live at side-info bit offset 18 + 12+9+8+4+1 = 52
+    // the invalid table id 4 in granule 0 is rejected: table bits live
+    // at side-info bit offset 18 + 12+9+8+4+1 = 52
     val esc = good.clone()
     val bitOff = 32 + 52
     def setBits(b: Array[Byte], off: Int, v: Int, n: Int): Unit =
@@ -121,7 +161,7 @@ class Mp3L3Spec extends SparkSpec {
         val mask = 1 << (7 - (p & 7))
         b(p >> 3) = (((b(p >> 3) & ~mask) | (if (bit == 1) mask else 0)).toByte)
       }
-    setBits(esc, bitOff, 16, 5)
+    setBits(esc, bitOff, 4, 5)
     assert(Mp3L3.decode(esc) === None)
     // corrupting the part2_3_length must break the exact-bit-count close
     val bad = good.clone()
