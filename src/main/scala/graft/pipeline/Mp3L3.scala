@@ -12,10 +12,10 @@ import org.apache.spark.sql.types._
   * §2.4.1.7, §2.4.2.7, §2.4.3.4). This is the half of MP3 sample
   * reconstruction that was previously the documented stub boundary:
   * [[Mp3Header]] stops at the frame headers; this module decodes the
-  * compressed payload bits into quantized spectral coefficients. The
-  * remaining stub is the numeric back half only — requantization
-  * (is^(4/3) scaling), alias reduction, IMDCT, and the polyphase
-  * synthesis filterbank.
+  * compressed payload bits into quantized spectral coefficients.
+  * [[Mp3Synth]] continues from here to PCM — requantization, alias
+  * reduction, IMDCT, and the polyphase synthesis filterbank (ISO-exact
+  * up to the one documented table-data seam, the Annex B window).
   *
   * Decode contract (the GIF pattern: hand-written encoder half,
   * independent decoder half, coefficient-exact oracle):

@@ -1,153 +1,265 @@
 package graft.pipeline
 
-/** MPEG-1 Layer III TRANSFORM-SAMPLE decode, part 2 of 2: the NUMERIC
-  * back half — requantization, alias reduction, and the IMDCT with
-  * windowing + overlap-add — carrying [[Mp3L3]]'s decoded spectral lines
-  * down to the 32×18 SUBBAND TIME SAMPLES per granule (ISO/IEC 11172-3
-  * §2.4.3.4.7.x, Annex B Table B.9 pretab, §2.4.3.4.10.1–3). Every
-  * constant in this half is a CLOSED FORM of the spec — the power-law
-  * requantizer, the eight alias-butterfly coefficients (derived from the
-  * published ci list), the IMDCT cosine kernel, the sine window — so
-  * nothing here depends on recalling a large arbitrary table. The ONLY
-  * remaining piece of full PCM reconstruction is the polyphase synthesis
-  * filterbank, whose 512-entry D[] window IS an arbitrary ISO table —
-  * that is the (final, documented) stub boundary.
+/** MPEG-1 Layer III numeric back half: spectral lines → PCM samples.
+  * Continues where [[Mp3L3]] (the entropy half) stops — requantization
+  * (ISO/IEC 11172-3 §2.4.3.4.7.1), alias reduction (§2.4.3.4.10.1),
+  * IMDCT + windowing + overlap-add (§2.4.3.4.12), frequency inversion,
+  * and the polyphase synthesis filterbank (§2.4.3.4.13) — long blocks,
+  * mono, 44.1 kHz, matching the entropy half's scope.
   *
-  * Scope matches [[Mp3L3.decode]]: MPEG-1, long blocks (block type 0),
-  * mono. Numeric contract (pinned in Mp3SynthSpec):
-  *   - requantize: xr(i) = sign(is)·|is|^(4/3) · 2^((global_gain−210)/4)
-  *     · 2^(−step·(scalefac(band) + preflag·pretab(band))), where step is
-  *     1.0 when scalefac_scale=1 else 0.5 — checked against hand-derived
-  *     closed-form points (is=±1, gain 210 → ±1.0)
-  *   - alias reduction: the 8 (cs, ca) butterflies at each of the 31
-  *     subband boundaries, cs=1/√(1+ci²), ca=ci/√(1+ci²) from the
-  *     published ci = {−0.6, −0.535, −0.33, −0.185, −0.095, −0.041,
-  *     −0.0142, −0.0037}
-  *   - IMDCT-36: x(i) = Σ_{k<18} X(k)·cos(π/72·(2i+19)·(2k+1)), sine
-  *     window w(i) = sin(π/36·(i+½)), 50% overlap-add — verified in-spec
-  *     against an INDEPENDENT forward MDCT: the TDAC (Princen–Bradley)
-  *     round trip must reconstruct a random signal exactly up to the
-  *     transform's fixed gain, which the spec pins
-  *   - frequency inversion: odd time samples of odd subbands negated
-  *     (§2.4.3.4.10.3's synthesis-prep step)
+  * Faithfulness boundary, stage by stage:
+  *   - requantization, alias reduction, IMDCT, windowing, overlap-add,
+  *     frequency inversion, and the polyphase MATRIXING
+  *     `N(i,k) = cos((16+i)(2k+1)π/64)` are all CLOSED FORMS in the
+  *     standard and implemented exactly (Mp3SynthSpec pins the
+  *     rotation identity of the alias butterflies, the TDAC
+  *     perfect-reconstruction property of the IMDCT against an
+  *     independently-written forward MDCT, and requantization's
+  *     integer-exact points such as 8^(4/3) = 16);
+  *   - the 512-tap synthesis WINDOW `D` (Annex B Table B.3) is TABLE
+  *     DATA with no closed form. [[synthesisWindow]] is a documented
+  *     SUBSTITUTE — a Blackman-windowed sinc lowpass at the same
+  *     cutoff (π/64), the textbook prototype the MUSICAM window was
+  *     designed as — so the chain produces real, correctly-shaped PCM;
+  *     bit-exact ISO output requires swapping in the Annex B values at
+  *     this one seam ([[withWindow]]). Every stage before the window
+  *     is ISO-exact regardless.
+  *
+  * Scale: pure per-row kernels invoked from scan-stage expressions;
+  * nothing here shuffles or leaves the task.
   */
 object Mp3Synth {
 
-  /** Annex B Table B.9: the preflag emphasis table, one entry per long
-    * scalefactor band (21 coded bands + the uncoded top band). */
-  val Pretab: Array[Int] =
-    Array(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 3, 3, 2, 0)
+  // ==== §2.4.3.4.7.1 requantization ======================================
 
-  /** §2.4.3.4.7: power-law requantization of one granule's spectral
-    * lines at 44.1 kHz long blocks. Lines above the last band boundary
-    * take band 21's (pretab-only) scaling per the spec's rzero/top-band
-    * convention. */
-  def requantize(is: Array[Int], scalefacs: Array[Int], globalGain: Int,
-      scalefacScale: Int, preflag: Int): Array[Double] = {
-    require(is.length == 576, "one granule = 576 spectral lines")
-    val step = if (scalefacScale == 1) 1.0 else 0.5
-    val gain = math.pow(2.0, (globalGain - 210) / 4.0)
-    val out = new Array[Double](576)
-    val sfb = Mp3L3.Sfb44100
-    var band = 0
+  /** ISO pretab: the preflag emphasis added to the scalefactor of each
+    * long-block band. */
+  val Pretab: Array[Int] = Array(
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 3, 3, 2, 0)
+
+  /** Spectral line index → long-block scalefactor band (0..20; lines at
+    * or past sfb 21's start keep band 21 = no scalefactor). */
+  private val bandOfLine: Array[Int] = {
+    val a = new Array[Int](576)
+    var b = 0
     var i = 0
     while (i < 576) {
-      while (band < 21 && i >= sfb(band + 1)) band += 1
-      val sf = if (band < 21) scalefacs(band) else 0
-      val scale = math.pow(2.0, -step * (sf + preflag * Pretab(band)))
-      val v = is(i)
+      while (b < 21 && i >= Mp3L3.Sfb44100(b + 1)) b += 1
+      a(i) = b
+      i += 1
+    }
+    a
+  }
+
+  /** xr[i] = sign(is) · |is|^(4/3) · 2^((gain−210)/4) ·
+    * 2^(−mult·(scalefac[sfb] + preflag·pretab[sfb])), mult =
+    * (scalefac_scale + 1) / 2 ∈ {0.5, 1}. */
+  def requantize(g: Mp3L3.Granule): Array[Double] = {
+    val xr = new Array[Double](576)
+    val gainPow = math.pow(2.0, (g.globalGain - 210) / 4.0)
+    val mult = 0.5 * (g.scalefacScale + 1)
+    var i = 0
+    while (i < 576) {
+      val v = g.is(i)
       if (v != 0) {
-        val mag = math.pow(math.abs(v).toDouble, 4.0 / 3.0)
-        out(i) = math.signum(v.toDouble) * mag * gain * scale
+        val band = bandOfLine(i)
+        val sf = if (band < 21) g.scalefacs(band) + g.preflag * Pretab(band) else 0
+        val mag = math.pow(math.abs(v).toDouble, 4.0 / 3.0) *
+          gainPow * math.pow(2.0, -mult * sf)
+        xr(i) = if (v < 0) -mag else mag
       }
       i += 1
     }
-    out
+    xr
   }
 
-  /** §2.4.3.4.10.1: the published butterfly list. */
-  private val Ci = Array(-0.6, -0.535, -0.33, -0.185, -0.095, -0.041, -0.0142, -0.0037)
+  // ==== §2.4.3.4.10.1 alias reduction ====================================
+
+  private val Ci: Array[Double] =
+    Array(-0.6, -0.535, -0.33, -0.185, -0.095, -0.041, -0.0142, -0.0037)
   val Cs: Array[Double] = Ci.map(c => 1.0 / math.sqrt(1.0 + c * c))
   val Ca: Array[Double] = Ci.map(c => c / math.sqrt(1.0 + c * c))
 
-  /** Alias reduction across the 31 subband boundaries (long blocks),
-    * in place on a copy: for boundary b at line 18(b+1), the 8
-    * butterflies mix lines (18(b+1)−1−k, 18(b+1)+k). */
+  /** Eight butterflies across each of the 31 subband boundaries (long
+    * blocks reduce every boundary). In place on a copy. */
   def aliasReduce(xr: Array[Double]): Array[Double] = {
-    val out = xr.clone()
-    var b = 0
-    while (b < 31) {
-      val base = 18 * (b + 1)
-      var k = 0
-      while (k < 8) {
-        val lo = out(base - 1 - k)
-        val hi = out(base + k)
-        out(base - 1 - k) = lo * Cs(k) - hi * Ca(k)
-        out(base + k) = hi * Cs(k) + lo * Ca(k)
-        k += 1
+    val x = xr.clone()
+    var sb = 1
+    while (sb < 32) {
+      val base = 18 * sb
+      var i = 0
+      while (i < 8) {
+        val lo = base - 1 - i
+        val hi = base + i
+        val a = x(lo); val b = x(hi)
+        x(lo) = a * Cs(i) - b * Ca(i)
+        x(hi) = b * Cs(i) + a * Ca(i)
+        i += 1
       }
-      b += 1
+      sb += 1
     }
-    out
+    x
   }
 
-  /** §2.4.3.4.10.3, n=36 (long blocks): 18 spectral lines → 36 time
-    * samples. */
-  def imdct36(x: Array[Double]): Array[Double] = {
-    require(x.length == 18)
+  // ==== §2.4.3.4.12 IMDCT, window, overlap-add ===========================
+
+  /** 18-in / 36-out long-block IMDCT:
+    * x[i] = Σ_k X[k] cos(π/72 (2i+1+18)(2k+1)). */
+  def imdct36(xk: Array[Double]): Array[Double] = {
     val out = new Array[Double](36)
     var i = 0
     while (i < 36) {
-      var acc = 0.0
+      var s = 0.0
       var k = 0
       while (k < 18) {
-        acc += x(k) * math.cos(math.Pi / 72.0 * (2 * i + 19) * (2 * k + 1))
+        s += xk(k) * math.cos(math.Pi / 72.0 * (2 * i + 1 + 18) * (2 * k + 1))
         k += 1
       }
-      out(i) = acc
+      out(i) = s
       i += 1
     }
     out
   }
 
-  /** Block-type-0 sine window. */
-  def window36(z: Array[Double]): Array[Double] =
-    Array.tabulate(36)(i => z(i) * math.sin(math.Pi / 36.0 * (i + 0.5)))
+  /** Long-block (block_type 0) sine window. */
+  val LongWindow: Array[Double] =
+    Array.tabulate(36)(i => math.sin(math.Pi / 36.0 * (i + 0.5)))
 
-  /** One granule's subband time samples: per subband, windowed IMDCT of
-    * its 18 lines overlap-added with the previous granule's tail
-    * (`overlap`, 32×18, MUTATED to carry this granule's tail forward),
-    * then the odd-subband frequency inversion. Returns 32×18. */
-  def subbandSamples(xr: Array[Double],
-      overlap: Array[Array[Double]]): Array[Array[Double]] = {
-    require(xr.length == 576 && overlap.length == 32)
-    val out = Array.ofDim[Double](32, 18)
+  /** One granule's 32 subbands: per-subband IMDCT + window, overlap-add
+    * with the carried state (18 doubles per subband), frequency
+    * inversion on odd samples of odd subbands. Returns 18 time slots ×
+    * 32 subband samples; `overlap` is updated in place. */
+  def subbandSynth(xr: Array[Double], overlap: Array[Array[Double]]): Array[Array[Double]] = {
+    val slots = Array.ofDim[Double](18, 32)
     var sb = 0
     while (sb < 32) {
-      val lines = java.util.Arrays.copyOfRange(xr, 18 * sb, 18 * (sb + 1))
-      val z = window36(imdct36(lines))
+      val xk = java.util.Arrays.copyOfRange(xr, 18 * sb, 18 * sb + 18)
+      val x = imdct36(xk)
       var i = 0
-      while (i < 18) {
-        out(sb)(i) = z(i) + overlap(sb)(i)
-        overlap(sb)(i) = z(18 + i)
-        i += 1
+      while (i < 36) { x(i) *= LongWindow(i); i += 1 }
+      val ov = overlap(sb)
+      var t = 0
+      while (t < 18) {
+        var v = x(t) + ov(t)
+        // frequency inversion: odd time samples of odd subbands negate
+        if ((sb & 1) == 1 && (t & 1) == 1) v = -v
+        slots(t)(sb) = v
+        t += 1
       }
-      // frequency inversion: odd time samples of odd subbands
-      if (sb % 2 == 1) {
-        var j = 1
-        while (j < 18) { out(sb)(j) = -out(sb)(j); j += 2 }
-      }
+      t = 0
+      while (t < 18) { ov(t) = x(18 + t); t += 1 }
       sb += 1
     }
-    out
+    slots
   }
 
-  /** The composed chain for one granule: spectra → requantize → alias
-    * reduce → subband samples (overlap carried by the caller). */
-  def granuleToSubbands(g: Mp3L3.Granule,
-      overlap: Array[Array[Double]]): Array[Array[Double]] =
-    subbandSamples(
-      aliasReduce(requantize(g.is, g.scalefacs, g.globalGain,
-        g.scalefacScale, g.preflag)),
-      overlap)
+  // ==== §2.4.3.4.13 polyphase synthesis ==================================
+
+  /** Matrixing N(i,k) = cos((16+i)(2k+1)π/64), 64×32 — closed form. */
+  private val N: Array[Array[Double]] = Array.tabulate(64, 32) { (i, k) =>
+    math.cos((16 + i) * (2 * k + 1) * math.Pi / 64.0)
+  }
+
+  /** The synthesis window seam. Annex B Table B.3 is unreproducible
+    * table data (no closed form exists); this substitute carries the
+    * same STRUCTURE the ISO window does — a smooth lowpass envelope
+    * times the filterbank's own modulation pattern, which is why the
+    * ISO table is signed:
+    *
+    *   D[n] = e[n] / S[n mod 64] · cos((16 + n mod 64) π/64)
+    *
+    * with e a Blackman-windowed sinc at cutoff π/64 (the 32-band
+    * subband width) and S[r] = Σ_m e[r + 64m] the per-residue
+    * polyphase sum. The normalization makes the per-residue Nyquist
+    * condition EXACT, so a constant subband input reconstructs to an
+    * exactly constant PCM level (cos²θ + sin²θ = 1 across the two
+    * half-phase tap sets) — the filterbank is near-perfect-
+    * reconstruction by construction, not merely lowpass-shaped. Swap
+    * in the Annex B values via [[withWindow]] for bit-exact ISO
+    * output; every stage before this seam is ISO-exact already. */
+  val synthesisWindow: Array[Double] = {
+    val e = Array.tabulate(512) { n =>
+      val x = n - 255.5
+      val a = math.Pi * x / 64.0
+      val sinc = if (math.abs(a) < 1e-12) 1.0 else math.sin(a) / a
+      val w = 0.42 - 0.5 * math.cos(2 * math.Pi * n / 511.0) +
+        0.08 * math.cos(4 * math.Pi * n / 511.0)
+      sinc * w
+    }
+    val s = new Array[Double](64)
+    for (n <- 0 until 512) s(n % 64) += e(n)
+    Array.tabulate(512) { n =>
+      val r = n % 64
+      e(n) / s(r) * math.cos((16 + r) * math.Pi / 64.0)
+    }
+  }
+
+  /** Streaming polyphase state: the 1024-deep V FIFO. */
+  final class SynthState(val window: Array[Double] = synthesisWindow) {
+    val v = new Array[Double](1024)
+
+    /** One time slot: 32 subband samples → 32 PCM samples. */
+    def slot(s: Array[Double]): Array[Double] = {
+      // shift V by 64
+      System.arraycopy(v, 0, v, 64, 1024 - 64)
+      var i = 0
+      while (i < 64) {
+        var acc = 0.0
+        var k = 0
+        while (k < 32) { acc += N(i)(k) * s(k); k += 1 }
+        v(i) = acc
+        i += 1
+      }
+      // build U (§2.4.3.4.13 alternating halves), window, sum 16 taps
+      val u = new Array[Double](512)
+      var j = 0
+      while (j < 8) {
+        var c = 0
+        while (c < 32) {
+          u(j * 64 + c) = v(j * 128 + c)
+          u(j * 64 + 32 + c) = v(j * 128 + 96 + c)
+          c += 1
+        }
+        j += 1
+      }
+      val pcm = new Array[Double](32)
+      var p = 0
+      while (p < 32) {
+        var acc = 0.0
+        var t = 0
+        while (t < 16) { acc += u(p + 32 * t) * window(p + 32 * t); t += 1 }
+        pcm(p) = acc
+        p += 1
+      }
+      pcm
+    }
+  }
+
+  /** Decode a full frame to PCM: entropy half → requantize → alias →
+    * IMDCT/overlap → polyphase. Two granules × 18 slots × 32 samples =
+    * 1152 doubles, or None outside the entropy half's scope. */
+  def decodePcm(frame: Array[Byte],
+      window: Array[Double] = synthesisWindow): Option[Array[Double]] =
+    Mp3L3.decode(frame).map { d =>
+      val overlap = Array.ofDim[Double](32, 18)
+      val state = new SynthState(window)
+      val out = new Array[Double](1152)
+      var g = 0
+      while (g < 2) {
+        val xr = aliasReduce(requantize(d.granules(g)))
+        val slots = subbandSynth(xr, overlap)
+        var t = 0
+        while (t < 18) {
+          val pcm = state.slot(slots(t))
+          System.arraycopy(pcm, 0, out, g * 576 + t * 32, 32)
+          t += 1
+        }
+        g += 1
+      }
+      out
+    }
+
+  /** decodePcm with a caller-supplied window (the ISO Table B.3 seam). */
+  def withWindow(frame: Array[Byte], window: Array[Double]): Option[Array[Double]] =
+    decodePcm(frame, window)
 }

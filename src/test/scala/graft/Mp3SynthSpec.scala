@@ -1,102 +1,132 @@
 package graft
 
+import org.scalatest.funsuite.AnyFunSuite
+
 import graft.pipeline.{Mp3L3, Mp3Synth}
 
-/** The numeric back half of Layer III decode: requantization closed
-  * forms, alias-butterfly unitarity, and the IMDCT/window/overlap-add
-  * chain verified against an INDEPENDENT forward MDCT implemented here
-  * in the spec — the TDAC (Princen–Bradley) round trip must reconstruct
-  * a random signal up to the transform's fixed gain. */
-class Mp3SynthSpec extends SparkSpec {
+/** Layer III numeric back half. The ISO-exact stages are pinned by
+  * INDEPENDENT properties, not by re-running their own formulas:
+  * requantization at integer-exact points, alias butterflies as
+  * energy-preserving rotations, IMDCT against a locally-written forward
+  * MDCT through the TDAC perfect-reconstruction identity, and the full
+  * chain producing real PCM from an actual generated frame. */
+class Mp3SynthSpec extends AnyFunSuite {
 
-  test("requantize: hand-derived closed-form points") {
-    val is = new Array[Int](576)
-    is(0) = 1; is(1) = -1; is(20) = 8
-    val sf = new Array[Int](21)
-    // neutral settings: gain 210, no scalefactors → xr = ±|is|^(4/3)
-    val x0 = Mp3Synth.requantize(is, sf, 210, 0, 0)
-    assert(x0(0) === 1.0)
-    assert(x0(1) === -1.0)
-    assert(math.abs(x0(20) - math.pow(8.0, 4.0 / 3.0)) < 1e-12)
-    assert(x0(2) === 0.0)
-    // global_gain: +4 steps of gain = one doubling
-    val x1 = Mp3Synth.requantize(is, sf, 214, 0, 0)
-    assert(math.abs(x1(0) - 2.0) < 1e-12)
-    // scalefactor: band 0 covers lines 0..3; sf=2 at step 0.5 → ×2^-1
-    sf(0) = 2
-    val x2 = Mp3Synth.requantize(is, sf, 210, 0, 0)
-    assert(math.abs(x2(0) - 0.5) < 1e-12)
-    // scalefac_scale=1 → step 1.0 → ×2^-2
-    val x3 = Mp3Synth.requantize(is, sf, 210, 1, 0)
-    assert(math.abs(x3(0) - 0.25) < 1e-12)
-    // preflag: band 20 (lines 342..417) has pretab 2; line 350
-    val is2 = new Array[Int](576); is2(350) = 1
-    val x4 = Mp3Synth.requantize(is2, new Array[Int](21), 210, 0, 1)
-    assert(math.abs(x4(350) - 0.5) < 1e-12) // 2^(-0.5·2)
+  test("requantization hits its integer-exact points and scalefactor scaling") {
+    def gran(is: Array[Int], gain: Int, sfs: Int, sf: Array[Int], pre: Int) =
+      Mp3L3.Granule(0, 0, gain, 0, Array(1, 1, 1), 3, 3, pre, sfs, 0,
+        sf, is.padTo(576, 0), 0, 0)
+    // gain 210 → 2^0; 8^(4/3) = 16 and 27^(4/3) = 81 exactly
+    val is = Array(8, -27, 1)
+    val xr = Mp3Synth.requantize(gran(is, 210, 0, new Array[Int](21), 0))
+    assert(math.abs(xr(0) - 16.0) < 1e-9)
+    assert(math.abs(xr(1) + 81.0) < 1e-9, "sign must carry through")
+    assert(math.abs(xr(2) - 1.0) < 1e-9)
+    assert(xr.drop(3).forall(_ == 0.0))
+    // each global_gain step of 4 doubles the output
+    val xr2 = Mp3Synth.requantize(gran(is, 214, 0, new Array[Int](21), 0))
+    assert(math.abs(xr2(0) / xr(0) - 2.0) < 1e-12)
+    // scalefac_scale=0 → mult 1/2: scalefactor 2 in band 0 halves lines 0-3
+    val sf = new Array[Int](21); sf(0) = 2
+    val xr3 = Mp3Synth.requantize(gran(is, 210, 0, sf, 0))
+    assert(math.abs(xr3(0) - 8.0) < 1e-9)
+    // scalefac_scale=1 → mult 1: same scalefactor now quarters
+    val xr4 = Mp3Synth.requantize(gran(is, 210, 1, sf, 0))
+    assert(math.abs(xr4(0) - 4.0) < 1e-9)
+    // preflag adds pretab: band 17 (lines 196..237) has pretab 3
+    val is17 = new Array[Int](576); is17(200) = 8
+    val g5 = Mp3L3.Granule(0, 0, 210, 0, Array(1, 1, 1), 3, 3, 1, 1, 0,
+      new Array[Int](21), is17, 0, 0)
+    assert(math.abs(Mp3Synth.requantize(g5)(200) - 16.0 / 8.0) < 1e-9,
+      "preflag·pretab[17]=3 at mult 1 must scale by 2^-3")
   }
 
-  test("alias butterflies are rotations: cs² + ca² = 1, reduction is invertible") {
-    for (k <- 0 until 8)
-      assert(math.abs(Mp3Synth.Cs(k) * Mp3Synth.Cs(k)
-        + Mp3Synth.Ca(k) * Mp3Synth.Ca(k) - 1.0) < 1e-15)
-    // a rotation preserves the two-point energy at every butterfly
-    val rng = new scala.util.Random(7)
-    val xr = Array.fill(576)(rng.nextDouble() * 2 - 1)
-    val red = Mp3Synth.aliasReduce(xr)
-    val e0 = xr.map(v => v * v).sum
-    val e1 = red.map(v => v * v).sum
-    assert(math.abs(e0 - e1) < 1e-9 * e0, "alias reduction must preserve energy")
-    assert(!(xr sameElements red), "butterflies must actually mix boundaries")
+  test("alias butterflies are rotations: cs²+ca² = 1, energy preserved, involution-consistent") {
+    for (i <- 0 until 8)
+      assert(math.abs(Mp3Synth.Cs(i) * Mp3Synth.Cs(i) +
+        Mp3Synth.Ca(i) * Mp3Synth.Ca(i) - 1.0) < 1e-12)
+    val rnd = new scala.util.Random(7)
+    val xr = Array.fill(576)(rnd.nextDouble() - 0.5)
+    val ar = Mp3Synth.aliasReduce(xr)
+    def e(a: Array[Double]) = a.map(v => v * v).sum
+    assert(math.abs(e(ar) - e(xr)) < 1e-9, "rotations preserve total energy")
+    // inverting each butterfly (the encoder-side aliasing) restores xr
+    val inv = ar.clone()
+    for (sb <- 1 until 32; i <- 0 until 8) {
+      val lo = 18 * sb - 1 - i; val hi = 18 * sb + i
+      val a = inv(lo); val b = inv(hi)
+      inv(lo) = a * Mp3Synth.Cs(i) + b * Mp3Synth.Ca(i)
+      inv(hi) = b * Mp3Synth.Cs(i) - a * Mp3Synth.Ca(i)
+    }
+    assert(xr.zip(inv).forall { case (a, b) => math.abs(a - b) < 1e-9 })
   }
 
-  test("IMDCT/window/overlap-add inverts an independent forward MDCT (TDAC)") {
-    // forward MDCT, written HERE, not shared with the library:
-    // X(k) = Σ_i w(i)·s(i)·cos(π/72·(2i+19)·(2k+1))
-    def mdct36(block: Array[Double]): Array[Double] =
+  test("IMDCT satisfies TDAC: forward MDCT → IMDCT → windowed overlap-add reconstructs") {
+    // forward MDCT written HERE, independent of Mp3Synth.imdct36:
+    // X[k] = Σ_i w[i]·x[i]·cos(π/72 (2i+1+18)(2k+1))
+    def mdct(x: Array[Double]): Array[Double] =
       Array.tabulate(18) { k =>
-        (0 until 36).map { i =>
-          block(i) * math.sin(math.Pi / 36.0 * (i + 0.5)) *
-            math.cos(math.Pi / 72.0 * (2 * i + 19) * (2 * k + 1))
-        }.sum
+        (0 until 36).map(i => Mp3Synth.LongWindow(i) * x(i) *
+          math.cos(math.Pi / 72.0 * (2 * i + 1 + 18) * (2 * k + 1))).sum
       }
-    val rng = new scala.util.Random(42)
-    val nBlocks = 8
-    val s = Array.fill(18 * (nBlocks + 1))(rng.nextDouble() * 2 - 1)
-    // analysis at hop 18, synthesis via the library half
-    val z = (0 until nBlocks).map { b =>
-      Mp3Synth.window36(Mp3Synth.imdct36(mdct36(s.slice(18 * b, 18 * b + 36))))
-    }
-    // interior samples (skip the first and last half-block edges)
-    val recon = (1 until nBlocks).flatMap { b =>
-      (0 until 18).map(i => z(b)(i) + z(b - 1)(18 + i))
-    }.toArray
-    val orig = s.slice(18, 18 * nBlocks)
-    // TDAC: recon = gain·orig with ONE fixed gain; measure it at the
-    // largest sample, then pin uniformity everywhere and its value
-    // (n/4 = 9 for this unnormalized cosine-kernel pair)
-    val iMax = orig.indices.maxBy(i => math.abs(orig(i)))
-    val gain = recon(iMax) / orig(iMax)
-    assert(math.abs(gain - 9.0) < 1e-9, s"TDAC gain $gain ≠ n/4")
-    orig.indices.foreach { i =>
-      assert(math.abs(recon(i) - gain * orig(i)) < 1e-9,
-        s"TDAC broke at interior sample $i")
+    val rnd = new scala.util.Random(42)
+    // three consecutive 18-sample blocks → two overlapping 36-windows
+    val signal = Array.fill(54)(rnd.nextDouble() - 0.5)
+    val b0 = signal.slice(0, 36)
+    val b1 = signal.slice(18, 54)
+    val y0 = Mp3Synth.imdct36(mdct(b0)).zipWithIndex.map { case (v, i) =>
+      v * Mp3Synth.LongWindow(i) }
+    val y1 = Mp3Synth.imdct36(mdct(b1)).zipWithIndex.map { case (v, i) =>
+      v * Mp3Synth.LongWindow(i) }
+    // the middle 18 samples: tail of window 0 + head of window 1,
+    // scaled by the transform's constant 18/2 = 9
+    for (t <- 0 until 18) {
+      val rec = (y0(18 + t) + y1(t)) / 9.0
+      assert(math.abs(rec - signal(18 + t)) < 1e-9,
+        s"TDAC reconstruction failed at $t")
     }
   }
 
-  test("decoded stream flows end-to-end to finite subband samples") {
-    val d = Mp3L3.decode(Mp3L3.gen(11L)).get
-    val overlap = Array.ofDim[Double](32, 18)
-    val g0 = Mp3Synth.granuleToSubbands(d.granules(0), overlap)
-    val g1 = Mp3Synth.granuleToSubbands(d.granules(1), overlap)
-    for (g <- Seq(g0, g1); sb <- g; v <- sb)
-      assert(java.lang.Double.isFinite(v))
-    // the granules carry nonzero spectra, so samples must be nonzero
-    assert(g0.flatten.exists(_ != 0.0) && g1.flatten.exists(_ != 0.0))
-    // overlap carry: granule 1's samples depend on granule 0's tail —
-    // decoding granule 1 with a FRESH overlap must differ
-    val fresh = Array.ofDim[Double](32, 18)
-    val g1Fresh = Mp3Synth.granuleToSubbands(d.granules(1), fresh)
-    assert(g1.flatten.toSeq != g1Fresh.flatten.toSeq,
-      "overlap-add state was not carried between granules")
+  test("polyphase lowpass: a DC subband-0 signal yields near-constant PCM") {
+    val st = new Mp3Synth.SynthState()
+    val s = new Array[Double](32); s(0) = 1.0
+    // warm the 16-slot deep FIFO past its transient
+    var last: Array[Double] = null
+    for (_ <- 0 until 40) last = st.slot(s)
+    val mean = last.sum / 32.0
+    assert(mean > 0.1, "subband 0 carries DC through the filterbank")
+    // the per-residue Nyquist normalization makes DC reconstruction
+    // EXACTLY flat: cos²θ + sin²θ across the two half-phase tap sets
+    val dev = last.map(v => math.abs(v - mean)).max
+    assert(dev < 1e-9 * math.max(1.0, math.abs(mean)),
+      s"DC must reconstruct exactly flat, got mean $mean dev $dev")
+    // and a HIGH subband must not leak into the lowpass branch shape:
+    // subband 31 input produces an oscillating slot (sign changes)
+    val st2 = new Mp3Synth.SynthState()
+    val hi = new Array[Double](32); hi(31) = 1.0
+    var lastHi: Array[Double] = null
+    for (_ <- 0 until 40) lastHi = st2.slot(hi)
+    val signFlips = lastHi.sliding(2).count(p => p(0) * p(1) < 0)
+    assert(signFlips > 20, s"subband 31 must alternate per sample, flips=$signFlips")
+  }
+
+  test("full chain: a generated frame decodes to 1152 finite, nonzero PCM samples") {
+    for (seed <- Seq(3L, 42L)) {
+      val pcm = Mp3Synth.decodePcm(Mp3L3.gen(seed))
+        .getOrElse(fail(s"seed $seed: no decode"))
+      assert(pcm.length === 1152)
+      assert(pcm.forall(v => !v.isNaN && !v.isInfinite))
+      assert(pcm.count(_ != 0.0) > 600, "the frame carries signal")
+      // escape-edition frames reach PCM too
+      val pcmEsc = Mp3Synth.decodePcm(Mp3L3.genEsc(seed))
+        .getOrElse(fail(s"seed $seed esc: no decode"))
+      assert(pcmEsc.length === 1152 && pcmEsc.exists(_ != 0.0))
+    }
+    // out-of-scope stays None through the chain
+    assert(Mp3Synth.decodePcm(Array[Byte](1, 2, 3)) === None)
+    // the ISO-window seam: a caller-supplied window is used verbatim
+    val zeroWin = new Array[Double](512)
+    val silent = Mp3Synth.withWindow(Mp3L3.gen(3L), zeroWin).get
+    assert(silent.forall(_ == 0.0), "zero window ⇒ zero PCM (seam is live)")
   }
 }
