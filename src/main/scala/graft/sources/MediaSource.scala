@@ -45,9 +45,11 @@ import graft.pipeline.{AdtsHeader, H264Nal, ImageHeader, Mp3Header, Mp3L3, Vp9Iv
   *     enough surviving files. Residual filters stay with Spark.
   *
   * Driver work is at most ONE directory walk (sorted for determinism);
-  * `listParallelism` fans the walk itself out as a Spark job over the
-  * root's subdirectories for 10⁸-file trees. Bytes stay inside their
-  * task — the source never shuffles.
+  * `listParallelism` fans the walk itself out as Spark jobs in
+  * recursive frontier rounds (`listDirBudget` dirs per task, unvisited
+  * leftovers re-fanned) for 10⁸-file trees, and `maxListedFiles`
+  * fail-fast-guards the driver-side surviving-file array. Bytes stay
+  * inside their task — the source never shuffles.
   */
 class MediaSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -94,6 +96,10 @@ object MediaSource {
     * counts). Spark may plan a scan more than once, so this is a
     * per-walk figure, not a running total. */
   val filesListedLastWalk = new AtomicLong(0)
+
+  /** Test observability: how many DISTRIBUTED rounds (Spark jobs) the
+    * most recent walk used. 0 = the whole listing ran driver-side. */
+  val distributedRoundsLastWalk = new AtomicLong(0)
 
   /** Which pushed filters the walk can evaluate: path string predicates
     * and size/mtime comparisons. Everything else stays with Spark. */
@@ -149,6 +155,50 @@ object MediaSource {
     found.toArray
   }
 
+  /** Budgeted breadth-first walk, the unit of the RECURSIVE distributed
+    * listing: visit at most `dirBudget` directories under `rootDir`
+    * (pruned by [[dirCanMatch]] before descent, exactly like
+    * [[walkTree]]), collecting files that pass `filters` up to `cap`.
+    * Directories still queued when the budget runs out are returned
+    * UNVISITED so the caller can re-fan them as the next round's tasks —
+    * this is what keeps a skewed tree (one giant subtree, or a long
+    * single-child chain) from serializing the walk onto one task: any
+    * subtree bigger than the budget splits itself. Hitting `cap`
+    * instead drops the remainder — a valid partial limit push, same
+    * contract as [[walkTree]]. Static for the same reason walkTree is:
+    * tasks ship only the filter array, and driver and executor run the
+    * identical bytes. */
+  private[sources] def walkBudgeted(rootDir: String, prefixes: Array[String],
+      filters: Array[Filter], cap: Int,
+      dirBudget: Int): (Array[MediaFile], Array[String]) = {
+    import scala.jdk.CollectionConverters._
+    val found = scala.collection.mutable.ArrayBuffer.empty[MediaFile]
+    val queue = scala.collection.mutable.Queue(rootDir)
+    var budget = dirBudget
+    while (queue.nonEmpty && budget > 0 && found.length < cap) {
+      val dir = queue.dequeue()
+      budget -= 1
+      val stream = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      val children =
+        (try stream.iterator().asScala.toArray finally stream.close())
+          .sortBy(_.toString)
+      var i = 0
+      while (i < children.length && found.length < cap) {
+        val c = children(i)
+        if (java.nio.file.Files.isDirectory(c)) {
+          if (dirCanMatch(c.toString, prefixes)) queue += c.toString
+        } else if (java.nio.file.Files.isRegularFile(c)) {
+          val m = MediaFile(c.toString, java.nio.file.Files.size(c),
+            java.nio.file.Files.getLastModifiedTime(c).toMillis)
+          if (filters.forall(eval(_, m))) found += m
+        }
+        i += 1
+      }
+    }
+    val pending = if (found.length >= cap) Array.empty[String] else queue.toArray
+    (found.toArray, pending)
+  }
+
   private[sources] def eval(f: Filter, file: MediaFile): Boolean = {
     def num(a: String): Long = if (a == "size") file.size else file.mtimeMs
     f match {
@@ -186,12 +236,16 @@ class MediaTable(schema: StructType) extends Table with SupportsRead {
     val target = options.getLong("partitionTargetBytes", 128L * 1024 * 1024)
     val listPar = options.getInt("listParallelism", 0)
     val slackMs = options.getLong("mtimeSlackMs", 0L)
-    new MediaScanBuilder(path, decode, target, listPar, slackMs)
+    val dirBudget = options.getInt("listDirBudget", 4096)
+    val maxListed = options.getInt("maxListedFiles", 10 * 1000 * 1000)
+    new MediaScanBuilder(path, decode, target, listPar, slackMs, dirBudget,
+      maxListed)
   }
 }
 
 class MediaScanBuilder(path: String, decode: String, targetBytes: Long,
-    listParallelism: Int = 0, mtimeSlackMs: Long = 0L)
+    listParallelism: Int = 0, mtimeSlackMs: Long = 0L,
+    listDirBudget: Int = 4096, maxListedFiles: Int = 10 * 1000 * 1000)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit {
   private var required: StructType = MediaSource.schemaFor(decode)
@@ -210,7 +264,7 @@ class MediaScanBuilder(path: String, decode: String, targetBytes: Long,
   override def pushLimit(l: Int): Boolean = { limit = l; false }
   override def build(): Scan =
     new MediaScan(path, decode, targetBytes, required, pushed, limit,
-      listParallelism, mtimeSlackMs)
+      listParallelism, mtimeSlackMs, listDirBudget, maxListedFiles)
 }
 
 /** One file's driver-side listing entry. */
@@ -250,7 +304,8 @@ final case class MediaFilesPartition(files: Array[MediaFile]) extends InputParti
 
 class MediaScan(path: String, decode: String, targetBytes: Long,
     required: StructType, filters: Array[Filter], limit: Int,
-    listParallelism: Int = 0, mtimeSlackMs: Long = 0L)
+    listParallelism: Int = 0, mtimeSlackMs: Long = 0L,
+    listDirBudget: Int = 4096, maxListedFiles: Int = 10 * 1000 * 1000)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -392,48 +447,72 @@ class MediaScan(path: String, decode: String, targetBytes: Long,
     * and a pushed limit stops the walk after enough surviving files.
     *
     * By default the walk is a single driver-side recursive descent —
-    * fine to millions of files. `listParallelism` > 0 fans the root's
-    * immediate subdirectories out as a Spark job (the
-    * InMemoryFileIndex approach) for 10⁸-file trees where the listing
-    * itself is the bottleneck; each task runs the SAME pruned walk
-    * over its subtree, so pushed-filter semantics are identical
-    * driver-vs-distributed (spec-asserted). Under the fan-out a pushed
-    * limit caps each subtree's walk and the sorted union is truncated
-    * after collect — any `limit` surviving files is a valid partial
-    * push (Spark holds the exact global limit). */
+    * fine to millions of files. `listParallelism` > 0 runs the walk as
+    * RECURSIVE frontier rounds (the InMemoryFileIndex approach, plus
+    * re-fanning): each round's directories are walked with a per-task
+    * budget of `listDirBudget` directories, and whatever a task leaves
+    * unvisited becomes the next round's frontier. A round with ≥2
+    * directories runs as a Spark job (`listParallelism` tasks); a
+    * 1-directory round runs driver-side with a budget of 1 — just that
+    * level — so a single-child chain or a one-giant-subtree first level
+    * expands into a wide frontier within a couple of cheap rounds
+    * instead of serializing the whole walk onto one task. Pushed-filter
+    * semantics are identical driver-vs-distributed (spec-asserted, same
+    * static walk code both sides). Under the fan-out a pushed limit
+    * caps each task's walk and the sorted union is truncated after
+    * collect — any `limit` surviving files is a valid partial push
+    * (Spark holds the exact global limit).
+    *
+    * The surviving-file array lives on the driver (it must: partition
+    * planning is driver-side), so `maxListedFiles` guards it: a listing
+    * that exceeds the guard fails fast with the pushdown remedies
+    * rather than silently eating driver memory. */
   private def listFiles(applyLimit: Boolean = true): Array[MediaFile] = {
     val root = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.isDirectory(root))
       throw new IllegalArgumentException(s"media source path is not a directory: $path")
     val prefixes: Array[String] =
       filters.collect { case StringStartsWith("path", p) => p }
-    val cap = if (applyLimit && limit >= 0) limit else Int.MaxValue
+    val cap0 = if (applyLimit && limit >= 0) limit else Int.MaxValue
+    // the guard bounds every path through here: walks stop at cap
+    val cap = math.min(cap0.toLong, maxListedFiles + 1L).toInt
+    def guard(n: Int): Unit =
+      if (n > maxListedFiles) throw new IllegalStateException(
+        s"media listing exceeded maxListedFiles=$maxListedFiles surviving files " +
+          s"under $path; push a path/size/mtime filter or a LIMIT, raise the " +
+          "option, or split the read by subtree")
+    MediaSource.distributedRoundsLastWalk.set(0)
     val found: Array[MediaFile] =
       if (listParallelism <= 0) MediaSource.walkTree(path, prefixes, filters, cap)
       else {
-        import scala.jdk.CollectionConverters._
-        val stream = java.nio.file.Files.list(root)
-        val children = try stream.iterator().asScala.toArray finally stream.close()
-        val subdirs = children.filter(java.nio.file.Files.isDirectory(_))
-          .map(_.toString).filter(MediaSource.dirCanMatch(_, prefixes)).sorted
-        val rootFiles = children.filter(java.nio.file.Files.isRegularFile(_)).flatMap { f =>
-          val m = MediaFile(f.toString, java.nio.file.Files.size(f),
-            java.nio.file.Files.getLastModifiedTime(f).toMillis)
-          if (filters.forall(MediaSource.eval(_, m))) Some(m) else None
+        val fsSer = filters; val pfxSer = prefixes; val capSer = cap
+        val budget = listDirBudget
+        val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+        val acc = scala.collection.mutable.ArrayBuffer.empty[MediaFile]
+        var frontier: Array[String] = Array(path)
+        var rounds = 0L
+        while (frontier.nonEmpty && acc.length < cap) {
+          val results: Array[(Array[MediaFile], Array[String])] =
+            if (frontier.length < 2)
+              // expand one level driver-side to discover parallelism
+              frontier.map(MediaSource.walkBudgeted(_, prefixes, filters, cap, 1))
+            else {
+              rounds += 1
+              sc.parallelize(frontier.toSeq.sorted,
+                  math.min(listParallelism, frontier.length))
+                .map(d => MediaSource.walkBudgeted(d, pfxSer, fsSer, capSer, budget))
+                .collect()
+            }
+          results.foreach { case (fs, _) => acc ++= fs }
+          guard(acc.length)
+          frontier = results.flatMap(_._2)
         }
-        if (subdirs.length < 2) // nothing to fan out — walk in the driver
-          rootFiles ++ subdirs.flatMap(MediaSource.walkTree(_, prefixes, filters, cap))
-        else {
-          val fsSer = filters; val pfxSer = prefixes; val capSer = cap
-          val sc = org.apache.spark.sql.SparkSession.active.sparkContext
-          rootFiles ++ sc
-            .parallelize(subdirs.toSeq, math.min(listParallelism, subdirs.length))
-            .flatMap(d => MediaSource.walkTree(d, pfxSer, fsSer, capSer))
-            .collect()
-        }
+        MediaSource.distributedRoundsLastWalk.set(rounds)
+        acc.toArray
       }
+    guard(found.length)
     val sorted = found.sortBy(_.path)
-    val out = if (sorted.length > cap) sorted.take(cap) else sorted
+    val out = if (sorted.length > cap0) sorted.take(cap0) else sorted
     MediaSource.filesListedLastWalk.set(out.length)
     out
   }

@@ -215,6 +215,60 @@ class MediaSourceSpec extends SparkSpec {
       "prefix pruning must hold under the distributed walk")
   }
 
+  test("skewed trees re-fan: distributed listing engages below a single-child root") {
+    // the worst case for a one-level fan-out: the root has ONE child,
+    // and all the width hides underneath it
+    val d = Files.createTempDirectory("media_skew").toString
+    val only = Paths.get(d, "archive")
+    Files.createDirectories(only)
+    (0 until 8).foreach { s =>
+      // each shard nests one level deeper, so a budget-1 task must
+      // leave its subdirectory pending — forcing a second round
+      val shard = only.resolve(s"shard_$s")
+      Files.createDirectories(shard.resolve("deep"))
+      Files.write(shard.resolve("top.ivf"), Vp9Ivf.generate(s.toLong))
+      (0 until 2).foreach { i =>
+        Files.write(shard.resolve("deep").resolve(f"clip_$i%02d.ivf"),
+          Vp9Ivf.generate((s * 10 + i).toLong))
+      }
+    }
+    def list(extra: Map[String, String]) = {
+      var r = spark.read.format("graft.sources.MediaSource").option("decode", "none")
+      extra.foreach { case (k, v) => r = r.option(k, v) }
+      r.load(d).select("path", "size").collect()
+        .map(x => (x.getString(0), x.getLong(1))).sortBy(_._1).toSeq
+    }
+    val driver = list(Map.empty)
+    assert(driver.length === 24)
+    // budget 1 forces every round to leave work behind, so the walk
+    // must re-fan repeatedly — and still agree with the driver walk
+    val dist = list(Map("listParallelism" -> "4", "listDirBudget" -> "1"))
+    assert(dist === driver, "skewed-tree re-fanned walk must agree exactly")
+    assert(MediaSource.distributedRoundsLastWalk.get() >= 2L,
+      "a single-child root must still reach distributed rounds (re-fanning)")
+    // sanity: a generous budget lists identically in fewer rounds
+    val dist2 = list(Map("listParallelism" -> "4"))
+    assert(dist2 === driver)
+  }
+
+  test("maxListedFiles fail-fast guards the driver-side array on both walk paths") {
+    val e1 = intercept[IllegalStateException] {
+      spark.read.format("graft.sources.MediaSource").option("decode", "none")
+        .option("maxListedFiles", "3").load(dir).count()
+    }
+    assert(e1.getMessage.contains("maxListedFiles"))
+    val e2 = intercept[IllegalStateException] {
+      spark.read.format("graft.sources.MediaSource").option("decode", "none")
+        .option("maxListedFiles", "3").option("listParallelism", "2")
+        .load(dir).count()
+    }
+    assert(e2.getMessage.contains("maxListedFiles"))
+    // a pushed LIMIT below the guard keeps the scan inside it
+    val ok = spark.read.format("graft.sources.MediaSource").option("decode", "none")
+      .option("maxListedFiles", "3").load(dir).select("path").limit(2).collect()
+    assert(ok.length === 2)
+  }
+
   test("a pushed limit does NOT truncate the streaming listing") {
     // batch scan with a pushed limit of 1, streamed through the same
     // MediaScan: latestOffset must still see the FULL tree, or files
