@@ -63,6 +63,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("mp3l3_gen_esc", "mp3l3_gen_esc(seed) - escape-edition Layer III stream: table selects over the full ISO Table B.7 set including the sixteen linbits escape tables 16-31"),
       (args: Seq[Expression]) => graft.pipeline.Mp3L3.Mp3L3GenEscExpr(args(0))))
     ext.injectFunction((
+      FunctionIdentifier("mp3l3_gen_short"),
+      info("mp3l3_gen_short", "mp3l3_gen_short(seed) - window-switching Layer III stream: granule block types cycle short/start/short/stop with 12x3 short scalefactor triplets and subblock gains"),
+      (args: Seq[Expression]) => graft.pipeline.Mp3L3.Mp3L3GenShortExpr(args(0))))
+    ext.injectFunction((
       FunctionIdentifier("mp3l3_spectral"),
       info("mp3l3_spectral", "mp3l3_spectral(bytes) - struct of side-info fields + integer-exact spectral-line functionals from a Layer III entropy decode (full Table B.7 incl. linbits escapes, count1 A/B), else NULL"),
       (args: Seq[Expression]) => graft.pipeline.Mp3L3.Mp3L3SpectralExpr(args(0))))

@@ -63,6 +63,12 @@ object Mp3L3 {
     0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 52, 62,
     74, 90, 110, 134, 162, 196, 238, 288, 342, 418, 576)
 
+  /** §2.4.2.7 Table B.8, 44.1 kHz SHORT blocks: per-window scalefactor
+    * band boundaries (12 bands, widths 4,4,4,4,6,8,10,12,14,18,22,30).
+    * Lines past 3×136 = 408 are the short-block rzero tail. */
+  val SfbShort44100: Array[Int] = Array(
+    0, 4, 8, 12, 16, 22, 30, 40, 52, 66, 84, 106, 136)
+
   /** §2.4.2.7: scalefac_compress → (slen1, slen2). */
   val Slen: Array[(Int, Int)] = Array(
     (0, 0), (0, 1), (0, 2), (0, 3), (3, 0), (1, 1), (1, 2), (1, 3),
@@ -393,6 +399,22 @@ object Mp3L3 {
       * (escape tables extend past 15 through linbits). */
     def pair(i: Int): (Int, Int)
 
+    /** 0 = long (no window switching); 1/2/3 = start/short/stop with
+      * window_switching_flag set. Non-long granules write the
+      * switched side-info shape (block_type, mixed_block_flag, TWO
+      * table selects, three subblock gains) and use the fixed region
+      * boundary 36 (§2.4.2.7: region0_count is not transmitted). */
+    def blockType: Int = 0
+    /** §2.4.2.7 subblock_gain, transmitted for every switched granule
+      * but only USED by short blocks; 0 for start/stop. */
+    def subblockGain(w: Int): Int = 0
+    /** Short-block scalefactor for (band 0..11, window 0..2); slen1
+      * covers bands 0–5, slen2 bands 6–11 (§2.4.2.7). */
+    def scalefacShort(band: Int, w: Int): Int = {
+      val s = if (band < 6) slen._1 else slen._2
+      if (s == 0) 0 else ((seed + 3 * band + w + g) % (1L << s)).toInt
+    }
+
     val bigValues: Int = 18 + ((seed + g) % 11).toInt   // 18..28 pairs
     val region0Count: Int = 3 + ((seed + g) % 4).toInt  // sfb 0..r0+1
     val region1Count: Int = 3
@@ -407,9 +429,13 @@ object Mp3L3 {
       val s = if (band < 11) slen._1 else slen._2
       if (s == 0) 0 else ((seed + band + g) % (1L << s)).toInt
     }
-    /** Region boundaries in lines (clamped by the big-value extent). */
-    def b1: Int = Sfb44100(region0Count + 1)
-    def b2: Int = Sfb44100(region0Count + region1Count + 2)
+    /** Region boundaries in lines (clamped by the big-value extent).
+      * Window-switching granules have NO transmitted region counts:
+      * region1 starts at line 36 (= Sfb44100(8) = 3× the first three
+      * short bands) and region2 does not exist. */
+    def b1: Int = if (blockType != 0) 36 else Sfb44100(region0Count + 1)
+    def b2: Int =
+      if (blockType != 0) 576 else Sfb44100(region0Count + region1Count + 2)
     def tableForLine(l: Int): Int =
       if (l < b1) tableSelect(0) else if (l < b2) tableSelect(1) else tableSelect(2)
     /** Count1 quad j → (v, w, x, y) SIGNED, magnitudes 0/1. */
@@ -460,6 +486,29 @@ object Mp3L3 {
     }
   }
 
+  /** Window-switching edition: per-granule block_type cycles through
+    * short/start/short/stop (2,1,2,3) so one frame mixes granule
+    * shapes the way a real transient sequence does. Short granules
+    * carry 12-band × 3-window scalefactors and live subblock gains;
+    * start/stop granules keep long scalefactors with gains pinned 0.
+    * Table selects stay in the non-escape 1–3 set (the escape path is
+    * mm19's concern); both land in the fixed switched regions
+    * (boundary 36). */
+  final case class GranShortParams(seed: Long, g: Int) extends GranLike {
+    override def blockType: Int = Array(2, 1, 2, 3)(((seed + g) % 4).toInt)
+    override def subblockGain(w: Int): Int =
+      if (blockType == 2) ((seed + g + w) % 8).toInt else 0
+    def tableSelect(r: Int): Int = ((seed + g + r) % 3).toInt + 1
+    def pair(i: Int): (Int, Int) = {
+      val t = BvTables(tableForLine(2 * i))
+      val mx = (seed + g + i) % (t.maxV + 1)
+      val my = (seed + g + i + 1) % (t.maxV + 1)
+      val sx = if ((seed + i) % 3 == 0) 1 else -1
+      val sy = if ((seed + i + 1) % 3 == 0) 1 else -1
+      (sx * mx.toInt, sy * my.toInt)
+    }
+  }
+
   private val BitrateKbps = Array(160, 192, 224, 256, 320) // indices 10..14
 
   /** Deterministic single-frame MPEG-1 Layer III mono stream for `seed`:
@@ -479,6 +528,13 @@ object Mp3L3 {
     genFrame(d, GranEscParams(d, 0), GranEscParams(d, 1))
   }
 
+  /** Window-switching generator: granule block types cycle through
+    * short/start/short/stop ([[GranShortParams]]). */
+  def genShort(seed: Long): Array[Byte] = {
+    val d = if (seed < 0) -seed else seed
+    genFrame(d, GranShortParams(d, 0), GranShortParams(d, 1))
+  }
+
   private def genFrame(d: Long, g0: GranLike, g1: GranLike): Array[Byte] = {
     val biIdx = (d % 5).toInt
     val kbps = BitrateKbps(biIdx)
@@ -488,12 +544,26 @@ object Mp3L3 {
     val main = new BitWriter
     val p23 = Array(g0, g1).map { p =>
       val before = main.bitCount
-      // scalefactors: 21 long-block bands
-      var band = 0
-      while (band < 21) {
-        val s = if (band < 11) p.slen._1 else p.slen._2
-        if (s > 0) main.u(p.scalefac(band), s)
-        band += 1
+      if (p.blockType == 2) {
+        // short blocks: 12 bands × 3 windows, band-major (§2.4.2.7)
+        var band = 0
+        while (band < 12) {
+          val s = if (band < 6) p.slen._1 else p.slen._2
+          var w = 0
+          while (w < 3) {
+            if (s > 0) main.u(p.scalefacShort(band, w), s)
+            w += 1
+          }
+          band += 1
+        }
+      } else {
+        // long/start/stop: 21 long-block bands
+        var band = 0
+        while (band < 21) {
+          val s = if (band < 11) p.slen._1 else p.slen._2
+          if (s > 0) main.u(p.scalefac(band), s)
+          band += 1
+        }
       }
       // big-value pairs (§2.4.3.4.6 write order: huffman code, then
       // linbits-x, sign-x, linbits-y, sign-y — linbits only when the
@@ -538,10 +608,20 @@ object Mp3L3 {
       out.u(p.bigValues, 9)
       out.u(p.globalGain, 8)
       out.u(p.scalefacCompress, 4)
-      out.u(0, 1) // windows_switching_flag: long blocks
-      out.u(p.tableSelect(0), 5); out.u(p.tableSelect(1), 5); out.u(p.tableSelect(2), 5)
-      out.u(p.region0Count, 4)
-      out.u(p.region1Count, 3)
+      if (p.blockType == 0) {
+        out.u(0, 1) // window_switching_flag: long blocks
+        out.u(p.tableSelect(0), 5); out.u(p.tableSelect(1), 5); out.u(p.tableSelect(2), 5)
+        out.u(p.region0Count, 4)
+        out.u(p.region1Count, 3)
+      } else {
+        // switched shape: same 22 bits as the three selects + regions
+        out.u(1, 1) // window_switching_flag
+        out.u(p.blockType, 2)
+        out.u(0, 1) // mixed_block_flag
+        out.u(p.tableSelect(0), 5); out.u(p.tableSelect(1), 5)
+        out.u(p.subblockGain(0), 3); out.u(p.subblockGain(1), 3)
+        out.u(p.subblockGain(2), 3)
+      }
       out.u(p.preflag, 1)
       out.u(p.scalefacScale, 1)
       out.u(p.count1Table, 1)
@@ -556,11 +636,18 @@ object Mp3L3 {
 
   // ==== the decoder half ==================================================
 
-  /** Decoded per-granule spectral state. */
+  /** Decoded per-granule spectral state. `blockType` 0 = long (no
+    * window switching); 1/2/3 = start/short/stop, where
+    * `region0Count`/`region1Count` are -1 (not transmitted),
+    * `tableSelect(2)` is -1 (region2 absent), and — for short only —
+    * `scalefacsShort` holds the 12-band × 3-window triplets indexed
+    * `band*3 + window` with `scalefacs` all-zero. */
   final case class Granule(part23Length: Int, bigValues: Int, globalGain: Int,
       scalefacCompress: Int, tableSelect: Array[Int], region0Count: Int,
       region1Count: Int, preflag: Int, scalefacScale: Int, count1Table: Int,
-      scalefacs: Array[Int], is: Array[Int], count1Quads: Int, bitsUsed: Int)
+      scalefacs: Array[Int], is: Array[Int], count1Quads: Int, bitsUsed: Int,
+      blockType: Int = 0, subblockGain: Array[Int] = Array(0, 0, 0),
+      scalefacsShort: Array[Int] = null)
 
   final case class L3Decoded(sampleRate: Int, bitrateKbps: Int,
       granules: Array[Granule])
@@ -621,22 +708,37 @@ object Mp3L3 {
       r.u(5) // private_bits
       val scfsi = Array.fill(4)(r.u(1))
       final case class Side(p23: Int, bv: Int, gg: Int, sc: Int, ts: Array[Int],
-          r0: Int, r1: Int, pre: Int, sfs: Int, c1t: Int)
+          r0: Int, r1: Int, pre: Int, sfs: Int, c1t: Int,
+          bt: Int, sbg: Array[Int])
       val sides = (0 until 2).map { _ =>
         val p23 = r.u(12)
         val bv = r.u(9)
         val gg = r.u(8)
         val sc = r.u(4)
-        if (r.u(1) != 0) return None // short/mixed blocks unsupported
-        val ts = Array(r.u(5), r.u(5), r.u(5))
-        if (ts.exists(t => !BvTables.contains(t))) return None // 4/14: invalid
-        val r0 = r.u(4)
-        val r1 = r.u(3)
-        if (r0 + r1 + 2 >= Sfb44100.length) return None
+        val wsf = r.u(1)
+        var bt = 0
+        var sbg = Array(0, 0, 0)
+        val ts =
+          if (wsf == 1) {
+            bt = r.u(2)
+            if (bt == 0) return None // §2.4.2.7: forbidden with the flag set
+            if (r.u(1) != 0) return None // mixed blocks unsupported
+            val t = Array(r.u(5), r.u(5), -1) // region2 absent
+            sbg = Array(r.u(3), r.u(3), r.u(3))
+            t
+          } else Array(r.u(5), r.u(5), r.u(5))
+        if (ts.exists(t => t >= 0 && !BvTables.contains(t))) return None // 4/14: invalid
+        val (r0, r1) =
+          if (wsf == 1) (-1, -1) // not transmitted; boundary fixed at 36
+          else {
+            val a = r.u(4); val b0 = r.u(3)
+            if (a + b0 + 2 >= Sfb44100.length) return None
+            (a, b0)
+          }
         val pre = r.u(1)
         val sfs = r.u(1)
         val c1t = r.u(1)
-        Side(p23, bv, gg, sc, ts, r0, r1, pre, sfs, c1t)
+        Side(p23, bv, gg, sc, ts, r0, r1, pre, sfs, c1t, bt, sbg)
       }
       // main data starts right after the 17-byte side info (no reservoir)
       val main = new BitReader(b, (4 + 17).toLong * 8)
@@ -645,20 +747,38 @@ object Mp3L3 {
         val start = main.pos
         val (slen1, slen2) = Slen(s.sc)
         val sf = new Array[Int](21)
-        var band = 0
-        while (band < 21) {
-          val slen = if (band < 11) slen1 else slen2
-          // scfsi groups (§2.4.2.7): 0–5, 6–10, 11–15, 16–20; a set bit
-          // means granule 1 reuses granule 0's scalefactors, no bits read
-          val group = if (band < 6) 0 else if (band < 11) 1 else if (band < 16) 2 else 3
-          if (g == 1 && scfsi(group) == 1) sf(band) = g0Scalefacs(band)
-          else if (slen > 0) sf(band) = main.u(slen)
-          band += 1
+        var sfShort: Array[Int] = null
+        if (s.bt == 2) {
+          // short: 12 bands × 3 windows, band-major; scfsi does not
+          // apply (§2.4.2.7 defines it for long scalefactors only)
+          sfShort = new Array[Int](36)
+          var band = 0
+          while (band < 12) {
+            val slen = if (band < 6) slen1 else slen2
+            var w = 0
+            while (w < 3) {
+              if (slen > 0) sfShort(band * 3 + w) = main.u(slen)
+              w += 1
+            }
+            band += 1
+          }
+        } else {
+          var band = 0
+          while (band < 21) {
+            val slen = if (band < 11) slen1 else slen2
+            // scfsi groups (§2.4.2.7): 0–5, 6–10, 11–15, 16–20; a set bit
+            // means granule 1 reuses granule 0's scalefactors, no bits read
+            val group = if (band < 6) 0 else if (band < 11) 1 else if (band < 16) 2 else 3
+            if (g == 1 && scfsi(group) == 1 && g0Scalefacs != null)
+              sf(band) = g0Scalefacs(band)
+            else if (slen > 0) sf(band) = main.u(slen)
+            band += 1
+          }
+          if (g == 0) g0Scalefacs = sf
         }
-        if (g == 0) g0Scalefacs = sf
         val is = new Array[Int](576)
-        val b1 = Sfb44100(s.r0 + 1)
-        val b2 = Sfb44100(s.r0 + s.r1 + 2)
+        val b1 = if (s.bt != 0) 36 else Sfb44100(s.r0 + 1)
+        val b2 = if (s.bt != 0) 576 else Sfb44100(s.r0 + s.r1 + 2)
         var line = 0
         while (line < 2 * s.bv) {
           val t = BvTables(
@@ -695,7 +815,7 @@ object Mp3L3 {
         val used = (main.pos - start).toInt
         if (used != s.p23) return None // must land EXACTLY on the bit count
         Granule(s.p23, s.bv, s.gg, s.sc, s.ts, s.r0, s.r1, s.pre, s.sfs,
-          s.c1t, sf, is, quads, used)
+          s.c1t, sf, is, quads, used, s.bt, s.sbg, sfShort)
       }
       Some(L3Decoded(44100, kbps, granules.toArray))
     } catch { case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException => None }
@@ -744,6 +864,28 @@ object Mp3L3 {
     override def prettyName: String = "mp3l3_gen_esc"
   }
 
+  /** `mp3l3_gen_short(seed)`: window-switching stream — granule block
+    * types cycle short/start/short/stop with short-block scalefactor
+    * triplets and live subblock gains. */
+  case class Mp3L3GenShortExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case LongType | IntegerType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"mp3l3_gen_short requires an integral seed, got ${t.catalogString}")
+    }
+    override def nullSafeEval(input: Any): Any = input match {
+      case l: java.lang.Long => Mp3L3.genShort(l)
+      case i: java.lang.Integer => Mp3L3.genShort(i.toLong)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.pipeline.Mp3L3.genShort((long) $c);")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "mp3l3_gen_short"
+  }
+
   /** The integer-exact spectral functionals surfaced per granule. */
   def spectralRow(b: Array[Byte]): InternalRow = decode(b) match {
     case None => null
@@ -759,13 +901,21 @@ object Mp3L3 {
           i += 1
         }
         var sfw = 0L
-        var band = 0
-        while (band < 21) { sfw += (band + 1).toLong * g.scalefacs(band); band += 1 }
+        if (g.blockType == 2) {
+          // short: weight in write order, (band*3 + window + 1)
+          var k = 0
+          while (k < 36) { sfw += (k + 1).toLong * g.scalefacsShort(k); k += 1 }
+        } else {
+          var band = 0
+          while (band < 21) { sfw += (band + 1).toLong * g.scalefacs(band); band += 1 }
+        }
+        val sbgw = g.subblockGain(0) + 2L * g.subblockGain(1) +
+          3L * g.subblockGain(2)
         Seq(g.part23Length.toLong, g.bigValues.toLong, g.globalGain.toLong,
           g.scalefacCompress.toLong, g.region0Count.toLong, g.region1Count.toLong,
           g.tableSelect(0).toLong, g.tableSelect(1).toLong, g.tableSelect(2).toLong,
           g.count1Table.toLong, g.preflag.toLong, g.scalefacScale.toLong,
-          sfw, nz, sum, wsum, g.count1Quads.toLong)
+          sfw, nz, sum, wsum, g.count1Quads.toLong, g.blockType.toLong, sbgw)
       }
       InternalRow.fromSeq(
         Seq(d.sampleRate.toLong, d.bitrateKbps.toLong) ++
@@ -789,7 +939,9 @@ object Mp3L3 {
     StructField(s"${p}_spec_nonzero", LongType),
     StructField(s"${p}_spec_sum", LongType),
     StructField(s"${p}_spec_wsum", LongType),
-    StructField(s"${p}_count1_quads", LongType))
+    StructField(s"${p}_count1_quads", LongType),
+    StructField(s"${p}_block_type", LongType),
+    StructField(s"${p}_sbg_wsum", LongType))
 
   val SpectralSchema: StructType = StructType(
     Seq(StructField("sample_rate", LongType), StructField("bitrate_kbps", LongType))

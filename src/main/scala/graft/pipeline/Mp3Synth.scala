@@ -2,10 +2,13 @@ package graft.pipeline
 
 /** MPEG-1 Layer III numeric back half: spectral lines → PCM samples.
   * Continues where [[Mp3L3]] (the entropy half) stops — requantization
-  * (ISO/IEC 11172-3 §2.4.3.4.7.1), alias reduction (§2.4.3.4.10.1),
-  * IMDCT + windowing + overlap-add (§2.4.3.4.12), frequency inversion,
-  * and the polyphase synthesis filterbank (§2.4.3.4.13) — long blocks,
-  * mono, 44.1 kHz, matching the entropy half's scope.
+  * (ISO/IEC 11172-3 §2.4.3.4.7.1, incl. short-block subblock gains),
+  * the short-block reorder (§2.4.3.4.8), alias reduction
+  * (§2.4.3.4.10.1, long-type granules), the 36- and 12-point IMDCTs
+  * with all four window types + overlap-add (§2.4.3.4.12), frequency
+  * inversion, and the polyphase synthesis filterbank (§2.4.3.4.13) —
+  * mono, 44.1 kHz, long/start/short/stop block types (mixed blocks
+  * excluded, matching the entropy half's scope).
   *
   * Faithfulness boundary, stage by stage:
   *   - requantization, alias reduction, IMDCT, windowing, overlap-add,
@@ -73,6 +76,78 @@ object Mp3Synth {
     xr
   }
 
+  // ==== short blocks: requantize + reorder (§2.4.3.4.7.1, §2.4.3.4.8) ====
+
+  /** Coded-order short-block band layout: coded index k sits in band b
+    * where 3·SfbShort(b) ≤ k < 3·SfbShort(b+1), at window
+    * w = (k − 3·SfbShort(b)) / width(b). Precomputed per line. */
+  private val shortBandOfCoded: Array[Int] = new Array[Int](576)
+  private val shortWindowOfCoded: Array[Int] = new Array[Int](576)
+  private val shortLineOfCoded: Array[Int] = new Array[Int](576)
+  locally {
+    val s = Mp3L3.SfbShort44100
+    var k = 0
+    while (k < 576) {
+      if (k >= 3 * s(12)) {
+        // rzero tail past the last short band: band 11 scaling by
+        // convention; the triplet structure ℓ = k/3, w = k mod 3 makes
+        // the reorder the identity here (3ℓ + w = k), keeping it a
+        // bijection overall
+        shortBandOfCoded(k) = 11
+        shortWindowOfCoded(k) = k % 3
+        shortLineOfCoded(k) = k / 3
+      } else {
+        var b = 0
+        while (k >= 3 * s(b + 1)) b += 1
+        val width = s(b + 1) - s(b)
+        val off = k - 3 * s(b)
+        shortBandOfCoded(k) = b
+        shortWindowOfCoded(k) = off / width
+        shortLineOfCoded(k) = s(b) + off % width
+      }
+      k += 1
+    }
+  }
+
+  /** Short-block (block_type 2, non-mixed) requantization in CODED
+    * order: no pretab, and each window carries its subblock gain
+    * 2^(−2·subblock_gain[w]) on top of the global gain
+    * (§2.4.3.4.7.1's 8·subblock_gain[w]/4 exponent term). */
+  def requantizeShort(g: Mp3L3.Granule): Array[Double] = {
+    val xr = new Array[Double](576)
+    val mult = 0.5 * (g.scalefacScale + 1)
+    val winGain = Array.tabulate(3)(w =>
+      math.pow(2.0, (g.globalGain - 210 - 8 * g.subblockGain(w)) / 4.0))
+    var k = 0
+    while (k < 576) {
+      val v = g.is(k)
+      if (v != 0) {
+        val b = shortBandOfCoded(k)
+        val w = shortWindowOfCoded(k)
+        val sf = if (b < 12 && g.scalefacsShort != null) g.scalefacsShort(b * 3 + w) else 0
+        val mag = math.pow(math.abs(v).toDouble, 4.0 / 3.0) *
+          winGain(w) * math.pow(2.0, -mult * sf)
+        xr(k) = if (v < 0) -mag else mag
+      }
+      k += 1
+    }
+    xr
+  }
+
+  /** §2.4.3.4.8 reorder: coded band-major triplets → the filterbank's
+    * interleaved layout, where (window w, within-window line ℓ) lands
+    * at 3ℓ + w — so subband sb's 18 lines are its 6 points × 3
+    * windows, point-major. A bijection on 0..575 (spec-pinned). */
+  def reorderShort(xr: Array[Double]): Array[Double] = {
+    val out = new Array[Double](576)
+    var k = 0
+    while (k < 576) {
+      out(3 * shortLineOfCoded(k) + shortWindowOfCoded(k)) = xr(k)
+      k += 1
+    }
+    out
+  }
+
   // ==== §2.4.3.4.10.1 alias reduction ====================================
 
   private val Ci: Array[Double] =
@@ -125,18 +200,92 @@ object Mp3Synth {
   val LongWindow: Array[Double] =
     Array.tabulate(36)(i => math.sin(math.Pi / 36.0 * (i + 0.5)))
 
-  /** One granule's 32 subbands: per-subband IMDCT + window, overlap-add
-    * with the carried state (18 doubles per subband), frequency
-    * inversion on odd samples of odd subbands. Returns 18 time slots ×
-    * 32 subband samples; `overlap` is updated in place. */
-  def subbandSynth(xr: Array[Double], overlap: Array[Array[Double]]): Array[Array[Double]] = {
+  /** Block_type 1 (start): long rise, flat top, short fall into the
+    * zero tail that the following short block's lead-in occupies
+    * (§2.4.3.4.12.3 — all closed forms). */
+  val StartWindow: Array[Double] = Array.tabulate(36) { i =>
+    if (i < 18) math.sin(math.Pi / 36.0 * (i + 0.5))
+    else if (i < 24) 1.0
+    else if (i < 30) math.sin(math.Pi / 12.0 * (i - 18 + 0.5))
+    else 0.0
+  }
+
+  /** Block_type 3 (stop): the start window mirrored. */
+  val StopWindow: Array[Double] = Array.tabulate(36) { i =>
+    if (i < 6) 0.0
+    else if (i < 12) math.sin(math.Pi / 12.0 * (i - 6 + 0.5))
+    else if (i < 18) 1.0
+    else math.sin(math.Pi / 36.0 * (i + 0.5))
+  }
+
+  /** Short sine window over the 12-sample short transform. */
+  val ShortWindow: Array[Double] =
+    Array.tabulate(12)(i => math.sin(math.Pi / 12.0 * (i + 0.5)))
+
+  /** 6-in / 12-out short-block IMDCT:
+    * x[i] = Σ_k X[k] cos(π/24 (2i+1+6)(2k+1)). */
+  def imdct12(xk: Array[Double]): Array[Double] = {
+    val out = new Array[Double](12)
+    var i = 0
+    while (i < 12) {
+      var s = 0.0
+      var k = 0
+      while (k < 6) {
+        s += xk(k) * math.cos(math.Pi / 24.0 * (2 * i + 1 + 6) * (2 * k + 1))
+        k += 1
+      }
+      out(i) = s
+      i += 1
+    }
+    out
+  }
+
+  /** One short-block subband: 18 reordered lines (6 points × 3 windows,
+    * point-major: line 3p + w) → the 36-sample vector the overlap-add
+    * consumes. Each window's 12 windowed IMDCT samples overlap at
+    * 6-sample offsets starting at position 6 (§2.4.3.4.12.4): the
+    * first/last 6 slots stay zero, which is exactly what the
+    * neighboring start/stop windows' flat-and-zero regions expect. */
+  def shortSubband(sub: Array[Double], off: Int): Array[Double] = {
+    val out = new Array[Double](36)
+    var w = 0
+    while (w < 3) {
+      val xk = new Array[Double](6)
+      var p = 0
+      while (p < 6) { xk(p) = sub(off + 3 * p + w); p += 1 }
+      val x = imdct12(xk)
+      var i = 0
+      while (i < 12) { out(6 + 6 * w + i) += x(i) * ShortWindow(i); i += 1 }
+      w += 1
+    }
+    out
+  }
+
+  /** One granule's 32 subbands: per-subband inverse transform + window
+    * (by `blockType`: 0 long sine, 1 start, 2 three short transforms,
+    * 3 stop), overlap-add with the carried state (18 doubles per
+    * subband), frequency inversion on odd samples of odd subbands.
+    * Returns 18 time slots × 32 subband samples; `overlap` is updated
+    * in place. */
+  def subbandSynth(xr: Array[Double], overlap: Array[Array[Double]],
+      blockType: Int = 0): Array[Array[Double]] = {
     val slots = Array.ofDim[Double](18, 32)
+    val longWin = blockType match {
+      case 1 => StartWindow
+      case 3 => StopWindow
+      case _ => LongWindow
+    }
     var sb = 0
     while (sb < 32) {
-      val xk = java.util.Arrays.copyOfRange(xr, 18 * sb, 18 * sb + 18)
-      val x = imdct36(xk)
-      var i = 0
-      while (i < 36) { x(i) *= LongWindow(i); i += 1 }
+      val x =
+        if (blockType == 2) shortSubband(xr, 18 * sb)
+        else {
+          val xk = java.util.Arrays.copyOfRange(xr, 18 * sb, 18 * sb + 18)
+          val z = imdct36(xk)
+          var i = 0
+          while (i < 36) { z(i) *= longWin(i); i += 1 }
+          z
+        }
       val ov = overlap(sb)
       var t = 0
       while (t < 18) {
@@ -235,9 +384,11 @@ object Mp3Synth {
     }
   }
 
-  /** Decode a full frame to PCM: entropy half → requantize → alias →
-    * IMDCT/overlap → polyphase. Two granules × 18 slots × 32 samples =
-    * 1152 doubles, or None outside the entropy half's scope. */
+  /** Decode a full frame to PCM: entropy half → requantize (+ reorder
+    * for short granules) → alias (long-type granules only) →
+    * inverse transform/overlap by block type → polyphase. Two
+    * granules × 18 slots × 32 samples = 1152 doubles, or None outside
+    * the entropy half's scope. */
   def decodePcm(frame: Array[Byte],
       window: Array[Double] = synthesisWindow): Option[Array[Double]] =
     Mp3L3.decode(frame).map { d =>
@@ -246,8 +397,11 @@ object Mp3Synth {
       val out = new Array[Double](1152)
       var g = 0
       while (g < 2) {
-        val xr = aliasReduce(requantize(d.granules(g)))
-        val slots = subbandSynth(xr, overlap)
+        val gr = d.granules(g)
+        val xr =
+          if (gr.blockType == 2) reorderShort(requantizeShort(gr))
+          else aliasReduce(requantize(gr))
+        val slots = subbandSynth(xr, overlap, gr.blockType)
         var t = 0
         while (t < 18) {
           val pcm = state.slot(slots(t))

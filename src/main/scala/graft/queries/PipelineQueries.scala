@@ -1759,11 +1759,33 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** MM20: the WINDOW-SWITCHING edition of mm18 — `mp3l3_gen_short`
+    * cycles granule block types through short/start/short/stop, so the
+    * decoder must take the switched side-info branch (block_type,
+    * mixed_block_flag, TWO table selects, three subblock gains, no
+    * region counts), read 12-band × 3-window short scalefactor
+    * triplets for type-2 granules, and decode big values across the
+    * FIXED region boundary 36. The oracle re-derives part2_3_length
+    * with the per-block-type scalefactor bit budget (18·slen1+18·slen2
+    * short vs 11·slen1+10·slen2 long) and replays the subblock-gain
+    * and triplet weighted sums, so every switched side-info bit and
+    * every short scalefactor lands in the right place at the right
+    * width. */
+  private def mm20(s: SparkSession, dir: String): DataFrame = {
+    val m = call_function("mp3l3_spectral",
+      call_function("mp3l3_gen_short", col("doc_id")))
+    val fields = graft.pipeline.Mp3L3.SpectralSchema.fieldNames.toSeq
+    Tables.documents(s, dir).select(col("doc_id"), m.as("__m"))
+      .select(col("doc_id") +: fields.map(f => col(s"__m.$f").as(f)): _*)
+      .orderBy(col("doc_id"))
+  }
+
   // ===== registry ========================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p_mm18_mp3_spectral" -> (mm18 _),
     "p_mm19_mp3_escape" -> (mm19 _),
+    "p_mm20_mp3_short" -> (mm20 _),
     "p_d1_exact_dedup" -> (d1 _),
     "p_d2_neardup_bruteforce" -> (d2 _),
     "p_d3_minhash_lsh_neardup" -> (d3 _),
@@ -3141,7 +3163,9 @@ object PipelineQueries {
             g1.c1t AS g1_count1_table, g1.pre AS g1_preflag,
             g1.sfs AS g1_scalefac_scale, g1.sf_wsum AS g1_sf_wsum,
             g1.nz AS g1_spec_nonzero, g1.vsum AS g1_spec_sum,
-            g1.wsum AS g1_spec_wsum, g1.nq AS g1_count1_quads
+            g1.wsum AS g1_spec_wsum, g1.nq AS g1_count1_quads,
+            CAST(0 AS BIGINT) AS g0_block_type, CAST(0 AS BIGINT) AS g0_sbg_wsum,
+            CAST(0 AS BIGINT) AS g1_block_type, CAST(0 AS BIGINT) AS g1_sbg_wsum
           FROM gr g0 JOIN gr g1 ON g1.d = g0.d AND g1.g = 1
           WHERE g0.g = 0 ORDER BY doc_id"""),
     "p_mm19_mp3_escape" ->
@@ -3247,7 +3271,127 @@ object PipelineQueries {
             g1.c1t AS g1_count1_table, g1.pre AS g1_preflag,
             g1.sfs AS g1_scalefac_scale, g1.sf_wsum AS g1_sf_wsum,
             g1.nz AS g1_spec_nonzero, g1.vsum AS g1_spec_sum,
-            g1.wsum AS g1_spec_wsum, g1.nq AS g1_count1_quads
+            g1.wsum AS g1_spec_wsum, g1.nq AS g1_count1_quads,
+            CAST(0 AS BIGINT) AS g0_block_type, CAST(0 AS BIGINT) AS g0_sbg_wsum,
+            CAST(0 AS BIGINT) AS g1_block_type, CAST(0 AS BIGINT) AS g1_sbg_wsum
+          FROM gr g0 JOIN gr g1 ON g1.d = g0.d AND g1.g = 1
+          WHERE g0.g = 0 ORDER BY doc_id"""),
+    "p_mm20_mp3_short" ->
+      (s"""WITH slentab(sc, s1, s2) AS (VALUES $mp3l3SlenSql),
+          bvlen(t, x, y, len) AS (VALUES $mp3l3BvLenSql),
+          cnt1a(idx, len) AS (VALUES $mp3l3Cnt1aSql),
+          base AS (SELECT doc_id AS d, gg.g FROM documents, (VALUES (0), (1)) gg(g)),
+          p AS (SELECT d, g,
+              CASE (d + g) % 4 WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN 2
+                ELSE 3 END AS bt,
+              18 + (d + g) % 11 AS bv,
+              (d + g) % 2 AS c1t, 4 + (d + g) % 4 AS nq, (d + g) % 16 AS sc,
+              d % 64 + 100 AS gain, d % 2 AS pre, (d // 2) % 2 AS sfs,
+              (d + g) % 3 + 1 AS t0, (d + g + 1) % 3 + 1 AS t1
+            FROM base),
+          pb AS (SELECT p.*, sl.s1, sl.s2 FROM p JOIN slentab sl ON sl.sc = p.sc),
+          sfagg AS (
+            -- short granules: 36 band-major triplet slots k = 3*band+w,
+            -- scalefac(k) = (d + k + g) mod 2^slen, slen split at slot 18
+            SELECT d, g, CAST(sum((k + 1) *
+                CASE WHEN (CASE WHEN k < 18 THEN s1 ELSE s2 END) = 0 THEN 0
+                     ELSE (d + k + g) %
+                       (CAST(1 AS BIGINT) << (CASE WHEN k < 18 THEN s1 ELSE s2 END))
+                END) AS BIGINT) AS sf_wsum,
+              CAST(18 * s1 + 18 * s2 AS BIGINT) AS sfbits
+            FROM pb, range(0, 36) rk(k) WHERE bt = 2 GROUP BY d, g, s1, s2
+            UNION ALL
+            -- start/stop granules keep long 21-band scalefactors
+            SELECT d, g, CAST(sum((band + 1) *
+                CASE WHEN (CASE WHEN band < 11 THEN s1 ELSE s2 END) = 0 THEN 0
+                     ELSE (d + band + g) %
+                       (CAST(1 AS BIGINT) << (CASE WHEN band < 11 THEN s1 ELSE s2 END))
+                END) AS BIGINT) AS sf_wsum,
+              CAST(11 * s1 + 10 * s2 AS BIGINT) AS sfbits
+            FROM pb, range(0, 21) rb(band) WHERE bt <> 2 GROUP BY d, g, s1, s2),
+          pv AS (SELECT d, g, i, t,
+              (d + g + i) % (CASE WHEN t = 1 THEN 2 ELSE 3 END) AS mx,
+              (d + g + i + 1) % (CASE WHEN t = 1 THEN 2 ELSE 3 END) AS my,
+              CASE WHEN (d + i) % 3 = 0 THEN 1 ELSE -1 END AS sx,
+              CASE WHEN (d + i + 1) % 3 = 0 THEN 1 ELSE -1 END AS sy
+            FROM (SELECT pb.*, rp.i,
+                -- window switching: the region boundary is FIXED at 36
+                CASE WHEN 2 * rp.i < 36 THEN t0 ELSE t1 END AS t
+              FROM pb, range(0, 28) rp(i) WHERE rp.i < bv)),
+          pagg AS (SELECT pv.d, pv.g,
+              sum(l.len + CASE WHEN mx <> 0 THEN 1 ELSE 0 END
+                + CASE WHEN my <> 0 THEN 1 ELSE 0 END) AS hbits,
+              sum(CASE WHEN mx <> 0 THEN 1 ELSE 0 END
+                + CASE WHEN my <> 0 THEN 1 ELSE 0 END) AS nz,
+              sum(sx * mx + sy * my) AS vsum,
+              sum((2 * i + 1) * sx * mx + (2 * i + 2) * sy * my) AS wsum
+            FROM pv JOIN bvlen l ON l.t = pv.t AND l.x = pv.mx AND l.y = pv.my
+            GROUP BY pv.d, pv.g),
+          qv AS (SELECT d, g, bv, c1t, j,
+              (d + j) % 2 AS mv, (d + j + 1) % 2 AS mw,
+              (d + j + g) % 2 AS mx, (d + j + g + 1) % 2 AS my,
+              CASE WHEN (d + j) % 3 = 0 THEN 1 ELSE -1 END AS sv,
+              CASE WHEN (d + j + 1) % 3 = 0 THEN 1 ELSE -1 END AS sw,
+              CASE WHEN (d + j + g) % 3 = 0 THEN 1 ELSE -1 END AS sx,
+              CASE WHEN (d + j + g + 1) % 3 = 0 THEN 1 ELSE -1 END AS sy
+            FROM (SELECT pb.d, pb.g, pb.bv, pb.c1t, rq.j
+              FROM pb, range(0, 7) rq(j) WHERE rq.j < nq)),
+          qagg AS (SELECT d, g,
+              sum((CASE WHEN c1t = 1 THEN 4 ELSE a.len END)
+                + mv + mw + mx + my) AS hbits,
+              sum(mv + mw + mx + my) AS nz,
+              sum(sv * mv + sw * mw + sx * mx + sy * my) AS vsum,
+              sum((2 * bv + 4 * j + 1) * sv * mv + (2 * bv + 4 * j + 2) * sw * mw
+                + (2 * bv + 4 * j + 3) * sx * mx
+                + (2 * bv + 4 * j + 4) * sy * my) AS wsum
+            FROM qv JOIN cnt1a a ON a.idx = mv * 8 + mw * 4 + mx * 2 + my
+            GROUP BY d, g),
+          gr AS (SELECT pb.d, pb.g,
+              CAST(sf.sfbits + pa.hbits + qa.hbits AS BIGINT) AS part23,
+              CAST(bv AS BIGINT) AS bv, CAST(gain AS BIGINT) AS gain,
+              CAST(sc AS BIGINT) AS sc,
+              CAST(t0 AS BIGINT) AS t0, CAST(t1 AS BIGINT) AS t1,
+              CAST(c1t AS BIGINT) AS c1t,
+              CAST(pre AS BIGINT) AS pre, CAST(sfs AS BIGINT) AS sfs,
+              sf.sf_wsum,
+              CAST(pa.nz + qa.nz AS BIGINT) AS nz,
+              CAST(pa.vsum + qa.vsum AS BIGINT) AS vsum,
+              CAST(pa.wsum + qa.wsum AS BIGINT) AS wsum,
+              CAST(nq AS BIGINT) AS nq,
+              CAST(bt AS BIGINT) AS bt,
+              CAST(CASE WHEN bt = 2 THEN
+                  (pb.d + pb.g) % 8 + 2 * ((pb.d + pb.g + 1) % 8)
+                  + 3 * ((pb.d + pb.g + 2) % 8)
+                ELSE 0 END AS BIGINT) AS sbgw
+            FROM pb JOIN sfagg sf ON sf.d = pb.d AND sf.g = pb.g
+                    JOIN pagg pa ON pa.d = pb.d AND pa.g = pb.g
+                    JOIN qagg qa ON qa.d = pb.d AND qa.g = pb.g)
+          SELECT g0.d AS doc_id,
+            CAST(44100 AS BIGINT) AS sample_rate,
+            CAST([160, 192, 224, 256, 320][CAST(g0.d % 5 + 1 AS INT)] AS BIGINT)
+              AS bitrate_kbps,
+            g0.part23 AS g0_part2_3_length, g0.bv AS g0_big_values,
+            g0.gain AS g0_global_gain, g0.sc AS g0_scalefac_compress,
+            CAST(-1 AS BIGINT) AS g0_region0_count,
+            CAST(-1 AS BIGINT) AS g0_region1_count,
+            g0.t0 AS g0_table0, g0.t1 AS g0_table1,
+            CAST(-1 AS BIGINT) AS g0_table2,
+            g0.c1t AS g0_count1_table, g0.pre AS g0_preflag,
+            g0.sfs AS g0_scalefac_scale, g0.sf_wsum AS g0_sf_wsum,
+            g0.nz AS g0_spec_nonzero, g0.vsum AS g0_spec_sum,
+            g0.wsum AS g0_spec_wsum, g0.nq AS g0_count1_quads,
+            g0.bt AS g0_block_type, g0.sbgw AS g0_sbg_wsum,
+            g1.part23 AS g1_part2_3_length, g1.bv AS g1_big_values,
+            g1.gain AS g1_global_gain, g1.sc AS g1_scalefac_compress,
+            CAST(-1 AS BIGINT) AS g1_region0_count,
+            CAST(-1 AS BIGINT) AS g1_region1_count,
+            g1.t0 AS g1_table0, g1.t1 AS g1_table1,
+            CAST(-1 AS BIGINT) AS g1_table2,
+            g1.c1t AS g1_count1_table, g1.pre AS g1_preflag,
+            g1.sfs AS g1_scalefac_scale, g1.sf_wsum AS g1_sf_wsum,
+            g1.nz AS g1_spec_nonzero, g1.vsum AS g1_spec_sum,
+            g1.wsum AS g1_spec_wsum, g1.nq AS g1_count1_quads,
+            g1.bt AS g1_block_type, g1.sbgw AS g1_sbg_wsum
           FROM gr g0 JOIN gr g1 ON g1.d = g0.d AND g1.g = 1
           WHERE g0.g = 0 ORDER BY doc_id"""),
     "p_t3_contamination" ->

@@ -143,6 +143,54 @@ class Mp3L3Spec extends SparkSpec {
       s"the non-escape tables 5-15 must be selected, saw $seenSelects")
   }
 
+  test("window-switching edition: genShort → decode identity over block types 1/2/3") {
+    val seenBt = scala.collection.mutable.Set.empty[Int]
+    for (seed <- 0L until 24L) {
+      val d = Mp3L3.decode(Mp3L3.genShort(seed))
+        .getOrElse(fail(s"seed $seed: no decode"))
+      for (g <- 0 to 1) {
+        val p = Mp3L3.GranShortParams(seed, g)
+        val gr = d.granules(g)
+        seenBt += gr.blockType
+        assert(gr.blockType === p.blockType, s"seed $seed g$g block_type")
+        assert(gr.bigValues === p.bigValues)
+        assert(gr.globalGain === p.globalGain)
+        assert(gr.tableSelect.toSeq === Seq(p.tableSelect(0), p.tableSelect(1), -1),
+          "switched side info carries two selects, region2 absent")
+        assert(gr.region0Count === -1 && gr.region1Count === -1,
+          "region counts are not transmitted under window switching")
+        assert(gr.subblockGain.toSeq === (0 until 3).map(p.subblockGain),
+          s"seed $seed g$g subblock gains")
+        assert(gr.bitsUsed === gr.part23Length,
+          s"seed $seed g$g: decode must close the bit count")
+        if (gr.blockType == 2) {
+          assert(gr.scalefacsShort !== null)
+          val exp = for (b <- 0 until 12; w <- 0 until 3) yield p.scalefacShort(b, w)
+          assert(gr.scalefacsShort.toSeq === exp, s"seed $seed g$g short scalefacs")
+          assert(gr.scalefacs.forall(_ == 0))
+        } else {
+          assert(gr.scalefacsShort === null)
+          assert(gr.scalefacs.toSeq === (0 until 21).map(p.scalefac))
+        }
+        // spectral lines across the fixed boundary 36: region0 table
+        // below, region1 table above
+        val expected = new Array[Int](576)
+        for (i <- 0 until p.bigValues) {
+          val (x, y) = p.pair(i)
+          expected(2 * i) = x; expected(2 * i + 1) = y
+        }
+        for (j <- 0 until p.nQuads) {
+          val (v, w, x, y) = p.quad(j)
+          val base = 2 * p.bigValues + 4 * j
+          expected(base) = v; expected(base + 1) = w
+          expected(base + 2) = x; expected(base + 3) = y
+        }
+        assert(gr.is.toSeq === expected.toSeq, s"seed $seed g$g spectral lines")
+      }
+    }
+    assert(seenBt === Set(1, 2, 3), s"all three switched block types, saw $seenBt")
+  }
+
   test("malformed or out-of-scope streams return null") {
     val good = Mp3L3.gen(5L)
     assert(Mp3L3.decode(good.take(20)) === None)        // truncated

@@ -110,6 +110,88 @@ class Mp3SynthSpec extends AnyFunSuite {
     assert(signFlips > 20, s"subband 31 must alternate per sample, flips=$signFlips")
   }
 
+  test("short-block requantization: subblock gains and triplet scalefactors land per window") {
+    def gran(is: Array[Int], gain: Int, sfs: Int, sbg: Array[Int],
+        sfShort: Array[Int]) =
+      Mp3L3.Granule(0, 0, gain, 0, Array(1, 1, -1), -1, -1, 0, sfs, 0,
+        new Array[Int](21), is.padTo(576, 0), 0, 0, 2, sbg, sfShort)
+    // coded index 0 = band 0 window 0; band widths start at 4, so coded
+    // 4..7 = band 0 window 1, coded 8..11 = band 0 window 2
+    val is = new Array[Int](576); is(0) = 8; is(4) = 8; is(8) = 8
+    val flat = gran(is, 210, 0, Array(0, 0, 0), new Array[Int](36))
+    val x0 = Mp3Synth.requantizeShort(flat)
+    assert(math.abs(x0(0) - 16.0) < 1e-9 && math.abs(x0(4) - 16.0) < 1e-9 &&
+      math.abs(x0(8) - 16.0) < 1e-9)
+    // subblock_gain[1] = 1 halves window 1 twice (2^-2), windows 0/2 untouched
+    val g1 = Mp3Synth.requantizeShort(gran(is, 210, 0, Array(0, 1, 0),
+      new Array[Int](36)))
+    assert(math.abs(g1(0) - 16.0) < 1e-9, "window 0 unaffected")
+    assert(math.abs(g1(4) - 4.0) < 1e-9, "subblock gain 1 scales by 2^-2")
+    assert(math.abs(g1(8) - 16.0) < 1e-9, "window 2 unaffected")
+    // short scalefactor (band 0, window 2) = 2 at scalefac_scale 0 → ×2^-1
+    val sf = new Array[Int](36); sf(2) = 2
+    val g2 = Mp3Synth.requantizeShort(gran(is, 210, 0, Array(0, 0, 0), sf))
+    assert(math.abs(g2(0) - 16.0) < 1e-9 && math.abs(g2(8) - 8.0) < 1e-9)
+    // no pretab for short blocks: the long path's band-17 emphasis has
+    // no analog here — same inputs with preflag set decode identically
+    // (preflag is simply not consulted by requantizeShort)
+  }
+
+  test("short-block reorder is the spec bijection: (window w, line l) -> 3l + w") {
+    val xr = Array.tabulate(576)(_.toDouble + 1)
+    val re = Mp3Synth.reorderShort(xr)
+    assert(re.toSet === xr.toSet, "reorder must be a bijection (no loss)")
+    // band 0 (width 4): coded 0..3 = window 0 lines 0..3 → 3l+0
+    assert(re(0) === xr(0) && re(3) === xr(1) && re(6) === xr(2) && re(9) === xr(3))
+    // coded 4 = window 1 line 0 → position 1; coded 8 = window 2 line 0 → 2
+    assert(re(1) === xr(4) && re(2) === xr(8))
+    // band 4 (width 6, lines 16..21): coded start 48; window 2 line 17
+    // sits at coded 48 + 2*6 + 1 = 61 → position 3*17+2 = 53
+    assert(re(53) === xr(61))
+    // the rzero tail (coded >= 408) maps identically
+    assert(re(500) === xr(500))
+  }
+
+  test("IMDCT-12 satisfies TDAC against an independent forward MDCT-12") {
+    def mdct12(x: Array[Double]): Array[Double] =
+      Array.tabulate(6) { k =>
+        (0 until 12).map(i => Mp3Synth.ShortWindow(i) * x(i) *
+          math.cos(math.Pi / 24.0 * (2 * i + 1 + 6) * (2 * k + 1))).sum
+      }
+    val rnd = new scala.util.Random(11)
+    val signal = Array.fill(18)(rnd.nextDouble() - 0.5)
+    val y0 = Mp3Synth.imdct12(mdct12(signal.slice(0, 12))).zipWithIndex
+      .map { case (v, i) => v * Mp3Synth.ShortWindow(i) }
+    val y1 = Mp3Synth.imdct12(mdct12(signal.slice(6, 18))).zipWithIndex
+      .map { case (v, i) => v * Mp3Synth.ShortWindow(i) }
+    // middle 6 samples reconstruct at the transform's n/4 = 3 gain
+    for (t <- 0 until 6) {
+      val rec = (y0(6 + t) + y1(t)) / 3.0
+      assert(math.abs(rec - signal(6 + t)) < 1e-9, s"short TDAC failed at $t")
+    }
+  }
+
+  test("start/stop windows: closed-form shapes splice long and short halves") {
+    val st = Mp3Synth.StartWindow; val sp = Mp3Synth.StopWindow
+    for (i <- 0 until 18)
+      assert(st(i) === Mp3Synth.LongWindow(i), "start rises like the long window")
+    for (i <- 18 until 24) assert(st(i) === 1.0)
+    for (i <- 30 until 36) assert(st(i) === 0.0)
+    // stop is start mirrored: w_stop(i) = w_start(35 - i)
+    for (i <- 0 until 36)
+      assert(math.abs(sp(i) - st(35 - i)) < 1e-12, s"mirror broke at $i")
+  }
+
+  test("full chain handles window-switching frames: short/start/stop granules reach PCM") {
+    for (seed <- 0L until 8L) {
+      val pcm = Mp3Synth.decodePcm(Mp3L3.genShort(seed))
+        .getOrElse(fail(s"seed $seed: no decode"))
+      assert(pcm.length === 1152)
+      assert(pcm.forall(v => !v.isNaN && !v.isInfinite))
+      assert(pcm.exists(_ != 0.0), s"seed $seed: window-switched frame carries signal")
+    }
+  }
+
   test("full chain: a generated frame decodes to 1152 finite, nonzero PCM samples") {
     for (seed <- Seq(3L, 42L)) {
       val pcm = Mp3Synth.decodePcm(Mp3L3.gen(seed))
