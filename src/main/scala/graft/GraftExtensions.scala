@@ -67,6 +67,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("mp3l3_gen_short", "mp3l3_gen_short(seed) - window-switching Layer III stream: granule block types cycle short/start/short/stop with 12x3 short scalefactor triplets and subblock gains"),
       (args: Seq[Expression]) => graft.pipeline.Mp3L3.Mp3L3GenShortExpr(args(0))))
     ext.injectFunction((
+      FunctionIdentifier("mp3l3_gen_mixed"),
+      info("mp3l3_gen_mixed", "mp3l3_gen_mixed(seed) - mixed-block Layer III stream: block_type 2 granules alternating mixed_block_flag, long scalefactor bands 0-7 + short bands 3-11 on the mixed granule"),
+      (args: Seq[Expression]) => graft.pipeline.Mp3L3.Mp3L3GenMixedExpr(args(0))))
+    ext.injectFunction((
       FunctionIdentifier("mp3l3_spectral"),
       info("mp3l3_spectral", "mp3l3_spectral(bytes) - struct of side-info fields + integer-exact spectral-line functionals from a Layer III entropy decode (full Table B.7 incl. linbits escapes, count1 A/B), else NULL"),
       (args: Seq[Expression]) => graft.pipeline.Mp3L3.Mp3L3SpectralExpr(args(0))))
@@ -86,6 +90,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("flac_meta"),
       info("flac_meta", "flac_meta(bytes) - struct(block/frame bounds, sample_rate, channels, bits_per_sample, total_samples, duration_ms, n_blocks, md5_hex) from a FLAC STREAMINFO + metadata-block walk, else NULL"),
       (args: Seq[Expression]) => graft.pipeline.FlacHeader.FlacMetaExpr(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("flac_gen_audio"),
+      info("flac_gen_audio", "flac_gen_audio(seed) - deterministic single-frame FLAC file (Rice-coded constant/verbatim/fixed/LPC subframes, all stereo decorrelation modes, CRC-8/CRC-16) for seed"),
+      (args: Seq[Expression]) => graft.pipeline.FlacPcm.FlacGenAudioExpr(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("flac_pcm"),
+      info("flac_pcm", "flac_pcm(bytes) - struct of frame-header fields + integer-exact per-channel PCM sample functionals from a full FLAC frame decode, else NULL"),
+      (args: Seq[Expression]) => graft.pipeline.FlacPcm.FlacPcmExpr(args(0))))
     ext.injectFunction((
       FunctionIdentifier("vp9_gen"),
       info("vp9_gen", "vp9_gen(seed) - deterministic VP9-in-IVF capture file (keyframe + inter frames) for seed"),

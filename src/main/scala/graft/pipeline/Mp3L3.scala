@@ -19,20 +19,26 @@ import org.apache.spark.sql.types._
   *
   * Decode contract (the GIF pattern: hand-written encoder half,
   * independent decoder half, coefficient-exact oracle):
-  *   - scope: MPEG-1 Layer III, 44.1 kHz, mono, long blocks
-  *     (`windows_switching_flag = 0`), `main_data_begin = 0` (no bit
-  *     reservoir), the FULL ISO 11172-3 Table B.7 big-value table set —
-  *     non-escape tables 0–13/15 and the sixteen linbits escape selects
-  *     16–31 (a decoded 15 takes a `linbits` magnitude extension before
-  *     its sign) — plus count1 tables A/B; streams selecting the
-  *     invalid table ids 4/14 or short blocks return NULL
+  *   - scope: MPEG-1 Layer III, 44.1 kHz, mono, ALL block types —
+  *     long granules plus the window-switched start/short/stop shapes
+  *     and MIXED blocks (block_type 2 + mixed_block_flag) —
+  *     `main_data_begin = 0` (no bit reservoir), the FULL ISO 11172-3
+  *     Table B.7 big-value table set — non-escape tables 0–13/15 and
+  *     the sixteen linbits escape selects 16–31 (a decoded 15 takes a
+  *     `linbits` magnitude extension before its sign) — plus count1
+  *     tables A/B; streams selecting the invalid table ids 4/14 (or a
+  *     mixed flag on a non-short block type) return NULL
   *   - side info (§2.4.1.7, 17 bytes mono): part2_3_length, big_values,
   *     global_gain, scalefac_compress, table_select×3, region counts,
-  *     preflag, scalefac_scale, count1table_select — all surfaced
+  *     preflag, scalefac_scale, count1table_select — all surfaced;
+  *     switched granules carry block_type, mixed_block_flag, two
+  *     selects, and three subblock gains instead of selects+regions
   *   - scalefactors (§2.4.2.7): 21 long-block bands, bands 0–10 at
   *     slen1 bits and 11–20 at slen2 per the public scalefac_compress
   *     table; scfsi honored per group (a set bit copies granule 0's
-  *     bands into granule 1)
+  *     bands into granule 1); short granules read 12 bands × 3 windows
+  *     band-major; MIXED granules read 8 long bands at slen1 then
+  *     short bands 3–11
   *   - Huffman (§2.4.3.4.6): big-value PAIRS region-switched at the
   *     scalefactor-band boundaries sfb[region0_count+1] and
   *     sfb[region0_count+region1_count+2] (44.1 kHz long-block table,
@@ -405,6 +411,11 @@ object Mp3L3 {
       * table selects, three subblock gains) and use the fixed region
       * boundary 36 (§2.4.2.7: region0_count is not transmitted). */
     def blockType: Int = 0
+    /** §2.4.2.7 mixed_block_flag — meaningful only with blockType 2:
+      * the two lowest subbands (lines 0–35) stay long-windowed with
+      * LONG scalefactor bands 0–7, while lines 36+ are short bands
+      * 3–11. */
+    def mixed: Int = 0
     /** §2.4.2.7 subblock_gain, transmitted for every switched granule
       * but only USED by short blocks; 0 for start/stop. */
     def subblockGain(w: Int): Int = 0
@@ -509,6 +520,27 @@ object Mp3L3 {
     }
   }
 
+  /** Mixed-block edition: every granule is block_type 2, with
+    * mixed_block_flag alternating by (seed+g) parity so one frame pits
+    * a MIXED granule (lines 0–35 long-windowed with long scalefactor
+    * bands 0–7, lines 36+ short bands 3–11) against a plain short one.
+    * Subblock gains stay live in both; table selects in the non-escape
+    * 1–3 set; both use the fixed switched region boundary 36. */
+  final case class GranMixedParams(seed: Long, g: Int) extends GranLike {
+    override def blockType: Int = 2
+    override def mixed: Int = ((seed + g + 1) % 2).toInt // g-alternating, seed-shifted
+    override def subblockGain(w: Int): Int = ((seed + g + w) % 8).toInt
+    def tableSelect(r: Int): Int = ((seed + g + r) % 3).toInt + 1
+    def pair(i: Int): (Int, Int) = {
+      val t = BvTables(tableForLine(2 * i))
+      val mx = (seed + g + i) % (t.maxV + 1)
+      val my = (seed + g + i + 1) % (t.maxV + 1)
+      val sx = if ((seed + i) % 3 == 0) 1 else -1
+      val sy = if ((seed + i + 1) % 3 == 0) 1 else -1
+      (sx * mx.toInt, sy * my.toInt)
+    }
+  }
+
   private val BitrateKbps = Array(160, 192, 224, 256, 320) // indices 10..14
 
   /** Deterministic single-frame MPEG-1 Layer III mono stream for `seed`:
@@ -535,6 +567,13 @@ object Mp3L3 {
     genFrame(d, GranShortParams(d, 0), GranShortParams(d, 1))
   }
 
+  /** Mixed-block generator: both granules block_type 2, with
+    * mixed_block_flag alternating ([[GranMixedParams]]). */
+  def genMixed(seed: Long): Array[Byte] = {
+    val d = if (seed < 0) -seed else seed
+    genFrame(d, GranMixedParams(d, 0), GranMixedParams(d, 1))
+  }
+
   private def genFrame(d: Long, g0: GranLike, g1: GranLike): Array[Byte] = {
     val biIdx = (d % 5).toInt
     val kbps = BitrateKbps(biIdx)
@@ -544,7 +583,25 @@ object Mp3L3 {
     val main = new BitWriter
     val p23 = Array(g0, g1).map { p =>
       val before = main.bitCount
-      if (p.blockType == 2) {
+      if (p.blockType == 2 && p.mixed == 1) {
+        // mixed (§2.4.2.7): 8 LONG bands at slen1, then short bands
+        // 3–11 band-major (3–5 at slen1, 6–11 at slen2)
+        var band = 0
+        while (band < 8) {
+          if (p.slen._1 > 0) main.u(p.scalefac(band), p.slen._1)
+          band += 1
+        }
+        band = 3
+        while (band < 12) {
+          val s = if (band < 6) p.slen._1 else p.slen._2
+          var w = 0
+          while (w < 3) {
+            if (s > 0) main.u(p.scalefacShort(band, w), s)
+            w += 1
+          }
+          band += 1
+        }
+      } else if (p.blockType == 2) {
         // short blocks: 12 bands × 3 windows, band-major (§2.4.2.7)
         var band = 0
         while (band < 12) {
@@ -617,7 +674,7 @@ object Mp3L3 {
         // switched shape: same 22 bits as the three selects + regions
         out.u(1, 1) // window_switching_flag
         out.u(p.blockType, 2)
-        out.u(0, 1) // mixed_block_flag
+        out.u(p.mixed, 1) // mixed_block_flag
         out.u(p.tableSelect(0), 5); out.u(p.tableSelect(1), 5)
         out.u(p.subblockGain(0), 3); out.u(p.subblockGain(1), 3)
         out.u(p.subblockGain(2), 3)
@@ -647,7 +704,7 @@ object Mp3L3 {
       region1Count: Int, preflag: Int, scalefacScale: Int, count1Table: Int,
       scalefacs: Array[Int], is: Array[Int], count1Quads: Int, bitsUsed: Int,
       blockType: Int = 0, subblockGain: Array[Int] = Array(0, 0, 0),
-      scalefacsShort: Array[Int] = null)
+      scalefacsShort: Array[Int] = null, mixed: Int = 0)
 
   final case class L3Decoded(sampleRate: Int, bitrateKbps: Int,
       granules: Array[Granule])
@@ -709,7 +766,7 @@ object Mp3L3 {
       val scfsi = Array.fill(4)(r.u(1))
       final case class Side(p23: Int, bv: Int, gg: Int, sc: Int, ts: Array[Int],
           r0: Int, r1: Int, pre: Int, sfs: Int, c1t: Int,
-          bt: Int, sbg: Array[Int])
+          bt: Int, sbg: Array[Int], mixed: Int)
       val sides = (0 until 2).map { _ =>
         val p23 = r.u(12)
         val bv = r.u(9)
@@ -718,11 +775,13 @@ object Mp3L3 {
         val wsf = r.u(1)
         var bt = 0
         var sbg = Array(0, 0, 0)
+        var mixed = 0
         val ts =
           if (wsf == 1) {
             bt = r.u(2)
             if (bt == 0) return None // §2.4.2.7: forbidden with the flag set
-            if (r.u(1) != 0) return None // mixed blocks unsupported
+            mixed = r.u(1)
+            if (mixed == 1 && bt != 2) return None // meaningful for short only
             val t = Array(r.u(5), r.u(5), -1) // region2 absent
             sbg = Array(r.u(3), r.u(3), r.u(3))
             t
@@ -738,7 +797,7 @@ object Mp3L3 {
         val pre = r.u(1)
         val sfs = r.u(1)
         val c1t = r.u(1)
-        Side(p23, bv, gg, sc, ts, r0, r1, pre, sfs, c1t, bt, sbg)
+        Side(p23, bv, gg, sc, ts, r0, r1, pre, sfs, c1t, bt, sbg, mixed)
       }
       // main data starts right after the 17-byte side info (no reservoir)
       val main = new BitReader(b, (4 + 17).toLong * 8)
@@ -748,7 +807,26 @@ object Mp3L3 {
         val (slen1, slen2) = Slen(s.sc)
         val sf = new Array[Int](21)
         var sfShort: Array[Int] = null
-        if (s.bt == 2) {
+        if (s.bt == 2 && s.mixed == 1) {
+          // mixed: 8 LONG bands at slen1, then short bands 3–11
+          // band-major (3–5 slen1, 6–11 slen2); scfsi does not apply
+          sfShort = new Array[Int](36)
+          var band = 0
+          while (band < 8) {
+            if (slen1 > 0) sf(band) = main.u(slen1)
+            band += 1
+          }
+          band = 3
+          while (band < 12) {
+            val slen = if (band < 6) slen1 else slen2
+            var w = 0
+            while (w < 3) {
+              if (slen > 0) sfShort(band * 3 + w) = main.u(slen)
+              w += 1
+            }
+            band += 1
+          }
+        } else if (s.bt == 2) {
           // short: 12 bands × 3 windows, band-major; scfsi does not
           // apply (§2.4.2.7 defines it for long scalefactors only)
           sfShort = new Array[Int](36)
@@ -815,7 +893,7 @@ object Mp3L3 {
         val used = (main.pos - start).toInt
         if (used != s.p23) return None // must land EXACTLY on the bit count
         Granule(s.p23, s.bv, s.gg, s.sc, s.ts, s.r0, s.r1, s.pre, s.sfs,
-          s.c1t, sf, is, quads, used, s.bt, s.sbg, sfShort)
+          s.c1t, sf, is, quads, used, s.bt, s.sbg, sfShort, s.mixed)
       }
       Some(L3Decoded(44100, kbps, granules.toArray))
     } catch { case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException => None }
@@ -886,6 +964,28 @@ object Mp3L3 {
     override def prettyName: String = "mp3l3_gen_short"
   }
 
+  /** `mp3l3_gen_mixed(seed)`: mixed-block stream — both granules
+    * block_type 2, mixed_block_flag alternating, long scalefactor
+    * bands 0–7 + short bands 3–11 on the mixed granule. */
+  case class Mp3L3GenMixedExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case LongType | IntegerType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"mp3l3_gen_mixed requires an integral seed, got ${t.catalogString}")
+    }
+    override def nullSafeEval(input: Any): Any = input match {
+      case l: java.lang.Long => Mp3L3.genMixed(l)
+      case i: java.lang.Integer => Mp3L3.genMixed(i.toLong)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.pipeline.Mp3L3.genMixed((long) $c);")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "mp3l3_gen_mixed"
+  }
+
   /** The integer-exact spectral functionals surfaced per granule. */
   def spectralRow(b: Array[Byte]): InternalRow = decode(b) match {
     case None => null
@@ -902,9 +1002,14 @@ object Mp3L3 {
         }
         var sfw = 0L
         if (g.blockType == 2) {
-          // short: weight in write order, (band*3 + window + 1)
+          // short: weight in write order, (band*3 + window + 1); a
+          // MIXED granule adds its long bands 0–7 at weight (band+1)
+          // (bands 8+ and non-mixed granules have all-zero scalefacs,
+          // so the long term vanishes where it doesn't apply)
           var k = 0
           while (k < 36) { sfw += (k + 1).toLong * g.scalefacsShort(k); k += 1 }
+          var band = 0
+          while (band < 21) { sfw += (band + 1).toLong * g.scalefacs(band); band += 1 }
         } else {
           var band = 0
           while (band < 21) { sfw += (band + 1).toLong * g.scalefacs(band); band += 1 }
@@ -915,7 +1020,8 @@ object Mp3L3 {
           g.scalefacCompress.toLong, g.region0Count.toLong, g.region1Count.toLong,
           g.tableSelect(0).toLong, g.tableSelect(1).toLong, g.tableSelect(2).toLong,
           g.count1Table.toLong, g.preflag.toLong, g.scalefacScale.toLong,
-          sfw, nz, sum, wsum, g.count1Quads.toLong, g.blockType.toLong, sbgw)
+          sfw, nz, sum, wsum, g.count1Quads.toLong, g.blockType.toLong, sbgw,
+          g.mixed.toLong)
       }
       InternalRow.fromSeq(
         Seq(d.sampleRate.toLong, d.bitrateKbps.toLong) ++
@@ -941,7 +1047,8 @@ object Mp3L3 {
     StructField(s"${p}_spec_wsum", LongType),
     StructField(s"${p}_count1_quads", LongType),
     StructField(s"${p}_block_type", LongType),
-    StructField(s"${p}_sbg_wsum", LongType))
+    StructField(s"${p}_sbg_wsum", LongType),
+    StructField(s"${p}_mixed", LongType))
 
   val SpectralSchema: StructType = StructType(
     Seq(StructField("sample_rate", LongType), StructField("bitrate_kbps", LongType))

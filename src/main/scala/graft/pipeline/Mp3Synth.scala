@@ -7,8 +7,11 @@ package graft.pipeline
   * (§2.4.3.4.10.1, long-type granules), the 36- and 12-point IMDCTs
   * with all four window types + overlap-add (§2.4.3.4.12), frequency
   * inversion, and the polyphase synthesis filterbank (§2.4.3.4.13) —
-  * mono, 44.1 kHz, long/start/short/stop block types (mixed blocks
-  * excluded, matching the entropy half's scope).
+  * mono, 44.1 kHz, long/start/short/stop block types INCLUDING mixed
+  * blocks (block_type 2 + mixed_block_flag: the two lowest subbands
+  * long-windowed over long scalefactor bands 0–7 with pretab, lines
+  * 36+ short bands 3–11, alias reduction confined to the one
+  * long–long boundary).
   *
   * Faithfulness boundary, stage by stage:
   *   - requantization, alias reduction, IMDCT, windowing, overlap-add,
@@ -148,6 +151,60 @@ object Mp3Synth {
     out
   }
 
+  // ==== mixed blocks (block_type 2 + mixed_block_flag) ===================
+
+  /** Mixed-block requantization in coded order: lines 0–35 (the two
+    * long-windowed subbands) long-style over long bands 0–7 WITH
+    * pretab; lines 36+ short-style over short bands 3–11 with
+    * subblock gains. Short band 3 starts at line 12 and 3·12 = 36, so
+    * the short-region triplet layout begins exactly where the long
+    * region ends. */
+  def requantizeMixed(g: Mp3L3.Granule): Array[Double] = {
+    val xr = new Array[Double](576)
+    val mult = 0.5 * (g.scalefacScale + 1)
+    val gainPow = math.pow(2.0, (g.globalGain - 210) / 4.0)
+    val winGain = Array.tabulate(3)(w =>
+      math.pow(2.0, (g.globalGain - 210 - 8 * g.subblockGain(w)) / 4.0))
+    var k = 0
+    while (k < 576) {
+      val v = g.is(k)
+      if (v != 0) {
+        val mag =
+          if (k < 36) {
+            val band = bandOfLine(k) // 0..7 here
+            val sf = g.scalefacs(band) + g.preflag * Pretab(band)
+            math.pow(math.abs(v).toDouble, 4.0 / 3.0) * gainPow *
+              math.pow(2.0, -mult * sf)
+          } else {
+            val b = shortBandOfCoded(k) // ≥ 3 for k ≥ 36
+            val w = shortWindowOfCoded(k)
+            val sf = if (b < 12 && g.scalefacsShort != null) g.scalefacsShort(b * 3 + w) else 0
+            math.pow(math.abs(v).toDouble, 4.0 / 3.0) * winGain(w) *
+              math.pow(2.0, -mult * sf)
+          }
+        xr(k) = if (v < 0) -mag else mag
+      }
+      k += 1
+    }
+    xr
+  }
+
+  /** Mixed-block reorder: identity on the long region (lines 0–35),
+    * the §2.4.3.4.8 triplet map on lines 36+ — which lands entirely in
+    * [36, 576) because the coded short region starts at band 3
+    * (ℓ ≥ SfbShort(3) = 12 ⇒ 3ℓ + w ≥ 36), so the two regions never
+    * collide and the whole map stays a bijection. */
+  def reorderMixed(xr: Array[Double]): Array[Double] = {
+    val out = new Array[Double](576)
+    System.arraycopy(xr, 0, out, 0, 36)
+    var k = 36
+    while (k < 576) {
+      out(3 * shortLineOfCoded(k) + shortWindowOfCoded(k)) = xr(k)
+      k += 1
+    }
+    out
+  }
+
   // ==== §2.4.3.4.10.1 alias reduction ====================================
 
   private val Ci: Array[Double] =
@@ -155,12 +212,14 @@ object Mp3Synth {
   val Cs: Array[Double] = Ci.map(c => 1.0 / math.sqrt(1.0 + c * c))
   val Ca: Array[Double] = Ci.map(c => c / math.sqrt(1.0 + c * c))
 
-  /** Eight butterflies across each of the 31 subband boundaries (long
-    * blocks reduce every boundary). In place on a copy. */
-  def aliasReduce(xr: Array[Double]): Array[Double] = {
+  /** Eight butterflies across each of the first `nBounds` subband
+    * boundaries (long blocks reduce all 31; MIXED blocks only the one
+    * boundary between the two long-windowed subbands, §2.4.3.4.10.1).
+    * In place on a copy. */
+  def aliasReduce(xr: Array[Double], nBounds: Int = 31): Array[Double] = {
     val x = xr.clone()
     var sb = 1
-    while (sb < 32) {
+    while (sb < 1 + nBounds) {
       val base = 18 * sb
       var i = 0
       while (i < 8) {
@@ -263,12 +322,13 @@ object Mp3Synth {
 
   /** One granule's 32 subbands: per-subband inverse transform + window
     * (by `blockType`: 0 long sine, 1 start, 2 three short transforms,
-    * 3 stop), overlap-add with the carried state (18 doubles per
-    * subband), frequency inversion on odd samples of odd subbands.
-    * Returns 18 time slots × 32 subband samples; `overlap` is updated
-    * in place. */
+    * 3 stop; with `mixed` the two lowest subbands of a type-2 granule
+    * take the LONG sine window per §2.4.3.4.12), overlap-add with the
+    * carried state (18 doubles per subband), frequency inversion on
+    * odd samples of odd subbands. Returns 18 time slots × 32 subband
+    * samples; `overlap` is updated in place. */
   def subbandSynth(xr: Array[Double], overlap: Array[Array[Double]],
-      blockType: Int = 0): Array[Array[Double]] = {
+      blockType: Int = 0, mixed: Boolean = false): Array[Array[Double]] = {
     val slots = Array.ofDim[Double](18, 32)
     val longWin = blockType match {
       case 1 => StartWindow
@@ -278,7 +338,7 @@ object Mp3Synth {
     var sb = 0
     while (sb < 32) {
       val x =
-        if (blockType == 2) shortSubband(xr, 18 * sb)
+        if (blockType == 2 && !(mixed && sb < 2)) shortSubband(xr, 18 * sb)
         else {
           val xk = java.util.Arrays.copyOfRange(xr, 18 * sb, 18 * sb + 18)
           val z = imdct36(xk)
@@ -399,9 +459,11 @@ object Mp3Synth {
       while (g < 2) {
         val gr = d.granules(g)
         val xr =
-          if (gr.blockType == 2) reorderShort(requantizeShort(gr))
+          if (gr.blockType == 2 && gr.mixed == 1)
+            aliasReduce(reorderMixed(requantizeMixed(gr)), 1)
+          else if (gr.blockType == 2) reorderShort(requantizeShort(gr))
           else aliasReduce(requantize(gr))
-        val slots = subbandSynth(xr, overlap, gr.blockType)
+        val slots = subbandSynth(xr, overlap, gr.blockType, gr.mixed == 1)
         var t = 0
         while (t < 18) {
           val pcm = state.slot(slots(t))

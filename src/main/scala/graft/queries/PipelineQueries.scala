@@ -1780,12 +1780,56 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** MM22: the MIXED-BLOCK edition of mm20 — `mp3l3_gen_mixed` makes
+    * every granule block_type 2 with mixed_block_flag alternating, so
+    * the decoder must read the mixed scalefactor layout (8 LONG bands
+    * at slen1 THEN short bands 3–11 band-major) on mixed granules and
+    * the plain 12×3 short layout on the others, in the same frame. The
+    * oracle re-derives part2_3_length with the mixed bit budget
+    * (17·slen1 + 18·slen2 vs 18·slen1 + 18·slen2) and folds BOTH
+    * scalefactor families into sf_wsum (long bands weighted band+1,
+    * short slots weighted k+1), so a decoder that reads either family
+    * at the wrong width or into the wrong slot cannot close the bit
+    * count or match the weighted sum. */
+  private def mm22(s: SparkSession, dir: String): DataFrame = {
+    val m = call_function("mp3l3_spectral",
+      call_function("mp3l3_gen_mixed", col("doc_id")))
+    val fields = graft.pipeline.Mp3L3.SpectralSchema.fieldNames.toSeq
+    Tables.documents(s, dir).select(col("doc_id"), m.as("__m"))
+      .select(col("doc_id") +: fields.map(f => col(s"__m.$f").as(f)): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** MM21: FLAC SAMPLE decode ([[graft.pipeline.FlacPcm]]) — the one
+    * compressed audio codec with NO spec-table seam: each document
+    * becomes a complete single-frame FLAC file via the hand-written
+    * encoder half `flac_gen_audio` (doc_id-selected block size, stereo
+    * decorrelation mode, constant/verbatim/fixed/LPC subframe types,
+    * Rice partition layout, CRC-8/CRC-16), and `flac_pcm` independently
+    * bit-decodes frame header → subframes → Rice residuals →
+    * predictor reconstruction → stereo un-decorrelation down to every
+    * PCM sample. The oracle replays EVERYTHING in closed form from
+    * doc_id — including `frame_bytes` as the exact sum of header,
+    * warm-up, coefficient, and per-residual Rice bit lengths (zigzag →
+    * quotient+1+k), the FLAC analog of mm18's part2_3_length pin — and
+    * the per-channel position-weighted sample sums pin each decoded
+    * sample's value AND placement after decorrelation. */
+  private def mm21(s: SparkSession, dir: String): DataFrame = {
+    val m = call_function("flac_pcm", call_function("flac_gen_audio", col("doc_id")))
+    val fields = graft.pipeline.FlacPcm.PcmSchema.fieldNames.toSeq
+    Tables.documents(s, dir).select(col("doc_id"), m.as("__m"))
+      .select(col("doc_id") +: fields.map(f => col(s"__m.$f").as(f)): _*)
+      .orderBy(col("doc_id"))
+  }
+
   // ===== registry ========================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p_mm18_mp3_spectral" -> (mm18 _),
     "p_mm19_mp3_escape" -> (mm19 _),
     "p_mm20_mp3_short" -> (mm20 _),
+    "p_mm21_flac_pcm" -> (mm21 _),
+    "p_mm22_mp3_mixed" -> (mm22 _),
     "p_d1_exact_dedup" -> (d1 _),
     "p_d2_neardup_bruteforce" -> (d2 _),
     "p_d3_minhash_lsh_neardup" -> (d3 _),
@@ -3165,7 +3209,8 @@ object PipelineQueries {
             g1.nz AS g1_spec_nonzero, g1.vsum AS g1_spec_sum,
             g1.wsum AS g1_spec_wsum, g1.nq AS g1_count1_quads,
             CAST(0 AS BIGINT) AS g0_block_type, CAST(0 AS BIGINT) AS g0_sbg_wsum,
-            CAST(0 AS BIGINT) AS g1_block_type, CAST(0 AS BIGINT) AS g1_sbg_wsum
+            CAST(0 AS BIGINT) AS g1_block_type, CAST(0 AS BIGINT) AS g1_sbg_wsum,
+            CAST(0 AS BIGINT) AS g0_mixed, CAST(0 AS BIGINT) AS g1_mixed
           FROM gr g0 JOIN gr g1 ON g1.d = g0.d AND g1.g = 1
           WHERE g0.g = 0 ORDER BY doc_id"""),
     "p_mm19_mp3_escape" ->
@@ -3273,7 +3318,8 @@ object PipelineQueries {
             g1.nz AS g1_spec_nonzero, g1.vsum AS g1_spec_sum,
             g1.wsum AS g1_spec_wsum, g1.nq AS g1_count1_quads,
             CAST(0 AS BIGINT) AS g0_block_type, CAST(0 AS BIGINT) AS g0_sbg_wsum,
-            CAST(0 AS BIGINT) AS g1_block_type, CAST(0 AS BIGINT) AS g1_sbg_wsum
+            CAST(0 AS BIGINT) AS g1_block_type, CAST(0 AS BIGINT) AS g1_sbg_wsum,
+            CAST(0 AS BIGINT) AS g0_mixed, CAST(0 AS BIGINT) AS g1_mixed
           FROM gr g0 JOIN gr g1 ON g1.d = g0.d AND g1.g = 1
           WHERE g0.g = 0 ORDER BY doc_id"""),
     "p_mm20_mp3_short" ->
@@ -3391,9 +3437,231 @@ object PipelineQueries {
             g1.sfs AS g1_scalefac_scale, g1.sf_wsum AS g1_sf_wsum,
             g1.nz AS g1_spec_nonzero, g1.vsum AS g1_spec_sum,
             g1.wsum AS g1_spec_wsum, g1.nq AS g1_count1_quads,
-            g1.bt AS g1_block_type, g1.sbgw AS g1_sbg_wsum
+            g1.bt AS g1_block_type, g1.sbgw AS g1_sbg_wsum,
+            CAST(0 AS BIGINT) AS g0_mixed, CAST(0 AS BIGINT) AS g1_mixed
           FROM gr g0 JOIN gr g1 ON g1.d = g0.d AND g1.g = 1
           WHERE g0.g = 0 ORDER BY doc_id"""),
+    "p_mm22_mp3_mixed" ->
+      (s"""WITH slentab(sc, s1, s2) AS (VALUES $mp3l3SlenSql),
+          bvlen(t, x, y, len) AS (VALUES $mp3l3BvLenSql),
+          cnt1a(idx, len) AS (VALUES $mp3l3Cnt1aSql),
+          base AS (SELECT doc_id AS d, gg.g FROM documents, (VALUES (0), (1)) gg(g)),
+          p AS (SELECT d, g,
+              (d + g + 1) % 2 AS mx,
+              18 + (d + g) % 11 AS bv,
+              (d + g) % 2 AS c1t, 4 + (d + g) % 4 AS nq, (d + g) % 16 AS sc,
+              d % 64 + 100 AS gain, d % 2 AS pre, (d // 2) % 2 AS sfs,
+              (d + g) % 3 + 1 AS t0, (d + g + 1) % 3 + 1 AS t1
+            FROM base),
+          pb AS (SELECT p.*, sl.s1, sl.s2 FROM p JOIN slentab sl ON sl.sc = p.sc),
+          sfagg AS (
+            -- non-mixed short granules: 36 band-major triplet slots
+            SELECT d, g, CAST(sum((k + 1) *
+                CASE WHEN (CASE WHEN k < 18 THEN s1 ELSE s2 END) = 0 THEN 0
+                     ELSE (d + k + g) %
+                       (CAST(1 AS BIGINT) << (CASE WHEN k < 18 THEN s1 ELSE s2 END))
+                END) AS BIGINT) AS sf_wsum,
+              CAST(18 * s1 + 18 * s2 AS BIGINT) AS sfbits
+            FROM pb, range(0, 36) rk(k) WHERE mx = 0 GROUP BY d, g, s1, s2
+            UNION ALL
+            -- MIXED granules: long bands 0-7 at slen1 (weight band+1)
+            -- plus short bands 3-11 = slots 9..35 (weight k+1)
+            SELECT lp.d, lp.g, CAST(lp.lsum + sp.ssum AS BIGINT) AS sf_wsum,
+              CAST(17 * lp.s1 + 18 * lp.s2 AS BIGINT) AS sfbits
+            FROM (SELECT d, g, s1, s2, sum((band + 1) *
+                  CASE WHEN s1 = 0 THEN 0
+                       ELSE (d + band + g) % (CAST(1 AS BIGINT) << s1) END) AS lsum
+              FROM pb, range(0, 8) rb(band) WHERE mx = 1 GROUP BY d, g, s1, s2) lp
+            JOIN (SELECT d, g, sum((k + 1) *
+                  CASE WHEN (CASE WHEN k < 18 THEN s1 ELSE s2 END) = 0 THEN 0
+                       ELSE (d + k + g) %
+                         (CAST(1 AS BIGINT) << (CASE WHEN k < 18 THEN s1 ELSE s2 END))
+                  END) AS ssum
+              FROM pb, range(9, 36) rk(k) WHERE mx = 1 GROUP BY d, g) sp
+            ON sp.d = lp.d AND sp.g = lp.g),
+          pv AS (SELECT d, g, i, t,
+              (d + g + i) % (CASE WHEN t = 1 THEN 2 ELSE 3 END) AS mx2,
+              (d + g + i + 1) % (CASE WHEN t = 1 THEN 2 ELSE 3 END) AS my,
+              CASE WHEN (d + i) % 3 = 0 THEN 1 ELSE -1 END AS sx,
+              CASE WHEN (d + i + 1) % 3 = 0 THEN 1 ELSE -1 END AS sy
+            FROM (SELECT pb.*, rp.i,
+                CASE WHEN 2 * rp.i < 36 THEN t0 ELSE t1 END AS t
+              FROM pb, range(0, 28) rp(i) WHERE rp.i < bv)),
+          pagg AS (SELECT pv.d, pv.g,
+              sum(l.len + CASE WHEN mx2 <> 0 THEN 1 ELSE 0 END
+                + CASE WHEN my <> 0 THEN 1 ELSE 0 END) AS hbits,
+              sum(CASE WHEN mx2 <> 0 THEN 1 ELSE 0 END
+                + CASE WHEN my <> 0 THEN 1 ELSE 0 END) AS nz,
+              sum(sx * mx2 + sy * my) AS vsum,
+              sum((2 * i + 1) * sx * mx2 + (2 * i + 2) * sy * my) AS wsum
+            FROM pv JOIN bvlen l ON l.t = pv.t AND l.x = pv.mx2 AND l.y = pv.my
+            GROUP BY pv.d, pv.g),
+          qv AS (SELECT d, g, bv, c1t, j,
+              (d + j) % 2 AS mv, (d + j + 1) % 2 AS mw,
+              (d + j + g) % 2 AS mx2, (d + j + g + 1) % 2 AS my,
+              CASE WHEN (d + j) % 3 = 0 THEN 1 ELSE -1 END AS sv,
+              CASE WHEN (d + j + 1) % 3 = 0 THEN 1 ELSE -1 END AS sw,
+              CASE WHEN (d + j + g) % 3 = 0 THEN 1 ELSE -1 END AS sx,
+              CASE WHEN (d + j + g + 1) % 3 = 0 THEN 1 ELSE -1 END AS sy
+            FROM (SELECT pb.d, pb.g, pb.bv, pb.c1t, rq.j
+              FROM pb, range(0, 7) rq(j) WHERE rq.j < nq)),
+          qagg AS (SELECT d, g,
+              sum((CASE WHEN c1t = 1 THEN 4 ELSE a.len END)
+                + mv + mw + mx2 + my) AS hbits,
+              sum(mv + mw + mx2 + my) AS nz,
+              sum(sv * mv + sw * mw + sx * mx2 + sy * my) AS vsum,
+              sum((2 * bv + 4 * j + 1) * sv * mv + (2 * bv + 4 * j + 2) * sw * mw
+                + (2 * bv + 4 * j + 3) * sx * mx2
+                + (2 * bv + 4 * j + 4) * sy * my) AS wsum
+            FROM qv JOIN cnt1a a ON a.idx = mv * 8 + mw * 4 + mx2 * 2 + my
+            GROUP BY d, g),
+          gr AS (SELECT pb.d, pb.g,
+              CAST(sf.sfbits + pa.hbits + qa.hbits AS BIGINT) AS part23,
+              CAST(bv AS BIGINT) AS bv, CAST(gain AS BIGINT) AS gain,
+              CAST(sc AS BIGINT) AS sc,
+              CAST(t0 AS BIGINT) AS t0, CAST(t1 AS BIGINT) AS t1,
+              CAST(c1t AS BIGINT) AS c1t,
+              CAST(pre AS BIGINT) AS pre, CAST(sfs AS BIGINT) AS sfs,
+              sf.sf_wsum,
+              CAST(pa.nz + qa.nz AS BIGINT) AS nz,
+              CAST(pa.vsum + qa.vsum AS BIGINT) AS vsum,
+              CAST(pa.wsum + qa.wsum AS BIGINT) AS wsum,
+              CAST(nq AS BIGINT) AS nq,
+              CAST(mx AS BIGINT) AS mx,
+              CAST((pb.d + pb.g) % 8 + 2 * ((pb.d + pb.g + 1) % 8)
+                + 3 * ((pb.d + pb.g + 2) % 8) AS BIGINT) AS sbgw
+            FROM pb JOIN sfagg sf ON sf.d = pb.d AND sf.g = pb.g
+                    JOIN pagg pa ON pa.d = pb.d AND pa.g = pb.g
+                    JOIN qagg qa ON qa.d = pb.d AND qa.g = pb.g)
+          SELECT g0.d AS doc_id,
+            CAST(44100 AS BIGINT) AS sample_rate,
+            CAST([160, 192, 224, 256, 320][CAST(g0.d % 5 + 1 AS INT)] AS BIGINT)
+              AS bitrate_kbps,
+            g0.part23 AS g0_part2_3_length, g0.bv AS g0_big_values,
+            g0.gain AS g0_global_gain, g0.sc AS g0_scalefac_compress,
+            CAST(-1 AS BIGINT) AS g0_region0_count,
+            CAST(-1 AS BIGINT) AS g0_region1_count,
+            g0.t0 AS g0_table0, g0.t1 AS g0_table1,
+            CAST(-1 AS BIGINT) AS g0_table2,
+            g0.c1t AS g0_count1_table, g0.pre AS g0_preflag,
+            g0.sfs AS g0_scalefac_scale, g0.sf_wsum AS g0_sf_wsum,
+            g0.nz AS g0_spec_nonzero, g0.vsum AS g0_spec_sum,
+            g0.wsum AS g0_spec_wsum, g0.nq AS g0_count1_quads,
+            CAST(2 AS BIGINT) AS g0_block_type, g0.sbgw AS g0_sbg_wsum,
+            g1.part23 AS g1_part2_3_length, g1.bv AS g1_big_values,
+            g1.gain AS g1_global_gain, g1.sc AS g1_scalefac_compress,
+            CAST(-1 AS BIGINT) AS g1_region0_count,
+            CAST(-1 AS BIGINT) AS g1_region1_count,
+            g1.t0 AS g1_table0, g1.t1 AS g1_table1,
+            CAST(-1 AS BIGINT) AS g1_table2,
+            g1.c1t AS g1_count1_table, g1.pre AS g1_preflag,
+            g1.sfs AS g1_scalefac_scale, g1.sf_wsum AS g1_sf_wsum,
+            g1.nz AS g1_spec_nonzero, g1.vsum AS g1_spec_sum,
+            g1.wsum AS g1_spec_wsum, g1.nq AS g1_count1_quads,
+            CAST(2 AS BIGINT) AS g1_block_type, g1.sbgw AS g1_sbg_wsum,
+            g0.mx AS g0_mixed, g1.mx AS g1_mixed
+          FROM gr g0 JOIN gr g1 ON g1.d = g0.d AND g1.g = 1
+          WHERE g0.g = 0 ORDER BY doc_id"""),
+    "p_mm21_flac_pcm" ->
+      ("""WITH p AS (SELECT doc_id AS d,
+              64 + (doc_id % 5) * 32 AS n,
+              doc_id % 5 AS mode,
+              CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 2 END AS nch,
+              CASE doc_id % 5 WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 8
+                WHEN 3 THEN 9 ELSE 10 END AS chmode,
+              doc_id % 2 AS po, 2 + doc_id % 3 AS shift,
+              1 + doc_id % 4 AS lpcord
+            FROM documents),
+          ch AS (SELECT p.*, cc.c,
+              (d + 3 * cc.c) % 8 AS t,
+              CASE WHEN (chmode = 8 AND cc.c = 1) OR (chmode = 9 AND cc.c = 0)
+                   OR (chmode = 10 AND cc.c = 1) THEN 17 ELSE 16 END AS bpsc,
+              CASE WHEN (d + 3 * cc.c) % 8 IN (0, 1) THEN 0
+                   WHEN (d + 3 * cc.c) % 8 = 7 THEN 1 + d % 4
+                   ELSE (d + 3 * cc.c) % 8 - 2 END AS ord
+            FROM p, (VALUES (0), (1)) cc(c) WHERE cc.c < nch),
+          xs AS (SELECT ch.*, ri.i,
+              CASE WHEN t = 0 THEN (d * 7 + 13 * c) % 1025 - 512
+                   ELSE (d * (c + 3) + (ri.i + 1) * (ri.i + 7)) % 1025 - 512
+              END AS x
+            FROM ch, range(0, 192) ri(i) WHERE ri.i < n),
+          lg AS (SELECT *, lag(x, 1) OVER w AS x1, lag(x, 2) OVER w AS x2,
+              lag(x, 3) OVER w AS x3, lag(x, 4) OVER w AS x4
+            FROM xs WINDOW w AS (PARTITION BY d, c ORDER BY i)),
+          res AS (SELECT d, c,
+              CASE t WHEN 2 THEN x WHEN 3 THEN x - x1
+                WHEN 4 THEN x - 2 * x1 + x2
+                WHEN 5 THEN x - 3 * x1 + 3 * x2 - x3
+                WHEN 6 THEN x - 4 * x1 + 6 * x2 - 4 * x3 + x4
+                WHEN 7 THEN x - CAST(floor((
+                    ((d + c) % 15 - 7) * x1
+                    + CASE WHEN lpcord >= 2 THEN ((d + c + 1) % 15 - 7) * x2
+                        ELSE 0 END
+                    + CASE WHEN lpcord >= 3 THEN ((d + c + 2) % 15 - 7) * x3
+                        ELSE 0 END
+                    + CASE WHEN lpcord >= 4 THEN ((d + c + 3) % 15 - 7) * x4
+                        ELSE 0 END
+                  ) / power(2, shift)) AS BIGINT)
+              END AS r,
+              6 + (d + c + (i // (n >> po))) % 4 AS k
+            FROM lg WHERE t >= 2 AND i >= ord),
+          rb AS (SELECT d, c, sum(
+                (CASE WHEN r < 0 THEN -2 * r - 1 ELSE 2 * r END)
+                  // (CAST(1 AS BIGINT) << k) + 1 + k) AS ricebits
+            FROM res GROUP BY d, c),
+          body AS (SELECT ch.d, ch.c,
+              CASE ch.t WHEN 0 THEN bpsc WHEN 1 THEN n * bpsc
+                WHEN 7 THEN ord * bpsc + 9 + lpcord * 5 + 6
+                  + (1 << po) * 4 + coalesce(rb.ricebits, 0)
+                ELSE ord * bpsc + 6 + (1 << po) * 4 + coalesce(rb.ricebits, 0)
+              END AS bits,
+              CASE ch.t WHEN 0 THEN 0 WHEN 1 THEN 1
+                WHEN 7 THEN 32 + lpcord - 1 ELSE 6 + ch.t END AS styp
+            FROM ch LEFT JOIN rb ON rb.d = ch.d AND rb.c = ch.c),
+          fb AS (SELECT d, sum(8 + bits) AS sbits,
+              max(CASE WHEN c = 0 THEN styp END) AS st0,
+              coalesce(max(CASE WHEN c = 1 THEN styp END), -1) AS st1
+            FROM body GROUP BY d),
+          cw AS (SELECT d, i, mode,
+              max(CASE WHEN c = 0 THEN x END) AS x0,
+              max(CASE WHEN c = 1 THEN x END) AS x1v
+            FROM xs GROUP BY d, i, mode),
+          outs AS (SELECT d, i,
+              CASE WHEN mode <= 2 THEN x0
+                   WHEN mode = 3 THEN x0 + x1v
+                   ELSE (2 * x0 + ((x1v % 2) + 2) % 2 + x1v) // 2 END AS o0,
+              CASE WHEN mode = 0 THEN NULL
+                   WHEN mode = 1 THEN x1v
+                   WHEN mode = 2 THEN x0 - x1v
+                   WHEN mode = 3 THEN x1v
+                   ELSE (2 * x0 + ((x1v % 2) + 2) % 2 - x1v) // 2 END AS o1
+            FROM cw),
+          st AS (SELECT d,
+              min(least(o0, coalesce(o1, o0))) AS min_s,
+              max(greatest(o0, coalesce(o1, o0))) AS max_s,
+              sum(CASE WHEN o0 <> 0 THEN 1 ELSE 0 END
+                + CASE WHEN coalesce(o1, 0) <> 0 THEN 1 ELSE 0 END) AS nz,
+              sum(o0) AS s0, sum((i + 1) * o0) AS w0,
+              coalesce(sum(o1), 0) AS s1,
+              coalesce(sum((i + 1) * o1), 0) AS w1
+            FROM outs GROUP BY d)
+          SELECT p.d AS doc_id,
+            CAST(p.n AS BIGINT) AS block_size,
+            CAST(p.nch AS BIGINT) AS channels,
+            CAST(p.chmode AS BIGINT) AS chan_mode,
+            CAST(16 AS BIGINT) AS bps,
+            CAST(fb.st0 AS BIGINT) AS subframe_type0,
+            CAST(fb.st1 AS BIGINT) AS subframe_type1,
+            CAST((56 + fb.sbits + 7) // 8 + 2 AS BIGINT) AS frame_bytes,
+            CAST(st.min_s AS BIGINT) AS min_s,
+            CAST(st.max_s AS BIGINT) AS max_s,
+            CAST(st.nz AS BIGINT) AS n_nonzero,
+            CAST(st.s0 AS BIGINT) AS ch0_sum,
+            CAST(st.w0 AS BIGINT) AS ch0_wsum,
+            CAST(st.s1 AS BIGINT) AS ch1_sum,
+            CAST(st.w1 AS BIGINT) AS ch1_wsum
+          FROM p JOIN fb ON fb.d = p.d JOIN st ON st.d = p.d
+          ORDER BY doc_id"""),
     "p_t3_contamination" ->
       ("""WITH corpus AS (
             SELECT doc_id, text FROM documents WHERE doc_id < 1000),

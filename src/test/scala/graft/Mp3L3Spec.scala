@@ -191,6 +191,64 @@ class Mp3L3Spec extends SparkSpec {
     assert(seenBt === Set(1, 2, 3), s"all three switched block types, saw $seenBt")
   }
 
+  test("mixed-block edition: genMixed → decode identity over both scalefactor layouts") {
+    val seenMixed = scala.collection.mutable.Set.empty[Int]
+    for (seed <- 0L until 24L) {
+      val d = Mp3L3.decode(Mp3L3.genMixed(seed))
+        .getOrElse(fail(s"seed $seed: no decode"))
+      for (g <- 0 to 1) {
+        val p = Mp3L3.GranMixedParams(seed, g)
+        val gr = d.granules(g)
+        seenMixed += gr.mixed
+        assert(gr.blockType === 2 && gr.mixed === p.mixed, s"seed $seed g$g")
+        assert(gr.bitsUsed === gr.part23Length,
+          s"seed $seed g$g: decode must close the bit count")
+        assert(gr.subblockGain.toSeq === (0 until 3).map(p.subblockGain))
+        if (gr.mixed == 1) {
+          // long bands 0–7 transmitted at slen1, 8+ untouched
+          assert(gr.scalefacs.take(8).toSeq === (0 until 8).map(p.scalefac),
+            s"seed $seed g$g mixed long scalefacs")
+          assert(gr.scalefacs.drop(8).forall(_ == 0))
+          // short slots: bands 0–2 never transmitted, 3–11 band-major
+          assert(gr.scalefacsShort.take(9).forall(_ == 0))
+          val exp = for (b <- 3 until 12; w <- 0 until 3) yield p.scalefacShort(b, w)
+          assert(gr.scalefacsShort.drop(9).toSeq === exp,
+            s"seed $seed g$g mixed short scalefacs")
+        } else {
+          assert(gr.scalefacs.forall(_ == 0))
+          val exp = for (b <- 0 until 12; w <- 0 until 3) yield p.scalefacShort(b, w)
+          assert(gr.scalefacsShort.toSeq === exp)
+        }
+        val expected = new Array[Int](576)
+        for (i <- 0 until p.bigValues) {
+          val (x, y) = p.pair(i)
+          expected(2 * i) = x; expected(2 * i + 1) = y
+        }
+        for (j <- 0 until p.nQuads) {
+          val (v, w, x, y) = p.quad(j)
+          val base = 2 * p.bigValues + 4 * j
+          expected(base) = v; expected(base + 1) = w
+          expected(base + 2) = x; expected(base + 3) = y
+        }
+        assert(gr.is.toSeq === expected.toSeq, s"seed $seed g$g spectral lines")
+      }
+    }
+    assert(seenMixed === Set(0, 1), "both mixed and non-mixed granules exercised")
+  }
+
+  test("a mixed flag on a non-short block type is rejected") {
+    // genShort seed 1 makes granule 0 block_type 1 (start); setting its
+    // mixed_block_flag (side-info bit 18 + 12+9+8+4+1+2 = 54) must NULL
+    val b = Mp3L3.genShort(1L)
+    assert(Mp3L3.decode(b).isDefined)
+    assert(Mp3L3.GranShortParams(1L, 0).blockType === 1)
+    val p = 32 + 54
+    val mask = 1 << (7 - (p & 7))
+    val bad = b.clone()
+    bad(p >> 3) = ((bad(p >> 3) | mask).toByte)
+    assert(Mp3L3.decode(bad) === None)
+  }
+
   test("malformed or out-of-scope streams return null") {
     val good = Mp3L3.gen(5L)
     assert(Mp3L3.decode(good.take(20)) === None)        // truncated

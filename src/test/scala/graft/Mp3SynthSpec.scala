@@ -192,6 +192,49 @@ class Mp3SynthSpec extends AnyFunSuite {
     }
   }
 
+  test("mixed-block reorder: identity on the long region, short bijection above") {
+    val xr = Array.tabulate(576)(_.toDouble + 1)
+    val out = Mp3Synth.reorderMixed(xr)
+    // lines 0–35 (the two long-windowed subbands) stay in place
+    assert(out.take(36).toSeq === xr.take(36).toSeq)
+    // lines 36+ are a permutation of the coded 36+ values (bijection)
+    assert(out.drop(36).sorted.toSeq === xr.drop(36).sorted.toSeq)
+    assert(out.drop(36).toSeq !== xr.drop(36).toSeq, "the short map does move lines")
+  }
+
+  test("mixed-block requantization: pretab on the long region, subblock gains above") {
+    import graft.pipeline.Mp3L3.Granule
+    def gran(preflag: Int, sbg: Array[Int]): Granule = {
+      val is = new Array[Int](576)
+      is(30) = 8    // long region, band 7 (lines 30..35)
+      is(36) = 8    // short region start: band 3, window 0
+      Granule(0, 0, 210, 0, Array(1, 1, -1), -1, -1, preflag, 0, 0,
+        new Array[Int](21), is, 0, 0, blockType = 2, subblockGain = sbg,
+        scalefacsShort = new Array[Int](36), mixed = 1)
+    }
+    val plain = Mp3Synth.requantizeMixed(gran(0, Array(0, 0, 0)))
+    assert(math.abs(plain(30) - 16.0) < 1e-12, "8^(4/3) = 16 at gain 210")
+    assert(math.abs(plain(36) - 16.0) < 1e-12)
+    // preflag applies pretab only to the LONG region (band 7 → pretab 0;
+    // use band 17 line? long region is bands 0..7 — pretab(7) = 0, so
+    // check instead that the short region ignores a live subblock gain
+    // on window 0 while the long region keeps it out entirely
+    val gained = Mp3Synth.requantizeMixed(gran(0, Array(1, 0, 0)))
+    assert(math.abs(gained(30) - 16.0) < 1e-12, "long region has no subblock gain")
+    assert(math.abs(gained(36) - 16.0 / 4.0) < 1e-12,
+      "short window 0 scales by 2^(-2·sbg)")
+  }
+
+  test("full chain handles mixed-block frames: both granule flavors reach PCM") {
+    for (seed <- 0L until 8L) {
+      val pcm = Mp3Synth.decodePcm(Mp3L3.genMixed(seed))
+        .getOrElse(fail(s"seed $seed: no decode"))
+      assert(pcm.length === 1152)
+      assert(pcm.forall(v => !v.isNaN && !v.isInfinite))
+      assert(pcm.exists(_ != 0.0), s"seed $seed: mixed frame carries signal")
+    }
+  }
+
   test("full chain: a generated frame decodes to 1152 finite, nonzero PCM samples") {
     for (seed <- Seq(3L, 42L)) {
       val pcm = Mp3Synth.decodePcm(Mp3L3.gen(seed))
