@@ -75,6 +75,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("mp3l3_spectral", "mp3l3_spectral(bytes) - struct of side-info fields + integer-exact spectral-line functionals from a Layer III entropy decode (full Table B.7 incl. linbits escapes, count1 A/B), else NULL"),
       (args: Seq[Expression]) => graft.pipeline.Mp3L3.Mp3L3SpectralExpr(args(0))))
     ext.injectFunction((
+      FunctionIdentifier("mp3l3_gen_stereo"),
+      info("mp3l3_gen_stereo", "mp3l3_gen_stereo(seed) - two-channel Layer III stream: four granule payloads, plain stereo on even seeds, joint stereo with the MS extension on odd"),
+      (args: Seq[Expression]) => graft.pipeline.Mp3L3.Mp3L3GenStereoExpr(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("mp3l3_spectral_st"),
+      info("mp3l3_spectral_st", "mp3l3_spectral_st(bytes) - header mode fields + per-slot integer-exact spectral functionals of a stereo Layer III stream, else NULL"),
+      (args: Seq[Expression]) => graft.pipeline.Mp3L3.Mp3L3SpectralStExpr(args(0))))
+    ext.injectFunction((
       FunctionIdentifier("adts_meta"),
       info("adts_meta", "adts_meta(bytes) - struct(mpeg_version, object_type, sample_rate, channels, crc_present, frames, total_bytes, duration_ms, avg_kbps) from an AAC ADTS frame-header walk, else NULL"),
       (args: Seq[Expression]) => graft.pipeline.AdtsHeader.AdtsMetaExpr(args(0))))

@@ -574,14 +574,36 @@ object Mp3L3 {
     genFrame(d, GranMixedParams(d, 0), GranMixedParams(d, 1))
   }
 
-  private def genFrame(d: Long, g0: GranLike, g1: GranLike): Array[Byte] = {
+  /** STEREO generator: four long-block granule payloads in
+    * transmission order (gr0ch0, gr0ch1, gr1ch0, gr1ch1), each with
+    * its own [[GranParams]] slot g = 2·gr+ch. Even seeds emit plain
+    * stereo (mode 00); odd seeds joint stereo with the MS
+    * mode-extension bit (the matrixed M/S spectra ride the same
+    * entropy layer — MS reconstruction is [[Mp3Synth]]'s concern). */
+  def genStereo(seed: Long): Array[Byte] = {
+    val d = if (seed < 0) -seed else seed
+    genFrameN(d, Array.tabulate(4)(s => GranParams(d, s): GranLike),
+      nch = 2, ms = d % 2 == 1)
+  }
+
+  private def genFrame(d: Long, g0: GranLike, g1: GranLike): Array[Byte] =
+    genFrameN(d, Array(g0, g1), nch = 1, ms = false)
+
+  /** Generalized frame writer: `gs` holds the per-slot granule params
+    * in transmission order (gr0ch0, [gr0ch1,] gr1ch0[, gr1ch1]); for
+    * stereo the header mode is joint-stereo with the MS mode-extension
+    * bit when `ms`, plain stereo otherwise, and the side info takes
+    * the 32-byte two-channel shape (§2.4.1.7: private_bits 3, scfsi
+    * 4 per channel). */
+  private def genFrameN(d: Long, gs: Array[GranLike], nch: Int,
+      ms: Boolean): Array[Byte] = {
     val biIdx = (d % 5).toInt
     val kbps = BitrateKbps(biIdx)
     val frameLen = 144 * kbps * 1000 / 44100 // padding bit 0
 
     // main data first (two-pass: side info needs part2_3_length)
     val main = new BitWriter
-    val p23 = Array(g0, g1).map { p =>
+    val p23 = gs.map { p =>
       val before = main.bitCount
       if (p.blockType == 2 && p.mixed == 1) {
         // mixed (§2.4.2.7): 8 LONG bands at slen1, then short bands
@@ -657,10 +679,12 @@ object Mp3L3 {
     // header: sync, MPEG-1 (11), Layer III (01), no CRC (1)
     out.u(0xff, 8); out.u(0xfb, 8)
     out.u(10 + biIdx, 4); out.u(0, 2) /* 44.1 kHz */ ; out.u(0, 1); out.u(0, 1)
-    out.u(3, 2) /* mono */ ; out.u(0, 2); out.u(0, 1); out.u(0, 1); out.u(0, 2)
-    // side info, mono: main_data_begin 9, private 5, scfsi 4
-    out.u(0, 9); out.u(0, 5); out.u(0, 4)
-    Seq(g0, g1).zip(p23).foreach { case (p, len) =>
+    if (nch == 1) out.u(3, 2) else out.u(if (ms) 1 else 0, 2) // mode
+    out.u(if (ms) 2 else 0, 2) // mode_extension: MS on, intensity off
+    out.u(0, 1); out.u(0, 1); out.u(0, 2)
+    // side info: main_data_begin 9, private 5/3, scfsi 4 per channel
+    out.u(0, 9); out.u(0, if (nch == 1) 5 else 3); out.u(0, 4 * nch)
+    gs.zip(p23).foreach { case (p, len) =>
       out.u(len, 12)
       out.u(p.bigValues, 9)
       out.u(p.globalGain, 8)
@@ -706,8 +730,13 @@ object Mp3L3 {
       blockType: Int = 0, subblockGain: Array[Int] = Array(0, 0, 0),
       scalefacsShort: Array[Int] = null, mixed: Int = 0)
 
+  /** Decoded frame. `granules` is laid out slot-major in transmission
+    * order gr·channels + ch (mono keeps the historical 2-slot shape);
+    * `msStereo` marks joint stereo with the MS mode-extension bit, in
+    * which case the decoded spectra are the matrixed M (ch 0) / S
+    * (ch 1) values — un-matrixing is the numeric half's concern. */
   final case class L3Decoded(sampleRate: Int, bitrateKbps: Int,
-      granules: Array[Granule])
+      granules: Array[Granule], channels: Int = 1, msStereo: Boolean = false)
 
   /** Prefix-decode one big-value symbol via the table's hash decode
     * map (O(1) per bit). Returns the symbol index; throws on a code
@@ -758,16 +787,23 @@ object Mp3L3 {
       if (biIdx < 1 || biIdx > 14) return None
       val kbps = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)(biIdx)
       if (((b(2) >> 2) & 3) != 0) return None // 44.1 kHz only
-      if (((b(3) >> 6) & 3) != 3) return None // mono only
+      // §2.4.1.3 mode: 00 stereo, 01 joint, 10 dual, 11 single
+      val mode = (b(3) >> 6) & 3
+      val ext = (b(3) >> 4) & 3
+      if (mode == 2) return None // dual channel out of scope
+      // joint stereo: only the MS-on/intensity-off extension supported
+      if (mode == 1 && ext != 2) return None
+      val nch = if (mode == 3) 1 else 2
+      val ms = mode == 1
       val r = new BitReader(b, 32)
       val mainDataBegin = r.u(9)
       if (mainDataBegin != 0) return None // bit reservoir unsupported
-      r.u(5) // private_bits
-      val scfsi = Array.fill(4)(r.u(1))
+      r.u(if (nch == 1) 5 else 3) // private_bits
+      val scfsi = Array.fill(nch, 4)(r.u(1))
       final case class Side(p23: Int, bv: Int, gg: Int, sc: Int, ts: Array[Int],
           r0: Int, r1: Int, pre: Int, sfs: Int, c1t: Int,
           bt: Int, sbg: Array[Int], mixed: Int)
-      val sides = (0 until 2).map { _ =>
+      val sides = (0 until 2 * nch).map { _ =>
         val p23 = r.u(12)
         val bv = r.u(9)
         val gg = r.u(8)
@@ -799,10 +835,13 @@ object Mp3L3 {
         val c1t = r.u(1)
         Side(p23, bv, gg, sc, ts, r0, r1, pre, sfs, c1t, bt, sbg, mixed)
       }
-      // main data starts right after the 17-byte side info (no reservoir)
-      val main = new BitReader(b, (4 + 17).toLong * 8)
-      var g0Scalefacs: Array[Int] = null
-      val granules = sides.zipWithIndex.map { case (s, g) =>
+      // main data starts right after the side info (no reservoir):
+      // 17 bytes mono, 32 stereo
+      val main = new BitReader(b, (4 + (if (nch == 1) 17 else 32)).toLong * 8)
+      val g0Scalefacs: Array[Array[Int]] = new Array(nch)
+      val granules = sides.zipWithIndex.map { case (s, slot) =>
+        val gr = slot / nch
+        val ch = slot % nch
         val start = main.pos
         val (slen1, slen2) = Slen(s.sc)
         val sf = new Array[Int](21)
@@ -847,12 +886,12 @@ object Mp3L3 {
             // scfsi groups (§2.4.2.7): 0–5, 6–10, 11–15, 16–20; a set bit
             // means granule 1 reuses granule 0's scalefactors, no bits read
             val group = if (band < 6) 0 else if (band < 11) 1 else if (band < 16) 2 else 3
-            if (g == 1 && scfsi(group) == 1 && g0Scalefacs != null)
-              sf(band) = g0Scalefacs(band)
+            if (gr == 1 && scfsi(ch)(group) == 1 && g0Scalefacs(ch) != null)
+              sf(band) = g0Scalefacs(ch)(band)
             else if (slen > 0) sf(band) = main.u(slen)
             band += 1
           }
-          if (g == 0) g0Scalefacs = sf
+          if (gr == 0) g0Scalefacs(ch) = sf
         }
         val is = new Array[Int](576)
         val b1 = if (s.bt != 0) 36 else Sfb44100(s.r0 + 1)
@@ -895,7 +934,7 @@ object Mp3L3 {
         Granule(s.p23, s.bv, s.gg, s.sc, s.ts, s.r0, s.r1, s.pre, s.sfs,
           s.c1t, sf, is, quads, used, s.bt, s.sbg, sfShort, s.mixed)
       }
-      Some(L3Decoded(44100, kbps, granules.toArray))
+      Some(L3Decoded(44100, kbps, granules.toArray, nch, ms))
     } catch { case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException => None }
   }
 
@@ -986,9 +1025,11 @@ object Mp3L3 {
     override def prettyName: String = "mp3l3_gen_mixed"
   }
 
-  /** The integer-exact spectral functionals surfaced per granule. */
+  /** The integer-exact spectral functionals surfaced per granule
+    * (mono streams only — the stereo surface is [[spectralStRow]]). */
   def spectralRow(b: Array[Byte]): InternalRow = decode(b) match {
     case None => null
+    case Some(d) if d.channels != 1 => null
     case Some(d) =>
       def stats(g: Granule): Seq[Any] = {
         var nz = 0L; var sum = 0L; var wsum = 0L
@@ -1053,6 +1094,104 @@ object Mp3L3 {
   val SpectralSchema: StructType = StructType(
     Seq(StructField("sample_rate", LongType), StructField("bitrate_kbps", LongType))
       ++ granFields("g0") ++ granFields("g1"))
+
+  // ==== the stereo surface ================================================
+
+  private def stSlotFields(p: String): Seq[StructField] = Seq(
+    StructField(s"${p}_part2_3_length", LongType),
+    StructField(s"${p}_big_values", LongType),
+    StructField(s"${p}_global_gain", LongType),
+    StructField(s"${p}_sf_wsum", LongType),
+    StructField(s"${p}_spec_nonzero", LongType),
+    StructField(s"${p}_spec_sum", LongType),
+    StructField(s"${p}_spec_wsum", LongType))
+
+  /** Stereo surface schema: header mode fields + a compact stat set
+    * per transmission slot (granule-major: g0c0, g0c1, g1c0, g1c1). */
+  val SpectralStSchema: StructType = StructType(
+    Seq(StructField("sample_rate", LongType),
+      StructField("bitrate_kbps", LongType),
+      StructField("mode", LongType),      // 0 = stereo, 1 = joint stereo
+      StructField("ms_stereo", LongType)) // MS extension bit
+      ++ Seq("g0c0", "g0c1", "g1c0", "g1c1").flatMap(stSlotFields))
+
+  /** Per-slot integer-exact functionals of a STEREO stream (two
+    * channels per granule, transmission order), NULL for mono or any
+    * out-of-scope/malformed stream. */
+  def spectralStRow(b: Array[Byte]): InternalRow = decode(b) match {
+    case Some(d) if d.channels == 2 =>
+      def stats(g: Granule): Seq[Any] = {
+        var nz = 0L; var sum = 0L; var wsum = 0L
+        var i = 0
+        while (i < 576) {
+          val v = g.is(i)
+          if (v != 0) nz += 1
+          sum += v
+          wsum += (i + 1).toLong * v
+          i += 1
+        }
+        var sfw = 0L
+        var band = 0
+        while (band < 21) { sfw += (band + 1).toLong * g.scalefacs(band); band += 1 }
+        if (g.scalefacsShort != null) {
+          var k = 0
+          while (k < 36) { sfw += (k + 1).toLong * g.scalefacsShort(k); k += 1 }
+        }
+        Seq(g.part23Length.toLong, g.bigValues.toLong, g.globalGain.toLong,
+          sfw, nz, sum, wsum)
+      }
+      InternalRow.fromSeq(
+        Seq(d.sampleRate.toLong, d.bitrateKbps.toLong,
+          (if (d.msStereo) 1L else 0L), (if (d.msStereo) 1L else 0L)) ++
+          d.granules.toSeq.flatMap(stats))
+    case _ => null
+  }
+
+  /** `mp3l3_gen_stereo(seed)`: two-channel stream — four long-block
+    * granule payloads, plain stereo on even seeds, joint stereo with
+    * the MS extension on odd. */
+  case class Mp3L3GenStereoExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case LongType | IntegerType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"mp3l3_gen_stereo requires an integral seed, got ${t.catalogString}")
+    }
+    override def nullSafeEval(input: Any): Any = input match {
+      case l: java.lang.Long => Mp3L3.genStereo(l)
+      case i: java.lang.Integer => Mp3L3.genStereo(i.toLong)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.pipeline.Mp3L3.genStereo((long) $c);")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "mp3l3_gen_stereo"
+  }
+
+  /** `mp3l3_spectral_st(bytes)`: header mode fields + per-slot
+    * integer-exact spectral functionals of a stereo Layer III stream,
+    * NULL for mono/out-of-scope/malformed input. */
+  case class Mp3L3SpectralStExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = SpectralStSchema
+    override def nullable: Boolean = true
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"mp3l3_spectral_st requires binary input, got ${child.dataType.catalogString}")
+    override def nullSafeEval(input: Any): Any =
+      Mp3L3.spectralStRow(input.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        s"""
+           |${ev.value} = graft.pipeline.Mp3L3.spectralStRow($c);
+           |${ev.isNull} = ${ev.value} == null;
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "mp3l3_spectral_st"
+  }
 
   /** `mp3l3_spectral(bytes)`: side-info fields + integer-exact spectral
     * functionals of both granules, NULL outside the supported scope or

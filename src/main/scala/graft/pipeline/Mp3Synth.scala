@@ -444,31 +444,104 @@ object Mp3Synth {
     }
   }
 
+  /** §2.4.3.4.9.1 MS un-matrixing on requantized spectra:
+    * L = (M + S)/√2, R = (M − S)/√2, in place over both arrays. */
+  def msMatrix(m: Array[Double], s: Array[Double]): Unit = {
+    val inv = 1.0 / math.sqrt(2.0)
+    var i = 0
+    while (i < 576) {
+      val mi = m(i); val si = s(i)
+      m(i) = (mi + si) * inv
+      s(i) = (mi - si) * inv
+      i += 1
+    }
+  }
+
+  /** One granule's coded spectrum → filterbank-order xr by block
+    * type: requantize (+ reorder) + the block-type-appropriate alias
+    * reduction. */
+  private def granXr(gr: Mp3L3.Granule): Array[Double] =
+    if (gr.blockType == 2 && gr.mixed == 1)
+      aliasReduce(reorderMixed(requantizeMixed(gr)), 1)
+    else if (gr.blockType == 2) reorderShort(requantizeShort(gr))
+    else aliasReduce(requantize(gr))
+
   /** Decode a full frame to PCM: entropy half → requantize (+ reorder
     * for short granules) → alias (long-type granules only) →
     * inverse transform/overlap by block type → polyphase. Two
     * granules × 18 slots × 32 samples = 1152 doubles, or None outside
-    * the entropy half's scope. */
+    * the entropy half's MONO scope (stereo goes through
+    * [[decodePcmStereo]]). */
   def decodePcm(frame: Array[Byte],
       window: Array[Double] = synthesisWindow): Option[Array[Double]] =
-    Mp3L3.decode(frame).map { d =>
+    Mp3L3.decode(frame).filter(_.channels == 1).map { d =>
       val overlap = Array.ofDim[Double](32, 18)
       val state = new SynthState(window)
       val out = new Array[Double](1152)
       var g = 0
       while (g < 2) {
         val gr = d.granules(g)
-        val xr =
-          if (gr.blockType == 2 && gr.mixed == 1)
-            aliasReduce(reorderMixed(requantizeMixed(gr)), 1)
-          else if (gr.blockType == 2) reorderShort(requantizeShort(gr))
-          else aliasReduce(requantize(gr))
+        val xr = granXr(gr)
         val slots = subbandSynth(xr, overlap, gr.blockType, gr.mixed == 1)
         var t = 0
         while (t < 18) {
           val pcm = state.slot(slots(t))
           System.arraycopy(pcm, 0, out, g * 576 + t * 32, 32)
           t += 1
+        }
+        g += 1
+      }
+      out
+    }
+
+  /** STEREO decode to PCM: per-channel requantize (+ reorder), the
+    * §2.4.3.4.9.1 MS un-matrixing when the frame's joint-stereo MS
+    * extension is on — applied to the requantized spectra BEFORE
+    * alias reduction, so the alias/IMDCT stages run on each
+    * reconstructed channel exactly as they do in mono — then
+    * per-channel overlap-add state and polyphase FIFO. Returns
+    * 2 × 1152 samples, or None for mono/out-of-scope streams. */
+  def decodePcmStereo(frame: Array[Byte],
+      window: Array[Double] = synthesisWindow): Option[Array[Array[Double]]] =
+    Mp3L3.decode(frame).filter(_.channels == 2).map { d =>
+      val overlap = Array.fill(2)(Array.ofDim[Double](32, 18))
+      val states = Array.fill(2)(new SynthState(window))
+      val out = Array.ofDim[Double](2, 1152)
+      var g = 0
+      while (g < 2) {
+        val grL = d.granules(2 * g)
+        val grR = d.granules(2 * g + 1)
+        // MS matrixing is defined on requantized values; both channels
+        // must share block geometry for the per-line sum to be
+        // meaningful (our generator always does)
+        val xrs =
+          if (d.msStereo) {
+            val m = if (grL.blockType == 2 && grL.mixed == 1)
+              reorderMixed(requantizeMixed(grL))
+            else if (grL.blockType == 2) reorderShort(requantizeShort(grL))
+            else requantize(grL)
+            val s = if (grR.blockType == 2 && grR.mixed == 1)
+              reorderMixed(requantizeMixed(grR))
+            else if (grR.blockType == 2) reorderShort(requantizeShort(grR))
+            else requantize(grR)
+            msMatrix(m, s)
+            Array(
+              if (grL.blockType == 2 && grL.mixed == 1) aliasReduce(m, 1)
+              else if (grL.blockType == 2) m else aliasReduce(m),
+              if (grR.blockType == 2 && grR.mixed == 1) aliasReduce(s, 1)
+              else if (grR.blockType == 2) s else aliasReduce(s))
+          } else Array(granXr(grL), granXr(grR))
+        var c = 0
+        while (c < 2) {
+          val gr = if (c == 0) grL else grR
+          val slots = subbandSynth(xrs(c), overlap(c), gr.blockType, gr.mixed == 1)
+          var t = 0
+          while (t < 18) {
+            val pcm = states(c).slot(slots(t))
+            System.arraycopy(pcm, 0, out(c), g * 576 + t * 32, 32)
+            t += 1
+          }
+          c += 1
         }
         g += 1
       }

@@ -236,6 +236,52 @@ class Mp3L3Spec extends SparkSpec {
     assert(seenMixed === Set(0, 1), "both mixed and non-mixed granules exercised")
   }
 
+  test("stereo edition: genStereo → decode identity over all four payload slots") {
+    for (seed <- 0L until 16L) {
+      val d = Mp3L3.decode(Mp3L3.genStereo(seed))
+        .getOrElse(fail(s"seed $seed: no decode"))
+      assert(d.channels === 2)
+      assert(d.msStereo === (seed % 2 == 1), s"seed $seed MS flag")
+      assert(d.granules.length === 4)
+      for (slot <- 0 until 4) {
+        val p = Mp3L3.GranParams(seed, slot)
+        val gr = d.granules(slot)
+        assert(gr.bigValues === p.bigValues, s"seed $seed slot $slot")
+        assert(gr.globalGain === p.globalGain)
+        assert(gr.scalefacs.toSeq === (0 until 21).map(p.scalefac),
+          s"seed $seed slot $slot scalefacs")
+        assert(gr.bitsUsed === gr.part23Length,
+          s"seed $seed slot $slot: every payload must close its bit count")
+        val expected = new Array[Int](576)
+        for (i <- 0 until p.bigValues) {
+          val (x, y) = p.pair(i)
+          expected(2 * i) = x; expected(2 * i + 1) = y
+        }
+        for (j <- 0 until p.nQuads) {
+          val (v, w, x, y) = p.quad(j)
+          val base = 2 * p.bigValues + 4 * j
+          expected(base) = v; expected(base + 1) = w
+          expected(base + 2) = x; expected(base + 3) = y
+        }
+        assert(gr.is.toSeq === expected.toSeq, s"seed $seed slot $slot spectral")
+      }
+      // the mono surface rejects stereo streams; the stereo one mono
+      assert(Mp3L3.spectralRow(Mp3L3.genStereo(seed)) === null)
+      assert(Mp3L3.spectralStRow(Mp3L3.gen(seed)) === null)
+    }
+  }
+
+  test("joint stereo with intensity extension is rejected; dual channel too") {
+    val b = Mp3L3.genStereo(1L) // joint stereo, ext = 2 (MS only)
+    assert(Mp3L3.decode(b).isDefined)
+    val intensity = b.clone()
+    intensity(3) = ((intensity(3) & 0xcf) | 0x10).toByte // ext = 01
+    assert(Mp3L3.decode(intensity) === None)
+    val dual = b.clone()
+    dual(3) = ((dual(3) & 0x3f) | 0x80).toByte // mode = 10
+    assert(Mp3L3.decode(dual) === None)
+  }
+
   test("a mixed flag on a non-short block type is rejected") {
     // genShort seed 1 makes granule 0 block_type 1 (start); setting its
     // mixed_block_flag (side-info bit 18 + 12+9+8+4+1+2 = 54) must NULL

@@ -225,6 +225,57 @@ class Mp3SynthSpec extends AnyFunSuite {
       "short window 0 scales by 2^(-2·sbg)")
   }
 
+  test("MS un-matrixing is the spec rotation: L=(M+S)/√2, R=(M−S)/√2") {
+    val m = Array.tabulate(576)(i => math.sin(i * 0.1))
+    val s = Array.tabulate(576)(i => math.cos(i * 0.17))
+    val m0 = m.clone(); val s0 = s.clone()
+    Mp3Synth.msMatrix(m, s)
+    val inv = 1.0 / math.sqrt(2.0)
+    (0 until 576).foreach { i =>
+      assert(math.abs(m(i) - (m0(i) + s0(i)) * inv) < 1e-12)
+      assert(math.abs(s(i) - (m0(i) - s0(i)) * inv) < 1e-12)
+    }
+    // matrixing twice is the identity (the transform is an involution
+    // up to the orthonormal scaling): M' = (L+R)/√2 = M
+    Mp3Synth.msMatrix(m, s)
+    (0 until 576).foreach { i =>
+      assert(math.abs(m(i) - m0(i)) < 1e-12 && math.abs(s(i) - s0(i)) < 1e-12)
+    }
+  }
+
+  test("full chain handles stereo frames: plain and MS both reach 2×1152 PCM") {
+    for (seed <- 0L until 8L) {
+      val pcm = Mp3Synth.decodePcmStereo(Mp3L3.genStereo(seed))
+        .getOrElse(fail(s"seed $seed: no stereo decode"))
+      assert(pcm.length === 2 && pcm.forall(_.length == 1152))
+      assert(pcm.forall(_.forall(v => !v.isNaN && !v.isInfinite)))
+      assert(pcm(0).exists(_ != 0.0) && pcm(1).exists(_ != 0.0),
+        s"seed $seed: both channels carry signal")
+      // mono path refuses stereo input and vice versa
+      assert(Mp3Synth.decodePcm(Mp3L3.genStereo(seed)) === None)
+      assert(Mp3Synth.decodePcmStereo(Mp3L3.gen(seed)) === None)
+    }
+  }
+
+  test("plain-stereo channels synthesize independently: ch0 matches a mono chain") {
+    // seed 0 → mode 00 (no MS): channel 0's payloads are GranParams
+    // slots 0 and 2; a hand-built mono frame with those same params
+    // must produce identical PCM through the full chain
+    val st = Mp3Synth.decodePcmStereo(Mp3L3.genStereo(0L)).get
+    val d = Mp3L3.decode(Mp3L3.genStereo(0L)).get
+    val overlap = Array.ofDim[Double](32, 18)
+    val state = new Mp3Synth.SynthState()
+    val expect = new Array[Double](1152)
+    for (g <- 0 until 2) {
+      val gr = d.granules(2 * g) // channel 0 of granule g
+      val xr = Mp3Synth.aliasReduce(Mp3Synth.requantize(gr))
+      val slots = Mp3Synth.subbandSynth(xr, overlap, gr.blockType)
+      for (t <- 0 until 18)
+        System.arraycopy(state.slot(slots(t)), 0, expect, g * 576 + t * 32, 32)
+    }
+    assert(st(0).toSeq === expect.toSeq)
+  }
+
   test("full chain handles mixed-block frames: both granule flavors reach PCM") {
     for (seed <- 0L until 8L) {
       val pcm = Mp3Synth.decodePcm(Mp3L3.genMixed(seed))
