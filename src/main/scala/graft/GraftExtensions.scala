@@ -123,6 +123,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("image_pixels", "image_pixels(bytes) - struct(width, height, n_px, min_px, max_px, sum_px, sum_sq) of a decoded compressed image (PNG/JPEG/GIF/BMP), else NULL"),
       (args: Seq[Expression]) => graft.pipeline.PngCodec.ImagePixelsExpr(args(0))))
     ext.injectFunction((
+      FunctionIdentifier("image_resize"),
+      info("image_resize", "image_resize(bytes, w, h, mode) - resample a decoded image to w x h by 'nearest' or 'box' (area average) and re-encode as grayscale PNG, else NULL"),
+      (args: Seq[Expression]) => graft.pipeline.PngCodec.ImageResizeExpr(args(0), args(1), args(2), args(3))))
+    ext.injectFunction((
       FunctionIdentifier("gif_gen"),
       info("gif_gen", "gif_gen(seed) - deterministic LZW-compressed grayscale GIF89a for seed (closed-form pixel pattern)"),
       (args: Seq[Expression]) => graft.pipeline.GifCodec.GifGenExpr(args(0))))

@@ -42,14 +42,30 @@ object PngCodec {
   def pngBytes(seed: Long): Array[Byte] = {
     val w = (math.floorMod(seed, 16) + 4).toInt
     val h = (math.floorMod(seed * 7, 12) + 4).toInt
+    val pix = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        pix(y * w + x) = math.floorMod(seed * 31 + x * 7 + y * 13, 256).toInt
+        x += 1
+      }
+      y += 1
+    }
+    encodeGrayPng(pix, w, h)
+  }
+
+  /** General grayscale-8 PNG encoder: filter-None scanlines through
+    * `java.util.zip.Deflater`, CRC-32-framed IHDR/IDAT/IEND. The
+    * output half of [[resize]] and of [[pngBytes]]. */
+  def encodeGrayPng(pix: Array[Int], w: Int, h: Int): Array[Byte] = {
     // raw scanlines: filter byte 0 (None) + w gray samples per row
     val raw = new Array[Byte]((w + 1) * h)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        raw(y * (w + 1) + 1 + x) =
-          math.floorMod(seed * 31 + x * 7 + y * 13, 256).toByte
+        raw(y * (w + 1) + 1 + x) = (pix(y * w + x) & 0xff).toByte
         x += 1
       }
       y += 1
@@ -122,12 +138,125 @@ object PngCodec {
     Some(PixStats(w, h, n, mn, mx, sum, sumSq))
   }
 
+  /** Decode any ImageIO-supported image to its band-0 grid. */
+  private def decodeGrid(bytes: Array[Byte]): Option[(Array[Int], Int, Int)] = {
+    if (bytes == null || bytes.length < 8) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException | _: RuntimeException => null }
+    if (img == null) return None
+    val raster = img.getRaster
+    val w = img.getWidth
+    val h = img.getHeight
+    if (w <= 0 || h <= 0) return None
+    val pix = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { pix(y * w + x) = raster.getSample(x, y, 0); x += 1 }
+      y += 1
+    }
+    Some((pix, w, h))
+  }
+
+  /** IMAGE RESIZE — the thumbnailing operator of a training-data
+    * pipeline: decode any ImageIO-supported image, resample its band-0
+    * plane to `w2 × h2`, re-encode as a grayscale PNG. Two exact
+    * integer resamplers (both oracle-replayable closed forms):
+    *   - `nearest`: out(x,y) = src(⌊x·w/w2⌋, ⌊y·h/h2⌋)
+    *   - `box`: the area-average thumbnail filter — source box
+    *     [x0,x1)×[y0,y1) with x0 = ⌊x·w/w2⌋, x1 = max(x0+1, ⌊(x+1)·w/w2⌋)
+    *     (so every output pixel reads ≥1 source pixel even when
+    *     upscaling), value = ⌊Σ src / count⌋, exact integer division
+    * Null on undecodable input, out-of-range target dims, or an
+    * unknown mode. Runs entirely inside the task: bytes in, bytes out,
+    * nothing shuffles. */
+  def resize(bytes: Array[Byte], w2: Int, h2: Int, mode: String): Array[Byte] = {
+    if (w2 < 1 || h2 < 1 || w2 > 8192 || h2 > 8192) return null
+    val nearest = mode == "nearest"
+    if (!nearest && mode != "box") return null
+    decodeGrid(bytes) match {
+      case None => null
+      case Some((pix, w, h)) =>
+        val out = new Array[Int](w2 * h2)
+        var y = 0
+        while (y < h2) {
+          var x = 0
+          while (x < w2) {
+            out(y * w2 + x) =
+              if (nearest)
+                pix((y.toLong * h / h2).toInt * w + (x.toLong * w / w2).toInt)
+              else {
+                val x0 = (x.toLong * w / w2).toInt
+                val x1 = math.max(x0 + 1, ((x + 1).toLong * w / w2).toInt)
+                val y0 = (y.toLong * h / h2).toInt
+                val y1 = math.max(y0 + 1, ((y + 1).toLong * h / h2).toInt)
+                var s = 0L
+                var sy = y0
+                while (sy < y1) {
+                  var sx = x0
+                  while (sx < x1) { s += pix(sy * w + sx); sx += 1 }
+                  sy += 1
+                }
+                (s / ((x1 - x0).toLong * (y1 - y0))).toInt
+              }
+            x += 1
+          }
+          y += 1
+        }
+        encodeGrayPng(out, w2, h2)
+    }
+  }
+
   /** [[decodePixels]] as a Catalyst row for [[ImagePixelsExpr]]. */
   def decodePixelsRow(bytes: Array[Byte]): InternalRow = decodePixels(bytes) match {
     case Some(s) => InternalRow(Int.box(s.width), Int.box(s.height),
       Long.box(s.nPx), Long.box(s.minPx), Long.box(s.maxPx),
       Long.box(s.sumPx), Long.box(s.sumSq))
     case None => null
+  }
+
+  /** Boxed entry point for [[resize]] used from both eval and codegen
+    * (casts + null discipline in one place). */
+  def resizeEval(bytes: Array[Byte], w2: Long, h2: Long,
+      mode: org.apache.spark.unsafe.types.UTF8String): Array[Byte] =
+    if (w2 > 8192 || h2 > 8192 || w2 < 1 || h2 < 1 || mode == null) null
+    else resize(bytes, w2.toInt, h2.toInt, mode.toString)
+
+  /** `image_resize(bytes, w, h, mode)`: resample to w×h by 'nearest'
+    * or 'box' (area average) and re-encode as a grayscale PNG; NULL on
+    * undecodable input or bad parameters. */
+  case class ImageResizeExpr(first: Expression, second: Expression,
+      third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      val ok = first.dataType == BinaryType &&
+        Seq(second, third).forall(e =>
+          e.dataType == LongType || e.dataType == IntegerType) &&
+        fourth.dataType == StringType
+      if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "image_resize requires (binary, integral, integral, string)")
+    }
+    private def asLong(v: Any): Long = v match {
+      case l: java.lang.Long => l
+      case i: java.lang.Integer => i.toLong
+    }
+    override def nullSafeEval(b: Any, w: Any, h: Any, m: Any): Any =
+      PngCodec.resizeEval(b.asInstanceOf[Array[Byte]], asLong(w), asLong(h),
+        m.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (b, w, h, m) => {
+        s"""
+           |${ev.value} = graft.pipeline.PngCodec.resizeEval($b, (long) $w, (long) $h, $m);
+           |${ev.isNull} = ${ev.value} == null;
+         """.stripMargin
+      })
+    override protected def withNewChildrenInternal(f: Expression, s: Expression,
+        t: Expression, q: Expression): Expression = copy(f, s, t, q)
+    override def prettyName: String = "image_resize"
   }
 
   /** `png_gen(seed)`: the deterministic grayscale PNG for `seed` —

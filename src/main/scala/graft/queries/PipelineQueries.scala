@@ -1780,6 +1780,37 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** MM24: IMAGE RESIZE — the thumbnailing operator, run as the full
+    * five-stage chain construct → decode → resample → re-encode →
+    * decode: `png_gen` builds the closed-form pattern, `image_resize`
+    * decodes it (javax.imageio), resamples to doc_id-derived target
+    * dims by 'nearest' on even doc_ids / 'box' area-average on odd,
+    * and re-encodes through the hand-written grayscale PNG writer;
+    * `image_pixels` then decodes THAT container. The oracle replays
+    * the pattern, the exact integer resampling arithmetic (floor
+    * source coordinates for nearest; floor-division box averages for
+    * box), and the output statistics — so both resamplers, the
+    * general encoder, and both decodes are pinned in one gate. */
+  private def mm24(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val w2 = (pmod(d, lit(11)) + 2).cast("long")
+    val h2 = (pmod(d * 3, lit(9)) + 2).cast("long")
+    val mode = when(pmod(d, lit(2)) === 0, lit("nearest")).otherwise(lit("box"))
+    val resized = call_function("image_resize",
+      call_function("png_gen", d), w2, h2, mode)
+    val m = call_function("image_pixels", resized)
+    Tables.documents(s, dir).select(col("doc_id"), m.as("__m"))
+      .select(col("doc_id"),
+        col("__m").getField("width").cast("long").as("width"),
+        col("__m").getField("height").cast("long").as("height"),
+        col("__m").getField("n_px").as("n_px"),
+        col("__m").getField("min_px").as("min_px"),
+        col("__m").getField("max_px").as("max_px"),
+        col("__m").getField("sum_px").as("sum_px"),
+        col("__m").getField("sum_sq").as("sum_sq"))
+      .orderBy(col("doc_id"))
+  }
+
   /** MM23: STEREO decode — `mp3l3_gen_stereo` emits TWO-channel Layer
     * III frames (four granule payloads in transmission order, the
     * 32-byte stereo side-info shape with per-channel scfsi, plain
@@ -1850,6 +1881,7 @@ object PipelineQueries {
     "p_mm21_flac_pcm" -> (mm21 _),
     "p_mm22_mp3_mixed" -> (mm22 _),
     "p_mm23_mp3_stereo" -> (mm23 _),
+    "p_mm24_image_resize" -> (mm24 _),
     "p_d1_exact_dedup" -> (d1 _),
     "p_d2_neardup_bruteforce" -> (d2 _),
     "p_d3_minhash_lsh_neardup" -> (d3 _),
@@ -3461,6 +3493,44 @@ object PipelineQueries {
             CAST(0 AS BIGINT) AS g0_mixed, CAST(0 AS BIGINT) AS g1_mixed
           FROM gr g0 JOIN gr g1 ON g1.d = g0.d AND g1.g = 1
           WHERE g0.g = 0 ORDER BY doc_id"""),
+    "p_mm24_image_resize" ->
+      ("""WITH p AS (SELECT doc_id AS d,
+              doc_id % 16 + 4 AS w, (doc_id * 7) % 12 + 4 AS h,
+              doc_id % 11 + 2 AS w2, (doc_id * 3) % 9 + 2 AS h2,
+              doc_id % 2 AS md
+            FROM documents),
+          og AS (SELECT p.*, gx.x, gy.y
+            FROM p, range(0, 13) gx(x), range(0, 11) gy(y)
+            WHERE gx.x < w2 AND gy.y < h2),
+          nv AS (SELECT d, x, y,
+              (d * 31 + ((x * w) // w2) * 7 + ((y * h) // h2) * 13) % 256 AS v
+            FROM og WHERE md = 0),
+          bb AS (SELECT d, x, y, w, h,
+              (x * w) // w2 AS x0,
+              greatest((x * w) // w2 + 1, ((x + 1) * w) // w2) AS x1,
+              (y * h) // h2 AS y0,
+              greatest((y * h) // h2 + 1, ((y + 1) * h) // h2) AS y1
+            FROM og WHERE md = 1),
+          bv AS (SELECT bb.d, bb.x, bb.y,
+              sum((bb.d * 31 + sx.i * 7 + sy.j * 13) % 256)
+                // ((x1 - x0) * (y1 - y0)) AS v
+            FROM bb, range(0, 20) sx(i), range(0, 16) sy(j)
+            WHERE sx.i >= x0 AND sx.i < x1 AND sy.j >= y0 AND sy.j < y1
+            GROUP BY bb.d, bb.x, bb.y, x0, x1, y0, y1),
+          vals AS (SELECT d, v FROM nv UNION ALL SELECT d, v FROM bv),
+          st AS (SELECT d, count(*) AS n, min(v) AS mn, max(v) AS mx,
+              sum(v) AS s, sum(v * v) AS sq
+            FROM vals GROUP BY d)
+          SELECT p.d AS doc_id,
+            CAST(p.w2 AS BIGINT) AS width,
+            CAST(p.h2 AS BIGINT) AS height,
+            CAST(st.n AS BIGINT) AS n_px,
+            CAST(st.mn AS BIGINT) AS min_px,
+            CAST(st.mx AS BIGINT) AS max_px,
+            CAST(st.s AS BIGINT) AS sum_px,
+            CAST(st.sq AS BIGINT) AS sum_sq
+          FROM p JOIN st ON st.d = p.d
+          ORDER BY doc_id"""),
     "p_mm23_mp3_stereo" ->
       (s"""WITH slentab(sc, s1, s2) AS (VALUES $mp3l3SlenSql),
           sfbtab(i, line) AS (VALUES $mp3l3SfbSql),

@@ -648,6 +648,45 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(1).getInt(0) === 16000 || rows(1).getInt(0) === 32000 || rows(1).getInt(0) === 48000)
   }
 
+  test("image_resize: nearest and box match a brute-force resample, any input format") {
+    import graft.pipeline.{GifCodec, PngCodec}
+    // source pattern from png_gen's closed form, seed 5: w = 5%16+4 = 9,
+    // h = (5·7)%12+4 = 15
+    val seed = 5L
+    val src = PngCodec.pngBytes(seed)
+    val w = 9; val h = 15
+    def pat(x: Int, y: Int): Int = math.floorMod(seed * 31 + x * 7 + y * 13, 256).toInt
+    // downscale 4×3 nearest
+    val near = PngCodec.resize(src, 4, 3, "nearest")
+    val img1 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(near))
+    assert(img1.getWidth === 4 && img1.getHeight === 3)
+    for (y <- 0 until 3; x <- 0 until 4)
+      assert(img1.getRaster.getSample(x, y, 0) === pat(x * w / 4, y * h / 3))
+    // box average, mixed up/down (12×3): wide upscale keeps ≥1 src px
+    val box = PngCodec.resize(src, 12, 3, "box")
+    val img2 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(box))
+    for (y <- 0 until 3; x <- 0 until 12) {
+      val x0 = x * w / 12; val x1 = math.max(x0 + 1, (x + 1) * w / 12)
+      val y0 = y * h / 3; val y1 = math.max(y0 + 1, (y + 1) * h / 3)
+      val vs = for (sy <- y0 until y1; sx <- x0 until x1) yield pat(sx, sy).toLong
+      assert(img2.getRaster.getSample(x, y, 0) === (vs.sum / vs.length).toInt,
+        s"box ($x,$y)")
+    }
+    // the input side is format-agnostic: a GIF resizes identically to
+    // the equivalent PNG (gif_gen shares the closed-form pattern shape)
+    val gif = GifCodec.gifBytes(seed)
+    val gifImg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gif))
+    val viaGif = PngCodec.resize(gif, 3, 3, "nearest")
+    val img3 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(viaGif))
+    for (y <- 0 until 3; x <- 0 until 3)
+      assert(img3.getRaster.getSample(x, y, 0) ===
+        gifImg.getRaster.getSample(x * gifImg.getWidth / 3, y * gifImg.getHeight / 3, 0))
+    // guards
+    assert(PngCodec.resize(src, 4, 3, "bicubic") === null)
+    assert(PngCodec.resize(src, 0, 3, "nearest") === null)
+    assert(PngCodec.resize(Array[Byte](1, 2), 4, 3, "nearest") === null)
+  }
+
   test("extractFeaturesStub: one feature row per media row, deterministic") {
     implicit val s = spark
     val feats = Multimodal.extractFeaturesStub(media, batchSize = 16).collect()
