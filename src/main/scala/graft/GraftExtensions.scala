@@ -79,6 +79,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("mp3l3_gen_stereo", "mp3l3_gen_stereo(seed) - two-channel Layer III stream: four granule payloads, plain stereo on even seeds, joint stereo with the MS extension on odd"),
       (args: Seq[Expression]) => graft.pipeline.Mp3L3.Mp3L3GenStereoExpr(args(0))))
     ext.injectFunction((
+      FunctionIdentifier("mp3l3_gen_stereo_int"),
+      info("mp3l3_gen_stereo_int", "mp3l3_gen_stereo_int(seed) - joint-stereo Layer III stream with the intensity extension (intensity-only on even seeds, intensity+MS on odd)"),
+      (args: Seq[Expression]) => graft.pipeline.Mp3L3.Mp3L3GenStereoIntExpr(args(0))))
+    ext.injectFunction((
       FunctionIdentifier("mp3l3_spectral_st"),
       info("mp3l3_spectral_st", "mp3l3_spectral_st(bytes) - header mode fields + per-slot integer-exact spectral functionals of a stereo Layer III stream, else NULL"),
       (args: Seq[Expression]) => graft.pipeline.Mp3L3.Mp3L3SpectralStExpr(args(0))))

@@ -583,20 +583,32 @@ object Mp3L3 {
   def genStereo(seed: Long): Array[Byte] = {
     val d = if (seed < 0) -seed else seed
     genFrameN(d, Array.tabulate(4)(s => GranParams(d, s): GranLike),
-      nch = 2, ms = d % 2 == 1)
+      nch = 2, ext = if (d % 2 == 1) 2 else 0)
+  }
+
+  /** INTENSITY-stereo generator: joint stereo with the intensity
+    * extension bit (even seeds ext = 01, odd ext = 11 — intensity +
+    * MS). The right-channel payloads use the same long-block params,
+    * whose coded extent (~60–90 lines) leaves the upper scalefactor
+    * bands zero — the intensity region, where the right channel's
+    * transmitted scalefactors act as is_pos values. */
+  def genStereoInt(seed: Long): Array[Byte] = {
+    val d = if (seed < 0) -seed else seed
+    genFrameN(d, Array.tabulate(4)(s => GranParams(d, s): GranLike),
+      nch = 2, ext = if (d % 2 == 0) 1 else 3)
   }
 
   private def genFrame(d: Long, g0: GranLike, g1: GranLike): Array[Byte] =
-    genFrameN(d, Array(g0, g1), nch = 1, ms = false)
+    genFrameN(d, Array(g0, g1), nch = 1, ext = 0)
 
   /** Generalized frame writer: `gs` holds the per-slot granule params
     * in transmission order (gr0ch0, [gr0ch1,] gr1ch0[, gr1ch1]); for
-    * stereo the header mode is joint-stereo with the MS mode-extension
-    * bit when `ms`, plain stereo otherwise, and the side info takes
-    * the 32-byte two-channel shape (§2.4.1.7: private_bits 3, scfsi
-    * 4 per channel). */
+    * stereo a nonzero mode-extension `ext` (bit 1 = MS, bit 0 =
+    * intensity) selects the joint-stereo header mode, plain stereo
+    * otherwise, and the side info takes the 32-byte two-channel shape
+    * (§2.4.1.7: private_bits 3, scfsi 4 per channel). */
   private def genFrameN(d: Long, gs: Array[GranLike], nch: Int,
-      ms: Boolean): Array[Byte] = {
+      ext: Int): Array[Byte] = {
     val biIdx = (d % 5).toInt
     val kbps = BitrateKbps(biIdx)
     val frameLen = 144 * kbps * 1000 / 44100 // padding bit 0
@@ -679,8 +691,8 @@ object Mp3L3 {
     // header: sync, MPEG-1 (11), Layer III (01), no CRC (1)
     out.u(0xff, 8); out.u(0xfb, 8)
     out.u(10 + biIdx, 4); out.u(0, 2) /* 44.1 kHz */ ; out.u(0, 1); out.u(0, 1)
-    if (nch == 1) out.u(3, 2) else out.u(if (ms) 1 else 0, 2) // mode
-    out.u(if (ms) 2 else 0, 2) // mode_extension: MS on, intensity off
+    if (nch == 1) out.u(3, 2) else out.u(if (ext != 0) 1 else 0, 2) // mode
+    out.u(ext, 2) // mode_extension: bit 1 = MS, bit 0 = intensity
     out.u(0, 1); out.u(0, 1); out.u(0, 2)
     // side info: main_data_begin 9, private 5/3, scfsi 4 per channel
     out.u(0, 9); out.u(0, if (nch == 1) 5 else 3); out.u(0, 4 * nch)
@@ -734,9 +746,14 @@ object Mp3L3 {
     * order gr·channels + ch (mono keeps the historical 2-slot shape);
     * `msStereo` marks joint stereo with the MS mode-extension bit, in
     * which case the decoded spectra are the matrixed M (ch 0) / S
-    * (ch 1) values — un-matrixing is the numeric half's concern. */
+    * (ch 1) values — un-matrixing is the numeric half's concern;
+    * `intensity` marks the intensity-stereo extension bit, whose
+    * processing (right-channel zero-region bands reconstructed from
+    * the left spectrum and the is_pos scalefactors) is also the
+    * numeric half's. */
   final case class L3Decoded(sampleRate: Int, bitrateKbps: Int,
-      granules: Array[Granule], channels: Int = 1, msStereo: Boolean = false)
+      granules: Array[Granule], channels: Int = 1, msStereo: Boolean = false,
+      intensity: Boolean = false)
 
   /** Prefix-decode one big-value symbol via the table's hash decode
     * map (O(1) per bit). Returns the symbol index; throws on a code
@@ -791,10 +808,10 @@ object Mp3L3 {
       val mode = (b(3) >> 6) & 3
       val ext = (b(3) >> 4) & 3
       if (mode == 2) return None // dual channel out of scope
-      // joint stereo: only the MS-on/intensity-off extension supported
-      if (mode == 1 && ext != 2) return None
       val nch = if (mode == 3) 1 else 2
-      val ms = mode == 1
+      // joint-stereo mode extension: bit 1 = MS, bit 0 = intensity
+      val ms = mode == 1 && (ext & 2) != 0
+      val intensity = mode == 1 && (ext & 1) != 0
       val r = new BitReader(b, 32)
       val mainDataBegin = r.u(9)
       if (mainDataBegin != 0) return None // bit reservoir unsupported
@@ -934,7 +951,7 @@ object Mp3L3 {
         Granule(s.p23, s.bv, s.gg, s.sc, s.ts, s.r0, s.r1, s.pre, s.sfs,
           s.c1t, sf, is, quads, used, s.bt, s.sbg, sfShort, s.mixed)
       }
-      Some(L3Decoded(44100, kbps, granules.toArray, nch, ms))
+      Some(L3Decoded(44100, kbps, granules.toArray, nch, ms, intensity))
     } catch { case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException => None }
   }
 
@@ -1112,7 +1129,8 @@ object Mp3L3 {
     Seq(StructField("sample_rate", LongType),
       StructField("bitrate_kbps", LongType),
       StructField("mode", LongType),      // 0 = stereo, 1 = joint stereo
-      StructField("ms_stereo", LongType)) // MS extension bit
+      StructField("ms_stereo", LongType), // MS extension bit
+      StructField("i_stereo", LongType))  // intensity extension bit
       ++ Seq("g0c0", "g0c1", "g1c0", "g1c1").flatMap(stSlotFields))
 
   /** Per-slot integer-exact functionals of a STEREO stream (two
@@ -1142,7 +1160,9 @@ object Mp3L3 {
       }
       InternalRow.fromSeq(
         Seq(d.sampleRate.toLong, d.bitrateKbps.toLong,
-          (if (d.msStereo) 1L else 0L), (if (d.msStereo) 1L else 0L)) ++
+          (if (d.msStereo || d.intensity) 1L else 0L),
+          (if (d.msStereo) 1L else 0L),
+          (if (d.intensity) 1L else 0L)) ++
           d.granules.toSeq.flatMap(stats))
     case _ => null
   }
@@ -1167,6 +1187,28 @@ object Mp3L3 {
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
     override def prettyName: String = "mp3l3_gen_stereo"
+  }
+
+  /** `mp3l3_gen_stereo_int(seed)`: joint stereo with the INTENSITY
+    * extension bit (ext 01 on even seeds, 11 = intensity + MS on odd);
+    * the right channel's zero upper region is the intensity region. */
+  case class Mp3L3GenStereoIntExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case LongType | IntegerType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"mp3l3_gen_stereo_int requires an integral seed, got ${t.catalogString}")
+    }
+    override def nullSafeEval(input: Any): Any = input match {
+      case l: java.lang.Long => Mp3L3.genStereoInt(l)
+      case i: java.lang.Integer => Mp3L3.genStereoInt(i.toLong)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.pipeline.Mp3L3.genStereoInt((long) $c);")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "mp3l3_gen_stereo_int"
   }
 
   /** `mp3l3_spectral_st(bytes)`: header mode fields + per-slot

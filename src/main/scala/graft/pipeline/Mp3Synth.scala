@@ -446,14 +446,60 @@ object Mp3Synth {
 
   /** §2.4.3.4.9.1 MS un-matrixing on requantized spectra:
     * L = (M + S)/√2, R = (M − S)/√2, in place over both arrays. */
-  def msMatrix(m: Array[Double], s: Array[Double]): Unit = {
+  def msMatrix(m: Array[Double], s: Array[Double]): Unit =
+    msMatrixRange(m, s, 0, 576)
+
+  private def msMatrixRange(m: Array[Double], s: Array[Double],
+      from: Int, until: Int): Unit = {
     val inv = 1.0 / math.sqrt(2.0)
-    var i = 0
-    while (i < 576) {
+    var i = from
+    while (i < until) {
       val mi = m(i); val si = s(i)
       m(i) = (mi + si) * inv
       s(i) = (mi - si) * inv
       i += 1
+    }
+  }
+
+  /** §2.4.3.4.9.3 INTENSITY stereo on requantized LONG-block spectra,
+    * in place. The intensity region starts at the first scalefactor
+    * band boundary at or past the right channel's last coded nonzero
+    * line (§2.4.3.4.9.2's zero part); in it, each band's right-channel
+    * scalefactor is the intensity position: is_ratio = tan(is_pos·π/12),
+    * L = v·ratio/(1+ratio), R = v/(1+ratio) from the left channel's v
+    * (is_pos 6 is the all-left pole, handled exactly; band 21 has no
+    * scalefactor → is_pos 0). An illegal is_pos 7 leaves the band to
+    * MS (when `ms`, the ext-11 combination) or untouched — and bands
+    * BELOW the region get MS under ext 11, pass-through under ext 01. */
+  def intensityStereo(l: Array[Double], r: Array[Double],
+      grR: Mp3L3.Granule, ms: Boolean): Unit = {
+    var last = -1
+    var i = 0
+    while (i < 576) { if (grR.is(i) != 0) last = i; i += 1 }
+    var startBand = 0
+    while (startBand < 22 && Mp3L3.Sfb44100(startBand) < last + 1) startBand += 1
+    if (ms) msMatrixRange(l, r, 0, Mp3L3.Sfb44100(startBand))
+    var b = startBand
+    while (b < 22) {
+      val isPos = if (b < 21) grR.scalefacs(b) else 0
+      val lo = Mp3L3.Sfb44100(b)
+      val hi = Mp3L3.Sfb44100(b + 1)
+      if (isPos == 6) {
+        var k = lo
+        while (k < hi) { r(k) = 0.0; k += 1 } // tan(π/2) pole: all left
+      } else if (isPos < 7) {
+        val ratio = math.tan(isPos * math.Pi / 12.0)
+        val cl = ratio / (1.0 + ratio)
+        val cr = 1.0 / (1.0 + ratio)
+        var k = lo
+        while (k < hi) {
+          val v = l(k)
+          l(k) = v * cl
+          r(k) = v * cr
+          k += 1
+        }
+      } else if (ms) msMatrixRange(l, r, lo, hi)
+      b += 1
     }
   }
 
@@ -503,7 +549,12 @@ object Mp3Synth {
     * 2 × 1152 samples, or None for mono/out-of-scope streams. */
   def decodePcmStereo(frame: Array[Byte],
       window: Array[Double] = synthesisWindow): Option[Array[Array[Double]]] =
-    Mp3L3.decode(frame).filter(_.channels == 2).map { d =>
+    Mp3L3.decode(frame).filter { d =>
+      // intensity processing is long-block scoped here: the per-window
+      // zero boundaries of short/mixed granules are out of scope
+      d.channels == 2 &&
+        (!d.intensity || d.granules.forall(_.blockType != 2))
+    }.map { d =>
       val overlap = Array.fill(2)(Array.ofDim[Double](32, 18))
       val states = Array.fill(2)(new SynthState(window))
       val out = Array.ofDim[Double](2, 1152)
@@ -515,7 +566,12 @@ object Mp3Synth {
         // must share block geometry for the per-line sum to be
         // meaningful (our generator always does)
         val xrs =
-          if (d.msStereo) {
+          if (d.intensity) {
+            val l = requantize(grL)
+            val r = requantize(grR)
+            intensityStereo(l, r, grR, d.msStereo)
+            Array(aliasReduce(l), aliasReduce(r))
+          } else if (d.msStereo) {
             val m = if (grL.blockType == 2 && grL.mixed == 1)
               reorderMixed(requantizeMixed(grL))
             else if (grL.blockType == 2) reorderShort(requantizeShort(grL))

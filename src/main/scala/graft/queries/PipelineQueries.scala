@@ -1780,6 +1780,22 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** MM25: the INTENSITY-header edition of mm23 — `mp3l3_gen_stereo_int`
+    * emits joint-stereo frames whose mode extension carries the
+    * intensity bit (ext 01 even doc_ids, 11 = intensity+MS odd), so
+    * the decoder must accept and surface both extension flags while
+    * walking the same four payloads. (Intensity PROCESSING is the
+    * numeric half's, spec-pinned in Mp3SynthSpec; this gate pins the
+    * header dispatch and that the entropy walk is extension-blind.) */
+  private def mm25(s: SparkSession, dir: String): DataFrame = {
+    val m = call_function("mp3l3_spectral_st",
+      call_function("mp3l3_gen_stereo_int", col("doc_id")))
+    val fields = graft.pipeline.Mp3L3.SpectralStSchema.fieldNames.toSeq
+    Tables.documents(s, dir).select(col("doc_id"), m.as("__m"))
+      .select(col("doc_id") +: fields.map(f => col(s"__m.$f").as(f)): _*)
+      .orderBy(col("doc_id"))
+  }
+
   /** MM24: IMAGE RESIZE — the thumbnailing operator, run as the full
     * five-stage chain construct → decode → resample → re-encode →
     * decode: `png_gen` builds the closed-form pattern, `image_resize`
@@ -1882,6 +1898,7 @@ object PipelineQueries {
     "p_mm22_mp3_mixed" -> (mm22 _),
     "p_mm23_mp3_stereo" -> (mm23 _),
     "p_mm24_image_resize" -> (mm24 _),
+    "p_mm25_mp3_intensity" -> (mm25 _),
     "p_d1_exact_dedup" -> (d1 _),
     "p_d2_neardup_bruteforce" -> (d2 _),
     "p_d3_minhash_lsh_neardup" -> (d3 _),
@@ -2085,6 +2102,110 @@ object PipelineQueries {
          CAST(strpos('0123456789abcdef',
            substring(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT)
          * (CAST(1 AS BIGINT) << CAST(4 * (8 - i) AS INT)))) AS BIGINT) % 100"""
+
+  /** Shared oracle body for the stereo entropy gates (mm23/mm25): the
+    * four-slot payload replay with caller-supplied header mode column
+    * expressions (DuckDB SQL over `s0.d`). */
+  private def stereoOracleSql(modeSql: String, msSql: String,
+      intSql: String): String =
+    s"""WITH slentab(sc, s1, s2) AS (VALUES $mp3l3SlenSql),
+          sfbtab(i, line) AS (VALUES $mp3l3SfbSql),
+          bvlen(t, x, y, len) AS (VALUES $mp3l3BvLenSql),
+          cnt1a(idx, len) AS (VALUES $mp3l3Cnt1aSql),
+          base AS (SELECT doc_id AS d, ss.s
+            FROM documents, (VALUES (0), (1), (2), (3)) ss(s)),
+          p AS (SELECT d, s,
+              18 + (d + s) % 11 AS bv, 3 + (d + s) % 4 AS r0,
+              (d + s) % 2 AS c1t, 4 + (d + s) % 4 AS nq, (d + s) % 16 AS sc,
+              d % 64 + 100 AS gain,
+              (d + s) % 3 + 1 AS t0, (d + s + 1) % 3 + 1 AS t1,
+              (d + s + 2) % 3 + 1 AS t2
+            FROM base),
+          pb AS (SELECT p.*, b1t.line AS b1, b2t.line AS b2, sl.s1, sl.s2
+            FROM p JOIN sfbtab b1t ON b1t.i = p.r0 + 1
+                   JOIN sfbtab b2t ON b2t.i = p.r0 + 5
+                   JOIN slentab sl ON sl.sc = p.sc),
+          sfagg AS (SELECT d, s, CAST(sum((band + 1) *
+                CASE WHEN (CASE WHEN band < 11 THEN s1 ELSE s2 END) = 0 THEN 0
+                     ELSE (d + band + s) %
+                       (CAST(1 AS BIGINT) << (CASE WHEN band < 11 THEN s1 ELSE s2 END))
+                END) AS BIGINT) AS sf_wsum
+            FROM pb, range(0, 21) rb(band) GROUP BY d, s),
+          pv AS (SELECT d, s, i, t,
+              (d + s + i) % (CASE WHEN t = 1 THEN 2 ELSE 3 END) AS mx,
+              (d + s + i + 1) % (CASE WHEN t = 1 THEN 2 ELSE 3 END) AS my,
+              CASE WHEN (d + i) % 3 = 0 THEN 1 ELSE -1 END AS sx,
+              CASE WHEN (d + i + 1) % 3 = 0 THEN 1 ELSE -1 END AS sy
+            FROM (SELECT pb.*, rp.i,
+                CASE WHEN 2 * rp.i < b1 THEN t0
+                     WHEN 2 * rp.i < b2 THEN t1 ELSE t2 END AS t
+              FROM pb, range(0, 28) rp(i) WHERE rp.i < bv)),
+          pagg AS (SELECT pv.d, pv.s,
+              sum(l.len + CASE WHEN mx <> 0 THEN 1 ELSE 0 END
+                + CASE WHEN my <> 0 THEN 1 ELSE 0 END) AS hbits,
+              sum(CASE WHEN mx <> 0 THEN 1 ELSE 0 END
+                + CASE WHEN my <> 0 THEN 1 ELSE 0 END) AS nz,
+              sum(sx * mx + sy * my) AS vsum,
+              sum((2 * i + 1) * sx * mx + (2 * i + 2) * sy * my) AS wsum
+            FROM pv JOIN bvlen l ON l.t = pv.t AND l.x = pv.mx AND l.y = pv.my
+            GROUP BY pv.d, pv.s),
+          qv AS (SELECT d, s, bv, c1t, j,
+              (d + j) % 2 AS mv, (d + j + 1) % 2 AS mw,
+              (d + j + s) % 2 AS mx, (d + j + s + 1) % 2 AS my,
+              CASE WHEN (d + j) % 3 = 0 THEN 1 ELSE -1 END AS sv,
+              CASE WHEN (d + j + 1) % 3 = 0 THEN 1 ELSE -1 END AS sw,
+              CASE WHEN (d + j + s) % 3 = 0 THEN 1 ELSE -1 END AS sx,
+              CASE WHEN (d + j + s + 1) % 3 = 0 THEN 1 ELSE -1 END AS sy
+            FROM (SELECT pb.d, pb.s, pb.bv, pb.c1t, rq.j
+              FROM pb, range(0, 7) rq(j) WHERE rq.j < nq)),
+          qagg AS (SELECT d, s,
+              sum((CASE WHEN c1t = 1 THEN 4 ELSE a.len END)
+                + mv + mw + mx + my) AS hbits,
+              sum(mv + mw + mx + my) AS nz,
+              sum(sv * mv + sw * mw + sx * mx + sy * my) AS vsum,
+              sum((2 * bv + 4 * j + 1) * sv * mv + (2 * bv + 4 * j + 2) * sw * mw
+                + (2 * bv + 4 * j + 3) * sx * mx
+                + (2 * bv + 4 * j + 4) * sy * my) AS wsum
+            FROM qv JOIN cnt1a a ON a.idx = mv * 8 + mw * 4 + mx * 2 + my
+            GROUP BY d, s),
+          gr AS (SELECT pb.d, pb.s,
+              CAST(11 * s1 + 10 * s2 + pa.hbits + qa.hbits AS BIGINT) AS part23,
+              CAST(bv AS BIGINT) AS bv, CAST(gain AS BIGINT) AS gain,
+              sf.sf_wsum,
+              CAST(pa.nz + qa.nz AS BIGINT) AS nz,
+              CAST(pa.vsum + qa.vsum AS BIGINT) AS vsum,
+              CAST(pa.wsum + qa.wsum AS BIGINT) AS wsum
+            FROM pb JOIN sfagg sf ON sf.d = pb.d AND sf.s = pb.s
+                    JOIN pagg pa ON pa.d = pb.d AND pa.s = pb.s
+                    JOIN qagg qa ON qa.d = pb.d AND qa.s = pb.s)
+          SELECT s0.d AS doc_id,
+            CAST(44100 AS BIGINT) AS sample_rate,
+            CAST([160, 192, 224, 256, 320][CAST(s0.d % 5 + 1 AS INT)] AS BIGINT)
+              AS bitrate_kbps,
+            CAST($modeSql AS BIGINT) AS mode,
+            CAST($msSql AS BIGINT) AS ms_stereo,
+            CAST($intSql AS BIGINT) AS i_stereo,
+            s0.part23 AS g0c0_part2_3_length, s0.bv AS g0c0_big_values,
+            s0.gain AS g0c0_global_gain, s0.sf_wsum AS g0c0_sf_wsum,
+            s0.nz AS g0c0_spec_nonzero, s0.vsum AS g0c0_spec_sum,
+            s0.wsum AS g0c0_spec_wsum,
+            s1.part23 AS g0c1_part2_3_length, s1.bv AS g0c1_big_values,
+            s1.gain AS g0c1_global_gain, s1.sf_wsum AS g0c1_sf_wsum,
+            s1.nz AS g0c1_spec_nonzero, s1.vsum AS g0c1_spec_sum,
+            s1.wsum AS g0c1_spec_wsum,
+            s2.part23 AS g1c0_part2_3_length, s2.bv AS g1c0_big_values,
+            s2.gain AS g1c0_global_gain, s2.sf_wsum AS g1c0_sf_wsum,
+            s2.nz AS g1c0_spec_nonzero, s2.vsum AS g1c0_spec_sum,
+            s2.wsum AS g1c0_spec_wsum,
+            s3.part23 AS g1c1_part2_3_length, s3.bv AS g1c1_big_values,
+            s3.gain AS g1c1_global_gain, s3.sf_wsum AS g1c1_sf_wsum,
+            s3.nz AS g1c1_spec_nonzero, s3.vsum AS g1c1_spec_sum,
+            s3.wsum AS g1c1_spec_wsum
+          FROM gr s0
+            JOIN gr s1 ON s1.d = s0.d AND s1.s = 1
+            JOIN gr s2 ON s2.d = s0.d AND s2.s = 2
+            JOIN gr s3 ON s3.d = s0.d AND s3.s = 3
+          WHERE s0.s = 0 ORDER BY doc_id"""
 
   def oracleSql: Map[String, String] = Map(
     "p_d1_exact_dedup" ->
@@ -3532,103 +3653,11 @@ object PipelineQueries {
           FROM p JOIN st ON st.d = p.d
           ORDER BY doc_id"""),
     "p_mm23_mp3_stereo" ->
-      (s"""WITH slentab(sc, s1, s2) AS (VALUES $mp3l3SlenSql),
-          sfbtab(i, line) AS (VALUES $mp3l3SfbSql),
-          bvlen(t, x, y, len) AS (VALUES $mp3l3BvLenSql),
-          cnt1a(idx, len) AS (VALUES $mp3l3Cnt1aSql),
-          base AS (SELECT doc_id AS d, ss.s
-            FROM documents, (VALUES (0), (1), (2), (3)) ss(s)),
-          p AS (SELECT d, s,
-              18 + (d + s) % 11 AS bv, 3 + (d + s) % 4 AS r0,
-              (d + s) % 2 AS c1t, 4 + (d + s) % 4 AS nq, (d + s) % 16 AS sc,
-              d % 64 + 100 AS gain,
-              (d + s) % 3 + 1 AS t0, (d + s + 1) % 3 + 1 AS t1,
-              (d + s + 2) % 3 + 1 AS t2
-            FROM base),
-          pb AS (SELECT p.*, b1t.line AS b1, b2t.line AS b2, sl.s1, sl.s2
-            FROM p JOIN sfbtab b1t ON b1t.i = p.r0 + 1
-                   JOIN sfbtab b2t ON b2t.i = p.r0 + 5
-                   JOIN slentab sl ON sl.sc = p.sc),
-          sfagg AS (SELECT d, s, CAST(sum((band + 1) *
-                CASE WHEN (CASE WHEN band < 11 THEN s1 ELSE s2 END) = 0 THEN 0
-                     ELSE (d + band + s) %
-                       (CAST(1 AS BIGINT) << (CASE WHEN band < 11 THEN s1 ELSE s2 END))
-                END) AS BIGINT) AS sf_wsum
-            FROM pb, range(0, 21) rb(band) GROUP BY d, s),
-          pv AS (SELECT d, s, i, t,
-              (d + s + i) % (CASE WHEN t = 1 THEN 2 ELSE 3 END) AS mx,
-              (d + s + i + 1) % (CASE WHEN t = 1 THEN 2 ELSE 3 END) AS my,
-              CASE WHEN (d + i) % 3 = 0 THEN 1 ELSE -1 END AS sx,
-              CASE WHEN (d + i + 1) % 3 = 0 THEN 1 ELSE -1 END AS sy
-            FROM (SELECT pb.*, rp.i,
-                CASE WHEN 2 * rp.i < b1 THEN t0
-                     WHEN 2 * rp.i < b2 THEN t1 ELSE t2 END AS t
-              FROM pb, range(0, 28) rp(i) WHERE rp.i < bv)),
-          pagg AS (SELECT pv.d, pv.s,
-              sum(l.len + CASE WHEN mx <> 0 THEN 1 ELSE 0 END
-                + CASE WHEN my <> 0 THEN 1 ELSE 0 END) AS hbits,
-              sum(CASE WHEN mx <> 0 THEN 1 ELSE 0 END
-                + CASE WHEN my <> 0 THEN 1 ELSE 0 END) AS nz,
-              sum(sx * mx + sy * my) AS vsum,
-              sum((2 * i + 1) * sx * mx + (2 * i + 2) * sy * my) AS wsum
-            FROM pv JOIN bvlen l ON l.t = pv.t AND l.x = pv.mx AND l.y = pv.my
-            GROUP BY pv.d, pv.s),
-          qv AS (SELECT d, s, bv, c1t, j,
-              (d + j) % 2 AS mv, (d + j + 1) % 2 AS mw,
-              (d + j + s) % 2 AS mx, (d + j + s + 1) % 2 AS my,
-              CASE WHEN (d + j) % 3 = 0 THEN 1 ELSE -1 END AS sv,
-              CASE WHEN (d + j + 1) % 3 = 0 THEN 1 ELSE -1 END AS sw,
-              CASE WHEN (d + j + s) % 3 = 0 THEN 1 ELSE -1 END AS sx,
-              CASE WHEN (d + j + s + 1) % 3 = 0 THEN 1 ELSE -1 END AS sy
-            FROM (SELECT pb.d, pb.s, pb.bv, pb.c1t, rq.j
-              FROM pb, range(0, 7) rq(j) WHERE rq.j < nq)),
-          qagg AS (SELECT d, s,
-              sum((CASE WHEN c1t = 1 THEN 4 ELSE a.len END)
-                + mv + mw + mx + my) AS hbits,
-              sum(mv + mw + mx + my) AS nz,
-              sum(sv * mv + sw * mw + sx * mx + sy * my) AS vsum,
-              sum((2 * bv + 4 * j + 1) * sv * mv + (2 * bv + 4 * j + 2) * sw * mw
-                + (2 * bv + 4 * j + 3) * sx * mx
-                + (2 * bv + 4 * j + 4) * sy * my) AS wsum
-            FROM qv JOIN cnt1a a ON a.idx = mv * 8 + mw * 4 + mx * 2 + my
-            GROUP BY d, s),
-          gr AS (SELECT pb.d, pb.s,
-              CAST(11 * s1 + 10 * s2 + pa.hbits + qa.hbits AS BIGINT) AS part23,
-              CAST(bv AS BIGINT) AS bv, CAST(gain AS BIGINT) AS gain,
-              sf.sf_wsum,
-              CAST(pa.nz + qa.nz AS BIGINT) AS nz,
-              CAST(pa.vsum + qa.vsum AS BIGINT) AS vsum,
-              CAST(pa.wsum + qa.wsum AS BIGINT) AS wsum
-            FROM pb JOIN sfagg sf ON sf.d = pb.d AND sf.s = pb.s
-                    JOIN pagg pa ON pa.d = pb.d AND pa.s = pb.s
-                    JOIN qagg qa ON qa.d = pb.d AND qa.s = pb.s)
-          SELECT s0.d AS doc_id,
-            CAST(44100 AS BIGINT) AS sample_rate,
-            CAST([160, 192, 224, 256, 320][CAST(s0.d % 5 + 1 AS INT)] AS BIGINT)
-              AS bitrate_kbps,
-            CAST(s0.d % 2 AS BIGINT) AS mode,
-            CAST(s0.d % 2 AS BIGINT) AS ms_stereo,
-            s0.part23 AS g0c0_part2_3_length, s0.bv AS g0c0_big_values,
-            s0.gain AS g0c0_global_gain, s0.sf_wsum AS g0c0_sf_wsum,
-            s0.nz AS g0c0_spec_nonzero, s0.vsum AS g0c0_spec_sum,
-            s0.wsum AS g0c0_spec_wsum,
-            s1.part23 AS g0c1_part2_3_length, s1.bv AS g0c1_big_values,
-            s1.gain AS g0c1_global_gain, s1.sf_wsum AS g0c1_sf_wsum,
-            s1.nz AS g0c1_spec_nonzero, s1.vsum AS g0c1_spec_sum,
-            s1.wsum AS g0c1_spec_wsum,
-            s2.part23 AS g1c0_part2_3_length, s2.bv AS g1c0_big_values,
-            s2.gain AS g1c0_global_gain, s2.sf_wsum AS g1c0_sf_wsum,
-            s2.nz AS g1c0_spec_nonzero, s2.vsum AS g1c0_spec_sum,
-            s2.wsum AS g1c0_spec_wsum,
-            s3.part23 AS g1c1_part2_3_length, s3.bv AS g1c1_big_values,
-            s3.gain AS g1c1_global_gain, s3.sf_wsum AS g1c1_sf_wsum,
-            s3.nz AS g1c1_spec_nonzero, s3.vsum AS g1c1_spec_sum,
-            s3.wsum AS g1c1_spec_wsum
-          FROM gr s0
-            JOIN gr s1 ON s1.d = s0.d AND s1.s = 1
-            JOIN gr s2 ON s2.d = s0.d AND s2.s = 2
-            JOIN gr s3 ON s3.d = s0.d AND s3.s = 3
-          WHERE s0.s = 0 ORDER BY doc_id"""),
+      stereoOracleSql(modeSql = "s0.d % 2", msSql = "s0.d % 2",
+        intSql = "0"),
+    "p_mm25_mp3_intensity" ->
+      stereoOracleSql(modeSql = "1", msSql = "s0.d % 2",
+        intSql = "1"),
     "p_mm22_mp3_mixed" ->
       (s"""WITH slentab(sc, s1, s2) AS (VALUES $mp3l3SlenSql),
           bvlen(t, x, y, len) AS (VALUES $mp3l3BvLenSql),

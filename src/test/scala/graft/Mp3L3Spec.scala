@@ -271,12 +271,18 @@ class Mp3L3Spec extends SparkSpec {
     }
   }
 
-  test("joint stereo with intensity extension is rejected; dual channel too") {
+  test("joint-stereo extensions dispatch: MS/intensity flags surface; dual rejected") {
     val b = Mp3L3.genStereo(1L) // joint stereo, ext = 2 (MS only)
-    assert(Mp3L3.decode(b).isDefined)
+    val d = Mp3L3.decode(b).get
+    assert(d.msStereo && !d.intensity)
     val intensity = b.clone()
     intensity(3) = ((intensity(3) & 0xcf) | 0x10).toByte // ext = 01
-    assert(Mp3L3.decode(intensity) === None)
+    val di = Mp3L3.decode(intensity).get
+    assert(!di.msStereo && di.intensity)
+    val both = Mp3L3.decode(Mp3L3.genStereoInt(1L)).get // ext = 11
+    assert(both.msStereo && both.intensity)
+    assert(Mp3L3.decode(Mp3L3.genStereoInt(0L)).exists(x =>
+      x.intensity && !x.msStereo)) // ext = 01
     val dual = b.clone()
     dual(3) = ((dual(3) & 0x3f) | 0x80).toByte // mode = 10
     assert(Mp3L3.decode(dual) === None)

@@ -276,6 +276,61 @@ class Mp3SynthSpec extends AnyFunSuite {
     assert(st(0).toSeq === expect.toSeq)
   }
 
+  test("intensity stereo: zero-region bands reconstruct from is_pos, lower bands MS or pass") {
+    import graft.pipeline.Mp3L3
+    import graft.pipeline.Mp3L3.Granule
+    // right channel coded through line 35 (band 7 ends at 36): the
+    // intensity region starts at band 8 (line 36)
+    def gran(sf: Array[Int], nzUpTo: Int): Granule = {
+      val is = new Array[Int](576)
+      (0 until nzUpTo).foreach(i => is(i) = 1)
+      Granule(0, 0, 210, 0, Array(1, 1, 1), 3, 3, 0, 0, 0,
+        sf, is, 0, 0)
+    }
+    val sfR = new Array[Int](21)
+    sfR(8) = 3  // is_pos 3 → tan(π/4) = 1 → 50/50 split
+    sfR(9) = 6  // all left
+    sfR(10) = 0 // all right
+    sfR(11) = 7 // illegal → MS under ext 11, untouched under ext 01
+    val grR = gran(sfR, 36)
+    def freshLR(): (Array[Double], Array[Double]) = {
+      val l = new Array[Double](576)
+      val r = new Array[Double](576)
+      (0 until 576).foreach { i => l(i) = 8.0; r(i) = if (i < 36) 2.0 else 0.0 }
+      (l, r)
+    }
+    val s8 = Mp3L3.Sfb44100(8); val s9 = Mp3L3.Sfb44100(9)
+    val s10 = Mp3L3.Sfb44100(10); val s11 = Mp3L3.Sfb44100(11)
+    // ext 01: intensity only — lower bands untouched
+    val (l1, r1) = freshLR()
+    Mp3Synth.intensityStereo(l1, r1, grR, ms = false)
+    assert(l1(0) === 8.0 && r1(0) === 2.0, "below the region: pass-through")
+    assert(math.abs(l1(s8) - 4.0) < 1e-12 && math.abs(r1(s8) - 4.0) < 1e-12,
+      "is_pos 3 splits 50/50")
+    assert(l1(s9) === 8.0 && r1(s9) === 0.0, "is_pos 6: all left")
+    assert(l1(s10) === 0.0 && r1(s10) === 8.0, "is_pos 0: all right")
+    assert(l1(s11) === 8.0 && r1(s11) === 0.0, "is_pos 7 without MS: untouched")
+    // ext 11: intensity + MS — lower bands and illegal-is_pos bands MS
+    val (l2, r2) = freshLR()
+    Mp3Synth.intensityStereo(l2, r2, grR, ms = true)
+    val inv = 1.0 / math.sqrt(2.0)
+    assert(math.abs(l2(0) - 10.0 * inv) < 1e-12 && math.abs(r2(0) - 6.0 * inv) < 1e-12,
+      "below the region: MS")
+    assert(math.abs(l2(s11) - 8.0 * inv) < 1e-12 && math.abs(r2(s11) - 8.0 * inv) < 1e-12,
+      "is_pos 7 under ext 11: MS")
+    assert(math.abs(l2(s8) - 4.0) < 1e-12, "intensity bands unchanged by the MS flag")
+  }
+
+  test("full chain handles intensity frames: ext 01 and 11 reach 2×1152 PCM") {
+    for (seed <- 0L until 8L) {
+      val pcm = Mp3Synth.decodePcmStereo(Mp3L3.genStereoInt(seed))
+        .getOrElse(fail(s"seed $seed: no intensity decode"))
+      assert(pcm.length === 2 && pcm.forall(_.length == 1152))
+      assert(pcm.forall(_.forall(v => !v.isNaN && !v.isInfinite)))
+      assert(pcm(0).exists(_ != 0.0), s"seed $seed: left carries signal")
+    }
+  }
+
   test("full chain handles mixed-block frames: both granule flavors reach PCM") {
     for (seed <- 0L until 8L) {
       val pcm = Mp3Synth.decodePcm(Mp3L3.genMixed(seed))
