@@ -47,6 +47,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("wav_pcm", "wav_pcm(bytes) - struct(sample_rate, channels, n_samples, min_s, max_s, sum_s, sum_sq, codec) decoded from WAV samples (PCM16 / G.711 ulaw / alaw / IMA ADPCM), else NULL"),
       (args: Seq[Expression]) => graft.pipeline.AvHeader.WavPcmExpr(args(0))))
     ext.injectFunction((
+      FunctionIdentifier("wav_resample"),
+      info("wav_resample", "wav_resample(bytes, rate) - zero-order-hold resample of a decoded WAV (PCM16/G.711/ADPCM) to the target rate, re-encoded as canonical PCM16 WAV, else NULL"),
+      (args: Seq[Expression]) => graft.pipeline.AvHeader.WavResampleExpr(args(0), args(1))))
+    ext.injectFunction((
       FunctionIdentifier("mp3_meta"),
       info("mp3_meta", "mp3_meta(bytes) - struct(version, layer, sample_rate, channels, bitrate_kbps, frames, total_bytes, duration_ms, avg_kbps, xing_frames, vbr) from an MPEG-audio frame-header walk, else NULL"),
       (args: Seq[Expression]) => graft.pipeline.Mp3Header.Mp3MetaExpr(args(0))))

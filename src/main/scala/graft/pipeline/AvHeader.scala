@@ -307,7 +307,44 @@ object AvHeader {
     * present in the buffer (a header-only stream decodes zero samples —
     * distinguishable from silence by `nSamples`). None when the bytes
     * are not WAV or the format is not one of the four above. */
+  /** Decoded linear samples (interleaved when multichannel) plus the
+    * stream parameters — the materialized twin of [[decodeWavPcm]],
+    * feeding [[resampleWav]]. */
+  final case class WavSamples(sampleRate: Int, channels: Int,
+      codec: String, samples: Array[Int])
+
+  /** [[decodeWavPcm]] with the expanded samples materialized. */
+  def decodeWavSamples(b: Array[Byte]): Option[WavSamples] = {
+    val out = new java.util.ArrayList[Integer]()
+    decodeWavWith(b, s => out.add(Int.box(s))).map { case (rate, ch, codec) =>
+      val arr = new Array[Int](out.size())
+      var i = 0
+      while (i < arr.length) { arr(i) = out.get(i); i += 1 }
+      WavSamples(rate, ch, codec, arr)
+    }
+  }
+
   def decodeWavPcm(b: Array[Byte]): Option[PcmStats] = {
+    var n = 0L
+    var mn = Long.MaxValue
+    var mx = Long.MinValue
+    var sum = 0L
+    var sumSq = 0L
+    decodeWavWith(b, { s =>
+      val v = s.toLong
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+      sum += v
+      sumSq += v * v
+      n += 1
+    }).map { case (rate, ch, codec) =>
+      if (n == 0) { mn = 0L; mx = 0L }
+      PcmStats(rate, ch, n, mn, mx, sum, sumSq, codec)
+    }
+  }
+
+  private def decodeWavWith(b: Array[Byte],
+      emit: Int => Unit): Option[(Int, Int, String)] = {
     if (b == null || b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE")
       return None
     var i = 12
@@ -337,19 +374,6 @@ object AvHeader {
     }
     if (channels < 1 || sampleRate < 1 || dataLo < 0) return None
     val avail = math.min(dataSize, (b.length - dataLo).toLong)
-    var n = 0L
-    var mn = Long.MaxValue
-    var mx = Long.MinValue
-    var sum = 0L
-    var sumSq = 0L
-    @inline def emit(s: Int): Unit = {
-      val v = s.toLong
-      if (v < mn) mn = v
-      if (v > mx) mx = v
-      sum += v
-      sumSq += v * v
-      n += 1
-    }
     val codec = (fmt, bits) match {
       case (1, 16) =>
         var k = 0L
@@ -406,8 +430,95 @@ object AvHeader {
         "ima_adpcm"
       case _ => return None
     }
-    if (n == 0) { mn = 0L; mx = 0L }
-    Some(PcmStats(sampleRate.toInt, channels, n, mn, mx, sum, sumSq, codec))
+    Some((sampleRate.toInt, channels, codec))
+  }
+
+  /** AUDIO RESAMPLE — the audio normalization operator of a
+    * training-data pipeline: decode any supported WAV (PCM16 / µ-law /
+    * A-law / IMA ADPCM), zero-order-hold resample to `outRate`, and
+    * re-encode as a canonical PCM16 WAV — so compressed telephony
+    * audio comes out as normalized linear PCM at the target rate. The
+    * resampler is exact integer arithmetic (output frame j reads
+    * source frame ⌊j·inRate/outRate⌋, nOut = ⌊nIn·outRate/inRate⌋
+    * frames), so an external oracle replays every output sample.
+    * Null on undecodable input or an out-of-range target rate. */
+  def resampleWav(b: Array[Byte], outRate: Int): Array[Byte] = {
+    if (outRate < 1 || outRate > 768000) return null
+    decodeWavSamples(b) match {
+      case None => null
+      case Some(ws) =>
+        val ch = ws.channels
+        if (ch < 1 || ws.samples.length % ch != 0) return null
+        val inFrames = ws.samples.length / ch
+        val outFrames = (inFrames.toLong * outRate / ws.sampleRate).toInt
+        val out = new Array[Int](outFrames * ch)
+        var j = 0
+        while (j < outFrames) {
+          val src = (j.toLong * ws.sampleRate / outRate).toInt
+          var c = 0
+          while (c < ch) { out(j * ch + c) = ws.samples(src * ch + c); c += 1 }
+          j += 1
+        }
+        encodePcm16Wav(out, outRate, ch)
+    }
+  }
+
+  /** Canonical PCM16 WAV writer (RIFF + fmt(16, format 1) + data). */
+  def encodePcm16Wav(samples: Array[Int], rate: Int, channels: Int): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(rate)
+      .putInt(rate * channels * 2)          // byte rate
+      .putShort((channels * 2).toShort)     // block align
+      .putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < samples.length) {
+      val v = math.max(-32768, math.min(32767, samples(i)))
+      bb.putShort(v.toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** Boxed entry point for [[resampleWav]] shared by eval and codegen. */
+  def resampleEval(b: Array[Byte], rate: Long): Array[Byte] =
+    if (rate < 1 || rate > 768000) null else resampleWav(b, rate.toInt)
+
+  /** `wav_resample(bytes, rate)`: zero-order-hold resample to `rate`,
+    * re-encoded as canonical PCM16 WAV; NULL on undecodable input. */
+  case class WavResampleExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      val ok = left.dataType == BinaryType &&
+        (right.dataType == LongType || right.dataType == IntegerType)
+      if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "wav_resample requires (binary, integral)")
+    }
+    override def nullSafeEval(b: Any, r: Any): Any = {
+      val rate = r match {
+        case l: java.lang.Long => l.longValue
+        case i: java.lang.Integer => i.longValue
+      }
+      AvHeader.resampleEval(b.asInstanceOf[Array[Byte]], rate)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (b, r) => {
+        s"""
+           |${ev.value} = graft.pipeline.AvHeader.resampleEval($b, (long) $r);
+           |${ev.isNull} = ${ev.value} == null;
+         """.stripMargin
+      })
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(l, r)
+    override def prettyName: String = "wav_resample"
   }
 
   /** [[decodeWavPcm]] as a Catalyst row for [[WavPcmExpr]]. */

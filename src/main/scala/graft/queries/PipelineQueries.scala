@@ -1780,6 +1780,49 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** MM26: AUDIO RESAMPLE — the audio normalization operator, run as
+    * construct → decode → zero-order-hold resample → PCM16 re-encode →
+    * decode: the mm5 SQL-built PCM16 WAV pipes through `wav_resample`
+    * to a doc_id-derived target rate, and `wav_pcm` decodes the
+    * re-encoded container. The oracle replays the exact integer
+    * frame mapping (output j reads source ⌊j·inRate/outRate⌋,
+    * nOut = ⌊n·outRate/inRate⌋) and the resampled sample statistics. */
+  private def mm26(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    def byteOf(c: Column) = lpad(hex(c.cast("long").bitwiseAND(lit(255L))), 2, "0")
+    def le16(c: Column) = unhex(concat(byteOf(c), byteOf(shiftright(c.cast("long"), 8))))
+    def le32(c: Column) = unhex(concat(byteOf(c), byteOf(shiftright(c.cast("long"), 8)),
+      byteOf(shiftright(c.cast("long"), 16)), byteOf(shiftright(c.cast("long"), 24))))
+    val n = (pmod(d, lit(97)) + 16).cast("int")
+    val sr = element_at(array(lit(8000L), lit(16000L), lit(22050L), lit(44100L)),
+      pmod(d, lit(4)).cast("int") + 1)
+    val payload = unhex(array_join(
+      transform(sequence(lit(0), n - 1), i => {
+        val u = pmod(d * 31 + i * 7919, lit(65536)).cast("long")
+        concat(byteOf(u), byteOf(shiftright(u, 8)))
+      }), ""))
+    val wavB = concat(
+      s4("RIFF"), le32(n.cast("long") * 2 + 36), s4("WAVE"),
+      s4("fmt "), le32(lit(16)), le16(lit(1)), le16(lit(1)), le32(sr),
+      le32(sr * 2), le16(lit(2)), le16(lit(16)),
+      s4("data"), le32(n.cast("long") * 2), payload)
+    val outR = element_at(array(lit(4000L), lit(12000L), lit(32000L), lit(44100L)),
+      pmod(d * 7, lit(4)).cast("int") + 1)
+    val m = graft.pipeline.Multimodal.wavPcm(
+      call_function("wav_resample", wavB, outR))
+    Tables.documents(s, dir).select(col("doc_id"), m.as("__m"))
+      .select(col("doc_id"),
+        col("__m").getField("codec").as("codec"),
+        col("__m").getField("sample_rate").cast("long").as("sample_rate"),
+        col("__m").getField("channels").cast("long").as("channels"),
+        col("__m").getField("n_samples").as("n_samples"),
+        col("__m").getField("min_s").as("min_s"),
+        col("__m").getField("max_s").as("max_s"),
+        col("__m").getField("sum_s").as("sum_s"),
+        col("__m").getField("sum_sq").as("sum_sq"))
+      .orderBy(col("doc_id"))
+  }
+
   /** MM25: the INTENSITY-header edition of mm23 — `mp3l3_gen_stereo_int`
     * emits joint-stereo frames whose mode extension carries the
     * intensity bit (ext 01 even doc_ids, 11 = intensity+MS odd), so
@@ -1899,6 +1942,7 @@ object PipelineQueries {
     "p_mm23_mp3_stereo" -> (mm23 _),
     "p_mm24_image_resize" -> (mm24 _),
     "p_mm25_mp3_intensity" -> (mm25 _),
+    "p_mm26_wav_resample" -> (mm26 _),
     "p_d1_exact_dedup" -> (d1 _),
     "p_d2_neardup_bruteforce" -> (d2 _),
     "p_d3_minhash_lsh_neardup" -> (d3 _),
@@ -3658,6 +3702,31 @@ object PipelineQueries {
     "p_mm25_mp3_intensity" ->
       stereoOracleSql(modeSql = "1", msSql = "s0.d % 2",
         intSql = "1"),
+    "p_mm26_wav_resample" ->
+      ("""WITH p AS (SELECT doc_id AS d,
+              doc_id % 97 + 16 AS n,
+              [8000, 16000, 22050, 44100][CAST(doc_id % 4 + 1 AS INT)] AS sr,
+              [4000, 12000, 32000, 44100][CAST((doc_id * 7) % 4 + 1 AS INT)] AS outr
+            FROM documents),
+          o AS (SELECT p.*, (n * outr) // sr AS nout FROM p),
+          v AS (SELECT d,
+              CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+            FROM (SELECT o.d, (o.d * 31 + ((rj.j * sr) // outr) * 7919) % 65536 AS u
+              FROM o, range(0, 650) rj(j) WHERE rj.j < nout)),
+          st AS (SELECT d, count(*) AS n2, min(s) AS mn, max(s) AS mx,
+              sum(s) AS sm, sum(s * s) AS sq
+            FROM v GROUP BY d)
+          SELECT o.d AS doc_id,
+            'pcm_s16le' AS codec,
+            CAST(o.outr AS BIGINT) AS sample_rate,
+            CAST(1 AS BIGINT) AS channels,
+            CAST(st.n2 AS BIGINT) AS n_samples,
+            CAST(st.mn AS BIGINT) AS min_s,
+            CAST(st.mx AS BIGINT) AS max_s,
+            CAST(st.sm AS BIGINT) AS sum_s,
+            CAST(st.sq AS BIGINT) AS sum_sq
+          FROM o JOIN st ON st.d = o.d
+          ORDER BY doc_id"""),
     "p_mm22_mp3_mixed" ->
       (s"""WITH slentab(sc, s1, s2) AS (VALUES $mp3l3SlenSql),
           bvlen(t, x, y, len) AS (VALUES $mp3l3BvLenSql),

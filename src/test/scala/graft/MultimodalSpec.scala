@@ -687,6 +687,48 @@ class MultimodalSpec extends SparkSpec {
     assert(PngCodec.resize(Array[Byte](1, 2), 4, 3, "nearest") === null)
   }
 
+  test("wav_resample: exact zero-order-hold mapping, compressed inputs normalize") {
+    import graft.pipeline.AvHeader
+    val src = Array(100, -200, 300, -400, 500, -600, 700, -800)
+    val wav = AvHeader.encodePcm16Wav(src, 8000, 1)
+    // downsample 2:1 — every second frame
+    val down = AvHeader.decodeWavSamples(AvHeader.resampleWav(wav, 4000)).get
+    assert(down.sampleRate === 4000 && down.codec === "pcm_s16le")
+    assert(down.samples.toSeq === Seq(100, 300, 500, 700))
+    // upsample 2:1 — zero-order hold doubles every frame
+    val up = AvHeader.decodeWavSamples(AvHeader.resampleWav(wav, 16000)).get
+    assert(up.samples.toSeq === src.flatMap(v => Seq(v, v)).toSeq)
+    // non-integral ratio: out j reads src floor(j*8000/12000)
+    val odd = AvHeader.decodeWavSamples(AvHeader.resampleWav(wav, 12000)).get
+    assert(odd.samples.length === 8 * 12000 / 8000)
+    odd.samples.zipWithIndex.foreach { case (v, j) =>
+      assert(v === src((j.toLong * 8000 / 12000).toInt), s"frame $j")
+    }
+    // stereo frames move together
+    val st = AvHeader.encodePcm16Wav(Array(1, -1, 2, -2, 3, -3, 4, -4), 8000, 2)
+    val st2 = AvHeader.decodeWavSamples(AvHeader.resampleWav(st, 4000)).get
+    assert(st2.channels === 2 && st2.samples.toSeq === Seq(1, -1, 3, -3))
+    // a compressed µ-law input comes out as linear PCM16 at the new rate
+    val ulawBytes = Array[Int](0xFF, 0x7F, 0x80, 0x00) // ±0 and the loudest codes
+    val ulawWav = {
+      val bb = java.nio.ByteBuffer.allocate(44 + 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(36 + 4).put("WAVE".getBytes)
+      bb.put("fmt ".getBytes).putInt(16).putShort(7).putShort(1)
+        .putInt(8000).putInt(8000).putShort(1).putShort(8)
+      bb.put("data".getBytes).putInt(4)
+      ulawBytes.foreach(v => bb.put(v.toByte))
+      bb.array()
+    }
+    val norm = AvHeader.decodeWavSamples(AvHeader.resampleWav(ulawWav, 8000)).get
+    assert(norm.codec === "pcm_s16le")
+    assert(norm.samples.toSeq ===
+      ulawBytes.map(AvHeader.ulaw2linear).toSeq, "expansion then identity resample")
+    // guards
+    assert(AvHeader.resampleWav(wav, 0) === null)
+    assert(AvHeader.resampleWav(Array[Byte](1, 2, 3), 8000) === null)
+  }
+
   test("extractFeaturesStub: one feature row per media row, deterministic") {
     implicit val s = spark
     val feats = Multimodal.extractFeaturesStub(media, batchSize = 16).collect()
