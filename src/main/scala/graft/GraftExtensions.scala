@@ -123,6 +123,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("vp9_meta", "vp9_meta(bytes) - struct(IVF header fields, frame-type counts, first-keyframe VP9 header: profile/bit depth/color/dims) from an IVF walk, else NULL"),
       (args: Seq[Expression]) => graft.pipeline.Vp9Ivf.Vp9MetaExpr(args(0))))
     ext.injectFunction((
+      FunctionIdentifier("vp9_frames"),
+      info("vp9_frames", "vp9_frames(bytes) - array of per-frame structs (frame_idx, offset, frame_len, pts, is_key) from an IVF frame walk, else NULL"),
+      (args: Seq[Expression]) => graft.pipeline.Vp9Ivf.Vp9FramesExpr(args(0))))
+    ext.injectFunction((
       FunctionIdentifier("png_gen"),
       info("png_gen", "png_gen(seed) - deterministic DEFLATE-compressed grayscale PNG for seed (closed-form pixel pattern)"),
       (args: Seq[Expression]) => graft.pipeline.PngCodec.PngGenExpr(args(0))))

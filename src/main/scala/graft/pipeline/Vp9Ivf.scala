@@ -246,6 +246,76 @@ object Vp9Ivf {
       payload, lastPts, keyInfo))
   }
 
+  /** Per-frame walk rows for [[Vp9FramesExpr]]: one entry per
+    * fully-present IVF frame — index, byte offset of its 12-byte
+    * length/PTS header, payload length, PTS, and key/inter
+    * classification from the frame's own first bits. The offsets come
+    * from the ACTUAL walk, so a closed-form prefix-sum oracle pins the
+    * length arithmetic per frame (the video twin of `mp3_frames`). */
+  def framesRows(b: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (b == null || b.length < 32) return null
+    if (b(0) != 'D' || b(1) != 'K' || b(2) != 'I' || b(3) != 'F') return null
+    if (le16(b, 6) < 32) return null
+    var i = le16(b, 6)
+    var idx = 0
+    val rows = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    var walking = true
+    while (walking && i + 12 <= b.length) {
+      val len = le32(b, i)
+      if (len <= 0 || i + 12 + len > b.length) walking = false
+      else {
+        val from = i + 12
+        val until = from + len.toInt
+        classify(b, from, until) match {
+          case Some(isKey) =>
+            rows += InternalRow(idx, i.toLong, len, le64(b, i + 4),
+              if (isKey) 1 else 0)
+            idx += 1
+            i = until
+          case None => walking = false
+        }
+      }
+    }
+    if (rows.isEmpty) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(rows.toArray[Any])
+  }
+
+  /** `vp9_frames(binary)`: array of per-frame structs (index, byte
+    * offset, payload length, PTS, key flag) from the IVF walk, null
+    * if no valid frame — downstream explodes only this tiny struct
+    * array; payload bytes never leave their row. */
+  case class Vp9FramesExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = Vp9FramesExpr.schema
+    override def nullable: Boolean = true
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == BinaryType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vp9_frames requires binary input, got ${child.dataType.catalogString}")
+    override def nullSafeEval(input: Any): Any =
+      Vp9Ivf.framesRows(input.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        s"""
+           |${ev.value} = graft.pipeline.Vp9Ivf.framesRows($c);
+           |${ev.isNull} = ${ev.value} == null;
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "vp9_frames"
+  }
+
+  object Vp9FramesExpr {
+    val schema: DataType = org.apache.spark.sql.types.ArrayType(StructType(Seq(
+      StructField("frame_idx", IntegerType),
+      StructField("offset", LongType),
+      StructField("frame_len", LongType),
+      StructField("pts", LongType),
+      StructField("is_key", IntegerType))))
+  }
+
   def parseRow(bytes: Array[Byte]): InternalRow = parse(bytes) match {
     case Some(m) =>
       val k = m.key

@@ -1780,6 +1780,27 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** MM27: per-frame VIDEO explode — the video twin of mm17's audio
+    * frame walk: `vp9_frames` returns one tiny struct per IVF frame
+    * (index, byte offset of the 12-byte length/PTS header, payload
+    * length, PTS, key/inter classification from the frame's own first
+    * bits) and only THAT array explodes. The oracle replays every
+    * frame's OFFSET as the closed-form prefix sum
+    * 32 + 12f + f·base + f(f−1)/2 over the generator's arithmetic
+    * length progression, pinning the walk positionally. */
+  private def mm27(s: SparkSession, dir: String): DataFrame = {
+    val frames = call_function("vp9_frames", call_function("vp9_gen", col("doc_id")))
+    Tables.documents(s, dir).select(col("doc_id"), frames.as("__f"))
+      .select(col("doc_id"), explode(col("__f")).as("f"))
+      .select(col("doc_id"),
+        col("f").getField("frame_idx").cast("long").as("frame_idx"),
+        col("f").getField("offset").as("offset"),
+        col("f").getField("frame_len").as("frame_len"),
+        col("f").getField("pts").as("pts"),
+        col("f").getField("is_key").cast("long").as("is_key"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   /** MM26: AUDIO RESAMPLE — the audio normalization operator, run as
     * construct → decode → zero-order-hold resample → PCM16 re-encode →
     * decode: the mm5 SQL-built PCM16 WAV pipes through `wav_resample`
@@ -1943,6 +1964,7 @@ object PipelineQueries {
     "p_mm24_image_resize" -> (mm24 _),
     "p_mm25_mp3_intensity" -> (mm25 _),
     "p_mm26_wav_resample" -> (mm26 _),
+    "p_mm27_vp9_frame_explode" -> (mm27 _),
     "p_d1_exact_dedup" -> (d1 _),
     "p_d2_neardup_bruteforce" -> (d2 _),
     "p_d3_minhash_lsh_neardup" -> (d3 _),
@@ -3702,6 +3724,19 @@ object PipelineQueries {
     "p_mm25_mp3_intensity" ->
       stereoOracleSql(modeSql = "1", msSql = "s0.d % 2",
         intSql = "1"),
+    "p_mm27_vp9_frame_explode" ->
+      ("""WITH p AS (SELECT doc_id AS d, doc_id % 7 + 1 AS nf,
+              doc_id % 40 + 12 AS base
+            FROM documents),
+          f AS (SELECT d, base, rf.f FROM p, range(0, 7) rf(f)
+            WHERE rf.f < nf)
+          SELECT d AS doc_id,
+            CAST(f AS BIGINT) AS frame_idx,
+            CAST(32 + 12 * f + f * base + f * (f - 1) // 2 AS BIGINT) AS offset,
+            CAST(base + f AS BIGINT) AS frame_len,
+            CAST(d * 7 + f * 1000 AS BIGINT) AS pts,
+            CAST(CASE WHEN f = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_key
+          FROM f ORDER BY doc_id, frame_idx"""),
     "p_mm26_wav_resample" ->
       ("""WITH p AS (SELECT doc_id AS d,
               doc_id % 97 + 16 AS n,

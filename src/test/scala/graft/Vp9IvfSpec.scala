@@ -86,6 +86,32 @@ class Vp9IvfSpec extends SparkSpec {
     }
   }
 
+  test("vp9_frames walk: closed-form offsets, key flag, truncation drops the tail") {
+    import graft.pipeline.Vp9Ivf
+    for (seed <- 0L until 40L) {
+      val b = Vp9Ivf.generate(seed)
+      val rows = Vp9Ivf.framesRows(b)
+      val nf = (seed % 7).toInt + 1
+      val base = (seed % 40).toInt + 12
+      assert(rows !== null)
+      assert(rows.numElements === nf, s"seed $seed")
+      (0 until nf).foreach { f =>
+        val r = rows.getStruct(f, 5)
+        assert(r.getInt(0) === f)
+        assert(r.getLong(1) === 32L + 12 * f + f.toLong * base + f * (f - 1) / 2,
+          s"seed $seed frame $f offset")
+        assert(r.getLong(2) === base + f)
+        assert(r.getLong(3) === seed * 7 + f * 1000L)
+        assert(r.getInt(4) === (if (f == 0) 1 else 0))
+      }
+      // a truncated final frame drops out of the walk
+      val cut = Vp9Ivf.framesRows(b.dropRight(1))
+      if (nf > 1) assert(cut.numElements === nf - 1, s"seed $seed truncated")
+    }
+    assert(Vp9Ivf.framesRows(Array[Byte](1, 2, 3)) === null)
+    assert(Vp9Ivf.framesRows(null) === null)
+  }
+
   test("p_mm14 registry entry agrees with the closed forms") {
     val r = SparkEntry.queries("p_mm14_vp9_ivf")(spark, sf0001)
       .filter(col("doc_id") === 10L).collect().head
