@@ -95,6 +95,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("adts_meta", "adts_meta(bytes) - struct(mpeg_version, object_type, sample_rate, channels, crc_present, frames, total_bytes, duration_ms, avg_kbps) from an AAC ADTS frame-header walk, else NULL"),
       (args: Seq[Expression]) => graft.pipeline.AdtsHeader.AdtsMetaExpr(args(0))))
     ext.injectFunction((
+      FunctionIdentifier("adts_frames"),
+      info("adts_frames", "adts_frames(bytes) - array of per-frame structs (frame_idx, offset, frame_len, crc_present, payload_len) from an AAC ADTS frame walk, else NULL"),
+      (args: Seq[Expression]) => graft.pipeline.AdtsHeader.AdtsFramesExpr(args(0))))
+    ext.injectFunction((
       FunctionIdentifier("h264_gen"),
       info("h264_gen", "h264_gen(seed) - deterministic Annex-B H.264 stream (exp-Golomb SPS, escaped slice payloads) for seed"),
       (args: Seq[Expression]) => graft.pipeline.H264Nal.H264GenExpr(args(0))))

@@ -115,6 +115,72 @@ object AdtsHeader {
     case None => null
   }
 
+  /** Per-frame walk rows for [[AdtsFramesExpr]]: one entry per
+    * fully-present ADTS frame — index, byte offset (junk prefix
+    * included: the offsets come from the ACTUAL sync scan + walk),
+    * on-wire frame length from the 13-bit field, CRC-header flag, and
+    * the payload length after the 7/9-byte header. The third
+    * frame-walk explode alongside `mp3_frames` and `vp9_frames`. */
+  def framesRows(b: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (b == null || b.length < 7) return null
+    var start = 0
+    var first: Option[Frame] = None
+    while (start + 7 <= b.length && first.isEmpty) {
+      first = header(b, start)
+      if (first.isEmpty) start += 1
+    }
+    if (first.isEmpty) return null
+    val rows = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    var i = start
+    var idx = 0
+    var walking = true
+    while (walking) {
+      header(b, i) match {
+        case Some(f) if i + f.frameLen <= b.length =>
+          rows += InternalRow(idx, i.toLong, f.frameLen,
+            if (f.crc) 1 else 0, f.frameLen - (if (f.crc) 9 else 7))
+          i += f.frameLen
+          idx += 1
+        case _ => walking = false
+      }
+    }
+    if (rows.isEmpty) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(rows.toArray[Any])
+  }
+
+  /** `adts_frames(binary)`: array of per-frame structs (index, byte
+    * offset, on-wire length, crc flag, payload length) from an ADTS
+    * frame walk, null if no structurally-valid frame. */
+  case class AdtsFramesExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = AdtsFramesExpr.schema
+    override def nullable: Boolean = true
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"adts_frames requires binary input, got ${child.dataType.catalogString}")
+    override def nullSafeEval(input: Any): Any =
+      AdtsHeader.framesRows(input.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        s"""
+           |${ev.value} = graft.pipeline.AdtsHeader.framesRows($c);
+           |${ev.isNull} = ${ev.value} == null;
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "adts_frames"
+  }
+
+  object AdtsFramesExpr {
+    val schema: DataType = ArrayType(StructType(Seq(
+      StructField("frame_idx", IntegerType),
+      StructField("offset", LongType),
+      StructField("frame_len", IntegerType),
+      StructField("crc_present", IntegerType),
+      StructField("payload_len", IntegerType))))
+  }
+
   /** `adts_meta(binary)`: parsed ADTS stream stats, null if no frame. */
   case class AdtsMetaExpr(child: Expression) extends UnaryExpression {
     override def dataType: DataType = AdtsMetaExpr.schema

@@ -1517,15 +1517,14 @@ object PipelineQueries {
     * re-syncing (rather than frame-length-jumping) walk would miscount.
     * The oracle replays construction and the integer-exact
     * duration/bitrate stats in closed form. */
-  private def mm13(s: SparkSession, dir: String): DataFrame = {
-    val d = col("doc_id")
+  /** The mm13 ADTS stream construction, shared with mm28's frame
+    * explode: doc_id-derived junk prefix, frame count, CRC variant,
+    * and an arithmetic payload-length progression. */
+  private def mm13Bytes(d: Column): Column = {
     def byteOf(c: Column) = lpad(hex(c.cast("long").bitwiseAND(lit(255L))), 2, "0")
     val nF = (pmod(d, lit(8)) + 2).cast("int")
     val prof = pmod(d, lit(3)) // object_type - 1
     val sfi = pmod(d, lit(12))
-    val rate = element_at(array(Seq(96000, 88200, 64000, 48000, 44100, 32000,
-      24000, 22050, 16000, 12000, 11025, 8000).map(v => lit(v.toLong)): _*),
-      sfi.cast("int") + 1)
     val chan = pmod(d, lit(2)) + 1
     val mpegId = when(pmod(d, lit(3)) === 0, lit(1L)).otherwise(lit(0L))
     val crc = when(pmod(d, lit(2)) === 0, lit(1L)).otherwise(lit(0L))
@@ -1549,11 +1548,14 @@ object PipelineQueries {
           .otherwise(repeat(lit("AB"), payloadLen))
       concat(hdr, payload)
     }
-    val bytes = unhex(concat(
+    unhex(concat(
       repeat(lit("AA"), pmod(d, lit(6)).cast("int")), // sync-scan junk
       array_join(transform(sequence(lit(0), nF - 1),
         f => frameHex(f.cast("long"))), "")))
-    val m = call_function("adts_meta", bytes)
+  }
+
+  private def mm13(s: SparkSession, dir: String): DataFrame = {
+    val m = call_function("adts_meta", mm13Bytes(col("doc_id")))
     Tables.documents(s, dir).select(col("doc_id"), m.as("__m"))
       .select(col("doc_id"),
         col("__m").getField("mpeg_version").cast("long").as("mpeg_version"),
@@ -1780,6 +1782,27 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** MM28: per-frame AAC explode — the third frame-walk alongside
+    * mm17 (MP3) and mm27 (VP9): `adts_frames` walks the mm13 ADTS
+    * stream (junk prefix, CRC variants, the planted fake sync inside
+    * frame 0's payload that a re-syncing walker would trip on) and
+    * emits one struct per frame. The oracle replays every offset as
+    * the closed-form prefix sum junk + f·(hdr + base) + f(f−1)/2 over
+    * the arithmetic payload progression — positional pinning of the
+    * 13-bit length jumps. */
+  private def mm28(s: SparkSession, dir: String): DataFrame = {
+    val frames = call_function("adts_frames", mm13Bytes(col("doc_id")))
+    Tables.documents(s, dir).select(col("doc_id"), frames.as("__f"))
+      .select(col("doc_id"), explode(col("__f")).as("f"))
+      .select(col("doc_id"),
+        col("f").getField("frame_idx").cast("long").as("frame_idx"),
+        col("f").getField("offset").as("offset"),
+        col("f").getField("frame_len").cast("long").as("frame_len"),
+        col("f").getField("crc_present").cast("long").as("crc_present"),
+        col("f").getField("payload_len").cast("long").as("payload_len"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   /** MM27: per-frame VIDEO explode — the video twin of mm17's audio
     * frame walk: `vp9_frames` returns one tiny struct per IVF frame
     * (index, byte offset of the 12-byte length/PTS header, payload
@@ -1965,6 +1988,7 @@ object PipelineQueries {
     "p_mm25_mp3_intensity" -> (mm25 _),
     "p_mm26_wav_resample" -> (mm26 _),
     "p_mm27_vp9_frame_explode" -> (mm27 _),
+    "p_mm28_adts_frame_explode" -> (mm28 _),
     "p_d1_exact_dedup" -> (d1 _),
     "p_d2_neardup_bruteforce" -> (d2 _),
     "p_d3_minhash_lsh_neardup" -> (d3 _),
@@ -3724,6 +3748,23 @@ object PipelineQueries {
     "p_mm25_mp3_intensity" ->
       stereoOracleSql(modeSql = "1", msSql = "s0.d % 2",
         intSql = "1"),
+    "p_mm28_adts_frame_explode" ->
+      ("""WITH p AS (SELECT doc_id AS d,
+              doc_id % 8 + 2 AS nf,
+              doc_id % 6 AS junk,
+              CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS crc,
+              doc_id % 50 + 10 AS base
+            FROM documents),
+          p2 AS (SELECT p.*, 7 + 2 * crc AS hdr FROM p),
+          f AS (SELECT p2.*, rf.f FROM p2, range(0, 9) rf(f)
+            WHERE rf.f < nf)
+          SELECT d AS doc_id,
+            CAST(f AS BIGINT) AS frame_idx,
+            CAST(junk + f * (hdr + base) + f * (f - 1) // 2 AS BIGINT) AS offset,
+            CAST(hdr + base + f AS BIGINT) AS frame_len,
+            CAST(crc AS BIGINT) AS crc_present,
+            CAST(base + f AS BIGINT) AS payload_len
+          FROM f ORDER BY doc_id, frame_idx"""),
     "p_mm27_vp9_frame_explode" ->
       ("""WITH p AS (SELECT doc_id AS d, doc_id % 7 + 1 AS nf,
               doc_id % 40 + 12 AS base
