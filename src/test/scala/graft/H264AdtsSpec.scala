@@ -121,6 +121,20 @@ class H264AdtsSpec extends SparkSpec {
     assert(m.crc && m.frames === 1L && m.totalBytes === 22L)
   }
 
+  test("adts_frames: per-frame rows tile the stream, junk offset included") {
+    val withJunk = Array.fill(3)(0xaa.toByte) ++ handAdts ++ handAdts
+    val rows = AdtsHeader.framesRows(withJunk)
+    assert(rows.numElements === 2)
+    val r0 = rows.getStruct(0, 5)
+    val r1 = rows.getStruct(1, 5)
+    assert(r0.getInt(0) === 0 && r0.getLong(1) === 3L && r0.getInt(2) === 20)
+    assert(r0.getInt(3) === 0 && r0.getInt(4) === 13) // 20 - 7
+    assert(r1.getInt(0) === 1 && r1.getLong(1) === 23L)
+    // truncated tail frame drops out; garbage is null
+    assert(AdtsHeader.framesRows(withJunk.dropRight(5)).numElements === 1)
+    assert(AdtsHeader.framesRows(Array.fill(16)(0x11.toByte)) === null)
+  }
+
   // ---- mp3 per-frame walk -------------------------------------------------
 
   test("mp3_frames: per-frame rows tile the stream back-to-back") {
