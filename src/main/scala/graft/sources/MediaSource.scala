@@ -355,8 +355,15 @@ class MediaScan(path: String, decode: String, targetBytes: Long,
       * breaking non-local checkpoint filesystems outright). */
     private val ledgerPath =
       new org.apache.hadoop.fs.Path(checkpointLocation, "graft-media-claims")
+    // MicroBatchStream construction is driver-side, so an active session
+    // is the normal case; fall back to the default session and then a
+    // bare Configuration (local FS) rather than failing stream creation
+    // with an opaque error if the resuming thread has no active handle.
     private val ledgerFs = ledgerPath.getFileSystem(
-      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+      org.apache.spark.sql.SparkSession.getActiveSession
+        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+        .map(_.sparkContext.hadoopConfiguration)
+        .getOrElse(new org.apache.hadoop.conf.Configuration()))
     private var claimed: Map[String, Long] =
       if (mtimeSlackMs <= 0L || !ledgerFs.exists(ledgerPath)) Map.empty
       else {
