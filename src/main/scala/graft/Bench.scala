@@ -23,8 +23,35 @@ package graft
   *
   * Each query is forced with `.count()`; the deterministic ORDER BY each
   * query carries for oracle hashing is eliminated by Catalyst under the
-  * aggregate, so the measured plan is scan→filter→join→agg, not the sort. */
+  * aggregate, so the measured plan is scan→filter→join→agg, not the sort.
+  *
+  * EXCEPTION — the codec-decode entries: those queries PROJECT decoded
+  * columns (per-file PCM/pixel stats), and Catalyst rightly prunes the
+  * decode expressions a count() does not need — so `.count()` measured
+  * the scan floor, not the decode (the caveat SCALE.md carried since
+  * round 10). They are forced instead with a xxhash64 checksum aggregate
+  * over EVERY output column: one extra codegen'd hash per row (nothing
+  * next to a frame decode), no pruning possible, still one scalar back
+  * to the driver. */
 object Bench {
+  /** Entries whose output columns ARE the decode — force via checksum,
+    * not count, so the bench curve reflects decode throughput. */
+  val decodeForced: Set[String] = Set(
+    "p_mm16_flac_streaminfo", "p_mm18_mp3_spectral", "p_mm19_mp3_escape",
+    "p_mm20_mp3_short", "p_mm21_flac_pcm", "p_mm22_mp3_mixed",
+    "p_mm23_mp3_stereo", "p_mm24_image_resize", "p_mm25_mp3_intensity",
+    "p_mm26_wav_resample")
+
+  /** Force `df` so no output column can be pruned away. */
+  def force(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{col, sum, xxhash64}
+    if (decodeForced(name)) {
+      df.select(xxhash64(df.columns.map(col).toIndexedSeq: _*).as("h"))
+        .agg(sum("h")).collect()
+      ()
+    } else { df.count(); () }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -46,7 +73,7 @@ object Bench {
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val cold = time(fn(spark, sfDir).count())
+      val cold = time(force(name, fn(spark, sfDir)))
       val warm = cold match {
         case Right(_) =>
           // ANY failing warm pass fails the query — an intermittent crash
@@ -54,7 +81,7 @@ object Bench {
           // by the surviving pass's time.
           val runs = (1 to 2).map { _ =>
             isolate()
-            time(fn(spark, sfDir).count())
+            time(force(name, fn(spark, sfDir)))
           }
           runs.collectFirst { case l @ Left(_) => l }
             .getOrElse(Right(runs.collect { case Right(v) => v }.min))

@@ -441,8 +441,13 @@ object AvHeader {
     * resampler is exact integer arithmetic (output frame j reads
     * source frame ⌊j·inRate/outRate⌋, nOut = ⌊nIn·outRate/inRate⌋
     * frames), so an external oracle replays every output sample.
-    * Null on undecodable input or an out-of-range target rate. */
-  def resampleWav(b: Array[Byte], outRate: Int): Array[Byte] = {
+    * Null on undecodable input, an out-of-range target rate, or an
+    * output that would exceed 2^28 samples (amplification guard). */
+  def resampleWav(b: Array[Byte], outRate: Int): Array[Byte] =
+    try resampleWavUnsafe(b, outRate)
+    catch { case _: RuntimeException => null } // malformed input → NULL, never a task kill
+
+  private def resampleWavUnsafe(b: Array[Byte], outRate: Int): Array[Byte] = {
     if (outRate < 1 || outRate > 768000) return null
     decodeWavSamples(b) match {
       case None => null
@@ -450,7 +455,16 @@ object AvHeader {
         val ch = ws.channels
         if (ch < 1 || ws.samples.length % ch != 0) return null
         val inFrames = ws.samples.length / ch
-        val outFrames = (inFrames.toLong * outRate / ws.sampleRate).toInt
+        // Bound the output in LONG space before allocating: a crafted
+        // header (sampleRate=1, outRate=768000) amplifies memory ~10^6×
+        // and (inFrames·outRate/sampleRate)·ch can exceed Int range —
+        // `.toInt` would wrap to a negative/bogus allocation size and
+        // kill the task instead of returning NULL per the contract.
+        // 1 GiB of int16 output frames is far past any sane normalize
+        // target; reject rather than allocate.
+        val outFramesL = inFrames.toLong * outRate / ws.sampleRate
+        if (outFramesL * ch > (1L << 28)) return null
+        val outFrames = outFramesL.toInt
         val out = new Array[Int](outFrames * ch)
         var j = 0
         while (j < outFrames) {

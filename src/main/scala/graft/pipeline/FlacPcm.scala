@@ -24,7 +24,10 @@ import org.apache.spark.sql.types._
   *     size codes (192 / 576·2^n / 256·2^n / 8- and 16-bit literals),
   *     the full sample-rate code table, channel codes 0–10 (independent
   *     1–2ch plus left/side, right/side, mid/side), sample sizes
-  *     8/12/16/20/24/32, multi-byte UTF-8 frame numbers, CRC-8
+  *     8/12/16/20/24 (the 32-bit code parses but fails CLOSED — the
+  *     Int-width sample path would wrap a 32/33-bit read, and wrong
+  *     samples under a passing CRC-16 are worse than NULL), multi-byte
+  *     UTF-8 frame numbers, CRC-8
   *     (poly 0x07) verified over the header bytes
   *   - subframes (§9.2): CONSTANT, VERBATIM, FIXED orders 0–4 (the
   *     published binomial predictors), LPC orders 1–32 (quantized
@@ -376,6 +379,15 @@ object FlacPcm {
         case 6 => 24
         case 7 => 32
       }
+      // Fail CLOSED past 24 bits: the Int-width bit reader would wrap a
+      // 32-bit warm-up/verbatim read (signed(32) computes v − (1<<32),
+      // which in 32-bit arithmetic is v − 1 — off by one on every
+      // negative sample) and a decorrelated side channel at bps 32
+      // needs 33-bit reads outright. CRC-16 would still pass (it checks
+      // the BITSTREAM, not the reconstruction), so without this guard a
+      // valid 32-bit stream would decode silently wrong; NULL is the
+      // contract for out-of-scope inputs.
+      if (bps > 24) return None
       val nch = if (chCode < 8) chCode + 1
       else if (chCode <= 10) 2
       else return None

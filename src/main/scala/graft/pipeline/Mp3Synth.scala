@@ -468,7 +468,9 @@ object Mp3Synth {
     * scalefactor is the intensity position: is_ratio = tan(is_pos·π/12),
     * L = v·ratio/(1+ratio), R = v/(1+ratio) from the left channel's v
     * (is_pos 6 is the all-left pole, handled exactly; band 21 has no
-    * scalefactor → is_pos 0). An illegal is_pos 7 leaves the band to
+    * scalefactor of its own and REUSES the previous band's is_pos per
+    * §2.4.3.4.9.3's "sfb of the preceding partition" rule). An
+    * illegal is_pos 7 leaves the band to
     * MS (when `ms`, the ext-11 combination) or untouched — and bands
     * BELOW the region get MS under ext 11, pass-through under ext 01. */
   def intensityStereo(l: Array[Double], r: Array[Double],
@@ -481,7 +483,10 @@ object Mp3Synth {
     if (ms) msMatrixRange(l, r, 0, Mp3L3.Sfb44100(startBand))
     var b = startBand
     while (b < 22) {
-      val isPos = if (b < 21) grR.scalefacs(b) else 0
+      // Band 21 carries no transmitted scalefactor; ISO reuses the
+      // PRECEDING band's is_pos for that top partition (not 0, which
+      // would hard-pan it right).
+      val isPos = if (b < 21) grR.scalefacs(b) else grR.scalefacs(20)
       val lo = Mp3L3.Sfb44100(b)
       val hi = Mp3L3.Sfb44100(b + 1)
       if (isPos == 6) {

@@ -357,13 +357,31 @@ class MediaScan(path: String, decode: String, targetBytes: Long,
       new org.apache.hadoop.fs.Path(checkpointLocation, "graft-media-claims")
     // MicroBatchStream construction is driver-side, so an active session
     // is the normal case; fall back to the default session and then a
-    // bare Configuration (local FS) rather than failing stream creation
-    // with an opaque error if the resuming thread has no active handle.
-    private val ledgerFs = ledgerPath.getFileSystem(
-      org.apache.spark.sql.SparkSession.getActiveSession
+    // bare Configuration rather than failing stream creation with an
+    // opaque error if the resuming thread has no active handle. The
+    // bare-Configuration leg is safe ONLY for a local checkpoint: for
+    // hdfs://, s3a://, etc. it would resolve with DEFAULT Hadoop config
+    // (no cluster addresses, no auth), silently binding the claims
+    // ledger to the wrong filesystem and degrading exactly-once — so a
+    // non-local scheme with no session to borrow config from FAILS
+    // loudly instead.
+    private val ledgerFs = {
+      val sessionConf = org.apache.spark.sql.SparkSession.getActiveSession
         .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
         .map(_.sparkContext.hadoopConfiguration)
-        .getOrElse(new org.apache.hadoop.conf.Configuration()))
+      val conf = sessionConf.getOrElse {
+        val scheme = ledgerPath.toUri.getScheme
+        if (scheme != null && scheme != "file")
+          throw new IllegalStateException(
+            s"MediaSource claim ledger at '$ledgerPath' uses scheme " +
+              s"'$scheme' but no SparkSession is available to supply " +
+              "Hadoop configuration; refusing to resolve a non-local " +
+              "checkpoint filesystem with default config (it would " +
+              "silently bind the dedup ledger to the wrong filesystem)")
+        new org.apache.hadoop.conf.Configuration()
+      }
+      ledgerPath.getFileSystem(conf)
+    }
     private var claimed: Map[String, Long] =
       if (mtimeSlackMs <= 0L || !ledgerFs.exists(ledgerPath)) Map.empty
       else {

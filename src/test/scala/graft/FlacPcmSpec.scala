@@ -82,6 +82,21 @@ class FlacPcmSpec extends SparkSpec {
     assert(FlacPcm.decode(null).isEmpty)
   }
 
+  test("32-bit sample size fails CLOSED (never silently wrong)") {
+    // The Int-width sample path cannot represent 32-bit warm-up reads
+    // (signed(32) wraps) or the 33-bit decorrelated side channel, so a
+    // frame coding sample-size 32 must return None — silently-wrong
+    // samples under a passing CRC are the failure mode this pins shut.
+    val bytes = FlacPcm.gen(11L)
+    val b = bytes.clone()
+    // frame header byte 3 (offset 45): chCode(4) | szCode(3) | reserved;
+    // rewrite szCode 4 (16-bit) → 7 (32-bit) and re-seal the header CRC-8
+    b(45) = ((b(45) & 0xF1) | (7 << 1)).toByte
+    b(48) = FlacPcm.crc8(b, 42, 48).toByte
+    assert(FlacPcm.decode(b).isEmpty)
+    assert(FlacPcm.decode(bytes).isDefined) // the unmodified twin decodes
+  }
+
   // ==== hand-assembled vectors for generator-less decoder paths ==========
 
   private final class Bw {

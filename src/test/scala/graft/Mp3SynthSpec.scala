@@ -292,6 +292,7 @@ class Mp3SynthSpec extends AnyFunSuite {
     sfR(9) = 6  // all left
     sfR(10) = 0 // all right
     sfR(11) = 7 // illegal → MS under ext 11, untouched under ext 01
+    sfR(20) = 6 // band 21 (no scalefactor of its own) must REUSE this
     val grR = gran(sfR, 36)
     def freshLR(): (Array[Double], Array[Double]) = {
       val l = new Array[Double](576)
@@ -310,6 +311,10 @@ class Mp3SynthSpec extends AnyFunSuite {
     assert(l1(s9) === 8.0 && r1(s9) === 0.0, "is_pos 6: all left")
     assert(l1(s10) === 0.0 && r1(s10) === 8.0, "is_pos 0: all right")
     assert(l1(s11) === 8.0 && r1(s11) === 0.0, "is_pos 7 without MS: untouched")
+    val s20 = Mp3L3.Sfb44100(20); val s21 = Mp3L3.Sfb44100(21)
+    assert(l1(s20) === 8.0 && r1(s20) === 0.0, "band 20: is_pos 6 all left")
+    assert(l1(s21) === 8.0 && r1(s21) === 0.0,
+      "band 21 reuses the PRECEDING band's is_pos (§2.4.3.4.9.3), not 0")
     // ext 11: intensity + MS — lower bands and illegal-is_pos bands MS
     val (l2, r2) = freshLR()
     Mp3Synth.intensityStereo(l2, r2, grR, ms = true)

@@ -727,6 +727,20 @@ class MultimodalSpec extends SparkSpec {
     // guards
     assert(AvHeader.resampleWav(wav, 0) === null)
     assert(AvHeader.resampleWav(Array[Byte](1, 2, 3), 8000) === null)
+    // amplification guard: a crafted sampleRate=1 header would expand
+    // every input frame 768000× — the output must be REJECTED as NULL
+    // in Long space before any allocation, not wrap `.toInt` into a
+    // NegativeArraySizeException that kills the task
+    val tiny = {
+      val bb = java.nio.ByteBuffer.allocate(44 + 8192 * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(36 + 8192 * 2).put("WAVE".getBytes)
+      bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+        .putInt(1).putInt(2).putShort(2).putShort(16) // sampleRate = 1 Hz
+      bb.put("data".getBytes).putInt(8192 * 2)
+      bb.array()
+    }
+    assert(AvHeader.resampleWav(tiny, 768000) === null)
   }
 
   test("extractFeaturesStub: one feature row per media row, deterministic") {
