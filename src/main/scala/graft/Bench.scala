@@ -42,12 +42,15 @@ object Bench {
     "p_mm23_mp3_stereo", "p_mm24_image_resize", "p_mm25_mp3_intensity",
     "p_mm26_wav_resample")
 
-  /** Force `df` so no output column can be pruned away. */
+  /** Force `df` so no output column can be pruned away. The fold is
+    * bit_xor, not sum — ANSI mode (Spark 4 default) would raise on a
+    * Long-sum overflow of hash values; xor cannot overflow and is
+    * order-insensitive. */
   def force(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
-    import org.apache.spark.sql.functions.{col, sum, xxhash64}
+    import org.apache.spark.sql.functions.{col, expr, xxhash64}
     if (decodeForced(name)) {
       df.select(xxhash64(df.columns.map(col).toIndexedSeq: _*).as("h"))
-        .agg(sum("h")).collect()
+        .agg(expr("bit_xor(h)")).collect()
       ()
     } else { df.count(); () }
   }
