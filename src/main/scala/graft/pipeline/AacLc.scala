@@ -233,19 +233,164 @@ object AacLc {
     }
     /** DPCM scalefactor difference for a coded band. */
     def dpcm(sfb: Int): Int = ((d + 5 * sfb + f) % 17).toInt - 8
-    /** Quantized value of absolute bin k under codebook cb. Signed
-      * books fold the sign into the value; unsigned books carry it as
-      * a transmitted sign bit (1 = negative). */
-    def mag(cb: Int, k: Int): Int = cb match {
-      case 1 | 2 => ((d + k) % 3).toInt - 1 // value, not magnitude
-      case 3 | 4 => ((d + k) % 3).toInt
-      case 5 | 6 => ((d + k) % 9).toInt - 4 // value
-      case 7 | 8 => ((d + k) % 8).toInt
-      case 9 | 10 => ((d + k) % 13).toInt
-      case 11 => ((d * 3 + k) % 20).toInt // 16..19 exercise the escape
-      case _ => 0
+    /** Quantized value of absolute bin k under codebook cb. */
+    def mag(cb: Int, k: Int): Int = AacLc.coeff(d, cb, k)
+    def negative(k: Int): Boolean = AacLc.coeffNeg(d, k)
+  }
+
+  /** Closed-form quantized value for (seed, codebook, absolute bin) —
+    * shared by both generators and replayed by the oracle. Signed
+    * books fold the sign into the value; unsigned books carry it as a
+    * transmitted sign bit (1 = negative). */
+  def coeff(d: Long, cb: Int, k: Int): Int = cb match {
+    case 1 | 2 => ((d + k) % 3).toInt - 1 // value, not magnitude
+    case 3 | 4 => ((d + k) % 3).toInt
+    case 5 | 6 => ((d + k) % 9).toInt - 4 // value
+    case 7 | 8 => ((d + k) % 8).toInt
+    case 9 | 10 => ((d + k) % 13).toInt
+    case 11 => ((d * 3 + k) % 20).toInt // 16..19 exercise the escape
+    case _ => 0
+  }
+  def coeffNeg(d: Long, k: Int): Boolean = (d + k) % 2 == 1
+
+  /** Per-(seed, frame) parameters of the EIGHT_SHORT generator:
+    * seed-derived 7-bit scale_factor_grouping, per-GROUP greedy
+    * sectioning with 3-bit length chunks, per-group DPCM scalefactors,
+    * and coefficients addressed by their DEINTERLEAVED position
+    * (window·128 + band offset) so the decode identity is direct. */
+  final case class GenShortParams(d: Long, f: Int) {
+    val globalGain: Int = 100 + (d % 40).toInt
+    val windowShape: Int = ((d + f) % 2).toInt
+    val maxSfb: Int = 4 + ((d + f) % 5).toInt // 4..8 of the 8 short bands
+    val grouping: Int = ((d * 5 + f * 3) % 128).toInt
+    val groups: Array[Int] = {
+      val sizes = scala.collection.mutable.ArrayBuffer(1)
+      var i = 0
+      while (i < 7) {
+        if (((grouping >> (6 - i)) & 1) == 1) sizes(sizes.length - 1) += 1
+        else sizes += 1
+        i += 1
+      }
+      sizes.toArray
     }
-    def negative(k: Int): Boolean = (d + k) % 2 == 1
+    private val CbCycle: Array[Int] = Array(1, 5, 0, 9, 3, 11, 7, 4, 6, 2, 8, 10)
+    def sectionRawLen(g: Int, s: Int): Int = 1 + ((d + f + g + s) % 3).toInt
+    def sectionCb(g: Int, s: Int): Int = CbCycle(((d + f + g + s) % 12).toInt)
+    /** Section lists per group: (cb, firstSfb, nSfb). */
+    val sections: Array[Array[(Int, Int, Int)]] = Array.tabulate(groups.length) { g =>
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+      var covered = 0
+      var s = 0
+      while (covered < maxSfb) {
+        val len = math.min(sectionRawLen(g, s), maxSfb - covered)
+        buf += ((sectionCb(g, s), covered, len))
+        covered += len; s += 1
+      }
+      buf.toArray
+    }
+    def dpcm(g: Int, sfb: Int): Int = ((d + 7 * g + 5 * sfb + f) % 17).toInt - 8
+    def mag(cb: Int, k: Int): Int = AacLc.coeff(d, cb, k)
+    def negative(k: Int): Boolean = AacLc.coeffNeg(d, k)
+  }
+
+  /** Encode one EIGHT_SHORT raw_data_block. */
+  private def encodeRdbShort(p: GenShortParams): Array[Byte] = {
+    val w = new BitWriter
+    w.u(0, 3) // SCE
+    w.u(0, 4)
+    w.u(p.globalGain, 8)
+    w.u(0, 1) // ics_reserved
+    w.u(2, 2) // EIGHT_SHORT
+    w.u(p.windowShape, 1)
+    w.u(p.maxSfb, 4)
+    w.u(p.grouping, 7)
+    // section_data per group, 3-bit chunks (escape 7; our lens ≤ 3)
+    var g = 0
+    while (g < p.groups.length) {
+      p.sections(g).foreach { case (cb, _, n) =>
+        w.u(cb, 4)
+        var rem = n
+        while (rem >= 7) { w.u(7, 3); rem -= 7 }
+        w.u(rem, 3)
+      }
+      g += 1
+    }
+    // scale_factor_data per group
+    g = 0
+    while (g < p.groups.length) {
+      p.sections(g).foreach { case (cb, first, n) =>
+        if (cb != 0) {
+          var b = first
+          while (b < first + n) {
+            val idx = sfZigzag(p.dpcm(g, b))
+            w.u(sfBook.code(idx), sfBook.len(idx))
+            b += 1
+          }
+        }
+      }
+      g += 1
+    }
+    w.u(0, 1); w.u(0, 1); w.u(0, 1) // pulse/tns/gain
+    // spectral_data: group → section → band → window-in-group → tuples
+    val winOf = { val a = new Array[Int](p.groups.length); var acc = 0
+      var i = 0; while (i < p.groups.length) { a(i) = acc; acc += p.groups(i); i += 1 }; a }
+    g = 0
+    while (g < p.groups.length) {
+      p.sections(g).foreach { case (cb, first, n) =>
+        if (cb != 0) {
+          val m = CbMetas(cb)
+          val book = spectralBooks(cb)
+          var band = first
+          while (band < first + n) {
+            val width = bandsShort(band + 1) - bandsShort(band)
+            var wIn = 0
+            while (wIn < p.groups(g)) {
+              val base = (winOf(g) + wIn) * 128 + bandsShort(band)
+              var o = 0
+              while (o < width) {
+                val vals = Array.tabulate(m.dim)(i => p.mag(cb, base + o + i))
+                val idx = tupleIndex(cb, vals)
+                w.u(book.code(idx), book.len(idx))
+                if (!m.signedCb) {
+                  var i = 0
+                  while (i < m.dim) {
+                    if (vals(i) != 0) w.u(if (p.negative(base + o + i)) 1 else 0, 1)
+                    i += 1
+                  }
+                }
+                if (cb == 11) {
+                  var i = 0
+                  while (i < m.dim) {
+                    if (vals(i) >= 16) { w.u(0, 1); w.u(vals(i) - 16, 4) }
+                    i += 1
+                  }
+                }
+                o += m.dim
+              }
+              wIn += 1
+            }
+            band += 1
+          }
+        }
+      }
+      g += 1
+    }
+    w.u(7, 3) // END
+    w.align()
+  }
+
+  /** Deterministic two-frame EIGHT_SHORT ADTS stream for a seed. */
+  def genShort(seed: Long): Array[Byte] = {
+    val d = math.abs(seed)
+    val out = new java.io.ByteArrayOutputStream()
+    var f = 0
+    while (f < 2) {
+      val rdb = encodeRdbShort(GenShortParams(d, f))
+      writeAdtsHeader(out, 7 + rdb.length)
+      out.write(rdb, 0, rdb.length)
+      f += 1
+    }
+    out.toByteArray
   }
 
   private val Rate: Int = 44100

@@ -1,0 +1,254 @@
+package graft.pipeline
+
+/** AAC-LC numeric back half: quantized coefficients → PCM. Continues
+  * where [[AacLc]] (the entropy half) stops — requantization
+  * (ISO/IEC 13818-7 §10: x = sign(q)·|q|^(4/3)·2^((sf−100)/4)), the
+  * inverse filterbank (§15: the 2048- and 256-point IMDCTs, sine and
+  * Kaiser-Bessel-derived windows, all four window_sequences including
+  * EIGHT_SHORT's 448-offset internal overlap-add and the previous
+  * frame's window shape on every left overlap half), and the 50%
+  * frame overlap-add — mono, one SCE per frame.
+  *
+  * Faithfulness boundary: UNLIKE [[Mp3Synth]] (whose 512-tap synthesis
+  * window is table data), every stage here is a CLOSED FORM in the
+  * standard and implemented exactly:
+  *   - IMDCT: xᵢ,ₙ = (2/N)·Σ_{k<N/2} spec[k]·cos(2π/N·(n+n₀)(k+½)),
+  *     n₀ = (N/2+1)/2 — TDAC perfect reconstruction is spec-pinned
+  *     against an independently-written forward MDCT
+  *   - sine window: w[n] = sin(π/N·(n+½))
+  *   - KBD window: w[n] = √(Σ_{j≤n} w'[j] / Σ_{j≤N/2} w'[j]) with the
+  *     Kaiser kernel w'[j] = I₀(πα·√(1−(4j/N−1)²)), α = 4 for the
+  *     long window and 6 for the short (the §15.3.2 parameters); I₀
+  *     is the modified Bessel power series Σ((x/2)^m/m!)² — no table
+  *     data anywhere, and the Princen-Bradley condition
+  *     w[n]² + w[N/2−1−n]² = 1 holds by construction (spec-pinned)
+  *
+  * The one inherited seam is upstream: [[AacLc]]'s substitute Huffman
+  * books. Streams from this repo's encoder half reach REAL PCM with
+  * every numeric stage ISO-exact.
+  *
+  * Scale: pure per-row kernels invoked from scan-stage expressions;
+  * nothing here shuffles or leaves its task.
+  */
+object AacSynth {
+
+  // ==== windows (closed form) ============================================
+
+  /** Modified Bessel function of the first kind, order 0 — power
+    * series, converges in < 40 terms for the x ≤ 4π·α range used. */
+  def besselI0(x: Double): Double = {
+    var sum = 1.0
+    var term = 1.0
+    var m = 1
+    while (m < 80 && term > 1e-18 * sum) {
+      val t = x / (2.0 * m)
+      term *= t * t
+      sum += term
+      m += 1
+    }
+    sum
+  }
+
+  /** Rising half (N/2 samples) of the sine window for transform size
+    * N: w[n] = sin(π/N·(n+0.5)). */
+  def sineRise(half: Int): Array[Double] =
+    Array.tabulate(half)(n => math.sin(math.Pi / (2.0 * half) * (n + 0.5)))
+
+  /** Rising half of the Kaiser-Bessel-derived window: cumulative
+    * normalized Kaiser kernel, α = 4 (long) / 6 (short). */
+  def kbdRise(half: Int, alpha: Double): Array[Double] = {
+    val kern = Array.tabulate(half + 1) { j =>
+      val t = 2.0 * j / half - 1.0
+      besselI0(math.Pi * alpha * math.sqrt(math.max(0.0, 1.0 - t * t)))
+    }
+    val total = kern.sum
+    val out = new Array[Double](half)
+    var acc = 0.0
+    var n = 0
+    while (n < half) {
+      acc += kern(n)
+      out(n) = math.sqrt(acc / total)
+      n += 1
+    }
+    out
+  }
+
+  private val sineLong = sineRise(1024)
+  private val sineShort = sineRise(128)
+  private val kbdLong = kbdRise(1024, 4.0)
+  private val kbdShort = kbdRise(128, 6.0)
+
+  /** Rising half by (long?, shape): shape 0 = sine, 1 = KBD. */
+  def rise(long: Boolean, shape: Int): Array[Double] =
+    if (long) { if (shape == 0) sineLong else kbdLong }
+    else { if (shape == 0) sineShort else kbdShort }
+
+  // ==== IMDCT (closed form) ==============================================
+
+  /** N-point IMDCT of N/2 spectral coefficients:
+    * out[n] = (2/N)·Σ_k spec[off+k]·cos(2π/N·(n+n₀)(k+½)). O(N²/4) —
+    * exact and branch-free; frames are 1024/128 bins so this stays
+    * sub-millisecond per frame on one core. */
+  def imdct(spec: Array[Double], off: Int, half: Int): Array[Double] = {
+    val n2 = 2 * half
+    val n0 = (half + 1) / 2.0
+    val out = new Array[Double](n2)
+    val step = math.Pi * 2.0 / n2
+    var n = 0
+    while (n < n2) {
+      var acc = 0.0
+      var k = 0
+      while (k < half) {
+        acc += spec(off + k) * math.cos(step * (n + n0) * (k + 0.5))
+        k += 1
+      }
+      out(n) = acc * 2.0 / n2
+      n += 1
+    }
+    out
+  }
+
+  // ==== requantization ===================================================
+
+  /** Long-window requantize: x[k] = sign·|q|^(4/3)·2^((sf(band)−100)/4)
+    * for coded bands, 0 elsewhere. */
+  def requantize(ics: AacLc.Ics): Array[Double] = {
+    val out = new Array[Double](1024)
+    val bands = AacLc.LongBands
+    var b = 0
+    while (b < ics.maxSfb) {
+      val sf = ics.sf(b)
+      if (sf != Int.MinValue) {
+        val gain = math.pow(2.0, (sf - 100) / 4.0)
+        var k = bands(b)
+        while (k < bands(b + 1)) {
+          val q = ics.spec(k)
+          if (q != 0)
+            out(k) = math.signum(q.toDouble) * math.pow(math.abs(q), 4.0 / 3.0) * gain
+          k += 1
+        }
+      }
+      b += 1
+    }
+    out
+  }
+
+  /** Short-window requantize over the deinterleaved 8×128 layout with
+    * per-GROUP scalefactors. */
+  def requantizeShort(ics: AacLc.Ics): Array[Double] = {
+    val out = new Array[Double](1024)
+    val bands = AacLc.ShortBands
+    var g = 0
+    var win = 0
+    while (g < ics.groups.length) {
+      var wIn = 0
+      while (wIn < ics.groups(g)) {
+        var b = 0
+        while (b < ics.maxSfb) {
+          val sf = ics.sfShort(g)(b)
+          if (sf != Int.MinValue) {
+            val gain = math.pow(2.0, (sf - 100) / 4.0)
+            var k = bands(b)
+            while (k < bands(b + 1)) {
+              val q = ics.spec((win + wIn) * 128 + k)
+              if (q != 0)
+                out((win + wIn) * 128 + k) =
+                  math.signum(q.toDouble) * math.pow(math.abs(q), 4.0 / 3.0) * gain
+              k += 1
+            }
+          }
+          b += 1
+        }
+        wIn += 1
+      }
+      win += ics.groups(g)
+      g += 1
+    }
+    out
+  }
+
+  // ==== window sequences =================================================
+
+  /** One frame's 2048 windowed time-domain samples (§15.3.2). The LEFT
+    * overlap half always uses the PREVIOUS frame's window shape (and
+    * for EIGHT_SHORT only the first short window's rise does). */
+  def frameTime(ics: AacLc.Ics, prevShape: Int): Array[Double] = {
+    val out = new Array[Double](2048)
+    ics.windowSequence match {
+      case 0 => // ONLY_LONG
+        val t = imdct(requantize(ics), 0, 1024)
+        val wl = rise(long = true, prevShape)
+        val wr = rise(long = true, ics.windowShape)
+        var n = 0
+        while (n < 1024) {
+          out(n) = t(n) * wl(n)
+          out(1024 + n) = t(1024 + n) * wr(1023 - n)
+          n += 1
+        }
+      case 1 => // LONG_START
+        val t = imdct(requantize(ics), 0, 1024)
+        val wl = rise(long = true, prevShape)
+        val ws = rise(long = false, ics.windowShape)
+        var n = 0
+        while (n < 1024) { out(n) = t(n) * wl(n); n += 1 }
+        n = 0
+        while (n < 448) { out(1024 + n) = t(1024 + n); n += 1 }
+        n = 0
+        while (n < 128) {
+          out(1024 + 448 + n) = t(1024 + 448 + n) * ws(127 - n)
+          n += 1
+        }
+      // samples 1600..2047 stay zero
+      case 3 => // LONG_STOP
+        val t = imdct(requantize(ics), 0, 1024)
+        val ws = rise(long = false, prevShape)
+        val wr = rise(long = true, ics.windowShape)
+        var n = 0
+        while (n < 128) { out(448 + n) = t(448 + n) * ws(n); n += 1 }
+        n = 576
+        while (n < 1024) { out(n) = t(n); n += 1 }
+        n = 0
+        while (n < 1024) { out(1024 + n) = t(1024 + n) * wr(1023 - n); n += 1 }
+      case 2 => // EIGHT_SHORT: 8×256 at offset 448, internal overlap-add
+        val spec = requantizeShort(ics)
+        val wsCur = rise(long = false, ics.windowShape)
+        var w = 0
+        while (w < 8) {
+          val t = imdct(spec, w * 128, 128)
+          val wl = if (w == 0) rise(long = false, prevShape) else wsCur
+          val base = 448 + 128 * w
+          var n = 0
+          while (n < 128) {
+            out(base + n) += t(n) * wl(n)
+            out(base + 128 + n) += t(128 + n) * wsCur(127 - n)
+            n += 1
+          }
+          w += 1
+        }
+      case _ => throw new IllegalArgumentException("window_sequence")
+    }
+    out
+  }
+
+  /** Decode a whole stream to PCM: one 1024-sample output block per
+    * frame (each the overlap-add of this frame's left half with the
+    * previous frame's right half; the first frame overlaps silence).
+    * None when the entropy half rejects the stream. */
+  def decodePcm(b: Array[Byte]): Option[Array[Array[Double]]] =
+    AacLc.decode(b).map { dec =>
+      var prevShape = dec.frames(0).windowShape // no frame before the first
+      val carry = new Array[Double](1024)
+      dec.frames.map { ics =>
+        val t = frameTime(ics, prevShape)
+        val out = new Array[Double](1024)
+        var n = 0
+        while (n < 1024) {
+          out(n) = carry(n) + t(n)
+          carry(n) = t(1024 + n)
+          n += 1
+        }
+        prevShape = ics.windowShape
+        out
+      }
+    }
+}
