@@ -175,6 +175,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("pq_adc", "pq_adc(codes, lut, kk) - ADC sum over packed PQ codes against a per-query lookup table"),
       (args: Seq[Expression]) => graft.pipeline.Pq.PqAdc(args(0), args(1), args(2))))
     ext.injectFunction((
+      FunctionIdentifier("aac_gen"),
+      info("aac_gen", "aac_gen(seed) - deterministic two-frame ADTS AAC-LC stream (SCE, long-family window sequences, all eleven spectral codebooks incl. the escape) for seed"),
+      (args: Seq[Expression]) => graft.pipeline.AacLc.AacGenExpr(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("aac_spectral"),
+      info("aac_spectral", "aac_spectral(bytes) - struct of per-frame side info + integer-exact entropy functionals (section/scalefactor weighted sums, exact part-length bit count, spectral value/position sums) of an AAC-LC ADTS stream, else NULL"),
+      (args: Seq[Expression]) => graft.pipeline.AacLc.AacSpectralExpr(args(0))))
+    ext.injectFunction((
       FunctionIdentifier("gzip_text"),
       info("gzip_text", "gzip_text(s) - deterministic gzip (RFC 1952, MTIME 0) of the UTF-8 text"),
       (args: Seq[Expression]) => graft.pipeline.TextCodec.GzipTextExpr(args(0))))

@@ -789,7 +789,7 @@ object AacLc {
     }
     Array[Any](ics.windowSequence.toLong, ics.windowShape.toLong,
       ics.maxSfb.toLong, ics.globalGain.toLong, ics.nSections.toLong,
-      ics.cbWsum, ics.sfWsum, ics.partLenBits.toLong, ics.escCount.toLong,
+      ics.cbWsum, ics.partLenBits.toLong, ics.sfWsum, ics.escCount.toLong,
       nz, vsum, wsum)
   }
 
