@@ -179,6 +179,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("aac_gen", "aac_gen(seed) - deterministic two-frame ADTS AAC-LC stream (SCE, long-family window sequences, all eleven spectral codebooks incl. the escape) for seed"),
       (args: Seq[Expression]) => graft.pipeline.AacLc.AacGenExpr(args(0))))
     ext.injectFunction((
+      FunctionIdentifier("aac_gen_short"),
+      info("aac_gen_short", "aac_gen_short(seed) - deterministic two-frame EIGHT_SHORT ADTS AAC-LC stream (seed-derived scale_factor_grouping, per-group sectioning, interleaved spectra) for seed"),
+      (args: Seq[Expression]) => graft.pipeline.AacLc.AacGenShortExpr(args(0))))
+    ext.injectFunction((
       FunctionIdentifier("aac_spectral"),
       info("aac_spectral", "aac_spectral(bytes) - struct of per-frame side info + integer-exact entropy functionals (section/scalefactor weighted sums, exact part-length bit count, spectral value/position sums) of an AAC-LC ADTS stream, else NULL"),
       (args: Seq[Expression]) => graft.pipeline.AacLc.AacSpectralExpr(args(0))))

@@ -84,6 +84,11 @@ object AacLc {
   }
   @volatile private var bandsLong: Array[Int] = LongBands
   @volatile private var bandsShort: Array[Int] = ShortBands
+  /** The band tables currently in effect (the swap seam's view) — the
+    * synthesis half resolves bands through these so a [[withBands]]
+    * swap applies to the whole chain, not just the entropy walk. */
+  def currentLongBands: Array[Int] = bandsLong
+  def currentShortBands: Array[Int] = bandsShort
 
   // ==== codebooks ========================================================
 
@@ -821,6 +826,28 @@ object AacLc {
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
     override def prettyName: String = "aac_gen"
+  }
+
+  /** `aac_gen_short(seed)`: deterministic two-frame EIGHT_SHORT ADTS
+    * stream (seed-derived scale_factor_grouping, per-group sectioning
+    * with 3-bit length chunks, interleaved spectra). */
+  case class AacGenShortExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case LongType | IntegerType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"aac_gen_short requires an integral seed, got ${t.catalogString}")
+    }
+    override def nullSafeEval(input: Any): Any = input match {
+      case l: java.lang.Long => AacLc.genShort(l)
+      case i: java.lang.Integer => AacLc.genShort(i.toLong)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.pipeline.AacLc.genShort((long) $c);")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "aac_gen_short"
   }
 
   /** `aac_spectral(bytes)`: struct of per-frame side info + integer-

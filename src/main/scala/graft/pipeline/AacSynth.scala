@@ -114,7 +114,7 @@ object AacSynth {
     * for coded bands, 0 elsewhere. */
   def requantize(ics: AacLc.Ics): Array[Double] = {
     val out = new Array[Double](1024)
-    val bands = AacLc.LongBands
+    val bands = AacLc.currentLongBands
     var b = 0
     while (b < ics.maxSfb) {
       val sf = ics.sf(b)
@@ -137,7 +137,7 @@ object AacSynth {
     * per-GROUP scalefactors. */
   def requantizeShort(ics: AacLc.Ics): Array[Double] = {
     val out = new Array[Double](1024)
-    val bands = AacLc.ShortBands
+    val bands = AacLc.currentShortBands
     var g = 0
     var win = 0
     while (g < ics.groups.length) {
