@@ -175,6 +175,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("pq_adc", "pq_adc(codes, lut, kk) - ADC sum over packed PQ codes against a per-query lookup table"),
       (args: Seq[Expression]) => graft.pipeline.Pq.PqAdc(args(0), args(1), args(2))))
     ext.injectFunction((
+      FunctionIdentifier("audio_to_wav"),
+      info("audio_to_wav", "audio_to_wav(bytes) - normalize any supported audio container (WAV/G.711/ADPCM, FLAC, ADTS AAC-LC, MPEG-1 Layer III) to canonical PCM16 WAV at the source rate, else NULL"),
+      (args: Seq[Expression]) => graft.pipeline.AudioNorm.AudioToWavExpr(args(0))))
+    ext.injectFunction((
       FunctionIdentifier("aac_gen"),
       info("aac_gen", "aac_gen(seed) - deterministic two-frame ADTS AAC-LC stream (SCE, long-family window sequences, all eleven spectral codebooks incl. the escape) for seed"),
       (args: Seq[Expression]) => graft.pipeline.AacLc.AacGenExpr(args(0))))

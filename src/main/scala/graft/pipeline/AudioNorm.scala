@@ -1,0 +1,132 @@
+package graft.pipeline
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+
+/** AUDIO NORMALIZATION to one canonical format — the single entry
+  * point a training-data pipeline wants for an `audio` column of mixed
+  * provenance: `audio_to_wav(bytes)` decodes ANY supported container /
+  * codec and re-encodes as canonical PCM16 WAV at the source rate,
+  * completing the normalization tier next to `wav_resample` (rate) and
+  * `image_resize` (dimensions). Dispatch is by container magic:
+  *
+  *   - RIFF/WAVE (PCM16, G.711 µ-law/A-law, IMA ADPCM) — expanded
+  *     through [[AvHeader]]'s integer-exact decoders (lossless in,
+  *     sample-exact out)
+  *   - fLaC — the first frame through [[FlacPcm]] (sample-exact,
+  *     no seam), channels interleaved, rate from STREAMINFO
+  *   - ADTS AAC-LC (0xFFF sync, layer 00) — [[AacLc]]/[[AacSynth]] to
+  *     PCM doubles, quantized round(v·32768) clamped to int16
+  *   - MPEG-1 Layer III (0xFFF sync, layer 01) — [[Mp3L3]]/[[Mp3Synth]]
+  *     mono or stereo to PCM doubles, same quantization
+  *
+  * The integer paths (WAV codecs, FLAC) are bit-replayable by an
+  * external oracle; the transform-codec paths inherit their modules'
+  * documented seams (MP3's Annex B window, AAC's substitute books).
+  * NULL on anything undecodable — never a task kill.
+  *
+  * Scale: one codegen'd expression per row; bytes never leave the
+  * task, nothing shuffles.
+  */
+object AudioNorm {
+
+  /** Quantize a nominal-full-scale double to int16. */
+  private def s16(v: Double): Int = {
+    val r = math.rint(v * 32768.0)
+    if (r > 32767.0) 32767 else if (r < -32768.0) -32768 else r.toInt
+  }
+
+  def toWav(b: Array[Byte]): Array[Byte] =
+    try toWavUnsafe(b)
+    catch { case _: RuntimeException => null }
+
+  private def toWavUnsafe(b: Array[Byte]): Array[Byte] = {
+    if (b == null || b.length < 12) return null
+    // RIFF/WAVE: expand whatever codec the container carries
+    if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') {
+      return AvHeader.decodeWavSamples(b) match {
+        case Some(ws) => AvHeader.encodePcm16Wav(ws.samples, ws.sampleRate, ws.channels)
+        case None => null
+      }
+    }
+    // FLAC: sample-exact first frame; rate from STREAMINFO
+    if (b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C') {
+      val audio = FlacPcm.decode(b).getOrElse(return null)
+      val meta = FlacHeader.parse(b).getOrElse(return null)
+      val nch = audio.channels
+      val out = new Array[Int](audio.blockSize * nch)
+      var i = 0
+      while (i < audio.blockSize) {
+        var c = 0
+        while (c < nch) {
+          val s = audio.samples(c)(i)
+          out(i * nch + c) = if (s > 32767) 32767 else if (s < -32768) -32768 else s
+          c += 1
+        }
+        i += 1
+      }
+      return AvHeader.encodePcm16Wav(out, meta.sampleRate, nch)
+    }
+    // 0xFFF sync: ADTS AAC (layer bits 00) vs MPEG audio (Layer III 01)
+    if ((b(0) & 0xFF) == 0xFF && (b(1) & 0xE0) == 0xE0) {
+      if ((b(1) & 0x06) == 0) {
+        // ADTS: every frame to 1024 mono samples
+        val rate = AacLc.decode(b).getOrElse(return null).rate
+        val pcm = AacSynth.decodePcm(b).getOrElse(return null)
+        val out = new Array[Int](pcm.length * 1024)
+        var f = 0
+        while (f < pcm.length) {
+          var i = 0
+          while (i < 1024) { out(f * 1024 + i) = s16(pcm(f)(i)); i += 1 }
+          f += 1
+        }
+        return AvHeader.encodePcm16Wav(out, rate, 1)
+      }
+      // MPEG-1 Layer III, 44.1 kHz scope: stereo first, mono fallback
+      Mp3Synth.decodePcmStereo(b) match {
+        case Some(ch) =>
+          val n = ch(0).length
+          val out = new Array[Int](2 * n)
+          var i = 0
+          while (i < n) {
+            out(2 * i) = s16(ch(0)(i))
+            out(2 * i + 1) = s16(ch(1)(i))
+            i += 1
+          }
+          return AvHeader.encodePcm16Wav(out, 44100, 2)
+        case None =>
+          val mono = Mp3Synth.decodePcm(b).getOrElse(return null)
+          val out = new Array[Int](mono.length)
+          var i = 0
+          while (i < mono.length) { out(i) = s16(mono(i)); i += 1 }
+          return AvHeader.encodePcm16Wav(out, 44100, 1)
+      }
+    }
+    null
+  }
+
+  /** `audio_to_wav(bytes)`: normalize any supported audio container to
+    * canonical PCM16 WAV, else NULL. */
+  case class AudioToWavExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"audio_to_wav requires binary input, got ${child.dataType.catalogString}")
+    override def nullSafeEval(input: Any): Any =
+      AudioNorm.toWav(input.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        s"""
+           |${ev.value} = graft.pipeline.AudioNorm.toWav($c);
+           |${ev.isNull} = ${ev.value} == null;
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "audio_to_wav"
+  }
+}

@@ -2018,6 +2018,34 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** MM31: AUDIO NORMALIZATION ([[graft.pipeline.AudioNorm]]) — the
+    * mixed-provenance entry point `audio_to_wav`, gated on its one
+    * fully integer-exact compressed path: flac_gen_audio → audio_to_wav
+    * (container dispatch on the fLaC magic, sample-exact FLAC decode,
+    * channel interleave, canonical PCM16 re-encode) → wav_pcm. The
+    * oracle reuses p_mm21's sample replay (the shared CTE prefix) and
+    * aggregates the interleaved stream's statistics, so the dispatch,
+    * the interleave order, and the re-encode are all pinned against
+    * the same closed forms that pin the raw FLAC decode. (The MP3/AAC
+    * dispatch arms quantize float PCM and are spec-pinned in
+    * AudioNormSpec — their synthesis seams make them inherently
+    * non-oracle-able.) */
+  private def mm31(s: SparkSession, dir: String): DataFrame = {
+    val m = graft.pipeline.Multimodal.wavPcm(
+      call_function("audio_to_wav", call_function("flac_gen_audio", col("doc_id"))))
+    Tables.documents(s, dir).select(col("doc_id"), m.as("__m"))
+      .select(col("doc_id"),
+        col("__m").getField("codec").as("codec"),
+        col("__m").getField("sample_rate").cast("long").as("sample_rate"),
+        col("__m").getField("channels").cast("long").as("channels"),
+        col("__m").getField("n_samples").as("n_samples"),
+        col("__m").getField("min_s").as("min_s"),
+        col("__m").getField("max_s").as("max_s"),
+        col("__m").getField("sum_s").as("sum_s"),
+        col("__m").getField("sum_sq").as("sum_sq"))
+      .orderBy(col("doc_id"))
+  }
+
   // ===== registry ========================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2034,6 +2062,7 @@ object PipelineQueries {
     "p_mm28_adts_frame_explode" -> (mm28 _),
     "p_mm29_aac_spectral" -> (mm29 _),
     "p_mm30_aac_short" -> (mm30 _),
+    "p_mm31_audio_to_wav" -> (mm31 _),
     "p_d1_exact_dedup" -> (d1 _),
     "p_d2_neardup_bruteforce" -> (d2 _),
     "p_d3_minhash_lsh_neardup" -> (d3 _),
@@ -2341,6 +2370,85 @@ object PipelineQueries {
             JOIN gr s2 ON s2.d = s0.d AND s2.s = 2
             JOIN gr s3 ON s3.d = s0.d AND s3.s = 3
           WHERE s0.s = 0 ORDER BY doc_id"""
+
+  /** Shared closed-form replay of the flac_gen_audio chain: CTEs
+    * p..outs yield the frame parameters and EVERY decoded output
+    * sample (o0/o1 per position) from doc_id — used by both p_mm21
+    * (frame stats) and p_mm31 (WAV normalization stats) so the
+    * replay semantics cannot drift between the two gates. */
+  private val flacReplayCtes: String = """WITH p AS (SELECT doc_id AS d,
+              64 + (doc_id % 5) * 32 AS n,
+              doc_id % 5 AS mode,
+              CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 2 END AS nch,
+              CASE doc_id % 5 WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 8
+                WHEN 3 THEN 9 ELSE 10 END AS chmode,
+              doc_id % 2 AS po, 2 + doc_id % 3 AS shift,
+              1 + doc_id % 4 AS lpcord
+            FROM documents),
+          ch AS (SELECT p.*, cc.c,
+              (d + 3 * cc.c) % 8 AS t,
+              CASE WHEN (chmode = 8 AND cc.c = 1) OR (chmode = 9 AND cc.c = 0)
+                   OR (chmode = 10 AND cc.c = 1) THEN 17 ELSE 16 END AS bpsc,
+              CASE WHEN (d + 3 * cc.c) % 8 IN (0, 1) THEN 0
+                   WHEN (d + 3 * cc.c) % 8 = 7 THEN 1 + d % 4
+                   ELSE (d + 3 * cc.c) % 8 - 2 END AS ord
+            FROM p, (VALUES (0), (1)) cc(c) WHERE cc.c < nch),
+          xs AS (SELECT ch.*, ri.i,
+              CASE WHEN t = 0 THEN (d * 7 + 13 * c) % 1025 - 512
+                   ELSE (d * (c + 3) + (ri.i + 1) * (ri.i + 7)) % 1025 - 512
+              END AS x
+            FROM ch, range(0, 192) ri(i) WHERE ri.i < n),
+          lg AS (SELECT *, lag(x, 1) OVER w AS x1, lag(x, 2) OVER w AS x2,
+              lag(x, 3) OVER w AS x3, lag(x, 4) OVER w AS x4
+            FROM xs WINDOW w AS (PARTITION BY d, c ORDER BY i)),
+          res AS (SELECT d, c,
+              CASE t WHEN 2 THEN x WHEN 3 THEN x - x1
+                WHEN 4 THEN x - 2 * x1 + x2
+                WHEN 5 THEN x - 3 * x1 + 3 * x2 - x3
+                WHEN 6 THEN x - 4 * x1 + 6 * x2 - 4 * x3 + x4
+                WHEN 7 THEN x - CAST(floor((
+                    ((d + c) % 15 - 7) * x1
+                    + CASE WHEN lpcord >= 2 THEN ((d + c + 1) % 15 - 7) * x2
+                        ELSE 0 END
+                    + CASE WHEN lpcord >= 3 THEN ((d + c + 2) % 15 - 7) * x3
+                        ELSE 0 END
+                    + CASE WHEN lpcord >= 4 THEN ((d + c + 3) % 15 - 7) * x4
+                        ELSE 0 END
+                  ) / power(2, shift)) AS BIGINT)
+              END AS r,
+              6 + (d + c + (i // (n >> po))) % 4 AS k
+            FROM lg WHERE t >= 2 AND i >= ord),
+          rb AS (SELECT d, c, sum(
+                (CASE WHEN r < 0 THEN -2 * r - 1 ELSE 2 * r END)
+                  // (CAST(1 AS BIGINT) << k) + 1 + k) AS ricebits
+            FROM res GROUP BY d, c),
+          body AS (SELECT ch.d, ch.c,
+              CASE ch.t WHEN 0 THEN bpsc WHEN 1 THEN n * bpsc
+                WHEN 7 THEN ord * bpsc + 9 + lpcord * 5 + 6
+                  + (1 << po) * 4 + coalesce(rb.ricebits, 0)
+                ELSE ord * bpsc + 6 + (1 << po) * 4 + coalesce(rb.ricebits, 0)
+              END AS bits,
+              CASE ch.t WHEN 0 THEN 0 WHEN 1 THEN 1
+                WHEN 7 THEN 32 + lpcord - 1 ELSE 6 + ch.t END AS styp
+            FROM ch LEFT JOIN rb ON rb.d = ch.d AND rb.c = ch.c),
+          fb AS (SELECT d, sum(8 + bits) AS sbits,
+              max(CASE WHEN c = 0 THEN styp END) AS st0,
+              coalesce(max(CASE WHEN c = 1 THEN styp END), -1) AS st1
+            FROM body GROUP BY d),
+          cw AS (SELECT d, i, mode,
+              max(CASE WHEN c = 0 THEN x END) AS x0,
+              max(CASE WHEN c = 1 THEN x END) AS x1v
+            FROM xs GROUP BY d, i, mode),
+          outs AS (SELECT d, i,
+              CASE WHEN mode <= 2 THEN x0
+                   WHEN mode = 3 THEN x0 + x1v
+                   ELSE (2 * x0 + ((x1v % 2) + 2) % 2 + x1v) // 2 END AS o0,
+              CASE WHEN mode = 0 THEN NULL
+                   WHEN mode = 1 THEN x1v
+                   WHEN mode = 2 THEN x0 - x1v
+                   WHEN mode = 3 THEN x1v
+                   ELSE (2 * x0 + ((x1v % 2) + 2) % 2 - x1v) // 2 END AS o1
+            FROM cw)"""
 
   def oracleSql: Map[String, String] = Map(
     "p_d1_exact_dedup" ->
@@ -4198,80 +4306,27 @@ object PipelineQueries {
             f1.vsum AS f1_spec_sum, f1.wsum AS f1_spec_wsum
           FROM fr f0 JOIN fr f1 ON f1.d = f0.d AND f1.f = 1
           WHERE f0.f = 0 ORDER BY doc_id"""),
+    "p_mm31_audio_to_wav" ->
+      (s"""$flacReplayCtes,
+          st AS (SELECT d,
+              min(least(o0, coalesce(o1, o0))) AS mn,
+              max(greatest(o0, coalesce(o1, o0))) AS mx,
+              sum(o0 + coalesce(o1, 0)) AS sm,
+              sum(o0 * o0 + coalesce(o1 * o1, 0)) AS sq
+            FROM outs GROUP BY d)
+          SELECT p.d AS doc_id,
+            'pcm_s16le' AS codec,
+            CAST(44100 AS BIGINT) AS sample_rate,
+            CAST(p.nch AS BIGINT) AS channels,
+            CAST(p.n * p.nch AS BIGINT) AS n_samples,
+            CAST(st.mn AS BIGINT) AS min_s,
+            CAST(st.mx AS BIGINT) AS max_s,
+            CAST(st.sm AS BIGINT) AS sum_s,
+            CAST(st.sq AS BIGINT) AS sum_sq
+          FROM p JOIN st ON st.d = p.d
+          ORDER BY doc_id"""),
     "p_mm21_flac_pcm" ->
-      ("""WITH p AS (SELECT doc_id AS d,
-              64 + (doc_id % 5) * 32 AS n,
-              doc_id % 5 AS mode,
-              CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 2 END AS nch,
-              CASE doc_id % 5 WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 8
-                WHEN 3 THEN 9 ELSE 10 END AS chmode,
-              doc_id % 2 AS po, 2 + doc_id % 3 AS shift,
-              1 + doc_id % 4 AS lpcord
-            FROM documents),
-          ch AS (SELECT p.*, cc.c,
-              (d + 3 * cc.c) % 8 AS t,
-              CASE WHEN (chmode = 8 AND cc.c = 1) OR (chmode = 9 AND cc.c = 0)
-                   OR (chmode = 10 AND cc.c = 1) THEN 17 ELSE 16 END AS bpsc,
-              CASE WHEN (d + 3 * cc.c) % 8 IN (0, 1) THEN 0
-                   WHEN (d + 3 * cc.c) % 8 = 7 THEN 1 + d % 4
-                   ELSE (d + 3 * cc.c) % 8 - 2 END AS ord
-            FROM p, (VALUES (0), (1)) cc(c) WHERE cc.c < nch),
-          xs AS (SELECT ch.*, ri.i,
-              CASE WHEN t = 0 THEN (d * 7 + 13 * c) % 1025 - 512
-                   ELSE (d * (c + 3) + (ri.i + 1) * (ri.i + 7)) % 1025 - 512
-              END AS x
-            FROM ch, range(0, 192) ri(i) WHERE ri.i < n),
-          lg AS (SELECT *, lag(x, 1) OVER w AS x1, lag(x, 2) OVER w AS x2,
-              lag(x, 3) OVER w AS x3, lag(x, 4) OVER w AS x4
-            FROM xs WINDOW w AS (PARTITION BY d, c ORDER BY i)),
-          res AS (SELECT d, c,
-              CASE t WHEN 2 THEN x WHEN 3 THEN x - x1
-                WHEN 4 THEN x - 2 * x1 + x2
-                WHEN 5 THEN x - 3 * x1 + 3 * x2 - x3
-                WHEN 6 THEN x - 4 * x1 + 6 * x2 - 4 * x3 + x4
-                WHEN 7 THEN x - CAST(floor((
-                    ((d + c) % 15 - 7) * x1
-                    + CASE WHEN lpcord >= 2 THEN ((d + c + 1) % 15 - 7) * x2
-                        ELSE 0 END
-                    + CASE WHEN lpcord >= 3 THEN ((d + c + 2) % 15 - 7) * x3
-                        ELSE 0 END
-                    + CASE WHEN lpcord >= 4 THEN ((d + c + 3) % 15 - 7) * x4
-                        ELSE 0 END
-                  ) / power(2, shift)) AS BIGINT)
-              END AS r,
-              6 + (d + c + (i // (n >> po))) % 4 AS k
-            FROM lg WHERE t >= 2 AND i >= ord),
-          rb AS (SELECT d, c, sum(
-                (CASE WHEN r < 0 THEN -2 * r - 1 ELSE 2 * r END)
-                  // (CAST(1 AS BIGINT) << k) + 1 + k) AS ricebits
-            FROM res GROUP BY d, c),
-          body AS (SELECT ch.d, ch.c,
-              CASE ch.t WHEN 0 THEN bpsc WHEN 1 THEN n * bpsc
-                WHEN 7 THEN ord * bpsc + 9 + lpcord * 5 + 6
-                  + (1 << po) * 4 + coalesce(rb.ricebits, 0)
-                ELSE ord * bpsc + 6 + (1 << po) * 4 + coalesce(rb.ricebits, 0)
-              END AS bits,
-              CASE ch.t WHEN 0 THEN 0 WHEN 1 THEN 1
-                WHEN 7 THEN 32 + lpcord - 1 ELSE 6 + ch.t END AS styp
-            FROM ch LEFT JOIN rb ON rb.d = ch.d AND rb.c = ch.c),
-          fb AS (SELECT d, sum(8 + bits) AS sbits,
-              max(CASE WHEN c = 0 THEN styp END) AS st0,
-              coalesce(max(CASE WHEN c = 1 THEN styp END), -1) AS st1
-            FROM body GROUP BY d),
-          cw AS (SELECT d, i, mode,
-              max(CASE WHEN c = 0 THEN x END) AS x0,
-              max(CASE WHEN c = 1 THEN x END) AS x1v
-            FROM xs GROUP BY d, i, mode),
-          outs AS (SELECT d, i,
-              CASE WHEN mode <= 2 THEN x0
-                   WHEN mode = 3 THEN x0 + x1v
-                   ELSE (2 * x0 + ((x1v % 2) + 2) % 2 + x1v) // 2 END AS o0,
-              CASE WHEN mode = 0 THEN NULL
-                   WHEN mode = 1 THEN x1v
-                   WHEN mode = 2 THEN x0 - x1v
-                   WHEN mode = 3 THEN x1v
-                   ELSE (2 * x0 + ((x1v % 2) + 2) % 2 - x1v) // 2 END AS o1
-            FROM cw),
+      (s"""$flacReplayCtes,
           st AS (SELECT d,
               min(least(o0, coalesce(o1, o0))) AS min_s,
               max(greatest(o0, coalesce(o1, o0))) AS max_s,
