@@ -315,4 +315,22 @@ class PlanShapeSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(p.contains("*(1) Project"), s"expected codegen'd projection:\n$p")
   }
+
+  test("AAC decode and audio normalization stay inside whole-stage codegen") {
+    // same guard as image_meta: the gen→decode chain is one codegen'd
+    // projection over the scan — a fallback to interpreted eval (e.g. a
+    // CodegenFallback expression) would drop the `*(n)` marker
+    import org.apache.spark.sql.functions._
+    val aac = Tables.documents(spark, sf0001)
+      .select(call_function("aac_spectral",
+        call_function("aac_gen", col("doc_id"))).as("m"))
+      .queryExecution.executedPlan.toString
+    assert(aac.contains("*(1) Project"), s"expected codegen'd projection:\n$aac")
+    val norm = Tables.documents(spark, sf0001)
+      .select(graft.pipeline.Multimodal.wavPcm(
+        call_function("audio_to_wav",
+          call_function("flac_gen_audio", col("doc_id")))).as("m"))
+      .queryExecution.executedPlan.toString
+    assert(norm.contains("*(1) Project"), s"expected codegen'd projection:\n$norm")
+  }
 }
