@@ -430,8 +430,25 @@ object AacLc {
     b.foreach(out.write)
   }
 
+  /** Per-(seed, frame) TNS construction parameters (long windows, §14
+    * layout): 1–2 filters at seed-derived region lengths, orders 0–3
+    * (0 exercises the no-coefficient branch), both directions, both
+    * compress modes, full signed coefficient range at the transmitted
+    * width. Replayed by the p_mm32 oracle. */
+  final case class GenTnsParams(d: Long, f: Int) {
+    val nFilt: Int = 1 + ((d + f) % 2).toInt
+    val coefRes: Int = ((d + f) % 2).toInt
+    def length(i: Int): Int = 2 + ((d + f + i) % 6).toInt
+    def order(i: Int): Int = ((d + f + i) % 4).toInt
+    def direction(i: Int): Int = ((d + i) % 2).toInt
+    def compress(i: Int): Int = ((d + f + i) % 2).toInt
+    def coefBits(i: Int): Int = coefRes + 3 - compress(i)
+    def coef(i: Int, j: Int): Int =
+      ((d + i + j) % (1 << coefBits(i))).toInt - (1 << (coefBits(i) - 1))
+  }
+
   /** Encode one raw_data_block (SCE + END + align) for (seed, frame). */
-  private def encodeRdb(p: GenParams): Array[Byte] = {
+  private def encodeRdb(p: GenParams, tns: GenTnsParams = null): Array[Byte] = {
     val w = new BitWriter
     w.u(0, 3) // id_syn_ele SCE
     w.u(0, 4) // element_instance_tag
@@ -462,7 +479,27 @@ object AacLc {
       }
     }
     w.u(0, 1) // pulse_data_present
-    w.u(0, 1) // tns_data_present
+    if (tns == null) w.u(0, 1)
+    else {
+      w.u(1, 1) // tns_data_present
+      w.u(tns.nFilt, 2)
+      w.u(tns.coefRes, 1)
+      var i = 0
+      while (i < tns.nFilt) {
+        w.u(tns.length(i), 6)
+        w.u(tns.order(i), 5)
+        if (tns.order(i) > 0) {
+          w.u(tns.direction(i), 1)
+          w.u(tns.compress(i), 1)
+          var j = 0
+          while (j < tns.order(i)) {
+            w.u(tns.coef(i, j) & ((1 << tns.coefBits(i)) - 1), tns.coefBits(i))
+            j += 1
+          }
+        }
+        i += 1
+      }
+    }
     w.u(0, 1) // gain_control_data_present
     // spectral_data
     p.sections.foreach { case (cb, first, n) =>
@@ -522,15 +559,40 @@ object AacLc {
     out.toByteArray
   }
 
+  /** [[gen]] with TNS data on every frame (§14: filters, orders,
+    * directions, compress modes, coefficient indices all
+    * seed-derived). */
+  def genTns(seed: Long): Array[Byte] = {
+    val d = math.abs(seed)
+    val out = new java.io.ByteArrayOutputStream()
+    var f = 0
+    while (f < 2) {
+      val rdb = encodeRdb(GenParams(d, f), GenTnsParams(d, f))
+      writeAdtsHeader(out, 7 + rdb.length)
+      out.write(rdb, 0, rdb.length)
+      f += 1
+    }
+    out.toByteArray
+  }
+
   // ==== the decoder half =================================================
+
+  /** One TNS filter as transmitted (ISO 13818-7 §14): region length in
+    * sfbs (filters stack top-down from max_sfb), filter order,
+    * direction, and the quantized reflection-coefficient indices
+    * (already sign-extended at coefBits). */
+  final case class TnsFilter(length: Int, order: Int, direction: Int,
+      compress: Int, coefRes: Int, coefs: Array[Int])
 
   /** One decoded ics: quantized spectrum + side info.
     * For EIGHT_SHORT, `spec` is the DEINTERLEAVED 1024 = 8×128 layout
-    * (window-major) and `sfShort(g)(b)` the per-group scalefactors. */
+    * (window-major) and `sfShort(g)(b)` the per-group scalefactors.
+    * `tns(w)` holds window w's TNS filters (empty when absent). */
   final case class Ics(windowSequence: Int, windowShape: Int, maxSfb: Int,
       globalGain: Int, nSections: Int, cbWsum: Long, sfWsum: Long,
       partLenBits: Int, escCount: Int, spec: Array[Int],
-      sf: Array[Int], groups: Array[Int], sfShort: Array[Array[Int]])
+      sf: Array[Int], groups: Array[Int], sfShort: Array[Array[Int]],
+      tns: Array[Array[TnsFilter]] = Array.empty)
 
   final case class Decoded(rate: Int, frames: Array[Ics])
 
@@ -662,9 +724,36 @@ object AacLc {
       }
       g += 1
     }
-    // tool flags: fail closed on tools we do not implement
+    // tool flags: pulse and gain control fail closed (unimplemented —
+    // never decode wrong); TNS parses for real (§14 tns_data) and is
+    // applied by the synthesis half
     if (r.u(1) != 0) throw new IllegalArgumentException("pulse")
-    if (r.u(1) != 0) throw new IllegalArgumentException("tns")
+    val nWindows = if (short) 8 else 1
+    val tns: Array[Array[TnsFilter]] =
+      if (r.u(1) == 1) Array.tabulate(nWindows) { _ =>
+        val nFilt = r.u(if (short) 1 else 2)
+        if (nFilt == 0) Array.empty[TnsFilter]
+        else {
+          val coefRes = r.u(1) // resolution 3 (0) or 4 (1) bits
+          Array.tabulate(nFilt) { _ =>
+            val length = r.u(if (short) 4 else 6)
+            val order = r.u(if (short) 3 else 5)
+            if (order == 0) TnsFilter(length, 0, 0, 0, coefRes, Array.empty)
+            else {
+              val direction = r.u(1)
+              val compress = r.u(1)
+              val bits = coefRes + 3 - compress
+              val coefs = Array.tabulate(order) { _ =>
+                val v = r.u(bits)
+                // sign-extend at the transmitted width
+                if ((v & (1 << (bits - 1))) != 0) v - (1 << bits) else v
+              }
+              TnsFilter(length, order, direction, compress, coefRes, coefs)
+            }
+          }
+        }
+      }
+      else Array.fill(nWindows)(Array.empty[TnsFilter])
     if (r.u(1) != 0) throw new IllegalArgumentException("gain control")
     // spectral_data: group-major; within a group, section-major; within
     // a band, the group's windows interleave (window-inner)
@@ -753,7 +842,7 @@ object AacLc {
     }
     val partLen = (r.pos - partStart).toInt
     Ics(ws, shape, maxSfb, globalGain, nSections, cbWsum, sfWsum,
-      partLen, escCount, spec, sfLong, groups, sfShort)
+      partLen, escCount, spec, sfLong, groups, sfShort, tns)
   }
 
   // ==== Catalyst surface =================================================
@@ -848,6 +937,26 @@ object AacLc {
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
     override def prettyName: String = "aac_gen_short"
+  }
+
+  /** `aac_gen_tns(seed)`: [[gen]] with TNS data on every frame. */
+  case class AacGenTnsExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case LongType | IntegerType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"aac_gen_tns requires an integral seed, got ${t.catalogString}")
+    }
+    override def nullSafeEval(input: Any): Any = input match {
+      case l: java.lang.Long => AacLc.genTns(l)
+      case i: java.lang.Integer => AacLc.genTns(i.toLong)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.pipeline.AacLc.genTns((long) $c);")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "aac_gen_tns"
   }
 
   /** `aac_spectral(bytes)`: struct of per-frame side info + integer-

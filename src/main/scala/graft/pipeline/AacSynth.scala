@@ -167,6 +167,99 @@ object AacSynth {
     out
   }
 
+  // ==== TNS (§14) ========================================================
+
+  /** Quantized reflection-coefficient indices → direct-form LPC
+    * coefficients a[0..order] (a[0] = 1): the §14 tns_decode_coef
+    * procedure — inverse sine quantization at the transmitted
+    * resolution, then the lattice→direct-form recursion. All closed
+    * form. */
+  def tnsLpc(fl: AacLc.TnsFilter): Array[Double] = {
+    val res = fl.coefRes + 3
+    val iqfac = ((1 << (res - 1)) - 0.5) / (math.Pi / 2.0)
+    val iqfacM = ((1 << (res - 1)) + 0.5) / (math.Pi / 2.0)
+    val tmp = fl.coefs.map(c =>
+      if (c >= 0) math.sin(c / iqfac) else math.sin(c / iqfacM))
+    val a = new Array[Double](fl.order + 1)
+    a(0) = 1.0
+    var m = 1
+    while (m <= fl.order) {
+      val b = new Array[Double](m + 1)
+      var i = 1
+      while (i < m) { b(i) = a(i) + tmp(m - 1) * a(m - i); i += 1 }
+      b(m) = tmp(m - 1)
+      i = 1
+      while (i <= m) { a(i) = b(i); i += 1 }
+      m += 1
+    }
+    a
+  }
+
+  /** Apply one window's TNS synthesis filters in place over
+    * `x[winBase + bins]`. Filters stack TOP-DOWN from maxSfb; each is
+    * the all-pole inverse of the encoder's FIR
+    * y[n] = Σ a[j]·x[n∓j] (per direction), so
+    * x[n] = y[n] − Σ_{j≥1} a[j]·x[n∓j] recursively. */
+  def applyTns(x: Array[Double], winBase: Int, bands: Array[Int],
+      maxSfb: Int, filters: Array[AacLc.TnsFilter]): Unit = {
+    var top = math.min(maxSfb, bands.length - 1)
+    var i = 0
+    while (i < filters.length) {
+      val fl = filters(i)
+      val bottom = math.max(0, top - fl.length)
+      if (fl.order > 0) {
+        val a = tnsLpc(fl)
+        val start = winBase + bands(bottom)
+        val end = winBase + bands(top) // exclusive
+        if (fl.direction == 0) {
+          var n = start
+          while (n < end) {
+            var acc = x(n)
+            var j = 1
+            while (j <= fl.order) {
+              if (n - j >= start) acc -= a(j) * x(n - j)
+              j += 1
+            }
+            x(n) = acc
+            n += 1
+          }
+        } else {
+          var n = end - 1
+          while (n >= start) {
+            var acc = x(n)
+            var j = 1
+            while (j <= fl.order) {
+              if (n + j < end) acc -= a(j) * x(n + j)
+              j += 1
+            }
+            x(n) = acc
+            n -= 1
+          }
+        }
+      }
+      top = bottom
+      i += 1
+    }
+  }
+
+  /** Requantize + TNS for one ics (dispatching on window shape). */
+  private def spectrum(ics: AacLc.Ics): Array[Double] = {
+    val x = if (ics.windowSequence == 2) requantizeShort(ics) else requantize(ics)
+    if (ics.tns.nonEmpty) {
+      if (ics.windowSequence == 2) {
+        var w = 0
+        while (w < 8) {
+          if (w < ics.tns.length && ics.tns(w).nonEmpty)
+            applyTns(x, w * 128, AacLc.currentShortBands, ics.maxSfb, ics.tns(w))
+          w += 1
+        }
+      } else if (ics.tns(0).nonEmpty) {
+        applyTns(x, 0, AacLc.currentLongBands, ics.maxSfb, ics.tns(0))
+      }
+    }
+    x
+  }
+
   // ==== window sequences =================================================
 
   /** One frame's 2048 windowed time-domain samples (§15.3.2). The LEFT
@@ -176,7 +269,7 @@ object AacSynth {
     val out = new Array[Double](2048)
     ics.windowSequence match {
       case 0 => // ONLY_LONG
-        val t = imdct(requantize(ics), 0, 1024)
+        val t = imdct(spectrum(ics), 0, 1024)
         val wl = rise(long = true, prevShape)
         val wr = rise(long = true, ics.windowShape)
         var n = 0
@@ -186,7 +279,7 @@ object AacSynth {
           n += 1
         }
       case 1 => // LONG_START
-        val t = imdct(requantize(ics), 0, 1024)
+        val t = imdct(spectrum(ics), 0, 1024)
         val wl = rise(long = true, prevShape)
         val ws = rise(long = false, ics.windowShape)
         var n = 0
@@ -200,7 +293,7 @@ object AacSynth {
         }
       // samples 1600..2047 stay zero
       case 3 => // LONG_STOP
-        val t = imdct(requantize(ics), 0, 1024)
+        val t = imdct(spectrum(ics), 0, 1024)
         val ws = rise(long = false, prevShape)
         val wr = rise(long = true, ics.windowShape)
         var n = 0
@@ -210,7 +303,7 @@ object AacSynth {
         n = 0
         while (n < 1024) { out(1024 + n) = t(1024 + n) * wr(1023 - n); n += 1 }
       case 2 => // EIGHT_SHORT: 8×256 at offset 448, internal overlap-add
-        val spec = requantizeShort(ics)
+        val spec = spectrum(ics)
         val wsCur = rise(long = false, ics.windowShape)
         var w = 0
         while (w < 8) {

@@ -2046,6 +2046,24 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** MM32: the TNS edition of mm29 — `aac_gen_tns` emits the same
+    * long-family frames WITH §14 tns_data (1–2 filters, orders 0–3
+    * incl. the no-coefficient branch, both directions, both compress
+    * modes, full signed coefficient range), so the decoder must read
+    * the TNS layout at the exact transmitted widths between the tool
+    * flags and spectral_data — one bit off and the spectral walk
+    * desynchronizes. The filter APPLICATION (inverse sine quantization,
+    * lattice→direct-form LPC, the all-pole synthesis inverse) is
+    * numeric and spec-pinned in AacSynthSpec against an in-spec FIR
+    * analysis twin. */
+  private def mm32(s: SparkSession, dir: String): DataFrame = {
+    val m = call_function("aac_spectral", call_function("aac_gen_tns", col("doc_id")))
+    val fields = graft.pipeline.AacLc.SpectralSchema.fieldNames.toSeq
+    Tables.documents(s, dir).select(col("doc_id"), m.as("__m"))
+      .select(col("doc_id") +: fields.map(f => col(s"__m.$f").as(f)): _*)
+      .orderBy(col("doc_id"))
+  }
+
   // ===== registry ========================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2063,6 +2081,7 @@ object PipelineQueries {
     "p_mm29_aac_spectral" -> (mm29 _),
     "p_mm30_aac_short" -> (mm30 _),
     "p_mm31_audio_to_wav" -> (mm31 _),
+    "p_mm32_aac_tns" -> (mm32 _),
     "p_d1_exact_dedup" -> (d1 _),
     "p_d2_neardup_bruteforce" -> (d2 _),
     "p_d3_minhash_lsh_neardup" -> (d3 _),
@@ -2449,6 +2468,137 @@ object PipelineQueries {
                    WHEN mode = 3 THEN x1v
                    ELSE (2 * x0 + ((x1v % 2) + 2) % 2 - x1v) // 2 END AS o1
             FROM cw)"""
+
+  /** The p_mm29 long-family AAC oracle, parameterized by the TNS bit
+    * budget (p_mm32 replays §14's tns_data layout: 2+1 header bits,
+    * 6+5 per filter, and 2 + order·(coefRes+3−compress) when the
+    * order is nonzero — everything else in the stream is identical,
+    * so a TNS misread shows up as a part_len mismatch AND a
+    * desynchronized spectral walk). */
+  private def aacLongOracleSql(withTns: Boolean): String = {
+    val tnsCte = if (!withTns) "" else
+      """tnsb AS (SELECT d, f,
+              3 + SUM(11 + CASE WHEN ord > 0 THEN 2 + ord * cbits ELSE 0 END)
+                AS tns_bits
+            FROM (SELECT p.d, p.f, ri.i,
+                (p.d + p.f + ri.i) % 4 AS ord,
+                ((p.d + p.f) % 2) + 3 - ((p.d + p.f + ri.i) % 2) AS cbits
+              FROM p, range(0, 2) ri(i) WHERE ri.i < 1 + (p.d + p.f) % 2)
+            GROUP BY d, f),
+          """
+    val tnsTerm = if (withTns) "+ tb.tns_bits" else ""
+    val tnsJoin = if (withTns) "\n                   JOIN tnsb tb ON tb.d = p.d AND tb.f = p.f" else ""
+    s"""WITH cbcycle(i, cb) AS (VALUES (0, 1), (1, 5), (2, 0), (3, 9),
+              (4, 3), (5, 11), (6, 7), (7, 4), (8, 6), (9, 2), (10, 8), (11, 10)),
+          cbmeta(cb, dim, lav, sgn, radix) AS (VALUES
+              (1, 4, 1, 1, 3), (2, 4, 1, 1, 3), (3, 4, 2, 0, 3), (4, 4, 2, 0, 3),
+              (5, 2, 4, 1, 9), (6, 2, 4, 1, 9), (7, 2, 7, 0, 8), (8, 2, 7, 0, 8),
+              (9, 2, 12, 0, 13), (10, 2, 12, 0, 13), (11, 2, 16, 0, 17)),
+          base AS (SELECT doc_id AS d, ff.f FROM documents, (VALUES (0), (1)) ff(f)),
+          p AS (SELECT d, f,
+              100 + d % 40 AS gg,
+              [0, 1, 3][CAST((d + 2 * f) % 3 AS INT) + 1] AS ws,
+              (d + f) % 2 AS shape,
+              20 + (d + f) % 12 AS max_sfb
+            FROM base),
+          secraw AS (SELECT p.*, rs.s, 1 + (d + f + rs.s) % 4 AS rawlen
+            FROM p, range(0, 32) rs(s)),
+          seccum AS (SELECT *, COALESCE(SUM(rawlen) OVER (PARTITION BY d, f
+              ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS cumbef FROM secraw),
+          sec AS (SELECT d, f, s, gg, max_sfb, cumbef AS first,
+              LEAST(rawlen, max_sfb - cumbef) AS len, cc.cb
+            FROM seccum JOIN cbcycle cc ON cc.i = (d + f + s) % 12
+            WHERE cumbef < max_sfb),
+          secagg AS (SELECT d, f, COUNT(*) AS n_sections,
+              SUM((s + 1) * cb) AS cb_wsum, 9 * COUNT(*) AS sect_bits
+            FROM sec GROUP BY d, f),
+          band AS (SELECT sec.d, sec.f, sec.gg, sec.cb, rb.b,
+              ((sec.d + 5 * rb.b + sec.f) % 17) - 8 AS dpcm,
+              CASE WHEN rb.b <= 16 THEN 16 * rb.b
+                   WHEN rb.b <= 24 THEN 256 + 32 * (rb.b - 16)
+                   ELSE 512 + 64 * (rb.b - 24) END AS off,
+              CASE WHEN rb.b < 16 THEN 16
+                   WHEN rb.b < 24 THEN 32 ELSE 64 END AS width
+            FROM sec, range(0, 32) rb(b)
+            WHERE rb.b >= sec.first AND rb.b < sec.first + sec.len AND sec.cb <> 0),
+          sfc AS (SELECT *, gg + SUM(dpcm) OVER (PARTITION BY d, f ORDER BY b)
+              AS sfabs,
+              CASE WHEN dpcm >= 0 THEN 2 * dpcm ELSE -2 * dpcm - 1 END AS zz
+            FROM band),
+          sfagg AS (SELECT d, f, SUM((b + 1) * sfabs) AS sf_wsum,
+              SUM(2 * CAST(floor(log2(zz + 1)) AS BIGINT) + 1) AS sf_bits
+            FROM sfc GROUP BY d, f),
+          bin AS (SELECT band.d, band.f, band.cb, band.b, m.dim, m.lav, m.sgn,
+              m.radix, band.off + rk.k AS k,
+              rk.k // m.dim AS tup,
+              rk.k % m.dim AS pos,
+              CASE band.cb
+                WHEN 1 THEN ((band.d + band.off + rk.k) % 3) - 1
+                WHEN 2 THEN ((band.d + band.off + rk.k) % 3) - 1
+                WHEN 3 THEN (band.d + band.off + rk.k) % 3
+                WHEN 4 THEN (band.d + band.off + rk.k) % 3
+                WHEN 5 THEN ((band.d + band.off + rk.k) % 9) - 4
+                WHEN 6 THEN ((band.d + band.off + rk.k) % 9) - 4
+                WHEN 7 THEN (band.d + band.off + rk.k) % 8
+                WHEN 8 THEN (band.d + band.off + rk.k) % 8
+                WHEN 9 THEN (band.d + band.off + rk.k) % 13
+                WHEN 10 THEN (band.d + band.off + rk.k) % 13
+                ELSE (band.d * 3 + band.off + rk.k) % 20 END AS m0,
+              (band.d + band.off + rk.k) % 2 AS neg
+            FROM band JOIN cbmeta m ON m.cb = band.cb, range(0, 64) rk(k)
+            WHERE rk.k < band.width),
+          binv AS (SELECT *,
+              CASE WHEN sgn = 1 THEN m0
+                   WHEN m0 = 0 THEN 0
+                   WHEN neg = 1 THEN -m0 ELSE m0 END AS v,
+              CASE WHEN sgn = 1 THEN m0 + lav ELSE LEAST(m0, lav) END AS digit
+            FROM bin),
+          tups AS (SELECT d, f, cb, b, tup, dim, sgn,
+              SUM(digit * CAST(radix ** (dim - 1 - pos) AS BIGINT)) AS idx,
+              SUM(CASE WHEN sgn = 0 AND m0 <> 0 THEN 1 ELSE 0 END) AS signbits,
+              SUM(CASE WHEN cb = 11 AND m0 >= 16 THEN 1 ELSE 0 END) AS escs
+            FROM binv GROUP BY d, f, cb, b, tup, dim, sgn),
+          tupagg AS (SELECT d, f,
+              SUM(2 * CAST(floor(log2(idx + 1)) AS BIGINT) + 1
+                + signbits + 5 * escs) AS spec_bits,
+              SUM(escs) AS esc_n
+            FROM tups GROUP BY d, f),
+          binagg AS (SELECT d, f,
+              SUM(CASE WHEN v <> 0 THEN 1 ELSE 0 END) AS nz,
+              SUM(v) AS vsum, SUM((k + 1) * v) AS wsum
+            FROM binv GROUP BY d, f),
+          ${tnsCte}fr AS (SELECT p.d, p.f,
+              CAST(p.ws AS BIGINT) AS ws, CAST(p.shape AS BIGINT) AS shape,
+              CAST(p.max_sfb AS BIGINT) AS max_sfb, CAST(p.gg AS BIGINT) AS gg,
+              CAST(sa.n_sections AS BIGINT) AS n_sections,
+              CAST(sa.cb_wsum AS BIGINT) AS cb_wsum,
+              CAST(sa.sect_bits + sf.sf_bits + 3 $tnsTerm + ta.spec_bits AS BIGINT) AS part_len,
+              CAST(sf.sf_wsum AS BIGINT) AS sf_wsum,
+              CAST(ta.esc_n AS BIGINT) AS esc_n,
+              CAST(ba.nz AS BIGINT) AS nz, CAST(ba.vsum AS BIGINT) AS vsum,
+              CAST(ba.wsum AS BIGINT) AS wsum
+            FROM p JOIN secagg sa ON sa.d = p.d AND sa.f = p.f
+                   JOIN sfagg sf ON sf.d = p.d AND sf.f = p.f
+                   JOIN tupagg ta ON ta.d = p.d AND ta.f = p.f
+                   JOIN binagg ba ON ba.d = p.d AND ba.f = p.f$tnsJoin)
+          SELECT f0.d AS doc_id,
+            CAST(44100 AS BIGINT) AS sample_rate, CAST(2 AS BIGINT) AS frames,
+            f0.ws AS f0_window_sequence, f0.shape AS f0_window_shape,
+            f0.max_sfb AS f0_max_sfb, f0.gg AS f0_global_gain,
+            f0.n_sections AS f0_n_sections, f0.cb_wsum AS f0_cb_wsum,
+            f0.part_len AS f0_part_len, f0.sf_wsum AS f0_sf_wsum,
+            f0.esc_n AS f0_esc_n, f0.nz AS f0_spec_nonzero,
+            f0.vsum AS f0_spec_sum, f0.wsum AS f0_spec_wsum,
+            f1.ws AS f1_window_sequence, f1.shape AS f1_window_shape,
+            f1.max_sfb AS f1_max_sfb, f1.gg AS f1_global_gain,
+            f1.n_sections AS f1_n_sections, f1.cb_wsum AS f1_cb_wsum,
+            f1.part_len AS f1_part_len, f1.sf_wsum AS f1_sf_wsum,
+            f1.esc_n AS f1_esc_n, f1.nz AS f1_spec_nonzero,
+            f1.vsum AS f1_spec_sum, f1.wsum AS f1_spec_wsum
+          FROM fr f0 JOIN fr f1 ON f1.d = f0.d AND f1.f = 1
+          WHERE f0.f = 0 ORDER BY doc_id"""
+  }
 
   def oracleSql: Map[String, String] = Map(
     "p_d1_exact_dedup" ->
@@ -4078,116 +4228,9 @@ object PipelineQueries {
           FROM gr g0 JOIN gr g1 ON g1.d = g0.d AND g1.g = 1
           WHERE g0.g = 0 ORDER BY doc_id"""),
     "p_mm29_aac_spectral" ->
-      ("""WITH cbcycle(i, cb) AS (VALUES (0, 1), (1, 5), (2, 0), (3, 9),
-              (4, 3), (5, 11), (6, 7), (7, 4), (8, 6), (9, 2), (10, 8), (11, 10)),
-          cbmeta(cb, dim, lav, sgn, radix) AS (VALUES
-              (1, 4, 1, 1, 3), (2, 4, 1, 1, 3), (3, 4, 2, 0, 3), (4, 4, 2, 0, 3),
-              (5, 2, 4, 1, 9), (6, 2, 4, 1, 9), (7, 2, 7, 0, 8), (8, 2, 7, 0, 8),
-              (9, 2, 12, 0, 13), (10, 2, 12, 0, 13), (11, 2, 16, 0, 17)),
-          base AS (SELECT doc_id AS d, ff.f FROM documents, (VALUES (0), (1)) ff(f)),
-          p AS (SELECT d, f,
-              100 + d % 40 AS gg,
-              [0, 1, 3][CAST((d + 2 * f) % 3 AS INT) + 1] AS ws,
-              (d + f) % 2 AS shape,
-              20 + (d + f) % 12 AS max_sfb
-            FROM base),
-          secraw AS (SELECT p.*, rs.s, 1 + (d + f + rs.s) % 4 AS rawlen
-            FROM p, range(0, 32) rs(s)),
-          seccum AS (SELECT *, COALESCE(SUM(rawlen) OVER (PARTITION BY d, f
-              ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-              AS cumbef FROM secraw),
-          sec AS (SELECT d, f, s, gg, max_sfb, cumbef AS first,
-              LEAST(rawlen, max_sfb - cumbef) AS len, cc.cb
-            FROM seccum JOIN cbcycle cc ON cc.i = (d + f + s) % 12
-            WHERE cumbef < max_sfb),
-          secagg AS (SELECT d, f, COUNT(*) AS n_sections,
-              SUM((s + 1) * cb) AS cb_wsum, 9 * COUNT(*) AS sect_bits
-            FROM sec GROUP BY d, f),
-          band AS (SELECT sec.d, sec.f, sec.gg, sec.cb, rb.b,
-              ((sec.d + 5 * rb.b + sec.f) % 17) - 8 AS dpcm,
-              CASE WHEN rb.b <= 16 THEN 16 * rb.b
-                   WHEN rb.b <= 24 THEN 256 + 32 * (rb.b - 16)
-                   ELSE 512 + 64 * (rb.b - 24) END AS off,
-              CASE WHEN rb.b < 16 THEN 16
-                   WHEN rb.b < 24 THEN 32 ELSE 64 END AS width
-            FROM sec, range(0, 32) rb(b)
-            WHERE rb.b >= sec.first AND rb.b < sec.first + sec.len AND sec.cb <> 0),
-          sfc AS (SELECT *, gg + SUM(dpcm) OVER (PARTITION BY d, f ORDER BY b)
-              AS sfabs,
-              CASE WHEN dpcm >= 0 THEN 2 * dpcm ELSE -2 * dpcm - 1 END AS zz
-            FROM band),
-          sfagg AS (SELECT d, f, SUM((b + 1) * sfabs) AS sf_wsum,
-              SUM(2 * CAST(floor(log2(zz + 1)) AS BIGINT) + 1) AS sf_bits
-            FROM sfc GROUP BY d, f),
-          bin AS (SELECT band.d, band.f, band.cb, band.b, m.dim, m.lav, m.sgn,
-              m.radix, band.off + rk.k AS k,
-              rk.k // m.dim AS tup,
-              rk.k % m.dim AS pos,
-              CASE band.cb
-                WHEN 1 THEN ((band.d + band.off + rk.k) % 3) - 1
-                WHEN 2 THEN ((band.d + band.off + rk.k) % 3) - 1
-                WHEN 3 THEN (band.d + band.off + rk.k) % 3
-                WHEN 4 THEN (band.d + band.off + rk.k) % 3
-                WHEN 5 THEN ((band.d + band.off + rk.k) % 9) - 4
-                WHEN 6 THEN ((band.d + band.off + rk.k) % 9) - 4
-                WHEN 7 THEN (band.d + band.off + rk.k) % 8
-                WHEN 8 THEN (band.d + band.off + rk.k) % 8
-                WHEN 9 THEN (band.d + band.off + rk.k) % 13
-                WHEN 10 THEN (band.d + band.off + rk.k) % 13
-                ELSE (band.d * 3 + band.off + rk.k) % 20 END AS m0,
-              (band.d + band.off + rk.k) % 2 AS neg
-            FROM band JOIN cbmeta m ON m.cb = band.cb, range(0, 64) rk(k)
-            WHERE rk.k < band.width),
-          binv AS (SELECT *,
-              CASE WHEN sgn = 1 THEN m0
-                   WHEN m0 = 0 THEN 0
-                   WHEN neg = 1 THEN -m0 ELSE m0 END AS v,
-              CASE WHEN sgn = 1 THEN m0 + lav ELSE LEAST(m0, lav) END AS digit
-            FROM bin),
-          tups AS (SELECT d, f, cb, b, tup, dim, sgn,
-              SUM(digit * CAST(radix ** (dim - 1 - pos) AS BIGINT)) AS idx,
-              SUM(CASE WHEN sgn = 0 AND m0 <> 0 THEN 1 ELSE 0 END) AS signbits,
-              SUM(CASE WHEN cb = 11 AND m0 >= 16 THEN 1 ELSE 0 END) AS escs
-            FROM binv GROUP BY d, f, cb, b, tup, dim, sgn),
-          tupagg AS (SELECT d, f,
-              SUM(2 * CAST(floor(log2(idx + 1)) AS BIGINT) + 1
-                + signbits + 5 * escs) AS spec_bits,
-              SUM(escs) AS esc_n
-            FROM tups GROUP BY d, f),
-          binagg AS (SELECT d, f,
-              SUM(CASE WHEN v <> 0 THEN 1 ELSE 0 END) AS nz,
-              SUM(v) AS vsum, SUM((k + 1) * v) AS wsum
-            FROM binv GROUP BY d, f),
-          fr AS (SELECT p.d, p.f,
-              CAST(p.ws AS BIGINT) AS ws, CAST(p.shape AS BIGINT) AS shape,
-              CAST(p.max_sfb AS BIGINT) AS max_sfb, CAST(p.gg AS BIGINT) AS gg,
-              CAST(sa.n_sections AS BIGINT) AS n_sections,
-              CAST(sa.cb_wsum AS BIGINT) AS cb_wsum,
-              CAST(sa.sect_bits + sf.sf_bits + 3 + ta.spec_bits AS BIGINT) AS part_len,
-              CAST(sf.sf_wsum AS BIGINT) AS sf_wsum,
-              CAST(ta.esc_n AS BIGINT) AS esc_n,
-              CAST(ba.nz AS BIGINT) AS nz, CAST(ba.vsum AS BIGINT) AS vsum,
-              CAST(ba.wsum AS BIGINT) AS wsum
-            FROM p JOIN secagg sa ON sa.d = p.d AND sa.f = p.f
-                   JOIN sfagg sf ON sf.d = p.d AND sf.f = p.f
-                   JOIN tupagg ta ON ta.d = p.d AND ta.f = p.f
-                   JOIN binagg ba ON ba.d = p.d AND ba.f = p.f)
-          SELECT f0.d AS doc_id,
-            CAST(44100 AS BIGINT) AS sample_rate, CAST(2 AS BIGINT) AS frames,
-            f0.ws AS f0_window_sequence, f0.shape AS f0_window_shape,
-            f0.max_sfb AS f0_max_sfb, f0.gg AS f0_global_gain,
-            f0.n_sections AS f0_n_sections, f0.cb_wsum AS f0_cb_wsum,
-            f0.part_len AS f0_part_len, f0.sf_wsum AS f0_sf_wsum,
-            f0.esc_n AS f0_esc_n, f0.nz AS f0_spec_nonzero,
-            f0.vsum AS f0_spec_sum, f0.wsum AS f0_spec_wsum,
-            f1.ws AS f1_window_sequence, f1.shape AS f1_window_shape,
-            f1.max_sfb AS f1_max_sfb, f1.gg AS f1_global_gain,
-            f1.n_sections AS f1_n_sections, f1.cb_wsum AS f1_cb_wsum,
-            f1.part_len AS f1_part_len, f1.sf_wsum AS f1_sf_wsum,
-            f1.esc_n AS f1_esc_n, f1.nz AS f1_spec_nonzero,
-            f1.vsum AS f1_spec_sum, f1.wsum AS f1_spec_wsum
-          FROM fr f0 JOIN fr f1 ON f1.d = f0.d AND f1.f = 1
-          WHERE f0.f = 0 ORDER BY doc_id"""),
+      (aacLongOracleSql(withTns = false)),
+    "p_mm32_aac_tns" ->
+      (aacLongOracleSql(withTns = true)),
     "p_mm30_aac_short" ->
       ("""WITH cbcycle(i, cb) AS (VALUES (0, 1), (1, 5), (2, 0), (3, 9),
               (4, 3), (5, 11), (6, 7), (7, 4), (8, 6), (9, 2), (10, 8), (11, 10)),

@@ -149,6 +149,72 @@ class AacSynthSpec extends SparkSpec {
     assert(groupCounts.size >= 4, s"grouping variety: $groupCounts")
   }
 
+  test("TNS: parse identity, bit closure, and FIR↔IIR inversion") {
+    for (seed <- 0L until 100L) {
+      val dec = AacLc.decode(AacLc.genTns(seed))
+        .getOrElse(fail(s"seed $seed: no TNS decode"))
+      val plain = AacLc.decode(AacLc.gen(seed)).get
+      for (f <- 0 until 2) {
+        val p = AacLc.GenTnsParams(seed, f)
+        val ics = dec.frames(f)
+        // the stream differs from gen's ONLY by the TNS payload
+        assert(ics.spec.toSeq === plain.frames(f).spec.toSeq, s"seed $seed f$f")
+        assert(ics.sfWsum === plain.frames(f).sfWsum)
+        val filters = ics.tns(0)
+        assert(filters.length === p.nFilt)
+        for (i <- 0 until p.nFilt) {
+          val fl = filters(i)
+          assert(fl.length === p.length(i) && fl.order === p.order(i),
+            s"seed $seed f$f filter $i")
+          assert(fl.coefRes === p.coefRes)
+          if (p.order(i) > 0) {
+            assert(fl.direction === p.direction(i) && fl.compress === p.compress(i))
+            assert(fl.coefs.toSeq === (0 until p.order(i)).map(j => p.coef(i, j)))
+          }
+        }
+        // bit closure: TNS adds exactly its transmitted budget
+        val tnsBits = 3 + (0 until p.nFilt).map(i =>
+          11 + (if (p.order(i) > 0) 2 + p.order(i) * p.coefBits(i) else 0)).sum
+        assert(ics.partLenBits === plain.frames(f).partLenBits + tnsBits,
+          s"seed $seed f$f TNS bit budget")
+      }
+    }
+    // the synthesis all-pole filter inverts an in-spec FIR analysis twin
+    val rng = new scala.util.Random(11)
+    for (seed <- 0L until 20L) {
+      val ics = AacLc.decode(AacLc.genTns(seed)).get.frames(0)
+      val fl = ics.tns(0).find(_.order > 0).getOrElse {
+        // all orders 0 for this seed: nothing to invert
+        AacLc.TnsFilter(0, 0, 0, 0, 0, Array.empty)
+      }
+      if (fl.order > 0) {
+        val a = AacSynth.tnsLpc(fl)
+        val x = Array.fill(64)(rng.nextDouble() * 2 - 1)
+        // analysis FIR y[n] = Σ a[j]·x[n−j] (the encoder direction)
+        val y = Array.tabulate(64) { n =>
+          (0 to fl.order).map(j => if (n - j >= 0) a(j) * x(n - j) else 0.0).sum
+        }
+        // synthesis: our applyTns over a fake single band covering all 64
+        val buf = y.clone()
+        AacSynth.applyTns(buf, 0, Array(0, 64), 1,
+          Array(AacLc.TnsFilter(1, fl.order, 0, fl.compress, fl.coefRes, fl.coefs)))
+        for (n <- 0 until 64)
+          assert(math.abs(buf(n) - x(n)) < 1e-9, s"seed $seed n=$n")
+      }
+    }
+  }
+
+  test("TNS chain reaches PCM and actually changes the waveform") {
+    var changed = false
+    for (seed <- 0L until 20L) {
+      val pcmT = AacSynth.decodePcm(AacLc.genTns(seed)).getOrElse(fail(s"$seed"))
+      val pcm = AacSynth.decodePcm(AacLc.gen(seed)).get
+      assert(pcmT.forall(_.forall(v => !v.isNaN && !v.isInfinite)))
+      if (pcmT.zip(pcm).exists { case (a, b) => a.toSeq != b.toSeq }) changed = true
+    }
+    assert(changed, "TNS filters must shape at least one seed's output")
+  }
+
   test("a pure-tone spectrum synthesizes periodic output (sanity)") {
     // constant spectral line in band 0 at sf 100 through ONLY_LONG:
     // output must be a windowed cosine — symmetric energy, zero mean
