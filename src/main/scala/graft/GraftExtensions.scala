@@ -183,6 +183,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("aac_gen", "aac_gen(seed) - deterministic two-frame ADTS AAC-LC stream (SCE, long-family window sequences, all eleven spectral codebooks incl. the escape) for seed"),
       (args: Seq[Expression]) => graft.pipeline.AacLc.AacGenExpr(args(0))))
     ext.injectFunction((
+      FunctionIdentifier("aac_gen_pulse"),
+      info("aac_gen_pulse", "aac_gen_pulse(seed) - the aac_gen stream with pulse data on every frame (1-4 pulses, seed-derived start band, cumulative offsets, amplitudes)"),
+      (args: Seq[Expression]) => graft.pipeline.AacLc.AacGenPulseExpr(args(0))))
+    ext.injectFunction((
       FunctionIdentifier("aac_gen_tns"),
       info("aac_gen_tns", "aac_gen_tns(seed) - the aac_gen stream with temporal-noise-shaping data on every frame (filters, orders, directions, compress modes, coefficient indices all seed-derived)"),
       (args: Seq[Expression]) => graft.pipeline.AacLc.AacGenTnsExpr(args(0))))

@@ -447,8 +447,18 @@ object AacLc {
       ((d + i + j) % (1 << coefBits(i))).toInt - (1 << (coefBits(i) - 1))
   }
 
+  /** Per-(seed, frame) pulse construction (§12): 1–4 pulses from a
+    * seed-derived start band, cumulative offsets, amplitudes 1–15. */
+  final case class GenPulseParams(d: Long, f: Int) {
+    val nPulse: Int = 1 + ((d + f) % 4).toInt
+    val startSfb: Int = ((d + f) % 20).toInt
+    def offset(i: Int): Int = 1 + ((d + f + i) % 5).toInt
+    def amp(i: Int): Int = 1 + ((d + i) % 15).toInt
+  }
+
   /** Encode one raw_data_block (SCE + END + align) for (seed, frame). */
-  private def encodeRdb(p: GenParams, tns: GenTnsParams = null): Array[Byte] = {
+  private def encodeRdb(p: GenParams, tns: GenTnsParams = null,
+      pulse: GenPulseParams = null): Array[Byte] = {
     val w = new BitWriter
     w.u(0, 3) // id_syn_ele SCE
     w.u(0, 4) // element_instance_tag
@@ -478,7 +488,18 @@ object AacLc {
         }
       }
     }
-    w.u(0, 1) // pulse_data_present
+    if (pulse == null) w.u(0, 1)
+    else {
+      w.u(1, 1) // pulse_data_present
+      w.u(pulse.nPulse - 1, 2)
+      w.u(pulse.startSfb, 6)
+      var i = 0
+      while (i < pulse.nPulse) {
+        w.u(pulse.offset(i), 5)
+        w.u(pulse.amp(i), 4)
+        i += 1
+      }
+    }
     if (tns == null) w.u(0, 1)
     else {
       w.u(1, 1) // tns_data_present
@@ -552,6 +573,21 @@ object AacLc {
     var f = 0
     while (f < 2) {
       val rdb = encodeRdb(GenParams(d, f))
+      writeAdtsHeader(out, 7 + rdb.length)
+      out.write(rdb, 0, rdb.length)
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** [[gen]] with pulse data on every frame (§12: 1–4 pulses,
+    * seed-derived start band / cumulative offsets / amplitudes). */
+  def genPulse(seed: Long): Array[Byte] = {
+    val d = math.abs(seed)
+    val out = new java.io.ByteArrayOutputStream()
+    var f = 0
+    while (f < 2) {
+      val rdb = encodeRdb(GenParams(d, f), null, GenPulseParams(d, f))
       writeAdtsHeader(out, 7 + rdb.length)
       out.write(rdb, 0, rdb.length)
       f += 1
@@ -724,10 +760,28 @@ object AacLc {
       }
       g += 1
     }
-    // tool flags: pulse and gain control fail closed (unimplemented —
-    // never decode wrong); TNS parses for real (§14 tns_data) and is
-    // applied by the synthesis half
-    if (r.u(1) != 0) throw new IllegalArgumentException("pulse")
+    // tool flags: gain control fails closed (an SSR tool, permanently
+    // out of LC scope — never decode wrong); pulse and TNS parse for
+    // real. pulse_data (§12): number_pulse−1 (2), pulse_start_sfb (6),
+    // then (offset 5, amp 4) per pulse; positions accumulate from the
+    // start band's first bin, amplitudes add AWAY from zero after the
+    // spectral walk. Long windows only per the standard.
+    val pulse: Array[Int] =
+      if (r.u(1) == 1) {
+        if (short) throw new IllegalArgumentException("pulse on EIGHT_SHORT")
+        val nPulse = r.u(2) + 1
+        val startSfb = r.u(6)
+        if (startSfb >= bands.length - 1) throw new IllegalArgumentException("pulse sfb")
+        val a = new Array[Int](1 + 2 * nPulse)
+        a(0) = bands(startSfb)
+        var i = 0
+        while (i < nPulse) {
+          a(1 + 2 * i) = r.u(5)
+          a(2 + 2 * i) = r.u(4)
+          i += 1
+        }
+        a
+      } else null
     val nWindows = if (short) 8 else 1
     val tns: Array[Array[TnsFilter]] =
       if (r.u(1) == 1) Array.tabulate(nWindows) { _ =>
@@ -840,6 +894,20 @@ object AacLc {
       }
       g += 1
     }
+    // §12 pulse application: k walks cumulative offsets from the start
+    // band's first bin; each amplitude moves the quantized value AWAY
+    // from zero (matching the encoder's magnitude-reduction intent)
+    if (pulse != null) {
+      var k = pulse(0)
+      var i = 0
+      while (2 + 2 * i < pulse.length) {
+        k += pulse(1 + 2 * i)
+        if (k >= 1024) throw new IllegalArgumentException("pulse bin")
+        val amp = pulse(2 + 2 * i)
+        if (spec(k) >= 0) spec(k) += amp else spec(k) -= amp
+        i += 1
+      }
+    }
     val partLen = (r.pos - partStart).toInt
     Ics(ws, shape, maxSfb, globalGain, nSections, cbWsum, sfWsum,
       partLen, escCount, spec, sfLong, groups, sfShort, tns)
@@ -937,6 +1005,26 @@ object AacLc {
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
     override def prettyName: String = "aac_gen_short"
+  }
+
+  /** `aac_gen_pulse(seed)`: [[gen]] with pulse data on every frame. */
+  case class AacGenPulseExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case LongType | IntegerType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"aac_gen_pulse requires an integral seed, got ${t.catalogString}")
+    }
+    override def nullSafeEval(input: Any): Any = input match {
+      case l: java.lang.Long => AacLc.genPulse(l)
+      case i: java.lang.Integer => AacLc.genPulse(i.toLong)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.pipeline.AacLc.genPulse((long) $c);")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "aac_gen_pulse"
   }
 
   /** `aac_gen_tns(seed)`: [[gen]] with TNS data on every frame. */

