@@ -14,17 +14,21 @@ class AacLcSpec extends SparkSpec {
     def check(len: Array[Int], code: Array[Int]): Unit = {
       val kraft = len.map(l => math.pow(2, -l)).sum
       assert(kraft <= 1.0 + 1e-12, s"Kraft $kraft")
+      // prefix-freeness in O(n log n): sort the padded binary words —
+      // any prefix relation must appear between sorted neighbors
       val words = len.zip(code).map { case (l, c) =>
         String.format("%" + l + "s", Integer.toBinaryString(c)).replace(' ', '0')
-      }
-      for (i <- words.indices; j <- words.indices if i != j)
-        assert(!words(j).startsWith(words(i)), s"$i prefixes $j")
+      }.sorted
+      for (i <- 0 until words.length - 1)
+        assert(!words(i + 1).startsWith(words(i)),
+          s"'${words(i)}' prefixes '${words(i + 1)}'")
+      assert(words.distinct.length == words.length, "duplicate codewords")
     }
-    for (cb <- 1 to 11) {
+    for (cb <- 1 to 11) { // EVERY book, full alphabet (up to 289 symbols)
       val meta = AacLc.CbMetas(cb)
       val b = new AacLc.Book(Array.tabulate(meta.nSym)(AacLc.gammaLen))
       assert(b.len.zipWithIndex.forall { case (l, i) => l == AacLc.gammaLen(i) })
-      if (meta.nSym <= 100) check(b.len, b.code) // O(n^2) — spot the small books
+      check(b.len, b.code)
     }
     check(Array.tabulate(121)(AacLc.gammaLen),
       new AacLc.Book(Array.tabulate(121)(AacLc.gammaLen)).code)

@@ -200,6 +200,30 @@ class ExternalVectorsSpec extends SparkSpec {
     assert(!m.vbr)
   }
 
+  test("external bytes flow through the SQL surface (wav_pcm, mp3_meta)") {
+    // same vectors, but through the registered Catalyst expressions in
+    // a real Spark plan — the engine-facing path a pipeline would use
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val wav = wav8(7, ulawEnc)
+    val row = Seq((1L, wav)).toDF("id", "bytes")
+      .select(call_function("wav_pcm", col("bytes")).as("m"))
+      .select($"m.codec", $"m.n_samples", $"m.sum_s", $"m.min_s", $"m.max_s")
+      .head()
+    assert(row.getString(0) === "ulaw")
+    assert(row.getLong(1) === ulawExpect.length.toLong)
+    assert(row.getLong(2) === ulawExpect.map(_.toLong).sum)
+    assert(row.getLong(3) === ulawExpect.min.toLong)
+    assert(row.getLong(4) === ulawExpect.max.toLong)
+    val mp3 = Seq((1L, externalMp3)).toDF("id", "bytes")
+      .select(call_function("mp3_meta", col("bytes")).as("m"))
+      .select($"m.frames", $"m.sample_rate", $"m.duration_ms")
+      .head()
+    assert(mp3.getLong(0) === 45L)
+    assert(mp3.getInt(1) === 22050)
+    assert(mp3.getLong(2) === 1175L)
+  }
+
   test("externally-encoded MP3: per-frame offsets tile the file") {
     val b = externalMp3
     val arr = Mp3Header.framesRows(b)
