@@ -152,6 +152,28 @@ class AacLcSpec extends SparkSpec {
     }
   }
 
+  test("byte-flip fuzz: no corruption of any stream family ever throws") {
+    // every single-byte corruption of whole streams across all four
+    // generator families must yield Some (a different valid decode) or
+    // None — never an escaped exception from the expression path
+    for (seed <- 0L until 4L;
+         gen <- Seq(AacLc.gen _, AacLc.genShort _, AacLc.genTns _,
+                    AacLc.genPulse _)) {
+      val good = gen(seed)
+      for (i <- good.indices; bit <- Seq(0x01, 0x80)) {
+        val bad = good.clone()
+        bad(i) = (bad(i) ^ bit).toByte
+        AacLc.decode(bad)      // must not throw
+        AacLc.spectralRow(bad) // the Catalyst surface either
+        // the synthesis arm runs the O(N²) IMDCT per frame — sample
+        // every 29th position so the sweep stays seconds, not minutes
+        // (the entropy walk above is the exhaustive half; a corrupted
+        // stream that survives it decodes like any valid stream)
+        if (i % 29 == 0) graft.pipeline.AudioNorm.toWav(bad)
+      }
+    }
+  }
+
   test("section-length escape chunks decode (31 then remainder)") {
     // hand-encode one SCE whose single zero section covers 31 sfbs:
     // written as 31 + 0 chunks; decoder must sum the chunks
