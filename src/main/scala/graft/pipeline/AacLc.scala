@@ -386,7 +386,7 @@ object AacLc {
 
   /** Deterministic two-frame EIGHT_SHORT ADTS stream for a seed. */
   def genShort(seed: Long): Array[Byte] = {
-    val d = math.abs(seed)
+    val d = seed & Long.MaxValue // abs would stay negative at Long.MinValue
     val out = new java.io.ByteArrayOutputStream()
     var f = 0
     while (f < 2) {
@@ -568,7 +568,7 @@ object AacLc {
     * parameters vary per frame so the walk crosses a window-sequence
     * transition (only-long → start → stop cycle). */
   def gen(seed: Long): Array[Byte] = {
-    val d = math.abs(seed)
+    val d = seed & Long.MaxValue // abs would stay negative at Long.MinValue
     val out = new java.io.ByteArrayOutputStream()
     var f = 0
     while (f < 2) {
@@ -583,7 +583,7 @@ object AacLc {
   /** [[gen]] with pulse data on every frame (§12: 1–4 pulses,
     * seed-derived start band / cumulative offsets / amplitudes). */
   def genPulse(seed: Long): Array[Byte] = {
-    val d = math.abs(seed)
+    val d = seed & Long.MaxValue // abs would stay negative at Long.MinValue
     val out = new java.io.ByteArrayOutputStream()
     var f = 0
     while (f < 2) {
@@ -599,7 +599,7 @@ object AacLc {
     * directions, compress modes, coefficient indices all
     * seed-derived). */
   def genTns(seed: Long): Array[Byte] = {
-    val d = math.abs(seed)
+    val d = seed & Long.MaxValue // abs would stay negative at Long.MinValue
     val out = new java.io.ByteArrayOutputStream()
     var f = 0
     while (f < 2) {
@@ -633,13 +633,37 @@ object AacLc {
   final case class Decoded(rate: Int, frames: Array[Ics])
 
   /** Decode every ADTS frame's SCE down to quantized coefficients.
-    * None outside scope (non-LC profile, channel config ≠ 1, CRC
-    * frames, pulse/TNS/gain tools present — fail CLOSED, never decode
-    * wrong) or malformed (a frame whose element walk does not land
-    * exactly on the ADTS frame boundary). */
+    * pulse_data (§12) and tns_data (§14) are FULLY decoded (parse +
+    * application); only gain_control_data — an SSR tool, permanently
+    * out of LC scope — still fails CLOSED, as do non-LC profiles,
+    * channel config ≠ 1, CRC frames, and anything malformed (a frame
+    * whose element walk does not land exactly on the ADTS frame
+    * boundary). Total decoded output is capped at [[MaxSamples]]
+    * (2^28 samples, pre-checked from the ADTS frame walk before any
+    * spectral work) so a crafted minimal-frame stream cannot amplify
+    * ~11 input bytes into unbounded decoder state — None past the
+    * cap, never an executor OOM. */
+  /** Output-amplification bound for [[decode]]: a minimal valid ADTS
+    * frame (~11 bytes) expands to 1024 samples (~400× plus per-frame
+    * decoder state), so the frame count is pre-walked from the ADTS
+    * headers alone — Long-space, no spectral work — and anything past
+    * 2^28 total samples returns None. Mirrors resampleWav's bound. */
+  val MaxSamples: Long = 1L << 28
+
   def decode(b: Array[Byte]): Option[Decoded] = {
     try {
       if (b == null || b.length < 7) return None
+      // amplification pre-check: count frames from the header walk only
+      var nFrames = 0L
+      var preOff = 0
+      while (preOff + 7 <= b.length) {
+        val fl = (((b(preOff + 3) & 3) << 11) | ((b(preOff + 4) & 0xFF) << 3) |
+          ((b(preOff + 5) >> 5) & 7))
+        if (fl < 7) return None
+        nFrames += 1
+        if (nFrames * 1024L > MaxSamples) return None
+        preOff += fl
+      }
       val frames = scala.collection.mutable.ArrayBuffer.empty[Ics]
       var off = 0
       var rate = 0
@@ -904,7 +928,8 @@ object AacLc {
         k += pulse(1 + 2 * i)
         if (k >= 1024) throw new IllegalArgumentException("pulse bin")
         val amp = pulse(2 + 2 * i)
-        if (spec(k) >= 0) spec(k) += amp else spec(k) -= amp
+        // strictly > 0 per §12: a zero bin SUBTRACTS the amplitude
+        if (spec(k) > 0) spec(k) += amp else spec(k) -= amp
         i += 1
       }
     }

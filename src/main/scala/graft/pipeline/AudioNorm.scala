@@ -51,17 +51,27 @@ object AudioNorm {
         case None => null
       }
     }
-    // FLAC: sample-exact first frame; rate from STREAMINFO
+    // FLAC: sample-exact first frame; rate from STREAMINFO. Samples
+    // arrive at NATIVE bit depth (FlacPcm decodes 8/12/16/20/24), so
+    // rescale to the 16-bit canon: shift left by (16−bps) below 16,
+    // arithmetic-shift right by (bps−16) above — full-scale maps to
+    // full-scale instead of 8-bit audio coming out 256× too quiet or
+    // 24-bit hard-clipping.
     if (b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C') {
       val audio = FlacPcm.decode(b).getOrElse(return null)
       val meta = FlacHeader.parse(b).getOrElse(return null)
       val nch = audio.channels
+      val bps = audio.bps
+      if (bps < 4 || bps > 24) return null
       val out = new Array[Int](audio.blockSize * nch)
       var i = 0
       while (i < audio.blockSize) {
         var c = 0
         while (c < nch) {
-          val s = audio.samples(c)(i)
+          val raw = audio.samples(c)(i)
+          val s = if (bps < 16) raw << (16 - bps)
+                  else if (bps > 16) raw >> (bps - 16)
+                  else raw
           out(i * nch + c) = if (s > 32767) 32767 else if (s < -32768) -32768 else s
           c += 1
         }
@@ -72,9 +82,14 @@ object AudioNorm {
     // 0xFFF sync: ADTS AAC (layer bits 00) vs MPEG audio (Layer III 01)
     if ((b(0) & 0xFF) == 0xFF && (b(1) & 0xE0) == 0xE0) {
       if ((b(1) & 0x06) == 0) {
-        // ADTS: every frame to 1024 mono samples
+        // ADTS: every frame to 1024 mono samples. AacLc.decode caps
+        // total output at MaxSamples (2^28) from the header walk, so
+        // a crafted minimal-frame stream can't amplify ~11 bytes into
+        // an OOM; the Long-space re-check keeps this arm safe even if
+        // that invariant ever moves.
         val rate = AacLc.decode(b).getOrElse(return null).rate
         val pcm = AacSynth.decodePcm(b).getOrElse(return null)
+        if (pcm.length.toLong * 1024L > AacLc.MaxSamples) return null
         val out = new Array[Int](pcm.length * 1024)
         var f = 0
         while (f < pcm.length) {
@@ -84,7 +99,13 @@ object AudioNorm {
         }
         return AvHeader.encodePcm16Wav(out, rate, 1)
       }
-      // MPEG-1 Layer III, 44.1 kHz scope: stereo first, mono fallback
+      // MPEG-1 Layer III: the rate comes from the DECODED header, not
+      // a constant — Mp3L3.decode itself fails closed on any
+      // samplerate index but 44.1 kHz (its Huffman walk assumes that
+      // band layout), so a 32/48 kHz-flagged frame returns NULL here
+      // rather than mislabeling the WAV header. Stereo first, mono
+      // fallback.
+      val mp3Rate = Mp3L3.decode(b).getOrElse(return null).sampleRate
       Mp3Synth.decodePcmStereo(b) match {
         case Some(ch) =>
           val n = ch(0).length
@@ -95,13 +116,13 @@ object AudioNorm {
             out(2 * i + 1) = s16(ch(1)(i))
             i += 1
           }
-          return AvHeader.encodePcm16Wav(out, 44100, 2)
+          return AvHeader.encodePcm16Wav(out, mp3Rate, 2)
         case None =>
           val mono = Mp3Synth.decodePcm(b).getOrElse(return null)
           val out = new Array[Int](mono.length)
           var i = 0
           while (i < mono.length) { out(i) = s16(mono(i)); i += 1 }
-          return AvHeader.encodePcm16Wav(out, 44100, 1)
+          return AvHeader.encodePcm16Wav(out, mp3Rate, 1)
       }
     }
     null

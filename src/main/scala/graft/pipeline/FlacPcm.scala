@@ -196,7 +196,7 @@ object FlacPcm {
     * layout. The encoder is the hand-written half of the identity gate;
     * [[decode]] is the independent decoder half. */
   def gen(seed: Long): Array[Byte] = {
-    val p = GenParams(if (seed < 0) -seed else seed)
+    val p = GenParams((if (seed < 0) -seed else seed) & Long.MaxValue) // MinValue negates to itself
     val out = new java.io.ByteArrayOutputStream()
     // --- fLaC + STREAMINFO (34 bytes, last-block flag set)
     out.write('f'); out.write('L'); out.write('a'); out.write('C')

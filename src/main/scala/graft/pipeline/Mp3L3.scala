@@ -548,7 +548,7 @@ object Mp3L3 {
     * info, then the two granules' scalefactor + Huffman main data,
     * zero-padded to the frame length. Tables 1–3, no escapes. */
   def gen(seed: Long): Array[Byte] = {
-    val d = if (seed < 0) -seed else seed
+    val d = (if (seed < 0) -seed else seed) & Long.MaxValue // MinValue negates to itself
     genFrame(d, GranParams(d, 0), GranParams(d, 1))
   }
 
@@ -556,21 +556,21 @@ object Mp3L3 {
     * from [[GranEscParams]] — table selects over all of Table B.7
     * including the sixteen linbits escape selects. */
   def genEsc(seed: Long): Array[Byte] = {
-    val d = if (seed < 0) -seed else seed
+    val d = (if (seed < 0) -seed else seed) & Long.MaxValue // MinValue negates to itself
     genFrame(d, GranEscParams(d, 0), GranEscParams(d, 1))
   }
 
   /** Window-switching generator: granule block types cycle through
     * short/start/short/stop ([[GranShortParams]]). */
   def genShort(seed: Long): Array[Byte] = {
-    val d = if (seed < 0) -seed else seed
+    val d = (if (seed < 0) -seed else seed) & Long.MaxValue // MinValue negates to itself
     genFrame(d, GranShortParams(d, 0), GranShortParams(d, 1))
   }
 
   /** Mixed-block generator: both granules block_type 2, with
     * mixed_block_flag alternating ([[GranMixedParams]]). */
   def genMixed(seed: Long): Array[Byte] = {
-    val d = if (seed < 0) -seed else seed
+    val d = (if (seed < 0) -seed else seed) & Long.MaxValue // MinValue negates to itself
     genFrame(d, GranMixedParams(d, 0), GranMixedParams(d, 1))
   }
 
@@ -581,7 +581,7 @@ object Mp3L3 {
     * mode-extension bit (the matrixed M/S spectra ride the same
     * entropy layer — MS reconstruction is [[Mp3Synth]]'s concern). */
   def genStereo(seed: Long): Array[Byte] = {
-    val d = if (seed < 0) -seed else seed
+    val d = (if (seed < 0) -seed else seed) & Long.MaxValue // MinValue negates to itself
     genFrameN(d, Array.tabulate(4)(s => GranParams(d, s): GranLike),
       nch = 2, ext = if (d % 2 == 1) 2 else 0)
   }
@@ -593,7 +593,7 @@ object Mp3L3 {
     * bands zero — the intensity region, where the right channel's
     * transmitted scalefactors act as is_pos values. */
   def genStereoInt(seed: Long): Array[Byte] = {
-    val d = if (seed < 0) -seed else seed
+    val d = (if (seed < 0) -seed else seed) & Long.MaxValue // MinValue negates to itself
     genFrameN(d, Array.tabulate(4)(s => GranParams(d, s): GranLike),
       nch = 2, ext = if (d % 2 == 0) 1 else 3)
   }

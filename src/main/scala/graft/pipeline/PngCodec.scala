@@ -139,7 +139,7 @@ object PngCodec {
   }
 
   /** Decode any ImageIO-supported image to its band-0 grid. */
-  private def decodeGrid(bytes: Array[Byte]): Option[(Array[Int], Int, Int)] = {
+  private[pipeline] def decodeGrid(bytes: Array[Byte]): Option[(Array[Int], Int, Int)] = {
     if (bytes == null || bytes.length < 8) return None
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))

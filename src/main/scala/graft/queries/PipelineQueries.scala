@@ -2064,6 +2064,26 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** MM33: AAC §12 PULSE DATA — `aac_gen_pulse` emits the long-family
+    * stream with pulse_data on every frame (1–4 pulses, seed-derived
+    * start band / cumulative offsets / amplitudes 1–15), so the
+    * decoder must read the 2+6-bit pulse header and 5+4 bits per
+    * pulse between the scalefactors and the TNS flag — one bit off
+    * desynchronizes the whole spectral walk (part_len closure) — and
+    * then APPLY the pulses to the decoded spectrum: strictly-positive
+    * bins gain the amplitude, zero/negative bins lose it (§12's `> 0`
+    * rule). The oracle replays the bit budget AND re-derives every
+    * pulse's pre-pulse bin value from the closed-form spectrum, so
+    * both the parse position and the sign rule are pinned by the
+    * value/position-weighted spectral sums. */
+  private def mm33(s: SparkSession, dir: String): DataFrame = {
+    val m = call_function("aac_spectral", call_function("aac_gen_pulse", col("doc_id")))
+    val fields = graft.pipeline.AacLc.SpectralSchema.fieldNames.toSeq
+    Tables.documents(s, dir).select(col("doc_id"), m.as("__m"))
+      .select(col("doc_id") +: fields.map(f => col(s"__m.$f").as(f)): _*)
+      .orderBy(col("doc_id"))
+  }
+
   // ===== registry ========================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2082,6 +2102,7 @@ object PipelineQueries {
     "p_mm30_aac_short" -> (mm30 _),
     "p_mm31_audio_to_wav" -> (mm31 _),
     "p_mm32_aac_tns" -> (mm32 _),
+    "p_mm33_aac_pulse" -> (mm33 _),
     "p_d1_exact_dedup" -> (d1 _),
     "p_d2_neardup_bruteforce" -> (d2 _),
     "p_d3_minhash_lsh_neardup" -> (d3 _),
@@ -2474,8 +2495,14 @@ object PipelineQueries {
     * 6+5 per filter, and 2 + order·(coefRes+3−compress) when the
     * order is nonzero — everything else in the stream is identical,
     * so a TNS misread shows up as a part_len mismatch AND a
-    * desynchronized spectral walk). */
-  private def aacLongOracleSql(withTns: Boolean): String = {
+    * desynchronized spectral walk) and by the §12 pulse arm (p_mm33:
+    * 2+6 header bits plus 5+4 per pulse in part_len, and the pulse
+    * APPLICATION replayed against the pre-pulse spectrum — positions
+    * are cumulative offsets from the start band's first bin, and a
+    * strictly-positive bin gains the amplitude while zero/negative
+    * bins lose it, so the spectral functionals pin both the bit walk
+    * and the sign rule). */
+  private def aacLongOracleSql(withTns: Boolean, withPulse: Boolean = false): String = {
     val tnsCte = if (!withTns) "" else
       """tnsb AS (SELECT d, f,
               3 + SUM(11 + CASE WHEN ord > 0 THEN 2 + ord * cbits ELSE 0 END)
@@ -2488,6 +2515,42 @@ object PipelineQueries {
           """
     val tnsTerm = if (withTns) "+ tb.tns_bits" else ""
     val tnsJoin = if (withTns) "\n                   JOIN tnsb tb ON tb.d = p.d AND tb.f = p.f" else ""
+    // §12 pulse replay: params from GenPulseParams, positions as
+    // cumulative offsets from bandsLong(startSfb) (startSfb < 20 so
+    // only the 16-wide/32-wide band regions apply), the sign rule
+    // against the PRE-pulse value (LEFT JOIN binv — bins in cb=0
+    // sections decode to zero and have no binv row)
+    val pulseCte = if (!withPulse) "" else
+      """pp AS (SELECT d, f, 1 + (d + f) % 4 AS np, (d + f) % 20 AS ssfb
+            FROM p),
+          pkcum AS (SELECT pp.d, pp.f, ri.i,
+              SUM(1 + (pp.d + pp.f + rj.j) % 5) AS cum
+            FROM pp, range(0, 4) ri(i), range(0, 4) rj(j)
+            WHERE ri.i < pp.np AND rj.j <= ri.i
+            GROUP BY pp.d, pp.f, ri.i),
+          pk AS (SELECT s.d, s.f, s.i,
+              CASE WHEN pp.ssfb <= 16 THEN 16 * pp.ssfb
+                   ELSE 256 + 32 * (pp.ssfb - 16) END + s.cum AS k,
+              1 + (s.d + s.i) % 15 AS amp
+            FROM pkcum s JOIN pp ON pp.d = s.d AND pp.f = s.f),
+          pd AS (SELECT pk.d, pk.f,
+              SUM(CASE WHEN COALESCE(bv.v, 0) = 0 THEN 1 ELSE 0 END) AS nzd,
+              SUM(CASE WHEN COALESCE(bv.v, 0) > 0 THEN pk.amp
+                  ELSE -pk.amp END) AS vd,
+              SUM((pk.k + 1) * CASE WHEN COALESCE(bv.v, 0) > 0 THEN pk.amp
+                  ELSE -pk.amp END) AS wd
+            FROM pk LEFT JOIN binv bv
+              ON bv.d = pk.d AND bv.f = pk.f AND bv.k = pk.k
+            GROUP BY pk.d, pk.f),
+          pbit AS (SELECT d, f, 8 + 9 * np AS pulse_bits FROM pp),
+          """
+    val pulseBitsTerm = if (withPulse) "+ pb.pulse_bits" else ""
+    val pulseNz = if (withPulse) " + pd.nzd" else ""
+    val pulseV = if (withPulse) " + pd.vd" else ""
+    val pulseW = if (withPulse) " + pd.wd" else ""
+    val pulseJoin = if (withPulse)
+      "\n                   JOIN pd ON pd.d = p.d AND pd.f = p.f" +
+      "\n                   JOIN pbit pb ON pb.d = p.d AND pb.f = p.f" else ""
     s"""WITH cbcycle(i, cb) AS (VALUES (0, 1), (1, 5), (2, 0), (3, 9),
               (4, 3), (5, 11), (6, 7), (7, 4), (8, 6), (9, 2), (10, 8), (11, 10)),
           cbmeta(cb, dim, lav, sgn, radix) AS (VALUES
@@ -2568,20 +2631,21 @@ object PipelineQueries {
               SUM(CASE WHEN v <> 0 THEN 1 ELSE 0 END) AS nz,
               SUM(v) AS vsum, SUM((k + 1) * v) AS wsum
             FROM binv GROUP BY d, f),
-          ${tnsCte}fr AS (SELECT p.d, p.f,
+          ${tnsCte}${pulseCte}fr AS (SELECT p.d, p.f,
               CAST(p.ws AS BIGINT) AS ws, CAST(p.shape AS BIGINT) AS shape,
               CAST(p.max_sfb AS BIGINT) AS max_sfb, CAST(p.gg AS BIGINT) AS gg,
               CAST(sa.n_sections AS BIGINT) AS n_sections,
               CAST(sa.cb_wsum AS BIGINT) AS cb_wsum,
-              CAST(sa.sect_bits + sf.sf_bits + 3 $tnsTerm + ta.spec_bits AS BIGINT) AS part_len,
+              CAST(sa.sect_bits + sf.sf_bits + 3 $tnsTerm $pulseBitsTerm + ta.spec_bits AS BIGINT) AS part_len,
               CAST(sf.sf_wsum AS BIGINT) AS sf_wsum,
               CAST(ta.esc_n AS BIGINT) AS esc_n,
-              CAST(ba.nz AS BIGINT) AS nz, CAST(ba.vsum AS BIGINT) AS vsum,
-              CAST(ba.wsum AS BIGINT) AS wsum
+              CAST(ba.nz$pulseNz AS BIGINT) AS nz,
+              CAST(ba.vsum$pulseV AS BIGINT) AS vsum,
+              CAST(ba.wsum$pulseW AS BIGINT) AS wsum
             FROM p JOIN secagg sa ON sa.d = p.d AND sa.f = p.f
                    JOIN sfagg sf ON sf.d = p.d AND sf.f = p.f
                    JOIN tupagg ta ON ta.d = p.d AND ta.f = p.f
-                   JOIN binagg ba ON ba.d = p.d AND ba.f = p.f$tnsJoin)
+                   JOIN binagg ba ON ba.d = p.d AND ba.f = p.f$tnsJoin$pulseJoin)
           SELECT f0.d AS doc_id,
             CAST(44100 AS BIGINT) AS sample_rate, CAST(2 AS BIGINT) AS frames,
             f0.ws AS f0_window_sequence, f0.shape AS f0_window_shape,
@@ -4231,6 +4295,8 @@ object PipelineQueries {
       (aacLongOracleSql(withTns = false)),
     "p_mm32_aac_tns" ->
       (aacLongOracleSql(withTns = true)),
+    "p_mm33_aac_pulse" ->
+      (aacLongOracleSql(withTns = false, withPulse = true)),
     "p_mm30_aac_short" ->
       ("""WITH cbcycle(i, cb) AS (VALUES (0, 1), (1, 5), (2, 0), (3, 9),
               (4, 3), (5, 11), (6, 7), (7, 4), (8, 6), (9, 2), (10, 8), (11, 10)),

@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.AacLc
+import graft.pipeline.{AacLc, FlacPcm, Mp3L3}
 
 /** AAC-LC entropy half: encoder→decoder identity across the seed
   * sweep, substitute-book structural validity (prefix-free, Kraft ≤ 1,
@@ -217,5 +217,18 @@ class AacLcSpec extends SparkSpec {
     assert(dec.get.frames(0).maxSfb === 31)
     assert(dec.get.frames(0).spec.forall(_ == 0))
     assert(AacLc.spectralRow(two) !== null)
+  }
+
+  test("generators survive Long.MinValue (abs(MinValue) is negative)") {
+    // math.abs(Long.MinValue) == Long.MinValue, so a seed fold through
+    // abs would feed negative moduli into table lookups and kill the
+    // task from inside codegen; the & Long.MaxValue fold cannot
+    for (g <- Seq[Long => Array[Byte]](AacLc.gen, AacLc.genShort,
+        AacLc.genPulse, AacLc.genTns, FlacPcm.gen _, Mp3L3.gen _)) {
+      val b = g(Long.MinValue)
+      assert(b != null && b.length > 0)
+    }
+    assert(AacLc.decode(AacLc.gen(Long.MinValue)).isDefined)
+    assert(AacLc.decode(AacLc.genPulse(Long.MinValue)).isDefined)
   }
 }

@@ -215,13 +215,15 @@ class AacSynthSpec extends SparkSpec {
         // bit closure: pulse adds exactly 2 + 6 + 9·nPulse bits
         assert(ics.partLenBits === plain.frames(f).partLenBits + 8 + 9 * p.nPulse,
           s"seed $seed f$f pulse bit budget")
-        // the spectrum is gen's plus the pulses, each moving its bin
-        // AWAY from zero at the cumulative position
+        // the spectrum is gen's plus the pulses at cumulative
+        // positions: strictly-positive bins gain the amplitude,
+        // zero and negative bins LOSE it (§12's `> 0` rule — a zero
+        // bin comes out at −amp, not +amp)
         val expect = plain.frames(f).spec.clone()
         var k = AacLc.LongBands(p.startSfb)
         for (i <- 0 until p.nPulse) {
           k += p.offset(i)
-          if (expect(k) >= 0) expect(k) += p.amp(i) else expect(k) -= p.amp(i)
+          if (expect(k) > 0) expect(k) += p.amp(i) else expect(k) -= p.amp(i)
         }
         assert(ics.spec.toSeq === expect.toSeq, s"seed $seed f$f spectrum")
       }
