@@ -179,6 +179,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("audio_to_wav", "audio_to_wav(bytes) - normalize any supported audio container (WAV/G.711/ADPCM, FLAC, ADTS AAC-LC, MPEG-1 Layer III) to canonical PCM16 WAV at the source rate, else NULL"),
       (args: Seq[Expression]) => graft.pipeline.AudioNorm.AudioToWavExpr(args(0))))
     ext.injectFunction((
+      FunctionIdentifier("image_dhash"),
+      info("image_dhash", "image_dhash(bytes) - 64-bit perceptual difference hash (9x8 box grid, bit set iff left < right neighbor), else NULL"),
+      (args: Seq[Expression]) => graft.pipeline.PerceptualHash.ImageDHashExpr(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("image_ahash"),
+      info("image_ahash", "image_ahash(bytes) - 64-bit perceptual average hash (8x8 box grid, bit set iff cell > integer mean), else NULL"),
+      (args: Seq[Expression]) => graft.pipeline.PerceptualHash.ImageAHashExpr(args(0))))
+    ext.injectFunction((
       FunctionIdentifier("aac_gen"),
       info("aac_gen", "aac_gen(seed) - deterministic two-frame ADTS AAC-LC stream (SCE, long-family window sequences, all eleven spectral codebooks incl. the escape) for seed"),
       (args: Seq[Expression]) => graft.pipeline.AacLc.AacGenExpr(args(0))))

@@ -138,6 +138,22 @@ object DedupIndex {
         .write.mode("overwrite").parquet(tmp)
     }
 
+  /** Persisted IMAGE perceptual fingerprints `(__id, __sim)` — the
+    * image counterpart of [[ensureSimHash]]: 64-bit dHash over the
+    * decoded pixels ([[PerceptualHash.dHash]]), computed once at
+    * ingest; near-dup queries band/bucket-join the stored longs
+    * through the SAME pairing machinery as text SimHash
+    * ([[Dedup.simHashNearDupPairsFromFingerprints]]). */
+  def ensureImageDHash(spark: SparkSession, corpusDir: String, images: DataFrame,
+      idCol: String, bytesCol: String, variant: String,
+      artifactRootOverride: Option[String] = None): DataFrame =
+    ensure(spark, corpusDir,
+      s"imgdhash_${Paths.get(corpusDir).getFileName}_${variant}_v$FormatVersion",
+      artifactRootOverride.getOrElse(artifactRoot(spark)),
+      images.select(col(idCol).as("__id"),
+          call_function("image_dhash", col(bytesCol)).as("__sim"))
+        .filter(col("__sim").isNotNull))
+
   /** Persisted SimHash fingerprints `(__id, __sim)`. `hashTag` names the
     * per-shingle hash function in the cache key (the Column function
     * itself can't be fingerprinted). */

@@ -221,6 +221,63 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Image-dedup corpus: one PNG per doc_id < 600 (the p_mm9 closed-form
+    * pattern) plus BOX-RESIZED twins for doc_id % 7 == 0 at 10000+doc_id
+    * — the canonical image-duplication mode (same picture, different
+    * size). Dims: base w = d%16+4, h = (d·7)%12+4; twin (w+5, h+3). */
+  private def imageCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val base = Tables.documents(s, dir).filter(d < 600)
+      .select(d.as("img_id"), call_function("png_gen", d).as("img"))
+    val twins = Tables.documents(s, dir)
+      .filter(d < 600 && pmod(d, lit(7)) === 0)
+      .select((d + 10000).as("img_id"),
+        call_function("image_resize", call_function("png_gen", d),
+          (pmod(d, lit(16)) + 9).cast("long"),
+          (pmod(d * 7, lit(12)) + 7).cast("long"),
+          lit("box")).as("img"))
+    base.union(twins)
+  }
+
+  /** D10: IMAGE PERCEPTUAL FINGERPRINTS — `image_dhash` (9×8 box grid,
+    * left<right gradient bits) and `image_ahash` (8×8 box grid,
+    * above-integer-mean bits) over real encoded PNGs, plus the four
+    * 16-bit band keys the near-dup blocking buckets on. The oracle
+    * replays the WHOLE chain in SQL — closed-form pixels → (for twins:
+    * the intermediate box resize) → 9×8/8×8 floor-division box grids →
+    * comparison bits → HUGEINT bit assembly → band extraction — so the
+    * decode, both resamplers, both hash definitions, and the banding
+    * arithmetic are pinned value-exactly. */
+  private def d10(s: SparkSession, dir: String): DataFrame = {
+    val corpus = imageCorpus(s, dir)
+    val withH = corpus.select(col("img_id").as("doc_id"),
+      call_function("image_dhash", col("img")).as("dhash"),
+      call_function("image_ahash", col("img")).as("ahash"))
+    withH.select(col("doc_id") +: col("dhash") +: col("ahash") +:
+        (0 until 4).map(i => shiftright(col("dhash"), 16 * i)
+          .bitwiseAND(lit(65535L)).as(s"b$i")): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** D11: IMAGE NEAR-DUP PAIRS — the dedup modality for image columns:
+    * dHash fingerprints persist through the [[DedupIndex]] ingest-time
+    * artifact lifecycle (computed once per image, like text SimHash),
+    * and pairing reuses [[Dedup.simHashNearDupPairsFromFingerprints]]
+    * unchanged — 4×16-bit banded blocking (pigeonhole-exact for
+    * hamming ≤ 3), bucket-local joins, no all-pairs. The corpus's
+    * same-dimension constant-brightness-shift classes and the resized
+    * twins both surface as sub-threshold pairs; the oracle brute-forces
+    * hamming ≤ 3 over its replayed fingerprints, which the banded
+    * blocking must match EXACTLY (that is the pigeonhole claim). */
+  private def d11(s: SparkSession, dir: String): DataFrame = {
+    val corpus = imageCorpus(s, dir)
+    val fp = DedupIndex.ensureImageDHash(s, dir, corpus, "img_id", "img",
+      variant = "lt600tw7")
+    Dedup.simHashNearDupPairsFromFingerprints(fp, maxHamming = 3, bands = 4,
+        bits = 64)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** C6: corpus mixture — down-sample sources to a 5:3:2 target recipe
     * ([[Curation.sampleToMixture]]); the binding source keeps 100%,
     * the others down-sample to the weight ratios via the deterministic
@@ -2112,6 +2169,8 @@ object PipelineQueries {
     "p_d7_line_dedup" -> (d7 _),
     "p_d8_substring_spans" -> (d8 _),
     "p_d9_substring_clean" -> (d9 _),
+    "p_d10_image_dhash" -> (d10 _),
+    "p_d11_image_neardup" -> (d11 _),
     "p_t6_unigram_lm" -> (t6Lm _),
     "p_t7_bm25_stats" -> (t7Bm25 _),
     "p_c6_mixture" -> (c6Mixture _),
@@ -2664,7 +2723,117 @@ object PipelineQueries {
           WHERE f0.f = 0 ORDER BY doc_id"""
   }
 
+  /** Shared CTE body for the image perceptual-hash oracles: closed-form
+    * pixels → (twins: intermediate box resize) → 9×8 and 8×8 box grids
+    * → dHash/aHash bit assembly (HUGEINT, folded to signed BIGINT so
+    * bit 63 round-trips). Ends with `dh(id, f)` and `ah(id, f)`. */
+  private val imageHashOracleCtes: String =
+    """WITH b0 AS (SELECT doc_id AS d, doc_id % 16 + 4 AS w,
+              (doc_id * 7) % 12 + 4 AS h
+            FROM documents WHERE doc_id < 600),
+          c9 AS (SELECT d, cx.x, cy.y,
+              (cx.x * w) // 9 AS x0,
+              greatest((cx.x * w) // 9 + 1, ((cx.x + 1) * w) // 9) AS x1,
+              (cy.y * h) // 8 AS y0,
+              greatest((cy.y * h) // 8 + 1, ((cy.y + 1) * h) // 8) AS y1
+            FROM b0, range(0, 9) cx(x), range(0, 8) cy(y)),
+          v9 AS (SELECT c.d, c.x, c.y,
+              SUM((c.d * 31 + si.i * 7 + sj.j * 13) % 256)
+                // ((c.x1 - c.x0) * (c.y1 - c.y0)) AS v
+            FROM c9 c, range(0, 20) si(i), range(0, 16) sj(j)
+            WHERE si.i >= c.x0 AND si.i < c.x1 AND sj.j >= c.y0 AND sj.j < c.y1
+            GROUP BY c.d, c.x, c.y, c.x0, c.x1, c.y0, c.y1),
+          c8 AS (SELECT d, cx.x, cy.y,
+              (cx.x * w) // 8 AS x0,
+              greatest((cx.x * w) // 8 + 1, ((cx.x + 1) * w) // 8) AS x1,
+              (cy.y * h) // 8 AS y0,
+              greatest((cy.y * h) // 8 + 1, ((cy.y + 1) * h) // 8) AS y1
+            FROM b0, range(0, 8) cx(x), range(0, 8) cy(y)),
+          v8 AS (SELECT c.d, c.x, c.y,
+              SUM((c.d * 31 + si.i * 7 + sj.j * 13) % 256)
+                // ((c.x1 - c.x0) * (c.y1 - c.y0)) AS v
+            FROM c8 c, range(0, 20) si(i), range(0, 16) sj(j)
+            WHERE si.i >= c.x0 AND si.i < c.x1 AND sj.j >= c.y0 AND sj.j < c.y1
+            GROUP BY c.d, c.x, c.y, c.x0, c.x1, c.y0, c.y1),
+          t0 AS (SELECT d, w, h, w + 5 AS wt, h + 3 AS ht
+            FROM b0 WHERE d % 7 = 0),
+          tc AS (SELECT t0.d, t0.wt, t0.ht, cx.x, cy.y,
+              (cx.x * w) // wt AS x0,
+              greatest((cx.x * w) // wt + 1, ((cx.x + 1) * w) // wt) AS x1,
+              (cy.y * h) // ht AS y0,
+              greatest((cy.y * h) // ht + 1, ((cy.y + 1) * h) // ht) AS y1
+            FROM t0, range(0, 24) cx(x), range(0, 18) cy(y)
+            WHERE cx.x < wt AND cy.y < ht),
+          tv AS (SELECT c.d, c.x, c.y,
+              SUM((c.d * 31 + si.i * 7 + sj.j * 13) % 256)
+                // ((c.x1 - c.x0) * (c.y1 - c.y0)) AS v
+            FROM tc c, range(0, 20) si(i), range(0, 16) sj(j)
+            WHERE si.i >= c.x0 AND si.i < c.x1 AND sj.j >= c.y0 AND sj.j < c.y1
+            GROUP BY c.d, c.x, c.y, c.x0, c.x1, c.y0, c.y1),
+          tc9 AS (SELECT t0.d, cx.x, cy.y,
+              (cx.x * wt) // 9 AS x0,
+              greatest((cx.x * wt) // 9 + 1, ((cx.x + 1) * wt) // 9) AS x1,
+              (cy.y * ht) // 8 AS y0,
+              greatest((cy.y * ht) // 8 + 1, ((cy.y + 1) * ht) // 8) AS y1
+            FROM t0, range(0, 9) cx(x), range(0, 8) cy(y)),
+          tv9 AS (SELECT c.d, c.x, c.y,
+              SUM(tv.v) // ((c.x1 - c.x0) * (c.y1 - c.y0)) AS v
+            FROM tc9 c JOIN tv ON tv.d = c.d AND tv.x >= c.x0 AND tv.x < c.x1
+              AND tv.y >= c.y0 AND tv.y < c.y1
+            GROUP BY c.d, c.x, c.y, c.x0, c.x1, c.y0, c.y1),
+          tc8 AS (SELECT t0.d, cx.x, cy.y,
+              (cx.x * wt) // 8 AS x0,
+              greatest((cx.x * wt) // 8 + 1, ((cx.x + 1) * wt) // 8) AS x1,
+              (cy.y * ht) // 8 AS y0,
+              greatest((cy.y * ht) // 8 + 1, ((cy.y + 1) * ht) // 8) AS y1
+            FROM t0, range(0, 8) cx(x), range(0, 8) cy(y)),
+          tv8 AS (SELECT c.d, c.x, c.y,
+              SUM(tv.v) // ((c.x1 - c.x0) * (c.y1 - c.y0)) AS v
+            FROM tc8 c JOIN tv ON tv.d = c.d AND tv.x >= c.x0 AND tv.x < c.x1
+              AND tv.y >= c.y0 AND tv.y < c.y1
+            GROUP BY c.d, c.x, c.y, c.x0, c.x1, c.y0, c.y1),
+          g9 AS (SELECT d AS id, x, y, v FROM v9
+            UNION ALL SELECT d + 10000, x, y, v FROM tv9),
+          g8 AS (SELECT d AS id, x, y, v FROM v8
+            UNION ALL SELECT d + 10000, x, y, v FROM tv8),
+          allids AS (SELECT d AS id FROM b0
+            UNION ALL SELECT d + 10000 FROM t0),
+          dhbits AS (SELECT a.id, a.y * 8 + a.x AS bit
+            FROM g9 a JOIN g9 b2 ON b2.id = a.id AND b2.y = a.y
+              AND b2.x = a.x + 1
+            WHERE a.x < 8 AND a.v < b2.v),
+          dh AS (SELECT i.id,
+              CASE WHEN s >= 9223372036854775808
+                   THEN CAST(s - 18446744073709551616 AS BIGINT)
+                   ELSE CAST(COALESCE(s, 0) AS BIGINT) END AS f
+            FROM allids i LEFT JOIN (SELECT id,
+                SUM(CAST(1 AS HUGEINT) << CAST(bit AS INT)) AS s
+              FROM dhbits GROUP BY id) g ON g.id = i.id),
+          am AS (SELECT id, SUM(v) // 64 AS m FROM g8 GROUP BY id),
+          ahbits AS (SELECT g8.id, g8.y * 8 + g8.x AS bit
+            FROM g8 JOIN am ON am.id = g8.id WHERE g8.v > am.m),
+          ah AS (SELECT i.id,
+              CASE WHEN s >= 9223372036854775808
+                   THEN CAST(s - 18446744073709551616 AS BIGINT)
+                   ELSE CAST(COALESCE(s, 0) AS BIGINT) END AS f
+            FROM allids i LEFT JOIN (SELECT id,
+                SUM(CAST(1 AS HUGEINT) << CAST(bit AS INT)) AS s
+              FROM ahbits GROUP BY id) g ON g.id = i.id)"""
+
   def oracleSql: Map[String, String] = Map(
+    "p_d10_image_dhash" ->
+      (s"""$imageHashOracleCtes
+          SELECT dh.id AS doc_id, dh.f AS dhash, ah.f AS ahash,
+            (dh.f >> 0) & 65535 AS b0, (dh.f >> 16) & 65535 AS b1,
+            (dh.f >> 32) & 65535 AS b2, (dh.f >> 48) & 65535 AS b3
+          FROM dh JOIN ah ON ah.id = dh.id ORDER BY doc_id"""),
+    "p_d11_image_neardup" ->
+      (s"""$imageHashOracleCtes
+          SELECT a.id AS a_id, b2.id AS b_id,
+            bit_count(xor(a.f, b2.f)) AS hamming
+          FROM dh a, dh b2
+          WHERE a.id < b2.id AND bit_count(xor(a.f, b2.f)) <= 3
+          ORDER BY a_id, b_id"""),
     "p_d1_exact_dedup" ->
       ("""SELECT sha256(text) AS text_sha, CAST(min(doc_id) AS BIGINT) AS keep_id,
           CAST(count(*) AS BIGINT) AS n_copies

@@ -316,6 +316,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("*(1) Project"), s"expected codegen'd projection:\n$p")
   }
 
+  test("image perceptual hashes stay inside whole-stage codegen") {
+    // the decode -> box-grid -> hash chain is one codegen'd projection
+    // over the scan, same guard as image_meta
+    import org.apache.spark.sql.functions._
+    val p = Tables.documents(spark, sf0001)
+      .select(call_function("image_dhash",
+          call_function("png_gen", col("doc_id"))).as("dh"),
+        call_function("image_ahash",
+          call_function("png_gen", col("doc_id"))).as("ah"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("*(1) Project"), s"expected codegen'd projection:\n$p")
+  }
+
   test("AAC decode and audio normalization stay inside whole-stage codegen") {
     // same guard as image_meta: the gen→decode chain is one codegen'd
     // projection over the scan — a fallback to interpreted eval (e.g. a
