@@ -76,7 +76,35 @@ object Bench {
       catch { case e: Throwable => Left(Option(e.getMessage).getOrElse(e.getClass.getName)) }
     }
 
+    // SPARK_GRAFT_BENCH_TRACE=1: per-query JVM-state trace to stderr —
+    // cumulative GC time delta across the query's passes, live heap
+    // after the final pass, and the on-disk block-manager footprint
+    // (shuffle files accumulate across the run and are reclaimed
+    // asynchronously by ContextCleaner, so a query inheriting a large
+    // backlog shows up here). Diagnostic for full-run-vs-isolated
+    // divergences like g2_grouped_topn at sf10.
+    val trace = sys.env.get("SPARK_GRAFT_BENCH_TRACE").contains("1")
+    def gcMs: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+    def heapMB: Long = {
+      val rt = Runtime.getRuntime
+      (rt.totalMemory - rt.freeMemory) / (1024 * 1024)
+    }
+    def blockMgrMB: Long = {
+      def size(f: java.io.File): Long =
+        if (f.isFile) f.length()
+        else Option(f.listFiles).getOrElse(Array.empty[java.io.File]).map(size).sum
+      val tmp = new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+      Option(tmp.listFiles).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isDirectory && f.getName.startsWith("blockmgr-"))
+        .map(size).sum / (1024 * 1024)
+    }
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val gc0 = if (trace) gcMs else 0L
       val cold = time(force(name, fn(spark, sfDir)))
       val warm = cold match {
         case Right(_) =>
@@ -90,6 +118,12 @@ object Bench {
           runs.collectFirst { case l @ Left(_) => l }
             .getOrElse(Right(runs.collect { case Right(v) => v }.min))
         case left => left
+      }
+      if (trace) {
+        val w = warm match { case Right(v) => f"$v%.3f"; case Left(_) => "-1" }
+        val c = cold match { case Right(v) => f"$v%.3f"; case Left(_) => "-1" }
+        System.err.println(s"BENCHTRACE $name cold=$c warm=$w " +
+          s"gc_delta_ms=${gcMs - gc0} heap_mb=$heapMB blockmgr_mb=$blockMgrMB")
       }
       (name, warm)
     }
