@@ -41,7 +41,8 @@ object Bench {
     "p_mm20_mp3_short", "p_mm21_flac_pcm", "p_mm22_mp3_mixed",
     "p_mm23_mp3_stereo", "p_mm24_image_resize", "p_mm25_mp3_intensity",
     "p_mm26_wav_resample", "p_mm29_aac_spectral", "p_mm30_aac_short",
-    "p_mm31_audio_to_wav", "p_mm32_aac_tns", "p_mm33_aac_pulse")
+    "p_mm31_audio_to_wav", "p_mm32_aac_tns", "p_mm33_aac_pulse",
+    "p_d10_image_dhash")
 
   /** Force `df` so no output column can be pruned away. The fold is
     * bit_xor, not sum — ANSI mode (Spark 4 default) would raise on a

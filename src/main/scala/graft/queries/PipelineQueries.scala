@@ -278,6 +278,23 @@ object PipelineQueries {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** D12: IMAGE DEDUP RESOLUTION — the keeper-election step over the
+    * d11 pair graph, completing the image modality's dedup lifecycle
+    * (fingerprint → banded pairs → transitive clusters → one
+    * representative per cluster), exactly as d6 does for text MinHash:
+    * pairs resolve through the connected-components operator and each
+    * clustered image maps to its component-minimum id. The oracle
+    * replays fingerprints → brute-force hamming ≤ 3 pairs →
+    * recursive-CTE reachability → min election. */
+  private def d12(s: SparkSession, dir: String): DataFrame = {
+    val corpus = imageCorpus(s, dir)
+    val fp = DedupIndex.ensureImageDHash(s, dir, corpus, "img_id", "img",
+      variant = "lt600tw7")
+    val pairs = Dedup.simHashNearDupPairsFromFingerprints(fp, maxHamming = 3,
+      bands = 4, bits = 64)
+    graft.pipeline.Components.nearDupClusters(pairs).orderBy(col("doc_id"))
+  }
+
   /** C6: corpus mixture — down-sample sources to a 5:3:2 target recipe
     * ([[Curation.sampleToMixture]]); the binding source keeps 100%,
     * the others down-sample to the weight ratios via the deterministic
@@ -2171,6 +2188,7 @@ object PipelineQueries {
     "p_d9_substring_clean" -> (d9 _),
     "p_d10_image_dhash" -> (d10 _),
     "p_d11_image_neardup" -> (d11 _),
+    "p_d12_image_dedup_resolve" -> (d12 _),
     "p_t6_unigram_lm" -> (t6Lm _),
     "p_t7_bm25_stats" -> (t7Bm25 _),
     "p_c6_mixture" -> (c6Mixture _),
@@ -2834,6 +2852,14 @@ object PipelineQueries {
           FROM dh a, dh b2
           WHERE a.id < b2.id AND bit_count(xor(a.f, b2.f)) <= 3
           ORDER BY a_id, b_id"""),
+    "p_d12_image_dedup_resolve" ->
+      (s"""${imageHashOracleCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+          pairs AS (SELECT a.id AS a_id, b2.id AS b_id
+            FROM dh a, dh b2
+            WHERE a.id < b2.id AND bit_count(xor(a.f, b2.f)) <= 3),
+          ${reachSql("pairs")}
+          SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS rep_id
+          FROM reach GROUP BY id ORDER BY doc_id"""),
     "p_d1_exact_dedup" ->
       ("""SELECT sha256(text) AS text_sha, CAST(min(doc_id) AS BIGINT) AS keep_id,
           CAST(count(*) AS BIGINT) AS n_copies

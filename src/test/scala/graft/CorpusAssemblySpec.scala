@@ -121,6 +121,40 @@ class CorpusAssemblySpec extends SparkSpec {
     assert(survivors.size <= nBase + 1) // base + redacted PII doc at most
   }
 
+  test("image corpus in, perceptually deduplicated out — the d10-d12 lifecycle") {
+    // the image counterpart of the text dedup stages: PNGs (including
+    // a planted box-resized twin and a byte-identical copy) ->
+    // ingest-time dHash fingerprints -> banded near-dup pairs ->
+    // connected-components resolution -> dedupByPairs keeps one
+    // representative per perceptual cluster
+    import graft.pipeline.{Components, Dedup, PerceptualHash, PngCodec}
+    import spark.implicits._
+
+    def png(w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] =
+      PngCodec.encodeGrayPng(
+        Array.tabulate(w * h)(i => f(i % w, i / w) & 0xff), w, h)
+    val a = png(18, 16)((x, y) => x * 9 + y * 4)        // keeper (min id)
+    val aCopy = a.clone()                               // exact copy
+    val aTwin = PngCodec.resize(a, 27, 24, "box")       // resized twin
+    val b = png(18, 16)((x, y) => (17 - x) * 9 + y * 4) // unrelated
+    val corpus = Seq((1L, a), (2L, aCopy), (3L, aTwin), (4L, b))
+      .toDF("img_id", "img")
+
+    val fp = corpus.select(col("img_id").as("__id"),
+      call_function("image_dhash", col("img")).as("__sim"))
+    val pairs = Dedup.simHashNearDupPairsFromFingerprints(
+      fp, maxHamming = 3, bands = 4, bits = 64)
+    val kept = Components.dedupByPairs(corpus, pairs, "img_id")
+      .select("img_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 4L),
+      s"copy and twin collapse onto image 1; the unrelated image survives: $kept")
+    // and the twin really was a DIFFERENT byte stream (perceptual, not
+    // byte, identity did the work)
+    assert(!java.util.Arrays.equals(a, aTwin))
+    assert(PerceptualHash.dHash(a).longValue() ===
+      PerceptualHash.dHash(aTwin).longValue())
+  }
+
   test("mixed-provenance audio in, one canonical rate out — every dispatch arm") {
     // The audio normalization tier run as a CHAIN, not per-operator: a
     // corpus whose rows span every supported container family
