@@ -295,6 +295,26 @@ object PipelineQueries {
     graft.pipeline.Components.nearDupClusters(pairs).orderBy(col("doc_id"))
   }
 
+  /** S12: HAMMING TOP-K — similarity SEARCH over the image-fingerprint
+    * modality, completing its lifecycle (fingerprint → near-dup pairs →
+    * cluster resolve → "find images like this one"): brute-force
+    * bit_count(xor) against ONE broadcast query fingerprint with a
+    * (hamming, id) tie-broken top-20 — the p_s1 shape on 64-bit longs,
+    * so the scan reads 8 bytes a row, the query side is a 1-row
+    * broadcast, and the plan is TakeOrderedAndProject with no shuffle
+    * join. The oracle replays fingerprints → xor popcount → ordered
+    * LIMIT. */
+  private def s12(s: SparkSession, dir: String): DataFrame = {
+    val fp = DedupIndex.ensureImageDHash(s, dir, imageCorpus(s, dir),
+      "img_id", "img", variant = "lt600tw7")
+    val q = fp.filter(col("__id") === 0L).select(col("__sim").as("__q"))
+    fp.filter(col("__id") =!= 0L).crossJoin(broadcast(q))
+      .select(col("__id").as("doc_id"),
+        expr("CAST(bit_count(__sim ^ __q) AS BIGINT)").as("hamming"))
+      .orderBy(col("hamming"), col("doc_id"))
+      .limit(20)
+  }
+
   /** C6: corpus mixture — down-sample sources to a 5:3:2 target recipe
     * ([[Curation.sampleToMixture]]); the binding source keeps 100%,
     * the others down-sample to the weight ratios via the deterministic
@@ -2189,6 +2209,7 @@ object PipelineQueries {
     "p_d10_image_dhash" -> (d10 _),
     "p_d11_image_neardup" -> (d11 _),
     "p_d12_image_dedup_resolve" -> (d12 _),
+    "p_s12_hamming_topk" -> (s12 _),
     "p_t6_unigram_lm" -> (t6Lm _),
     "p_t7_bm25_stats" -> (t7Bm25 _),
     "p_c6_mixture" -> (c6Mixture _),
@@ -2852,6 +2873,13 @@ object PipelineQueries {
           FROM dh a, dh b2
           WHERE a.id < b2.id AND bit_count(xor(a.f, b2.f)) <= 3
           ORDER BY a_id, b_id"""),
+    "p_s12_hamming_topk" ->
+      (s"""$imageHashOracleCtes,
+          q AS (SELECT f FROM dh WHERE id = 0)
+          SELECT dh.id AS doc_id,
+            CAST(bit_count(xor(dh.f, q.f)) AS BIGINT) AS hamming
+          FROM dh, q WHERE dh.id <> 0
+          ORDER BY hamming, doc_id LIMIT 20"""),
     "p_d12_image_dedup_resolve" ->
       (s"""${imageHashOracleCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
           pairs AS (SELECT a.id AS a_id, b2.id AS b_id

@@ -97,6 +97,26 @@ class PerceptualHashSpec extends SparkSpec {
     assert(nulls.isNullAt(0) && nulls.isNullAt(1))
   }
 
+  test("cross-container identity: same pixels hash equal as PNG and GIF") {
+    // the perceptual hash is a function of DECODED pixels, not the
+    // container: one pixel buffer encoded through the hand-written
+    // PNG encoder (Deflate) and through the hand-written GIF LZW
+    // encoder must produce the same dHash and aHash after their two
+    // INDEPENDENT decode paths (both via javax.imageio here)
+    for (seed <- Seq(3L, 17L, 40L)) {
+      val w = (seed % 14 + 5).toInt
+      val h = (seed * 5 % 11 + 5).toInt
+      val px = Array.tabulate(w * h)(i =>
+        ((seed * 17 + (i % w) * 11 + (i / w) * 29) % 256).toInt)
+      val asPng = PngCodec.encodeGrayPng(px, w, h)
+      val asGif = graft.pipeline.GifCodec.gifBytesOf(w, h, px.map(_.toByte))
+      assert(PerceptualHash.dHash(asPng).longValue() ===
+        PerceptualHash.dHash(asGif).longValue(), s"dHash seed $seed")
+      assert(PerceptualHash.aHash(asPng).longValue() ===
+        PerceptualHash.aHash(asGif).longValue(), s"aHash seed $seed")
+    }
+  }
+
   test("banding arithmetic: the four 16-bit keys tile the hash exactly") {
     // incl. a hash with bit 63 set — arithmetic shift + mask must
     // extract band 3 logically (sign bits die under the mask)
