@@ -95,8 +95,12 @@ object Bench {
       (rt.totalMemory - rt.freeMemory) / (1024 * 1024)
     }
     def blockMgrMB: Long = {
+      // Best-effort: symlinks are skipped (File.isFile/listFiles would
+      // follow them — a link under a blockmgr dir could inflate the
+      // figure or cycle the walk). Spark never creates links here.
       def size(f: java.io.File): Long =
-        if (f.isFile) f.length()
+        if (java.nio.file.Files.isSymbolicLink(f.toPath)) 0L
+        else if (f.isFile) f.length()
         else Option(f.listFiles).getOrElse(Array.empty[java.io.File]).map(size).sum
       val tmp = new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
       Option(tmp.listFiles).getOrElse(Array.empty[java.io.File])
@@ -146,7 +150,16 @@ object Bench {
     val errs = results.collect { case (k, Left(m)) => s""""$k":"${esc(m.take(300))}"""" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, Right(v)) => v }.sum
-    println(s"""{"metric":"total_warm","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"floor_sec":$floor,"sf":"$sfDir"}""")
+    // Floor-normalized headline: the raw total embeds N× the local-mode
+    // scheduling floor, so host noise in that fixed cost (a loaded
+    // co-tenant inflating trivial-job launch from 0.06 s to 0.5 s)
+    // reads as a phantom regression when comparing runs. Subtracting
+    // the measured floor from every entry isolates the data-dependent
+    // work, which IS comparable across windows.
+    val aboveFloor = floorRuns.headOption.map { _ =>
+      results.collect { case (_, Right(v)) => math.max(v - floorRuns.min, 0.0) }.sum
+    }.map(_.toString).getOrElse("null")
+    println(s"""{"metric":"total_warm","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"floor_sec":$floor,"total_above_floor":$aboveFloor,"sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(_._2.isLeft)) sys.exit(1)
   }

@@ -187,6 +187,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("image_ahash", "image_ahash(bytes) - 64-bit perceptual average hash (8x8 box grid, bit set iff cell > integer mean), else NULL"),
       (args: Seq[Expression]) => graft.pipeline.PerceptualHash.ImageAHashExpr(args(0))))
     ext.injectFunction((
+      FunctionIdentifier("audio_fingerprint"),
+      info("audio_fingerprint", "audio_fingerprint(bytes) - 64-bit perceptual band-energy fingerprint (33 time cells x {amplitude, first-difference} comparison bits) of any supported audio container, else NULL"),
+      (args: Seq[Expression]) => graft.pipeline.AudioFingerprint.AudioFingerprintExpr(args(0))))
+    ext.injectFunction((
       FunctionIdentifier("aac_gen"),
       info("aac_gen", "aac_gen(seed) - deterministic two-frame ADTS AAC-LC stream (SCE, long-family window sequences, all eleven spectral codebooks incl. the escape) for seed"),
       (args: Seq[Expression]) => graft.pipeline.AacLc.AacGenExpr(args(0))))

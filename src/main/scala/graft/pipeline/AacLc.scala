@@ -386,7 +386,7 @@ object AacLc {
 
   /** Deterministic two-frame EIGHT_SHORT ADTS stream for a seed. */
   def genShort(seed: Long): Array[Byte] = {
-    val d = seed & Long.MaxValue // abs would stay negative at Long.MinValue
+    val d = (if (seed < 0) -seed else seed) & Long.MaxValue // MinValue negates to itself
     val out = new java.io.ByteArrayOutputStream()
     var f = 0
     while (f < 2) {
@@ -568,7 +568,7 @@ object AacLc {
     * parameters vary per frame so the walk crosses a window-sequence
     * transition (only-long → start → stop cycle). */
   def gen(seed: Long): Array[Byte] = {
-    val d = seed & Long.MaxValue // abs would stay negative at Long.MinValue
+    val d = (if (seed < 0) -seed else seed) & Long.MaxValue // MinValue negates to itself
     val out = new java.io.ByteArrayOutputStream()
     var f = 0
     while (f < 2) {
@@ -583,7 +583,7 @@ object AacLc {
   /** [[gen]] with pulse data on every frame (§12: 1–4 pulses,
     * seed-derived start band / cumulative offsets / amplitudes). */
   def genPulse(seed: Long): Array[Byte] = {
-    val d = seed & Long.MaxValue // abs would stay negative at Long.MinValue
+    val d = (if (seed < 0) -seed else seed) & Long.MaxValue // MinValue negates to itself
     val out = new java.io.ByteArrayOutputStream()
     var f = 0
     while (f < 2) {
@@ -599,7 +599,7 @@ object AacLc {
     * directions, compress modes, coefficient indices all
     * seed-derived). */
   def genTns(seed: Long): Array[Byte] = {
-    val d = seed & Long.MaxValue // abs would stay negative at Long.MinValue
+    val d = (if (seed < 0) -seed else seed) & Long.MaxValue // MinValue negates to itself
     val out = new java.io.ByteArrayOutputStream()
     var f = 0
     while (f < 2) {

@@ -99,13 +99,21 @@ object AudioNorm {
         }
         return AvHeader.encodePcm16Wav(out, rate, 1)
       }
-      // MPEG-1 Layer III: the rate comes from the DECODED header, not
-      // a constant — Mp3L3.decode itself fails closed on any
-      // samplerate index but 44.1 kHz (its Huffman walk assumes that
-      // band layout), so a 32/48 kHz-flagged frame returns NULL here
-      // rather than mislabeling the WAV header. Stereo first, mono
-      // fallback.
-      val mp3Rate = Mp3L3.decode(b).getOrElse(return null).sampleRate
+      // MPEG-1 Layer III: the rate comes from the 4-byte HEADER's
+      // samplerate index (ISO 11172-3 MPEG-1 table: 00=44.1k, 01=48k,
+      // 10=32k, 11 reserved) — no extra entropy decode; Mp3Synth runs
+      // the full Mp3L3.decode internally and fails closed on any shape
+      // the decoder doesn't support (today: anything but 44.1 kHz
+      // MPEG-1, whose band layout its Huffman walk assumes), so a
+      // frame this label disagrees with can never produce samples —
+      // the header parse only has to name the WAV container's rate.
+      // Stereo first, mono fallback.
+      val mp3Rate = ((b(2) >> 2) & 3) match {
+        case 0 => 44100
+        case 1 => 48000
+        case 2 => 32000
+        case _ => return null // reserved index
+      }
       Mp3Synth.decodePcmStereo(b) match {
         case Some(ch) =>
           val n = ch(0).length

@@ -150,9 +150,88 @@ object DedupIndex {
     ensure(spark, corpusDir,
       s"imgdhash_${Paths.get(corpusDir).getFileName}_${variant}_v$FormatVersion",
       artifactRootOverride.getOrElse(artifactRoot(spark)),
-      images.select(col(idCol).as("__id"),
-          call_function("image_dhash", col(bytesCol)).as("__sim"))
-        .filter(col("__sim").isNotNull))
+      imageDHashRows(images, idCol, bytesCol))
+
+  private def imageDHashRows(images: DataFrame, idCol: String,
+      bytesCol: String): DataFrame =
+    images.select(col(idCol).as("__id"),
+        call_function("image_dhash", col(bytesCol)).as("__sim"))
+      .filter(col("__sim").isNotNull)
+
+  private def imgSegKey(corpusDir: String, variant: String): String =
+    s"imgdhashseg_${Paths.get(corpusDir).getFileName}_${variant}_v$FormatVersion"
+
+  /** Segmented image fingerprints: [[ensureImageDHash]] grown by APPEND —
+    * the streaming-era lifecycle (each ingest batch hashes only ITS
+    * images). The dHash is a pure per-row function of the bytes, so
+    * base ∪ deltas is bit-identical to a full rebuild (spec-pinned). */
+  def ensureImageDHashSegmented(spark: SparkSession, corpusDir: String,
+      baseImages: DataFrame, idCol: String, bytesCol: String, variant: String,
+      artifactRootOverride: Option[String] = None): DataFrame =
+    ArtifactStore.ensureSegmented(spark,
+      artifactRootOverride.getOrElse(artifactRoot(spark)),
+      imgSegKey(corpusDir, variant),
+      sourceFile = Some(s"$corpusDir/documents.parquet")) {
+      tmp => imageDHashRows(baseImages, idCol, bytesCol)
+        .write.mode("overwrite").parquet(tmp)
+    }
+
+  /** Append fingerprints for NEW images to the segmented artifact. */
+  def appendImageDHash(spark: SparkSession, corpusDir: String,
+      newImages: DataFrame, idCol: String, bytesCol: String, variant: String,
+      artifactRootOverride: Option[String] = None): Unit =
+    ArtifactStore.appendSegment(spark,
+      artifactRootOverride.getOrElse(artifactRoot(spark)),
+      imgSegKey(corpusDir, variant)) {
+      tmp => imageDHashRows(newImages, idCol, bytesCol)
+        .write.mode("overwrite").parquet(tmp)
+    }
+
+  /** Persisted AUDIO perceptual fingerprints `(__id, __sim)` — the audio
+    * counterpart of [[ensureImageDHash]]: the 64-bit band-energy
+    * comparison fingerprint ([[AudioFingerprint]]) over the
+    * [[AudioNorm]]-normalized PCM, computed once at ingest; near-dup
+    * queries band/bucket-join the stored longs through the SAME pairing
+    * machinery as text SimHash and image dHash. */
+  def ensureAudioFingerprint(spark: SparkSession, corpusDir: String,
+      audio: DataFrame, idCol: String, bytesCol: String, variant: String,
+      artifactRootOverride: Option[String] = None): DataFrame =
+    ensure(spark, corpusDir,
+      s"audiofp_${Paths.get(corpusDir).getFileName}_${variant}_v$FormatVersion",
+      artifactRootOverride.getOrElse(artifactRoot(spark)),
+      audioFingerprintRows(audio, idCol, bytesCol))
+
+  private def audioFingerprintRows(audio: DataFrame, idCol: String,
+      bytesCol: String): DataFrame =
+    audio.select(col(idCol).as("__id"),
+        call_function("audio_fingerprint", col(bytesCol)).as("__sim"))
+      .filter(col("__sim").isNotNull)
+
+  private def audioSegKey(corpusDir: String, variant: String): String =
+    s"audiofpseg_${Paths.get(corpusDir).getFileName}_${variant}_v$FormatVersion"
+
+  /** Segmented audio fingerprints; append ≡ rebuild (pure per-row fn). */
+  def ensureAudioFingerprintSegmented(spark: SparkSession, corpusDir: String,
+      baseAudio: DataFrame, idCol: String, bytesCol: String, variant: String,
+      artifactRootOverride: Option[String] = None): DataFrame =
+    ArtifactStore.ensureSegmented(spark,
+      artifactRootOverride.getOrElse(artifactRoot(spark)),
+      audioSegKey(corpusDir, variant),
+      sourceFile = Some(s"$corpusDir/documents.parquet")) {
+      tmp => audioFingerprintRows(baseAudio, idCol, bytesCol)
+        .write.mode("overwrite").parquet(tmp)
+    }
+
+  /** Append fingerprints for NEW audio rows to the segmented artifact. */
+  def appendAudioFingerprint(spark: SparkSession, corpusDir: String,
+      newAudio: DataFrame, idCol: String, bytesCol: String, variant: String,
+      artifactRootOverride: Option[String] = None): Unit =
+    ArtifactStore.appendSegment(spark,
+      artifactRootOverride.getOrElse(artifactRoot(spark)),
+      audioSegKey(corpusDir, variant)) {
+      tmp => audioFingerprintRows(newAudio, idCol, bytesCol)
+        .write.mode("overwrite").parquet(tmp)
+    }
 
   /** Persisted SimHash fingerprints `(__id, __sim)`. `hashTag` names the
     * per-shingle hash function in the cache key (the Column function
@@ -165,4 +244,35 @@ object DedupIndex {
       s"simhash_${Paths.get(corpusDir).getFileName}_${variant}_v${FormatVersion}_n${shingleN}_b${bits}_$hashTag",
       artifactRootOverride.getOrElse(artifactRoot(spark)),
       Dedup.simHashFingerprints(corpus, idCol, textCol, shingleN, hashFn, bits))
+
+  private def simSegKey(corpusDir: String, variant: String, hashTag: String,
+      shingleN: Int, bits: Int): String =
+    s"simhashseg_${Paths.get(corpusDir).getFileName}_${variant}_v${FormatVersion}_n${shingleN}_b${bits}_$hashTag"
+
+  /** Segmented SimHash fingerprints: [[ensureSimHash]] grown by APPEND.
+    * The per-document fingerprint is a pure function of the text, so
+    * base ∪ deltas ≡ full rebuild (spec-pinned). */
+  def ensureSimHashSegmented(spark: SparkSession, corpusDir: String,
+      baseDocs: DataFrame, idCol: String, textCol: String, variant: String,
+      hashTag: String, hashFn: Column => Column, shingleN: Int = 3,
+      bits: Int = 64, artifactRootOverride: Option[String] = None): DataFrame =
+    ArtifactStore.ensureSegmented(spark,
+      artifactRootOverride.getOrElse(artifactRoot(spark)),
+      simSegKey(corpusDir, variant, hashTag, shingleN, bits),
+      sourceFile = Some(s"$corpusDir/documents.parquet")) {
+      tmp => Dedup.simHashFingerprints(baseDocs, idCol, textCol, shingleN, hashFn, bits)
+        .write.mode("overwrite").parquet(tmp)
+    }
+
+  /** Append fingerprints for NEW documents to the segmented artifact. */
+  def appendSimHash(spark: SparkSession, corpusDir: String, newDocs: DataFrame,
+      idCol: String, textCol: String, variant: String, hashTag: String,
+      hashFn: Column => Column, shingleN: Int = 3, bits: Int = 64,
+      artifactRootOverride: Option[String] = None): Unit =
+    ArtifactStore.appendSegment(spark,
+      artifactRootOverride.getOrElse(artifactRoot(spark)),
+      simSegKey(corpusDir, variant, hashTag, shingleN, bits)) {
+      tmp => Dedup.simHashFingerprints(newDocs, idCol, textCol, shingleN, hashFn, bits)
+        .write.mode("overwrite").parquet(tmp)
+    }
 }

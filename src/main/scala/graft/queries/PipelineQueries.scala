@@ -315,6 +315,143 @@ object PipelineQueries {
       .limit(20)
   }
 
+  /** Audio-dedup corpus: one mono 8 kHz PCM16 WAV per doc_id < 600,
+    * SQL-built (the mm26 convention) so the oracle replays every sample
+    * in closed form. Samples follow a per-cell two-amplitude pattern —
+    * 33 cells of q = 8 + d%5 frames each (n = 33q, so resample cell
+    * boundaries align exactly); sample i has sign from ⌊i/2⌋ parity
+    * (period-4 +,+,−,−) and magnitude a(d,⌊i/q⌋) on even i / b(d,⌊i/q⌋)
+    * on odd, both cell-indexed pseudorandom — so the fingerprint's low
+    * band tracks a+b per cell and its diff band tracks max(a,b), two
+    * quasi-independent pseudorandom sequences. Twin classes:
+    *   - d%7==0 → 10000+d: `wav_resample` to k·8000 Hz (k = 2 + d%2) —
+    *     k-fold zero-order hold, fingerprint bit-identical (hamming 0,
+    *     see [[graft.pipeline.AudioFingerprint]]);
+    *   - d%13==0 → 20000+d: LAST-CELL AMPLITUDE BUMP (frame 32q+3 gets
+    *     −4000, i.e. |x| grows by 4000, dwarfing the cell's ≈1000-max
+    *     band sums so each affected comparison flips ≈50% of the time)
+    *     — perturbs only cell 32, which joins only the t=31
+    *     comparisons, so hamming ≤ 2: the sub-threshold near-dup
+    *     class. */
+  private def audioCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    def byteOf(c: Column) = lpad(hex(c.cast("long").bitwiseAND(lit(255L))), 2, "0")
+    def le16(c: Column) = unhex(concat(byteOf(c), byteOf(shiftright(c.cast("long"), 8))))
+    def le32(c: Column) = unhex(concat(byteOf(c), byteOf(shiftright(c.cast("long"), 8)),
+      byteOf(shiftright(c.cast("long"), 16)), byteOf(shiftright(c.cast("long"), 24))))
+    val q = (pmod(d, lit(5)) + 8).cast("long")
+    val n = q * 33
+    def sample(i: Column): Column = {
+      val cell = ((i - pmod(i, q)) / q).cast("long")
+      // QUADRATIC congruential mix per (doc, cell) — a LINEAR form
+      // (d·K1 + c·K2) % P steps by the constant K2 % P between adjacent
+      // cells, making the comparison bits near-constant (wrap positions
+      // only ≈ 12 bits of entropy per doc, and unrelated streams then
+      // collide under hamming ≤ 3); squaring before the mod breaks the
+      // progression so the bits are coin-flip per cell.
+      val ha = d * lit(8191L) + cell * lit(127L) + 1
+      val hb = d * lit(4099L) + cell * lit(211L) + 3
+      val a = pmod(pmod(ha * ha, lit(8923L)), lit(89)) + 8
+      val b = pmod(pmod(hb * hb, lit(7919L)), lit(83)) + 8
+      val sign = lit(1) - pmod(((i - pmod(i, lit(2))) / lit(2)).cast("long"), lit(2)) * 2
+      sign * when(pmod(i, lit(2)) === 0, a).otherwise(b)
+    }
+    def wavOf(samp: Column => Column, nn: Column): Column = {
+      val payload = unhex(array_join(
+        transform(sequence(lit(0L), nn - 1), i => {
+          val u = pmod(samp(i), lit(65536L)).cast("long")
+          concat(byteOf(u), byteOf(shiftright(u, 8)))
+        }), ""))
+      concat(s4("RIFF"), le32(nn * 2 + 36), s4("WAVE"),
+        s4("fmt "), le32(lit(16)), le16(lit(1)), le16(lit(1)), le32(lit(8000L)),
+        le32(lit(16000L)), le16(lit(2)), le16(lit(16)),
+        s4("data"), le32(nn * 2), payload)
+    }
+    val docs = Tables.documents(s, dir)
+    val base = docs.filter(d < 600)
+      .select(d.as("aud_id"), wavOf(sample, n).as("aud"))
+    val k = pmod(d, lit(2)).cast("long") + 2
+    val res = docs.filter(d < 600 && pmod(d, lit(7)) === 0)
+      .select((d + 10000).as("aud_id"),
+        call_function("wav_resample", wavOf(sample, n), lit(8000L) * k).as("aud"))
+    val p = q * 32 + 3
+    def bumpSample(i: Column): Column =
+      when(i === p, sample(i) - 4000).otherwise(sample(i))
+    val bump = docs.filter(d < 600 && pmod(d, lit(13)) === 0)
+      .select((d + 20000).as("aud_id"), wavOf(bumpSample, n).as("aud"))
+    base.union(res).union(bump)
+  }
+
+  /** D13: AUDIO PERCEPTUAL FINGERPRINTS — `audio_fingerprint` (decode →
+    * channel-sum → 33 time cells → {amplitude, first-difference} band
+    * sums → 2×32 dHash-style comparison bits) over real encoded WAV
+    * containers, plus the four 16-bit band keys the near-dup blocking
+    * buckets on. The oracle replays the WHOLE chain in SQL — closed-form
+    * samples → (for resample twins: the exact k-fold zero-order-hold
+    * mapping) → floor-division cell bounds → integer band sums →
+    * comparison bits → HUGEINT bit assembly → band extraction — so the
+    * WAV decode, the resampler interplay, both band definitions, and
+    * the banding arithmetic are pinned value-exactly. */
+  private def d13(s: SparkSession, dir: String): DataFrame = {
+    val withF = audioCorpus(s, dir).select(col("aud_id").as("doc_id"),
+      call_function("audio_fingerprint", col("aud")).as("fp"))
+    withF.select(col("doc_id") +: col("fp") +:
+        (0 until 4).map(i => shiftright(col("fp"), 16 * i)
+          .bitwiseAND(lit(65535L)).as(s"b$i")): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** D14: AUDIO NEAR-DUP PAIRS — fingerprints persist through the
+    * [[DedupIndex]] ingest-time artifact lifecycle (computed once per
+    * stream, like text SimHash and image dHash), and pairing reuses
+    * [[Dedup.simHashNearDupPairsFromFingerprints]] unchanged — 4×16-bit
+    * banded blocking (pigeonhole-exact for hamming ≤ 3), bucket-local
+    * joins, no all-pairs. Resampled twins pair at hamming 0, bump twins
+    * at ≤ 2; the oracle brute-forces hamming ≤ 3 over its replayed
+    * fingerprints, which the banded blocking must match EXACTLY. */
+  private def d14(s: SparkSession, dir: String): DataFrame = {
+    val fp = DedupIndex.ensureAudioFingerprint(s, dir, audioCorpus(s, dir),
+      "aud_id", "aud", variant = "lt600tw7b13q2")
+    Dedup.simHashNearDupPairsFromFingerprints(fp, maxHamming = 3, bands = 4,
+        bits = 64)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** D15: AUDIO DEDUP RESOLUTION — keeper election over the d14 pair
+    * graph, completing the audio modality's dedup lifecycle
+    * (fingerprint → banded pairs → transitive clusters → one
+    * representative per cluster), exactly as d12 does for images: the
+    * connected-components operator maps each clustered stream to its
+    * component-minimum id. The oracle replays fingerprints →
+    * brute-force hamming ≤ 3 pairs → recursive-CTE reachability → min
+    * election. */
+  private def d15(s: SparkSession, dir: String): DataFrame = {
+    val fp = DedupIndex.ensureAudioFingerprint(s, dir, audioCorpus(s, dir),
+      "aud_id", "aud", variant = "lt600tw7b13q2")
+    val pairs = Dedup.simHashNearDupPairsFromFingerprints(fp, maxHamming = 3,
+      bands = 4, bits = 64)
+    graft.pipeline.Components.nearDupClusters(pairs).orderBy(col("doc_id"))
+  }
+
+  /** S13: AUDIO HAMMING TOP-K — similarity SEARCH over the
+    * audio-fingerprint modality, completing its lifecycle exactly as
+    * s12 does for images: brute-force bit_count(xor) against ONE
+    * broadcast query fingerprint with a (hamming, id) tie-broken
+    * top-20 — the scan reads 8 bytes a row, the query side is a 1-row
+    * broadcast, and the plan is TakeOrderedAndProject with no shuffle
+    * join. The oracle replays fingerprints → xor popcount → ordered
+    * LIMIT. */
+  private def s13(s: SparkSession, dir: String): DataFrame = {
+    val fp = DedupIndex.ensureAudioFingerprint(s, dir, audioCorpus(s, dir),
+      "aud_id", "aud", variant = "lt600tw7b13q2")
+    val q = fp.filter(col("__id") === 0L).select(col("__sim").as("__q"))
+    fp.filter(col("__id") =!= 0L).crossJoin(broadcast(q))
+      .select(col("__id").as("doc_id"),
+        expr("CAST(bit_count(__sim ^ __q) AS BIGINT)").as("hamming"))
+      .orderBy(col("hamming"), col("doc_id"))
+      .limit(20)
+  }
+
   /** C6: corpus mixture — down-sample sources to a 5:3:2 target recipe
     * ([[Curation.sampleToMixture]]); the binding source keeps 100%,
     * the others down-sample to the weight ratios via the deterministic
@@ -2210,6 +2347,10 @@ object PipelineQueries {
     "p_d11_image_neardup" -> (d11 _),
     "p_d12_image_dedup_resolve" -> (d12 _),
     "p_s12_hamming_topk" -> (s12 _),
+    "p_d13_audio_fingerprint" -> (d13 _),
+    "p_d14_audio_neardup" -> (d14 _),
+    "p_d15_audio_dedup_resolve" -> (d15 _),
+    "p_s13_audio_hamming_topk" -> (s13 _),
     "p_t6_unigram_lm" -> (t6Lm _),
     "p_t7_bm25_stats" -> (t7Bm25 _),
     "p_c6_mixture" -> (c6Mixture _),
@@ -2859,7 +3000,94 @@ object PipelineQueries {
                 SUM(CAST(1 AS HUGEINT) << CAST(bit AS INT)) AS s
               FROM ahbits GROUP BY id) g ON g.id = i.id)"""
 
+  /** DuckDB replay of the audio-fingerprint chain ([[audioCorpus]] +
+    * [[graft.pipeline.AudioFingerprint]]): closed-form samples for all
+    * three corpus classes (base / k-fold zero-order-hold resample via
+    * the exact index mapping j = i·k + r / last-cell bump), then the
+    * fingerprint derivation — floor-division cell bounds, per-cell
+    * amplitude and first-difference sums (lag over frame order), the
+    * 2×32 comparison bits, HUGEINT bit assembly with the two's-
+    * complement fold for bit 63. Yields CTEs `ids` and `fp(id, f)`. */
+  private val audioFpOracleCtes: String =
+    """WITH b0 AS (SELECT doc_id AS d, 8 + doc_id % 5 AS q,
+            33 * (8 + doc_id % 5) AS n
+        FROM documents WHERE doc_id < 600),
+      xs AS (SELECT d, q, n, i.i AS i,
+          (1 - 2 * ((i.i // 2) % 2)) *
+          (CASE WHEN i.i % 2 = 0
+                THEN (((d * 8191 + (i.i // q) * 127 + 1)
+                       * (d * 8191 + (i.i // q) * 127 + 1)) % 8923) % 89 + 8
+                ELSE (((d * 4099 + (i.i // q) * 211 + 3)
+                       * (d * 4099 + (i.i // q) * 211 + 3)) % 7919) % 83 + 8
+           END) AS x
+        FROM b0, range(0, 396) i(i) WHERE i.i < n),
+      allx AS (
+        SELECT d AS id, n, i, x FROM xs
+        UNION ALL
+        SELECT t.d + 10000, t.n * t.k, xs.i * t.k + r.r, xs.x
+        FROM (SELECT d, n, 2 + d % 2 AS k FROM b0 WHERE d % 7 = 0) t
+        JOIN xs ON xs.d = t.d, range(0, 3) r(r) WHERE r.r < t.k
+        UNION ALL
+        SELECT d + 20000, n, i,
+          CASE WHEN i = 32 * q + 3 THEN x - 4000 ELSE x END
+        FROM xs WHERE d % 13 = 0),
+      ids AS (SELECT DISTINCT id, n FROM allx),
+      cells AS (SELECT ids.id, t.t AS t,
+          (t.t * n) // 33 AS t0,
+          greatest((t.t * n) // 33 + 1, ((t.t + 1) * n) // 33) AS t1
+        FROM ids, range(0, 33) t(t)),
+      dx AS (SELECT id, i, x,
+          abs(x - lag(x) OVER (PARTITION BY id ORDER BY i)) AS dv
+        FROM allx),
+      bands AS (SELECT c.id, c.t,
+          SUM(abs(a.x)) AS lv, COALESCE(SUM(a.dv), 0) AS dv
+        FROM cells c JOIN dx a ON a.id = c.id AND a.i >= c.t0 AND a.i < c.t1
+        GROUP BY c.id, c.t),
+      fbits AS (
+        SELECT l1.id, l1.t AS bit
+        FROM bands l1 JOIN bands l2 ON l2.id = l1.id AND l2.t = l1.t + 1
+        WHERE l1.t < 32 AND l1.lv < l2.lv
+        UNION ALL
+        SELECT l1.id, 32 + l1.t
+        FROM bands l1 JOIN bands l2 ON l2.id = l1.id AND l2.t = l1.t + 1
+        WHERE l1.t < 32 AND l1.dv < l2.dv),
+      fp AS (SELECT ids.id,
+          CASE WHEN s >= 9223372036854775808
+               THEN CAST(s - 18446744073709551616 AS BIGINT)
+               ELSE CAST(COALESCE(s, 0) AS BIGINT) END AS f
+        FROM ids LEFT JOIN (SELECT id,
+            SUM(CAST(1 AS HUGEINT) << CAST(bit AS INT)) AS s
+          FROM fbits GROUP BY id) g ON g.id = ids.id)"""
+
   def oracleSql: Map[String, String] = Map(
+    "p_d13_audio_fingerprint" ->
+      (s"""$audioFpOracleCtes
+          SELECT id AS doc_id, f AS fp,
+            (f >> 0) & 65535 AS b0, (f >> 16) & 65535 AS b1,
+            (f >> 32) & 65535 AS b2, (f >> 48) & 65535 AS b3
+          FROM fp ORDER BY doc_id"""),
+    "p_d14_audio_neardup" ->
+      (s"""$audioFpOracleCtes
+          SELECT a.id AS a_id, b2.id AS b_id,
+            bit_count(xor(a.f, b2.f)) AS hamming
+          FROM fp a, fp b2
+          WHERE a.id < b2.id AND bit_count(xor(a.f, b2.f)) <= 3
+          ORDER BY a_id, b_id"""),
+    "p_d15_audio_dedup_resolve" ->
+      (s"""${audioFpOracleCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+          pairs AS (SELECT a.id AS a_id, b2.id AS b_id
+            FROM fp a, fp b2
+            WHERE a.id < b2.id AND bit_count(xor(a.f, b2.f)) <= 3),
+          ${reachSql("pairs")}
+          SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS rep_id
+          FROM reach GROUP BY id ORDER BY doc_id"""),
+    "p_s13_audio_hamming_topk" ->
+      (s"""$audioFpOracleCtes,
+          q AS (SELECT f FROM fp WHERE id = 0)
+          SELECT fp.id AS doc_id,
+            CAST(bit_count(xor(fp.f, q.f)) AS BIGINT) AS hamming
+          FROM fp, q WHERE fp.id <> 0
+          ORDER BY hamming, doc_id LIMIT 20"""),
     "p_d10_image_dhash" ->
       (s"""$imageHashOracleCtes
           SELECT dh.id AS doc_id, dh.f AS dhash, ah.f AS ahash,

@@ -475,4 +475,66 @@ class DedupSpec extends SparkSpec {
     assert(indexed === inline)
     assert(indexed.nonEmpty) // the +10000 copies must surface as spans
   }
+
+  test("pure-fn segmented families: SimHash / image dHash / audio fp append ≡ rebuild") {
+    // every fingerprint here is a pure per-row function of its input,
+    // so a segmented artifact grown by append must be bit-identical to
+    // a full rebuild — the same streaming-era contract the MinHash and
+    // substring-window families already pin
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_seg_fp").toString
+    val corpusDir = "/nonexistent/segfp" // no staleness source in-spec
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+
+    // SimHash over text
+    val docs = (1L to 40L)
+      .map(i => (i, s"alpha$i beta$i gamma$i delta epsilon zeta eta theta i$i"))
+      .toDF("doc_id", "text")
+    val tBase = docs.filter(col("doc_id") <= 25)
+    val tDelta = docs.filter(col("doc_id") > 25)
+    DedupIndex.ensureSimHashSegmented(spark, corpusDir, tBase, "doc_id", "text",
+      variant = "segfp", hashTag = "xx", hashFn = Dedup.xxHash,
+      artifactRootOverride = Some(root))
+    DedupIndex.appendSimHash(spark, corpusDir, tDelta, "doc_id", "text",
+      variant = "segfp", hashTag = "xx", hashFn = Dedup.xxHash,
+      artifactRootOverride = Some(root))
+    val segT = rows(DedupIndex.ensureSimHashSegmented(spark, corpusDir, tBase,
+      "doc_id", "text", variant = "segfp", hashTag = "xx", hashFn = Dedup.xxHash,
+      artifactRootOverride = Some(root)))
+    assert(segT === rows(Dedup.simHashFingerprints(docs, "doc_id", "text",
+      3, Dedup.xxHash, 64)))
+    assert(segT.size === 40)
+
+    // image dHash over encoded PNGs
+    val imgs = (0L until 30L)
+      .map(i => (i, graft.pipeline.PngCodec.pngBytes(i))).toDF("img_id", "img")
+    val iBase = imgs.filter(col("img_id") < 20)
+    val iDelta = imgs.filter(col("img_id") >= 20)
+    DedupIndex.ensureImageDHashSegmented(spark, corpusDir, iBase, "img_id", "img",
+      variant = "segfp", artifactRootOverride = Some(root))
+    DedupIndex.appendImageDHash(spark, corpusDir, iDelta, "img_id", "img",
+      variant = "segfp", artifactRootOverride = Some(root))
+    val segI = rows(DedupIndex.ensureImageDHashSegmented(spark, corpusDir, iBase,
+      "img_id", "img", variant = "segfp", artifactRootOverride = Some(root)))
+    assert(segI === rows(imgs.selectExpr("img_id AS __id",
+      "image_dhash(img) AS __sim").where("__sim IS NOT NULL")))
+    assert(segI.size === 30)
+
+    // audio fingerprint over FLAC streams
+    val auds = (0L until 24L)
+      .map(i => (i, graft.pipeline.FlacPcm.gen(i))).toDF("aud_id", "aud")
+    val aBase = auds.filter(col("aud_id") < 16)
+    val aDelta = auds.filter(col("aud_id") >= 16)
+    DedupIndex.ensureAudioFingerprintSegmented(spark, corpusDir, aBase,
+      "aud_id", "aud", variant = "segfp", artifactRootOverride = Some(root))
+    DedupIndex.appendAudioFingerprint(spark, corpusDir, aDelta,
+      "aud_id", "aud", variant = "segfp", artifactRootOverride = Some(root))
+    val segA = rows(DedupIndex.ensureAudioFingerprintSegmented(spark, corpusDir,
+      aBase, "aud_id", "aud", variant = "segfp",
+      artifactRootOverride = Some(root)))
+    assert(segA === rows(auds.selectExpr("aud_id AS __id",
+      "audio_fingerprint(aud) AS __sim").where("__sim IS NOT NULL")))
+    assert(segA.size === 24)
+  }
 }

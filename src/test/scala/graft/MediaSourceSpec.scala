@@ -373,4 +373,44 @@ class MediaSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("unknown decode option") ||
       Option(e.getCause).exists(_.getMessage.contains("unknown decode option")))
   }
+
+  test("image dedup lifecycle crosses the real file boundary: scan → fingerprint → resolve") {
+    // the d10–d12 gates build PNGs in-plan; this composes the same
+    // lifecycle over REAL FILES — a tree of images (one box-resized
+    // thumbnail of an original, in a subdirectory) read through the
+    // MediaSource scan, fingerprinted into the DedupIndex artifact,
+    // paired through the banded blocking, resolved through connected
+    // components: the thumbnail must collapse onto its original across
+    // the file seam, exactly as the ingest-time path would at scale
+    import graft.pipeline.{Components, Dedup, DedupIndex, PngCodec}
+    val droot = Files.createTempDirectory("media_dedup").toString
+    Files.createDirectories(Paths.get(droot, "thumbs"))
+    // the PerceptualHashSpec-pinned hamming-0 twin pair: a linear ramp
+    // and its 1.5× box resize
+    val ramp = PngCodec.encodeGrayPng(
+      Array.tabulate(18 * 16)(i => ((i % 18) * 9 + (i / 18) * 4) & 0xff), 18, 16)
+    Files.write(Paths.get(droot, "img_90.png"), ramp)
+    Files.write(Paths.get(droot, "thumbs", "img_91.png"),
+      PngCodec.resize(ramp, 27, 24, "box"))
+    (0 until 6).foreach { i =>
+      Files.write(Paths.get(droot, f"img_$i%02d.png"), PngCodec.pngBytes(i.toLong))
+    }
+    val artRoot = Files.createTempDirectory("media_dedup_art").toString
+    val scan = spark.read.format("graft.sources.MediaSource")
+      .option("decode", "none").load(droot)
+      .select(regexp_extract(col("path"), "img_(\\d+)\\.png", 1)
+        .cast("long").as("img_id"), col("bytes"))
+    val fp = DedupIndex.ensureImageDHash(spark, "/nonexistent/mediadedup", scan,
+      "img_id", "bytes", variant = "mediaspec",
+      artifactRootOverride = Some(artRoot))
+    assert(fp.count() === 8) // every file decoded and fingerprinted
+    val pairs = Dedup.simHashNearDupPairsFromFingerprints(fp, maxHamming = 3,
+      bands = 4, bits = 64)
+    val resolved = Components.nearDupClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(resolved.get(91L) === Some(90L),
+      s"thumbnail must resolve to its original, got $resolved")
+    // the twin cluster is exactly {original, thumbnail}
+    assert(resolved.filter(_._2 == 90L).keySet === Set(90L, 91L))
+  }
 }

@@ -346,4 +346,25 @@ class PlanShapeSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(norm.contains("*(1) Project"), s"expected codegen'd projection:\n$norm")
   }
+
+  test("audio fingerprint stays inside whole-stage codegen") {
+    // decode → channel fold → band sums → comparison bits is one
+    // codegen'd projection over the scan, same guard as image_dhash
+    import org.apache.spark.sql.functions._
+    val p = Tables.documents(spark, sf0001)
+      .select(call_function("audio_fingerprint",
+        call_function("flac_gen_audio", col("doc_id"))).as("f"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("*(1) Project"), s"expected codegen'd projection:\n$p")
+  }
+
+  test("audio hamming top-k: 1-row broadcast + TakeOrdered — no shuffle join") {
+    // the s12 image-search shape on the audio fingerprint artifact:
+    // the scan side reads 8-byte longs, the query side broadcasts one
+    // row, ranking never globally sorts
+    val p = plan("p_s13_audio_hamming_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("IdentityBroadcastMode")) // the 1-row query side
+    assert(!p.contains("SortMergeJoin"))
+  }
 }
