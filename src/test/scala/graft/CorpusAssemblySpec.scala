@@ -155,6 +155,51 @@ class CorpusAssemblySpec extends SparkSpec {
       PerceptualHash.dHash(aTwin).longValue())
   }
 
+  test("audio corpus in, perceptually deduplicated out — the d13-d15 lifecycle") {
+    // the audio counterpart of the image dedup stages: streams
+    // (including a byte-identical copy, a zero-order-hold resampled
+    // twin, and a CROSS-CONTAINER pair — a FLAC stream and its
+    // audio_to_wav WAV re-encode) -> ingest-time audio fingerprints ->
+    // banded near-dup pairs -> connected-components resolution ->
+    // dedupByPairs keeps one representative per perceptual cluster
+    import graft.pipeline.{AudioFingerprint, AudioNorm, AvHeader, Components, Dedup, FlacPcm}
+    import spark.implicits._
+
+    // the d13 gate's two-amplitude cell pattern (33 cells of q frames)
+    def pattern(seed: Long, q: Int): Array[Int] = Array.tabulate(33 * q) { i =>
+      val c = i / q
+      val ha = seed * 8191L + c * 127L + 1
+      val hb = seed * 4099L + c * 211L + 3
+      val mag = if (i % 2 == 0) ((ha * ha % 8923) % 89 + 8).toInt
+                else ((hb * hb % 7919) % 83 + 8).toInt
+      (1 - 2 * ((i / 2) % 2)) * mag
+    }
+    val a = AvHeader.encodePcm16Wav(pattern(21L, 9), 8000, 1) // keeper (min id)
+    val aCopy = a.clone()                                     // exact copy
+    val aTwin = AvHeader.resampleWav(a, 24000)                // 3× ZOH twin
+    val b = AvHeader.encodePcm16Wav(pattern(22L, 9), 8000, 1) // unrelated
+    val f = FlacPcm.gen(4L)                                   // FLAC stream
+    val fWav = AudioNorm.toWav(f)                             // its WAV re-encode
+    val corpus = Seq((1L, a), (2L, aCopy), (3L, aTwin), (4L, b),
+      (5L, f), (6L, fWav)).toDF("aud_id", "aud")
+
+    val fp = corpus.select(col("aud_id").as("__id"),
+      call_function("audio_fingerprint", col("aud")).as("__sim"))
+    val pairs = Dedup.simHashNearDupPairsFromFingerprints(
+      fp, maxHamming = 3, bands = 4, bits = 64)
+    val kept = Components.dedupByPairs(corpus, pairs, "aud_id")
+      .select("aud_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 4L, 5L),
+      s"copy+twin collapse onto 1, WAV re-encode onto its FLAC; unrelated survives: $kept")
+    // the twins really were DIFFERENT byte streams (perceptual, not
+    // byte, identity did the work) — and the cross-container pair
+    // crossed a real codec boundary
+    assert(!java.util.Arrays.equals(a, aTwin))
+    assert(!java.util.Arrays.equals(f, fWav))
+    assert(AudioFingerprint.fingerprint(f).longValue() ===
+      AudioFingerprint.fingerprint(fWav).longValue())
+  }
+
   test("mixed-provenance audio in, one canonical rate out — every dispatch arm") {
     // The audio normalization tier run as a CHAIN, not per-operator: a
     // corpus whose rows span every supported container family

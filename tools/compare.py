@@ -34,29 +34,46 @@ def table_hash(rows, names):
         h.update(b"\n")
     return h.hexdigest()
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, json_out=None):
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    report = {}
+
+    def record(name, rows_match, schema_match, hash_match, spark_rows,
+               oracle_rows, err):
+        report[name] = {"rows_match": rows_match, "schema_match": schema_match,
+                        "hash_match": hash_match, "spark_rows": spark_rows,
+                        "oracle_rows": oracle_rows, "err": err}
+
     for name in sorted(oracles):
         sql = oracles[name]
         pdir = f"{out_dir}/{name}"
         files = glob.glob(f"{pdir}/*.parquet")
         if not files:
-            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+            print(f"FAIL {name}: no spark output"); n_fail += 1
+            record(name, False, False, False, 0, 0, "no spark output")
+            continue
         try:
             got = con.sql(f"SELECT * FROM read_parquet({files!r})")
             got_names, got_rows = [d[0] for d in got.description], got.fetchall()
             exp = con.sql(sql)
             exp_names, exp_rows = [d[0] for d in exp.description], exp.fetchall()
         except Exception as e:
-            print(f"FAIL {name}: {e}"); n_fail += 1; continue
+            print(f"FAIL {name}: {e}"); n_fail += 1
+            record(name, False, False, False, 0, 0, str(e)[:300])
+            continue
         if sorted(got_names) != sorted(exp_names):
-            print(f"FAIL {name}: cols {sorted(got_names)} != {sorted(exp_names)}"); n_fail += 1; continue
+            print(f"FAIL {name}: cols {sorted(got_names)} != {sorted(exp_names)}"); n_fail += 1
+            record(name, len(got_rows) == len(exp_rows), False, False,
+                   len(got_rows), len(exp_rows), None)
+            continue
         if len(got_rows) != len(exp_rows):
-            print(f"FAIL {name}: rows {len(got_rows)} != {len(exp_rows)}"); n_fail += 1; continue
+            print(f"FAIL {name}: rows {len(got_rows)} != {len(exp_rows)}"); n_fail += 1
+            record(name, False, True, False, len(got_rows), len(exp_rows), None)
+            continue
         gh, eh = table_hash(got_rows, got_names), table_hash(exp_rows, exp_names)
         if gh != eh:
             print(f"FAIL {name}: hash mismatch ({len(got_rows)} rows)")
@@ -68,10 +85,17 @@ def main(sf_dir, out_dir):
             for a, b in zip(sg, se):
                 if a != b:
                     print(f"  got: {a[:200]}\n  exp: {b[:200]}"); break
-            n_fail += 1; continue
+            n_fail += 1
+            record(name, True, True, False, len(got_rows), len(exp_rows), None)
+            continue
         print(f"PASS {name} ({len(got_rows)} rows)"); n_pass += 1
+        record(name, True, True, True, len(got_rows), len(exp_rows), None)
     print(f"\n{n_pass} pass, {n_fail} fail")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(report, f, indent=1, sort_keys=True)
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
