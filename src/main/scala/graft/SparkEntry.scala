@@ -384,13 +384,18 @@ object SparkEntry {
     * the grand total in one pass (Spark plans a single aggregate over
     * grouping sets, not one job per level). Null grouping columns mark
     * subtotal rows in both engines; the oracle orders NULLS FIRST to
-    * match Spark's asc default. */
+    * match Spark's asc default. The exact decimal sum ships as STRING:
+    * at sf10 the grand total carries 16+ significant digits, past
+    * double precision, where Spark's correctly-rounded BigDecimal cast
+    * and DuckDB's int128-then-divide cast land one ulp apart — the
+    * string of the exact scale-4 decimal is engine-independent at any
+    * magnitude. */
   private def g7(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
-          .cast(DoubleType).as("revenue"),
+          .cast(DecimalType(38, 4)).cast(StringType).as("revenue"),
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
@@ -604,7 +609,7 @@ object SparkEntry {
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "g7_rollup" ->
       ("SELECT l_returnflag, l_linestatus, " +
-        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue, " +
+        "CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS VARCHAR) AS revenue, " +
         "CAST(count(*) AS BIGINT) AS n " +
         "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) " +
         "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),

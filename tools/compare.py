@@ -36,9 +36,20 @@ def table_hash(rows, names):
 
 def main(sf_dir, out_dir, json_out=None):
     con = duckdb.connect()
+    # At sf10 some brute-force oracles (flat cosine over 32k vectors,
+    # SemDeDup pairs) exceed physical RAM; a hard cap makes DuckDB
+    # spill or raise instead of triggering the kernel OOM killer, so
+    # one infeasible oracle fails ITS entry, not the whole report.
+    limit = os.environ.get("DUCKDB_MEMORY_LIMIT")
+    if limit:
+        con.sql(f"SET memory_limit='{limit}'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    only = os.environ.get("COMPARE_ONLY")  # comma-separated subset
+    if only:
+        keep = set(only.split(","))
+        oracles = {k: v for k, v in oracles.items() if k in keep}
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS FROM '{sf_dir}/{t}.parquet'")
-    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     report = {}
 
