@@ -103,8 +103,19 @@ def main(sf_dir, out_dir, json_out=None):
         record(name, True, True, True, len(got_rows), len(exp_rows), None)
     print(f"\n{n_pass} pass, {n_fail} fail")
     if json_out:
-        with open(json_out, "w") as f:
+        # Provenance marker: a report written by this tool in one pass is a
+        # "full-run"; merge_correctness.py stamps its output "merged" so a
+        # recovered-prefix artifact can never masquerade as a clean run.
+        # Key starts with "_" so entry-iterating consumers can skip it.
+        report["_provenance"] = {"source": "full-run", "sf_dir": sf_dir,
+                                 "entries": n_pass + n_fail,
+                                 "subset": bool(only)}
+        # Unique-tmp + atomic rename (the ArtifactStore pattern): a kill
+        # mid-write must never leave a truncated artifact at the real path.
+        tmp = f"{json_out}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
             json.dump(report, f, indent=1, sort_keys=True)
+        os.replace(tmp, json_out)
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
