@@ -133,6 +133,68 @@ object Bench {
       (name, warm)
     }
 
+    // Contention re-timing: a loaded co-tenant window can inflate a
+    // contiguous span of the sweep 4–6× (observed three rounds running)
+    // while plans are unchanged. Any entry whose sweep time exceeds
+    // K× its median across prior committed bench artifacts for the SAME
+    // fixture is re-run (warm, min-of-2, isolated) after the sweep, and
+    // BOTH numbers are reported — `queries` keeps the sweep's honest
+    // value, `retimed` carries the re-measurement — so rounds are
+    // diffable without forensic floor-reading. History files are
+    // discovered from SPARK_GRAFT_BENCH_HISTORY (comma-separated files
+    // or directories; default: BENCH_*.json in the working directory);
+    // unreadable or fixture-mismatched history is advisory-only noise,
+    // never an error.
+    val historyMedians: Map[String, Double] = {
+      val spec = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", ".")
+      val files = spec.split(",").iterator.map(_.trim).filter(_.nonEmpty)
+        .map(new java.io.File(_)).flatMap { f =>
+          if (f.isDirectory)
+            Option(f.listFiles).getOrElse(Array.empty[java.io.File])
+              .filter(x => x.isFile && x.getName.startsWith("BENCH_") &&
+                x.getName.endsWith(".json"))
+          else if (f.isFile) Array(f) else Array.empty[java.io.File]
+        }.toSeq
+      val curTag = new java.io.File(sfDir).getName
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val byName = scala.collection.mutable.Map.empty[String, List[Double]]
+      files.foreach { f =>
+        try {
+          var root = om.readTree(f)
+          // Driver-wrapped artifacts nest the bench line under "parsed".
+          if (root.has("parsed") && root.get("parsed").isObject)
+            root = root.get("parsed")
+          val sfNode = root.get("sf")
+          val tag =
+            if (sfNode == null) ""
+            else if (sfNode.isTextual) new java.io.File(sfNode.asText).getName
+            else "sf" + sfNode.asText
+          val qs = root.get("queries")
+          if (tag == curTag && qs != null && qs.isObject) {
+            qs.properties().forEach { e =>
+              val v = e.getValue.asDouble(-1)
+              if (v >= 0) byName(e.getKey) = v :: byName.getOrElse(e.getKey, Nil)
+            }
+          }
+        } catch { case _: Throwable => () }
+      }
+      def median(vs: List[Double]): Double = {
+        val s = vs.sorted
+        if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+      }
+      byName.toMap.map { case (k, vs) => (k, median(vs)) }
+    }
+    val retimeK = sys.env.getOrElse("SPARK_GRAFT_RETIME_K", "3.0").toDouble
+    val retimed: Seq[(String, Double)] = results.collect {
+      case (name, Right(v)) if historyMedians.get(name)
+        .exists(m => v > retimeK * m && v - m > 0.3) => name
+    }.flatMap { name =>
+      val fn = SparkEntry.queries(name)
+      val runs = (1 to 2).map { _ => isolate(); time(force(name, fn(spark, sfDir))) }
+        .collect { case Right(v) => v }
+      if (runs.nonEmpty) Some((name, runs.min)) else None
+    }
+
     // Local-mode scheduling floor: the cost of launching a trivial job.
     // A failing trivial job is a broken harness, not a floor of -1.
     isolate()
@@ -155,11 +217,16 @@ object Bench {
     // co-tenant inflating trivial-job launch from 0.06 s to 0.5 s)
     // reads as a phantom regression when comparing runs. Subtracting
     // the measured floor from every entry isolates the data-dependent
-    // work, which IS comparable across windows.
-    val aboveFloor = floorRuns.headOption.map { _ =>
-      results.collect { case (_, Right(v)) => math.max(v - floorRuns.min, 0.0) }.sum
-    }.map(_.toString).getOrElse("null")
-    println(s"""{"metric":"total_warm","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"floor_sec":$floor,"total_above_floor":$aboveFloor,"sf":"$sfDir"}""")
+    // work, which IS comparable across windows. The MEDIAN of the
+    // floor probes is subtracted (one lucky fast probe must not set
+    // the headline); the min is still reported as floor_sec.
+    val aboveFloor = if (floorRuns.nonEmpty) {
+      val s = floorRuns.sorted
+      val med = if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+      results.collect { case (_, Right(v)) => math.max(v - med, 0.0) }.sum.toString
+    } else "null"
+    val retimedJson = retimed.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total_warm","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"floor_sec":$floor,"total_above_floor":$aboveFloor,"retimed":$retimedJson,"sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(_._2.isLeft)) sys.exit(1)
   }

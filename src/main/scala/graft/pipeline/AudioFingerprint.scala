@@ -73,26 +73,25 @@ object AudioFingerprint {
   /** 64-bit band-energy comparison fingerprint of any supported audio
     * container; null when the bytes don't decode. */
   def fingerprint(bytes: Array[Byte]): java.lang.Long = {
-    val wav = AudioNorm.toWav(bytes)
-    if (wav == null) return null
-    AvHeader.decodeWavSamples(wav) match {
-      case None => null
-      case Some(ws) =>
-        val ch = ws.channels
-        if (ch <= 0) return null
-        val n = ws.samples.length / ch
-        if (n < 1) return null
-        val mono = new Array[Long](n)
-        var i = 0
-        while (i < n) {
-          var s = 0L
-          var c = 0
-          while (c < ch) { s += ws.samples(i * ch + c); c += 1 }
-          mono(i) = s
-          i += 1
-        }
-        java.lang.Long.valueOf(fingerprintOfMono(mono))
+    // Direct decode — same canonical PCM16 AudioNorm.toWav emits, minus
+    // the WAV byte re-encode + re-decode a round-trip through toWav
+    // would pay (two full PCM copies per row on the ingest hot path).
+    val ws = AudioNorm.decodeSamples(bytes)
+    if (ws == null) return null
+    val ch = ws.channels
+    if (ch <= 0) return null
+    val n = ws.samples.length / ch
+    if (n < 1) return null
+    val mono = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var s = 0L
+      var c = 0
+      while (c < ch) { s += ws.samples(i * ch + c); c += 1 }
+      mono(i) = s
+      i += 1
     }
+    java.lang.Long.valueOf(fingerprintOfMono(mono))
   }
 
   /** The fingerprint of an already-folded mono stream (exposed for the

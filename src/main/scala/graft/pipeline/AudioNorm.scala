@@ -39,15 +39,30 @@ object AudioNorm {
   }
 
   def toWav(b: Array[Byte]): Array[Byte] =
-    try toWavUnsafe(b)
+    try {
+      val ws = decodeUnsafe(b)
+      if (ws == null) null
+      else AvHeader.encodePcm16Wav(ws.samples, ws.sampleRate, ws.channels)
+    } catch { case _: RuntimeException => null }
+
+  /** Decode any supported container straight to interleaved 16-bit
+    * samples + stream parameters — the same canonical PCM `toWav`
+    * wraps in a RIFF container, WITHOUT the WAV byte round-trip.
+    * Consumers that want samples (fingerprinting) call this;
+    * consumers that want bytes (`audio_to_wav`) call [[toWav]], which
+    * is exactly this plus one encode — the two can never diverge.
+    * Null when the bytes don't decode. */
+  def decodeSamples(b: Array[Byte]): AvHeader.WavSamples =
+    try decodeUnsafe(b)
     catch { case _: RuntimeException => null }
 
-  private def toWavUnsafe(b: Array[Byte]): Array[Byte] = {
+  private def decodeUnsafe(b: Array[Byte]): AvHeader.WavSamples = {
     if (b == null || b.length < 12) return null
     // RIFF/WAVE: expand whatever codec the container carries
     if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') {
       return AvHeader.decodeWavSamples(b) match {
-        case Some(ws) => AvHeader.encodePcm16Wav(ws.samples, ws.sampleRate, ws.channels)
+        case Some(ws) => AvHeader.WavSamples(ws.sampleRate, ws.channels,
+          "pcm16", ws.samples)
         case None => null
       }
     }
@@ -77,7 +92,7 @@ object AudioNorm {
         }
         i += 1
       }
-      return AvHeader.encodePcm16Wav(out, meta.sampleRate, nch)
+      return AvHeader.WavSamples(meta.sampleRate, nch, "pcm16", out)
     }
     // 0xFFF sync: ADTS AAC (layer bits 00) vs MPEG audio (Layer III 01)
     if ((b(0) & 0xFF) == 0xFF && (b(1) & 0xE0) == 0xE0) {
@@ -97,7 +112,7 @@ object AudioNorm {
           while (i < 1024) { out(f * 1024 + i) = s16(pcm(f)(i)); i += 1 }
           f += 1
         }
-        return AvHeader.encodePcm16Wav(out, rate, 1)
+        return AvHeader.WavSamples(rate, 1, "pcm16", out)
       }
       // MPEG-1 Layer III: the rate comes from the 4-byte HEADER's
       // samplerate index (ISO 11172-3 MPEG-1 table: 00=44.1k, 01=48k,
@@ -107,7 +122,12 @@ object AudioNorm {
       // MPEG-1, whose band layout its Huffman walk assumes), so a
       // frame this label disagrees with can never produce samples —
       // the header parse only has to name the WAV container's rate.
-      // Stereo first, mono fallback.
+      // The table below is the MPEG-1 table ONLY, so require the
+      // version bits to say MPEG-1 (b1 & 0x18 == 0x18) here too —
+      // relying on the decoder guard alone would let a future MPEG-2
+      // (0xF3) decoder extension mislabel 22.05/24/16 kHz streams
+      // through this arm. Stereo first, mono fallback.
+      if ((b(1) & 0x18) != 0x18) return null
       val mp3Rate = ((b(2) >> 2) & 3) match {
         case 0 => 44100
         case 1 => 48000
@@ -124,13 +144,13 @@ object AudioNorm {
             out(2 * i + 1) = s16(ch(1)(i))
             i += 1
           }
-          return AvHeader.encodePcm16Wav(out, mp3Rate, 2)
+          return AvHeader.WavSamples(mp3Rate, 2, "pcm16", out)
         case None =>
           val mono = Mp3Synth.decodePcm(b).getOrElse(return null)
           val out = new Array[Int](mono.length)
           var i = 0
           while (i < mono.length) { out(i) = s16(mono(i)); i += 1 }
-          return AvHeader.encodePcm16Wav(out, mp3Rate, 1)
+          return AvHeader.WavSamples(mp3Rate, 1, "pcm16", out)
       }
     }
     null

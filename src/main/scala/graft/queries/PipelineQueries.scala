@@ -452,6 +452,114 @@ object PipelineQueries {
       .limit(20)
   }
 
+  /** Closed-form LOSSY-TWIN audio corpus for the d16 robustness gate —
+    * the samples-change counterpart of [[audioCorpus]] (whose twins are
+    * sample-exact by construction). Program material models real
+    * program dynamics at cell granularity: a period-12 triangle
+    * carrier under a per-cell amplitude envelope whose ADJACENT cells
+    * always differ by ≥ 1.5× (even cells draw from {30, 68, 153}, odd
+    * from {45, 102} — every cross-set ratio ≥ 1.5, ≈ 3.5 dB steps), so
+    * band comparisons are decided by the envelope, not phase noise —
+    * the regime where the fingerprint claims lossy robustness
+    * (AudioRobustnessSpec measures the same family's hamming
+    * distributions). Per doc_id < 400 (q = 25 samples/cell, n = 825):
+    *
+    *   - d: BASE — PCM16 WAV at 8 kHz
+    *   - d%7==0 → 10000+d: G.711 µ-LAW TWIN — every sample companded
+    *     through the segmented encoder (sign/segment/mantissa closed
+    *     form) into a format-7 WAV, so the REAL [[AvHeader.ulaw2linear]]
+    *     expansion runs inside `audio_fingerprint`'s decode; the
+    *     quantization error is bounded by one segment step per sample
+    *   - d%11==0 → 20000+d: DOWNSAMPLE TWIN — the ⌊j·8/5⌋ decimation
+    *     to 5000 Hz (n′ = 515, NOT 33-divisible: cells are not
+    *     phase-locked to the carrier or the mapping — samples are
+    *     genuinely dropped, unlike the k-fold ZOH upsample twins) */
+  private def lossyAudioCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    def byteOf(c: Column) = lpad(hex(c.cast("long").bitwiseAND(lit(255L))), 2, "0")
+    def le16(c: Column) = unhex(concat(byteOf(c), byteOf(shiftright(c.cast("long"), 8))))
+    def le32(c: Column) = unhex(concat(byteOf(c), byteOf(shiftright(c.cast("long"), 8)),
+      byteOf(shiftright(c.cast("long"), 16)), byteOf(shiftright(c.cast("long"), 24))))
+    def fdiv(c: Column, k: Long): Column = (c - pmod(c, lit(k))) / k
+    def amp(cell: Column): Column = {
+      val he = d * lit(8191L) + cell * lit(127L) + 1
+      val ho = d * lit(4099L) + cell * lit(211L) + 3
+      val ei = pmod(pmod(he * he, lit(8923L)), lit(3))
+      val oi = pmod(pmod(ho * ho, lit(7919L)), lit(2))
+      when(pmod(cell, lit(2)) === 0,
+        when(ei === 0, lit(30L)).when(ei === 1, lit(68L)).otherwise(lit(153L)))
+        .otherwise(when(oi === 0, lit(45L)).otherwise(lit(102L)))
+    }
+    def sample(i: Column): Column = {
+      val ph = pmod(i, lit(12L))
+      val tri = when(ph < 6, ph - 3).otherwise(lit(9L) - ph)
+      amp(fdiv(i, 25L).cast("long")) * tri * 17
+    }
+    def pcmWav(samp: Column => Column, nn: Long, rate: Long): Column = {
+      val payload = unhex(array_join(
+        transform(sequence(lit(0L), lit(nn - 1)), i => {
+          val u = pmod(samp(i), lit(65536L)).cast("long")
+          concat(byteOf(u), byteOf(shiftright(u, 8)))
+        }), ""))
+      concat(s4("RIFF"), le32(lit(nn * 2 + 36)), s4("WAVE"),
+        s4("fmt "), le32(lit(16)), le16(lit(1)), le16(lit(1)), le32(lit(rate)),
+        le32(lit(rate * 2)), le16(lit(2)), le16(lit(16)),
+        s4("data"), le32(lit(nn * 2)), payload)
+    }
+    // G.711 µ-law encode, segment closed form: seg = ⌊log2(mag)⌋ − 7
+    // (mag ≥ 132 keeps bit 7 set) via an 8-way threshold CASE; the
+    // mantissa divisor 8·2^seg is folded into each branch so every
+    // step is integer +/−/÷ both engines replay identically.
+    def ulawByte(x: Column): Column = {
+      val sgn = when(x < 0, lit(128L)).otherwise(lit(0L))
+      val mag = least(when(x < 0, -x - 1).otherwise(x), lit(32635L)) + lit(132L)
+      def branch(seg: Long): Column =
+        lit(255L) - (sgn + lit(seg * 16) + pmod(fdiv(mag, 8L << seg), lit(16L)))
+      when(mag < 256, branch(0)).when(mag < 512, branch(1))
+        .when(mag < 1024, branch(2)).when(mag < 2048, branch(3))
+        .when(mag < 4096, branch(4)).when(mag < 8192, branch(5))
+        .when(mag < 16384, branch(6)).otherwise(branch(7))
+    }
+    def ulawWav(nn: Long, rate: Long): Column = {
+      val payload = unhex(array_join(
+        transform(sequence(lit(0L), lit(nn - 1)),
+          i => byteOf(ulawByte(sample(i)))), ""))
+      concat(s4("RIFF"), le32(lit(nn + 36)), s4("WAVE"),
+        s4("fmt "), le32(lit(16)), le16(lit(7)), le16(lit(1)), le32(lit(rate)),
+        le32(lit(rate)), le16(lit(1)), le16(lit(8)),
+        s4("data"), le32(lit(nn)), payload)
+    }
+    val docs = Tables.documents(s, dir)
+    val base = docs.filter(d < 400)
+      .select(d.as("aud_id"), pcmWav(sample, 825L, 8000L).as("aud"))
+    val ulaw = docs.filter(d < 400 && pmod(d, lit(7)) === 0)
+      .select((d + 10000).as("aud_id"), ulawWav(825L, 8000L).as("aud"))
+    val down = docs.filter(d < 400 && pmod(d, lit(11)) === 0)
+      .select((d + 20000).as("aud_id"),
+        pcmWav(j => sample(fdiv(j * 8, 5L).cast("long")), 515L, 5000L).as("aud"))
+    base.union(ulaw).union(down)
+  }
+
+  /** D16: AUDIO LOSSY-TWIN NEAR-DUP — the oracle-checked counterpart
+    * of AudioRobustnessSpec: µ-law-companded and decimation-downsampled
+    * twins (samples CHANGE, unlike d14's sample-exact twins) pair with
+    * their base through the SAME 4×16-bit banded blocking, with the
+    * oracle replaying the ENTIRE lossy chain in SQL — closed-form
+    * samples → segmented µ-law encode → [[AvHeader.ulaw2linear]]
+    * expansion → (or the ⌊j·8/5⌋ decimation mapping) → cell bounds →
+    * band sums → comparison bits → brute-force hamming ≤ 3 — so the
+    * lossy-robustness claim is pinned engine-to-engine, not just
+    * spec-pinned. Scale shape identical to d14: bounded corpus,
+    * per-row codegen'd fingerprints, bucket-local pairing, no
+    * all-pairs. */
+  private def d16(s: SparkSession, dir: String): DataFrame = {
+    val fp = DedupIndex.ensureAudioFingerprint(s, dir, lossyAudioCorpus(s, dir),
+      "aud_id", "aud", variant = "lossy400ul7dn11q25")
+    Dedup.simHashNearDupPairsFromFingerprints(fp, maxHamming = 3, bands = 4,
+        bits = 64)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** C6: corpus mixture — down-sample sources to a 5:3:2 target recipe
     * ([[Curation.sampleToMixture]]); the binding source keeps 100%,
     * the others down-sample to the weight ratios via the deterministic
@@ -2350,6 +2458,7 @@ object PipelineQueries {
     "p_d13_audio_fingerprint" -> (d13 _),
     "p_d14_audio_neardup" -> (d14 _),
     "p_d15_audio_dedup_resolve" -> (d15 _),
+    "p_d16_audio_lossy_neardup" -> (d16 _),
     "p_s13_audio_hamming_topk" -> (s13 _),
     "p_t6_unigram_lm" -> (t6Lm _),
     "p_t7_bm25_stats" -> (t7Bm25 _),
@@ -3008,30 +3117,14 @@ object PipelineQueries {
     * amplitude and first-difference sums (lag over frame order), the
     * 2×32 comparison bits, HUGEINT bit assembly with the two's-
     * complement fold for bit 63. Yields CTEs `ids` and `fp(id, f)`. */
-  private val audioFpOracleCtes: String =
-    """WITH b0 AS (SELECT doc_id AS d, 8 + doc_id % 5 AS q,
-            33 * (8 + doc_id % 5) AS n
-        FROM documents WHERE doc_id < 600),
-      xs AS (SELECT d, q, n, i.i AS i,
-          (1 - 2 * ((i.i // 2) % 2)) *
-          (CASE WHEN i.i % 2 = 0
-                THEN (((d * 8191 + (i.i // q) * 127 + 1)
-                       * (d * 8191 + (i.i // q) * 127 + 1)) % 8923) % 89 + 8
-                ELSE (((d * 4099 + (i.i // q) * 211 + 3)
-                       * (d * 4099 + (i.i // q) * 211 + 3)) % 7919) % 83 + 8
-           END) AS x
-        FROM b0, range(0, 396) i(i) WHERE i.i < n),
-      allx AS (
-        SELECT d AS id, n, i, x FROM xs
-        UNION ALL
-        SELECT t.d + 10000, t.n * t.k, xs.i * t.k + r.r, xs.x
-        FROM (SELECT d, n, 2 + d % 2 AS k FROM b0 WHERE d % 7 = 0) t
-        JOIN xs ON xs.d = t.d, range(0, 3) r(r) WHERE r.r < t.k
-        UNION ALL
-        SELECT d + 20000, n, i,
-          CASE WHEN i = 32 * q + 3 THEN x - 4000 ELSE x END
-        FROM xs WHERE d % 13 = 0),
-      ids AS (SELECT DISTINCT id, n FROM allx),
+  /** Shared oracle tail — the fingerprint chain from an
+    * `allx(id, n, i, x)` decoded-sample relation to `fp(id, f)`:
+    * floor-division cell bounds → {amplitude, first-difference} band
+    * sums → comparison bits → HUGEINT bit assembly → signed BIGINT.
+    * Shared by the d13-family (sample-exact twins) and d16 (lossy
+    * twins) so the replay arithmetic can never drift between gates. */
+  private val audioFpChainSql: String =
+    """ids AS (SELECT DISTINCT id, n FROM allx),
       cells AS (SELECT ids.id, t.t AS t,
           (t.t * n) // 33 AS t0,
           greatest((t.t * n) // 33 + 1, ((t.t + 1) * n) // 33) AS t1
@@ -3059,7 +3152,82 @@ object PipelineQueries {
             SUM(CAST(1 AS HUGEINT) << CAST(bit AS INT)) AS s
           FROM fbits GROUP BY id) g ON g.id = ids.id)"""
 
+  private val audioFpOracleCtes: String =
+    s"""WITH b0 AS (SELECT doc_id AS d, 8 + doc_id % 5 AS q,
+            33 * (8 + doc_id % 5) AS n
+        FROM documents WHERE doc_id < 600),
+      xs AS (SELECT d, q, n, i.i AS i,
+          (1 - 2 * ((i.i // 2) % 2)) *
+          (CASE WHEN i.i % 2 = 0
+                THEN (((d * 8191 + (i.i // q) * 127 + 1)
+                       * (d * 8191 + (i.i // q) * 127 + 1)) % 8923) % 89 + 8
+                ELSE (((d * 4099 + (i.i // q) * 211 + 3)
+                       * (d * 4099 + (i.i // q) * 211 + 3)) % 7919) % 83 + 8
+           END) AS x
+        FROM b0, range(0, 396) i(i) WHERE i.i < n),
+      allx AS (
+        SELECT d AS id, n, i, x FROM xs
+        UNION ALL
+        SELECT t.d + 10000, t.n * t.k, xs.i * t.k + r.r, xs.x
+        FROM (SELECT d, n, 2 + d % 2 AS k FROM b0 WHERE d % 7 = 0) t
+        JOIN xs ON xs.d = t.d, range(0, 3) r(r) WHERE r.r < t.k
+        UNION ALL
+        SELECT d + 20000, n, i,
+          CASE WHEN i = 32 * q + 3 THEN x - 4000 ELSE x END
+        FROM xs WHERE d % 13 = 0),
+      $audioFpChainSql"""
+
+  /** Oracle corpus for d16: the closed-form lossy-twin sample relation —
+    * level-stepped envelope base streams, the full µ-law encode→expand
+    * round trip in integer SQL (segment thresholds, mantissa, the
+    * ulaw2linear reconstruction (mant·8+132)·2^seg ∓ 132), and the
+    * ⌊j·8/5⌋ decimation mapping — feeding the shared fingerprint
+    * chain. */
+  private val lossyAudioFpCtes: String =
+    s"""WITH b0 AS (SELECT doc_id AS d FROM documents WHERE doc_id < 400),
+      xs AS (SELECT d, i.i AS i,
+          (CASE WHEN (i.i // 25) % 2 = 0
+                THEN CASE (((d * 8191 + (i.i // 25) * 127 + 1)
+                            * (d * 8191 + (i.i // 25) * 127 + 1)) % 8923) % 3
+                     WHEN 0 THEN 30 WHEN 1 THEN 68 ELSE 153 END
+                ELSE CASE (((d * 4099 + (i.i // 25) * 211 + 3)
+                            * (d * 4099 + (i.i // 25) * 211 + 3)) % 7919) % 2
+                     WHEN 0 THEN 45 ELSE 102 END END)
+          * (CASE WHEN i.i % 12 < 6 THEN i.i % 12 - 3 ELSE 9 - i.i % 12 END)
+          * 17 AS x
+        FROM b0, range(0, 825) i(i)),
+      enc AS (SELECT d, i, sgn, mag,
+          CASE WHEN mag < 256 THEN 0 WHEN mag < 512 THEN 1
+               WHEN mag < 1024 THEN 2 WHEN mag < 2048 THEN 3
+               WHEN mag < 4096 THEN 4 WHEN mag < 8192 THEN 5
+               WHEN mag < 16384 THEN 6 ELSE 7 END AS seg
+        FROM (SELECT d, i,
+            CASE WHEN x < 0 THEN 128 ELSE 0 END AS sgn,
+            least(CASE WHEN x < 0 THEN -x - 1 ELSE x END, 32635) + 132 AS mag
+          FROM xs WHERE d % 7 = 0)),
+      ul AS (SELECT d, i,
+          CASE WHEN sgn = 128 THEN 132 - t ELSE t - 132 END AS x
+        FROM (SELECT d, i, sgn,
+            (((mag // (8 * (1 << seg))) % 16) * 8 + 132) * (1 << seg) AS t
+          FROM enc)),
+      allx AS (
+        SELECT d AS id, 825 AS n, i, x FROM xs
+        UNION ALL
+        SELECT d + 10000, 825, i, x FROM ul
+        UNION ALL
+        SELECT xs.d + 20000, 515, j.j, xs.x
+        FROM xs JOIN range(0, 515) j(j) ON xs.i = (j.j * 8) // 5
+        WHERE xs.d % 11 = 0),
+      $audioFpChainSql"""
+
   def oracleSql: Map[String, String] = Map(
+    "p_d16_audio_lossy_neardup" ->
+      (s"""$lossyAudioFpCtes
+          SELECT a.id AS a_id, b2.id AS b_id,
+            bit_count(xor(a.f, b2.f)) AS hamming
+          FROM fp a, fp b2
+          WHERE a.id < b2.id AND bit_count(xor(a.f, b2.f)) <= 3
+          ORDER BY a_id, b_id"""),
     "p_d13_audio_fingerprint" ->
       (s"""$audioFpOracleCtes
           SELECT id AS doc_id, f AS fp,
