@@ -191,6 +191,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("audio_fingerprint", "audio_fingerprint(bytes) - 64-bit perceptual band-energy fingerprint (33 time cells x {amplitude, first-difference} comparison bits) of any supported audio container, else NULL"),
       (args: Seq[Expression]) => graft.pipeline.AudioFingerprint.AudioFingerprintExpr(args(0))))
     ext.injectFunction((
+      FunctionIdentifier("gif_anim_gen"),
+      info("gif_anim_gen", "gif_anim_gen(seed, delay_scale, bump) - deterministic multi-frame animated GIF89a (GCE delays, sub-rect compositing) for seed; delay_scale builds the temporal-scale twin, bump the localized-edit twin"),
+      (args: Seq[Expression]) => graft.pipeline.GifAnim.GifAnimGenExpr(args(0), args(1), args(2))))
+    ext.injectFunction((
+      FunctionIdentifier("gif_frames"),
+      info("gif_frames", "gif_frames(bytes) - array of per-frame structs (frame_idx, delay_cs, f_left, f_top, f_w, f_h, composited-canvas sum_px) from the animated-GIF walk, else NULL"),
+      (args: Seq[Expression]) => graft.pipeline.GifAnim.GifFramesExpr(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("video_fingerprint"),
+      info("video_fingerprint", "video_fingerprint(bytes) - 64-bit perceptual video fingerprint (32 temporal time-cell comparison bits + 32 spatial box comparison bits over the time-weighted canvas) of an animated GIF, else NULL"),
+      (args: Seq[Expression]) => graft.pipeline.VideoFingerprint.VideoFingerprintExpr(args(0))))
+    ext.injectFunction((
       FunctionIdentifier("aac_gen"),
       info("aac_gen", "aac_gen(seed) - deterministic two-frame ADTS AAC-LC stream (SCE, long-family window sequences, all eleven spectral codebooks incl. the escape) for seed"),
       (args: Seq[Expression]) => graft.pipeline.AacLc.AacGenExpr(args(0))))

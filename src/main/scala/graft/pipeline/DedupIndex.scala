@@ -233,6 +233,52 @@ object DedupIndex {
         .write.mode("overwrite").parquet(tmp)
     }
 
+  /** Persisted VIDEO perceptual fingerprints `(__id, __sim)` — the video
+    * counterpart of [[ensureAudioFingerprint]]: the 64-bit
+    * temporal+spatial comparison fingerprint ([[VideoFingerprint]]) over
+    * the composited [[GifAnim]] frames, computed once at ingest;
+    * near-dup queries band/bucket-join the stored longs through the SAME
+    * pairing machinery as text SimHash, image dHash and audio. */
+  def ensureVideoFingerprint(spark: SparkSession, corpusDir: String,
+      video: DataFrame, idCol: String, bytesCol: String, variant: String,
+      artifactRootOverride: Option[String] = None): DataFrame =
+    ensure(spark, corpusDir,
+      s"videofp_${Paths.get(corpusDir).getFileName}_${variant}_v$FormatVersion",
+      artifactRootOverride.getOrElse(artifactRoot(spark)),
+      videoFingerprintRows(video, idCol, bytesCol))
+
+  private def videoFingerprintRows(video: DataFrame, idCol: String,
+      bytesCol: String): DataFrame =
+    video.select(col(idCol).as("__id"),
+        call_function("video_fingerprint", col(bytesCol)).as("__sim"))
+      .filter(col("__sim").isNotNull)
+
+  private def videoSegKey(corpusDir: String, variant: String): String =
+    s"videofpseg_${Paths.get(corpusDir).getFileName}_${variant}_v$FormatVersion"
+
+  /** Segmented video fingerprints; append ≡ rebuild (pure per-row fn). */
+  def ensureVideoFingerprintSegmented(spark: SparkSession, corpusDir: String,
+      baseVideo: DataFrame, idCol: String, bytesCol: String, variant: String,
+      artifactRootOverride: Option[String] = None): DataFrame =
+    ArtifactStore.ensureSegmented(spark,
+      artifactRootOverride.getOrElse(artifactRoot(spark)),
+      videoSegKey(corpusDir, variant),
+      sourceFile = Some(s"$corpusDir/documents.parquet")) {
+      tmp => videoFingerprintRows(baseVideo, idCol, bytesCol)
+        .write.mode("overwrite").parquet(tmp)
+    }
+
+  /** Append fingerprints for NEW video rows to the segmented artifact. */
+  def appendVideoFingerprint(spark: SparkSession, corpusDir: String,
+      newVideo: DataFrame, idCol: String, bytesCol: String, variant: String,
+      artifactRootOverride: Option[String] = None): Unit =
+    ArtifactStore.appendSegment(spark,
+      artifactRootOverride.getOrElse(artifactRoot(spark)),
+      videoSegKey(corpusDir, variant)) {
+      tmp => videoFingerprintRows(newVideo, idCol, bytesCol)
+        .write.mode("overwrite").parquet(tmp)
+    }
+
   /** Persisted SimHash fingerprints `(__id, __sim)`. `hashTag` names the
     * per-shingle hash function in the cache key (the Column function
     * itself can't be fingerprinted). */

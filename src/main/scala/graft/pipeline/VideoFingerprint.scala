@@ -1,0 +1,208 @@
+package graft.pipeline
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+
+/** VIDEO PERCEPTUAL FINGERPRINTING — the dedup modality for video
+  * columns, completing the family begun by text SimHash, image dHash
+  * ([[PerceptualHash]]) and the audio band-energy fingerprint
+  * ([[AudioFingerprint]]): byte identity catches exact copies; this
+  * 64-bit fingerprint catches re-encoded / re-timed twins, the dominant
+  * video-duplication modes in a scraped corpus (the same clip
+  * re-palettized or re-interlaced, the same clip at half frame rate).
+  *
+  * `video_fingerprint(bytes)` over an animated GIF ([[GifAnim]], the
+  * library's sample-exact video decode tier):
+  *
+  *   1. decode + composite every DISPLAYED frame (sub-rects, disposal,
+  *      transparency, palette all resolved — so a palette-rotated or
+  *      re-interlaced re-encode fingerprints identically);
+  *   2. TEMPORAL band (bits 0..31): the display timeline (per-frame GCE
+  *      delay in centisecond ticks, 0 → 1) is cut into 33 TIME CELLS by
+  *      the same floor-division arithmetic as the audio fingerprint —
+  *      cell c covers ticks [⌊c·D/33⌋, max(⌊c·D/33⌋+1, ⌊(c+1)·D/33⌋)) —
+  *      and cell value = Σ_frames overlap(frame, cell) · framesum,
+  *      framesum the canvas luminance sum (no division anywhere); bit c
+  *      set iff cell(c) < cell(c+1);
+  *   3. SPATIAL band (bits 32..63): the time-weighted canvas
+  *      A(x,y) = Σ_frames delay·pixel is folded to a 9×4 grid of box
+  *      SUMS by [[PerceptualHash.boxGrid]]'s bound arithmetic, and bit
+  *      32+(by·8+bx) is the area-fair dHash comparison
+  *      s(bx,by)·area(bx+1,by) < s(bx+1,by)·area(bx,by) — CROSS-
+  *      MULTIPLIED, never divided, so no floor interacts with the
+  *      invariances below.
+  *
+  * Comparison bits — not the magnitudes — make the fingerprint
+  * perceptual. Three EXACT invariances (spec-pinned, and oracle-checked
+  * through the p_d17 gate family whose fixture aligns frame boundaries
+  * to cell boundaries):
+  *   - re-encode (palette rotation, interlacing, sub-rect re-slicing
+  *     that composites to the same canvases): the decode resolves all
+  *     of them before any arithmetic — hamming 0;
+  *   - temporal scale (every delay ×k, the 30→60 fps double): D,
+  *     overlaps, A and the box sums all scale by exactly k, and every
+  *     comparison is scale-free — hamming 0 when cell boundaries align
+  *     (⌊c·kD/33⌋ = k·⌊c·D/33⌋, guaranteed when 33 | D);
+  *   - localized edit: a perturbation confined to one spatial box and
+  *     one temporal cell can flip at most the comparisons naming them —
+  *     hamming ≤ 2 for a corner-pixel edit (box column 8 appears in one
+  *     comparison; cell 32 appears in one comparison).
+  *
+  * Magnitude bounds: per-pixel A ≤ 255·D and cell values ≤ D·framesum
+  * can exceed a Long for adversarial containers (huge canvases × long
+  * timelines), so the cell accumulation and both sides of every
+  * comparison run in BigInt — 33·F + 64 small-number operations per
+  * row, noise next to the LZW decode. An external engine replays the
+  * whole chain — closed-form pixels → arg-max compositing → timeline →
+  * cell overlaps → box sums → cross-multiplied bits — in integer SQL,
+  * exactly as the image and audio oracles replay theirs.
+  *
+  * NULL on undecodable bytes — never a task kill. Near-dup pairing,
+  * cluster resolution, and hamming top-k reuse the SimHash machinery
+  * unchanged ([[Dedup.simHashNearDupPairsFromFingerprints]], 4×16-bit
+  * banded blocking, pigeonhole-exact at hamming ≤ 3;
+  * [[Components.nearDupClusters]]), with fingerprints persisted through
+  * the [[DedupIndex]] segmented-artifact lifecycle — no all-pairs
+  * anywhere, so the 100 TB path is the one already audited for text,
+  * images and audio.
+  *
+  * Scale: one codegen'd expression per row; bytes never leave the task;
+  * the working set is ONE composited canvas plus the A accumulator
+  * ([[GifAnim.foldFrames]] streams frames — the whole animation is
+  * never materialized).
+  */
+object VideoFingerprint {
+
+  /** Number of time cells; 33 cells → 32 comparisons. */
+  val Cells = 33
+
+  /** 64-bit temporal+spatial comparison fingerprint of an animated (or
+    * single-frame) GIF; null when the bytes don't decode. */
+  def fingerprint(bytes: Array[Byte]): java.lang.Long = {
+    var w = 0
+    var h = 0
+    var acc: Array[Long] = null // A(x,y) = Σ delay·pixel
+    val delays = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val framesums = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val ok = GifAnim.foldFrames(bytes) { (canvas, meta) =>
+      if (acc == null) acc = new Array[Long](canvas.length)
+      val d = math.max(1, meta.delayCs).toLong
+      var s = 0L
+      var i = 0
+      while (i < canvas.length) {
+        s += canvas(i)
+        acc(i) += d * canvas(i)
+        i += 1
+      }
+      delays += d
+      framesums += s
+    }
+    ok match {
+      case None => null
+      case Some((ww, hh, _)) =>
+        w = ww; h = hh
+        java.lang.Long.valueOf(
+          fingerprintOf(w, h, delays.toArray, framesums.toArray, acc))
+    }
+  }
+
+  /** Fingerprint from the folded observables (exposed for the spec's
+    * closed-form cross-checks): per-frame delays (ticks ≥ 1), per-frame
+    * canvas sums, and the time-weighted canvas accumulator. */
+  private[graft] def fingerprintOf(w: Int, h: Int, delays: Array[Long],
+      framesums: Array[Long], acc: Array[Long]): Long = {
+    val nF = delays.length
+    var dTot = 0L
+    var f = 0
+    while (f < nF) { dTot += delays(f); f += 1 }
+    var hash = 0L
+    // temporal band: 33 cells over [0, dTot)
+    val cell = new Array[BigInt](Cells)
+    var c = 0
+    while (c < Cells) {
+      val c0 = c * dTot / Cells
+      val c1 = math.max(c0 + 1, (c + 1) * dTot / Cells)
+      var v = BigInt(0)
+      var start = 0L
+      f = 0
+      while (f < nF) {
+        val end = start + delays(f)
+        val o = math.min(end, c1) - math.max(start, c0)
+        if (o > 0) v += BigInt(o) * framesums(f)
+        start = end
+      f += 1
+      }
+      cell(c) = v
+      c += 1
+    }
+    c = 0
+    while (c < Cells - 1) {
+      if (cell(c) < cell(c + 1)) hash |= 1L << c
+      c += 1
+    }
+    // spatial band: 9×4 box sums over A, cross-multiplied comparisons
+    val s = Array.ofDim[BigInt](4, 9)
+    val area = Array.ofDim[Long](4, 9)
+    var by = 0
+    while (by < 4) {
+      val y0 = (by.toLong * h / 4).toInt
+      val y1 = math.max(y0 + 1, ((by + 1).toLong * h / 4).toInt)
+      var bx = 0
+      while (bx < 9) {
+        val x0 = (bx.toLong * w / 9).toInt
+        val x1 = math.max(x0 + 1, ((bx + 1).toLong * w / 9).toInt)
+        var v = BigInt(0)
+        var yy = y0
+        while (yy < y1) {
+          var xx = x0
+          while (xx < x1) { v += acc(yy * w + xx); xx += 1 }
+          yy += 1
+        }
+        s(by)(bx) = v
+        area(by)(bx) = (x1 - x0).toLong * (y1 - y0)
+        bx += 1
+      }
+      by += 1
+    }
+    by = 0
+    while (by < 4) {
+      var bx = 0
+      while (bx < 8) {
+        if (s(by)(bx) * area(by)(bx + 1) < s(by)(bx + 1) * area(by)(bx))
+          hash |= 1L << (32 + by * 8 + bx)
+        bx += 1
+      }
+      by += 1
+    }
+    hash
+  }
+
+  /** `video_fingerprint(bytes)`: 64-bit perceptual temporal+spatial
+    * fingerprint of an animated GIF, else NULL. */
+  case class VideoFingerprintExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"video_fingerprint requires binary input, got ${child.dataType.catalogString}")
+    override def nullSafeEval(input: Any): Any = {
+      val h = VideoFingerprint.fingerprint(input.asInstanceOf[Array[Byte]])
+      if (h == null) null else h.longValue()
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val boxed = ctx.freshName("vfp")
+        s"""
+           |java.lang.Long $boxed = graft.pipeline.VideoFingerprint.fingerprint($c);
+           |if ($boxed == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $boxed.longValue(); }
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "video_fingerprint"
+  }
+}

@@ -560,6 +560,132 @@ object PipelineQueries {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Video-dedup corpus: one closed-form animated GIF per doc_id < 600
+    * ([[graft.pipeline.GifAnim.generate]] — multi-frame GIF89a with GCE
+    * delays and sub-rect compositing, frame boundaries cell-aligned by
+    * construction). Twin classes:
+    *   - d%7==0 → 10000+d: TEMPORAL-SCALE twin — every delay ×k
+    *     (k = 2 + d%2), the same clip re-timed: fingerprint
+    *     bit-identical (hamming 0, see
+    *     [[graft.pipeline.VideoFingerprint]]);
+    *   - d%13==0 → 20000+d: LOCALIZED-EDIT twin — the last frame's
+    *     bottom-right pixel shifts by +96 mod 256; the pixel lives in
+    *     ONE spatial box (column 8, named by one comparison) and — by
+    *     the cell alignment — ONE temporal cell (cell 32, named by one
+    *     comparison), so hamming ≤ 2: the sub-threshold near-dup
+    *     class. */
+  private def videoCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val docs = Tables.documents(s, dir)
+    val base = docs.filter(d < 600)
+      .select(d.as("vid_id"),
+        call_function("gif_anim_gen", d, lit(1L), lit(0L)).as("vid"))
+    val scaled = docs.filter(d < 600 && pmod(d, lit(7)) === 0)
+      .select((d + 10000).as("vid_id"),
+        call_function("gif_anim_gen", d, (pmod(d, lit(2)) + 2).cast("long"),
+          lit(0L)).as("vid"))
+    val bump = docs.filter(d < 600 && pmod(d, lit(13)) === 0)
+      .select((d + 20000).as("vid_id"),
+        call_function("gif_anim_gen", d, lit(1L), lit(96L)).as("vid"))
+    base.union(scaled).union(bump)
+  }
+
+  /** D17: VIDEO PERCEPTUAL FINGERPRINTS — `video_fingerprint` (animated
+    * decode + compositing → 32 temporal time-cell comparison bits + 32
+    * spatial box comparison bits over the time-weighted canvas) over
+    * real multi-frame GIF89a containers, plus the four 16-bit band keys
+    * the near-dup blocking buckets on. The oracle replays the WHOLE
+    * chain in SQL — arg-max compositing of the closed-form frames →
+    * frame sums → floor-division cell bounds → overlap-weighted cell
+    * values → time-weighted canvas → box sums → cross-multiplied
+    * comparison bits → HUGEINT bit assembly — so the container walk,
+    * the LZW decode, the compositing, both bands, and the banding
+    * arithmetic are pinned value-exactly. */
+  private def d17(s: SparkSession, dir: String): DataFrame = {
+    val withF = videoCorpus(s, dir).select(col("vid_id").as("doc_id"),
+      call_function("video_fingerprint", col("vid")).as("fp"))
+    withF.select(col("doc_id") +: col("fp") +:
+        (0 until 4).map(i => shiftright(col("fp"), 16 * i)
+          .bitwiseAND(lit(65535L)).as(s"b$i")): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** D18: VIDEO NEAR-DUP PAIRS — fingerprints persist through the
+    * [[DedupIndex]] ingest-time artifact lifecycle (computed once per
+    * clip, like text SimHash, image dHash and the audio fingerprint),
+    * and pairing reuses [[Dedup.simHashNearDupPairsFromFingerprints]]
+    * unchanged — 4×16-bit banded blocking (pigeonhole-exact for
+    * hamming ≤ 3), bucket-local joins, no all-pairs. Re-timed twins
+    * pair at hamming 0, localized-edit twins at ≤ 2; the oracle
+    * brute-forces hamming ≤ 3 over its replayed fingerprints, which
+    * the banded blocking must match EXACTLY. */
+  private def d18(s: SparkSession, dir: String): DataFrame = {
+    val fp = DedupIndex.ensureVideoFingerprint(s, dir, videoCorpus(s, dir),
+      "vid_id", "vid", variant = "lt600tw7b13")
+    Dedup.simHashNearDupPairsFromFingerprints(fp, maxHamming = 3, bands = 4,
+        bits = 64)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** D19: VIDEO DEDUP RESOLUTION — keeper election over the d18 pair
+    * graph, completing the video modality's dedup lifecycle
+    * (fingerprint → banded pairs → transitive clusters → one
+    * representative per cluster), exactly as d12/d15 do for images and
+    * audio: the connected-components operator maps each clustered clip
+    * to its component-minimum id. The oracle replays fingerprints →
+    * brute-force hamming ≤ 3 pairs → recursive-CTE reachability → min
+    * election. */
+  private def d19(s: SparkSession, dir: String): DataFrame = {
+    val fp = DedupIndex.ensureVideoFingerprint(s, dir, videoCorpus(s, dir),
+      "vid_id", "vid", variant = "lt600tw7b13")
+    val pairs = Dedup.simHashNearDupPairsFromFingerprints(fp, maxHamming = 3,
+      bands = 4, bits = 64)
+    graft.pipeline.Components.nearDupClusters(pairs).orderBy(col("doc_id"))
+  }
+
+  /** S14: VIDEO HAMMING TOP-K — similarity SEARCH over the
+    * video-fingerprint modality, completing its lifecycle exactly as
+    * s12/s13 do for images and audio: brute-force bit_count(xor)
+    * against ONE broadcast query fingerprint with a (hamming, id)
+    * tie-broken top-20 — the scan reads 8 bytes a row, the query side
+    * is a 1-row broadcast, and the plan is TakeOrderedAndProject with
+    * no shuffle join. The oracle replays fingerprints → xor popcount →
+    * ordered LIMIT. */
+  private def s14(s: SparkSession, dir: String): DataFrame = {
+    val fp = DedupIndex.ensureVideoFingerprint(s, dir, videoCorpus(s, dir),
+      "vid_id", "vid", variant = "lt600tw7b13")
+    val q = fp.filter(col("__id") === 0L).select(col("__sim").as("__q"))
+    fp.filter(col("__id") =!= 0L).crossJoin(broadcast(q))
+      .select(col("__id").as("doc_id"),
+        expr("CAST(bit_count(__sim ^ __q) AS BIGINT)").as("hamming"))
+      .orderBy(col("hamming"), col("doc_id"))
+      .limit(20)
+  }
+
+  /** MM34: ANIMATED-GIF RENDERED-FRAME WALK — construct → full GIF89a
+    * animation decode (block walk, GCE delay capture, per-frame LZW,
+    * sub-rect COMPOSITING under disposal 1) with each DISPLAYED canvas
+    * folded to its pixel sum. The oracle replays the closed form: per
+    * canvas pixel the arg-max painting frame (frame 0 paints the full
+    * canvas, frame g > 0 paints x ≥ g%3 ∧ y ≥ g%2), the quadratic
+    * pixel mix, and the m·q cell-aligned delays. */
+  private def mm34(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    Tables.documents(s, dir).filter(d < 400)
+      .select(d.as("doc_id"),
+        explode(call_function("gif_frames",
+          call_function("gif_anim_gen", d, lit(1L), lit(0L)))).as("fr"))
+      .select(col("doc_id"),
+        col("fr").getField("frame_idx").cast("long").as("frame_idx"),
+        col("fr").getField("delay_cs").cast("long").as("delay_cs"),
+        col("fr").getField("f_left").cast("long").as("f_left"),
+        col("fr").getField("f_top").cast("long").as("f_top"),
+        col("fr").getField("f_w").cast("long").as("f_w"),
+        col("fr").getField("f_h").cast("long").as("f_h"),
+        col("fr").getField("sum_px").as("sum_px"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   /** C6: corpus mixture — down-sample sources to a 5:3:2 target recipe
     * ([[Curation.sampleToMixture]]); the binding source keeps 100%,
     * the others down-sample to the weight ratios via the deterministic
@@ -2460,6 +2586,11 @@ object PipelineQueries {
     "p_d15_audio_dedup_resolve" -> (d15 _),
     "p_d16_audio_lossy_neardup" -> (d16 _),
     "p_s13_audio_hamming_topk" -> (s13 _),
+    "p_d17_video_fingerprint" -> (d17 _),
+    "p_d18_video_neardup" -> (d18 _),
+    "p_d19_video_dedup_resolve" -> (d19 _),
+    "p_s14_video_hamming_topk" -> (s14 _),
+    "p_mm34_gif_anim" -> (mm34 _),
     "p_t6_unigram_lm" -> (t6Lm _),
     "p_t7_bm25_stats" -> (t7Bm25 _),
     "p_c6_mixture" -> (c6Mixture _),
@@ -3220,7 +3351,140 @@ object PipelineQueries {
         WHERE xs.d % 11 = 0),
       $audioFpChainSql"""
 
+  /** Closed-form CTEs for the animated-GIF corpus: per-doc geometry
+    * (b0), per-frame cell counts and cumulative starts (fr), and the
+    * arg-max COMPOSITED canvas per (doc, frame, x, y) (comp) — frame 0
+    * paints the full canvas, frame g > 0 paints x ≥ g%3 ∧ y ≥ g%2, and
+    * the latest painter wins (disposal 1 never clears), which is
+    * exactly [[graft.pipeline.GifAnim.generate]]'s construction. */
+  private def gifAnimCompCtes(maxDoc: Int): String =
+    s"""b0 AS (SELECT doc_id AS d, doc_id % 12 + 6 AS w,
+            (doc_id * 3) % 10 + 5 AS h, doc_id % 4 + 3 AS nf,
+            doc_id % 3 + 2 AS q
+        FROM documents WHERE doc_id < $maxDoc),
+      fr AS (SELECT d, w, h, nf, q, f.f AS f,
+          CASE WHEN f.f = nf - 1 THEN 1
+               ELSE 32 // (nf - 1)
+                    + CASE WHEN f.f < 32 % (nf - 1) THEN 1 ELSE 0 END END AS m,
+          f.f * (32 // (nf - 1)) + least(f.f, 32 % (nf - 1)) AS cum
+        FROM b0, range(0, 6) f(f) WHERE f.f < nf),
+      comp AS (SELECT c.d, c.f, c.x, c.y,
+          arg_max(((c.d * 23 + g.g * 31 + c.x * 7 + c.y * 19 + 5)
+                   * (c.d * 23 + g.g * 31 + c.x * 7 + c.y * 19 + 5))
+                  % 8191 % 256, g.g) AS v
+        FROM (SELECT b0.d, b0.nf, f.f AS f, x.x AS x, y.y AS y
+              FROM b0, range(0, 6) f(f), range(0, 17) x(x), range(0, 14) y(y)
+              WHERE f.f < b0.nf AND x.x < b0.w AND y.y < b0.h) c
+        JOIN range(0, 6) g(g)
+          ON g.g <= c.f AND (g.g = 0 OR (c.x >= g.g % 3 AND c.y >= g.g % 2))
+        GROUP BY c.d, c.f, c.x, c.y)"""
+
+  /** The d17-family oracle — twin construction (temporal scale k,
+    * corner bump) over the composited pixels, then the whole
+    * [[graft.pipeline.VideoFingerprint]] chain in integer SQL: frame
+    * sums → cell-aligned timeline → overlap-weighted temporal cells →
+    * time-weighted canvas → box sums → cross-multiplied spatial
+    * comparisons → HUGEINT bit assembly → signed BIGINT. */
+  private val videoFpOracleCtes: String =
+    s"""WITH ${gifAnimCompCtes(600)},
+      vids AS (SELECT d AS id, d, 1 AS k, 0 AS bump FROM b0
+        UNION ALL SELECT d + 10000, d, 2 + d % 2, 0 FROM b0 WHERE d % 7 = 0
+        UNION ALL SELECT d + 20000, d, 1, 96 FROM b0 WHERE d % 13 = 0),
+      vpx AS (SELECT v.id, v.d, c.f, c.x, c.y,
+          CASE WHEN v.bump <> 0 AND c.f = b2.nf - 1
+                AND c.x = b2.w - 1 AND c.y = b2.h - 1
+               THEN (c.v + v.bump) % 256 ELSE c.v END AS v
+        FROM vids v JOIN b0 b2 ON b2.d = v.d JOIN comp c ON c.d = v.d),
+      tl AS (SELECT v.id, fr.f, fr.m * fr.q * v.k AS delay,
+          fr.cum * fr.q * v.k AS start, 33 * fr.q * v.k AS dtot,
+          fr.w, fr.h
+        FROM vids v JOIN fr ON fr.d = v.d),
+      ids AS (SELECT DISTINCT id, dtot, w, h FROM tl),
+      fsum AS (SELECT id, f, SUM(v) AS fs FROM vpx GROUP BY id, f),
+      cells AS (SELECT ids.id, c.c AS c, (c.c * dtot) // 33 AS c0,
+          greatest((c.c * dtot) // 33 + 1, ((c.c + 1) * dtot) // 33) AS c1
+        FROM ids, range(0, 33) c(c)),
+      cellv AS (SELECT ce.id, ce.c,
+          SUM(greatest(0, least(t.start + t.delay, ce.c1)
+                          - greatest(t.start, ce.c0)) * f2.fs) AS cv
+        FROM cells ce JOIN tl t ON t.id = ce.id
+        JOIN fsum f2 ON f2.id = ce.id AND f2.f = t.f
+        GROUP BY ce.id, ce.c),
+      ax AS (SELECT p.id, p.x, p.y, SUM(t.delay * p.v) AS a
+        FROM vpx p JOIN tl t ON t.id = p.id AND t.f = p.f
+        GROUP BY p.id, p.x, p.y),
+      boxes AS (SELECT ids.id, gx.gx AS gx, gy.gy AS gy,
+          (gx.gx * w) // 9 AS x0,
+          greatest((gx.gx * w) // 9 + 1, ((gx.gx + 1) * w) // 9) AS x1,
+          (gy.gy * h) // 4 AS y0,
+          greatest((gy.gy * h) // 4 + 1, ((gy.gy + 1) * h) // 4) AS y1
+        FROM ids, range(0, 9) gx(gx), range(0, 4) gy(gy)),
+      sbox AS (SELECT b.id, b.gx, b.gy,
+          SUM(a.a) AS sv, (b.x1 - b.x0) * (b.y1 - b.y0) AS area
+        FROM boxes b JOIN ax a ON a.id = b.id
+          AND a.x >= b.x0 AND a.x < b.x1 AND a.y >= b.y0 AND a.y < b.y1
+        GROUP BY b.id, b.gx, b.gy, b.x0, b.x1, b.y0, b.y1),
+      fbits AS (
+        SELECT l1.id, l1.c AS bit
+        FROM cellv l1 JOIN cellv l2 ON l2.id = l1.id AND l2.c = l1.c + 1
+        WHERE l1.c < 32 AND l1.cv < l2.cv
+        UNION ALL
+        SELECT s1.id, 32 + s1.gy * 8 + s1.gx
+        FROM sbox s1 JOIN sbox s2 ON s2.id = s1.id AND s2.gy = s1.gy
+          AND s2.gx = s1.gx + 1
+        WHERE s1.gx < 8
+          AND CAST(s1.sv AS HUGEINT) * s2.area
+              < CAST(s2.sv AS HUGEINT) * s1.area),
+      fp AS (SELECT ids.id,
+          CASE WHEN s >= 9223372036854775808
+               THEN CAST(s - 18446744073709551616 AS BIGINT)
+               ELSE CAST(COALESCE(s, 0) AS BIGINT) END AS f
+        FROM ids LEFT JOIN (SELECT id,
+            SUM(CAST(1 AS HUGEINT) << CAST(bit AS INT)) AS s
+          FROM fbits GROUP BY id) g ON g.id = ids.id)"""
+
   def oracleSql: Map[String, String] = Map(
+    "p_mm34_gif_anim" ->
+      (s"""WITH ${gifAnimCompCtes(400)},
+          fs AS (SELECT d, f, SUM(v) AS sum_px FROM comp GROUP BY d, f)
+          SELECT fr.d AS doc_id,
+            CAST(fr.f AS BIGINT) AS frame_idx,
+            CAST(fr.m * fr.q AS BIGINT) AS delay_cs,
+            CAST(CASE WHEN fr.f = 0 THEN 0 ELSE fr.f % 3 END AS BIGINT) AS f_left,
+            CAST(CASE WHEN fr.f = 0 THEN 0 ELSE fr.f % 2 END AS BIGINT) AS f_top,
+            CAST(fr.w - CASE WHEN fr.f = 0 THEN 0 ELSE fr.f % 3 END AS BIGINT) AS f_w,
+            CAST(fr.h - CASE WHEN fr.f = 0 THEN 0 ELSE fr.f % 2 END AS BIGINT) AS f_h,
+            CAST(fs.sum_px AS BIGINT) AS sum_px
+          FROM fr JOIN fs ON fs.d = fr.d AND fs.f = fr.f
+          ORDER BY doc_id, frame_idx"""),
+    "p_d17_video_fingerprint" ->
+      (s"""$videoFpOracleCtes
+          SELECT id AS doc_id, f AS fp,
+            (f >> 0) & 65535 AS b0, (f >> 16) & 65535 AS b1,
+            (f >> 32) & 65535 AS b2, (f >> 48) & 65535 AS b3
+          FROM fp ORDER BY doc_id"""),
+    "p_d18_video_neardup" ->
+      (s"""$videoFpOracleCtes
+          SELECT a.id AS a_id, b2.id AS b_id,
+            bit_count(xor(a.f, b2.f)) AS hamming
+          FROM fp a, fp b2
+          WHERE a.id < b2.id AND bit_count(xor(a.f, b2.f)) <= 3
+          ORDER BY a_id, b_id"""),
+    "p_d19_video_dedup_resolve" ->
+      (s"""${videoFpOracleCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+          pairs AS (SELECT a.id AS a_id, b2.id AS b_id
+            FROM fp a, fp b2
+            WHERE a.id < b2.id AND bit_count(xor(a.f, b2.f)) <= 3),
+          ${reachSql("pairs")}
+          SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS rep_id
+          FROM reach GROUP BY id ORDER BY doc_id"""),
+    "p_s14_video_hamming_topk" ->
+      (s"""$videoFpOracleCtes,
+          q AS (SELECT f FROM fp WHERE id = 0)
+          SELECT fp.id AS doc_id,
+            CAST(bit_count(xor(fp.f, q.f)) AS BIGINT) AS hamming
+          FROM fp, q WHERE fp.id <> 0
+          ORDER BY hamming, doc_id LIMIT 20"""),
     "p_d16_audio_lossy_neardup" ->
       (s"""$lossyAudioFpCtes
           SELECT a.id AS a_id, b2.id AS b_id,

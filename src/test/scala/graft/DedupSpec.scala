@@ -536,5 +536,22 @@ class DedupSpec extends SparkSpec {
     assert(segA === rows(auds.selectExpr("aud_id AS __id",
       "audio_fingerprint(aud) AS __sim").where("__sim IS NOT NULL")))
     assert(segA.size === 24)
+
+    // video fingerprint over animated GIFs
+    val vids = (0L until 24L)
+      .map(i => (i, graft.pipeline.GifAnim.generate(i, 1, 0)))
+      .toDF("vid_id", "vid")
+    val vBase = vids.filter(col("vid_id") < 16)
+    val vDelta = vids.filter(col("vid_id") >= 16)
+    DedupIndex.ensureVideoFingerprintSegmented(spark, corpusDir, vBase,
+      "vid_id", "vid", variant = "segfp", artifactRootOverride = Some(root))
+    DedupIndex.appendVideoFingerprint(spark, corpusDir, vDelta,
+      "vid_id", "vid", variant = "segfp", artifactRootOverride = Some(root))
+    val segV = rows(DedupIndex.ensureVideoFingerprintSegmented(spark, corpusDir,
+      vBase, "vid_id", "vid", variant = "segfp",
+      artifactRootOverride = Some(root)))
+    assert(segV === rows(vids.selectExpr("vid_id AS __id",
+      "video_fingerprint(vid) AS __sim").where("__sim IS NOT NULL")))
+    assert(segV.size === 24)
   }
 }
