@@ -199,6 +199,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("gif_frames", "gif_frames(bytes) - array of per-frame structs (frame_idx, delay_cs, f_left, f_top, f_w, f_h, composited-canvas sum_px) from the animated-GIF walk, else NULL"),
       (args: Seq[Expression]) => graft.pipeline.GifAnim.GifFramesExpr(args(0))))
     ext.injectFunction((
+      FunctionIdentifier("gif_upscale"),
+      info("gif_upscale", "gif_upscale(bytes, k) - pixel-replication x k transcode of an animated GIF (composited canvases re-encoded as full frames, delays preserved), else NULL"),
+      (args: Seq[Expression]) => graft.pipeline.GifAnim.GifUpscaleExpr(args(0), args(1))))
+    ext.injectFunction((
       FunctionIdentifier("video_fingerprint"),
       info("video_fingerprint", "video_fingerprint(bytes) - 64-bit perceptual video fingerprint (32 temporal time-cell comparison bits + 32 spatial box comparison bits over the time-weighted canvas) of an animated GIF, else NULL"),
       (args: Seq[Expression]) => graft.pipeline.VideoFingerprint.VideoFingerprintExpr(args(0))))

@@ -349,6 +349,42 @@ object GifAnim {
     encode(w, h, frames)
   }
 
+  /** Pixel-replication upscale ×k as a GIF-to-GIF transcode: every
+    * DISPLAYED canvas is replicated k×k and re-encoded as a full-size
+    * frame with its original delay — a pixel-timeline-preserving
+    * transform whose samples CHANGE (the lossy-twin construction for
+    * the video fingerprint: frame sums scale by exactly k², so the
+    * TEMPORAL band is provably invariant, while spatial box bounds
+    * shift by sub-pixel amounts — the measured-robustness regime
+    * VideoRobustnessSpec pins). Sub-rects are normalized away (the
+    * transcode re-frames each composited canvas), exactly as a real
+    * transcoder would. Null on undecodable bytes, k outside 1..16, or
+    * an output canvas past the decoder's own 64 MP refusal bound. */
+  def upscale(bytes: Array[Byte], k: Long): Array[Byte] = {
+    if (k < 1 || k > 16) return null
+    val kk = k.toInt
+    decodeAnim(bytes) match {
+      case None => null
+      case Some(anim) =>
+        val (w, h) = (anim.w, anim.h)
+        if (w.toLong * kk * h * kk > 64000000L) return null
+        val frames = anim.frames.zip(anim.metas).map { case (cv, m) =>
+          val gray = new Array[Byte](w * kk * h * kk)
+          var y = 0
+          while (y < h * kk) {
+            var x = 0
+            while (x < w * kk) {
+              gray(y * w * kk + x) = cv((y / kk) * w + (x / kk)).toByte
+              x += 1
+            }
+            y += 1
+          }
+          EncFrame(0, 0, w * kk, h * kk, gray, m.delayCs)
+        }
+        encode(w * kk, h * kk, frames.toSeq)
+    }
+  }
+
   // ==== expressions =======================================================
 
   /** `gif_anim_gen(seed, delay_scale, bump)`: the deterministic
@@ -382,6 +418,37 @@ object GifAnim {
     override protected def withNewChildrenInternal(f: Expression, s: Expression,
         t: Expression): Expression = copy(f, s, t)
     override def prettyName: String = "gif_anim_gen"
+  }
+
+  /** `gif_upscale(bytes, k)`: the pixel-replication ×k transcode — the
+    * samples-change twin constructor for video-dedup gates. */
+  case class GifUpscaleExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val ok = left.dataType == BinaryType &&
+        (right.dataType == LongType || right.dataType == IntegerType)
+      if (ok) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        "gif_upscale requires (binary, integral)")
+    }
+    private def asLong(v: Any): Long = v match {
+      case l: java.lang.Long => l
+      case i: java.lang.Integer => i.toLong
+    }
+    override def nullSafeEval(b: Any, k: Any): Any =
+      GifAnim.upscale(b.asInstanceOf[Array[Byte]], asLong(k))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (b, k) => {
+        s"""
+           |${ev.value} = graft.pipeline.GifAnim.upscale($b, (long) $k);
+           |${ev.isNull} = ${ev.value} == null;
+         """.stripMargin
+      })
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression): Expression = copy(l, r)
+    override def prettyName: String = "gif_upscale"
   }
 
   /** Per-frame rows for `gif_frames`: the rendered-frame walk with each

@@ -686,6 +686,32 @@ object PipelineQueries {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** D20: VIDEO LOSSY-TWIN NEAR-DUP PAIRS — the samples-CHANGE
+    * robustness gate for the video fingerprint (the d16 analog): base
+    * clips are the ×3 pixel-replication transcode of the closed-form
+    * animations (`gif_upscale` — a REAL GIF-to-GIF transcode through
+    * the full decode/encode), twins the ×6 transcode — exactly a ×2
+    * replication of the base, so frame sums scale by 4 and the
+    * TEMPORAL band is provably hamming-0 while spatial box bounds
+    * shift sub-pixel (VideoRobustnessSpec pins the measured envelope:
+    * ≤ 6 over this family, ~91% within the ≤ 3 pairing threshold).
+    * Banded pairing must match the oracle's brute force EXACTLY —
+    * including which upscale twins fall outside the threshold. */
+  private def d20(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val docs = Tables.documents(s, dir)
+    def up(k: Int) = call_function("gif_upscale",
+      call_function("gif_anim_gen", d, lit(1L), lit(0L)), lit(k.toLong))
+    val base = docs.filter(d < 400).select(d.as("vid_id"), up(3).as("vid"))
+    val twin = docs.filter(d < 400 && pmod(d, lit(11)) === 0)
+      .select((d + 30000).as("vid_id"), up(6).as("vid"))
+    val fp = DedupIndex.ensureVideoFingerprint(s, dir, base.union(twin),
+      "vid_id", "vid", variant = "up400u11")
+    Dedup.simHashNearDupPairsFromFingerprints(fp, maxHamming = 3, bands = 4,
+        bits = 64)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** C6: corpus mixture — down-sample sources to a 5:3:2 target recipe
     * ([[Curation.sampleToMixture]]); the binding source keeps 100%,
     * the others down-sample to the weight ratios via the deterministic
@@ -2590,6 +2616,7 @@ object PipelineQueries {
     "p_d18_video_neardup" -> (d18 _),
     "p_d19_video_dedup_resolve" -> (d19 _),
     "p_s14_video_hamming_topk" -> (s14 _),
+    "p_d20_video_upscale_neardup" -> (d20 _),
     "p_mm34_gif_anim" -> (mm34 _),
     "p_t6_unigram_lm" -> (t6Lm _),
     "p_t7_bm25_stats" -> (t7Bm25 _),
@@ -3379,27 +3406,16 @@ object PipelineQueries {
           ON g.g <= c.f AND (g.g = 0 OR (c.x >= g.g % 3 AND c.y >= g.g % 2))
         GROUP BY c.d, c.f, c.x, c.y)"""
 
-  /** The d17-family oracle — twin construction (temporal scale k,
-    * corner bump) over the composited pixels, then the whole
-    * [[graft.pipeline.VideoFingerprint]] chain in integer SQL: frame
-    * sums → cell-aligned timeline → overlap-weighted temporal cells →
+  /** Shared oracle tail — the [[graft.pipeline.VideoFingerprint]] chain
+    * from a `vpx(id, f, x, y, v)` composited-pixel relation and a
+    * `tl(id, f, delay, start, dtot, w, h)` timeline relation to
+    * `fp(id, f)`: frame sums → overlap-weighted temporal cells →
     * time-weighted canvas → box sums → cross-multiplied spatial
-    * comparisons → HUGEINT bit assembly → signed BIGINT. */
-  private val videoFpOracleCtes: String =
-    s"""WITH ${gifAnimCompCtes(600)},
-      vids AS (SELECT d AS id, d, 1 AS k, 0 AS bump FROM b0
-        UNION ALL SELECT d + 10000, d, 2 + d % 2, 0 FROM b0 WHERE d % 7 = 0
-        UNION ALL SELECT d + 20000, d, 1, 96 FROM b0 WHERE d % 13 = 0),
-      vpx AS (SELECT v.id, v.d, c.f, c.x, c.y,
-          CASE WHEN v.bump <> 0 AND c.f = b2.nf - 1
-                AND c.x = b2.w - 1 AND c.y = b2.h - 1
-               THEN (c.v + v.bump) % 256 ELSE c.v END AS v
-        FROM vids v JOIN b0 b2 ON b2.d = v.d JOIN comp c ON c.d = v.d),
-      tl AS (SELECT v.id, fr.f, fr.m * fr.q * v.k AS delay,
-          fr.cum * fr.q * v.k AS start, 33 * fr.q * v.k AS dtot,
-          fr.w, fr.h
-        FROM vids v JOIN fr ON fr.d = v.d),
-      ids AS (SELECT DISTINCT id, dtot, w, h FROM tl),
+    * comparisons → HUGEINT bit assembly → signed BIGINT. Shared by the
+    * d17 family (sample-exact twins) and d20 (lossy upscale twins) so
+    * the replay arithmetic can never drift between gates. */
+  private val videoFpChainSql: String =
+    """ids AS (SELECT DISTINCT id, dtot, w, h FROM tl),
       fsum AS (SELECT id, f, SUM(v) AS fs FROM vpx GROUP BY id, f),
       cells AS (SELECT ids.id, c.c AS c, (c.c * dtot) // 33 AS c0,
           greatest((c.c * dtot) // 33 + 1, ((c.c + 1) * dtot) // 33) AS c1
@@ -3443,6 +3459,46 @@ object PipelineQueries {
             SUM(CAST(1 AS HUGEINT) << CAST(bit AS INT)) AS s
           FROM fbits GROUP BY id) g ON g.id = ids.id)"""
 
+  /** The d17-family oracle — twin construction (temporal scale k,
+    * corner bump) over the composited pixels, feeding the shared
+    * fingerprint chain. */
+  private val videoFpOracleCtes: String =
+    s"""WITH ${gifAnimCompCtes(600)},
+      vids AS (SELECT d AS id, d, 1 AS k, 0 AS bump FROM b0
+        UNION ALL SELECT d + 10000, d, 2 + d % 2, 0 FROM b0 WHERE d % 7 = 0
+        UNION ALL SELECT d + 20000, d, 1, 96 FROM b0 WHERE d % 13 = 0),
+      vpx AS (SELECT v.id, c.f, c.x, c.y,
+          CASE WHEN v.bump <> 0 AND c.f = b2.nf - 1
+                AND c.x = b2.w - 1 AND c.y = b2.h - 1
+               THEN (c.v + v.bump) % 256 ELSE c.v END AS v
+        FROM vids v JOIN b0 b2 ON b2.d = v.d JOIN comp c ON c.d = v.d),
+      tl AS (SELECT v.id, fr.f, fr.m * fr.q * v.k AS delay,
+          fr.cum * fr.q * v.k AS start, 33 * fr.q * v.k AS dtot,
+          fr.w, fr.h
+        FROM vids v JOIN fr ON fr.d = v.d),
+      $videoFpChainSql"""
+
+  /** The d20 oracle — the LOSSY upscale-twin corpus: base clips are the
+    * ×3 pixel-replication transcode (⌊x/3⌋ source mapping over a 3w×3h
+    * grid), twins the ×6 transcode, feeding the same shared chain. The
+    * temporal band is provably identical (frame sums scale by k²); the
+    * spatial band is the measured-robustness surface
+    * (VideoRobustnessSpec pins the hamming envelope). */
+  private val upscaleVideoFpCtes: String =
+    s"""WITH ${gifAnimCompCtes(400)},
+      vids AS (SELECT d AS id, d, 3 AS up FROM b0
+        UNION ALL SELECT d + 30000, d, 6 FROM b0 WHERE d % 11 = 0),
+      vpx AS (SELECT v.id, c.f,
+          c.x * v.up + rx.r AS x, c.y * v.up + ry.r AS y, c.v
+        FROM vids v JOIN comp c ON c.d = v.d,
+          range(0, 6) rx(r), range(0, 6) ry(r)
+        WHERE rx.r < v.up AND ry.r < v.up),
+      tl AS (SELECT v.id, fr.f, fr.m * fr.q AS delay,
+          fr.cum * fr.q AS start, 33 * fr.q AS dtot,
+          fr.w * v.up AS w, fr.h * v.up AS h
+        FROM vids v JOIN fr ON fr.d = v.d),
+      $videoFpChainSql"""
+
   def oracleSql: Map[String, String] = Map(
     "p_mm34_gif_anim" ->
       (s"""WITH ${gifAnimCompCtes(400)},
@@ -3485,6 +3541,13 @@ object PipelineQueries {
             CAST(bit_count(xor(fp.f, q.f)) AS BIGINT) AS hamming
           FROM fp, q WHERE fp.id <> 0
           ORDER BY hamming, doc_id LIMIT 20"""),
+    "p_d20_video_upscale_neardup" ->
+      (s"""$upscaleVideoFpCtes
+          SELECT a.id AS a_id, b2.id AS b_id,
+            bit_count(xor(a.f, b2.f)) AS hamming
+          FROM fp a, fp b2
+          WHERE a.id < b2.id AND bit_count(xor(a.f, b2.f)) <= 3
+          ORDER BY a_id, b_id"""),
     "p_d16_audio_lossy_neardup" ->
       (s"""$lossyAudioFpCtes
           SELECT a.id AS a_id, b2.id AS b_id,
