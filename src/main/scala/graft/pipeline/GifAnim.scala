@@ -420,6 +420,49 @@ object GifAnim {
     override def prettyName: String = "gif_anim_gen"
   }
 
+  /** Scan-time animation meta for the MediaSource `decode=gifanim`
+    * seam: ONE [[foldFrames]] pass computes the container geometry, the
+    * timeline total, the summed displayed-canvas luminance, AND the
+    * [[VideoFingerprint]] — so a media crawl fingerprints clips the
+    * moment it scans them, with no second decode. Null (whole struct)
+    * on undecodable bytes. */
+  val metaSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("total_delay_cs", LongType),
+    StructField("sum_px", LongType),
+    StructField("fingerprint", LongType)))
+
+  def metaRow(bytes: Array[Byte]): InternalRow = {
+    var acc: Array[Long] = null
+    var sumPx = 0L
+    var delayTotal = 0L
+    val delays = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val framesums = scala.collection.mutable.ArrayBuffer.empty[Long]
+    foldFrames(bytes) { (canvas, meta) =>
+      if (acc == null) acc = new Array[Long](canvas.length)
+      val d = math.max(1, meta.delayCs).toLong
+      var s = 0L
+      var i = 0
+      while (i < canvas.length) {
+        s += canvas(i)
+        acc(i) += d * canvas(i)
+        i += 1
+      }
+      delays += d
+      framesums += s
+      sumPx += s
+      delayTotal += meta.delayCs
+    } match {
+      case None => null
+      case Some((w, h, n)) =>
+        InternalRow(w, h, n, delayTotal, sumPx,
+          VideoFingerprint.fingerprintOf(w, h, delays.toArray,
+            framesums.toArray, acc))
+    }
+  }
+
   /** `gif_upscale(bytes, k)`: the pixel-replication ×k transcode — the
     * samples-change twin constructor for video-dedup gates. */
   case class GifUpscaleExpr(left: Expression, right: Expression)

@@ -712,6 +712,34 @@ object PipelineQueries {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** MM35: MEDIA-SOURCE VIDEO SCAN — the video modality crossing the
+    * REAL FILE SEAM: one animated-GIF file per doc_id < 400 landed on
+    * the [[graft.sources.MediaFixture]] tree, scanned through the
+    * DataSource-V2 [[graft.sources.MediaSource]] with
+    * `decode=gifanim`, which runs the full animation decode AND the
+    * video fingerprint in ONE fold inside the partition reader — a
+    * crawl fingerprints clips the moment it scans them, no second
+    * decode pass. The oracle replays geometry, timeline total, summed
+    * displayed canvases, and the complete fingerprint chain from
+    * doc_id alone. */
+  private def mm35(s: SparkSession, dir: String): DataFrame = {
+    val mediaDir = graft.sources.MediaFixture.ensureGifAnimDir(
+      s, dir, Tables.documents(s, dir).filter(col("doc_id") < 400))
+    s.read.format("graft.sources.MediaSource")
+      .option("decode", "gifanim").load(mediaDir)
+      .filter(col("path").endsWith(".gif"))
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.gif$", 1)
+          .cast("long").as("doc_id"),
+        col("meta").getField("width").cast("long").as("width"),
+        col("meta").getField("height").cast("long").as("height"),
+        col("meta").getField("n_frames").cast("long").as("n_frames"),
+        col("meta").getField("total_delay_cs").as("total_delay_cs"),
+        col("meta").getField("sum_px").as("sum_px"),
+        col("meta").getField("fingerprint").as("fp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** C6: corpus mixture — down-sample sources to a 5:3:2 target recipe
     * ([[Curation.sampleToMixture]]); the binding source keeps 100%,
     * the others down-sample to the weight ratios via the deterministic
@@ -2618,6 +2646,7 @@ object PipelineQueries {
     "p_s14_video_hamming_topk" -> (s14 _),
     "p_d20_video_upscale_neardup" -> (d20 _),
     "p_mm34_gif_anim" -> (mm34 _),
+    "p_mm35_media_video_scan" -> (mm35 _),
     "p_t6_unigram_lm" -> (t6Lm _),
     "p_t7_bm25_stats" -> (t7Bm25 _),
     "p_c6_mixture" -> (c6Mixture _),
@@ -3541,6 +3570,27 @@ object PipelineQueries {
             CAST(bit_count(xor(fp.f, q.f)) AS BIGINT) AS hamming
           FROM fp, q WHERE fp.id <> 0
           ORDER BY hamming, doc_id LIMIT 20"""),
+    "p_mm35_media_video_scan" ->
+      (s"""WITH ${gifAnimCompCtes(400)},
+          vids AS (SELECT d AS id, d FROM b0),
+          vpx AS (SELECT v.id, c.f, c.x, c.y, c.v
+            FROM vids v JOIN comp c ON c.d = v.d),
+          tl AS (SELECT v.id, fr.f, fr.m * fr.q AS delay,
+              fr.cum * fr.q AS start, 33 * fr.q AS dtot, fr.w, fr.h
+            FROM vids v JOIN fr ON fr.d = v.d),
+          $videoFpChainSql
+          SELECT b0.d AS doc_id,
+            CAST(b0.w AS BIGINT) AS width,
+            CAST(b0.h AS BIGINT) AS height,
+            CAST(b0.nf AS BIGINT) AS n_frames,
+            CAST(33 * b0.q AS BIGINT) AS total_delay_cs,
+            CAST(sp.s AS BIGINT) AS sum_px,
+            fp.f AS fp
+          FROM b0
+          JOIN (SELECT id, SUM(fs) AS s FROM fsum GROUP BY id) sp
+            ON sp.id = b0.d
+          JOIN fp ON fp.id = b0.d
+          ORDER BY doc_id"""),
     "p_d20_video_upscale_neardup" ->
       (s"""$upscaleVideoFpCtes
           SELECT a.id AS a_id, b2.id AS b_id,

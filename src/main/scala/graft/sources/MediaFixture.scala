@@ -29,6 +29,32 @@ object MediaFixture {
   /** doc_id → stable file name; zero-padded so path order = id order. */
   def fileName(docId: Long): String = f"doc_$docId%012d.ivf"
 
+  /** doc_id → stable animated-GIF file name. */
+  def gifName(docId: Long): String = f"doc_$docId%012d.gif"
+
+  /** Ensure the per-document ANIMATED-GIF file tree for `corpusDir`
+    * exists and is fresh; returns its committed path. Same distributed
+    * write + atomic-commit lifecycle as [[ensureVp9Dir]]; payloads are
+    * the closed-form [[graft.pipeline.GifAnim.generate]] clips, so a
+    * scan of this tree is oracle-replayable from doc_id alone. */
+  def ensureGifAnimDir(spark: SparkSession, corpusDir: String,
+      docs: DataFrame): String =
+    ArtifactStore.ensureDir(s"$corpusDir/documents.parquet",
+      artifactRoot(spark),
+      s"gifanim_${java.nio.file.Paths.get(corpusDir).getFileName}_v1") { staging =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(staging))
+      import org.apache.spark.sql.functions.col
+      docs.select(col("doc_id").cast("long")).repartition(32)
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          it.foreach { r =>
+            val id = r.getLong(0)
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(staging, gifName(id)),
+              graft.pipeline.GifAnim.generate(id, 1, 0))
+          }
+        }
+    }
+
   /** Ensure the per-document VP9 file tree for `corpusDir` exists and
     * is fresh; returns its committed path. `docs` must carry `doc_id`
     * and be a deterministic function of the corpus. */

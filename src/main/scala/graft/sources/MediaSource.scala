@@ -12,7 +12,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.pipeline.{AdtsHeader, H264Nal, ImageHeader, Mp3Header, Mp3L3, Vp9Ivf}
+import graft.pipeline.{AdtsHeader, GifAnim, H264Nal, ImageHeader, Mp3Header, Mp3L3, Vp9Ivf}
 
 /** The MEDIA SOURCE — the documented codec seam made real as a
   * DataSource V2 BATCH source: `spark.read.format("graft.sources.
@@ -70,7 +70,8 @@ object MediaSource {
     "mp3l3" -> ((Mp3L3.SpectralSchema, Mp3L3.spectralRow _)),
     "adts" -> ((AdtsHeader.AdtsMetaExpr.schema, AdtsHeader.parseRow _)),
     "h264" -> ((H264Nal.H264MetaExpr.schema, H264Nal.parseRow _)),
-    "vp9" -> ((Vp9Ivf.Vp9MetaExpr.schema, Vp9Ivf.parseRow _)))
+    "vp9" -> ((Vp9Ivf.Vp9MetaExpr.schema, Vp9Ivf.parseRow _)),
+    "gifanim" -> ((GifAnim.metaSchema, GifAnim.metaRow _)))
 
   def schemaFor(decode: String): StructType = {
     val base = Seq(

@@ -374,6 +374,71 @@ class MediaSourceSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("unknown decode option")))
   }
 
+  test("decode=gifanim: scan-time animation decode + fingerprint in one fold") {
+    import graft.pipeline.{GifAnim, VideoFingerprint}
+    val droot = Files.createTempDirectory("media_gifanim").toString
+    for (d <- Seq(3L, 47L, 212L))
+      Files.write(Paths.get(droot, f"clip_$d%04d.gif"), GifAnim.generate(d, 1, 0))
+    Files.write(Paths.get(droot, "not_a_clip.gif"), Array.fill[Byte](40)(9))
+    val rows = spark.read.format("graft.sources.MediaSource")
+      .option("decode", "gifanim").load(droot)
+      .select(col("path"), col("meta")).collect()
+      .map(r => (r.getString(0), r.get(1))).toMap
+    for (d <- Seq(3L, 47L, 212L)) {
+      val anim = GifAnim.decodeAnim(GifAnim.generate(d, 1, 0)).get
+      val m = rows.collectFirst {
+        case (p, v) if p.endsWith(f"clip_$d%04d.gif") =>
+          v.asInstanceOf[org.apache.spark.sql.Row]
+      }.get
+      assert(m.getInt(0) === anim.w && m.getInt(1) === anim.h)
+      assert(m.getInt(2) === anim.frames.length)
+      assert(m.getLong(3) === anim.metas.map(_.delayCs.toLong).sum)
+      assert(m.getLong(4) === anim.frames.map(_.map(_.toLong).sum).sum)
+      assert(m.getLong(5) ===
+        VideoFingerprint.fingerprint(GifAnim.generate(d, 1, 0)).longValue())
+    }
+    // malformed bytes surface a NULL meta, never a task kill
+    assert(rows.collectFirst {
+      case (p, v) if p.endsWith("not_a_clip.gif") => v
+    }.get == null)
+  }
+
+  test("video dedup lifecycle crosses the real file boundary: scan → fingerprint → resolve") {
+    // the d17–d19 gates build clips in-plan; this composes the same
+    // lifecycle over REAL FILES — a tree of animated GIFs with one
+    // re-timed re-encode (temporal-scale twin, provably hamming 0, in
+    // a subdirectory) read through the MediaSource scan, fingerprinted
+    // into the DedupIndex artifact, paired through the banded
+    // blocking, resolved through connected components: the re-timed
+    // copy must collapse onto its original across the file seam
+    import graft.pipeline.{Components, Dedup, DedupIndex, GifAnim}
+    val droot = Files.createTempDirectory("media_vdedup").toString
+    Files.createDirectories(Paths.get(droot, "retimed"))
+    Files.write(Paths.get(droot, "vid_90.gif"), GifAnim.generate(90L, 1, 0))
+    Files.write(Paths.get(droot, "retimed", "vid_91.gif"),
+      GifAnim.generate(90L, 3, 0))
+    (0 until 6).foreach { i =>
+      Files.write(Paths.get(droot, f"vid_$i%02d.gif"),
+        GifAnim.generate(i.toLong, 1, 0))
+    }
+    val artRoot = Files.createTempDirectory("media_vdedup_art").toString
+    val scan = spark.read.format("graft.sources.MediaSource")
+      .option("decode", "none").load(droot)
+      .select(regexp_extract(col("path"), "vid_(\\d+)\\.gif", 1)
+        .cast("long").as("vid_id"), col("bytes"))
+    val fp = DedupIndex.ensureVideoFingerprint(spark, "/nonexistent/mediavdedup",
+      scan, "vid_id", "bytes", variant = "mediaspec",
+      artifactRootOverride = Some(artRoot))
+    assert(fp.count() === 8) // every file decoded and fingerprinted
+    val pairs = Dedup.simHashNearDupPairsFromFingerprints(fp, maxHamming = 3,
+      bands = 4, bits = 64)
+    val resolved = Components.nearDupClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(resolved.get(91L) === Some(90L),
+      s"the re-timed copy must resolve to its original, got $resolved")
+    assert(resolved.filter(_._2 == 90L).keySet === Set(90L, 91L))
+  }
+
   test("image dedup lifecycle crosses the real file boundary: scan → fingerprint → resolve") {
     // the d10–d12 gates build PNGs in-plan; this composes the same
     // lifecycle over REAL FILES — a tree of images (one box-resized
