@@ -374,6 +374,69 @@ class MediaSourceSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("unknown decode option")))
   }
 
+  test("streaming video ingest: each micro-batch appends its clips' fingerprints " +
+      "to the segmented DedupIndex, and the grown artifact equals a full rebuild") {
+    // the streaming-era media-ingest cadence end-to-end for video: a
+    // crawl drops clips on the landing tree, each micro-batch claims
+    // only ITS files, and foreachBatch appends ONLY that batch's
+    // fingerprints — base ∪ deltas must be bit-identical to rebuilding
+    // over everything (the pure-per-row-function contract the
+    // ensure*Segmented families pin)
+    import graft.pipeline.{DedupIndex, GifAnim}
+    val sdir = Files.createTempDirectory("media_vstream").toString
+    (0 until 3).foreach { i =>
+      Files.write(Paths.get(sdir, f"clip_$i%02d.gif"),
+        GifAnim.generate(i.toLong, 1, 0))
+    }
+    val artRoot = Files.createTempDirectory("media_vstream_art").toString
+    val corpusDir = "/nonexistent/vstream"
+    val seen = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val stream = spark.readStream.format("graft.sources.MediaSource")
+      .option("decode", "none").load(sdir)
+      .select(regexp_extract(col("path"), "clip_(\\d+)\\.gif", 1)
+        .cast("long").as("vid_id"), col("bytes"))
+    val q = stream.writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("media_vstream_ckpt").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (batch.isEmpty) ()
+        else if (seen.compareAndSet(false, true))
+          DedupIndex.ensureVideoFingerprintSegmented(spark, corpusDir, batch,
+            "vid_id", "bytes", variant = "vstream",
+            artifactRootOverride = Some(artRoot))
+        else
+          DedupIndex.appendVideoFingerprint(spark, corpusDir, batch,
+            "vid_id", "bytes", variant = "vstream",
+            artifactRootOverride = Some(artRoot))
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      (3 until 5).foreach { i =>
+        val p = Paths.get(sdir, f"clip_$i%02d.gif")
+        Files.write(p, GifAnim.generate(i.toLong, 1, 0))
+        Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime
+          .fromMillis(System.currentTimeMillis() + 2000))
+      }
+      q.processAllAvailable()
+    } finally q.stop()
+    import spark.implicits._
+    // re-ensure with the (already-ingested) base: a fresh segmented
+    // artifact returns as-is — the read-back path, not a rebuild
+    val base = (0L until 3L).map(i => (i, GifAnim.generate(i, 1, 0)))
+      .toDF("vid_id", "bytes")
+    val grown = DedupIndex.ensureVideoFingerprintSegmented(spark, corpusDir,
+      base, "vid_id", "bytes", variant = "vstream",
+      artifactRootOverride = Some(artRoot))
+    val rebuild = (0L until 5L).map(i => (i, GifAnim.generate(i, 1, 0)))
+      .toDF("vid_id", "vid")
+      .selectExpr("vid_id AS __id", "video_fingerprint(vid) AS __sim")
+    assert(grown.collect().map(_.toString).sorted.toSeq ===
+      rebuild.collect().map(_.toString).sorted.toSeq)
+    assert(grown.count() === 5)
+  }
+
   test("decode=gifanim: scan-time animation decode + fingerprint in one fold") {
     import graft.pipeline.{GifAnim, VideoFingerprint}
     val droot = Files.createTempDirectory("media_gifanim").toString
