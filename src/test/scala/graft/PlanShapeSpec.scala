@@ -367,4 +367,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("IdentityBroadcastMode")) // the 1-row query side
     assert(!p.contains("SortMergeJoin"))
   }
+
+  test("video fingerprint stays inside whole-stage codegen") {
+    // animated decode → compositing fold → temporal/spatial comparison
+    // bits is one codegen'd projection over the scan, same guard as
+    // image_dhash and audio_fingerprint
+    import org.apache.spark.sql.functions._
+    val p = Tables.documents(spark, sf0001)
+      .select(call_function("video_fingerprint",
+        call_function("gif_anim_gen", col("doc_id"),
+          org.apache.spark.sql.functions.lit(1L),
+          org.apache.spark.sql.functions.lit(0L))).as("f"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("*(1) Project"), s"expected codegen'd projection:\n$p")
+  }
+
+  test("video hamming top-k: 1-row broadcast + TakeOrdered — no shuffle join") {
+    // the same search shape on the video fingerprint artifact
+    val p = plan("p_s14_video_hamming_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("IdentityBroadcastMode")) // the 1-row query side
+    assert(!p.contains("SortMergeJoin"))
+  }
 }
