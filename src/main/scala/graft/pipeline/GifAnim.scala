@@ -183,15 +183,17 @@ object GifAnim {
           case 0x21 =>
             val label = u8()
             if (label == 0xF9) {
+              // GIF89a mandates a GCE block size of exactly 4 (packed,
+              // 2-byte delay, transparent index); anything else is a
+              // malformed stream and the contract is fail-closed — refuse
+              // rather than guess at the framing.
               val size = u8()
-              if (size >= 3) {
-                val gpacked = u8()
-                delay = le16()
-                val t = u8()
-                p += size - 4
-                disposal = (gpacked >> 2) & 7
-                transIdx = if ((gpacked & 1) != 0) t else -1
-              } else p += size
+              if (size != 4) return None
+              val gpacked = u8()
+              delay = le16()
+              val t = u8()
+              disposal = (gpacked >> 2) & 7
+              transIdx = if ((gpacked & 1) != 0) t else -1
               var n = u8()
               while (n != 0) { p += n; n = u8() }
             } else {
@@ -435,31 +437,12 @@ object GifAnim {
     StructField("fingerprint", LongType)))
 
   def metaRow(bytes: Array[Byte]): InternalRow = {
-    var acc: Array[Long] = null
-    var sumPx = 0L
-    var delayTotal = 0L
-    val delays = scala.collection.mutable.ArrayBuffer.empty[Long]
-    val framesums = scala.collection.mutable.ArrayBuffer.empty[Long]
-    foldFrames(bytes) { (canvas, meta) =>
-      if (acc == null) acc = new Array[Long](canvas.length)
-      val d = math.max(1, meta.delayCs).toLong
-      var s = 0L
-      var i = 0
-      while (i < canvas.length) {
-        s += canvas(i)
-        acc(i) += d * canvas(i)
-        i += 1
-      }
-      delays += d
-      framesums += s
-      sumPx += s
-      delayTotal += meta.delayCs
-    } match {
+    val coll = new VideoFingerprint.FrameCollector
+    foldFrames(bytes)(coll.onFrame) match {
       case None => null
       case Some((w, h, n)) =>
-        InternalRow(w, h, n, delayTotal, sumPx,
-          VideoFingerprint.fingerprintOf(w, h, delays.toArray,
-            framesums.toArray, acc))
+        InternalRow(w, h, n, coll.delayTotalCs, coll.sumPx,
+          coll.fingerprint(w, h))
     }
   }
 

@@ -78,15 +78,20 @@ object VideoFingerprint {
   /** Number of time cells; 33 cells → 32 comparisons. */
   val Cells = 33
 
-  /** 64-bit temporal+spatial comparison fingerprint of an animated (or
-    * single-frame) GIF; null when the bytes don't decode. */
-  def fingerprint(bytes: Array[Byte]): java.lang.Long = {
-    var w = 0
-    var h = 0
-    var acc: Array[Long] = null // A(x,y) = Σ delay·pixel
-    val delays = scala.collection.mutable.ArrayBuffer.empty[Long]
-    val framesums = scala.collection.mutable.ArrayBuffer.empty[Long]
-    val ok = GifAnim.foldFrames(bytes) { (canvas, meta) =>
+  /** The per-frame fold shared by the expression path
+    * ([[fingerprint]]) and the scan-time path ([[GifAnim.metaRow]]):
+    * accumulates the clamped display timeline, per-frame canvas sums,
+    * and the time-weighted canvas A(x,y) = Σ delay·pixel — ONE code
+    * path, so the two fingerprints can never drift. Also tracks the
+    * raw (unclamped) delay total and the summed luminance the
+    * MediaSource meta surfaces. */
+  final class FrameCollector {
+    private[this] var acc: Array[Long] = null
+    private val delays = scala.collection.mutable.ArrayBuffer.empty[Long]
+    private val framesums = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var sumPx = 0L
+    var delayTotalCs = 0L
+    def onFrame(canvas: Array[Int], meta: GifAnim.FrameMeta): Unit = {
       if (acc == null) acc = new Array[Long](canvas.length)
       val d = math.max(1, meta.delayCs).toLong
       var s = 0L
@@ -98,13 +103,20 @@ object VideoFingerprint {
       }
       delays += d
       framesums += s
+      sumPx += s
+      delayTotalCs += meta.delayCs
     }
-    ok match {
+    def fingerprint(w: Int, h: Int): Long =
+      fingerprintOf(w, h, delays.toArray, framesums.toArray, acc)
+  }
+
+  /** 64-bit temporal+spatial comparison fingerprint of an animated (or
+    * single-frame) GIF; null when the bytes don't decode. */
+  def fingerprint(bytes: Array[Byte]): java.lang.Long = {
+    val coll = new FrameCollector
+    GifAnim.foldFrames(bytes)(coll.onFrame) match {
       case None => null
-      case Some((ww, hh, _)) =>
-        w = ww; h = hh
-        java.lang.Long.valueOf(
-          fingerprintOf(w, h, delays.toArray, framesums.toArray, acc))
+      case Some((w, h, _)) => java.lang.Long.valueOf(coll.fingerprint(w, h))
     }
   }
 

@@ -172,4 +172,19 @@ class GifAnimSpec extends SparkSpec {
     assert(GifAnim.decodeAnim(Array.fill[Byte](40)(7)).isEmpty)
     assert(GifAnim.decodeAnim(null).isEmpty)
   }
+
+  test("fail-closed: GCE block size != 4 refuses (no rewind, no guess)") {
+    val good = GifAnim.generate(5L, 1, 0)
+    // locate the first GCE (0x21 0xF9 0x04) — generate always emits one
+    val gce = good.indices.find(i => i + 2 < good.length &&
+      (good(i) & 0xFF) == 0x21 && (good(i + 1) & 0xFF) == 0xF9 &&
+      (good(i + 2) & 0xFF) == 0x04).get
+    for (badSize <- Seq(0, 3, 5, 255)) {
+      val mut = good.clone()
+      mut(gce + 2) = badSize.toByte
+      assert(GifAnim.decodeAnim(mut).isEmpty, s"GCE size=$badSize must refuse")
+    }
+    // sanity: restoring size 4 decodes again
+    assert(GifAnim.decodeAnim(good).isDefined)
+  }
 }
