@@ -207,6 +207,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("video_fingerprint", "video_fingerprint(bytes) - 64-bit perceptual video fingerprint (32 temporal time-cell comparison bits + 32 spatial box comparison bits over the time-weighted canvas) of an animated GIF, else NULL"),
       (args: Seq[Expression]) => graft.pipeline.VideoFingerprint.VideoFingerprintExpr(args(0))))
     ext.injectFunction((
+      FunctionIdentifier("struct_av_gen"),
+      info("struct_av_gen", "struct_av_gen(seed, ktime, ksize, bump) - deterministic codec-blind IVF capture for seed (closed-form frame lengths + PTS timeline); ktime re-times, ksize scales sizes, bump edits the last frame's length"),
+      (args: Seq[Expression]) => graft.pipeline.StructFingerprint.StructAvGenExpr(args(0), args(1), args(2), args(3))))
+    ext.injectFunction((
+      FunctionIdentifier("ivf_to_mp4"),
+      info("ivf_to_mp4", "ivf_to_mp4(bytes) - real IVF -> ISO-BMFF MP4 re-mux: the walked (len, dur) sequence re-emitted as stts/stsz sample tables with the frame payloads as mdat, else NULL"),
+      (args: Seq[Expression]) => graft.pipeline.StructFingerprint.IvfToMp4Expr(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("av_struct_frames"),
+      info("av_struct_frames", "av_struct_frames(bytes) - array of (frame_idx, frame_len, dur_ticks) structs from the codec-blind IVF/MP4/ADTS container walk, else NULL"),
+      (args: Seq[Expression]) => graft.pipeline.StructFingerprint.AvStructFramesExpr(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("av_struct_fingerprint"),
+      info("av_struct_fingerprint", "av_struct_fingerprint(bytes) - 64-bit structural video/AV fingerprint (32 temporal time-cell comparison bits + 32 stream-order index-cell comparison bits over the per-frame byte-size + duration sequence) of an IVF/MP4/ADTS container, else NULL"),
+      (args: Seq[Expression]) => graft.pipeline.StructFingerprint.AvStructFingerprintExpr(args(0))))
+    ext.injectFunction((
       FunctionIdentifier("aac_gen"),
       info("aac_gen", "aac_gen(seed) - deterministic two-frame ADTS AAC-LC stream (SCE, long-family window sequences, all eleven spectral codebooks incl. the escape) for seed"),
       (args: Seq[Expression]) => graft.pipeline.AacLc.AacGenExpr(args(0))))

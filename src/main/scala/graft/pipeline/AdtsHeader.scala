@@ -50,11 +50,12 @@ object AdtsHeader {
   private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
 
   /** One parsed header: (mpegVersion 2|4, profile+1 = audio object
-    * type 1..4, rate, channels, crcPresent, frameLen). */
-  private final case class Frame(mpegVersion: Int, objectType: Int,
+    * type 1..4, rate, channels, crcPresent, frameLen). (Header parse
+    * shared with [[StructFingerprint]]'s codec-blind frame walk.) */
+  private[pipeline] final case class Frame(mpegVersion: Int, objectType: Int,
       rate: Int, channels: Int, crc: Boolean, frameLen: Int)
 
-  private def header(b: Array[Byte], i: Int): Option[Frame] = {
+  private[pipeline] def header(b: Array[Byte], i: Int): Option[Frame] = {
     if (i + 7 > b.length) return None
     if (u8(b, i) != 0xff || (u8(b, i + 1) & 0xf0) != 0xf0) return None
     if (((u8(b, i + 1) >> 1) & 3) != 0) return None // layer must be 00

@@ -113,8 +113,9 @@ object AvHeader {
   // ---- MP4 / ISO BMFF ----------------------------------------------------
 
   /** Walk the boxes in `[lo, hi)`, calling `f(type, payloadLo, boxEnd)`.
-    * Returns false on a structurally-broken box. */
-  private def walkBoxes(b: Array[Byte], lo: Int, hi: Int)(
+    * Returns false on a structurally-broken box. (Shared with
+    * [[StructFingerprint]]'s sample-table walk.) */
+  private[pipeline] def walkBoxes(b: Array[Byte], lo: Int, hi: Int)(
       f: (String, Int, Int) => Unit): Boolean = {
     var i = lo
     while (i + 8 <= hi) {

@@ -279,6 +279,53 @@ object DedupIndex {
         .write.mode("overwrite").parquet(tmp)
     }
 
+  /** Persisted STRUCTURAL AV fingerprints `(__id, __sim)` — the
+    * real-container (IVF/MP4/ADTS) counterpart of
+    * [[ensureVideoFingerprint]]: the 64-bit temporal + stream-order
+    * comparison fingerprint ([[StructFingerprint]]) over the per-frame
+    * byte-size + duration walk, computed once at ingest, no entropy
+    * decode; pairing reuses the SAME banded machinery. */
+  def ensureStructFingerprint(spark: SparkSession, corpusDir: String,
+      av: DataFrame, idCol: String, bytesCol: String, variant: String,
+      artifactRootOverride: Option[String] = None): DataFrame =
+    ensure(spark, corpusDir,
+      s"structfp_${Paths.get(corpusDir).getFileName}_${variant}_v$FormatVersion",
+      artifactRootOverride.getOrElse(artifactRoot(spark)),
+      structFingerprintRows(av, idCol, bytesCol))
+
+  private def structFingerprintRows(av: DataFrame, idCol: String,
+      bytesCol: String): DataFrame =
+    av.select(col(idCol).as("__id"),
+        call_function("av_struct_fingerprint", col(bytesCol)).as("__sim"))
+      .filter(col("__sim").isNotNull)
+
+  private def structSegKey(corpusDir: String, variant: String): String =
+    s"structfpseg_${Paths.get(corpusDir).getFileName}_${variant}_v$FormatVersion"
+
+  /** Segmented structural AV fingerprints; append ≡ rebuild (pure
+    * per-row fn). */
+  def ensureStructFingerprintSegmented(spark: SparkSession, corpusDir: String,
+      baseAv: DataFrame, idCol: String, bytesCol: String, variant: String,
+      artifactRootOverride: Option[String] = None): DataFrame =
+    ArtifactStore.ensureSegmented(spark,
+      artifactRootOverride.getOrElse(artifactRoot(spark)),
+      structSegKey(corpusDir, variant),
+      sourceFile = Some(s"$corpusDir/documents.parquet")) {
+      tmp => structFingerprintRows(baseAv, idCol, bytesCol)
+        .write.mode("overwrite").parquet(tmp)
+    }
+
+  /** Append fingerprints for NEW AV rows to the segmented artifact. */
+  def appendStructFingerprint(spark: SparkSession, corpusDir: String,
+      newAv: DataFrame, idCol: String, bytesCol: String, variant: String,
+      artifactRootOverride: Option[String] = None): Unit =
+    ArtifactStore.appendSegment(spark,
+      artifactRootOverride.getOrElse(artifactRoot(spark)),
+      structSegKey(corpusDir, variant)) {
+      tmp => structFingerprintRows(newAv, idCol, bytesCol)
+        .write.mode("overwrite").parquet(tmp)
+    }
+
   /** Persisted SimHash fingerprints `(__id, __sim)`. `hashTag` names the
     * per-shingle hash function in the cache key (the Column function
     * itself can't be fingerprinted). */

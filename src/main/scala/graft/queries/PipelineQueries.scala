@@ -740,6 +740,158 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Structural-AV dedup corpus — the REAL-CONTAINER video modality
+    * ([[graft.pipeline.StructFingerprint]]): one closed-form codec-blind
+    * IVF capture per doc_id < 600, plus five twin classes:
+    *   - d%5==0 → 10000+d: RE-WRAP twin — `ivf_to_mp4`, a REAL re-mux
+    *     into ISO-BMFF sample tables: hamming 0 by construction;
+    *   - d%7==0 → 20000+d: RE-TIME twin — every duration ×(2+d%3), the
+    *     timebase re-stamp: hamming 0 (33 | D alignment + the
+    *     time-blind stream-order band);
+    *   - d%9==0 → 30000+d: BITRATE twin — every length ×(2+d%2), the
+    *     constant-quantizer re-encode: hamming 0, scale-free bands;
+    *   - d%13==0 → 40000+d: LOCALIZED-EDIT twin — the last frame's
+    *     length +17+d%5: the bounded near-dup envelope
+    *     (StructFingerprintSpec pins ≤ 6 over this family);
+    *   - d%17==0 → 50000+d: ADTS members — the mm13 closed-form AAC
+    *     streams, pinning the third container dispatch in the SAME
+    *     fingerprint space. */
+  private def structAvCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val docs = Tables.documents(s, dir)
+    def gen(kt: Column, ks: Column, bump: Column) =
+      call_function("struct_av_gen", d, kt, ks, bump)
+    val one = lit(1L)
+    val zero = lit(0L)
+    val base = docs.filter(d < 600)
+      .select(d.as("av_id"), gen(one, one, zero).as("av"))
+    val rewrap = docs.filter(d < 600 && pmod(d, lit(5)) === 0)
+      .select((d + 10000).as("av_id"),
+        call_function("ivf_to_mp4", gen(one, one, zero)).as("av"))
+    val retime = docs.filter(d < 600 && pmod(d, lit(7)) === 0)
+      .select((d + 20000).as("av_id"),
+        gen((pmod(d, lit(3)) + 2).cast("long"), one, zero).as("av"))
+    val bitrate = docs.filter(d < 600 && pmod(d, lit(9)) === 0)
+      .select((d + 30000).as("av_id"),
+        gen(one, (pmod(d, lit(2)) + 2).cast("long"), zero).as("av"))
+    val edit = docs.filter(d < 600 && pmod(d, lit(13)) === 0)
+      .select((d + 40000).as("av_id"),
+        gen(one, one, (pmod(d, lit(5)) + 17).cast("long")).as("av"))
+    val adts = docs.filter(d < 600 && pmod(d, lit(17)) === 0)
+      .select((d + 50000).as("av_id"), mm13Bytes(d).as("av"))
+    base.union(rewrap).union(retime).union(bitrate).union(edit).union(adts)
+  }
+
+  private val structAvVariant = "lt600w5t7b9e13a17"
+
+  /** MM36: CODEC-BLIND CONTAINER FRAME WALK — `av_struct_frames` over
+    * all three real containers (doc_id%3: 0 → IVF, 1 → the ivf_to_mp4
+    * re-mux's sample tables, 2 → ADTS), one tiny (idx, len, dur) struct
+    * per frame. The oracle replays the IVF delta rule (last duration =
+    * previous), the MP4 stts/stsz expansion, and the 13-bit ADTS
+    * lengths in closed form — the fingerprint's entire input sequence
+    * is pinned per-frame before any band arithmetic. */
+  private def mm36(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val gen = call_function("struct_av_gen", d, lit(1L), lit(1L), lit(0L))
+    val av = when(pmod(d, lit(3)) === 0, gen)
+      .when(pmod(d, lit(3)) === 1, call_function("ivf_to_mp4", gen))
+      .otherwise(mm13Bytes(d))
+    Tables.documents(s, dir).filter(d < 600)
+      .select(col("doc_id"),
+        explode(call_function("av_struct_frames", av)).as("f"))
+      .select(col("doc_id"),
+        col("f").getField("frame_idx").cast("long").as("frame_idx"),
+        col("f").getField("frame_len").as("frame_len"),
+        col("f").getField("dur_ticks").as("dur_ticks"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  /** D21: STRUCTURAL AV FINGERPRINTS — `av_struct_fingerprint` (32
+    * temporal time-cell comparison bits + 32 stream-order index-cell
+    * comparison bits over the walked per-frame byte-size + duration
+    * sequence) over the full five-twin-class corpus, plus the four
+    * 16-bit band keys. The oracle replays the WHOLE chain — closed-form
+    * lengths/durations per twin class → prefix-sum frame starts →
+    * floor-division cell bounds → overlap-weighted temporal cells →
+    * index-cell sums → cross-multiplied comparisons → HUGEINT bit
+    * assembly. */
+  private def d21(s: SparkSession, dir: String): DataFrame = {
+    val withF = structAvCorpus(s, dir).select(col("av_id").as("doc_id"),
+      call_function("av_struct_fingerprint", col("av")).as("fp"))
+    withF.select(col("doc_id") +: col("fp") +:
+        (0 until 4).map(i => shiftright(col("fp"), 16 * i)
+          .bitwiseAND(lit(65535L)).as(s"b$i")): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** D22: STRUCTURAL AV NEAR-DUP PAIRS — fingerprints persist through
+    * the [[DedupIndex]] ingest-time artifact lifecycle and pairing
+    * reuses the 4×16-bit banded blocking unchanged (pigeonhole-exact at
+    * hamming ≤ 3, bucket-local joins, no all-pairs). Re-wrap, re-time
+    * and bitrate twins pair at hamming 0; the oracle brute-forces its
+    * replayed fingerprints, which the blocking must match EXACTLY —
+    * including which edit twins fall outside the threshold. */
+  private def d22(s: SparkSession, dir: String): DataFrame = {
+    val fp = DedupIndex.ensureStructFingerprint(s, dir, structAvCorpus(s, dir),
+      "av_id", "av", variant = structAvVariant)
+    Dedup.simHashNearDupPairsFromFingerprints(fp, maxHamming = 3, bands = 4,
+        bits = 64)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** D23: STRUCTURAL AV DEDUP RESOLUTION — keeper election over the d22
+    * pair graph (connected components → component-minimum id), the same
+    * lifecycle close as images/audio/GIF-video. */
+  private def d23(s: SparkSession, dir: String): DataFrame = {
+    val fp = DedupIndex.ensureStructFingerprint(s, dir, structAvCorpus(s, dir),
+      "av_id", "av", variant = structAvVariant)
+    val pairs = Dedup.simHashNearDupPairsFromFingerprints(fp, maxHamming = 3,
+      bands = 4, bits = 64)
+    graft.pipeline.Components.nearDupClusters(pairs).orderBy(col("doc_id"))
+  }
+
+  /** S15: STRUCTURAL AV HAMMING TOP-K — similarity search over the
+    * structural-fingerprint modality: brute-force bit_count(xor)
+    * against ONE broadcast query fingerprint, (hamming, id) tie-broken
+    * top-20, planned as TakeOrderedAndProject with no shuffle join. */
+  private def s15(s: SparkSession, dir: String): DataFrame = {
+    val fp = DedupIndex.ensureStructFingerprint(s, dir, structAvCorpus(s, dir),
+      "av_id", "av", variant = structAvVariant)
+    val q = fp.filter(col("__id") === 0L).select(col("__sim").as("__q"))
+    fp.filter(col("__id") =!= 0L).crossJoin(broadcast(q))
+      .select(col("__id").as("doc_id"),
+        expr("CAST(bit_count(__sim ^ __q) AS BIGINT)").as("hamming"))
+      .orderBy(col("hamming"), col("doc_id"))
+      .limit(20)
+  }
+
+  /** MM37: MEDIA-SOURCE STRUCTURAL-AV SCAN — the real-container video
+    * modality crossing the REAL FILE SEAM: a mixed tree (even doc_ids
+    * as .ivf captures, odd as their .mp4 re-mux) landed on the
+    * [[graft.sources.MediaFixture]] tree and scanned through the
+    * DataSource-V2 [[graft.sources.MediaSource]] with `decode=avstruct`
+    * — container dispatch, frame walk AND fingerprint run in ONE pass
+    * inside the partition reader. The oracle replays all five surfaced
+    * fields from doc_id alone (the two containers carry the SAME
+    * sequence, so the only per-container field is the dispatch tag). */
+  private def mm37(s: SparkSession, dir: String): DataFrame = {
+    val mediaDir = graft.sources.MediaFixture.ensureStructAvDir(
+      s, dir, Tables.documents(s, dir).filter(col("doc_id") < 400))
+    s.read.format("graft.sources.MediaSource")
+      .option("decode", "avstruct").load(mediaDir)
+      .filter(col("path").endsWith(".ivf") || col("path").endsWith(".mp4"))
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.(?:ivf|mp4)$", 1)
+          .cast("long").as("doc_id"),
+        col("meta").getField("container").as("container"),
+        col("meta").getField("n_frames").cast("long").as("n_frames"),
+        col("meta").getField("total_dur").as("total_dur"),
+        col("meta").getField("sum_len").as("sum_len"),
+        col("meta").getField("fingerprint").as("fp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** C6: corpus mixture — down-sample sources to a 5:3:2 target recipe
     * ([[Curation.sampleToMixture]]); the binding source keeps 100%,
     * the others down-sample to the weight ratios via the deterministic
@@ -2647,6 +2799,12 @@ object PipelineQueries {
     "p_d20_video_upscale_neardup" -> (d20 _),
     "p_mm34_gif_anim" -> (mm34 _),
     "p_mm35_media_video_scan" -> (mm35 _),
+    "p_mm36_av_struct_frames" -> (mm36 _),
+    "p_mm37_media_struct_scan" -> (mm37 _),
+    "p_d21_struct_fingerprint" -> (d21 _),
+    "p_d22_struct_neardup" -> (d22 _),
+    "p_d23_struct_dedup_resolve" -> (d23 _),
+    "p_s15_struct_hamming_topk" -> (s15 _),
     "p_t6_unigram_lm" -> (t6Lm _),
     "p_t7_bm25_stats" -> (t7Bm25 _),
     "p_c6_mixture" -> (c6Mixture _),
@@ -3528,7 +3686,160 @@ object PipelineQueries {
         FROM vids v JOIN fr ON fr.d = v.d),
       $videoFpChainSql"""
 
+  /** Closed-form CTEs for the structural-AV generator
+    * ([[graft.pipeline.StructFingerprint.generate]]): per-doc frame
+    * count (sb0) and the first-duration pad u0 that makes every
+    * timeline a multiple of 33 (su0). A `svids(id, d, kt, ks, bump)`
+    * relation (provided by each oracle) expands to the per-frame
+    * `sfd(id, i, len, dur)` sequence — the SAME array the IVF walk's
+    * delta rule and the MP4 sample tables recover. */
+  private def structAvGenCtes(maxDoc: Int): String =
+    s"""sb0 AS (SELECT doc_id AS d, doc_id % 9 + 4 AS n
+          FROM documents WHERE doc_id < $maxDoc),
+      su0 AS (SELECT sb0.d, 33 - SUM(CASE WHEN i.i = sb0.n - 1
+              THEN (sb0.d * 5 + (sb0.n - 2) * 17) % 11 + 2
+              ELSE (sb0.d * 5 + i.i * 17) % 11 + 2 END) % 33 AS u0
+        FROM sb0, range(1, 12) i(i) WHERE i.i < sb0.n GROUP BY sb0.d)"""
+
+  private val structAvSfdSql: String =
+    """sfd AS (SELECT v.id, i.i AS i,
+        ((v.d * 13 + i.i * 29) % 211 + 24) * v.ks
+          + CASE WHEN i.i = sb0.n - 1 THEN v.bump ELSE 0 END AS len,
+        v.kt * (CASE WHEN i.i = 0 THEN su0.u0
+             WHEN i.i = sb0.n - 1 THEN (v.d * 5 + (sb0.n - 2) * 17) % 11 + 2
+             ELSE (v.d * 5 + i.i * 17) % 11 + 2 END) AS dur
+      FROM svids v, sb0, su0, range(0, 12) i(i)
+      WHERE sb0.d = v.d AND su0.d = v.d AND i.i < sb0.n)"""
+
+  /** Shared oracle tail — the [[graft.pipeline.StructFingerprint]]
+    * chain from a `fd(id, i, len, dur)` per-frame relation to
+    * `fp(id, f)`: prefix-sum frame starts → overlap-weighted temporal
+    * cells → index-cell sums with frame counts → cross-multiplied
+    * stream-order comparisons → HUGEINT bit assembly → signed BIGINT.
+    * Shared by the whole d21 family so the replay arithmetic can never
+    * drift between gates. */
+  private val structFpChainSql: String =
+    """seq AS (SELECT id, i, len, dur,
+        COALESCE(SUM(dur) OVER (PARTITION BY id ORDER BY i
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS fstart
+      FROM fd),
+      sids AS (SELECT id, SUM(dur) AS dtot, COUNT(*) AS n FROM fd GROUP BY id),
+      ca AS (SELECT sids.id, c.c AS c, (c.c * dtot) // 33 AS c0,
+          greatest((c.c * dtot) // 33 + 1, ((c.c + 1) * dtot) // 33) AS c1
+        FROM sids, range(0, 33) c(c)),
+      cav AS (SELECT ca.id, ca.c,
+          SUM(greatest(0, least(t.fstart + t.dur, ca.c1)
+                          - greatest(t.fstart, ca.c0)) * t.len) AS cv
+        FROM ca JOIN seq t ON t.id = ca.id
+        GROUP BY ca.id, ca.c),
+      cb AS (SELECT sids.id, c.c AS c, (c.c * n) // 33 AS i0,
+          greatest((c.c * n) // 33 + 1, ((c.c + 1) * n) // 33) AS i1
+        FROM sids, range(0, 33) c(c)),
+      cbv AS (SELECT cb.id, cb.c, SUM(f2.len) AS bv, cb.i1 - cb.i0 AS bn
+        FROM cb JOIN fd f2 ON f2.id = cb.id AND f2.i >= cb.i0 AND f2.i < cb.i1
+        GROUP BY cb.id, cb.c, cb.i1, cb.i0),
+      fbits AS (
+        SELECT a1.id, a1.c AS bit
+        FROM cav a1 JOIN cav a2 ON a2.id = a1.id AND a2.c = a1.c + 1
+        WHERE a1.c < 32 AND a1.cv < a2.cv
+        UNION ALL
+        SELECT b1.id, 32 + b1.c
+        FROM cbv b1 JOIN cbv b2 ON b2.id = b1.id AND b2.c = b1.c + 1
+        WHERE b1.c < 32
+          AND CAST(b1.bv AS HUGEINT) * b2.bn < CAST(b2.bv AS HUGEINT) * b1.bn),
+      fp AS (SELECT sids.id,
+          CASE WHEN s >= 9223372036854775808
+               THEN CAST(s - 18446744073709551616 AS BIGINT)
+               ELSE CAST(COALESCE(s, 0) AS BIGINT) END AS f
+        FROM sids LEFT JOIN (SELECT id,
+            SUM(CAST(1 AS HUGEINT) << CAST(bit AS INT)) AS s
+          FROM fbits GROUP BY id) g ON g.id = sids.id)"""
+
+  /** The d21-family oracle corpus — all five twin classes plus the ADTS
+    * members, feeding the shared chain. Re-wrap twins reuse the base
+    * (kt=ks=1, bump=0) closed form because the re-mux preserves the
+    * sequence exactly — that IS the invariance under test. */
+  private val structAvOracleCtes: String =
+    s"""WITH ${structAvGenCtes(600)},
+      svids AS (SELECT d AS id, d, 1 AS kt, 1 AS ks, 0 AS bump FROM sb0
+        UNION ALL SELECT d + 10000, d, 1, 1, 0 FROM sb0 WHERE d % 5 = 0
+        UNION ALL SELECT d + 20000, d, 2 + d % 3, 1, 0 FROM sb0 WHERE d % 7 = 0
+        UNION ALL SELECT d + 30000, d, 1, 2 + d % 2, 0 FROM sb0 WHERE d % 9 = 0
+        UNION ALL SELECT d + 40000, d, 1, 1, 17 + d % 5 FROM sb0 WHERE d % 13 = 0),
+      $structAvSfdSql,
+      afd AS (SELECT a.d + 50000 AS id, f.f AS i,
+          7 + 2 * (CASE WHEN a.d % 2 = 0 THEN 1 ELSE 0 END)
+            + a.d % 50 + 10 + f.f AS len,
+          1 AS dur
+        FROM (SELECT doc_id AS d, doc_id % 8 + 2 AS nf FROM documents
+              WHERE doc_id < 600 AND doc_id % 17 = 0) a, range(0, 9) f(f)
+        WHERE f.f < a.nf),
+      fd AS (SELECT * FROM sfd UNION ALL SELECT * FROM afd),
+      $structFpChainSql"""
+
   def oracleSql: Map[String, String] = Map(
+    "p_mm36_av_struct_frames" ->
+      (s"""WITH ${structAvGenCtes(600)},
+          svids AS (SELECT d AS id, d, 1 AS kt, 1 AS ks, 0 AS bump
+            FROM sb0 WHERE d % 3 < 2),
+          $structAvSfdSql,
+          afd AS (SELECT a.d AS id, f.f AS i,
+              7 + 2 * (CASE WHEN a.d % 2 = 0 THEN 1 ELSE 0 END)
+                + a.d % 50 + 10 + f.f AS len,
+              1 AS dur
+            FROM (SELECT doc_id AS d, doc_id % 8 + 2 AS nf FROM documents
+                  WHERE doc_id < 600 AND doc_id % 3 = 2) a, range(0, 9) f(f)
+            WHERE f.f < a.nf),
+          fd AS (SELECT * FROM sfd UNION ALL SELECT * FROM afd)
+          SELECT id AS doc_id, CAST(i AS BIGINT) AS frame_idx,
+            CAST(len AS BIGINT) AS frame_len, CAST(dur AS BIGINT) AS dur_ticks
+          FROM fd ORDER BY doc_id, frame_idx"""),
+    "p_d21_struct_fingerprint" ->
+      (s"""$structAvOracleCtes
+          SELECT id AS doc_id, f AS fp,
+            (f >> 0) & 65535 AS b0, (f >> 16) & 65535 AS b1,
+            (f >> 32) & 65535 AS b2, (f >> 48) & 65535 AS b3
+          FROM fp ORDER BY doc_id"""),
+    "p_d22_struct_neardup" ->
+      (s"""$structAvOracleCtes
+          SELECT a.id AS a_id, b2.id AS b_id,
+            bit_count(xor(a.f, b2.f)) AS hamming
+          FROM fp a, fp b2
+          WHERE a.id < b2.id AND bit_count(xor(a.f, b2.f)) <= 3
+          ORDER BY a_id, b_id"""),
+    "p_d23_struct_dedup_resolve" ->
+      (s"""${structAvOracleCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+          pairs AS (SELECT a.id AS a_id, b2.id AS b_id
+            FROM fp a, fp b2
+            WHERE a.id < b2.id AND bit_count(xor(a.f, b2.f)) <= 3),
+          ${reachSql("pairs")}
+          SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS rep_id
+          FROM reach GROUP BY id ORDER BY doc_id"""),
+    "p_s15_struct_hamming_topk" ->
+      (s"""$structAvOracleCtes,
+          q AS (SELECT f FROM fp WHERE id = 0)
+          SELECT fp.id AS doc_id,
+            CAST(bit_count(xor(fp.f, q.f)) AS BIGINT) AS hamming
+          FROM fp, q WHERE fp.id <> 0
+          ORDER BY hamming, doc_id LIMIT 20"""),
+    "p_mm37_media_struct_scan" ->
+      (s"""WITH ${structAvGenCtes(400)},
+          svids AS (SELECT d AS id, d, 1 AS kt, 1 AS ks, 0 AS bump FROM sb0),
+          $structAvSfdSql,
+          fd AS (SELECT * FROM sfd),
+          $structFpChainSql,
+          agg AS (SELECT id, COUNT(*) AS n, SUM(dur) AS dtot,
+              SUM(len) AS slen FROM fd GROUP BY id)
+          SELECT sb0.d AS doc_id,
+            CASE WHEN sb0.d % 2 = 0 THEN 'ivf' ELSE 'mp4' END AS container,
+            CAST(agg.n AS BIGINT) AS n_frames,
+            CAST(agg.dtot AS BIGINT) AS total_dur,
+            CAST(agg.slen AS BIGINT) AS sum_len,
+            fp.f AS fp
+          FROM sb0
+          JOIN agg ON agg.id = sb0.d
+          JOIN fp ON fp.id = sb0.d
+          ORDER BY doc_id"""),
     "p_mm34_gif_anim" ->
       (s"""WITH ${gifAnimCompCtes(400)},
           fs AS (SELECT d, f, SUM(v) AS sum_px FROM comp GROUP BY d, f)

@@ -55,6 +55,39 @@ object MediaFixture {
         }
     }
 
+  /** doc_id → stable codec-blind AV capture file name: even ids stay
+    * IVF, odd ids are the [[graft.pipeline.StructFingerprint.ivfToMp4]]
+    * re-mux of the same capture — so ONE scan of the tree exercises
+    * both container walks. */
+  def structName(docId: Long): String =
+    if (docId % 2 == 0) f"doc_$docId%012d.ivf" else f"doc_$docId%012d.mp4"
+
+  /** Ensure the mixed IVF/MP4 structural-AV file tree for `corpusDir`
+    * exists and is fresh; same distributed write + atomic-commit
+    * lifecycle as [[ensureGifAnimDir]]. Payloads are the closed-form
+    * [[graft.pipeline.StructFingerprint.generate]] captures (odd ids
+    * re-muxed to MP4), so a scan is oracle-replayable from doc_id. */
+  def ensureStructAvDir(spark: SparkSession, corpusDir: String,
+      docs: DataFrame): String =
+    ArtifactStore.ensureDir(s"$corpusDir/documents.parquet",
+      artifactRoot(spark),
+      s"structav_${java.nio.file.Paths.get(corpusDir).getFileName}_v1") { staging =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(staging))
+      import org.apache.spark.sql.functions.col
+      docs.select(col("doc_id").cast("long")).repartition(32)
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          it.foreach { r =>
+            val id = r.getLong(0)
+            val ivf = graft.pipeline.StructFingerprint.generate(id, 1, 1, 0)
+            val bytes =
+              if (id % 2 == 0) ivf
+              else graft.pipeline.StructFingerprint.ivfToMp4(ivf)
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(staging, structName(id)), bytes)
+          }
+        }
+    }
+
   /** Ensure the per-document VP9 file tree for `corpusDir` exists and
     * is fresh; returns its committed path. `docs` must carry `doc_id`
     * and be a deterministic function of the corpus. */

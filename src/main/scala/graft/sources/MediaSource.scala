@@ -71,7 +71,9 @@ object MediaSource {
     "adts" -> ((AdtsHeader.AdtsMetaExpr.schema, AdtsHeader.parseRow _)),
     "h264" -> ((H264Nal.H264MetaExpr.schema, H264Nal.parseRow _)),
     "vp9" -> ((Vp9Ivf.Vp9MetaExpr.schema, Vp9Ivf.parseRow _)),
-    "gifanim" -> ((GifAnim.metaSchema, GifAnim.metaRow _)))
+    "gifanim" -> ((GifAnim.metaSchema, GifAnim.metaRow _)),
+    "avstruct" -> ((graft.pipeline.StructFingerprint.metaSchema,
+      graft.pipeline.StructFingerprint.metaRow _)))
 
   def schemaFor(decode: String): StructType = {
     val base = Seq(

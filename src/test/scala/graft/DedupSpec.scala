@@ -553,5 +553,24 @@ class DedupSpec extends SparkSpec {
     assert(segV === rows(vids.selectExpr("vid_id AS __id",
       "video_fingerprint(vid) AS __sim").where("__sim IS NOT NULL")))
     assert(segV.size === 24)
+
+    // structural AV fingerprint over mixed IVF/MP4 containers
+    val avs = (0L until 24L)
+      .map { i =>
+        val ivf = graft.pipeline.StructFingerprint.generate(i, 1, 1, 0)
+        (i, if (i % 2 == 0) ivf else graft.pipeline.StructFingerprint.ivfToMp4(ivf))
+      }.toDF("av_id", "av")
+    val sBase = avs.filter(col("av_id") < 16)
+    val sDelta = avs.filter(col("av_id") >= 16)
+    DedupIndex.ensureStructFingerprintSegmented(spark, corpusDir, sBase,
+      "av_id", "av", variant = "segfp", artifactRootOverride = Some(root))
+    DedupIndex.appendStructFingerprint(spark, corpusDir, sDelta,
+      "av_id", "av", variant = "segfp", artifactRootOverride = Some(root))
+    val segS = rows(DedupIndex.ensureStructFingerprintSegmented(spark, corpusDir,
+      sBase, "av_id", "av", variant = "segfp",
+      artifactRootOverride = Some(root)))
+    assert(segS === rows(avs.selectExpr("av_id AS __id",
+      "av_struct_fingerprint(av) AS __sim").where("__sim IS NOT NULL")))
+    assert(segS.size === 24)
   }
 }

@@ -389,4 +389,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("IdentityBroadcastMode")) // the 1-row query side
     assert(!p.contains("SortMergeJoin"))
   }
+
+  test("structural AV fingerprint stays inside whole-stage codegen") {
+    // container walk → (len, dur) sequence → temporal/stream-order
+    // comparison bits is one codegen'd projection over the scan
+    import org.apache.spark.sql.functions._
+    val p = Tables.documents(spark, sf0001)
+      .select(call_function("av_struct_fingerprint",
+        call_function("struct_av_gen", col("doc_id"), lit(1L), lit(1L),
+          lit(0L))).as("f"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("*(1) Project"), s"expected codegen'd projection:\n$p")
+  }
+
+  test("structural AV hamming top-k: 1-row broadcast + TakeOrdered — no shuffle join") {
+    val p = plan("p_s15_struct_hamming_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("IdentityBroadcastMode")) // the 1-row query side
+    assert(!p.contains("SortMergeJoin"))
+  }
 }
