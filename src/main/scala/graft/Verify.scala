@@ -14,7 +14,20 @@ object Verify {
     * escaping rules can never diverge between the two paths. */
   def dump(spark: SparkSession, sfDir: String, outDir: String,
       queries: Map[String, (SparkSession, String) => DataFrame],
-      oracleSql: Map[String, String]): Unit = {
+      oracleSqlRaw: Map[String, String]): Unit = {
+    // Artifact-replay oracles (the IVF family) read the PERSISTED
+    // assignment parquet instead of re-deriving the O(N × centroids)
+    // join in SQL — the sf10-feasibility pattern. The artifact path is
+    // only known at run time (root × corpus name), so the static oracle
+    // map carries placeholders, rewritten here before the JSON lands.
+    // The rewrite happens in the SAME JVM that ran the gates, so the
+    // oracle can never read a different artifact than the engine built.
+    val ivfRoot = graft.pipeline.IvfIndex.artifactRoot(spark)
+    val sfName = Paths.get(sfDir).getFileName.toString
+    val oracleSql = oracleSqlRaw.map { case (k, v) =>
+      k -> v.replace("__GRAFT_IVF_ROOT__", ivfRoot)
+        .replace("__GRAFT_SF__", sfName)
+    }
     new java.io.File(outDir).mkdirs()
     queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
