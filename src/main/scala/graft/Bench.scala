@@ -184,10 +184,17 @@ object Bench {
       }
       byName.toMap.map { case (k, vs) => (k, median(vs)) }
     }
-    val retimeK = sys.env.getOrElse("SPARK_GRAFT_RETIME_K", "3.0").toDouble
+    // K=1.5 with a RELATIVE excess floor (round-15 verdict: the old
+    // 3× + 0.3 s absolute trigger let 2–3× contention inflations slip —
+    // ~50 entries rode a loaded window into the committed sf0.1 curve
+    // untouched). An entry re-times when it exceeds 1.5× its history
+    // median AND the excess is both ≥ 0.15 s (absolute: don't chase
+    // scheduler jitter on floor-bound entries) and ≥ 50% of the median
+    // (relative: a slow entry must really move, not drift).
+    val retimeK = sys.env.getOrElse("SPARK_GRAFT_RETIME_K", "1.5").toDouble
     val retimed: Seq[(String, Double)] = results.collect {
       case (name, Right(v)) if historyMedians.get(name)
-        .exists(m => v > retimeK * m && v - m > 0.3) => name
+        .exists(m => v > retimeK * m && v - m > math.max(0.15, 0.5 * m)) => name
     }.flatMap { name =>
       val fn = SparkEntry.queries(name)
       val runs = (1 to 2).map { _ => isolate(); time(force(name, fn(spark, sfDir))) }
