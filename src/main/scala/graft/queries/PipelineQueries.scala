@@ -1232,9 +1232,14 @@ object PipelineQueries {
   private val E1BucketCap = 256L
 
   /** E2: SemDeDup ([[Similarity.semDeDup]], Abbas et al. 2023) — semantic
-    * dedup over the PERSISTED IVF cluster assignment (the `dup10` variant
+    * dedup over the PERSISTED IVF cluster assignment (the `dup1e9` variant
     * artifact: the corpus plus an exact copy of every 10th vector at
-    * id+10000, the [[DedupIndex]] derived-corpus convention). Copies land
+    * id+10⁹ — the offset must CLEAR the corpus id space at every SF; the
+    * original +10000 collided with real vec_ids once the corpus passed
+    * 10k vectors, a genuine found-at-sf10 scale bug: colliding ids made
+    * the per-id assignment argmax collapse two different vectors
+    * nondeterministically. The [[DedupIndex]] derived-corpus
+    * convention). Copies land
     * in their original's cluster at within-cluster cosine ≈ 1 > eps, so
     * every copied vector forms a 2-member group whose keeper election
     * ties on cent_cos and falls to the id tiebreak; untouched vectors
@@ -1244,11 +1249,11 @@ object PipelineQueries {
   private def e2(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     val corpus = emb.union(emb.filter(pmod(col("vec_id"), lit(10)) === 0)
-      .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      .select((col("vec_id") + 1000000000L).as("vec_id"), col("embedding")))
     val assigned = IvfIndex.ensure(s, dir, corpus, "embedding", "vec_id",
-      variant = "dup10")
+      variant = "dup1e9")
     val cents = IvfIndex.ensureCentroids(s, dir, corpus, "embedding", "vec_id",
-      variant = "dup10")
+      variant = "dup1e9")
     Similarity.semDeDup(assigned, cents, "embedding", "vec_id", eps = 0.9)
       .orderBy(col("vec_id"))
   }
@@ -4655,14 +4660,14 @@ object PipelineQueries {
       (s"""WITH RECURSIVE corpus AS (
             SELECT vec_id, embedding FROM embeddings
             UNION ALL
-            SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings
+            SELECT vec_id + 1000000000 AS vec_id, embedding FROM embeddings
             WHERE vec_id % 10 = 0),
           cent AS (SELECT vec_id AS c_id, embedding AS c_emb,
                   ${normSql("embedding")} AS c_n
                 FROM corpus WHERE vec_id % 25 = 0),
           e AS (SELECT vec_id, embedding, ${normSql("embedding")} AS e_n
                 FROM corpus),
-          ${ivfAssignedSql("dup10")},
+          ${ivfAssignedSql("dup1e9")},
           wc AS (SELECT a.vec_id, a.embedding, a.e_n, a.c_id,
                 ${dotSql("a.embedding", "c.c_emb")} / (a.e_n * c.c_n) AS cent_cos
               FROM assigned a JOIN cent c USING (c_id)),
