@@ -131,7 +131,7 @@ object Bpe {
     * `variant` tags the training slice ([[graft.pipeline.DedupIndex]]
     * convention); `rounds` is part of the key — a vocabulary trained to
     * a different size is a different artifact, never a silent reuse. */
-  def ensureMerges(spark: SparkSession, corpusDir: String, docs: DataFrame,
+  def ensureMerges(spark: SparkSession, corpusDir: String, docs: => DataFrame,
       textCol: String, rounds: Int, variant: String,
       artifactRootOverride: Option[String] = None): DataFrame = {
     val corpus = java.nio.file.Paths.get(corpusDir).getFileName.toString

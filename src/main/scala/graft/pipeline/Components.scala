@@ -1,8 +1,11 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.HashPartitioner
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StructField, StructType}
+import org.apache.spark.storage.StorageLevel
 
 /** Connected-component resolution over near-duplicate pair output — the
   * step that turns "A≈B, B≈C" edges into dedup clusters with one
@@ -16,30 +19,43 @@ import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType,
   * representative is the well-defined keeper.
   *
   * Algorithm: alternating min-label propagation and pointer doubling
-  * (path halving), the DataFrame form of the classic MapReduce
-  * connected-components recipe (Kiveris et al., "Connected Components in
-  * MapReduce and Beyond" — large-star/small-star; plain propagation alone
-  * needs O(diameter) rounds, the doubling step cuts chains in half each
-  * round so convergence is O(log diameter)). Each round is bounded work:
-  * one shuffle join of the edge list against the label frame, one
-  * map-side-combined min-aggregate, and one self-join for the shortcut —
-  * never an all-pairs product, and the label frame never exceeds one row
-  * per node that appears in an edge (docs with no near-dup pair never
-  * enter the graph at all, which at 100 TB is almost all of them: the
-  * graph this runs on is the PAIR set, orders of magnitude smaller than
-  * the corpus).
+  * (path halving), the classic MapReduce connected-components recipe
+  * (Kiveris et al., "Connected Components in MapReduce and Beyond" —
+  * large-star/small-star; plain propagation alone needs O(diameter)
+  * rounds, the doubling step cuts chains in half each round so
+  * convergence is O(log diameter)). Each round is bounded work and never
+  * an all-pairs product; the label frame never exceeds one row per node
+  * that appears in an edge (docs with no near-dup pair never enter the
+  * graph at all, which at 100 TB is almost all of them: the graph this
+  * runs on is the PAIR set, orders of magnitude smaller than the corpus).
+  *
+  * EXECUTION SHAPE (optimization round 16): the loop runs on pair RDDs
+  * under ONE `HashPartitioner` shared by the adjacency list and every
+  * round's label frame — sized from the upstream plan's own partitioning,
+  * so it scales with the edge volume, not a constant. Keying everything
+  * the same way makes the propagate lookup (adjacency ⋈ labels) and the
+  * doubling lookup (rep ⋈ labels) NARROW co-partitioned joins: each round
+  * shuffles only the new label messages (three small exchanges), and the
+  * whole round — propagate, double, convergence aggregate — is ONE Spark
+  * job. The previous DataFrame form of the same algebra re-planned every
+  * round under AQE, which executes each exchange as its own job: a
+  * resolve query ran 50+ scheduler round-trips on a label frame of a few
+  * hundred rows (measured: p_d12 53 jobs / 3.8 s warm at sf0.1, almost
+  * all scheduling floor — see OPTIMIZATION_r16.md). The RDD loop is the
+  * guide §2.4 move ("two operations keyed the same way share one
+  * exchange") applied to every round at once.
   *
   * Driver-side control flow is intentional and scale-safe: the loop runs
   * O(log diameter) times (dedup clusters are shallow — a handful of
-  * rounds), each iteration materializes via a checkpoint so the plan
-  * stays O(1) deep instead of growing a 2^rounds lineage, and
-  * convergence is decided by one scalar aggregate per round (the sum
-  * of labels, exact decimal so 63-bit ids cannot wrap), which is strictly
-  * monotone decreasing until the fixpoint. `checkpointDir` picks the
-  * materialization: on a real cluster pass a reliable (HDFS/object-store)
-  * directory and each round commits through `df.checkpoint`; unset, the
-  * local[] default uses executor-memory `localCheckpoint` — same shape,
-  * it is a CONFIG choice, not a code edit.
+  * rounds), each round persists its label RDD so lineage never
+  * re-executes prior rounds, and convergence is decided by one exact
+  * scalar aggregate per round (the BigInt sum of labels, so 63-bit ids
+  * cannot wrap), which is strictly monotone decreasing until the
+  * fixpoint. `checkpointDir` picks the materialization: on a real
+  * cluster pass a reliable (HDFS/object-store) directory and each round
+  * commits through `RDD.checkpoint`; unset, the local[] default keeps
+  * rounds as persisted blocks — same shape, a CONFIG choice, not a code
+  * edit.
   */
 object Components {
 
@@ -63,54 +79,82 @@ object Components {
       require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
         s"edge column '$c' must be an integral id type, got ${dt.catalogString}")
     }
-    // reliable checkpointing when a dir is given (cluster mode); RDD
-    // checkpoints go through the SparkContext-level dir
-    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
-    def materialize(df: DataFrame, eager: Boolean): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(eager)
-      else df.localCheckpoint(eager)
+    val spark = edges.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    val reliable = checkpointDir.isDefined
 
-    val sym = materialize(edges
+    val raw: RDD[(Long, Long)] = edges
       .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
-      .filter(col("u").isNotNull && col("v").isNotNull), eager = true)
-    val both = sym.union(sym.select(col("v").as("u"), col("u").as("v")))
+      .filter(col("u").isNotNull && col("v").isNotNull)
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
 
-    // initial label = min(id, min neighbour): the first propagation
-    // round folded into initialization (every node appears as `u` in the
-    // symmetrized list, so this is also the node enumeration)
-    var labels = materialize(both.groupBy(col("u"))
-      .agg(min(col("v")).as("__mn"))
-      .select(col("u").as("id"), least(col("u"), col("__mn")).as("rep")),
-      eager = false)
+    // One partitioner for the adjacency list and every round's labels —
+    // sized from the upstream plan's own output partitioning (AQE has
+    // already matched that to the edge volume), never a constant.
+    val part = new HashPartitioner(math.max(raw.getNumPartitions, 1))
 
-    // Exact label mass: strictly decreases every non-fixpoint round.
-    def mass(l: DataFrame): java.math.BigDecimal = {
-      val d = l.agg(sum(col("rep").cast(DecimalType(38, 0)))).head.getDecimal(0)
-      if (d == null) java.math.BigDecimal.ZERO else d
+    // Persist each round so lineage never re-executes prior rounds; with
+    // a reliable dir, additionally commit the round via RDD.checkpoint.
+    def materialize(rdd: RDD[(Long, Long)]): RDD[(Long, Long)] = {
+      rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      if (reliable) rdd.checkpoint()
+      rdd
     }
 
+    // symmetrized adjacency, hash-partitioned once and reused (narrow)
+    // by the propagate join of every round
+    val adj = materialize(
+      raw.flatMap { case (u, v) => Iterator((u, v), (v, u)) }
+        .partitionBy(part))
+
+    // initial label = min(id, min neighbour): the first propagation
+    // round folded into initialization (every node appears as a key in
+    // the symmetrized list, so this is also the node enumeration).
+    // reduceByKey on adj's own partitioner is map-side combined and
+    // shuffle-free.
+    var labels = materialize(
+      adj.reduceByKey(part, math.min(_, _))
+        .mapPartitions(_.map { case (id, mn) => (id, math.min(id, mn)) },
+          preservesPartitioning = true))
+
+    // Exact label mass: strictly decreases every non-fixpoint round.
+    def mass(l: RDD[(Long, Long)]): BigInt =
+      l.aggregate(BigInt(0))((acc, kv) => acc + kv._2, _ + _)
+
     var prev = mass(labels)
-    var done = prev.signum() == 0 && labels.isEmpty
+    var done = prev.signum == 0 && labels.isEmpty()
     var iter = 0
     while (!done && iter < maxIter) {
-      // 1. min over self and neighbours: labels reach one hop per round…
-      val viaEdges = both.join(labels, col("v") === col("id"))
-        .select(col("u").as("id"), col("rep"))
-      val m = labels.union(viaEdges)
-        .groupBy("id").agg(min("rep").as("rep"))
+      // 1. min over self and neighbours: labels reach one hop per round.
+      //    adj and labels share `part`, so the lookup join is narrow; only
+      //    the per-neighbour label messages shuffle (map-side combined).
+      val msgs = adj.join(labels, part)
+        .map { case (_, (v, rep)) => (v, rep) }
+        .reduceByKey(part, math.min(_, _))
+      val m = labels.cogroup(msgs, part).mapPartitions(_.map {
+        case (id, (own, offered)) =>
+          var best = Long.MaxValue
+          val it1 = own.iterator
+          while (it1.hasNext) { val x = it1.next(); if (x < best) best = x }
+          val it2 = offered.iterator
+          while (it2.hasNext) { val x = it2.next(); if (x < best) best = x }
+          (id, best)
+      }, preservesPartitioning = true)
       // 2. …then pointer doubling halves every chain: rep ← rep(rep).
       //    rep values are always node ids (inductively: min of ids), so
-      //    the lookup side always matches; coalesce is belt-and-braces.
-      // lazy checkpoint: the convergence aggregate right below is the
-      // single job that materializes the round (eager + mass was two)
-      val next = materialize(m
-        .join(m.select(col("id").as("__rid"), col("rep").as("__rrep")),
-          col("rep") === col("__rid"), "left")
-        .select(col("id"), coalesce(col("__rrep"), col("rep")).as("rep")),
-        eager = false)
+      //    the lookup side always matches; the left-outer fallback is
+      //    belt-and-braces.
+      val next = materialize(
+        m.map { case (id, rep) => (rep, id) }
+          .partitionBy(part)
+          .leftOuterJoin(m, part) // narrow: both sides keyed on `part`
+          .map { case (rep, (id, rrep)) => (id, rrep.getOrElse(rep)) }
+          .partitionBy(part))
+      // one action materializes the round AND decides convergence
       val cur = mass(next)
-      done = cur.compareTo(prev) == 0
+      done = cur == prev
       prev = cur
+      labels.unpersist(blocking = false)
       labels = next
       iter += 1
     }
@@ -118,7 +162,11 @@ object Components {
       s"connected components did not converge within $maxIter rounds " +
         "(label mass still decreasing); raise maxIter — returning " +
         "partially-merged labels would silently under-deduplicate")
-    labels
+    adj.unpersist(blocking = false)
+    spark.createDataFrame(
+      labels.map { case (id, rep) => Row(id, rep) },
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("rep", LongType, nullable = false))))
   }
 
   /** Dedup clusters from near-dup pairs: `(doc_id, rep_id)` for every

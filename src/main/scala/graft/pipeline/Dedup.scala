@@ -47,11 +47,18 @@ object Dedup {
     df.select(col(idCol), split(col(textCol), " ").as("__words"))
       .select(col(idCol), shinglesOfWords(col("__words"), n).as(out))
 
-  /** Exact set Jaccard of two (distinct-element) arrays. */
+  /** Exact set Jaccard of two (distinct-element) arrays. The union size
+    * is derived by inclusion-exclusion (|a| + |b| − |a∩b|) instead of a
+    * second `array_union` hash pass — exact for distinct-element inputs
+    * (the stated contract), so the quotient is bit-identical to the
+    * two-pass form while the per-pair work halves (r16 opt; the
+    * intersection subtree is shared by codegen subexpression
+    * elimination). */
   def jaccard(a: Column, b: Column): Column = {
-    val uni = size(array_union(a, b))
+    val inter = size(array_intersect(a, b))
+    val uni = size(a) + size(b) - inter
     when(uni === 0, lit(0.0))
-      .otherwise(size(array_intersect(a, b)).cast(DoubleType) / uni.cast(DoubleType))
+      .otherwise(inter.cast(DoubleType) / uni.cast(DoubleType))
   }
 
   // ---- exact dedup ------------------------------------------------------

@@ -40,7 +40,7 @@ object DedupIndex {
   /** Persisted MinHash signature rows `(__id, __m0 … __m{numHashes-1})`
     * of `corpus` (which must be a deterministic function of `corpusDir`,
     * tagged by `variant`). */
-  def ensureMinHash(spark: SparkSession, corpusDir: String, corpus: DataFrame,
+  def ensureMinHash(spark: SparkSession, corpusDir: String, corpus: => DataFrame,
       idCol: String, textCol: String, variant: String,
       shingleN: Int = 3, numHashes: Int = 32,
       artifactRootOverride: Option[String] = None): DataFrame =
@@ -89,7 +89,7 @@ object DedupIndex {
 
   /** Persisted winnowing window-fingerprint rows `(__id, __fp)` (see
     * [[TextAnalysis.rollingFingerprintRows]]). */
-  def ensureWinnowing(spark: SparkSession, corpusDir: String, corpus: DataFrame,
+  def ensureWinnowing(spark: SparkSession, corpusDir: String, corpus: => DataFrame,
       idCol: String, textCol: String, variant: String, window: Int = 8,
       artifactRootOverride: Option[String] = None): DataFrame =
     ensure(spark, corpusDir,
@@ -101,7 +101,7 @@ object DedupIndex {
     * for exact substring dedup (see [[Dedup.windowFingerprintRows]]) —
     * winnowing's sketch keeps distinct fingerprints for overlap
     * detection; this one keeps every site so duplicate SPANS can be cut. */
-  def ensureSubstrWindows(spark: SparkSession, corpusDir: String, corpus: DataFrame,
+  def ensureSubstrWindows(spark: SparkSession, corpusDir: String, corpus: => DataFrame,
       idCol: String, textCol: String, variant: String, window: Int = 8,
       artifactRootOverride: Option[String] = None): DataFrame =
     ensure(spark, corpusDir,
@@ -144,7 +144,7 @@ object DedupIndex {
     * ingest; near-dup queries band/bucket-join the stored longs
     * through the SAME pairing machinery as text SimHash
     * ([[Dedup.simHashNearDupPairsFromFingerprints]]). */
-  def ensureImageDHash(spark: SparkSession, corpusDir: String, images: DataFrame,
+  def ensureImageDHash(spark: SparkSession, corpusDir: String, images: => DataFrame,
       idCol: String, bytesCol: String, variant: String,
       artifactRootOverride: Option[String] = None): DataFrame =
     ensure(spark, corpusDir,
@@ -194,7 +194,7 @@ object DedupIndex {
     * queries band/bucket-join the stored longs through the SAME pairing
     * machinery as text SimHash and image dHash. */
   def ensureAudioFingerprint(spark: SparkSession, corpusDir: String,
-      audio: DataFrame, idCol: String, bytesCol: String, variant: String,
+      audio: => DataFrame, idCol: String, bytesCol: String, variant: String,
       artifactRootOverride: Option[String] = None): DataFrame =
     ensure(spark, corpusDir,
       s"audiofp_${Paths.get(corpusDir).getFileName}_${variant}_v$FormatVersion",
@@ -240,7 +240,7 @@ object DedupIndex {
     * near-dup queries band/bucket-join the stored longs through the SAME
     * pairing machinery as text SimHash, image dHash and audio. */
   def ensureVideoFingerprint(spark: SparkSession, corpusDir: String,
-      video: DataFrame, idCol: String, bytesCol: String, variant: String,
+      video: => DataFrame, idCol: String, bytesCol: String, variant: String,
       artifactRootOverride: Option[String] = None): DataFrame =
     ensure(spark, corpusDir,
       s"videofp_${Paths.get(corpusDir).getFileName}_${variant}_v$FormatVersion",
@@ -286,7 +286,7 @@ object DedupIndex {
     * byte-size + duration walk, computed once at ingest, no entropy
     * decode; pairing reuses the SAME banded machinery. */
   def ensureStructFingerprint(spark: SparkSession, corpusDir: String,
-      av: DataFrame, idCol: String, bytesCol: String, variant: String,
+      av: => DataFrame, idCol: String, bytesCol: String, variant: String,
       artifactRootOverride: Option[String] = None): DataFrame =
     ensure(spark, corpusDir,
       s"structfp_${Paths.get(corpusDir).getFileName}_${variant}_v$FormatVersion",
@@ -329,7 +329,7 @@ object DedupIndex {
   /** Persisted SimHash fingerprints `(__id, __sim)`. `hashTag` names the
     * per-shingle hash function in the cache key (the Column function
     * itself can't be fingerprinted). */
-  def ensureSimHash(spark: SparkSession, corpusDir: String, corpus: DataFrame,
+  def ensureSimHash(spark: SparkSession, corpusDir: String, corpus: => DataFrame,
       idCol: String, textCol: String, variant: String, hashTag: String,
       hashFn: Column => Column, shingleN: Int = 3, bits: Int = 64,
       artifactRootOverride: Option[String] = None): DataFrame =

@@ -111,7 +111,7 @@ object IvfIndex {
     s"${corpus}_centroids_v${FormatVersion}_${quantizer.token}$vtok"
   }
 
-  def ensureCentroids(spark: SparkSession, corpusDir: String, emb: DataFrame,
+  def ensureCentroids(spark: SparkSession, corpusDir: String, emb: => DataFrame,
       embCol: String, idCol: String, quantizer: Quantizer = Stride(),
       artifactRootOverride: Option[String] = None,
       variant: String = ""): DataFrame = {
@@ -129,7 +129,7 @@ object IvfIndex {
     * partitioned on disk by c_id. The assignment is always computed from
     * the PERSISTED codebook ([[ensureCentroids]]), so assignment and
     * probe can never see different centroids. */
-  def ensure(spark: SparkSession, corpusDir: String, emb: DataFrame,
+  def ensure(spark: SparkSession, corpusDir: String, emb: => DataFrame,
       embCol: String, idCol: String, quantizer: Quantizer = Stride(),
       artifactRootOverride: Option[String] = None,
       variant: String = ""): DataFrame = {

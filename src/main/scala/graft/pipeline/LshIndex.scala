@@ -49,7 +49,7 @@ object LshIndex {
     * parameter and a format version, so changed settings rebuild rather
     * than silently reuse; builds stage through a unique per-attempt tmp
     * dir and commit with one atomic rename. */
-  def ensure(spark: SparkSession, corpusDir: String, emb: DataFrame,
+  def ensure(spark: SparkSession, corpusDir: String, emb: => DataFrame,
       embCol: String, idCol: String, planesPerTable: Int, tables: Int,
       dim: Int = 64, seed: Long = 42L,
       artifactRootOverride: Option[String] = None): DataFrame = {

@@ -70,7 +70,7 @@ object PostingsIndex {
   /** Persisted postings `(term, id, tf, __tb)` of `corpus` (which must be
     * a deterministic function of `corpusDir`, tagged by `variant`),
     * partitioned on disk by term bucket. */
-  def ensurePostings(spark: SparkSession, corpusDir: String, corpus: DataFrame,
+  def ensurePostings(spark: SparkSession, corpusDir: String, corpus: => DataFrame,
       idCol: String, textCol: String, variant: String,
       artifactRootOverride: Option[String] = None): DataFrame =
     ArtifactStore.ensure(spark, s"$corpusDir/documents.parquet",
@@ -92,7 +92,7 @@ object PostingsIndex {
 
   /** Persisted document lengths `(id, dl)`, derived from the persisted
     * postings (never a second tokenization pass). */
-  def ensureDocLengths(spark: SparkSession, corpusDir: String, corpus: DataFrame,
+  def ensureDocLengths(spark: SparkSession, corpusDir: String, corpus: => DataFrame,
       idCol: String, textCol: String, variant: String,
       artifactRootOverride: Option[String] = None): DataFrame = {
     val post = ensurePostings(spark, corpusDir, corpus, idCol, textCol,
@@ -110,7 +110,7 @@ object PostingsIndex {
     * rows per term), `cf` the collection frequency (total occurrences) —
     * the [[TextAnalysis.vocabStats]] shape, and `(term, cf)` IS the
     * unigram-LM model of [[TextAnalysis.unigramModel]]. */
-  def ensureTermStats(spark: SparkSession, corpusDir: String, corpus: DataFrame,
+  def ensureTermStats(spark: SparkSession, corpusDir: String, corpus: => DataFrame,
       idCol: String, textCol: String, variant: String,
       artifactRootOverride: Option[String] = None): DataFrame = {
     val post = ensurePostings(spark, corpusDir, corpus, idCol, textCol,
@@ -126,7 +126,7 @@ object PostingsIndex {
 
   /** The persisted unigram-LM model `(term, c)` — a projection of the
     * term stats, so LM scoring and vocabulary mining share one artifact. */
-  def ensureUnigramModel(spark: SparkSession, corpusDir: String, corpus: DataFrame,
+  def ensureUnigramModel(spark: SparkSession, corpusDir: String, corpus: => DataFrame,
       idCol: String, textCol: String, variant: String,
       artifactRootOverride: Option[String] = None): DataFrame =
     ensureTermStats(spark, corpusDir, corpus, idCol, textCol, variant,

@@ -72,7 +72,7 @@ object PqIndex {
   /** Read the persisted `(m, j, c_sub, cdot)` codebook for the corpus at
     * `corpusDir`, building (and for [[Trained]], training) it first if
     * missing. One small file — the ADC-table side of every PQ query. */
-  def ensureCodebook(spark: SparkSession, corpusDir: String, emb: DataFrame,
+  def ensureCodebook(spark: SparkSession, corpusDir: String, emb: => DataFrame,
       embCol: String, idCol: String, quantizer: Quantizer = Stride(),
       artifactRootOverride: Option[String] = None): DataFrame = {
     val root = artifactRootOverride.getOrElse(artifactRoot(spark))
@@ -87,7 +87,7 @@ object PqIndex {
 
   /** Read the persisted flat codes `(idCol, codes)`, encoding from the
     * persisted codebook first if missing. */
-  def ensure(spark: SparkSession, corpusDir: String, emb: DataFrame,
+  def ensure(spark: SparkSession, corpusDir: String, emb: => DataFrame,
       embCol: String, idCol: String, quantizer: Quantizer = Stride(),
       artifactRootOverride: Option[String] = None): DataFrame = {
     val root = artifactRootOverride.getOrElse(artifactRoot(spark))
@@ -109,7 +109,7 @@ object PqIndex {
     * residuals, codes, and ADC tables all agree on centroid values).
     * Sub-vectors are exact doubles ([[Pq.residuals]]). */
   def ensureResidualCodebook(spark: SparkSession, corpusDir: String,
-      emb: DataFrame, embCol: String, idCol: String,
+      emb: => DataFrame, embCol: String, idCol: String,
       quantizer: Quantizer = Stride(),
       coarse: IvfIndex.Quantizer = IvfIndex.Stride(),
       artifactRootOverride: Option[String] = None,
@@ -133,7 +133,7 @@ object PqIndex {
   /** Read the persisted residual codes `(idCol, codes, c_id)`,
     * partitioned by centroid id like [[ensureIvf]] — the
     * [[Pq.ivfPqResidualTopK]] layout. */
-  def ensureResidual(spark: SparkSession, corpusDir: String, emb: DataFrame,
+  def ensureResidual(spark: SparkSession, corpusDir: String, emb: => DataFrame,
       embCol: String, idCol: String, quantizer: Quantizer = Stride(),
       coarse: IvfIndex.Quantizer = IvfIndex.Stride(),
       artifactRootOverride: Option[String] = None,
@@ -170,7 +170,7 @@ object PqIndex {
     * centroid id, so a probed query lists and scans only its `nprobe`
     * buckets' code files. The cache key carries BOTH quantizers' tokens
     * and format versions. */
-  def ensureIvf(spark: SparkSession, corpusDir: String, emb: DataFrame,
+  def ensureIvf(spark: SparkSession, corpusDir: String, emb: => DataFrame,
       embCol: String, idCol: String, quantizer: Quantizer = Stride(),
       coarse: IvfIndex.Quantizer = IvfIndex.Stride(),
       artifactRootOverride: Option[String] = None,

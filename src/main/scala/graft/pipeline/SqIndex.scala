@@ -40,7 +40,7 @@ object SqIndex {
 
   /** Persisted flat codes `(idCol, codes, scale)` for the corpus at
     * `corpusDir`. */
-  def ensure(spark: SparkSession, corpusDir: String, emb: DataFrame,
+  def ensure(spark: SparkSession, corpusDir: String, emb: => DataFrame,
       embCol: String, idCol: String,
       artifactRootOverride: Option[String] = None): DataFrame = {
     val root = artifactRootOverride.getOrElse(artifactRoot(spark))
@@ -91,7 +91,7 @@ object SqIndex {
     * scans only its buckets' codes. The cache key carries the IVF
     * quantizer token (every assignment parameter) plus both format
     * versions. */
-  def ensureIvf(spark: SparkSession, corpusDir: String, emb: DataFrame,
+  def ensureIvf(spark: SparkSession, corpusDir: String, emb: => DataFrame,
       embCol: String, idCol: String,
       quantizer: IvfIndex.Quantizer = IvfIndex.Stride(),
       artifactRootOverride: Option[String] = None,

@@ -268,12 +268,19 @@ object TextAnalysis {
         concat_ws(" ", col("__p.a"), col("__p.b")).as("__bg"): _*)
     val counts = bigrams.groupBy((keys :+ col("__chars")) :+ col("__bg"): _*)
       .agg(count(lit(1)).as("__n"))
-    val argmax = Window.partitionBy(col(idCol))
-      .orderBy(col("__n").desc, col("__bg"))
-    counts.withColumn("__rn", row_number().over(argmax)).filter(col("__rn") === 1)
-      .select(keys ++ Seq(col("__bg").as("top_bigram"),
-        col("__n").as("top_bigram_n"),
-        ((col("__n") * length(col("__bg"))).cast(DoubleType) /
+    // argmax as a min-struct AGGREGATE, not a ranking window (r16 opt):
+    // min(struct(-n, bigram)) picks the highest count and breaks ties to
+    // the lexicographically smallest bigram — the identical winner the
+    // row_number window chose — but partial-aggregates MAP-SIDE, so the
+    // second exchange carries one candidate per (doc, map task) instead
+    // of every (doc, bigram, count) triple, and the per-doc sort the
+    // window needed disappears entirely.
+    val top = counts
+      .groupBy((keys :+ col("__chars")): _*)
+      .agg(min(struct((-col("__n")).as("nn"), col("__bg").as("bg"))).as("__t"))
+    top.select(keys ++ Seq(col("__t.bg").as("top_bigram"),
+        (-col("__t.nn")).as("top_bigram_n"),
+        ((-col("__t.nn") * length(col("__t.bg"))).cast(DoubleType) /
           col("__chars").cast(DoubleType)).as("top_bigram_char_frac")): _*)
   }
 

@@ -270,9 +270,8 @@ object PipelineQueries {
     * hamming ≤ 3 over its replayed fingerprints, which the banded
     * blocking must match EXACTLY (that is the pigeonhole claim). */
   private def d11(s: SparkSession, dir: String): DataFrame = {
-    val corpus = imageCorpus(s, dir)
-    val fp = DedupIndex.ensureImageDHash(s, dir, corpus, "img_id", "img",
-      variant = "lt600tw7")
+    val fp = DedupIndex.ensureImageDHash(s, dir, imageCorpus(s, dir),
+      "img_id", "img", variant = "lt600tw7")
     Dedup.simHashNearDupPairsFromFingerprints(fp, maxHamming = 3, bands = 4,
         bits = 64)
       .orderBy(col("a_id"), col("b_id"))
@@ -287,9 +286,8 @@ object PipelineQueries {
     * replays fingerprints → brute-force hamming ≤ 3 pairs →
     * recursive-CTE reachability → min election. */
   private def d12(s: SparkSession, dir: String): DataFrame = {
-    val corpus = imageCorpus(s, dir)
-    val fp = DedupIndex.ensureImageDHash(s, dir, corpus, "img_id", "img",
-      variant = "lt600tw7")
+    val fp = DedupIndex.ensureImageDHash(s, dir, imageCorpus(s, dir),
+      "img_id", "img", variant = "lt600tw7")
     val pairs = Dedup.simHashNearDupPairsFromFingerprints(fp, maxHamming = 3,
       bands = 4, bits = 64)
     graft.pipeline.Components.nearDupClusters(pairs).orderBy(col("doc_id"))
@@ -1591,17 +1589,24 @@ object PipelineQueries {
     val tc = gramCountsOf(corpus)
     val cells = Sketches.ensureCmsSegmented(s, dir, tc, "term", "c",
       variant = "grams_boost10x50", width = 2048)
-    // probe with the exact count CARRIED through the estimate's grouping
-    // ((term, c) groups ≡ term groups — c is functionally dependent), so
-    // the boosted-corpus trigram aggregate appears ONCE in the plan
-    // instead of once for the probes and again for an exact-count join
-    tc.select(col("term"), col("c"),
-        posexplode(array((0 until Sketches.CmsDepth).map(j =>
-          Sketches.cmsBucket(col("term"), j, 2048)): _*)).as(Seq("j", "bucket")))
-      .join(broadcast(cells), Seq("j", "bucket"), "left")
-      .groupBy(col("term"), col("c"))
-      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
-      .select(col("term"), col("est"), col("c").as("exact"))
+    // probe via one broadcast hash join PER DEPTH ROW keyed on the
+    // term's row-j bucket, then `least` over the four coalesced cell
+    // counts (r16 opt): the estimate is the same min over the same four
+    // cells the old posexplode → broadcast join → re-aggregate computed,
+    // but the 4×-vocabulary probe explosion and its re-grouping exchange
+    // disappear — the vocabulary frame flows straight from its aggregate
+    // into four shuffle-free broadcast lookups and the top-20. The
+    // boosted-corpus trigram aggregate still appears ONCE in the plan.
+    val probed = (0 until Sketches.CmsDepth).foldLeft(tc) { (acc, j) =>
+      acc.join(
+        broadcast(cells.filter(col("j") === j)
+          .select(col("bucket").as(s"__bk$j"), col("cnt").as(s"__cnt$j"))),
+        Sketches.cmsBucket(col("term"), j, 2048) === col(s"__bk$j"), "left")
+    }
+    probed.select(col("term"),
+        least((0 until Sketches.CmsDepth).map(j =>
+          coalesce(col(s"__cnt$j"), lit(0L))): _*).as("est"),
+        col("c").as("exact"))
       .orderBy(col("est").desc, col("term")).limit(20)
   }
 

@@ -24,12 +24,12 @@ object BenchProbe {
         // order-dependent on whatever the previous query left cached
         isolate()
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        Bench.force(name, fn(spark, sfDir))
         val cold = (System.nanoTime() - t0) / 1e9
         val warm = (1 to 2).map { _ =>
           isolate()
           val t = System.nanoTime()
-          fn(spark, sfDir).count()
+          Bench.force(name, fn(spark, sfDir))
           (System.nanoTime() - t) / 1e9
         }.min
         println(f"BENCHPROBE $name cold=$cold%.3f warm=$warm%.3f")

@@ -93,6 +93,39 @@ class ComponentsSpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("negative ids resolve correctly through the hash-partitioned loop") {
+    // the r16 RDD loop keys rounds on a HashPartitioner; negative node
+    // ids must land in valid partitions (nonNegativeMod) and still
+    // resolve to the component minimum
+    val edges = Seq((-5L, 2L), (2L, -9L), (7L, -5L))
+    assert(cc(edges) === Map(-5L -> -9L, 2L -> -9L, -9L -> -9L, 7L -> -9L))
+  }
+
+  test("resolve runs a bounded number of jobs (one per round, not per exchange)") {
+    // the r16 optimization claim: each round of the loop is ONE Spark job
+    // (shared partitioner, narrow lookups), not one job per AQE exchange.
+    // A 16-node shuffled path converges in ≤ 5 doubling rounds; with
+    // setup (edge ingest, adjacency, init) + one aggregate per round the
+    // whole resolve must stay well under the ~50 jobs the DataFrame loop
+    // used to launch. Generous bound: 20.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val perm = (0 until 16).map(i => ((i * 11) % 16).toLong)
+      val edges = perm.sliding(2).map(p => (p(0), p(1))).toSeq
+      val got = cc(edges)
+      assert(got.size === 16 && got.values.forall(_ == 0L))
+      assert(jobs.get <= 20,
+        s"components resolve launched ${jobs.get} jobs — the one-job-per-round loop regressed")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("dedupByPairs keeps one representative per cluster, singletons pass") {
     val corpus = (1L to 10L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a_id", "b_id")

@@ -12,7 +12,17 @@ sfdir=$1; out=$2; shift 2
 tmp="${out}.tmp.$$"
 log="${out}.log"
 trap 'rm -f "$tmp"' EXIT
-SPARK_GRAFT_SF_DIR="$sfdir" java -Xmx48g "$@" \
+# JDK 17 module opens (same list as build.sbt / spark-submit injects):
+# needed since the components loop shuffles RDDs through Kryo.
+addopens=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
+  addopens="$addopens --add-opens java.base/$p=ALL-UNNAMED"
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  addopens="$addopens --add-opens java.base/$p=ALL-UNNAMED"
+done
+SPARK_GRAFT_SF_DIR="$sfdir" java -Xmx48g $addopens "$@" \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" graft.Bench \
   > "$log" 2>&1 || { echo "bench failed; see $log" >&2; exit 1; }
 # Bench prints exactly one JSON object line (starts with {"metric").
