@@ -20,6 +20,31 @@ import graft.pipeline.{Curation, Dedup, DedupIndex, IvfIndex, LshIndex, Multimod
   */
 object PipelineQueries {
 
+  /** Hash-repartition a tiny pre-decode frame across the session's
+    * default parallelism before a heavy per-row construct/decode chain.
+    *
+    * The fixture tables are single-row-group parquet files, so a scan is
+    * ONE task no matter how many cores the session has — and the codec
+    * entries hang a full per-row media construct + decode off that scan,
+    * serializing seconds of CPU while every other core idles (measured:
+    * p_mm30 ran 3 jobs / 3 tasks / 0 shuffle bytes — guide §2.5 "input
+    * skew: one huge unsplittable file … repartition immediately after
+    * the read"). The exchange moves only the tiny PRE-decode rows (ids,
+    * at most ids+text — never constructed media bytes; guide §8 "decide
+    * with small rows, move heavy bytes once" inverted: ship small rows,
+    * then compute heavy bytes in parallel). The partition count follows
+    * `sparkContext.defaultParallelism`, so it scales with the session's
+    * cores rather than hard-coding the harness; hashing the unique id
+    * spreads evenly, and an explicit numPartitions repartition is
+    * deterministic and exempt from AQE re-coalescing. */
+  private def spread(df: DataFrame, key: String = "doc_id"): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(key))
+
+  /** The spread one-column id frame the per-row codec-decode entries
+    * build their media from (only ids cross the exchange). */
+  private def docIds(s: SparkSession, dir: String): DataFrame =
+    spread(Tables.documents(s, dir).select(col("doc_id")))
+
   /** Head-truncated near-duplicate variants: drop the first two words. */
   private def mutatedDocs(docs: DataFrame): DataFrame = {
     val w = split(col("text"), " ")
@@ -53,7 +78,10 @@ object PipelineQueries {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       .filter(col("doc_id") < 150)
     val corpus = docs.union(mutatedDocs(docs.filter(pmod(col("doc_id"), lit(7)) === 0)))
-    Dedup.bruteForceNearDupPairs(corpus, corpus, "doc_id", "text", 0.5)
+    // spread the STREAM side of the all-pairs product (the build side is
+    // broadcast): the scan is one task, so every per-pair Jaccard ran
+    // serially — see [[spread]]
+    Dedup.bruteForceNearDupPairs(spread(corpus), corpus, "doc_id", "text", 0.5)
       .orderBy(col("a_id"), col("b_id"))
   }
 
@@ -1589,24 +1617,26 @@ object PipelineQueries {
     val tc = gramCountsOf(corpus)
     val cells = Sketches.ensureCmsSegmented(s, dir, tc, "term", "c",
       variant = "grams_boost10x50", width = 2048)
-    // probe via one broadcast hash join PER DEPTH ROW keyed on the
-    // term's row-j bucket, then `least` over the four coalesced cell
-    // counts (r16 opt): the estimate is the same min over the same four
-    // cells the old posexplode → broadcast join → re-aggregate computed,
-    // but the 4×-vocabulary probe explosion and its re-grouping exchange
-    // disappear — the vocabulary frame flows straight from its aggregate
-    // into four shuffle-free broadcast lookups and the top-20. The
-    // boosted-corpus trigram aggregate still appears ONCE in the plan.
-    val probed = (0 until Sketches.CmsDepth).foldLeft(tc) { (acc, j) =>
-      acc.join(
-        broadcast(cells.filter(col("j") === j)
-          .select(col("bucket").as(s"__bk$j"), col("cnt").as(s"__cnt$j"))),
-        Sketches.cmsBucket(col("term"), j, 2048) === col(s"__bk$j"), "left")
+    // probe as four O(1) DENSE-ARRAY lookups folded into the projection
+    // (r16 opt, second round — the first turned the posexplode probe into
+    // four per-depth broadcast joins, which still cost four
+    // broadcast-build jobs per pass for one tiny artifact). The merged
+    // cells are a bounded, scale-CONSTANT artifact — depth × width =
+    // 8,192 longs, that is the point of a sketch — so they ride to the
+    // driver once per query as dense literal arrays (the Bpe.mergesOf
+    // bounded-artifact idiom) and the estimate becomes element_at per
+    // depth inside the SAME projection that carries the exact count:
+    // plan = trigram aggregate → project → TakeOrdered, ZERO joins.
+    // least() over the lookups is the same min the join form computed;
+    // absent cells are the dense arrays' zero default.
+    val dense = Array.fill(Sketches.CmsDepth)(new Array[Long](2048))
+    cells.select(col("j"), col("bucket"), col("cnt")).collect().foreach { r =>
+      dense(r.getInt(0))(r.getLong(1).toInt) = r.getLong(2)
     }
-    probed.select(col("term"),
-        least((0 until Sketches.CmsDepth).map(j =>
-          coalesce(col(s"__cnt$j"), lit(0L))): _*).as("est"),
-        col("c").as("exact"))
+    val est = least((0 until Sketches.CmsDepth).map(j =>
+      element_at(typedlit(dense(j).toSeq),
+        (Sketches.cmsBucket(col("term"), j, 2048) + 1).cast("int"))): _*)
+    tc.select(col("term"), est.as("est"), col("c").as("exact"))
       .orderBy(col("est").desc, col("term")).limit(20)
   }
 
@@ -2553,7 +2583,7 @@ object PipelineQueries {
       pmod(d * 7, lit(4)).cast("int") + 1)
     val m = graft.pipeline.Multimodal.wavPcm(
       call_function("wav_resample", wavB, outR))
-    Tables.documents(s, dir).select(col("doc_id"), m.as("__m"))
+    docIds(s, dir).select(col("doc_id"), m.as("__m"))
       .select(col("doc_id"),
         col("__m").getField("codec").as("codec"),
         col("__m").getField("sample_rate").cast("long").as("sample_rate"),
@@ -2601,7 +2631,7 @@ object PipelineQueries {
     val resized = call_function("image_resize",
       call_function("png_gen", d), w2, h2, mode)
     val m = call_function("image_pixels", resized)
-    Tables.documents(s, dir).select(col("doc_id"), m.as("__m"))
+    docIds(s, dir).select(col("doc_id"), m.as("__m"))
       .select(col("doc_id"),
         col("__m").getField("width").cast("long").as("width"),
         col("__m").getField("height").cast("long").as("height"),
@@ -2669,7 +2699,7 @@ object PipelineQueries {
   private def mm21(s: SparkSession, dir: String): DataFrame = {
     val m = call_function("flac_pcm", call_function("flac_gen_audio", col("doc_id")))
     val fields = graft.pipeline.FlacPcm.PcmSchema.fieldNames.toSeq
-    Tables.documents(s, dir).filter(col("doc_id") < CodecOracleMaxDoc)
+    docIds(s, dir).filter(col("doc_id") < CodecOracleMaxDoc)
       .select(col("doc_id"), m.as("__m"))
       .select(col("doc_id") +: fields.map(f => col(s"__m.$f").as(f)): _*)
       .orderBy(col("doc_id"))
@@ -2694,7 +2724,7 @@ object PipelineQueries {
   private def mm29(s: SparkSession, dir: String): DataFrame = {
     val m = call_function("aac_spectral", call_function("aac_gen", col("doc_id")))
     val fields = graft.pipeline.AacLc.SpectralSchema.fieldNames.toSeq
-    Tables.documents(s, dir).filter(col("doc_id") < CodecOracleMaxDoc)
+    docIds(s, dir).filter(col("doc_id") < CodecOracleMaxDoc)
       .select(col("doc_id"), m.as("__m"))
       .select(col("doc_id") +: fields.map(f => col(s"__m.$f").as(f)): _*)
       .orderBy(col("doc_id"))
@@ -2714,7 +2744,7 @@ object PipelineQueries {
   private def mm30(s: SparkSession, dir: String): DataFrame = {
     val m = call_function("aac_spectral", call_function("aac_gen_short", col("doc_id")))
     val fields = graft.pipeline.AacLc.SpectralSchema.fieldNames.toSeq
-    Tables.documents(s, dir).filter(col("doc_id") < CodecOracleMaxDoc)
+    docIds(s, dir).filter(col("doc_id") < CodecOracleMaxDoc)
       .select(col("doc_id"), m.as("__m"))
       .select(col("doc_id") +: fields.map(f => col(s"__m.$f").as(f)): _*)
       .orderBy(col("doc_id"))
@@ -2735,7 +2765,7 @@ object PipelineQueries {
   private def mm31(s: SparkSession, dir: String): DataFrame = {
     val m = graft.pipeline.Multimodal.wavPcm(
       call_function("audio_to_wav", call_function("flac_gen_audio", col("doc_id"))))
-    Tables.documents(s, dir).filter(col("doc_id") < CodecOracleMaxDoc)
+    docIds(s, dir).filter(col("doc_id") < CodecOracleMaxDoc)
       .select(col("doc_id"), m.as("__m"))
       .select(col("doc_id"),
         col("__m").getField("codec").as("codec"),
@@ -2762,7 +2792,7 @@ object PipelineQueries {
   private def mm32(s: SparkSession, dir: String): DataFrame = {
     val m = call_function("aac_spectral", call_function("aac_gen_tns", col("doc_id")))
     val fields = graft.pipeline.AacLc.SpectralSchema.fieldNames.toSeq
-    Tables.documents(s, dir).filter(col("doc_id") < CodecOracleMaxDoc)
+    docIds(s, dir).filter(col("doc_id") < CodecOracleMaxDoc)
       .select(col("doc_id"), m.as("__m"))
       .select(col("doc_id") +: fields.map(f => col(s"__m.$f").as(f)): _*)
       .orderBy(col("doc_id"))
@@ -2783,7 +2813,7 @@ object PipelineQueries {
   private def mm33(s: SparkSession, dir: String): DataFrame = {
     val m = call_function("aac_spectral", call_function("aac_gen_pulse", col("doc_id")))
     val fields = graft.pipeline.AacLc.SpectralSchema.fieldNames.toSeq
-    Tables.documents(s, dir).filter(col("doc_id") < CodecOracleMaxDoc)
+    docIds(s, dir).filter(col("doc_id") < CodecOracleMaxDoc)
       .select(col("doc_id"), m.as("__m"))
       .select(col("doc_id") +: fields.map(f => col(s"__m.$f").as(f)): _*)
       .orderBy(col("doc_id"))
