@@ -48,10 +48,11 @@ import org.apache.spark.storage.StorageLevel
   * Driver-side control flow is intentional and scale-safe: the loop runs
   * O(log diameter) times (dedup clusters are shallow — a handful of
   * rounds), each round persists its label RDD so lineage never
-  * re-executes prior rounds, and convergence is decided by one exact
-  * scalar aggregate per round (the BigInt sum of labels, so 63-bit ids
-  * cannot wrap), which is strictly monotone decreasing until the
-  * fixpoint. `checkpointDir` picks the materialization: on a real
+  * re-executes prior rounds, and convergence is decided by a per-round
+  * change-count accumulator observed from the same action that
+  * materializes the round (zero observed changes is a sound fixpoint
+  * certificate — see the loop comment), so no extra aggregate job runs.
+  * `checkpointDir` picks the materialization: on a real
   * cluster pass a reliable (HDFS/object-store) directory and each round
   * commits through `RDD.checkpoint`; unset, the local[] default keeps
   * rounds as persisted blocks — same shape, a CONFIG choice, not a code
@@ -117,43 +118,75 @@ object Components {
         .mapPartitions(_.map { case (id, mn) => (id, math.min(id, mn)) },
           preservesPartitioning = true))
 
-    // Exact label mass: strictly decreases every non-fixpoint round.
-    def mass(l: RDD[(Long, Long)]): BigInt =
-      l.aggregate(BigInt(0))((acc, kv) => acc + kv._2, _ + _)
-
-    var prev = mass(labels)
-    var done = prev.signum == 0 && labels.isEmpty()
+    // Convergence by CHANGE COUNT, observed through one accumulator per
+    // round, so each round is exactly one job and no pre-loop action is
+    // needed (r16 opt: the previous exact-label-mass comparison spent an
+    // extra aggregate job before the loop). Every label update under the
+    // min algebra strictly DECREASES the label, so "zero changes" and
+    // "mass stopped decreasing" name the same fixpoint. Accumulator
+    // semantics are at-least-once under task retry/recompute (the
+    // propagate map also re-evaluates once as the doubling join's
+    // lookup side): a spurious re-add can only OVER-count, which buys
+    // one extra already-converged round — while an observed zero is
+    // sound, because any truly-changed label adds ≥ 1 from every
+    // successful attempt of its task.
+    var done = false
     var iter = 0
     while (!done && iter < maxIter) {
-      // 1. min over self and neighbours: labels reach one hop per round.
-      //    adj and labels share `part`, so the lookup join is narrow; only
-      //    the per-neighbour label messages shuffle (map-side combined).
-      val msgs = adj.join(labels, part)
-        .map { case (_, (v, rep)) => (v, rep) }
-        .reduceByKey(part, math.min(_, _))
-      val m = labels.cogroup(msgs, part).mapPartitions(_.map {
-        case (id, (own, offered)) =>
-          var best = Long.MaxValue
-          val it1 = own.iterator
-          while (it1.hasNext) { val x = it1.next(); if (x < best) best = x }
-          val it2 = offered.iterator
-          while (it2.hasNext) { val x = it2.next(); if (x < best) best = x }
-          (id, best)
-      }, preservesPartitioning = true)
+      val changed = spark.sparkContext.longAccumulator(s"cc-changed-$iter")
+      // 1. min over self and neighbours: labels reach one EDGE hop per
+      //    propagate. adj and labels share `part`, so the lookup join is
+      //    narrow; only the per-neighbour label messages shuffle
+      //    (map-side combined).
+      def propagate(cur: RDD[(Long, Long)]): RDD[(Long, Long)] = {
+        val msgs = adj.join(cur, part)
+          .map { case (_, (v, rep)) => (v, rep) }
+          .reduceByKey(part, math.min(_, _))
+        cur.cogroup(msgs, part).mapPartitions(_.map {
+          case (id, (own, offered)) =>
+            var ownLbl = Long.MaxValue
+            val it1 = own.iterator
+            while (it1.hasNext) { val x = it1.next(); if (x < ownLbl) ownLbl = x }
+            var best = ownLbl
+            val it2 = offered.iterator
+            while (it2.hasNext) { val x = it2.next(); if (x < best) best = x }
+            if (best != ownLbl) changed.add(1L)
+            (id, best)
+        }, preservesPartitioning = true)
+      }
       // 2. …then pointer doubling halves every chain: rep ← rep(rep).
       //    rep values are always node ids (inductively: min of ids), so
       //    the lookup side always matches; the left-outer fallback is
       //    belt-and-braces.
-      val next = materialize(
-        m.map { case (id, rep) => (rep, id) }
+      def doubleOnce(cur: RDD[(Long, Long)]): RDD[(Long, Long)] =
+        cur.map { case (id, rep) => (rep, id) }
           .partitionBy(part)
-          .leftOuterJoin(m, part) // narrow: both sides keyed on `part`
-          .map { case (rep, (id, rrep)) => (id, rrep.getOrElse(rep)) }
-          .partitionBy(part))
+          .leftOuterJoin(cur, part) // narrow: both sides keyed on `part`
+          .map { case (rep, (id, rrep)) =>
+            val nl = rrep.getOrElse(rep)
+            if (nl != rep) changed.add(1L)
+            (id, nl)
+          }
+          .partitionBy(part)
+      // TWO propagate+double cycles per round (r16 opt): the binding
+      // constraint on round count is EDGE-hop distance (a new minimum
+      // travels one edge per propagate; doubling only contracts the
+      // rep-pointer chains), so packing two cycles into one round halves
+      // the number of scheduler round-trips — the round is STILL one
+      // job, since every step is a narrow co-partitioned join plus one
+      // small keyed shuffle. Intermediates are persisted lazily (the
+      // round's single action materializes them) because each step
+      // reads its input twice.
+      val s1 = propagate(labels).persist(StorageLevel.MEMORY_AND_DISK)
+      val s2 = doubleOnce(s1).persist(StorageLevel.MEMORY_AND_DISK)
+      val s3 = propagate(s2).persist(StorageLevel.MEMORY_AND_DISK)
+      val next = materialize(doubleOnce(s3))
       // one action materializes the round AND decides convergence
-      val cur = mass(next)
-      done = cur == prev
-      prev = cur
+      next.foreach(_ => ())
+      Seq(s1, s2, s3).foreach(_.unpersist(blocking = false))
+      done = changed.value == 0L
+      if (sys.env.contains("GRAFT_CC_TRACE"))
+        System.err.println(s"CCTRACE round=$iter changed=${changed.value}")
       labels.unpersist(blocking = false)
       labels = next
       iter += 1

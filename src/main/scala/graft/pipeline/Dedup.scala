@@ -477,9 +477,20 @@ object Dedup {
       col("__band"), col("__key"))
     val b = banded.select(col("__id").as("b_id"), col("__sim").as("b_sim"),
       col("__band"), col("__key"))
+    // count-once rule: a pair colliding in SEVERAL bands surfaces once
+    // per collision; keep only the FIRST matching band — a codegen'd
+    // filter over the two fingerprints already on the row (the
+    // RangeJoin first-shared-bin trick), where the old distinct()
+    // re-shuffled every candidate pair to deduplicate (guide §2.4:
+    // remove the exchange outright). Joined rows match in ≥ 1 band by
+    // construction, so the least() is always < `bands`.
+    val firstBand = least((0 until bands).map { bb =>
+      val sa = shiftright(col("a_sim"), bb * sliceBits).bitwiseAND(lit(mask))
+      val sb = shiftright(col("b_sim"), bb * sliceBits).bitwiseAND(lit(mask))
+      when(sa === sb, lit(bb)).otherwise(lit(bands))
+    }: _*)
     a.join(b, Seq("__band", "__key")).filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("a_sim"), col("b_sim"))
-      .distinct()
+      .filter(col("__band") === firstBand)
       .select(col("a_id"), col("b_id"), hamming64(col("a_sim"), col("b_sim")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
