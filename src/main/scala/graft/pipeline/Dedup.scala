@@ -174,21 +174,23 @@ object Dedup {
 
   /** Removable window sites `(__id, __start)`: for every fingerprint with
     * ≥ 2 sites corpus-wide, every site EXCEPT the globally-first one
-    * (minimum (doc, start), lexicographic) — the kept occurrence. One
-    * hash-shuffle on the fingerprint with map-side partial aggregation
-    * (a degenerate window repeated millions of times collapses to one
-    * (count, min) pair per map task — a per-fp ranking window could
-    * not), then a shuffle join of the narrow site rows back to the
-    * surviving keys. */
+    * (minimum (doc, start), lexicographic) — the kept occurrence.
+    *
+    * ONE fingerprint-keyed exchange end to end (r16 opt): per-fp site
+    * count and first-site election run as unordered-frame window
+    * aggregates over the shuffled sites. The previous aggregate +
+    * join-back form was sold on map-side partial aggregation, but the
+    * join-back re-shuffled (and re-scanned) every site row anyway — the
+    * same bytes this window moves once — plus a second exchange and a
+    * second pass over the sketch (guide §2.4: two operations keyed the
+    * same way share one exchange). */
   def removableWindowSites(fps: DataFrame): DataFrame = {
-    val dups = fps.groupBy(col("__fp"))
-      .agg(count(lit(1)).as("__n"),
-        min(struct(col("__id"), col("__start"))).as("__keep"))
-      .filter(col("__n") >= 2)
-      .select(col("__fp"), col("__keep.__id").as("__kid"),
-        col("__keep.__start").as("__kstart"))
-    fps.join(dups, "__fp")
-      .filter(!(col("__id") === col("__kid") && col("__start") === col("__kstart")))
+    val byFp = org.apache.spark.sql.expressions.Window.partitionBy(col("__fp"))
+    val site = struct(col("__id"), col("__start"))
+    fps
+      .withColumn("__n", count(lit(1)).over(byFp))
+      .withColumn("__keep", min(site).over(byFp))
+      .filter(col("__n") >= 2 && !(site === col("__keep")))
       .select(col("__id"), col("__start"))
   }
 
