@@ -551,7 +551,10 @@ object Similarity {
       case None => (base.withColumn("__sub", lit(0L)), Seq("c_id"))
       case Some(cap) =>
         require(cap > 0, "maxClusterSize must be positive")
-        val sizes = base.groupBy("c_id").agg(count(lit(1)).as("__csz"))
+        // explicit broadcast: the size frame is bounded by the CENTROID
+        // count at any corpus scale, and a stats misestimate falling back
+        // to a shuffle here would re-shuffle the whole corpus projection
+        val sizes = broadcast(base.groupBy("c_id").agg(count(lit(1)).as("__csz")))
         val planes = hyperplanes(16, dim, subSeed)
         val sig = lshBucket(col(embCol), planes)
         // a dim mismatch nulls every plane dot, which lshBucket's sign

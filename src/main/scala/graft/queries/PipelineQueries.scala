@@ -1345,9 +1345,14 @@ object PipelineQueries {
     * step of corpus assembly as one windowed rank. */
   private def c2Quota(s: SparkSession, dir: String): DataFrame =
     Curation.quotaPerGroup(
-        Tables.documents(s, dir).select(col("doc_id"),
-          TA.langId(col("text")).as("lang_id"),
-          TA.tokenCount(col("text")).as("n_tokens")),
+        // langId folds `greatest` over per-language stopword scans —
+        // real per-row work forced by the grouping, off a one-task scan:
+        // spread first ([[spread]]; the window's lang_id exchange is
+        // low-cardinality, so the extra map partitions cost nothing)
+        spread(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+          .select(col("doc_id"),
+            TA.langId(col("text")).as("lang_id"),
+            TA.tokenCount(col("text")).as("n_tokens")),
         groupCols = Seq("lang_id"), n = 25,
         col("n_tokens").desc, col("doc_id"))
       .orderBy(col("lang_id"), col("doc_id"))
@@ -1391,8 +1396,12 @@ object PipelineQueries {
     * per-stratum count + id-sum, so the oracle pins exact membership. */
   private def c3Sample(s: SparkSession, dir: String): DataFrame =
     Curation.sampleByStratum(
-        Tables.documents(s, dir).select(col("doc_id"),
-          TA.langId(col("text")).as("lang_id")),
+        // same spread rationale as c2: forced per-row langId, and the
+        // per-stratum partial aggregate stays tiny (3 strata) however
+        // many map partitions feed it
+        spread(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+          .select(col("doc_id"),
+            TA.langId(col("text")).as("lang_id")),
         "lang_id", "doc_id",
         rates = Map("en" -> 20, "de" -> 50), defaultRate = 80,
         bucket = Curation.md5Bucket)
