@@ -238,23 +238,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(keyExchanges === 1, s"expected one acct exchange, got $keyExchanges:\n$p")
   }
 
-  test("substring dedup: fp election partial-aggregates; no cartesian, no text shuffle") {
+  test("substring dedup: one fingerprint exchange, no join-back, no text shuffle") {
     val p = plan("p_d8_substring_spans")
-    // the (count, min-site) election must combine map-side on the 16-byte
-    // fingerprint — a ranking-window formulation would shuffle every site
-    // row unsorted and hold hot fingerprints in one task
-    assert(p.contains("partial_count") && p.contains("partial_min"),
-      s"fp election lost its map-side combine:\n$p")
+    // r16 shape: the per-fp site count and first-site election are
+    // unbounded-frame WINDOW aggregates over ONE fingerprint-keyed
+    // shuffle — the previous aggregate + join-back form re-shuffled (and
+    // re-scanned) every site row a second time
+    val fpExchanges = "hashpartitioning\\(__fp".r.findAllIn(p).length
+    assert(fpExchanges === 1,
+      s"expected exactly one fingerprint exchange, got $fpExchanges:\n$p")
+    assert(!p.contains("Join"), s"site election must not join back:\n$p")
     assert(!p.contains("CartesianProduct"))
-    // the shuffled join keys are the fingerprint, never document text
+    // the shuffled keys are the fingerprint, never document text
     assert(!p.contains("hashpartitioning(text"), "text must never shuffle")
   }
 
-  test("CMS estimate broadcasts the cell table; cells partial-aggregate") {
+  test("CMS probe is join-free: dense lookups folded into the top-k projection") {
     val p = plan("p_k1_cms_heavy_hitters")
-    assert(p.contains("BroadcastHashJoin"),
-      s"the <=depth*width cell table must broadcast:\n$p")
-    assert(p.contains("partial_sum"), "cell sums must combine map-side")
+    // r16 shape: the bounded depth×width sketch rides as dense literal
+    // arrays, so the probe is element_at lookups in the projection —
+    // a regression to per-depth joins (or worse, the posexplode →
+    // re-aggregate form) shows up as Join/extra-aggregate nodes
+    // the corpus BOOST is a legitimate 50-row nested-loop cross join;
+    // the PROBE must not be a join of any keyed kind
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin") &&
+      !p.contains("ShuffledHashJoin"), s"sketch probe must not join:\n$p")
+    // (the dense element_at lookups live in TakeOrderedAndProject's
+    // projection, which SimpleMode does not print — join-freedom plus
+    // the take-order shape is the guarded invariant)
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 must take-order:\n$p")
+    assert(p.contains("partial_count"),
+      "the trigram exact-count aggregate must combine map-side")
     assert(!p.contains("CartesianProduct"))
   }
 
