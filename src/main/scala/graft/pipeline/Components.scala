@@ -168,22 +168,19 @@ object Components {
             (id, nl)
           }
           .partitionBy(part)
-      // TWO propagate+double cycles per round (r16 opt): the binding
-      // constraint on round count is EDGE-hop distance (a new minimum
-      // travels one edge per propagate; doubling only contracts the
-      // rep-pointer chains), so packing two cycles into one round halves
-      // the number of scheduler round-trips — the round is STILL one
-      // job, since every step is a narrow co-partitioned join plus one
-      // small keyed shuffle. Intermediates are persisted lazily (the
-      // round's single action materializes them) because each step
-      // reads its input twice.
-      val s1 = propagate(labels).persist(StorageLevel.MEMORY_AND_DISK)
-      val s2 = doubleOnce(s1).persist(StorageLevel.MEMORY_AND_DISK)
-      val s3 = propagate(s2).persist(StorageLevel.MEMORY_AND_DISK)
-      val next = materialize(doubleOnce(s3))
+      // One propagate + one doubling per round. (Measured this round:
+      // packing TWO cycles into each round cut the image/struct resolve
+      // graphs from 6 rounds to 4, but each extra propagate re-walks the
+      // full adjacency, and the measured wall moved +0.1–0.35 s — the
+      // per-round work grows faster than the barrier count shrinks at
+      // these graph sizes, so the single cycle stays.) The propagate
+      // output is persisted lazily because the doubling join reads it
+      // twice; the round's single action materializes everything.
+      val m = propagate(labels).persist(StorageLevel.MEMORY_AND_DISK)
+      val next = materialize(doubleOnce(m))
       // one action materializes the round AND decides convergence
       next.foreach(_ => ())
-      Seq(s1, s2, s3).foreach(_.unpersist(blocking = false))
+      m.unpersist(blocking = false)
       done = changed.value == 0L
       if (sys.env.contains("GRAFT_CC_TRACE"))
         System.err.println(s"CCTRACE round=$iter changed=${changed.value}")
