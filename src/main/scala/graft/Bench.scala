@@ -42,7 +42,14 @@ object Bench {
     "p_mm23_mp3_stereo", "p_mm24_image_resize", "p_mm25_mp3_intensity",
     "p_mm26_wav_resample", "p_mm29_aac_spectral", "p_mm30_aac_short",
     "p_mm31_audio_to_wav", "p_mm32_aac_tns", "p_mm33_aac_pulse",
-    "p_d10_image_dhash")
+    "p_d10_image_dhash",
+    // round-17 (verdict item #2): the fingerprint projections were
+    // `.count()`-forced, which let Catalyst prune the fingerprint
+    // expressions — their bench numbers measured corpus construction
+    // only. Forcing the full output row RAISES their reported numbers;
+    // that is the honest measurement, not a regression.
+    "p_d13_audio_fingerprint", "p_d17_video_fingerprint",
+    "p_d21_struct_fingerprint")
 
   /** Force `df` so no output column can be pruned away. The fold is
     * bit_xor, not sum — ANSI mode (Spark 4 default) would raise on a
@@ -233,7 +240,12 @@ object Bench {
       results.collect { case (_, Right(v)) => math.max(v - med, 0.0) }.sum.toString
     } else "null"
     val retimedJson = retimed.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total_warm","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"floor_sec":$floor,"total_above_floor":$aboveFloor,"retimed":$retimedJson,"sf":"$sfDir"}""")
+    // Effective parallelism fields (round-17 verdict item #8): at sf0.1
+    // most entries are scheduling-floor-bound, so low/high-core ratios
+    // sit ≈ 1 and a downstream heuristic cannot tell "honors
+    // $SPARK_GRAFT_CPUS" from "ignores it". Emitting the master and the
+    // context's actual defaultParallelism lets that check clear itself.
+    println(s"""{"metric":"total_warm","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"floor_sec":$floor,"total_above_floor":$aboveFloor,"retimed":$retimedJson,"cpus":${cpus.toInt},"master":"${esc(master)}","default_parallelism":${spark.sparkContext.defaultParallelism},"sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(_._2.isLeft)) sys.exit(1)
   }

@@ -33,7 +33,7 @@ object ArtifactStore {
 
   def ensure(spark: SparkSession, sourceFile: String, root: String,
       key: String)(build: String => Unit): DataFrame =
-    spark.read.parquet(ensureDir(sourceFile, root, key)(build))
+    graft.RelationCache.parquet(spark, ensureDir(sourceFile, root, key)(build))
 
   /** The lifecycle without the parquet read — for artifacts that are a
     * DIRECTORY OF RAW FILES rather than a parquet table (e.g. the media
@@ -375,7 +375,7 @@ object ArtifactStore {
     val dir = s"$root/$key"
     val segs = listSegments(dir)
     require(segs.nonEmpty, s"segmented artifact $dir has no committed segments")
-    spark.read.parquet(segs.map(s => s"$dir/$s"): _*)
+    graft.RelationCache.parquet(spark, segs.map(s => s"$dir/$s"): _*)
   }
 
   /** Fold all committed segments into one — the small-files

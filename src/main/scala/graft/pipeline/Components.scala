@@ -190,7 +190,7 @@ object Components {
     }
     if (!done) throw new IllegalStateException(
       s"connected components did not converge within $maxIter rounds " +
-        "(label mass still decreasing); raise maxIter — returning " +
+        "(labels still changing); raise maxIter — returning " +
         "partially-merged labels would silently under-deduplicate")
     adj.unpersist(blocking = false)
     spark.createDataFrame(

@@ -183,7 +183,18 @@ object Dedup {
     * join-back re-shuffled (and re-scanned) every site row anyway — the
     * same bytes this window moves once — plus a second exchange and a
     * second pass over the sketch (guide §2.4: two operations keyed the
-    * same way share one exchange). */
+    * same way share one exchange).
+    *
+    * SKEW TRADEOFF (deliberate): both the old and new forms gather every
+    * site of one fingerprint into one task (a window cannot split a key,
+    * and the old join hashed on __fp too), so a degenerate corpus where
+    * one substring fingerprint dominates makes that task a straggler —
+    * WindowExec at least buffers spillably. If corpus-scale fp skew is
+    * expected, the fix is a count-threshold salted two-phase election
+    * (elect per (fp, salt), then elect among the ≤k salt winners), at
+    * the cost of a second small exchange; not taken here because the
+    * fixtures and the Lee et al. recipe's hash-sized windows keep per-fp
+    * multiplicity tiny. */
   def removableWindowSites(fps: DataFrame): DataFrame = {
     val byFp = org.apache.spark.sql.expressions.Window.partitionBy(col("__fp"))
     val site = struct(col("__id"), col("__start"))

@@ -207,7 +207,7 @@ object IvfIndex {
         .compareTo(java.nio.file.Files.getLastModifiedTime(centPath)) <= 0,
       s"IvfIndex.append: codebook at $centPath is STALE (corpus regenerated " +
         "after it was trained) — rebuild the base with ensureSegmented first")
-    val cents = spark.read.parquet(centPath.toString)
+    val cents = graft.RelationCache.parquet(spark, centPath.toString)
     ArtifactStore.appendSegment(spark, root, segKey(corpusDir, quantizer, variant)) {
       tmp => Similarity.ivfAssign(newEmb, embCol, idCol, cents)
         .sort(col("c_id"))

@@ -27,9 +27,9 @@ object EvmQueries {
   private def txsT = s"read_parquet('$P/transactions.parquet')"
   private def eventsT = s"read_parquet('$P/events.parquet')"
 
-  def blocks(spark: SparkSession): DataFrame = spark.read.parquet(s"$P/blocks.parquet")
-  def txs(spark: SparkSession): DataFrame = spark.read.parquet(s"$P/transactions.parquet")
-  def events(spark: SparkSession): DataFrame = spark.read.parquet(s"$P/events.parquet")
+  def blocks(spark: SparkSession): DataFrame = graft.RelationCache.parquet(spark, s"$P/blocks.parquet")
+  def txs(spark: SparkSession): DataFrame = graft.RelationCache.parquet(spark, s"$P/transactions.parquet")
+  def events(spark: SparkSession): DataFrame = graft.RelationCache.parquet(spark, s"$P/events.parquet")
 
   /** Pruned dim side for fact⋈blocks joins — renamed key avoids collisions
     * with the fact table's own `hash`/`nonce` columns, and the projection

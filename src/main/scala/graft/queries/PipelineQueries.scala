@@ -1638,6 +1638,13 @@ object PipelineQueries {
     // plan = trigram aggregate → project → TakeOrdered, ZERO joins.
     // least() over the lookups is the same min the join form computed;
     // absent cells are the dense arrays' zero default.
+    // EAGER-SNAPSHOT semantics (deliberate): the collect() below runs at
+    // DataFrame-construction time, freezing the sketch as of now — a
+    // segment appended after construction (appendCmsSegment) is not
+    // reflected, unlike the previous lazy join form. Fine for this
+    // bounded query (construction and execution are one bench pass);
+    // a long-lived handle over a live segmented sketch should defer the
+    // probe to execution.
     val dense = Array.fill(Sketches.CmsDepth)(new Array[Long](2048))
     cells.select(col("j"), col("bucket"), col("cnt")).collect().foreach { r =>
       dense(r.getInt(0))(r.getLong(1).toInt) = r.getLong(2)

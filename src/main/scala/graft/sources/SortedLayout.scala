@@ -141,7 +141,7 @@ object SortedLayout {
   def pointLookup(spark: SparkSession, dir: String, value: Long): DataFrame = {
     val (key, span) = layout(spark, dir)
     val kb = (value - Math.floorMod(value, span)) / span
-    spark.read.parquet(dir)
+    graft.RelationCache.parquet(spark, dir)
       .filter(col("__kb") === kb && col(key) === value)
       .drop("__kb")
   }
@@ -154,7 +154,7 @@ object SortedLayout {
     * table size. */
   def hashLookup(spark: SparkSession, dir: String, hashCol: String,
       value: String): DataFrame =
-    spark.read.parquet(dir)
+    graft.RelationCache.parquet(spark, dir)
       .filter(col(hashCol) === value)
       .drop("__kb")
 
@@ -164,7 +164,7 @@ object SortedLayout {
     val (key, span) = layout(spark, dir)
     val kbLo = (lo - Math.floorMod(lo, span)) / span
     val kbHi = (hi - Math.floorMod(hi, span)) / span
-    spark.read.parquet(dir)
+    graft.RelationCache.parquet(spark, dir)
       .filter(col("__kb").between(kbLo, kbHi)
         && col(key).between(lo, hi))
       .drop("__kb")
