@@ -151,29 +151,58 @@ object AsOfJoin {
     val rb = t.rPart.withColumn("__bk",
       bucketOf(col("__t"), right.schema(rightTs).dataType, bucketSize))
     val bkeys = keys :+ "__bk"
+    val u = lb.unionByName(rb)
     // 1. within-bucket carry
     val w = Window.partitionBy(bkeys.map(col): _*)
       .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val lw = lb.unionByName(rb)
+    val lw = u
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === lit(t.leftSide))
     // 2. latest right row per non-empty (keys, bucket), then the
     // carry-in for every LEFT bucket: the last summary of any strictly
-    // earlier bucket (need rows sort before same-bucket summaries, so
-    // the running last() excludes the current bucket)
-    val bsum = rb.groupBy(bkeys.map(col): _*)
-      .agg(max_by(col("__r"), col("__t")).as("__r"))
-      .withColumn("__src", lit(1))
-    val need = lb.select(bkeys.map(col): _*).distinct()
-      .withColumn("__r", lit(null).cast(t.rType))
-      .withColumn("__src", lit(0))
+    // earlier bucket.
+    //
+    // r17 opt (guide §2.4, one exchange for operations keyed the same
+    // way): the previous form re-scanned the RIGHT side for a
+    // `groupBy(bkeys).max_by` summary and the LEFT side for a
+    // `distinct()` of needed buckets — two extra input scans and two
+    // extra input-sized exchanges for per-bucket facts the pass-1 union
+    // exchange already gathered. Both are now derived from that SAME
+    // union subtree: a full-frame window over the identical
+    // (keys, bucket) partitioning (its Exchange is canonically equal to
+    // pass 1's, so the planner shuffles the union ONCE and both
+    // consumers read it back — an aggregate could not share it, because
+    // its partial half would sit below the exchange) computes each
+    // bucket's latest right row (`last` over (__t, __side) order ≡
+    // max_by(__r, __t): right rows of a non-null bucket never carry a
+    // null __t, a null __t lands in the null bucket where both forms
+    // yield null), then one row per bucket survives a first()
+    // aggregation that needs NO new exchange. The carry-in window
+    // excludes the current bucket with an (…, -1) frame directly —
+    // the old need/bsum union's __src-ordering trick encoded the same
+    // exclusion.
+    val isR = col("__side") === lit(1 - t.leftSide)
+    val wb = Window.partitionBy(bkeys.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val bstat = u
+      // `__t.isNotNull` mirrors max_by's skip of null ordering values:
+      // a null-ts right row (it lives in the NULL bucket — __bk is
+      // null exactly when __t is) must not become a carry summary, or
+      // it would leak into every later bucket's carry-in
+      .withColumn("__bsum",
+        last(when(isR && col("__t").isNotNull, col("__r")),
+          ignoreNulls = true).over(wb))
+      .withColumn("__isl", when(col("__side") === lit(t.leftSide), 1).otherwise(0))
+      .groupBy(bkeys.map(col): _*)
+      .agg(first(col("__bsum")).as("__bsum"), max(col("__isl")).as("__hasl"))
     val cw = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__bk").asc, col("__src").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cin = need.unionByName(bsum)
-      .withColumn("__cin", last(col("__r"), ignoreNulls = true).over(cw))
-      .filter(col("__src") === 0)
+      .orderBy(col("__bk").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cin = bstat
+      .withColumn("__cin", last(col("__bsum"), ignoreNulls = true).over(cw))
+      .filter(col("__hasl") === 1)
       .select(bkeys.map(col) :+ col("__cin"): _*)
     // 3. stitch + the shared tolerance mask and flatten. The join is
     // NULL-SAFE on every key: the window variants group null keys (and

@@ -135,21 +135,29 @@ object RangeJoin {
     * keeps exactly its start bin, where any b* it participates in must
     * land). Unlike the end-based clamp, this stays bounded even when
     * BOTH sides carry open-ended SCD-2 ends: replication is capped by
-    * the partner start SPREAD, never by interval length. */
+    * the partner start SPREAD, never by interval length.
+    *
+    * `startBounds` is the SHARED one-row frame both sides cross-join
+    * (r17 opt, guide §2.4 one-pass aggregation): each side picks its
+    * clamp columns by name (`obMin`/`obMax`) and drops all four, so the
+    * broadcast subtree stays IDENTICAL on the two sides and the planner
+    * builds it once (ReusedExchange) instead of running one aggregate
+    * pre-pass per side. */
   private def explodeBinsByStarts(df: DataFrame, s: String, e: String,
-      binSize: Long, startBounds: DataFrame, maxBins: Long): DataFrame = {
+      binSize: Long, startBounds: DataFrame, obMin: String, obMax: String,
+      maxBins: Long): DataFrame = {
     val live = df.filter(col(e) > col(s)).crossJoin(broadcast(startBounds))
     val bs = binExpr(col(s), df.schema(s).dataType, binSize)
-    val lo = greatest(bs, col("__obmin"))
+    val lo = greatest(bs, col(obMin))
     val hi = greatest(bs,
-      least(binExpr(col(e), df.schema(e).dataType, binSize), col("__obmax")))
-    live.filter(col("__obmin").isNotNull && lo <= hi)
+      least(binExpr(col(e), df.schema(e).dataType, binSize), col(obMax)))
+    live.filter(col(obMin).isNotNull && lo <= hi)
       .withColumn("__bin", explode(sequence(
         when(hi - lo < lit(maxBins), lo).otherwise(raise_error(concat(
           lit("range join: an interval spans "), (hi - lo + 1).cast("string"),
           lit(s" bins after clamping (cap $maxBins); raise binSize toward the typical interval length")))),
         hi)))
-      .drop("__obmin", "__obmax")
+      .drop("__lbmin", "__lbmax", "__rbmin", "__rbmax")
   }
 
   /** Interval-overlap join: every same-key (left, right) interval pair
@@ -174,10 +182,30 @@ object RangeJoin {
     requireDisjoint(left, right, keys, binSize)
     val lBin = binExpr(col(lStart), left.schema(lStart).dataType, binSize)
     val rBin = binExpr(col(rStart), right.schema(rStart).dataType, binSize)
+    // BOTH sides' observed start-bin ranges in ONE aggregate over a
+    // tagged union (r17 opt, guide §2.4: the previous form ran one
+    // axisBounds aggregate job + one broadcast build PER SIDE for four
+    // scalars). min/max over the empty side stays null — exactly the
+    // per-side axisBounds' empty-frame behavior the isNotNull clamp
+    // filter keys on.
+    val startBins = left
+      .select(binExpr(col(lStart), left.schema(lStart).dataType, binSize)
+        .as("__b"), lit(true).as("__isl"))
+      .unionByName(right
+        .select(binExpr(col(rStart), right.schema(rStart).dataType, binSize)
+          .as("__b"), lit(false).as("__isl")))
+    val bounds = startBins.agg(
+      min(when(col("__isl"), col("__b"))).as("__lbmin"),
+      max(when(col("__isl"), col("__b"))).as("__lbmax"),
+      min(when(!col("__isl"), col("__b"))).as("__rbmin"),
+      max(when(!col("__isl"), col("__b"))).as("__rbmax"))
+    // left clamps to the RIGHT side's observed start range and vice
+    // versa; both cross-join the SAME one-row frame so its broadcast
+    // builds once
     explodeBinsByStarts(left, lStart, lEnd, binSize,
-        axisBounds(right, rStart, rStart, binSize), maxBins)
+        bounds, "__rbmin", "__rbmax", maxBins)
       .join(explodeBinsByStarts(right, rStart, rEnd, binSize,
-        axisBounds(left, lStart, lStart, binSize), maxBins), keys :+ "__bin")
+        bounds, "__lbmin", "__lbmax", maxBins), keys :+ "__bin")
       .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
       .filter(col("__bin") === greatest(lBin, rBin))
       .drop("__bin")

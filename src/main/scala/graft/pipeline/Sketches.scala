@@ -151,23 +151,40 @@ object Sketches {
       .agg(expr("bit_or(__m)").as("bits"))
 
   /** Membership probe: true iff every one of the value's k bits is set.
-    * The word table broadcasts; absent words mean unset bits. Returns
-    * `(valueCol, hit)` — never a false negative. */
+    * Returns one `(valueCol, hit)` row PER PROBE ROW (probe distinct
+    * values upstream if needed) — never a false negative.
+    *
+    * r17 opt (the [[graft.queries.PipelineQueries]] k1 dense-array
+    * idiom): the filter is a bounded, scale-CONSTANT artifact — ≤
+    * bits/32 words however large the corpus — so it rides to the driver
+    * once as a dense literal array and the probe becomes k O(1)
+    * `element_at` lookups folded into one projection: zero joins, zero
+    * explode/re-aggregate exchanges (the previous form exploded k rows
+    * per probe, broadcast-joined the word table, and re-aggregated —
+    * three operators and two aggregate exchanges for a bit test).
+    * EAGER-SNAPSHOT semantics, like the k1 CMS probe: the collect runs
+    * at DataFrame-construction time, freezing the filter as of now —
+    * fine for a bounded artifact probed in the same pass; a long-lived
+    * handle over a live segmented filter should re-construct. */
   def bloomProbe(words: DataFrame, probes: DataFrame, valueCol: String,
-      bits: Int): DataFrame =
-    probes
-      .select(col(valueCol),
-        posexplode(array((0 until BloomHashes).map(j =>
-          cmsBucket(col(valueCol), j, bits)): _*)).as(Seq("__j", "__pos")))
-      .select(col(valueCol), (col("__pos") / 32).cast(LongType).as("word"),
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(__pos % 32 AS INT))").as("__m"))
-      .join(broadcast(words), Seq("word"), "left")
-      .select(col(valueCol),
-        when(col("bits").isNotNull &&
-          col("bits").bitwiseAND(col("__m")) === col("__m"), 1L)
-          .otherwise(0L).as("__hit"))
-      .groupBy(col(valueCol))
-      .agg((min(col("__hit")) === 1L).as("hit"))
+      bits: Int): DataFrame = {
+    val nWords = (bits + 31) / 32
+    val dense = new Array[Long](nWords)
+    words.select(col("word"), col("bits")).collect().foreach { r =>
+      dense(r.getLong(0).toInt) = r.getLong(1)
+    }
+    val wordsLit = typedlit(dense.toSeq)
+    val allSet = (0 until BloomHashes).map { j =>
+      val pos = cmsBucket(col(valueCol), j, bits)
+      val w = element_at(wordsLit, (pos / 32).cast("int") + 1)
+      val m = call_function("shiftleft", lit(1L),
+        pmod(pos, lit(32L)).cast("int"))
+      w.bitwiseAND(m) === m
+    }.reduce(_ && _)
+    // coalesce: a NULL probe value nulls every lookup; the join form
+    // returned false there (left-join miss), so pin that
+    probes.select(col(valueCol), coalesce(allSet, lit(false)).as("hit"))
+  }
 
   /** Fold segment word tables into one filter: word-wise OR. */
   def mergeBloom(segments: DataFrame): DataFrame =

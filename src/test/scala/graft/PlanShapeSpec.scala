@@ -272,10 +272,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("bloom probe broadcasts the word table — never a shuffle join") {
+  test("bloom probe is join-free — dense lookups, never a shuffle join") {
+    // r17: the bounded word table (≤ bits/32 rows by construction) rides
+    // to the driver as a dense literal and the probe is k element_at
+    // lookups in one projection — zero joins of ANY kind (the r16 form
+    // broadcast-joined the words and re-aggregated per probe value)
     val p = plan("p_k4_bloom_membership")
-    assert(p.contains("BroadcastHashJoin"), s"word table must broadcast:\n$p")
-    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin") &&
+      !p.contains("ShuffledHashJoin"), s"bloom probe must not join:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
 
