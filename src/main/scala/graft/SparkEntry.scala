@@ -464,6 +464,12 @@ object SparkEntry {
   def oracleSql: Map[String, String] = tpchOracleSql ++
     graft.queries.EvmQueries.oracleSql ++ graft.queries.PipelineQueries.oracleSql
 
+  /** Oracle overrides applied by [[Verify.dump]] on SMALL fixtures only:
+    * fully-independent (no artifact replay) derivations that are
+    * quadratic in SQL and therefore infeasible at sf10. */
+  def oracleSqlSmallSf: Map[String, String] =
+    graft.queries.PipelineQueries.oracleSqlSmallSf
+
   private def tpchOracleSql: Map[String, String] = Map(
     "q01_point_lookup_pk" ->
       "SELECT * FROM orders WHERE o_orderkey = 4242",

