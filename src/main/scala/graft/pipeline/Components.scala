@@ -94,11 +94,24 @@ object Components {
     // already matched that to the edge volume), never a constant.
     val part = new HashPartitioner(math.max(raw.getNumPartitions, 1))
 
-    // Persist each round so lineage never re-executes prior rounds; with
-    // a reliable dir, additionally commit the round via RDD.checkpoint.
+    // Persist each round so lineage never re-executes prior rounds, and
+    // TRUNCATE its lineage: with a reliable dir via RDD.checkpoint,
+    // otherwise via localCheckpoint. Persisting alone keeps the full
+    // dependency DAG alive — measured (r17, JobTrace on p_d23 at sf0.1):
+    // each round's job dragged every prior round's stages through the
+    // DAGScheduler as "skipped" stages, growing per round to a 20+
+    // stage graph and costing 160–210 ms per 6-task round against a
+    // ~60 ms floor. Truncation makes every round's DAG constant-depth.
+    // localCheckpoint trades executor-loss recovery for speed — the
+    // right default for local[]; a real cluster passes `checkpointDir`
+    // and gets the reliable commit exactly as before.
     def materialize(rdd: RDD[(Long, Long)]): RDD[(Long, Long)] = {
-      rdd.persist(StorageLevel.MEMORY_AND_DISK)
-      if (reliable) rdd.checkpoint()
+      if (reliable) {
+        rdd.persist(StorageLevel.MEMORY_AND_DISK)
+        rdd.checkpoint()
+      } else {
+        rdd.localCheckpoint()
+      }
       rdd
     }
 

@@ -58,6 +58,26 @@ object E2Probe {
     println("=== PAIRS PLAN ===")
     println(pairs.queryExecution.executedPlan.toString.take(6000))
 
+    // the 100 TB shape: with broadcast off (the corpus side would never
+    // fit), does the self-join share ONE exchange across its two sides?
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val smjPairs = a.join(b, pairKeys)
+        .filter(col("a_id") < col("b_id"))
+        .filter((dot(col("__ae"), col("__be")) / (col("__an") * col("__bn")))
+          > lit(0.9))
+        .select("a_id", "b_id")
+      // execute THIS QueryExecution so its AdaptiveSparkPlan finalizes —
+      // a separate count() would plan its own tree and tell us nothing
+      smjPairs.collect()
+      val fin = smjPairs.queryExecution.executedPlan.toString
+      println("=== PAIRS PLAN (SMJ, broadcast off; final) ===")
+      println("E2SMJ ReusedExchange x" + "ReusedExchange".r.findAllIn(fin).size +
+        " Exchange x" + "Exchange".r.findAllIn(fin).size +
+        " FileScan x" + "FileScan|Scan parquet".r.findAllIn(fin).size)
+      println(fin.take(5000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
     t("pairs-count") { pairs.count() }
     val labels = t("components") {
       val l = Components.nearDupClusters(pairs)
