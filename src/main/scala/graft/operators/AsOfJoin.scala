@@ -151,7 +151,18 @@ object AsOfJoin {
     val rb = t.rPart.withColumn("__bk",
       bucketOf(col("__t"), right.schema(rightTs).dataType, bucketSize))
     val bkeys = keys :+ "__bk"
-    val u = lb.unionByName(rb)
+    // ONE explicit (keys, bucket) exchange shared by pass 1's window AND
+    // pass 2's bucket-summary aggregate (r17 opt, guide §2.4: the
+    // previous form re-scanned the RIGHT side for a groupBy/max_by
+    // summary and the LEFT side for a distinct() of needed buckets — two
+    // extra input scans and two extra input-sized exchanges for
+    // per-bucket facts this union shuffle already gathers). The
+    // repartition is load-bearing: with only the window's implicit
+    // ENSURE_REQUIREMENTS exchange, the aggregate would plan its partial
+    // half BELOW its own exchange and nothing would be shared; above an
+    // explicit repartition both consumers read the same shuffle output,
+    // and the aggregate needs no exchange of its own.
+    val u = lb.unionByName(rb).repartition(bkeys.map(col): _*)
     // 1. within-bucket carry
     val w = Window.partitionBy(bkeys.map(col): _*)
       .orderBy(col("__t").asc, col("__side").asc)
@@ -161,42 +172,18 @@ object AsOfJoin {
       .filter(col("__side") === lit(t.leftSide))
     // 2. latest right row per non-empty (keys, bucket), then the
     // carry-in for every LEFT bucket: the last summary of any strictly
-    // earlier bucket.
-    //
-    // r17 opt (guide §2.4, one exchange for operations keyed the same
-    // way): the previous form re-scanned the RIGHT side for a
-    // `groupBy(bkeys).max_by` summary and the LEFT side for a
-    // `distinct()` of needed buckets — two extra input scans and two
-    // extra input-sized exchanges for per-bucket facts the pass-1 union
-    // exchange already gathered. Both are now derived from that SAME
-    // union subtree: a full-frame window over the identical
-    // (keys, bucket) partitioning (its Exchange is canonically equal to
-    // pass 1's, so the planner shuffles the union ONCE and both
-    // consumers read it back — an aggregate could not share it, because
-    // its partial half would sit below the exchange) computes each
-    // bucket's latest right row (`last` over (__t, __side) order ≡
-    // max_by(__r, __t): right rows of a non-null bucket never carry a
-    // null __t, a null __t lands in the null bucket where both forms
-    // yield null), then one row per bucket survives a first()
-    // aggregation that needs NO new exchange. The carry-in window
-    // excludes the current bucket with an (…, -1) frame directly —
-    // the old need/bsum union's __src-ordering trick encoded the same
+    // earlier bucket. max_by's ordering is null for LEFT rows, so they
+    // are skipped exactly like the old right-side-only aggregate (and a
+    // null-ts right row still lands in the NULL bucket with a null
+    // ordering — never a carry summary, same as before). The carry-in
+    // window excludes the current bucket with an (…, -1) frame directly
+    // — the old need/bsum union's __src-ordering trick encoded the same
     // exclusion.
     val isR = col("__side") === lit(1 - t.leftSide)
-    val wb = Window.partitionBy(bkeys.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val bstat = u
-      // `__t.isNotNull` mirrors max_by's skip of null ordering values:
-      // a null-ts right row (it lives in the NULL bucket — __bk is
-      // null exactly when __t is) must not become a carry summary, or
-      // it would leak into every later bucket's carry-in
-      .withColumn("__bsum",
-        last(when(isR && col("__t").isNotNull, col("__r")),
-          ignoreNulls = true).over(wb))
-      .withColumn("__isl", when(col("__side") === lit(t.leftSide), 1).otherwise(0))
       .groupBy(bkeys.map(col): _*)
-      .agg(first(col("__bsum")).as("__bsum"), max(col("__isl")).as("__hasl"))
+      .agg(max_by(when(isR, col("__r")), when(isR, col("__t"))).as("__bsum"),
+        max(when(col("__side") === lit(t.leftSide), 1).otherwise(0)).as("__hasl"))
     val cw = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__bk").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
