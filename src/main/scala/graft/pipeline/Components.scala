@@ -95,22 +95,30 @@ object Components {
     val part = new HashPartitioner(math.max(raw.getNumPartitions, 1))
 
     // Persist each round so lineage never re-executes prior rounds, and
-    // TRUNCATE its lineage: with a reliable dir via RDD.checkpoint,
-    // otherwise via localCheckpoint. Persisting alone keeps the full
-    // dependency DAG alive — measured (r17, JobTrace on p_d23 at sf0.1):
-    // each round's job dragged every prior round's stages through the
-    // DAGScheduler as "skipped" stages, growing per round to a 20+
-    // stage graph and costing 160–210 ms per 6-task round against a
-    // ~60 ms floor. Truncation makes every round's DAG constant-depth.
-    // localCheckpoint trades executor-loss recovery for speed — the
-    // right default for local[]; a real cluster passes `checkpointDir`
-    // and gets the reliable commit exactly as before.
+    // where safe TRUNCATE its lineage: with a reliable dir via
+    // RDD.checkpoint; in single-JVM local[] mode via localCheckpoint.
+    // Persisting alone keeps the full dependency DAG alive — measured
+    // (r17, JobTrace on p_d23 at sf0.1): each round's job dragged every
+    // prior round's stages through the DAGScheduler as "skipped"
+    // stages, growing per round to a 20+ stage graph and costing
+    // 160–210 ms per 6-task round against a ~60 ms floor; truncation
+    // makes every round's DAG constant-depth. localCheckpoint is gated
+    // on `isLocal` deliberately: locally-checkpointed partitions live
+    // only on the executor that computed them, so on a MULTI-EXECUTOR
+    // master an executor loss FAILS the job instead of recomputing
+    // (the documented localCheckpoint trade, acceptable only where no
+    // executor can die: single-JVM local[]) — without a reliable dir
+    // the pre-r17 plain persist is the safe distributed default, and a
+    // real cluster passes `checkpointDir` for reliable truncation.
+    val canTruncateLocally = spark.sparkContext.isLocal
     def materialize(rdd: RDD[(Long, Long)]): RDD[(Long, Long)] = {
       if (reliable) {
         rdd.persist(StorageLevel.MEMORY_AND_DISK)
         rdd.checkpoint()
-      } else {
+      } else if (canTruncateLocally) {
         rdd.localCheckpoint()
+      } else {
+        rdd.persist(StorageLevel.MEMORY_AND_DISK)
       }
       rdd
     }
